@@ -1,0 +1,722 @@
+"""Query registry: one entry per implemented operator/capability from
+SURVEY.md §2, each paired (when SQL-expressible) with a DuckDB oracle.
+
+Conventions (driver contract, see repo __spark_entry__.py):
+- every callable takes (spark, sf_dir) and returns a DataFrame;
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- floating outputs are made BITWISE-identical across engines rather than
+  rounded (round() algorithms disagree at half-boundaries):
+    * per-row arithmetic: same expression order → same IEEE double;
+    * aggregates of doubles: operands cast to DECIMAL(38,s) → exact sum →
+      cast back to double (identical on both engines, order-independent);
+    * avg/stddev: derived from exact decimal sums with identical double
+      arithmetic, never the engines' own float accumulators;
+- integer SUMs are CAST(... AS BIGINT) in DuckDB (it widens to HUGEINT).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .session import Session, load_tables
+from .slice import Slice
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _s(spark: SparkSession, sf_dir: str) -> tuple[Session, dict]:
+    sess = Session(spark)
+    return sess, load_tables(spark, sf_dir)
+
+
+def dsum(expr: Column | str, scale: int = 4) -> Column:
+    """Exact (decimal-backed) sum of a double expression, as double.
+    Deterministic regardless of partial-aggregation order — the hash-match
+    analog of the reference's order-insensitive assertColumnsEqual."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+# =====================================================================
+# Reference operator inventory (SURVEY §2.1), one query per operator.
+# =====================================================================
+
+@query("op_const", """
+    SELECT key, CAST(sum(v) AS BIGINT) AS total
+    FROM (VALUES ('a', 1), ('b', 2), ('a', 3), ('c', 5), ('b', 8)) t(key, v)
+    GROUP BY key
+""")
+def op_const(spark, sf_dir):
+    """bigslice.Const (reference slice.go:202-290)."""
+    sess = Session(spark)
+    sl = sess.const(4, ["a", "b", "a", "c", "b"], [1, 2, 3, 5, 8],
+                    names=["key", "v"], schema="key string, v long")
+    return sl.reduce_(F.sum("v")).map_(
+        F.col("key"), F.col("v").alias("total")).df
+
+
+@query("op_reader_func", """
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total
+    FROM (SELECT s * 1000 + i AS x
+          FROM generate_series(0, 3) t(s), generate_series(0, 99) u(i))
+""")
+def op_reader_func(spark, sf_dir):
+    """bigslice.ReaderFunc (reference slice.go:292-402): custom vectorized
+    per-shard source — fn yields Arrow batches per shard."""
+    import pandas as pd
+    sess = Session(spark)
+
+    def gen(shard: int):
+        yield pd.DataFrame({"x": [shard * 1000 + i for i in range(100)]})
+
+    sl = sess.reader_func(4, gen, schema="x long")
+    return sl.df.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("x").alias("total"))
+
+
+@query("op_writer_func", """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def op_writer_func(spark, sf_dir):
+    """bigslice.WriterFunc (reference slice.go:404-548): pass-through sink
+    tap; result is the identity of its input."""
+    sess, t = _s(spark, sf_dir)
+
+    def tap(shard: int, pdf) -> None:
+        _ = len(pdf)  # side-effect channel, like the reference
+
+    return sess.wrap(t["nation"]).writer_func(tap).df
+
+
+@query("op_map", """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+""")
+def op_map(spark, sf_dir):
+    """bigslice.Map (reference slice.go:550-638), native fast path.
+    Same per-row expression order on both engines → identical doubles."""
+    sess, t = _s(spark, sf_dir)
+    return sess.wrap(t["lineitem"]).map_(
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+         * (1 + F.col("l_tax"))).alias("charged")).df
+
+
+@query("op_map_pandas", """
+    SELECT l_orderkey, l_linenumber, l_quantity * l_extendedprice AS qp
+    FROM lineitem
+""")
+def op_map_pandas(spark, sf_dir):
+    """bigslice.Map slow path: opaque user fn over Arrow batches — the
+    analog of user Go funcs inside 128-row Frames (slice.go:600-634)."""
+    sess, t = _s(spark, sf_dir)
+
+    def fn(pdf):
+        out = pdf[["l_orderkey", "l_linenumber"]].copy()
+        out["qp"] = pdf["l_quantity"] * pdf["l_extendedprice"]
+        return out
+
+    return sess.wrap(t["lineitem"]).map_(
+        fn=fn, schema="l_orderkey long, l_linenumber int, qp double").df
+
+
+@query("op_filter", """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+""")
+def op_filter(spark, sf_dir):
+    """bigslice.Filter (reference slice.go:640-726), pushed to the scan."""
+    sess, t = _s(spark, sf_dir)
+    return (sess.wrap(t["lineitem"])
+            .filter_((F.col("l_quantity") > 45)
+                     & (F.col("l_returnflag") == "R"))
+            .map_("l_orderkey", "l_linenumber", "l_quantity")).df
+
+
+@query("op_flatmap", """
+    SELECT doc_id, token
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+""")
+def op_flatmap(spark, sf_dir):
+    """bigslice.Flatmap (reference slice.go:728-841): 1→N via explode."""
+    sess, t = _s(spark, sf_dir)
+    return (sess.wrap(t["documents"])
+            .flatmap(F.col("doc_id"),
+                     F.split("text", r"\s+").alias("token"),
+                     explode_col="token")
+            .filter_(F.col("token") != "")).df
+
+
+@query("op_fold", f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)}
+               AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def op_fold(spark, sf_dir):
+    """bigslice.Fold fast path (reference slice.go:843-955) — Catalyst
+    partial/final HashAggregate replaces the reference's in-memory
+    accumulator map (accum.go:17-19)."""
+    sess, t = _s(spark, sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (sess.wrap(t["lineitem"], prefix=2)
+            .map_("l_returnflag", "l_linestatus", "l_quantity",
+                  "l_extendedprice", "l_discount", prefix=2)
+            .fold(aggs={
+                "sum_qty": dsum("l_quantity"),
+                "sum_base_price": dsum("l_extendedprice"),
+                "sum_disc_price": dsum(disc, 8),
+                "count_order": F.count(F.lit(1)),
+            })).df
+
+
+@query("op_fold_custom", """
+    SELECT l_returnflag,
+           min(l_quantity * l_extendedprice) AS min_qp,
+           max(l_quantity * l_extendedprice) AS max_qp,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+""")
+def op_fold_custom(spark, sf_dir):
+    """bigslice.Fold slow path: arbitrary accumulator via applyInPandas
+    (SURVEY §7 hard-part 2). Min/max/count accumulator — exact doubles."""
+    import pandas as pd
+    sess, t = _s(spark, sf_dir)
+
+    def acc(key, pdf):
+        qp = pdf["l_quantity"] * pdf["l_extendedprice"]
+        return pd.DataFrame({"l_returnflag": [key[0]],
+                             "min_qp": [float(qp.min())],
+                             "max_qp": [float(qp.max())],
+                             "n": [len(pdf)]})
+
+    return (sess.wrap(t["lineitem"])
+            .map_("l_returnflag", "l_quantity", "l_extendedprice")
+            .fold(fn=acc, schema=("l_returnflag string, min_qp double, "
+                                  "max_qp double, n long"))).df
+
+
+@query("op_reduce", """
+    SELECT o_custkey, max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_custkey
+""")
+def op_reduce(spark, sf_dir):
+    """bigslice.Reduce (reference reduce.go:19-94): commutative/associative
+    reduce with map-side combine (Catalyst partial aggregate)."""
+    sess, t = _s(spark, sf_dir)
+    sl = sess.wrap(t["orders"]).map_(
+        F.col("o_custkey"), F.col("o_totalprice").alias("max_price"))
+    return sl.reduce_("max").df
+
+
+@query("op_cogroup", """
+    WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS nc,
+                      min(c_acctbal) AS mnc
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS ns,
+                      min(s_acctbal) AS mns
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.k, s.k) AS k,
+           coalesce(nc, 0) AS n_cust, coalesce(mnc, 0.0) AS min_cust,
+           coalesce(ns, 0) AS n_supp, coalesce(mns, 0.0) AS min_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+""")
+def op_cogroup(spark, sf_dir):
+    """bigslice.Cogroup (reference cogroup.go:20-272): multi-way full-outer
+    grouped join; absent groups are EMPTY (not null) — cogroup.go:244-258.
+    Emits group sizes + exact mins (array order is engine-specific)."""
+    sess, t = _s(spark, sf_dir)
+    cust = sess.wrap(t["customer"]).map_(
+        F.col("c_nationkey").alias("k"), F.col("c_acctbal"))
+    supp = sess.wrap(t["supplier"]).map_(
+        F.col("s_nationkey").alias("k"), F.col("s_acctbal"))
+    cg = cust.cogroup(supp)
+    return cg.map_(
+        "k",
+        F.size("g0").cast("long").alias("n_cust"),
+        F.coalesce(F.array_min(F.transform(
+            "g0", lambda x: x["c_acctbal"])), F.lit(0.0)).alias("min_cust"),
+        F.size("g1").cast("long").alias("n_supp"),
+        F.coalesce(F.array_min(F.transform(
+            "g1", lambda x: x["s_acctbal"])), F.lit(0.0)).alias("min_supp"),
+    ).df
+
+
+@query("op_reshuffle", """
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_suppkey
+""")
+def op_reshuffle(spark, sf_dir):
+    """bigslice.Reshuffle (reference reshuffle.go:24-88): co-locate equal
+    keys, then a per-partition count equals the grouped count."""
+    sess, t = _s(spark, sf_dir)
+    sl = (sess.wrap(t["lineitem"]).map_("l_suppkey").reshuffle())
+    return sl.fold(aggs={"n": F.count(F.lit(1))}).df
+
+
+@query("op_repartition", """
+    SELECT o_orderkey, o_custkey FROM orders
+""")
+def op_repartition(spark, sf_dir):
+    """bigslice.Repartition (reference reshuffle.go:44-76): user partition
+    function as a computed column; content is preserved."""
+    sess, t = _s(spark, sf_dir)
+    sl = sess.wrap(t["orders"]).map_("o_orderkey", "o_custkey")
+    return sl.repartition_func(8, F.col("o_custkey") * 31 + 7).df
+
+
+@query("op_reshard", """
+    SELECT c_custkey, c_name FROM customer
+""")
+def op_reshard(spark, sf_dir):
+    """bigslice.Reshard (reference reshard.go:15-45)."""
+    sess, t = _s(spark, sf_dir)
+    return (sess.wrap(t["customer"]).map_("c_custkey", "c_name")
+            .reshard(16).reshard(3)).df
+
+
+@query("op_head", """
+    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10
+""")
+def op_head(spark, sf_dir):
+    """bigslice.Head (reference slice.go:957-994): first n per shard. Made
+    deterministic here with a single sorted shard; the per-shard semantics
+    are exercised in tests/test_operators.py."""
+    sess, t = _s(spark, sf_dir)
+    df = (t["orders"].select("o_orderkey", "o_totalprice")
+          .repartition(1).sortWithinPartitions("o_orderkey"))
+    return sess.wrap(df).head(10).df
+
+
+@query("op_prefixed", f"""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           {_dsum_sql('l_quantity')} AS qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def op_prefixed(spark, sf_dir):
+    """bigslice.Prefixed (reference slice.go:1034-1071): widen key to 2."""
+    sess, t = _s(spark, sf_dir)
+    sl = (sess.wrap(t["lineitem"])
+          .map_("l_returnflag", "l_linestatus", "l_quantity")
+          .prefixed(2))
+    return sl.fold(aggs={"n": F.count(F.lit(1)),
+                         "qty": dsum("l_quantity")}).df
+
+
+@query("op_cache", """
+    SELECT r_regionkey, r_name FROM region
+""")
+def op_cache(spark, sf_dir):
+    """bigslice.Cache/ReadCache (reference cache.go:16-95): parquet-backed
+    materialization with existence short-circuit."""
+    import tempfile
+    sess, t = _s(spark, sf_dir)
+    prefix = tempfile.mkdtemp(prefix="bsc_cache_")
+    sl = sess.wrap(t["region"]).map_("r_regionkey", "r_name")
+    sl.cache(prefix)          # writes
+    return sl.cache(prefix).df  # short-circuits to read
+
+
+# =====================================================================
+# Relational surface beyond the reference (SURVEY §2.3) — Spark frees.
+# =====================================================================
+
+@query("q1_pricing_summary", f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)}
+               AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 8)}
+               AS sum_charge,
+           {_dsum_sql('l_quantity')} / count(*) AS avg_qty,
+           {_dsum_sql('l_extendedprice')} / count(*) AS avg_price,
+           {_dsum_sql('l_discount', 6)} / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc, 8).alias("sum_disc_price"),
+        dsum(charge, 8).alias("sum_charge"),
+        (dsum("l_quantity") / n).alias("avg_qty"),
+        (dsum("l_extendedprice") / n).alias("avg_price"),
+        (dsum("l_discount", 6) / n).alias("avg_disc"),
+        n.alias("count_order"))
+
+
+@query("q3_shipping_priority", f"""
+    SELECT l_orderkey,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """Join chain with a broadcast dim (customer) — Catalyst picks BHJ via
+    autoBroadcastJoinThreshold; revenue agg shuffles once on l_orderkey."""
+    _, t = _s(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < "1998-03-15") \
+        .select("o_orderkey", "o_custkey")
+    li = t["lineitem"].filter(F.col("l_shipdate") > "1995-03-15") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    j = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .join(li, li.l_orderkey == orders.o_orderkey))
+    rev = j.groupBy("l_orderkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8)
+        .alias("revenue"))
+    return rev.orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+
+
+@query("q5_regional_revenue", f"""
+    SELECT n_name, {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)}
+               AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN lineitem ON l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+""")
+def q5_regional_revenue(spark, sf_dir):
+    """Star join: all dims broadcast, single shuffle for the final agg."""
+    _, t = _s(spark, sf_dir)
+    dims = (t["region"]
+            .join(t["nation"],
+                  t["nation"].n_regionkey == t["region"].r_regionkey)
+            .join(t["supplier"],
+                  t["supplier"].s_nationkey == t["nation"].n_nationkey)
+            .select("s_suppkey", "n_name"))
+    orders = t["orders"].filter(F.col("o_orderdate") >= "1996-01-01") \
+        .select("o_orderkey")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey",
+                              "l_extendedprice", "l_discount")
+    j = (li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey))
+    return j.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8)
+        .alias("revenue"))
+
+
+@query("word_count", """
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+""")
+def word_count(spark, sf_dir):
+    """The reference's flagship demo (docs/index.md:88-121):
+    ScanReader→Flatmap→Map→Reduce, via the Slice API."""
+    sess, t = _s(spark, sf_dir)
+    return (sess.wrap(t["documents"])
+            .flatmap(F.split("text", r"\s+").alias("token"))
+            .filter_(F.col("token") != "")
+            .map_(F.col("token"), F.lit(1).alias("n"))
+            .reduce_("sum")).df
+
+
+@query("join_semi", """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""")
+def join_semi(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (t["customer"]
+            .join(big, t["customer"].c_custkey == big.o_custkey,
+                  "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@query("join_anti", """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def join_anti(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    return (t["customer"]
+            .join(t["orders"],
+                  t["customer"].c_custkey == t["orders"].o_custkey,
+                  "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@query("join_broadcast", f"""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+""")
+def join_broadcast(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    return (t["orders"]
+            .join(F.broadcast(t["customer"]),
+                  t["orders"].o_custkey == t["customer"].c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice").alias("total")))
+
+
+@query("window_rank", """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders) WHERE rnk <= 3
+""")
+def window_rank(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                           "o_orderkey")
+    return (t["orders"]
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "rnk"))
+
+
+@query("window_running", """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running
+    FROM orders
+""")
+def window_running(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    running = F.sum(F.col("o_totalprice").cast("decimal(38,4)")) \
+        .over(w).cast("double")
+    return (t["orders"].withColumn("running", running)
+            .select("o_custkey", "o_orderkey", "running"))
+
+
+@query("set_ops", """
+    WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    SELECT k, 'both' AS tag FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn)
+    UNION ALL
+    SELECT k, 'cust_only' AS tag
+    FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn)
+""")
+def set_ops(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    cn = t["customer"].select(F.col("c_nationkey").alias("k")).distinct()
+    sn = t["supplier"].select(F.col("s_nationkey").alias("k")).distinct()
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    only = cn.exceptAll(sn).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only)
+
+
+@query("rollup_agg", f"""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           {_dsum_sql('l_quantity')} AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup_agg(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    return (t["lineitem"].rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity").alias("qty")))
+
+
+@query("cube_agg", """
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_agg(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    return (t["orders"].cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("topk_orders", """
+    SELECT o_orderkey, o_totalprice AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""")
+def topk_orders(spark, sf_dir):
+    """Global top-k → TakeOrderedAndProject (no full sort materialized)."""
+    _, t = _s(spark, sf_dir)
+    return (t["orders"]
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(15)
+            .select("o_orderkey", F.col("o_totalprice").alias("price")))
+
+
+@query("distinct_pairs", """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def distinct_pairs(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    return t["lineitem"].select("l_returnflag", "l_linestatus").distinct()
+
+
+@query("agg_stats", f"""
+    SELECT {_dsum_sql('l_quantity')} / count(*) AS avg_q,
+           min(l_extendedprice) AS min_p,
+           max(l_extendedprice) AS max_p,
+           sqrt((count(*) * {_dsum_sql('l_quantity * l_quantity', 8)}
+                 - {_dsum_sql('l_quantity')} * {_dsum_sql('l_quantity')})
+                / (count(*) * (count(*) - 1))) AS sd_q,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS nparts
+    FROM lineitem
+""")
+def agg_stats(spark, sf_dir):
+    """avg/stddev derived from exact decimal sums → identical doubles on
+    both engines (engine-native float accumulators are order-dependent)."""
+    _, t = _s(spark, sf_dir)
+    n = F.count(F.lit(1))
+    sq = dsum("l_quantity")
+    ssq = dsum(F.col("l_quantity") * F.col("l_quantity"), 8)
+    return t["lineitem"].agg(
+        (sq / n).alias("avg_q"),
+        F.min("l_extendedprice").alias("min_p"),
+        F.max("l_extendedprice").alias("max_p"),
+        F.sqrt((n * ssq - sq * sq) / (n * (n - 1))).alias("sd_q"),
+        F.countDistinct("l_partkey").alias("nparts"))
+
+
+@query("percentile_quantity", """
+    SELECT round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.95), 6) AS p95
+    FROM lineitem
+""")
+def percentile_quantity(spark, sf_dir):
+    """Exact percentile (Spark `percentile`) vs DuckDB quantile_cont."""
+    _, t = _s(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95"))
+
+
+@query("approx_distinct")  # rows-only: algorithm-specific estimates
+def approx_distinct(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_quantity, 0.5)").alias("approx_p50"))
+
+
+@query("pivot_status", f"""
+    SELECT l_returnflag,
+           coalesce({_dsum_sql("CASE WHEN l_linestatus = 'O' "
+                               "THEN l_quantity END")}, 0.0) AS qty_O,
+           coalesce({_dsum_sql("CASE WHEN l_linestatus = 'F' "
+                               "THEN l_quantity END")}, 0.0) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+""")
+def pivot_status(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    p = (t["lineitem"].groupBy("l_returnflag")
+         .pivot("l_linestatus", ["O", "F"])
+         .agg(dsum("l_quantity")))
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"))
+
+
+@query("grouping_sets", """
+    SELECT n_name, r_name, CAST(count(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((n_name), (r_name))
+""")
+def grouping_sets(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name, r_name, count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((n_name), (r_name))
+    """)
+
+
+# =====================================================================
+# Events: time-series / sessionization (training-pipeline ops)
+# =====================================================================
+
+@query("events_hourly", f"""
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {_dsum_sql('value', 6)} AS v
+    FROM events GROUP BY 1, 2
+""")
+def events_hourly(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    return (t["events"]
+            .groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value", 6).alias("v")))
+
+
+@query("sessionize", """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+""")
+def sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30min starts a session. Scalable — one
+    shuffle on user_id, both windows reuse the same sort."""
+    _, t = _s(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    g = t["events"].withColumn("new_s", new_s)
+    sid = F.sum("new_s").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    s = g.withColumn("sid", sid)
+    return (s.groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n_events")))

@@ -1,0 +1,166 @@
+"""Session: a thin facade over SparkSession, mirroring bigslice's exec.Session.
+
+Reference: /root/reference/exec/session.go:214-251 — ``Session.Run`` invokes a
+registered Func to build a Slice DAG, compiles it, and evaluates it. In the
+Spark build, plan construction/compilation/scheduling are Catalyst's job, so
+Session is: (a) a tuned SparkSession factory with 100TB-oriented defaults,
+(b) the root of the source API (const/read/reader_func), and (c) the place
+where shard-count policy lives (bigslice ``nshard`` ↔ shuffle partitions).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Defaults chosen for scale, not just local tests:
+# - AQE on: runtime partition coalescing + skew-join splitting replaces
+#   bigslice's static nshard choice (docs/parallelism.md:19-105).
+# - shuffle.partitions: overridable; on a real cluster set ~2-3x total cores.
+# - Arrow on: every Python-side operator (fold/flatmap custom paths) moves
+#   batches, never rows — the analog of bigslice's 128-row Frames
+#   (reference internal/defaultsize/defaultsize.go:14-16).
+# - maxPartitionBytes 128m: at 100 TB this yields ~800k input splits, which
+#   Spark's scheduler handles; larger values risk executor OOM on wide rows.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    # driver testdata writes events.ts as INT64 TIMESTAMP(NANOS) which the
+    # vectorized parquet reader rejects; read as long and rebuild a proper
+    # timestamp in load_tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "bigslice_spark", master: str | None = None,
+              conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-oriented defaults."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get(
+            "SPARK_GRAFT_MASTER",
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]",
+        )
+    builder = builder.master(master)
+    merged = dict(_DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class Session:
+    """Facade mirroring bigslice exec.Session (reference exec/session.go).
+
+    ``Session.run`` in the reference compiles+evaluates a Func; here, Slices
+    are lazy DataFrames, so "run" is any action (collect/scan/write). The
+    Session carries the SparkSession and the default shard count.
+    """
+
+    def __init__(self, spark: SparkSession | None = None,
+                 nshard: int | None = None) -> None:
+        self.spark = spark or get_spark()
+        # bigslice requires explicit nshard per source; we default to the
+        # session's shuffle parallelism (reference slice.go:202-290 Const).
+        self.nshard = nshard or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # -- sources ---------------------------------------------------------
+
+    def const(self, nshard: int, *columns: Sequence[Any],
+              names: Sequence[str] | None = None,
+              schema: Any = None) -> "Slice":
+        """bigslice.Const (reference slice.go:202-290): literal in-memory
+        table split into nshard partitions. Columns are given column-wise
+        like the reference; rows are zipped."""
+        from .slice import Slice
+        if not columns:
+            raise ValueError("const requires at least one column")
+        ncol = len(columns)
+        names = list(names) if names else [f"c{i}" for i in range(ncol)]
+        rows = list(zip(*columns))
+        df = self.spark.createDataFrame(rows, schema=schema or names)
+        if schema is None:
+            df = df.toDF(*names)
+        return Slice(df.repartition(nshard))
+
+    def read_parquet(self, path: str, prefix: int = 1) -> "Slice":
+        from .slice import Slice
+        return Slice(self.spark.read.parquet(path), prefix=prefix)
+
+    def read_text(self, path: str, nshard: int | None = None) -> "Slice":
+        """bigslice.ScanReader (reference scan.go:22-69) reads a text stream,
+        striping lines across shards; Spark's splittable text source is the
+        strictly-better equivalent."""
+        from .slice import Slice
+        df = self.spark.read.text(path).withColumnRenamed("value", "line")
+        if nshard:
+            df = df.repartition(nshard)
+        return Slice(df)
+
+    def reader_func(self, nshard: int, fn, schema: Any) -> "Slice":
+        """bigslice.ReaderFunc (reference slice.go:292-402): a custom
+        vectorized per-shard source. Implemented as mapInPandas over a seed
+        DataFrame of shard ids — fn(shard:int) must YIELD pandas DataFrames
+        matching ``schema`` (the Arrow-batch analog of filling Frames)."""
+        from .slice import Slice
+        seed = self.spark.range(0, nshard, 1, nshard) \
+            .withColumnRenamed("id", "__shard__")
+
+        def _gen(batches):
+            for pdf in batches:
+                for shard in pdf["__shard__"].tolist():
+                    yield from fn(int(shard))
+
+        return Slice(seed.mapInPandas(_gen, schema=schema))
+
+    def sql(self, query: str, prefix: int = 1) -> "Slice":
+        from .slice import Slice
+        return Slice(self.spark.sql(query), prefix=prefix)
+
+    def wrap(self, df: DataFrame, prefix: int = 1) -> "Slice":
+        from .slice import Slice
+        return Slice(df, prefix=prefix)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                tables: Iterable[str] = (
+                    "region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents",
+                    "embeddings")) -> dict[str, DataFrame]:
+    """Load the driver's star schema; registers each as a temp view too."""
+    out: dict[str, DataFrame] = {}
+    from pyspark.sql import functions as F
+
+    # The driver may hand us a session without this conf; it is a runtime
+    # SQLConf, so set it here — events.parquet is INT64 TIMESTAMP(NANOS),
+    # which the reader otherwise rejects.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if name == "events":
+                # ts arrives as int64 nanos (see nanosAsLong conf); rebuild
+                # a microsecond TIMESTAMP to match DuckDB's timestamp_ns
+                # truncated to µs.
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000)
+                                             .cast("long")))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,377 @@
+"""Slice: bigslice's typed, sharded dataset re-expressed as a DataFrame.
+
+Reference: /root/reference/slice.go:67-105 — a Slice is an ordered dataset of
+n columns over shards, with the first ``prefix`` columns acting as the key
+for keyed operations (slice.go:1044-1056 Prefixed). Here a Slice wraps a
+DataFrame plus that prefix width; every combinator lowers to declarative
+DataFrame ops so Catalyst plans the physical execution (fusion, partial
+aggregation, shuffle) that bigslice's compiler does by hand
+(reference exec/compile.go:29-48).
+
+Design rule (the whole point of the Spark build): each combinator has a
+**native fast path** (Column expressions → whole-stage codegen) and an
+**Arrow slow path** (mapInPandas/applyInPandas) only for opaque user
+functions — mirroring how bigslice runs user Go funcs row-wise inside
+vectorized 128-row Frames (reference slice.go:600-634).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _is_col(x: Any) -> bool:
+    return isinstance(x, Column)
+
+
+class Slice:
+    """A sharded, keyed dataset. ``prefix`` = key width (first k columns)."""
+
+    def __init__(self, df: DataFrame, prefix: int = 1) -> None:
+        if prefix < 1 or prefix > len(df.columns):
+            raise ValueError(
+                f"prefix {prefix} out of range for columns {df.columns}")
+        self.df = df
+        self.prefix = prefix
+
+    # -- introspection ----------------------------------------------------
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    @property
+    def key_cols(self) -> list[str]:
+        """The key prefix (reference slicetype/slicetype.go:22-26)."""
+        return self.df.columns[: self.prefix]
+
+    @property
+    def value_cols(self) -> list[str]:
+        return self.df.columns[self.prefix:]
+
+    def num_shard(self) -> int:
+        return self.df.rdd.getNumPartitions()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+    def _with(self, df: DataFrame, prefix: int | None = None) -> "Slice":
+        p = self.prefix if prefix is None else prefix
+        return Slice(df, prefix=min(p, len(df.columns)))
+
+    # -- core combinators (reference §2.1) --------------------------------
+
+    def map_(self, *exprs: Column | str, fn: Callable | None = None,
+             schema: Any = None, prefix: int = 1) -> "Slice":
+        """bigslice.Map (reference slice.go:550-638): 1→1 row transform,
+        n→m columns (full column replacement, like the reference).
+
+        Fast path: pass aliased Column expressions → ``select`` (codegen).
+        Slow path: ``fn(pdf) -> pdf`` over Arrow batches with ``schema``.
+        """
+        if fn is not None:
+            return Slice(self.df.mapInPandas(
+                lambda it: (fn(pdf) for pdf in it), schema=schema),
+                prefix=prefix)
+        return Slice(self.df.select(*exprs), prefix=prefix)
+
+    def with_columns(self, **named: Column) -> "Slice":
+        return self._with(self.df.withColumns(dict(named)))
+
+    def filter_(self, cond: Column | str | Callable,
+                schema: Any = None) -> "Slice":
+        """bigslice.Filter (reference slice.go:640-726). Fast path: Column
+        predicate (pushed down by Catalyst). Slow path: a Python callable
+        ``fn(pdf) -> boolean Series`` over Arrow batches."""
+        if _is_col(cond) or isinstance(cond, str):
+            return self._with(self.df.filter(cond))
+        out_schema = schema or self.df.schema
+
+        def _filt(it):
+            for pdf in it:
+                yield pdf[cond(pdf)]
+
+        return self._with(self.df.mapInPandas(_filt, schema=out_schema))
+
+    def flatmap(self, *exprs: Column | str, explode_col: str | None = None,
+                fn: Callable | None = None, schema: Any = None,
+                prefix: int = 1) -> "Slice":
+        """bigslice.Flatmap (reference slice.go:728-841): 1→0..N rows.
+
+        Fast path: expressions where one (``explode_col``) is array-valued →
+        explode. Slow path: ``fn(row_tuple) -> iterable[tuple]`` executed
+        over Arrow batches with carry-over buffering handled by Spark.
+        """
+        if fn is None:
+            out = self.df.select(*exprs)
+            if explode_col is None:
+                # default: explode the last column
+                explode_col = out.columns[-1]
+            keep = [c for c in out.columns if c != explode_col]
+            out = out.select(*keep,
+                             F.explode(F.col(explode_col)).alias(explode_col))
+            return Slice(out, prefix=prefix)
+
+        import pandas as pd
+
+        def _fm(it):
+            for pdf in it:
+                rows = []
+                for tup in pdf.itertuples(index=False, name=None):
+                    rows.extend(fn(tup))
+                yield pd.DataFrame(rows) if rows else None
+
+        def _gen(it):
+            for out in _fm(it):
+                if out is not None:
+                    yield out
+
+        return Slice(self.df.mapInPandas(_gen, schema=schema), prefix=prefix)
+
+    def fold(self, aggs: dict[str, Column] | None = None,
+             fn: Callable | None = None, schema: Any = None) -> "Slice":
+        """bigslice.Fold (reference slice.go:843-955 + accum.go): keyed
+        aggregation with an arbitrary accumulator.
+
+        Fast path: dict of named agg Columns → groupBy().agg() — Catalyst's
+        partial/final HashAggregate spills, strictly better than the
+        reference's in-memory accumulator map (accum.go:17-19 BUG note).
+        Slow path: ``fn(key_tuple, pdf) -> pdf`` via applyInPandas for
+        accumulators no built-in expresses.
+        """
+        keys = self.key_cols
+        if aggs is not None:
+            out = self.df.groupBy(*keys).agg(
+                *[c.alias(n) for n, c in aggs.items()])
+            return Slice(out, prefix=len(keys))
+        return Slice(
+            self.df.groupBy(*keys).applyInPandas(fn, schema=schema),
+            prefix=len(keys))
+
+    def reduce_(self, agg: Column | str) -> "Slice":
+        """bigslice.Reduce (reference reduce.go:19-94): commutative+
+        associative reduce of the single residual value column. Lowered to
+        groupBy().agg() — Catalyst's partial aggregate IS the reference's
+        map-side Combiner (reduce.go:58,71)."""
+        keys = self.key_cols
+        vals = self.value_cols
+        if len(vals) != 1:
+            raise ValueError(
+                f"reduce_ requires exactly one value column, have {vals}")
+        v = vals[0]
+        if isinstance(agg, str):
+            agg = getattr(F, agg)(v)
+        out = self.df.groupBy(*keys).agg(agg.alias(v))
+        return Slice(out, prefix=len(keys))
+
+    def cogroup(self, *others: "Slice", sort_groups: bool = True) -> "Slice":
+        """bigslice.Cogroup (reference cogroup.go:20-272): multi-way
+        generalized JOIN+GROUP with FULL-OUTER semantics — every key in any
+        input appears once, with the grouped value-list of each input;
+        absent groups are EMPTY ARRAYS, not nulls (cogroup.go:244-258).
+
+        Lowered to per-input groupBy+collect_list chained with full outer
+        joins — each input aggregates map-side before its shuffle, and AQE
+        handles skewed keys. Value lists are sorted for determinism (the
+        reference merge-sorts by key only; we pin order for testability).
+        """
+        slices = (self,) + others
+        k = self.prefix
+        keys = self.key_cols
+        grouped: list[DataFrame] = []
+        for i, s in enumerate(slices):
+            if s.prefix != k:
+                raise ValueError("cogroup inputs must share key width")
+            vals = s.value_cols
+            kmap = dict(zip(s.key_cols, keys))
+            df = s.df
+            for old, new in kmap.items():
+                if old != new:
+                    df = df.withColumnRenamed(old, new)
+            if vals:
+                collected = F.collect_list(
+                    F.struct(*[F.col(v) for v in vals]))
+                if sort_groups:
+                    collected = F.array_sort(collected)
+                g = df.groupBy(*keys).agg(collected.alias(f"g{i}"))
+            else:
+                g = df.select(*keys).distinct()
+            grouped.append(g)
+        out = grouped[0]
+        for g in grouped[1:]:
+            out = out.join(g, on=keys, how="full")
+        # zero-value empty groups, exactly like cogroup.go:244-258
+        for i, s in enumerate(slices):
+            if s.value_cols:
+                col = f"g{i}"
+                out = out.withColumn(
+                    col, F.coalesce(F.col(col), F.array()))
+        return Slice(out, prefix=k)
+
+    def reshuffle(self) -> "Slice":
+        """bigslice.Reshuffle (reference reshuffle.go:24-88): hash-shuffle
+        by prefix so equal keys co-locate; no sort."""
+        return self._with(self.df.repartition(*self.key_cols))
+
+    def repartition_func(self, nshard: int, fn_col: Column) -> "Slice":
+        """bigslice.Repartition (reference reshuffle.go:44-76): shuffle with
+        a user-defined partition function. ``fn_col`` is a Column computing
+        the target shard id; we repartition on it (hash of the computed id —
+        exact physical placement is not observable by any reference
+        operator, see SURVEY §7 hard-part 5)."""
+        tmp = "__part__"
+        df = self.df.withColumn(tmp, fn_col % F.lit(nshard))
+        df = df.repartition(nshard, tmp).drop(tmp)
+        return self._with(df)
+
+    def reshard(self, nshard: int) -> "Slice":
+        """bigslice.Reshard (reference reshard.go:15-45): change shard
+        count. Coalesce (no shuffle) when shrinking, repartition when
+        growing — cheaper than the reference, which always shuffles."""
+        cur = self.df.rdd.getNumPartitions()
+        if nshard == cur:
+            return self
+        if nshard < cur:
+            return self._with(self.df.coalesce(nshard))
+        return self._with(self.df.repartition(nshard))
+
+    def head(self, n: int) -> "Slice":
+        """bigslice.Head (reference slice.go:957-994): first ≤n rows PER
+        SHARD (not global — semantic difference from df.limit documented in
+        SURVEY §2.1 #13). mapInPandas islice keeps it streaming."""
+        schema = self.df.schema
+
+        def _head(it):
+            left = n
+            for pdf in it:
+                if left <= 0:
+                    break
+                out = pdf.iloc[:left]
+                left -= len(out)
+                yield out
+
+        return self._with(self.df.mapInPandas(_head, schema=schema))
+
+    def limit(self, n: int) -> "Slice":
+        return self._with(self.df.limit(n))
+
+    def scan(self, fn: Callable[[int, Iterable[tuple]], None]) -> None:
+        """bigslice.Scan (reference slice.go:996-1032): terminal consumption
+        of each shard. fn(shard_id, iterator_of_rows)."""
+        def _each(idx, rows):
+            fn(idx, (tuple(r) for r in rows))
+            return iter(())
+
+        self.df.rdd.mapPartitionsWithIndex(_each).count()
+
+    def scan_rows(self):
+        """Driver-side scanner (reference sliceio/scanner.go:27-101)."""
+        return self.df.toLocalIterator()
+
+    def prefixed(self, k: int) -> "Slice":
+        """bigslice.Prefixed (reference slice.go:1034-1071): widen the key
+        prefix to the first k columns."""
+        return Slice(self.df, prefix=k)
+
+    def writer_func(self, fn: Callable) -> "Slice":
+        """bigslice.WriterFunc (reference slice.go:404-548): pass-through
+        sink tap — fn(shard, pdf) sees every batch; result is identity."""
+        schema = self.df.schema
+
+        def _tap(it):
+            from pyspark import TaskContext
+            shard = TaskContext.get().partitionId()
+            for pdf in it:
+                fn(shard, pdf)
+                yield pdf
+
+        return self._with(self.df.mapInPandas(_tap, schema=schema))
+
+    # -- caching (reference cache.go:16-95) --------------------------------
+
+    def cache(self, prefix: str) -> "Slice":
+        """bigslice.Cache: materialize to ``prefix`` (parquet dir); on
+        rerun, short-circuits recomputation by reading the files. Cache
+        invalidation is the caller's job, like the reference
+        (cache.go:38-44)."""
+        import os
+        marker = os.path.join(prefix, "_SUCCESS")
+        spark = self.df.sparkSession
+        if not os.path.exists(marker):
+            self.df.write.mode("overwrite").parquet(prefix)
+        return Slice(spark.read.parquet(prefix), prefix=self.prefix)
+
+    def persist(self, level: str = "MEMORY_AND_DISK") -> "Slice":
+        from pyspark import StorageLevel
+        self.df.persist(getattr(StorageLevel, level))
+        return self
+
+    def unpersist(self) -> "Slice":
+        self.df.unpersist()
+        return self
+
+    def write_parquet(self, path: str, mode: str = "overwrite",
+                      partition_by: Sequence[str] | None = None) -> None:
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    # -- relational surface beyond the reference (SURVEY §2.3) -------------
+
+    def join(self, other: "Slice", on: Any = None, how: str = "inner",
+             broadcast_other: bool = False) -> "Slice":
+        right = F.broadcast(other.df) if broadcast_other else other.df
+        return self._with(self.df.join(right, on=on, how=how))
+
+    def union(self, other: "Slice") -> "Slice":
+        return self._with(self.df.unionByName(other.df))
+
+    def intersect(self, other: "Slice") -> "Slice":
+        return self._with(self.df.intersect(other.df))
+
+    def except_all(self, other: "Slice") -> "Slice":
+        return self._with(self.df.exceptAll(other.df))
+
+    def distinct(self) -> "Slice":
+        return self._with(self.df.distinct())
+
+    def order_by(self, *cols: Column | str) -> "Slice":
+        return self._with(self.df.orderBy(*cols))
+
+    def top_k(self, k: int, *order: Column | str) -> "Slice":
+        """Global top-k: orderBy().limit() — Spark plans TakeOrderedAndProject
+        (per-partition heap + driver merge), no global sort materialized."""
+        return self._with(self.df.orderBy(*order).limit(k))
+
+    def window(self, **named: Column) -> "Slice":
+        return self._with(self.df.withColumns(dict(named)))
+
+    def select(self, *cols: Column | str) -> "Slice":
+        return Slice(self.df.select(*cols),
+                     prefix=min(self.prefix, len(cols) or 1))
+
+    def group_agg(self, keys: Sequence[str],
+                  aggs: dict[str, Column]) -> "Slice":
+        out = self.df.groupBy(*keys).agg(
+            *[c.alias(n) for n, c in aggs.items()])
+        return Slice(out, prefix=len(keys))
+
+    # -- driver-side collection --------------------------------------------
+
+    def collect(self) -> list[tuple]:
+        return [tuple(r) for r in self.df.collect()]
+
+    def columns_collected(self) -> list[list[Any]]:
+        """Collect column-wise, like the reference's scanner tests."""
+        rows = self.collect()
+        if not rows:
+            return [[] for _ in self.df.columns]
+        return [list(c) for c in zip(*rows)]
+
+    def count(self) -> int:
+        return self.df.count()

@@ -1,0 +1,45 @@
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from bigslice_spark import get_spark
+    s = get_spark("bigslice_spark_tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def session(spark):
+    from bigslice_spark import Session
+    return Session(spark)
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def tables(spark, sf_dir):
+    from bigslice_spark import load_tables
+    return load_tables(spark, sf_dir)
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    import duckdb
+    con = duckdb.connect()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
