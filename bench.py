@@ -1,0 +1,96 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once after a warmup query primes the JVM/Python
+workers; timing includes plan + execution + a driver-side count()/collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "word_count",
+    "op_fold",
+    "op_cogroup",
+    "window_rank",
+    "sessionize",
+    "events_hourly",
+    "join_broadcast",
+    "topk_orders",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "similarity_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("bigslice_spark_bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigslice_spark.queries import QUERIES
+
+    # warmup: prime JVM codegen + Python workers outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    except Exception:
+        pass
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a failing query must not kill the bench
+            times[name] = -1.0
+            print(f"bench: {name} failed: {ex}", file=sys.stderr)
+
+    total = round(sum(v for v in times.values() if v > 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

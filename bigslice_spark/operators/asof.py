@@ -1,0 +1,54 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as the scalable union-sort pattern, NOT a per-group pandas
+merge_asof: tag both sides, union, single shuffle+sort on (key, ts), then
+`last(..., ignorenulls)` over the running window carries the most recent
+right-side row forward onto each left row. One exchange, no broadcast
+requirement on either side, skew handled by AQE.
+
+Tie policy: at equal timestamps the right row sorts BEFORE the left row
+(strict=False ⇒ right value at ts==t matches a left row at t; strict=True
+excludes equal timestamps, like `>` vs `>=`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              value_cols: list[str] | None = None,
+              strict: bool = False) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts (or < if strict), matching on `on`."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)]
+    lcols = left.columns
+
+    l_tag = left.withColumn("__ts__", F.col(left_ts)) \
+        .withColumn("__side__", F.lit(1))
+    for c in value_cols:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None))
+    r_tag = right.select(
+        F.col(on), F.col(right_ts).alias("__ts__"),
+        *[F.col(c) for c in value_cols]) \
+        .withColumn("__side__", F.lit(0 if not strict else 2))
+    for c in lcols:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None))
+
+    u = l_tag.select(*lcols, "__ts__", "__side__", *value_cols) \
+        .unionByName(r_tag.select(*lcols, "__ts__", "__side__",
+                                  *value_cols))
+    # side 0 sorts before 1 at equal ts (inclusive); side 2 after (strict)
+    w = (W.partitionBy(on).orderBy("__ts__", "__side__")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = u.select(
+        *lcols, "__ts__", "__side__",
+        *[F.last(F.when(F.col("__side__") != 1, F.col(c)), True)
+          .over(w).alias(c) for c in value_cols])
+    return carried.filter(F.col("__side__") == 1) \
+        .select(*lcols, *value_cols)

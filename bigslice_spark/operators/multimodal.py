@@ -1,0 +1,99 @@
+"""Multimodal (binary) column plumbing for training-data pipelines.
+
+Images/audio/video are opaque `binary` columns with a typed metadata
+struct. The Spark-side plumbing — schema, batching, partition-size control,
+Arrow UDF signatures — is real and tested; the actual media decoding is
+STUBBED (the image/audio libraries are not in this container): decode_*
+raise NotImplementedError unless `fake=True`, which substitutes a
+deterministic fake so the pipeline shape can be exercised end-to-end.
+
+At 100TB: binary payloads dominate partition size, so operators here
+repartition by byte budget (`target_partition_mb`) before any Arrow
+transfer — an Arrow batch must fit comfortably in executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("id long, media binary, mime string, width int, height int, "
+                "n_frames int")
+
+
+def pack_media(df: DataFrame, payload_col: str, id_col: str,
+               mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap an existing column as a media (binary+metadata) record."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).cast("binary").alias("media"),
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"))
+
+
+def repartition_by_bytes(df: DataFrame, payload_col: str = "media",
+                         target_partition_mb: int = 128) -> DataFrame:
+    """Size partitions by payload bytes, not row count — with media rows,
+    row-count partitioning OOMs on skewed blobs."""
+    stats = df.select(F.sum(F.octet_length(payload_col)).alias("b")).first()
+    total = stats["b"] or 0
+    nparts = max(1, int(total / (target_partition_mb * 1024 * 1024)) + 1)
+    return df.repartition(nparts)
+
+
+def extract_features(df: DataFrame, fake: bool = True,
+                     feat_dim: int = 8) -> DataFrame:
+    """media → feature vector via Arrow-batched mapInPandas.
+
+    Real decode is stubbed; fake=True produces a deterministic per-blob
+    feature (byte-histogram moments) so schema/batching are testable."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libs not in this container")
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"id long, n_bytes long, feat array<double>"
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["media"]):
+                b = np.frombuffer(blob or b"", dtype=np.uint8)
+                if len(b) == 0:
+                    rows.append((int(rid), 0, [0.0] * feat_dim))
+                    continue
+                hist = np.bincount(b % feat_dim, minlength=feat_dim)
+                rows.append((int(rid), int(len(b)),
+                             (hist / len(b)).tolist()))
+            yield pd.DataFrame(rows, columns=["id", "n_bytes", "feat"])
+
+    return df.mapInPandas(feats, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10,
+                 fake: bool = True) -> DataFrame:
+    """Video frame sampling stub: emits (id, frame_idx, frame binary).
+    Fake mode slices the payload into `n_frames` fake frames."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires libs not in this container")
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["media"]):
+                blob = blob or b""
+                n = max(1, len(blob) // 64)
+                for i in range(0, n, every_n):
+                    rows.append((int(rid), i, blob[i * 64:(i + 1) * 64]))
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame"])
+
+    return df.mapInPandas(sample, schema="id long, frame_idx int, "
+                                         "frame binary")

@@ -720,3 +720,286 @@ def sessionize(spark, sf_dir):
     s = g.withColumn("sid", sid)
     return (s.groupBy("user_id", "sid")
             .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+# =====================================================================
+# LLM-training-data pipeline operators (BASELINE.json north star):
+# dedup / similarity search / text analysis / multimodal / as-of.
+# =====================================================================
+
+@query("dedup_exact", """
+    SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest (operators/dedup.py)."""
+    from .operators.dedup import exact_dedup
+    _, t = _s(spark, sf_dir)
+    return exact_dedup(t["documents"]).select("h", "doc_id", "n_copies")
+
+
+@query("dedup_minhash")  # rows-only: LSH banding isn't ANSI-SQL
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
+    fully expression-level. Verified against exact Jaccard in tests."""
+    from .operators.dedup import minhash_lsh_pairs
+    _, t = _s(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"], num_hashes=64, bands=16,
+                             threshold=0.5)
+
+
+@query("dedup_simhash")  # rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 4×16-bit band pigeonhole + hamming verify."""
+    from .operators.dedup import simhash_pairs
+    _, t = _s(spark, sf_dir)
+    return simhash_pairs(t["documents"], max_hamming=8)
+
+
+@query("ngram_jaccard", """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+                 string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
+      FROM documents),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+          >= 0.8
+""")
+def ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard pairs via inverted-index self-join —
+    the oracle-checkable dedup path (operators/dedup.py). df-pruning is
+    disabled here because the synthetic vocab is tiny (31 tokens);
+    production default prunes tokens in >50% of documents."""
+    from .operators.dedup import ngram_jaccard_pairs
+    _, t = _s(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"], threshold=0.8,
+                               max_df_ratio=1.01)
+
+
+@query("dedup_embedding")  # rows-only
+def dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.95) bucketed by label."""
+    from .operators.dedup import embedding_cosine_pairs
+    _, t = _s(spark, sf_dir)
+    return embedding_cosine_pairs(t["embeddings"], threshold=0.95)
+
+
+@query("similarity_topk", """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 5),
+    c AS (SELECT vec_id AS nid, embedding AS v FROM embeddings),
+    prod AS (
+      SELECT qid, nid,
+             unnest(list_zip(qv, v)) AS z
+      FROM q JOIN c ON nid <> qid),
+    dots AS (
+      SELECT qid, nid,
+             CAST(sum(CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM prod GROUP BY qid, nid),
+    norms AS (
+      SELECT vec_id AS id,
+             sqrt(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                 AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id),
+    scored AS (
+      SELECT qid, nid, dot / (nq.nrm * nn.nrm) AS cosine
+      FROM dots JOIN norms nq ON nq.id = qid JOIN norms nn ON nn.id = nid
+      WHERE nq.nrm > 0 AND nn.nrm > 0)
+    SELECT qid, nid, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, nid) AS rank
+      FROM scored) WHERE rank <= 10
+""")
+def similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact-decimal mode so both engines
+    produce bitwise-identical cosines; operators/similarity.py)."""
+    from .operators.similarity import brute_force_topk
+    _, t = _s(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, qs, k=10, exact=True)
+
+
+@query("similarity_lsh")  # rows-only: hyperplane family isn't ANSI-SQL
+def similarity_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (bucketed equi-join + exact rerank)."""
+    from .operators.similarity import lsh_topk
+    _, t = _s(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, qs, k=10, nbits=6, multiprobe=2)
+
+
+@query("similarity_ivf")  # rows-only: KMeans cells aren't ANSI-SQL
+def similarity_ivf(spark, sf_dir):
+    """IVF ANN: KMeans cells + nprobe nearest-cell search."""
+    from .operators.similarity import ivf_topk
+    _, t = _s(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, qs, k=10, ncells=8, nprobe=3)
+
+
+@query("text_stats", """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS toks,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+                 AS alpha
+      FROM documents)
+    SELECT doc_id, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(alpha AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS distinct_ratio
+    FROM s
+""")
+def text_stats(spark, sf_dir):
+    """Per-document token/char stats, all codegen'd (operators/text.py)."""
+    from .operators.text import text_stats as _ts
+    _, t = _s(spark, sf_dir)
+    return _ts(t["documents"])
+
+
+@query("quality_score", """
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS toks,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+                 AS alpha
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(alpha AS DOUBLE)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) AS dr
+      FROM s)
+    SELECT doc_id,
+           least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+           + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0
+                   THEN 1.0 ELSE 0.0 END) * 0.3
+           + dr * 0.3 AS quality
+    FROM m
+""")
+def quality_score(spark, sf_dir):
+    """Deterministic cheap quality prefilter (operators/text.py)."""
+    from .operators.text import quality_score as _qs
+    _, t = _s(spark, sf_dir)
+    return _qs(t["documents"])
+
+
+def _lang_oracle() -> str:
+    from .operators.text import LANGS, LEXICONS
+    score_exprs = []
+    for lang in LANGS:
+        lex = ", ".join(f"'{w}'" for w in LEXICONS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, t -> list_contains([{lex}], t)))"
+            f" AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)"
+            f" AS s_{lang}")
+    cases = []
+    for i, lang in enumerate(LANGS[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in LANGS[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{LANGS[-1]}' END"
+    return f"""
+    WITH s AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS toks
+      FROM documents),
+    sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM s)
+    SELECT doc_id, {case_sql} AS pred_lang FROM sc
+    """
+
+
+@query("lang_id")
+def lang_id(spark, sf_dir):
+    """Stopword-hit-rate language ID (operators/text.py); argmax with
+    LANGS-order tie-break reproduced in the SQL oracle."""
+    from .operators.text import lang_id as _li
+    _, t = _s(spark, sf_dir)
+    return _li(t["documents"])
+
+
+# lang_id oracle needs LEXICONS interpolation — registered post-hoc
+ORACLE["lang_id"] = _lang_oracle()
+
+
+@query("fingerprint")  # rows-only: rolling hash isn't ANSI-SQL
+def fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint (pandas UDF path);
+    verified against a pure-Python reference in tests."""
+    from .operators.text import fingerprint as _fp
+    _, t = _s(spark, sf_dir)
+    return _fp(t["documents"])
+
+
+@query("multimodal_meta", """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+""")
+def multimodal_meta(spark, sf_dir):
+    """Binary media plumbing: pack text as binary payload, extract
+    byte-level metadata through the Arrow UDF path (operators/
+    multimodal.py). Decode of real media is stubbed per TESTDATA."""
+    from .operators.multimodal import extract_features, pack_media
+    _, t = _s(spark, sf_dir)
+    m = pack_media(t["documents"].withColumn(
+        "bin", F.encode("text", "utf-8")), "bin", "doc_id")
+    return extract_features(m).select("id", "n_bytes")
+
+
+@query("multimodal_features")  # rows-only: fake feature vectors
+def multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, pack_media
+    _, t = _s(spark, sf_dir)
+    m = pack_media(t["documents"].withColumn(
+        "bin", F.encode("text", "utf-8")), "bin", "doc_id")
+    return extract_features(m)
+
+
+@query("asof_join", """
+    SELECT p.event_id AS event_id, epoch_us(v.ts) AS view_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts > v.ts
+""")
+def asof_join_q(spark, sf_dir):
+    """As-of join (operators/asof.py): for each purchase, the latest
+    strictly-earlier view by the same user. Union-sort-carry pattern —
+    one shuffle, no per-group pandas."""
+    from .operators.asof import asof_join
+    _, t = _s(spark, sf_dir)
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.unix_micros("ts").alias("view_us"),
+                 F.col("ts").alias("vts")))
+    out = asof_join(p, v.select("user_id", "vts", "view_us"),
+                    on="user_id", left_ts="ts", right_ts="vts",
+                    value_cols=["view_us"], strict=True)
+    return out.select("event_id", "view_us")

@@ -156,11 +156,11 @@ def load_tables(spark: SparkSession, sf_dir: str,
             df = spark.read.parquet(path)
             if name == "events":
                 # ts arrives as int64 nanos (see nanosAsLong conf); rebuild
-                # a microsecond TIMESTAMP to match DuckDB's timestamp_ns
-                # truncated to µs.
+                # a microsecond TIMESTAMP. Integer division is required:
+                # ns values (~1.7e18) exceed double's 2^53 integer range,
+                # so `/ 1000` would round by up to ±1µs.
                 df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000)
-                                             .cast("long")))
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -1,0 +1,198 @@
+"""Per-operator unit tests mirroring the reference's test strategy
+(SURVEY.md §5): semantics the oracle harness can't see — per-shard
+behavior, empty-group cogroup zero values, cache short-circuiting,
+pandas-path vs pure-Python reference equality."""
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_head_is_per_shard(session):
+    """Head keeps ≤n rows per shard (reference slice.go:957-994), unlike
+    a global limit."""
+    sl = session.const(4, list(range(100)), names=["n"],
+                       schema="n long")
+    out = sl.head(5)
+    assert out.count() == 20  # 4 shards × 5
+    per_part = out.df.groupBy(F.spark_partition_id()).count().collect()
+    assert all(r["count"] <= 5 for r in per_part)
+
+
+def test_const_shapes(session):
+    sl = session.const(3, ["a", "b", "c"], [1, 2, 3],
+                       names=["k", "v"], schema="k string, v long")
+    assert sorted(sl.collect()) == [("a", 1), ("b", 2), ("c", 3)]
+    assert sl.num_shard() == 3
+
+
+def test_cogroup_empty_groups_are_empty_arrays(session):
+    """cogroup.go:244-258: keys absent from one input get EMPTY groups,
+    not nulls."""
+    a = session.const(2, ["x", "x", "y"], [1, 2, 3],
+                      names=["k", "v"], schema="k string, v long")
+    b = session.const(2, ["y", "z"], [9.0, 8.0],
+                      names=["k", "w"], schema="k string, w double")
+    cg = a.cogroup(b)
+    rows = {r["k"]: r for r in cg.df.collect()}
+    assert set(rows) == {"x", "y", "z"}
+    assert [x["v"] for x in rows["x"]["g0"]] == [1, 2]
+    assert rows["x"]["g1"] == []          # empty, not None
+    assert rows["z"]["g0"] == []
+    assert [x["w"] for x in rows["z"]["g1"]] == [8.0]
+
+
+def test_cogroup_three_way(session):
+    a = session.const(2, ["k1"], [1], names=["k", "v"],
+                      schema="k string, v long")
+    b = session.const(2, ["k2"], [2], names=["k", "v"],
+                      schema="k string, v long")
+    c = session.const(2, ["k1", "k2"], [3, 4], names=["k", "v"],
+                      schema="k string, v long")
+    cg = a.cogroup(b, c)
+    rows = {r["k"]: r for r in cg.df.collect()}
+    assert len(rows["k1"]["g0"]) == 1 and len(rows["k1"]["g1"]) == 0
+    assert len(rows["k1"]["g2"]) == 1 and len(rows["k2"]["g2"]) == 1
+
+
+def test_scan_consumes_all_shards(session):
+    sl = session.const(4, list(range(40)), names=["n"], schema="n long")
+    # scan is terminal and side-effecting on executors; verify via count
+    # of rows flowing through a writer tap instead (same per-shard path).
+    seen = sl.writer_func(lambda shard, pdf: None)
+    assert seen.count() == 40
+
+
+def test_cache_short_circuits(session):
+    prefix = tempfile.mkdtemp(prefix="bsc_cache_test_")
+    sl = session.const(2, [1, 2, 3], names=["n"], schema="n long")
+    c1 = sl.cache(prefix)
+    assert sorted(c1.collect()) == [(1,), (2,), (3,)]
+    # mutate the cache files out-of-band: a re-cache must NOT recompute
+    # (reference cache.go:38-44 — invalidation is the user's problem)
+    files = os.listdir(prefix)
+    assert any(f.endswith(".parquet") for f in files)
+    c2 = sl.cache(prefix)
+    assert sorted(c2.collect()) == [(1,), (2,), (3,)]
+
+
+def test_reader_func_shard_state(session):
+    import pandas as pd
+
+    def gen(shard):
+        yield pd.DataFrame({"shard": [shard] * 3,
+                            "i": list(range(3))})
+
+    sl = session.reader_func(3, gen, schema="shard long, i long")
+    rows = sl.collect()
+    assert len(rows) == 9
+    assert {r[0] for r in rows} == {0, 1, 2}
+
+
+def test_prefixed_key_width(session):
+    sl = session.const(2, ["a", "a", "b"], [1, 1, 2], [10, 20, 30],
+                       names=["k1", "k2", "v"],
+                       schema="k1 string, k2 long, v long")
+    out = sl.prefixed(2).fold(aggs={"s": F.sum("v")})
+    got = {(r["k1"], r["k2"]): r["s"] for r in out.df.collect()}
+    assert got == {("a", 1): 30, ("b", 2): 30}
+
+
+def test_fingerprint_matches_pure_python(spark, tables):
+    from bigslice_spark.operators.text import FP_BASE, FP_MOD, fingerprint
+    docs = tables["documents"].limit(20)
+    got = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    for r in docs.collect():
+        h = 0
+        for b in r["text"].encode("utf-8"):
+            h = (h * FP_BASE + b) % FP_MOD
+        assert got[r["doc_id"]] == h
+
+
+def test_minhash_tracks_exact_jaccard(spark, tables):
+    """MinHash signature similarity must approximate exact token-set
+    Jaccard: pairs found by LSH at high threshold should have high exact
+    Jaccard (this corpus has a tiny vocab, so overlaps are large)."""
+    from bigslice_spark.operators.dedup import (minhash_lsh_pairs,
+                                                ngram_jaccard_pairs)
+    docs = tables["documents"]
+    mh = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.7)
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, max_df_ratio=1.01)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    found = [(r["id_a"], r["id_b"], r["sim"]) for r in mh.collect()]
+    for a, b, sim in found:
+        assert j.get((a, b), 0.0) >= 0.4, \
+            f"LSH pair ({a},{b}) sim={sim} but exact jaccard " \
+            f"{j.get((a, b))}"
+
+
+def test_simhash_identical_docs_zero_hamming(session, spark):
+    from bigslice_spark.operators.dedup import simhash_pairs
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumps"),
+         (3, "completely different words entirely distinct")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(df, max_hamming=64).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_asof_strict_vs_inclusive(spark):
+    from bigslice_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, 7.0), (1, 150, 8.0)], "k long, rts long, val double")
+    incl = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                     value_cols=["val"], strict=False)
+    got = {r["tag"]: r["val"] for r in incl.collect()}
+    assert got == {"l1": 7.0, "l2": 8.0}
+    strict = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                       value_cols=["val"], strict=True)
+    got = {r["tag"]: r["val"] for r in strict.collect()}
+    assert got["l1"] is None and got["l2"] == 8.0
+
+
+def test_multimodal_plumbing(spark, tables):
+    from bigslice_spark.operators.multimodal import (extract_features,
+                                                     frame_sample,
+                                                     pack_media,
+                                                     repartition_by_bytes)
+    docs = tables["documents"].limit(50)
+    m = pack_media(docs.withColumn("b", F.encode("text", "utf-8")),
+                   "b", "doc_id", mime="text/plain")
+    assert m.schema["media"].dataType.typeName() == "binary"
+    m2 = repartition_by_bytes(m, target_partition_mb=1)
+    feats = extract_features(m2, fake=True, feat_dim=4).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["feat"]) == 4
+        assert abs(sum(r["feat"]) - 1.0) < 1e-9  # normalized histogram
+    frames = frame_sample(m, every_n=5)
+    assert frames.count() >= 50
+    with pytest.raises(NotImplementedError):
+        extract_features(m, fake=False)
+
+
+def test_similarity_lsh_recall_vs_brute(spark, tables):
+    """LSH with multiprobe should recover a decent fraction of the true
+    top-10 (recall sanity, not exactness)."""
+    from bigslice_spark.operators.similarity import (brute_force_topk,
+                                                     lsh_topk)
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, qs, k=5)
+    t = {(r["qid"], r["nid"]) for r in truth.collect()}
+    got = lsh_topk(emb, qs, k=5, nbits=4, multiprobe=3)
+    g = {(r["qid"], r["nid"]) for r in got.collect()}
+    recall = len(t & g) / len(t)
+    assert recall >= 0.2, f"LSH recall too low: {recall}"
+
+
+def test_repartition_func_preserves_content(session):
+    sl = session.const(4, list(range(50)), names=["n"], schema="n long")
+    out = sl.repartition_func(8, F.col("n") * 7 + 1)
+    assert sorted(r[0] for r in out.collect()) == list(range(50))
