@@ -1003,3 +1003,66 @@ def asof_join_q(spark, sf_dir):
                     on="user_id", left_ts="ts", right_ts="vts",
                     value_cols=["view_us"], strict=True)
     return out.select("event_id", "view_us")
+
+
+# =====================================================================
+# Structured Streaming (SURVEY §2.3 — beyond the strictly-batch
+# reference). Finite source + complete mode ⇒ deterministic, so the
+# tumbling aggregation is oracle-checked against plain batch SQL.
+# =====================================================================
+
+@query("stream_tumbling", f"""
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {_dsum_sql('value', 6)} AS v
+    FROM events GROUP BY 1, 2
+""")
+def stream_tumbling(spark, sf_dir):
+    """Streaming tumbling-window counts driven to completion over the
+    static events files — must equal the batch group-by."""
+    from .streaming import run_to_completion, stream_events, tumbling_counts
+    ev = stream_events(spark, sf_dir)
+    return run_to_completion(tumbling_counts(ev, "1 hour"),
+                             "bs_stream_tumbling")
+
+
+@query("stream_sessions")  # rows-only: session_window start equality is
+def stream_sessions(spark, sf_dir):  # engine-specific at window edges
+    """Streaming session_window aggregation (gap 30min) per user."""
+    from .streaming import run_to_completion, session_windows, stream_events
+    ev = stream_events(spark, sf_dir)
+    return run_to_completion(session_windows(ev, "30 minutes"),
+                             "bs_stream_sessions")
+
+
+@query("stream_stateful")  # rows-only: GroupState is not ANSI-SQL
+def stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running counts carried across micro-batches."""
+    from .streaming import (run_to_completion, stateful_user_counts,
+                            stream_events)
+    ev = stream_events(spark, sf_dir)
+    return run_to_completion(stateful_user_counts(ev),
+                             "bs_stream_stateful", output_mode="update")
+
+
+@query("scan_reader_lines", """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+""")
+def scan_reader_lines(spark, sf_dir):
+    """bigslice.ScanReader (reference scan.go:22-69) equivalent: write the
+    documents out as text once, read them back through the line source."""
+    import os
+    import tempfile
+    from .sources import scan_reader
+    _, t = _s(spark, sf_dir)
+    d = os.path.join(tempfile.gettempdir(),
+                     f"bsc_lines_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        t["documents"].select("text").write.mode("overwrite").text(d)
+    lines = scan_reader(spark, d)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("line")).alias("n_chars"))

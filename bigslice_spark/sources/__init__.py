@@ -1,0 +1,67 @@
+"""Sources beyond parquet, mirroring the reference's source operators.
+
+- scan_reader:  line-oriented text (reference scan.go:22-69 ScanReader —
+                which re-reads the whole stream per shard; Spark's
+                splittable text source is strictly better).
+- tar_reader:   tar-archive entries as (name, size, body) rows (reference
+                archive/tarslice/tarslice.go:29-87) — binaryFile scan +
+                per-partition tarfile decode over Arrow batches.
+- csv/json:     thin passthroughs with schema pinning (never inferSchema
+                in production paths).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def scan_reader(spark: SparkSession, path: str,
+                nshard: int | None = None) -> DataFrame:
+    """Line source: (line string). Splittable, properly sharded."""
+    df = spark.read.text(path).withColumnRenamed("value", "line")
+    return df.repartition(nshard) if nshard else df
+
+
+def tar_reader(spark: SparkSession, path: str) -> DataFrame:
+    """Tar entries: (archive string, name string, size long, body binary).
+
+    binaryFile gives (path, content) per archive; a mapInPandas stage
+    unpacks entries. Archives parallelize across partitions; entries
+    within one archive stream through a single task (tar is not
+    splittable — same constraint as the reference)."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.tar").load(path)
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for apath, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        body = tf.extractfile(m).read()
+                        rows.append((apath, m.name, m.size, body))
+            yield pd.DataFrame(
+                rows, columns=["archive", "name", "size", "body"])
+
+    return raw.select("path", "content").mapInPandas(
+        unpack, schema="archive string, name string, size long, "
+                       "body binary")
+
+
+def read_csv(spark: SparkSession, path: str, schema: str,
+             header: bool = True) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)

@@ -1,0 +1,104 @@
+"""Structured Streaming surface (absent in the reference — SURVEY §2.3:
+bigslice is strictly batch; Spark gives us streams).
+
+Patterns exposed:
+- stream_events:        readStream over the events parquet (schema pinned,
+                        ns→µs rebuild, like session.load_tables).
+- tumbling_counts:      watermark + fixed window aggregation.
+- session_windows:      session_window(ts, gap) aggregation.
+- run_to_completion:    drive a query over the static files through the
+                        memory sink synchronously (processAllAvailable) —
+                        the test/oracle harness for streaming: a
+                        deterministic stream over a finite source must
+                        equal the batch answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # int64 nanos in the parquet
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs rebuild."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a DIRECTORY; events.parquet is a plain
+    # file, so stream the parent dir with a glob filter.
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(38,6)"))
+                 .cast("double").alias("v"))
+            .select(F.col("w.start").alias("hr"), "event_type", "n", "v"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Native session_window aggregation (gap-based sessions per user)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("start"),
+                    "n_events"))
+
+
+def run_to_completion(agg: DataFrame, name: str,
+                      output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation over its (finite) source through the
+    memory sink; returns the final result as a batch DataFrame."""
+    spark = agg.sparkSession
+    q = (agg.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def stateful_user_counts(events: DataFrame,
+                         threshold: int = 50) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count; emits (user_id, total, flagged) each batch,
+    carrying the count across micro-batches in GroupState — the Spark
+    analog of a bigslice-style per-key stateful reducer (SURVEY §2.3:
+    'stateful ops' row)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total],
+                            "flagged": [total >= threshold]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, total long, flagged boolean",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
