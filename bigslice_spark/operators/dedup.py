@@ -32,6 +32,16 @@ from .text import tokens
 # Mersenne-ish primes for the affine minhash family over a 31-bit domain —
 # products stay < 2^62, safe under ANSI overflow checking.
 _MH_PRIME = (1 << 31) - 1
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public splitmix64 constants) used to
+    derive independent-ish minhash coefficients."""
+    z = (x + 0x9E3779B97F4A7C15) & _U64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64
+    return z ^ (z >> 31)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -76,8 +86,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     p = F.lit(_MH_PRIME)
     aggs = []
     for i in range(num_hashes):
-        a = (2 * i + 1) * 40503 % _MH_PRIME  # odd, deterministic family
-        b = (i * 97 + 13) % _MH_PRIME
+        # splitmix64-derived coefficients: an arithmetic-progression family
+        # ((2i+1)*c) is NOT pairwise independent — one shared shingle could
+        # win the min for most i simultaneously (observed: 45/64 matches on
+        # a 0.009-Jaccard pair). a in [1, p-1], b in [0, p-1).
+        a = _splitmix64(2 * i) % (_MH_PRIME - 1) + 1
+        b = _splitmix64(2 * i + 1) % _MH_PRIME
         aggs.append(F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), p))
                     .alias(f"__s{i}__"))
     wide = hx.groupBy(id_col).agg(*aggs)
@@ -217,16 +231,23 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
-                        max_df_ratio: float = 0.5) -> DataFrame:
-    """Exact token-set Jaccard via inverted-index self-join — the
-    SQL-expressible (oracle-checkable) dedup path.
+                        max_df_ratio: float = 0.5,
+                        shingle_w: int = 3) -> DataFrame:
+    """Exact n-gram (word w-shingle) Jaccard via inverted-index self-join —
+    the SQL-expressible (oracle-checkable) dedup path (Broder
+    w-shingling; shingle_w=1 degenerates to plain tokens).
 
-    Tokens occurring in > max_df_ratio of documents are pruned before the
-    self-join (df-pruning): they generate quadratic candidate fanout and
-    carry no discriminative signal — this is what makes the plan survive
-    skew at 100×. Jaccard is computed on the UNPRUNED set sizes."""
+    Two guards keep the self-join sub-quadratic at 100×:
+    - shingles, not tokens: a w-shingle key space is |vocab|^w, so the
+      posting lists stay short even on small vocabularies (measured: the
+      token formulation was 84s at sf0.1 on a 31-word vocab; shingles
+      make it seconds);
+    - df-pruning: shingles in > max_df_ratio of documents are dropped
+      before the join — quadratic fanout, no discriminative signal.
+    Jaccard is computed on the UNPRUNED set sizes."""
     toks = (df.select(F.col(id_col),
-                      F.explode(F.array_distinct(tokens(text_col)))
+                      F.explode(F.array_distinct(
+                          _shingles(text_col, shingle_w)))
                       .alias("tok")))
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ndocs = df.count()
@@ -259,15 +280,16 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     """Embedding near-dup pairs: cosine ≥ threshold within coarse buckets
     (label / LSH band / IVF cell). The bucket join bounds the quadratic
     candidate space; cosine is a codegen'd zip_with/aggregate in double."""
+    from .similarity import _dim_of, _dot_wide
+    dim = _dim_of(df, vec_col)
     v = df.select(F.col(id_col), F.col(bucket_col).alias("bk"),
                   F.transform(F.col(vec_col),
                               lambda x: x.cast("double")).alias("v"))
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    v = v.withColumn("n", norm).filter(F.col("n") > 0)
+    v = v.withColumn("n", F.sqrt(_dot_wide("v", "v", dim))) \
+        .filter(F.col("n") > 0)
     a = v.toDF("id_a", "bk", "va", "na")
     b = v.toDF("id_b", "bk", "vb", "nb")
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
+    dot = _dot_wide("va", "vb", dim)
     return (a.join(b, on="bk")
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine", dot / (F.col("na") * F.col("nb")))

@@ -1,11 +1,11 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Three tiers, same output shape (query_id, neighbor_id, cosine, rank):
+Three tiers, same output shape (qid, nid, cosine, rank):
 
 - brute_force_topk:  exact baseline — broadcast the (small) query set,
-                     codegen'd zip_with/aggregate dot products, per-query
-                     top-k via window. Cost O(N·Q·d), embarrassingly
-                     parallel, zero shuffle until the final top-k.
+                     codegen'd wide dot products, per-query top-k via
+                     window. Cost O(N·Q·d), embarrassingly parallel, no
+                     shuffle until the final top-k.
 - lsh_topk:          random-hyperplane LSH — b sign-bits bucket the corpus;
                      queries probe their own bucket (+ optional multiprobe
                      by flipping bits); exact rerank inside buckets. The
@@ -15,9 +15,12 @@ Three tiers, same output shape (query_id, neighbor_id, cosine, rank):
                      sample), assign each vector to its cell, probe the
                      nprobe nearest cells per query, exact rerank inside.
 
-All distance math is expression-level double arithmetic (no Python in the
-per-row path); hyperplanes are a deterministic seeded family so results are
-reproducible across runs.
+All distance math is a WIDE left-associative codegen expression
+(a[0]*b[0] + a[1]*b[1] + ...): Spark's array lambdas (zip_with /
+aggregate) are interpreted, measured 10× slower, and their evaluation
+order is opaque — the wide form is fast AND bitwise-reproducible in any
+engine that writes the same sum, which is what the DuckDB oracle does.
+Hyperplanes are a deterministic seeded family so results replay.
 """
 
 from __future__ import annotations
@@ -30,59 +33,53 @@ def _as_double_vec(col) -> "F.Column":
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _norm(col) -> "F.Column":
-    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+def _dot_wide(a: str, b: str, dim: int) -> "F.Column":
+    acc = F.col(a)[0] * F.col(b)[0]
+    for i in range(1, dim):
+        acc = acc + F.col(a)[i] * F.col(b)[i]
+    return acc
 
 
-def _dot(a, b) -> "F.Column":
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(f"cannot infer dim: {vec_col} has no rows")
+    return len(row[0])
 
 
-def _dot_exact(a, b) -> "F.Column":
-    """Order-independent exact dot product: per-element double products
-    (IEEE-identical across engines) summed as DECIMAL(38,12) → double.
-    Used when results must hash-match an external oracle."""
-    # acc is (30,12); each add widens to (31,12) exactly, then the cast
-    # narrows back — no scale loss, and the lambda keeps a fixed type
-    # (Spark decimal addition grows precision by 1 per operand pair).
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("decimal(20,12)")),
-        F.lit(0).cast("decimal(30,12)"),
-        lambda acc, x: (acc + x).cast("decimal(30,12)")).cast("double")
-
-
-def _prep(df: DataFrame, vec_col: str, id_col: str,
-          exact: bool = False) -> DataFrame:
+def _prep(df: DataFrame, vec_col: str, id_col: str, dim: int) -> DataFrame:
     v = df.select(F.col(id_col).alias("nid"),
                   _as_double_vec(F.col(vec_col)).alias("v"))
-    nrm = F.sqrt(_dot_exact("v", "v")) if exact else _norm("v")
-    return v.withColumn("nrm", nrm).filter(F.col("nrm") > 0)
+    return v.withColumn("nrm", F.sqrt(_dot_wide("v", "v", dim))) \
+        .filter(F.col("nrm") > 0)
+
+
+def _rerank(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "nid", "cosine", "rank"))
 
 
 def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      q_vec_col: str | None = None,
                      q_id_col: str | None = None,
-                     exact: bool = False) -> DataFrame:
+                     dim: int | None = None) -> DataFrame:
     """Exact cosine top-k: broadcast queries × corpus scan, window top-k.
-    Rank ties broken by neighbor id for determinism. exact=True computes
-    dot/norms via decimal accumulation (reproducible across engines)."""
+    Rank ties broken by neighbor id for determinism."""
     q_vec_col = q_vec_col or vec_col
     q_id_col = q_id_col or id_col
-    dot = _dot_exact if exact else _dot
-    corpus = _prep(df, vec_col, id_col, exact)
+    dim = dim or _dim_of(df, vec_col)
+    corpus = _prep(df, vec_col, id_col, dim)
     qs = queries.select(F.col(q_id_col).alias("qid"),
                         _as_double_vec(F.col(q_vec_col)).alias("qv"))
-    qnrm = F.sqrt(_dot_exact("qv", "qv")) if exact else _norm("qv")
-    qs = qs.withColumn("qnrm", qnrm).filter(F.col("qnrm") > 0)
+    qs = qs.withColumn("qnrm", F.sqrt(_dot_wide("qv", "qv", dim))) \
+        .filter(F.col("qnrm") > 0)
     scored = (corpus.join(F.broadcast(qs), F.col("nid") != F.col("qid"))
-              .withColumn("cosine",
-                          dot("v", "qv") / (F.col("nrm") * F.col("qnrm"))))
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "nid", "cosine", "rank"))
+              .withColumn("cosine", _dot_wide("v", "qv", dim)
+                          / (F.col("nrm") * F.col("qnrm"))))
+    return _rerank(scored, k)
 
 
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
@@ -99,17 +96,16 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def _bucket_expr(vec: "F.Column", planes: list[list[float]]) -> "F.Column":
-    """Sign-bit bucket id from a fixed hyperplane family, expression-level:
-    bit_i = (Σ_j v[j] * p_i[j]) > 0."""
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        proj = _dot(vec, plane)
-        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+def _bucket_expr(vec: str, planes: list[list[float]]) -> "F.Column":
+    """Sign-bit bucket id from a fixed hyperplane family, as wide codegen
+    sums: bit_i = (Σ_j v[j] * p_i[j]) > 0."""
     out = F.lit(0)
-    for b in bits:
-        out = out.bitwiseOR(b)
+    for i, p in enumerate(planes):
+        proj = F.col(vec)[0] * F.lit(p[0])
+        for j in range(1, len(p)):
+            proj = proj + F.col(vec)[j] * F.lit(p[j])
+        out = out.bitwiseOR(
+            F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
     return out
 
 
@@ -120,27 +116,24 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     """Random-hyperplane LSH ANN: equi-join on bucket id, exact rerank
     inside buckets. multiprobe=m additionally probes buckets at hamming
     distance 1 for the first m bit positions (recall knob)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    dim = dim or _dim_of(df, vec_col)
     planes = _hyperplanes(dim, nbits)
-    corpus = _prep(df, vec_col, id_col) \
-        .withColumn("bk", _bucket_expr(F.col("v"), planes))
+    corpus = _prep(df, vec_col, id_col, dim) \
+        .withColumn("bk", _bucket_expr("v", planes))
     qs = queries.select(F.col(id_col).alias("qid"),
                         _as_double_vec(F.col(vec_col)).alias("qv"))
-    qs = qs.withColumn("qnrm", _norm("qv")).filter(F.col("qnrm") > 0) \
-        .withColumn("bk0", _bucket_expr(F.col("qv"), planes))
+    qs = (qs.withColumn("qnrm", F.sqrt(_dot_wide("qv", "qv", dim)))
+          .filter(F.col("qnrm") > 0)
+          .withColumn("bk0", _bucket_expr("qv", planes)))
     probes = [F.col("bk0")]
     for i in range(max(0, multiprobe - 1)):
         probes.append(F.col("bk0").bitwiseXOR(F.lit(1 << i)))
     qs = qs.withColumn("bk", F.explode(F.array(*probes)))
     scored = (corpus.join(qs, on="bk")
               .filter(F.col("nid") != F.col("qid"))
-              .withColumn("cosine",
-                          _dot("v", "qv") / (F.col("nrm") * F.col("qnrm"))))
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "nid", "cosine", "rank"))
+              .withColumn("cosine", _dot_wide("v", "qv", dim)
+                          / (F.col("nrm") * F.col("qnrm"))))
+    return _rerank(scored, k)
 
 
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
@@ -155,39 +148,38 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     except ImportError as ex:  # pragma: no cover
         raise NotImplementedError(f"pyspark.ml unavailable: {ex}")
 
-    corpus = _prep(df, vec_col, id_col)
+    dim = _dim_of(df, vec_col)
+    corpus = _prep(df, vec_col, id_col, dim)
     train = corpus if sample_fraction >= 1.0 else \
         corpus.sample(fraction=sample_fraction, seed=seed)
     km = KMeans(k=ncells, seed=seed, featuresCol="feat")
     model = km.fit(train.withColumn("feat", array_to_vector("v")))
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
-    def cell_dists(vec):
-        """array<struct<d,cell>> of squared L2 to each centroid."""
-        return F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(vec, F.array(*[F.lit(x) for x in c]),
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
-                F.lit(i).alias("cell"))
-            for i, c in enumerate(centers)])
+    def cell_dists(vec: str):
+        """array<struct<d,cell>> of squared L2 to each centroid, wide."""
+        entries = []
+        for ci, c in enumerate(centers):
+            d = (F.col(vec)[0] - F.lit(c[0])) * (F.col(vec)[0] - F.lit(c[0]))
+            for j in range(1, dim):
+                d = d + (F.col(vec)[j] - F.lit(c[j])) \
+                    * (F.col(vec)[j] - F.lit(c[j]))
+            entries.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+        return F.array(*entries)
 
     assigned = corpus.withColumn(
-        "cell", F.array_min(cell_dists(F.col("v")))["cell"])
+        "cell", F.array_min(cell_dists("v"))["cell"])
     qs = queries.select(F.col(id_col).alias("qid"),
                         _as_double_vec(F.col(vec_col)).alias("qv"))
-    qs = (qs.withColumn("qnrm", _norm("qv")).filter(F.col("qnrm") > 0)
+    qs = (qs.withColumn("qnrm", F.sqrt(_dot_wide("qv", "qv", dim)))
+          .filter(F.col("qnrm") > 0)
           .withColumn("cells", F.slice(
-              F.array_sort(cell_dists(F.col("qv"))), 1, nprobe))
+              F.array_sort(cell_dists("qv")), 1, nprobe))
           .withColumn("cell", F.explode(
               F.transform("cells", lambda s: s["cell"])))
           .drop("cells"))
     scored = (assigned.join(qs, on="cell")
               .filter(F.col("nid") != F.col("qid"))
-              .withColumn("cosine",
-                          _dot("v", "qv") / (F.col("nrm") * F.col("qnrm"))))
-    w = W.partitionBy("qid").orderBy(F.desc("cosine"), "nid")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "nid", "cosine", "rank"))
+              .withColumn("cosine", _dot_wide("v", "qv", dim)
+                          / (F.col("nrm") * F.col("qnrm"))))
+    return _rerank(scored, k)

@@ -758,16 +758,30 @@ def dedup_simhash(spark, sf_dir):
 
 
 @query("ngram_jaccard", """
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(list_filter(
-                 string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
       FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM base),
+    toks AS (SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM sh),
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
               FROM toks GROUP BY doc_id),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    hot AS (SELECT tok FROM toks GROUP BY tok
+            HAVING count(*) > (SELECT CAST(floor(0.3 * n) AS BIGINT)
+                               FROM ndocs)),
+    cold AS (SELECT doc_id, tok FROM toks
+             WHERE tok NOT IN (SELECT tok FROM hot)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(count(*) AS BIGINT) AS inter
-      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      FROM cold a JOIN cold b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT id_a, id_b,
            CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
@@ -779,14 +793,16 @@ def dedup_simhash(spark, sf_dir):
           >= 0.8
 """)
 def ngram_jaccard(spark, sf_dir):
-    """Exact token-set Jaccard pairs via inverted-index self-join —
-    the oracle-checkable dedup path (operators/dedup.py). df-pruning is
-    disabled here because the synthetic vocab is tiny (31 tokens);
-    production default prunes tokens in >50% of documents."""
+    """Exact word-3-shingle Jaccard pairs via inverted-index self-join —
+    the oracle-checkable dedup path (operators/dedup.py). Shingles (not
+    raw tokens) keep posting lists short, and df-pruning at 0.3 —
+    replicated in the oracle SQL — bounds the Zipf-hot-shingle quadratic
+    blowup; candidate pairs must share a non-hot shingle (Jaccard itself
+    is computed on the unpruned set sizes)."""
     from .operators.dedup import ngram_jaccard_pairs
     _, t = _s(spark, sf_dir)
     return ngram_jaccard_pairs(t["documents"], threshold=0.8,
-                               max_df_ratio=1.01)
+                               max_df_ratio=0.3, shingle_w=3)
 
 
 @query("dedup_embedding")  # rows-only
@@ -797,43 +813,43 @@ def dedup_embedding(spark, sf_dir):
     return embedding_cosine_pairs(t["embeddings"], threshold=0.95)
 
 
-@query("similarity_topk", """
+def _cosine_oracle(dim: int = 64) -> str:
+    """Wide left-associative dot/norm sums — the exact expression order
+    brute_force_topk's codegen uses, so the doubles match bitwise."""
+    dot = " + ".join(
+        f"CAST(qv[{i+1}] AS DOUBLE) * CAST(v[{i+1}] AS DOUBLE)"
+        for i in range(dim))
+    nsum = " + ".join(
+        f"CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{i+1}] AS "
+        f"DOUBLE)" for i in range(dim))
+    return f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
                WHERE vec_id < 5),
     c AS (SELECT vec_id AS nid, embedding AS v FROM embeddings),
-    prod AS (
-      SELECT qid, nid,
-             unnest(list_zip(qv, v)) AS z
-      FROM q JOIN c ON nid <> qid),
-    dots AS (
-      SELECT qid, nid,
-             CAST(sum(CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
-                 AS DECIMAL(38,12))) AS DOUBLE) AS dot
-      FROM prod GROUP BY qid, nid),
-    norms AS (
-      SELECT vec_id AS id,
-             sqrt(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                 AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
-      GROUP BY vec_id),
+    norms AS (SELECT vec_id AS id, sqrt({nsum}) AS nrm FROM embeddings),
     scored AS (
-      SELECT qid, nid, dot / (nq.nrm * nn.nrm) AS cosine
-      FROM dots JOIN norms nq ON nq.id = qid JOIN norms nn ON nn.id = nid
+      SELECT qid, nid, ({dot}) / (nq.nrm * nn.nrm) AS cosine
+      FROM q JOIN c ON nid <> qid
+      JOIN norms nq ON nq.id = qid JOIN norms nn ON nn.id = nid
       WHERE nq.nrm > 0 AND nn.nrm > 0)
     SELECT qid, nid, cosine, CAST(rank AS INT) AS rank FROM (
       SELECT qid, nid, cosine,
              row_number() OVER (PARTITION BY qid
                  ORDER BY cosine DESC, nid) AS rank
       FROM scored) WHERE rank <= 10
-""")
+    """
+
+
+@query("similarity_topk", _cosine_oracle())
 def similarity_topk(spark, sf_dir):
-    """Brute-force cosine top-k (exact-decimal mode so both engines
-    produce bitwise-identical cosines; operators/similarity.py)."""
+    """Brute-force cosine top-k; the wide codegen dot product evaluates in
+    the same order as the oracle SQL → bitwise-identical cosines
+    (operators/similarity.py)."""
     from .operators.similarity import brute_force_topk
     _, t = _s(spark, sf_dir)
     emb = t["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, qs, k=10, exact=True)
+    return brute_force_topk(emb, qs, k=10)
 
 
 @query("similarity_lsh")  # rows-only: hyperplane family isn't ANSI-SQL

@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: the 100TB-readiness gate. A query can be
+value-correct and still carry a plan that dies at scale — these tests pin
+the physical strategies (pushdown, broadcast, partial agg, shuffle counts)
+so a refactor can't silently regress them."""
+
+import pyspark.sql.functions as F
+
+from bigslice_spark.plans import (assert_broadcast_join,
+                                  assert_partial_aggregation,
+                                  assert_pushed_filters, count_exchanges,
+                                  explain_str, scans_with_pushed_filters)
+from bigslice_spark.queries import QUERIES
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    df = QUERIES["op_filter"](spark, sf_dir)
+    assert_pushed_filters(df, "l_quantity")
+    assert_pushed_filters(df, "l_returnflag")
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    scans = scans_with_pushed_filters(df)
+    assert scans, "no parquet scan found"
+    schema = scans[0][0]
+    # only the 7 referenced columns, not all 11
+    assert "l_orderkey" not in schema and "l_suppkey" not in schema, schema
+    assert "l_quantity" in schema and "l_returnflag" in schema
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    assert_broadcast_join(QUERIES["q3_shipping_priority"](spark, sf_dir))
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    assert_broadcast_join(QUERIES["q5_regional_revenue"](spark, sf_dir))
+
+
+def test_reduce_has_partial_aggregation(spark, sf_dir):
+    """Catalyst partial/final HashAggregate ↔ the reference's map-side
+    Combiner (reduce.go:58,71)."""
+    assert_partial_aggregation(QUERIES["op_reduce"](spark, sf_dir))
+    assert_partial_aggregation(QUERIES["word_count"](spark, sf_dir))
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    """Q1 is scan → partial agg → one exchange → final agg."""
+    n = count_exchanges(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-k must plan TakeOrderedAndProject, not a global sort."""
+    txt = explain_str(QUERIES["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt, txt[:1500]
+
+
+def test_similarity_brute_force_no_preshuffle(spark, sf_dir):
+    """Brute-force ANN: corpus scan + broadcast of queries; the only
+    exchange allowed is for the final per-query top-k window."""
+    df = QUERIES["similarity_topk"](spark, sf_dir)
+    txt = explain_str(df)
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt
+    assert count_exchanges(df) <= 1, explain_str(df)[:1500]
+
+
+def test_sessionize_reuses_one_sort(spark, sf_dir):
+    """Both windows share (user_id, ts, event_id) ordering → one exchange
+    + at most two sorts within the same partitioning."""
+    df = QUERIES["sessionize"](spark, sf_dir)
+    n = count_exchanges(df)
+    assert n <= 2, f"sessionize shuffles {n}× (want ≤2)"
+
+
+def test_advise_shuffle_partitions():
+    from bigslice_spark.plans import advise_shuffle_partitions
+    assert advise_shuffle_partitions(0) == 16
+    assert advise_shuffle_partitions(100 << 40) == 200_000  # 100TB clamped
+    assert advise_shuffle_partitions(64 << 30) == 513  # 64GB → ~513
