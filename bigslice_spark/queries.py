@@ -1082,3 +1082,224 @@ def scan_reader_lines(spark, sf_dir):
     return lines.agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("line")).alias("n_chars"))
+
+
+# =====================================================================
+# Wider TPC-H-style coverage (adapted to the driver schema) + skew ops.
+# =====================================================================
+
+@query("q4_order_priority", """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join."""
+    _, t = _s(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    j = o.join(li, (li.l_orderkey == o.o_orderkey)
+               & (li.l_shipdate > o.o_orderdate), "left_semi")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@query("q6_forecast_revenue", f"""
+    SELECT {_dsum_sql('l_extendedprice * l_discount', 8)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan + filter + agg — every predicate must reach
+    the parquet reader (pinned in tests/test_plans.py)."""
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 8)
+                  .alias("revenue"))
+
+
+@query("q10_returned_items", f"""
+    SELECT c_custkey, c_name,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    j = (li.join(t["orders"].select("o_orderkey", "o_custkey"),
+                 li.l_orderkey == F.col("o_orderkey"))
+         .join(F.broadcast(t["customer"].select("c_custkey", "c_name")),
+               F.col("o_custkey") == F.col("c_custkey")))
+    rev = j.groupBy("c_custkey", "c_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8)
+        .alias("revenue"))
+    return rev.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+@query("q14_promo_share", f"""
+    SELECT {_dsum_sql("CASE WHEN p_type = 'PROMO' THEN "
+                      "l_extendedprice * (1 - l_discount) END", 8)}
+           / {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)}
+               AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+""")
+def q14_promo_share(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01"))
+    j = li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                li.l_partkey == F.col("p_partkey"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc)
+    return j.agg((dsum(promo, 8) / dsum(disc, 8)).alias("promo_share"))
+
+
+@query("q16_supplier_cnt", """
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+               AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 20
+    GROUP BY p_brand, p_size
+""")
+def q16_supplier_cnt(spark, sf_dir):
+    _, t = _s(spark, sf_dir)
+    j = t["lineitem"].select("l_partkey", "l_suppkey").join(
+        F.broadcast(t["part"].filter(F.col("p_size") >= 20)
+                    .select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt"))
+
+
+@query("q18_large_orders", f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(38,4))) > 150)
+    SELECT c_custkey, o_orderkey,
+           {_dsum_sql('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, o_orderkey
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING subquery → semi join on the agg result."""
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(38,4)"))
+                .alias("q"))
+           .filter(F.col("q") > 150).select("l_orderkey"))
+    j = (li.join(big, "l_orderkey", "left_semi")
+         .join(t["orders"].select("o_orderkey", "o_custkey"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(t["customer"].select("c_custkey")),
+               F.col("o_custkey") == F.col("c_custkey")))
+    return j.groupBy("c_custkey", "o_orderkey").agg(
+        dsum("l_quantity").alias("total_qty"))
+
+
+@query("q19_discounted_revenue", f"""
+    SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+""")
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19: OR-of-ANDs predicate over a broadcast join."""
+    _, t = _s(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("p_partkey") == F.col("l_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (((b == "Brand#12") & s.between(1, 15) & q.between(1, 21))
+            | ((b == "Brand#23") & s.between(1, 30) & q.between(10, 30))
+            | ((b == "Brand#34") & s.between(1, 50) & q.between(20, 40)))
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8)
+        .alias("revenue"))
+
+
+@query("op_salted_agg", f"""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           {_dsum_sql('l_quantity')} AS qty
+    FROM lineitem GROUP BY l_returnflag
+""")
+def op_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation for skewed keys: stage 1 aggregates
+    on (key, salt) spreading a hot key over 16 reducers, stage 2 merges
+    partials. Result is identical to the plain groupBy (the oracle), so
+    correctness and the skew pattern are checked together. At 3 distinct
+    keys over 600k rows, l_returnflag IS the pathological case."""
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"].select("l_returnflag", "l_quantity")
+    salted = li.withColumn(
+        "__salt__", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                           F.lit(16)))
+    stage1 = salted.groupBy("l_returnflag", "__salt__").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).alias("pq"))
+    return (stage1.groupBy("l_returnflag")
+            .agg(F.sum("pn").alias("n"),
+                 F.sum("pq").cast("double").alias("qty")))
+
+
+@query("scalar_functions", """
+    SELECT l_orderkey, l_linenumber,
+           upper(l_returnflag) AS rf_upper,
+           concat(l_returnflag, '-', l_linestatus) AS rf_ls,
+           CAST(length(l_returnflag) AS INT) AS rf_len,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(day(l_shipdate) AS INT) AS ship_day,
+           abs(l_quantity - 25.0) AS q_dev,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS rf_or_none
+    FROM lineitem
+""")
+def scalar_functions(spark, sf_dir):
+    """Scalar-function passthrough (SURVEY §2.3: the reference has no
+    scalar library; pyspark.sql.functions is exposed wholesale).
+    Representative string/date/math/null functions, oracle-checked."""
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"]
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.upper("l_returnflag").alias("rf_upper"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("rf_ls"),
+        F.length("l_returnflag").alias("rf_len"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.abs(F.col("l_quantity") - 25.0).alias("q_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none"))
+        .alias("rf_or_none"))

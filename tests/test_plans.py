@@ -77,3 +77,18 @@ def test_advise_shuffle_partitions():
     assert advise_shuffle_partitions(0) == 16
     assert advise_shuffle_partitions(100 << 40) == 200_000  # 100TB clamped
     assert advise_shuffle_partitions(64 << 30) == 513  # 64GB → ~513
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown acid test: every predicate must reach the scan."""
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate")
+    assert_pushed_filters(df, "l_discount")
+    assert_pushed_filters(df, "l_quantity")
+
+
+def test_salted_agg_two_stages(spark, sf_dir):
+    """Salted agg: two exchanges (salt stage + merge stage) by design."""
+    from bigslice_spark.plans import count_exchanges
+    n = count_exchanges(QUERIES["op_salted_agg"](spark, sf_dir))
+    assert 1 <= n <= 2, f"expected 1-2 exchanges, got {n}"
