@@ -1303,3 +1303,66 @@ def scalar_functions(spark, sf_dir):
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
         F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none"))
         .alias("rf_or_none"))
+
+
+@query("q2_min_cost_supplier", """
+    SELECT p_partkey, p_brand, s_name, min_price
+    FROM (
+      SELECT p_partkey, p_brand, s_name, l_extendedprice,
+             min(l_extendedprice) OVER (PARTITION BY p_partkey)
+                 AS min_price
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN supplier ON s_suppkey = l_suppkey)
+    WHERE l_extendedprice = min_price
+    QUALIFY row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY s_name) = 1
+""")
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-per-group correlated lookup via window (the
+    decorrelated plan Catalyst would produce for the scalar subquery),
+    deterministic tie-break on supplier name."""
+    _, t = _s(spark, sf_dir)
+    j = (t["part"].select("p_partkey", "p_brand")
+         .join(t["lineitem"].select("l_partkey", "l_suppkey",
+                                    "l_extendedprice"),
+               F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+               F.col("s_suppkey") == F.col("l_suppkey")))
+    wmin = W.partitionBy("p_partkey")
+    j = j.withColumn("min_price", F.min("l_extendedprice").over(wmin)) \
+         .filter(F.col("l_extendedprice") == F.col("min_price"))
+    pick = W.partitionBy("p_partkey").orderBy("s_name")
+    return (j.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("p_partkey", "p_brand", "s_name", "min_price"))
+
+
+@query("unpivot_measures", """
+    SELECT l_orderkey, l_linenumber, measure, val FROM lineitem
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+""")
+def unpivot_measures(spark, sf_dir):
+    """Unpivot (wide→long) via stack — SURVEY §2.3 set-op family."""
+    _, t = _s(spark, sf_dir)
+    return t["lineitem"].select(
+        "l_orderkey", "l_linenumber",
+        F.expr("stack(3, 'l_quantity', l_quantity, "
+               "'l_extendedprice', l_extendedprice, "
+               "'l_discount', l_discount) AS (measure, val)"))
+
+
+@query("json_props", """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+""")
+def json_props(spark, sf_dir):
+    """Semi-structured JSON column handling (events.props)."""
+    _, t = _s(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (t["events"].groupBy("event_type")
+            .agg(F.sum(k).alias("k_total"),
+                 F.count(F.lit(1)).alias("n")))

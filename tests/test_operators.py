@@ -196,3 +196,42 @@ def test_repartition_func_preserves_content(session):
     sl = session.const(4, list(range(50)), names=["n"], schema="n long")
     out = sl.repartition_func(8, F.col("n") * 7 + 1)
     assert sorted(r[0] for r in out.collect()) == list(range(50))
+
+
+def test_metrics_counter(spark, tables):
+    from bigslice_spark.metrics import Scope
+    scope = Scope(spark)
+    c = scope.counter("rows_seen")
+
+    def op(it):
+        for pdf in it:
+            c.incr(len(pdf))
+            yield pdf
+
+    df = tables["nation"]
+    n = df.mapInPandas(op, df.schema).count()
+    assert c.value == n == 25
+    assert scope.snapshot() == {"rows_seen": 25}
+
+
+def test_scan_side_effects(session):
+    sl = session.const(3, list(range(30)), names=["n"], schema="n long")
+    # scan must consume every row exactly once across shards
+    from bigslice_spark.metrics import Counter
+    c = Counter(session.spark, "scanned")
+
+    def consume(shard, rows):
+        c.incr(sum(1 for _ in rows))
+
+    sl.scan(consume)
+    assert c.value == 30
+
+
+def test_functions_module_exports(spark, tables):
+    from bigslice_spark import functions as BF
+    df = tables["documents"].select(
+        BF.token_count("text").alias("tc"),
+        BF.murmur3_hash("text").alias("h"),
+        BF.upper(BF.col("lang")).alias("u"))
+    r = df.first()
+    assert r["tc"] > 0 and isinstance(r["h"], int) and r["u"].isupper()
