@@ -1352,6 +1352,428 @@ def unpivot_measures(spark, sf_dir):
                "'l_discount', l_discount) AS (measure, val)"))
 
 
+# =====================================================================
+# TPC-H remainder, adapted to the driver schema (no partsupp table and
+# no commit/receipt dates — substitutions noted per query).  Together
+# with q1-q6/q10/q14/q16/q18/q19 this completes the 22-query shape
+# coverage of the relational surface (SURVEY §2.3).
+# =====================================================================
+
+@query("q7_volume_shipping", f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {_dsum_sql('volume', 8)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: nation-pair trade volume by ship year.  Scale plan:
+    filter BOTH dimension paths to the two nations first, broadcast
+    them into lineitem/orders (pruning each fact hard before the only
+    big join, lineitem⋈orders on orderkey), then one small agg."""
+    _, t = _s(spark, sf_dir)
+    pair = ["NATION_3", "NATION_7"]
+    sup = (t["supplier"]
+           .join(F.broadcast(t["nation"]),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .filter(F.col("n_name").isin(pair))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (t["customer"]
+            .join(F.broadcast(t["nation"]),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .filter(F.col("n_name").isin(pair))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    li = (t["lineitem"]
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("volume"))
+          .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")))
+    orders = (t["orders"].select("o_orderkey", "o_custkey")
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey")))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .filter(((F.col("supp_nation") == pair[0])
+                  & (F.col("cust_nation") == pair[1]))
+                 | ((F.col("supp_nation") == pair[1])
+                    & (F.col("cust_nation") == pair[0]))))
+    return (j.withColumn("l_year", F.year("l_shipdate").cast("long"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(dsum("volume", 8).alias("revenue")))
+
+
+@query("q8_market_share", """
+    SELECT o_year,
+           CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                              ELSE 0 END AS DECIMAL(38,8))) AS DOUBLE)
+           / CAST(sum(CAST(volume AS DECIMAL(38,8))) AS DOUBLE)
+               AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n2.n_regionkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    GROUP BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: one nation's share of regional market volume per year.
+    All dims broadcast; conditional + total sums computed in one agg
+    pass (no second scan); decimal-exact numerator/denominator then a
+    single double division so both engines emit the same bits."""
+    _, t = _s(spark, sf_dir)
+    part = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    asia_nations = (t["nation"]
+                    .join(F.broadcast(t["region"]),
+                          F.col("n_regionkey") == F.col("r_regionkey"))
+                    .filter(F.col("r_name") == "ASIA")
+                    .select(F.col("n_nationkey").alias("cn_key")))
+    cust = (t["customer"]
+            .join(F.broadcast(asia_nations),
+                  F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey"))
+    sup = (t["supplier"]
+           .join(F.broadcast(t["nation"]),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    orders = (t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey")))
+    j = (t["lineitem"]
+         .select("l_orderkey", "l_partkey", "l_suppkey",
+                 (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("volume"))
+         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(orders, F.col("l_orderkey") == F.col("o_orderkey")))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5",
+                        F.col("volume")).otherwise(F.lit(0.0))
+    return (j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+            .groupBy("o_year")
+            .agg((dsum(nation_vol, 8) / dsum("volume", 8))
+                 .alias("mkt_share")))
+
+
+@query("q9_product_profit", f"""
+    SELECT nation, o_year, {_dsum_sql('amount', 8)} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%gear%')
+    GROUP BY nation, o_year
+""")
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 (profit per nation-year; amount omits ps_supplycost —
+    no partsupp in the driver schema).  part filter broadcast into
+    lineitem first, then the single big join to orders."""
+    _, t = _s(spark, sf_dir)
+    part = (t["part"].filter(F.col("p_name").like("%gear%"))
+            .select("p_partkey"))
+    sup = (t["supplier"]
+           .join(F.broadcast(t["nation"]),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("nation")))
+    j = (t["lineitem"]
+         .select("l_orderkey", "l_partkey", "l_suppkey",
+                 (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("amount"))
+         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(t["orders"].select("o_orderkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    return (j.withColumn("o_year", F.year("o_orderdate").cast("long"))
+            .groupBy("nation", "o_year")
+            .agg(dsum("amount", 8).alias("sum_profit")))
+
+
+@query("q11_important_parts", f"""
+    WITH pv AS (
+      SELECT l_partkey, {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)}
+                 AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_value FROM pv
+    WHERE part_value > (
+      SELECT CAST(sum(CAST(part_value AS DECIMAL(38,8))) AS DOUBLE) * 0.001
+      FROM pv)
+""")
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (value concentration; lineitem revenue stands in
+    for partsupp stock value).  The global-total scalar subquery is a
+    1-row broadcast cross join — no second pass over lineitem."""
+    _, t = _s(spark, sf_dir)
+    pv = (t["lineitem"]
+          .groupBy("l_partkey")
+          .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8)
+               .alias("part_value")))
+    total = pv.agg(
+        (F.sum(F.col("part_value").cast("decimal(38,8)")).cast("double")
+         * F.lit(0.001)).alias("threshold"))
+    return (pv.crossJoin(F.broadcast(total))
+            .filter(F.col("part_value") > F.col("threshold"))
+            .select("l_partkey", "part_value"))
+
+
+@query("q12_late_lines", """
+    SELECT late,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                  THEN 'LATE' ELSE 'ONTIME' END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01')
+    GROUP BY late
+""")
+def q12_late_lines(spark, sf_dir):
+    """TPC-H Q12 shape (ship-mode → lateness bucket: the schema has no
+    l_shipmode/commitdate, so 'late' = shipped >60 days after order).
+    Date filter pushed to the lineitem scan; single shuffle join."""
+    _, t = _s(spark, sf_dir)
+    li = (t["lineitem"]
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1997-01-01"))
+          .select("l_orderkey", "l_shipdate"))
+    j = li.join(t["orders"].select("o_orderkey", "o_orderdate",
+                                   "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.withColumn(
+                "late",
+                F.when(F.datediff("l_shipdate", "o_orderdate") > 60,
+                       "LATE").otherwise("ONTIME"))
+            .groupBy("late")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+@query("q13_customer_distribution", """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+""")
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: order-count histogram over a left outer join with a
+    compound (non-equi residual) join condition.  The second agg input
+    is one row per customer — tiny, no skew concern."""
+    _, t = _s(spark, sf_dir)
+    cust = t["customer"].select("c_custkey")
+    orders = t["orders"].select("o_custkey", "o_orderkey",
+                                "o_orderpriority")
+    j = cust.join(orders,
+                  (F.col("c_custkey") == F.col("o_custkey"))
+                  & (F.col("o_orderpriority") != "1-URGENT"),
+                  "left")
+    per_cust = (j.groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@query("q15_top_supplier", f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum_sql('l_extendedprice * (1 - l_discount)', 8)}
+                 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with max quarterly revenue.  The max is a
+    1-row broadcast; revenue is computed once (plan reuses the agg via
+    DataFrame reference, and the equality is exact because both sides
+    derive from the same decimal-backed sum)."""
+    _, t = _s(spark, sf_dir)
+    rev = (t["lineitem"]
+           .filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("max_revenue"))
+            .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+                  F.col("s_suppkey") == F.col("supplier_no"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query("q17_small_quantity", """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+    FROM (
+      SELECT l_extendedprice, l_quantity, p_brand,
+             avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey)
+    WHERE p_brand = 'Brand#23' AND l_quantity < 0.5 * avg_qty
+""")
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17: revenue of small-quantity lines vs the per-part mean —
+    the correlated scalar subquery decorrelated into a window avg (the
+    plan Catalyst would produce).  The window must be computed over ALL
+    lineitem before the brand filter, matching the subquery's scope."""
+    _, t = _s(spark, sf_dir)
+    j = (t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+         .join(F.broadcast(t["part"].select("p_partkey", "p_brand")),
+               F.col("l_partkey") == F.col("p_partkey")))
+    j = j.withColumn("avg_qty",
+                     F.avg("l_quantity").over(W.partitionBy("l_partkey")))
+    return (j.filter((F.col("p_brand") == "Brand#23")
+                     & (F.col("l_quantity") < 0.5 * F.col("avg_qty")))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly")))
+
+
+@query("q20_part_promotion", """
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'blue%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 100)
+""")
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with heavy shipments of 'blue' parts;
+    partsupp availability test replaced by shipped-quantity threshold).
+    IN-subquery = left-semi join against a pre-aggregated, broadcastable
+    supplier set."""
+    _, t = _s(spark, sf_dir)
+    part = (t["part"].filter(F.col("p_name").like("blue%"))
+            .select("p_partkey"))
+    heavy = (t["lineitem"]
+             .filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01"))
+             .join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("l_suppkey")
+             .agg(F.sum("l_quantity").alias("qty"))
+             .filter(F.col("qty") > 100)
+             .select("l_suppkey"))
+    return (t["supplier"]
+            .join(F.broadcast(heavy),
+                  F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_name", "n_name"))
+
+
+@query("q21_waiting_suppliers", """
+    WITH sl AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+      FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    ann0 AS (
+      SELECT l_orderkey, l_suppkey, s_max,
+             max(s_max) OVER (PARTITION BY l_orderkey) AS o_max,
+             count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+      FROM sl),
+    ann AS (
+      SELECT *, sum(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY l_orderkey) AS nmax
+      FROM ann0)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ann JOIN supplier ON s_suppkey = l_suppkey
+    WHERE nsupp > 1 AND nmax = 1 AND s_max = o_max
+    GROUP BY s_name
+""")
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (the EXISTS/NOT-EXISTS pair re-expressed over
+    shipdates: in multi-supplier orders, count orders where exactly one
+    supplier shipped strictly last — no commit/receipt dates in the
+    driver schema).  One agg + windows over the same partitioning (a
+    single shuffle on l_orderkey), then a broadcast supplier join."""
+    _, t = _s(spark, sf_dir)
+    sl = (t["lineitem"]
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(F.max("l_shipdate").alias("s_max")))
+    w = W.partitionBy("l_orderkey")
+    ann = (sl.withColumn("o_max", F.max("s_max").over(w))
+           .withColumn("nsupp", F.count(F.lit(1)).over(w))
+           .withColumn("nmax", F.sum(
+               F.when(F.col("s_max") == F.col("o_max"), 1)
+               .otherwise(0)).over(w)))
+    winners = ann.filter((F.col("nsupp") > 1) & (F.col("nmax") == 1)
+                         & (F.col("s_max") == F.col("o_max")))
+    return (winners
+            .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@query("q22_idle_customers", f"""
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           {_dsum_sql('c_acctbal', 4)} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+                   / count(*)
+        FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+""")
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (above-average-balance customers with no recent
+    orders; nationkey stands in for the phone country code).  The avg
+    is a decimal-exact 1-row broadcast; NOT EXISTS = left-anti join
+    against the date-filtered orders."""
+    _, t = _s(spark, sf_dir)
+    cust = t["customer"]
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(38,4)"))
+                     .cast("double") / F.count(F.lit(1)))
+                    .alias("avg_bal")))
+    recent = (t["orders"]
+              .filter(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum("c_acctbal", 4).alias("totacctbal")))
+
+
 @query("json_props", """
     SELECT event_type,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
