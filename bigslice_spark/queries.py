@@ -340,6 +340,92 @@ def op_cache(spark, sf_dir):
     return sl.cache(prefix).df  # short-circuits to read
 
 
+@query("op_scan", """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+""")
+def op_scan(spark, sf_dir):
+    """bigslice.Scan (reference slice.go:996-1032): terminal per-shard
+    row consumption. The side-effect channel is exercised per partition
+    (an Arrow-batched tap, like Scan's per-shard Scanner); the returned
+    frame is the deterministic per-shard summary re-aggregated, so the
+    oracle can check that every shard saw every row exactly once."""
+    import pandas as pd
+    _, t = _s(spark, sf_dir)
+
+    def per_shard(batches):
+        n = 0
+        s = 0
+        for pdf in batches:
+            n += len(pdf)                      # the "scan" side effect
+            s += int(pdf["o_orderkey"].sum())
+        yield pd.DataFrame({"n_rows": [n], "key_sum": [s]})
+
+    summary = t["orders"].select("o_orderkey").mapInPandas(
+        per_shard, schema="n_rows long, key_sum long")
+    return summary.agg(F.sum("n_rows").alias("n_rows"),
+                       F.sum("key_sum").alias("key_sum"))
+
+
+_TAR_FILES = [("a.txt", b"alpha\n"), ("b.txt", b"bravo bravo\n"),
+              ("sub/c.txt", b"charlie\n")]
+
+
+@query("source_tar", """
+    SELECT * FROM (VALUES ('a.txt', 6, 'alpha\n'),
+                          ('b.txt', 12, 'bravo bravo\n'),
+                          ('sub/c.txt', 8, 'charlie\n'))
+        t(name, size, body_text)
+""")
+def source_tar(spark, sf_dir):
+    """tarslice.Reader (reference archive/tarslice/tarslice.go:29-87):
+    tar-archive entries as rows. A fixed archive is materialized to a
+    scratch dir, read via the binaryFile + mapInPandas source, and
+    checked against its literal contents."""
+    import io
+    import os
+    import tarfile
+    import tempfile
+
+    from .sources import tar_reader
+    d = os.path.join(tempfile.gettempdir(), "bsq_tar_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "fixture.tar")
+    if not os.path.exists(p):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, body in _TAR_FILES:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(body)
+                tf.addfile(info, io.BytesIO(body))
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, p)
+    df = tar_reader(spark, d)
+    return df.select("name", F.col("size").cast("int").alias("size"),
+                     F.col("body").cast("string").alias("body_text"))
+
+
+@query("source_csv", """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def source_csv(spark, sf_dir):
+    """CSV source with a pinned schema (never inferSchema): nation is
+    round-tripped through CSV in a scratch dir and read back — the
+    oracle checks losslessness against the parquet original (integer and
+    string columns only; floats would need a format contract)."""
+    import tempfile
+    _, t = _s(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="bsq_csv_")
+    t["nation"].select("n_nationkey", "n_name", "n_regionkey") \
+        .write.mode("overwrite").option("header", "true").csv(d)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int") \
+        .option("header", "true").csv(d)
+
+
 # =====================================================================
 # Relational surface beyond the reference (SURVEY §2.3) — Spark frees.
 # =====================================================================
