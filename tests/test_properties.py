@@ -1,0 +1,117 @@
+"""Property-based tests (Hypothesis) mirroring the reference's
+testing/quick + gofuzz strategy (SURVEY §5.3): random (nshard,
+key→values) inputs asserting aggregate invariants, as in the
+reference's example/max_test.go:20-121 and randomized reshuffle tests
+(reshuffle_test.go).
+
+Inputs deliberately include the reference corpus's edge cases: empty
+string key, unicode keys, negative/zero values, heavy key skew."""
+
+from collections import Counter, defaultdict
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+KEYS = st.sampled_from(["", "a", "b", "hot", "ключ", "日本語", "x y"])
+VALS = st.integers(min_value=-(2**40), max_value=2**40)
+PAIRS = st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=120)
+NSHARD = st.integers(min_value=1, max_value=6)
+
+PROP = settings(max_examples=5, deadline=None,
+                suppress_health_check=list(HealthCheck))
+
+
+def _const(session, pairs, nshard):
+    keys = [k for k, _ in pairs]
+    vals = [v for _, v in pairs]
+    return session.const(nshard, keys, vals, names=["key", "val"],
+                         schema="key string, val long")
+
+
+@PROP
+@given(pairs=PAIRS, nshard=NSHARD)
+def test_reduce_sum_matches_python(session, pairs, nshard):
+    """Mirror of example/max_test.go's quick-check: keyed reduce equals
+    the per-key python fold for any input and any shard count."""
+    got = {r["key"]: r["val"]
+           for r in _const(session, pairs, nshard).reduce_("sum").df.collect()}
+    want = defaultdict(int)
+    for k, v in pairs:
+        want[k] += v
+    assert got == dict(want)
+
+
+@PROP
+@given(pairs=PAIRS, nshard=NSHARD)
+def test_fold_min_max_count_matches_python(session, pairs, nshard):
+    sl = _const(session, pairs, nshard).fold(aggs={
+        "mn": F.min("val"), "mx": F.max("val"),
+        "n": F.count(F.lit(1))})
+    got = {r["key"]: (r["mn"], r["mx"], r["n"]) for r in sl.df.collect()}
+    want = {}
+    for k, v in pairs:
+        mn, mx, n = want.get(k, (v, v, 0))
+        want[k] = (min(mn, v), max(mx, v), n + 1)
+    assert got == want
+
+
+@PROP
+@given(pairs=PAIRS, pairs_b=PAIRS, nshard=NSHARD)
+def test_cogroup_full_outer_zero_groups(session, pairs, pairs_b, nshard):
+    """Pin the reference's full-outer semantics (cogroup.go:244-258):
+    every key from either input appears exactly once; a missing group is
+    an EMPTY list, never null; groups hold the exact value multiset."""
+    a = _const(session, pairs, nshard)
+    b = _const(session, pairs_b, nshard)
+    rows = a.cogroup(b).df.collect()
+    want_a, want_b = defaultdict(list), defaultdict(list)
+    for k, v in pairs:
+        want_a[k].append(v)
+    for k, v in pairs_b:
+        want_b[k].append(v)
+    all_keys = set(want_a) | set(want_b)
+    assert {r["key"] for r in rows} == all_keys
+    assert len(rows) == len(all_keys)
+    for r in rows:
+        ga, gb = r["g0"], r["g1"]
+        assert ga is not None and gb is not None, "empty group must be []"
+        assert sorted(x["val"] for x in ga) == sorted(want_a[r["key"]])
+        assert sorted(x["val"] for x in gb) == sorted(want_b[r["key"]])
+
+
+@PROP
+@given(pairs=PAIRS, nshard=NSHARD, nshard2=NSHARD)
+def test_reshuffle_reshard_preserve_rows(session, pairs, nshard, nshard2):
+    """reshuffle/reshard move rows between shards but never change the
+    row multiset (reshuffle_test.go's randomized invariant)."""
+    sl = _const(session, pairs, nshard)
+    base = Counter((r["key"], r["val"]) for r in sl.df.collect())
+    resh = sl.reshuffle()
+    assert Counter((r["key"], r["val"]) for r in resh.df.collect()) == base
+    assert resh.num_shard() >= 1
+    rs = sl.reshard(nshard2)
+    assert Counter((r["key"], r["val"]) for r in rs.df.collect()) == base
+    assert rs.num_shard() == nshard2
+
+
+@PROP
+@given(pairs=PAIRS, nshard=NSHARD, n=st.integers(min_value=1, max_value=8))
+def test_head_per_shard_bound_and_subset(session, pairs, nshard, n):
+    """Head is per-shard (reference slice.go:957-994): ≤ n rows from each
+    of the nshard partitions, and every row comes from the input."""
+    sl = _const(session, pairs, nshard)
+    rows = Counter((r["key"], r["val"]) for r in sl.head(n).df.collect())
+    base = Counter((r["key"], r["val"]) for r in sl.df.collect())
+    assert sum(rows.values()) <= n * nshard
+    assert all(rows[x] <= base[x] for x in rows)
+
+
+@PROP
+@given(pairs=PAIRS, nshard=NSHARD)
+def test_repartition_func_preserves_rows(session, pairs, nshard):
+    """Custom partition function (reference reshuffle.go:44-76): rows are
+    placed by fn but the multiset is invariant."""
+    sl = _const(session, pairs, max(1, nshard // 2))
+    out = sl.repartition_func(nshard, F.crc32(F.col("key")) % nshard)
+    base = Counter((r["key"], r["val"]) for r in sl.df.collect())
+    assert Counter((r["key"], r["val"]) for r in out.df.collect()) == base
