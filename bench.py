@@ -20,6 +20,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
     "word_count",
     "op_fold",
     "op_cogroup",

@@ -92,3 +92,32 @@ def test_salted_agg_two_stages(spark, sf_dir):
     from bigslice_spark.plans import count_exchanges
     n = count_exchanges(QUERIES["op_salted_agg"](spark, sf_dir))
     assert 1 <= n <= 2, f"expected 1-2 exchanges, got {n}"
+
+
+def test_tpch_remainder_plan_shapes(spark, sf_dir):
+    """Ceilings for the adapted q7-q22 batch: dims always broadcast,
+    never a cartesian product, and the exchange count stays at the
+    audited minimum (fact⋈fact joins are allowed to SMJ — at 100TB both
+    sides of lineitem⋈orders are big; everything else must not add
+    shuffles)."""
+    ceilings = {
+        "q7_volume_shipping": 3,   # li⋈ord SMJ (2) + final agg
+        "q8_market_share": 3,
+        "q9_product_profit": 2,    # 1 at small SF when orders broadcasts
+        "q11_important_parts": 3,  # part agg + 1-row total + filter join
+        "q12_late_lines": 2,
+        "q13_customer_distribution": 2,  # left join agg + histogram agg
+        "q15_top_supplier": 3,
+        "q17_small_quantity": 2,   # window + global agg
+        "q20_part_promotion": 1,   # pre-agg'd semi join, dims broadcast
+        "q21_waiting_suppliers": 3,  # pair agg + window + name agg
+        "q22_idle_customers": 2,
+    }
+    for name, ceil in ceilings.items():
+        df = QUERIES[name](spark, sf_dir)
+        txt = explain_str(df)
+        assert "Cartesian" not in txt, f"{name}: cartesian product"
+        n = count_exchanges(df)
+        assert n <= ceil, f"{name}: {n} exchanges (ceiling {ceil})"
+        assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" \
+            in txt, f"{name}: no broadcast join in plan"
