@@ -1438,6 +1438,36 @@ def unpivot_measures(spark, sf_dir):
                "'l_discount', l_discount) AS (measure, val)"))
 
 
+@query("range_join", f"""
+    SELECT a.event_id AS anchor_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_dsum_sql('e.value', 6)} AS value_sum
+    FROM events a JOIN events e
+      ON e.ts >= a.ts AND e.ts < a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+""")
+def range_join(spark, sf_dir):
+    """Pure range join (no equi-key): activity in the 5 minutes after
+    each error event. A naive formulation is a BroadcastNestedLoop —
+    quadratic and single-task at scale; operators/interval.py rewrites
+    it to a binned equi-join (uniform shuffle key, residual filter)."""
+    from .operators.interval import interval_join
+    _, t = _s(spark, sf_dir)
+    ev = t["events"]
+    anchors = (ev.filter(F.col("event_type") == "error")
+               .select(F.col("event_id").alias("anchor_id"),
+                       F.col("ts").alias("w_start"))
+               .withColumn("w_end",
+                           F.col("w_start") + F.expr("INTERVAL 5 MINUTE")))
+    points = ev.select("ts", "value")
+    j = interval_join(points, anchors, "ts", "w_start", "w_end",
+                      bin_seconds=300)
+    return j.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("value_sum"))
+
+
 # =====================================================================
 # TPC-H remainder, adapted to the driver schema (no partsupp table and
 # no commit/receipt dates — substitutions noted per query).  Together

@@ -121,3 +121,13 @@ def test_tpch_remainder_plan_shapes(spark, sf_dir):
         assert n <= ceil, f"{name}: {n} exchanges (ceiling {ceil})"
         assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" \
             in txt, f"{name}: no broadcast join in plan"
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The binned interval join must plan as a hash equi-join on the bin
+    id — never BroadcastNestedLoop/Cartesian (the naive range-join plan
+    that dies at 100TB)."""
+    df = QUERIES["range_join"](spark, sf_dir)
+    txt = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in txt, txt[:1500]
+    assert "Cartesian" not in txt, txt[:1500]
