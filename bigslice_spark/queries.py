@@ -935,7 +935,7 @@ def similarity_topk(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     emb = t["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
-    return brute_force_topk(emb, qs, k=10)
+    return brute_force_topk(emb, qs, k=10, dim=64)
 
 
 @query("similarity_lsh")  # rows-only: hyperplane family isn't ANSI-SQL
@@ -945,7 +945,7 @@ def similarity_lsh(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     emb = t["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, qs, k=10, nbits=6, multiprobe=2)
+    return lsh_topk(emb, qs, k=10, nbits=6, multiprobe=2, dim=64)
 
 
 @query("similarity_ivf")  # rows-only: KMeans cells aren't ANSI-SQL

@@ -131,3 +131,35 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     txt = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in txt, txt[:1500]
     assert "Cartesian" not in txt, txt[:1500]
+
+
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path_factory):
+    """Session.write_bucketed co-locates tables on the join key: a join
+    of two tables bucketed the same way must plan ZERO exchanges — the
+    100TB ingest pattern (bucket the canonical tables once, never
+    shuffle them again)."""
+    from bigslice_spark import Session
+    sess = Session(spark)
+    base = tmp_path_factory.mktemp("bucketed")
+    try:
+        o = sess.write_bucketed(
+            tables["orders"].select("o_orderkey", "o_custkey"),
+            "orders_bkt", ["o_orderkey"], 4,
+            sort_by=["o_orderkey"], path=str(base / "orders"))
+        li = sess.write_bucketed(
+            tables["lineitem"].select("l_orderkey", "l_quantity"),
+            "lineitem_bkt", ["l_orderkey"], 4,
+            sort_by=["l_orderkey"], path=str(base / "lineitem"))
+        # force SMJ so the assertion can't pass vacuously via broadcast
+        j = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey) \
+            .groupBy("o_custkey").agg(F.sum("l_quantity").alias("q"))
+        txt = explain_str(j)
+        assert "SortMergeJoin" in txt, txt[:1200]
+        n = count_exchanges(j)
+        # one exchange allowed for the final custkey agg; the join
+        # itself must not shuffle either bucketed side
+        assert n <= 1, f"bucketed join plans {n} exchanges"
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
