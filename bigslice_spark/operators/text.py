@@ -36,6 +36,24 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# BPE-style pre-tokenizer classes (GPT-2-family shape, simplified to the
+# lookahead-free subset shared by Java regex and RE2 so Spark and DuckDB
+# segment identically): letter runs, digit runs, runs of other
+# non-whitespace. A BPE vocabulary then splits within these classes —
+# counting them is the standard cheap token-budget estimator.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str,
+                    pattern: str = BPE_PRETOKEN_RE) -> Column:
+    """Pre-token count under a BPE-ish segmentation (see BPE_PRETOKEN_RE).
+    Codegen'd regexp_extract_all; oracle-reproducible with DuckDB's
+    regexp_extract_all on the same pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))) \
+        .cast("long")
+
+
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document stats: chars, tokens, mean token length, whitespace

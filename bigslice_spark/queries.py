@@ -958,6 +958,27 @@ def similarity_ivf(spark, sf_dir):
     return ivf_topk(emb, qs, k=10, ncells=8, nprobe=3)
 
 
+@query("token_counts", r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+               AS bpe_tokens
+    FROM documents
+""")
+def token_counts(spark, sf_dir):
+    """Token-budget estimators (operators/text.py): whitespace tokens and
+    BPE-ish pre-token count (lookahead-free GPT-2-shape classes, same
+    segmentation in Java regex and RE2 so the oracle reproduces it)."""
+    from .operators.text import bpe_token_count, token_count
+    _, t = _s(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"))
+
+
 @query("text_stats", """
     WITH s AS (
       SELECT doc_id,
