@@ -1379,6 +1379,27 @@ def op_salted_agg(spark, sf_dir):
                  F.sum("pq").cast("double").alias("qty")))
 
 
+@query("op_salted_join", """
+    SELECT e.event_id, e.event_type, s.type_n
+    FROM events e
+    JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+          FROM events GROUP BY event_type) s
+      ON e.event_type = s.event_type
+""")
+def op_salted_join(spark, sf_dir):
+    """Salted skew join (operators/skew.py): events has only 5 event
+    types — every key is hot. The salted join spreads each over 8
+    reducers; output must equal the plain join (the oracle). The merge
+    hint forces a real shuffle join so the pattern is exercised even at
+    test scale where broadcast would hide it."""
+    from .operators.skew import salted_join
+    _, t = _s(spark, sf_dir)
+    ev = t["events"].select("event_id", "event_type")
+    stats = (t["events"].groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("type_n")))
+    return salted_join(ev, stats.hint("merge"), ["event_type"], nsalts=8)
+
+
 @query("scalar_functions", """
     SELECT l_orderkey, l_linenumber,
            upper(l_returnflag) AS rf_upper,
