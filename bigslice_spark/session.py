@@ -136,6 +136,18 @@ class Session:
         w.saveAsTable(name)
         return self.spark.table(name)
 
+    def write_partitioned(self, df: "DataFrame", path: str,
+                          partition_by: Sequence[str],
+                          mode: str = "overwrite") -> None:
+        """Hive-style partitioned parquet layout (`k=v/` directories).
+        The other half of the 100TB ingest story next to write_bucketed:
+        filters on the partition columns become directory pruning (zero
+        I/O for excluded partitions), and joins against a filtered dim
+        trigger dynamic partition pruning at runtime. Partition by
+        low-cardinality columns only (date, category) — one directory
+        per value."""
+        df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
     def reader_func(self, nshard: int, fn, schema: Any) -> "Slice":
         """bigslice.ReaderFunc (reference slice.go:292-402): a custom
         vectorized per-shard source. Implemented as mapInPandas over a seed

@@ -163,3 +163,28 @@ def test_bucketed_join_has_no_exchange(spark, tables, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_partitioned_write_prunes_partitions(spark, tables,
+                                             tmp_path_factory):
+    """Session.write_partitioned: a filter on the partition column must
+    become directory-level PartitionFilters (zero I/O for excluded
+    partitions), and a join against a filtered dim must plan dynamic
+    partition pruning — the two mechanisms that make 100TB scans pay
+    only for the slice they need."""
+    from bigslice_spark import Session
+    sess = Session(spark)
+    d = str(tmp_path_factory.mktemp("part") / "events")
+    sess.write_partitioned(tables["events"], d, ["event_type"])
+
+    ev = spark.read.parquet(d)
+    static = ev.filter(F.col("event_type") == "click")
+    txt = explain_str(static)
+    assert "PartitionFilters" in txt and "event_type" in txt, txt[:1500]
+    assert static.count() > 0
+
+    dim = (tables["events"].select("event_type").distinct()
+           .filter(F.col("event_type").isin("click", "error")))
+    j = ev.join(dim, on="event_type")
+    jtxt = explain_str(j)
+    assert "dynamicpruning" in jtxt.lower(), jtxt[:2000]
