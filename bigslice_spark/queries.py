@@ -891,6 +891,65 @@ def ngram_jaccard(spark, sf_dir):
                                max_df_ratio=0.3, shingle_w=3)
 
 
+@query("dedup_components", """
+    WITH RECURSIVE pairs AS (
+      -- same pair generation as the ngram_jaccard oracle
+      SELECT id_a, id_b FROM (
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 3 THEN
+                   list_transform(generate_series(1, len(tk) - 2),
+                       i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+                 ELSE [concat_ws(' ', tk)] END AS sl
+          FROM base),
+        toks AS (SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM sh),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                  FROM toks GROUP BY doc_id),
+        ndocs AS (SELECT count(*) AS n FROM documents),
+        hot AS (SELECT tok FROM toks GROUP BY tok
+                HAVING count(*) > (SELECT CAST(floor(0.3 * n) AS BIGINT)
+                                   FROM ndocs)),
+        cold AS (SELECT doc_id, tok FROM toks
+                 WHERE tok NOT IN (SELECT tok FROM hot)),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM cold a JOIN cold b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE)
+              / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8)
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node)
+    SELECT node, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+""")
+def dedup_components(spark, sf_dir):
+    """Transitive closure of near-duplicate pairs into duplicate
+    CLUSTERS: iterative min-label propagation (operators/graph.py) over
+    the exact-Jaccard pair graph — the Spark analog of the reference's
+    iterative Result-reuse workloads (SURVEY §3 entry point C). The
+    oracle replays it as a recursive CTE. Only connected docs are
+    emitted (singletons are their own trivial component)."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+    _, t = _s(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(t["documents"], threshold=0.8,
+                                max_df_ratio=0.3, shingle_w=3)
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
 @query("dedup_embedding")  # rows-only
 def dedup_embedding(spark, sf_dir):
     """Embedding near-dup pairs (cosine ≥ 0.95) bucketed by label."""
