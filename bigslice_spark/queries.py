@@ -1438,6 +1438,45 @@ def op_salted_agg(spark, sf_dir):
                  F.sum("pq").cast("double").alias("qty")))
 
 
+_SQL_PASSTHROUGH = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS total
+    FROM orders WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_passthrough", _SQL_PASSTHROUGH)
+def sql_passthrough(spark, sf_dir):
+    """Full SQL surface (SURVEY §2.3: the reference has no query
+    language at all; Spark gives us one): the registered star-schema
+    views answer the SAME ANSI text the DuckDB oracle runs."""
+    _s(spark, sf_dir)  # registers the temp views
+    return spark.sql(_SQL_PASSTHROUGH)
+
+
+@query("pipeline_end2end")  # rows-only: chains minhash (non-SQL) dedup
+def pipeline_end2end(spark, sf_dir):
+    """The flagship training-data pipeline, end to end: quality filter →
+    exact dedup → MinHash near-dup removal → per-language token budget.
+    Every stage is one of the audited operators; this entry pins that
+    they compose."""
+    from .operators.dedup import exact_dedup, minhash_dedup
+    from .operators.text import bpe_token_count, quality_score
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    q = quality_score(docs).filter(F.col("quality") >= 0.5)
+    docs = docs.join(q.select("doc_id"), on="doc_id", how="left_semi")
+    keep_exact = exact_dedup(docs).select("doc_id")
+    docs = docs.join(keep_exact, on="doc_id", how="left_semi")
+    docs = minhash_dedup(docs, threshold=0.5)
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(bpe_token_count("text")).alias("token_budget"))
+            .orderBy("lang"))
+
+
 @query("op_salted_join", """
     SELECT e.event_id, e.event_type, s.type_n
     FROM events e
