@@ -30,6 +30,7 @@ HEADLINE = [
     "sessionize",
     "events_hourly",
     "join_broadcast",
+    "range_join",
     "topk_orders",
     "dedup_exact",
     "dedup_minhash",
