@@ -232,6 +232,36 @@ def op_reduce(spark, sf_dir):
     return sl.reduce_("max").df
 
 
+@query("op_cogroup_apply", """
+    WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS nc
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS ns
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.k, s.k) AS k,
+           coalesce(nc, 0) AS n_cust, coalesce(ns, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+""")
+def op_cogroup_apply(spark, sf_dir):
+    """Pandas cogroup fast path (Slice.cogroup_apply): arbitrary per-key
+    fn over both groups, streamed through Arrow — the reference's
+    Cogroup→Flatmap pattern without materializing group arrays. Empty
+    side ⇒ empty frame (zero-group semantics, cogroup.go:244-258)."""
+    import pandas as pd
+    sess, t = _s(spark, sf_dir)
+    cust = sess.wrap(t["customer"]).map_(
+        F.col("c_nationkey").alias("k"), F.col("c_acctbal"))
+    supp = sess.wrap(t["supplier"]).map_(
+        F.col("s_nationkey").alias("k"), F.col("s_acctbal"))
+
+    def merge(key, left: "pd.DataFrame", right: "pd.DataFrame"):
+        return pd.DataFrame({"k": [int(key[0])],
+                             "n_cust": [len(left)],
+                             "n_supp": [len(right)]})
+
+    return cust.cogroup_apply(
+        supp, merge, "k int, n_cust long, n_supp long").df
+
+
 @query("op_cogroup", """
     WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS nc,
                       min(c_acctbal) AS mnc

@@ -212,6 +212,29 @@ class Slice:
                     col, F.coalesce(F.col(col), F.array()))
         return Slice(out, prefix=k)
 
+    def cogroup_apply(self, other: "Slice", fn: Callable,
+                      schema: Any) -> "Slice":
+        """2-way Cogroup with an arbitrary per-key function — the pandas
+        fast path for the dominant reference pattern Cogroup→Flatmap
+        (cogroup.go:28-34 "generalized JOIN and GROUP" immediately
+        flattened by user code). ``fn(key_tuple, left_pdf, right_pdf) ->
+        pdf`` runs over Arrow batches via DataFrame.groupBy().cogroup();
+        a key present in only one input sees an EMPTY frame for the
+        other (the reference's zero-group semantics, cogroup.go:244-258).
+        Unlike ``cogroup``, groups stream through Arrow instead of being
+        materialized as collect_list arrays — the path for huge groups.
+        """
+        if other.prefix != self.prefix:
+            raise ValueError("cogroup inputs must share key width")
+        keys = self.key_cols
+        odf = other.df
+        for old, new in zip(other.key_cols, keys):
+            if old != new:
+                odf = odf.withColumnRenamed(old, new)
+        cg = self.df.groupBy(*keys).cogroup(odf.groupBy(*keys))
+        return Slice(cg.applyInPandas(fn, schema=schema),
+                     prefix=self.prefix)
+
     def reshuffle(self) -> "Slice":
         """bigslice.Reshuffle (reference reshuffle.go:24-88): hash-shuffle
         by prefix so equal keys co-locate; no sort."""
