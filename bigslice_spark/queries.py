@@ -232,6 +232,51 @@ def op_reduce(spark, sf_dir):
     return sl.reduce_("max").df
 
 
+@query("op_flatmap_pandas", """
+    SELECT n_nationkey, unnest(generate_series(0, n_regionkey)) AS i
+    FROM nation
+""")
+def op_flatmap_pandas(spark, sf_dir):
+    """Flatmap slow path = the UDTF surface (SURVEY §2.3): an opaque
+    Python fn emitting 0..N rows per input row over Arrow batches
+    (reference slice.go:728-841 — bigslice's entire operator set is
+    'UDFs'; this is the 1→N case no expression covers)."""
+    sess, t = _s(spark, sf_dir)
+
+    def expand(row):
+        nk, rk = row
+        return [(nk, i) for i in range(rk + 1)]
+
+    return (sess.wrap(t["nation"].select("n_nationkey", "n_regionkey"))
+            .flatmap(fn=expand, schema="n_nationkey int, i long").df)
+
+
+@query("window_range_frame", """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_s
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+""")
+def window_range_frame(spark, sf_dir):
+    """RANGE window frame (value-based, not row-based): per-user rolling
+    1-hour sum — the frame type ROWS can't express when events are
+    unevenly spaced. Decimal-exact sum keeps both engines bitwise
+    identical per frame."""
+    _, t = _s(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "user_id", "value",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("epoch_s"))
+    w = (W.partitionBy("user_id").orderBy("epoch_s")
+         .rangeBetween(-3600, W.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+        .cast("double").alias("rolling_1h"))
+
+
 @query("op_cogroup_apply", """
     WITH c AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS nc
                FROM customer GROUP BY c_nationkey),
