@@ -1,0 +1,28 @@
+"""The examples/ scripts must stay runnable — they are the migration
+documentation a reference user actually executes."""
+
+import subprocess
+import sys
+
+
+def _run(script: str) -> str:
+    out = subprocess.run(
+        [sys.executable, script, "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_wordcount_example():
+    lines = [l for l in _run("examples/wordcount.py").splitlines()
+             if "\t" in l]
+    assert len(lines) == 10
+    counts = [int(l.split("\t")[1]) for l in lines]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_url_counts_example():
+    out = _run("examples/url_counts.py")
+    assert "wrote " in out
+    lines = [l for l in out.splitlines() if "\t" in l]
+    assert len(lines) == 5
