@@ -1,0 +1,49 @@
+"""Materialization policy: cut lineage / force one-shot computation.
+
+Iterative and multi-reference plans (connected components, LSH signature
+reuse, inverted-index self-joins) need an explicit materialization point:
+without one, Spark re-executes the shared subtree once per reference and
+the lineage doubles per iteration. Two mechanisms with different safety:
+
+- ``localCheckpoint`` (eager): blocks live on their executors' local
+  storage — fast, but a lost executor loses the blocks AND the lineage,
+  killing the job. Safe only where executor loss implies job loss anyway
+  (single-JVM ``local[*]``).
+- reliable ``checkpoint`` (eager): blocks are written to the
+  SparkContext checkpoint directory (HDFS/object store on a cluster) and
+  survive executor loss.
+
+``materialize`` picks automatically: local master → localCheckpoint,
+anything else → reliable checkpoint (creating a scratch checkpoint dir
+if the caller never set one — on a real cluster, call
+``sc.setCheckpointDir`` to a shared filesystem first). Callers can force
+either with ``reliable=True/False``.
+
+Reference analog: bigslice's iterative workloads persist a computed
+``*Result`` between invocations (reference exec/session.go:34-37,
+exec/compile.go:226-261 task reuse); its shuffle store is always
+disk-backed, so the reliable path is the faithful one on clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """Eagerly compute ``df`` once and return a lineage-free handle.
+
+    reliable=None (default): localCheckpoint under a ``local[...]``
+    master, reliable checkpoint otherwise. See module docstring.
+    """
+    spark = df.sparkSession
+    if reliable is None:
+        master = spark.conf.get("spark.master", "local")
+        reliable = not master.startswith("local")
+    if not reliable:
+        return df.localCheckpoint()
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="bss_ckpt_"))
+    return df.checkpoint()

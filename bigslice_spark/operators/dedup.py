@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..checkpoint import materialize
 from .text import tokens
 
 # Mersenne-ish primes for the affine minhash family over a 31-bit domain —
@@ -42,6 +43,22 @@ def _splitmix64(x: int) -> int:
     z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64
     z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64
     return z ^ (z >> 31)
+
+
+def _tok_hash31(portable: bool) -> "F.Column":
+    """31-bit token hash for the minhash family, over column ``tok``.
+
+    Default is xxhash64 (fastest JVM path). ``portable=True`` derives the
+    hash from md5's first 15 hex chars instead — md5 is bit-identical in
+    every engine, so the WHOLE minhash pipeline becomes reproducible in
+    ANSI SQL (the DuckDB oracle replays it exactly; xxhash64 exists only
+    in Spark). Both are codegen'd; md5 costs ~2× per token."""
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+            .cast("long")
+    else:
+        h = F.xxhash64("tok")
+    return F.pmod(h, F.lit(_MH_PRIME))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -96,11 +113,14 @@ def _shingles(text_col: str, w: int = 3) -> "F.Column":
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
-                       shingle_w: int = 3) -> DataFrame:
+                       shingle_w: int = 3,
+                       portable: bool = False) -> DataFrame:
     """doc → array<long> of minhash signatures, fully expression-level.
 
     h_i(x) = (a_i * x + b_i) mod p over 31-bit shingle hashes; a_i/b_i are
-    a fixed deterministic family (reproducible across runs/engines)."""
+    a fixed deterministic family (reproducible across runs/engines).
+    ``portable=True`` swaps the token hash for the md5-derived one (see
+    _tok_hash31) so any ANSI-SQL engine can replay the signatures."""
     # Shingle rows come from the codegen'd _shingle_rows path (duplicate
     # shingles are harmless under MIN, so skip the distinct shuffle),
     # then 64 codegen'd MIN aggregates over the exploded hashes. An
@@ -108,92 +128,110 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # ~1s for this plan — higher-order lambdas are interpreted. Map-side
     # partial aggregation collapses rows back to ~one per document
     # before the exchange, so the shuffle stays narrow at scale.
-    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_w)
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_w,
+                         portable)
     return wide.select(
         F.col(id_col),
         F.array(*[F.col(f"__s{i}__") for i in range(num_hashes)])
         .alias("sig"))
 
 
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """The fixed affine family (a_i, b_i) — exported so oracles can
+    replay h_i(x) = (a_i*x + b_i) mod _MH_PRIME exactly."""
+    return [(_splitmix64(2 * i) % (_MH_PRIME - 1) + 1,
+             _splitmix64(2 * i + 1) % _MH_PRIME)
+            for i in range(num_hashes)]
+
+
 def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
-                  num_hashes: int, shingle_w: int) -> DataFrame:
-    """One column per minhash (``__s0__``..) — the codegen-friendly wide
-    form banding reads directly (array ops on the assembled sig column
-    would be interpreted)."""
+                  num_hashes: int, shingle_w: int,
+                  portable: bool = False) -> DataFrame:
+    """One column per minhash (``__s0__``..). The wide form exists to keep
+    the 64 MIN aggregates inside whole-stage codegen; banding then
+    deliberately consumes the ASSEMBLED array from minhash_signatures
+    (per-document interpreted lambdas are negligible — see the comment in
+    minhash_lsh_pairs)."""
     hx = (_shingle_rows(df, text_col, id_col, shingle_w, distinct=False)
-          .select(F.col(id_col),
-                  F.pmod(F.xxhash64("tok"), F.lit(_MH_PRIME)).alias("h")))
+          .select(F.col(id_col), _tok_hash31(portable).alias("h")))
     p = F.lit(_MH_PRIME)
-    aggs = []
-    for i in range(num_hashes):
-        # splitmix64-derived coefficients: an arithmetic-progression family
-        # ((2i+1)*c) is NOT pairwise independent — one shared shingle could
-        # win the min for most i simultaneously (observed: 45/64 matches on
-        # a 0.009-Jaccard pair). a in [1, p-1], b in [0, p-1).
-        a = _splitmix64(2 * i) % (_MH_PRIME - 1) + 1
-        b = _splitmix64(2 * i + 1) % _MH_PRIME
-        aggs.append(F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), p))
-                    .alias(f"__s{i}__"))
+    # splitmix64-derived coefficients: an arithmetic-progression family
+    # ((2i+1)*c) is NOT pairwise independent — one shared shingle could
+    # win the min for most i simultaneously (observed: 45/64 matches on
+    # a 0.009-Jaccard pair). a in [1, p-1], b in [0, p-1).
+    aggs = [F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), p))
+            .alias(f"__s{i}__")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))]
     return hx.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.5,
-                      shingle_w: int = 3) -> DataFrame:
+                      shingle_w: int = 3,
+                      reliable: bool | None = None,
+                      portable: bool = False) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, verified by signature
     similarity (fraction of matching minhashes ≈ Jaccard).
 
-    Plan shape: signatures (narrow scan) → explode bands (×bands) →
-    groupBy band-hash (shuffle of small rows) → within-bucket pairing via
-    sorted collect_list → explode pairs → signature verify. Buckets are
-    capped to guard against degenerate all-equal corpora."""
+    Plan shape: signatures (narrow scan, materialized once) → explode
+    bands → NARROW (id, band, bh) relation → equi self-join on (band, bh)
+    for pair generation → distinct pairs → join signatures back by id →
+    verify. Properties that matter at 100TB:
+
+    - NO bucket cap: every co-bucketed pair is emitted, however
+      degenerate the bucket (a capped collect_list would silently miss
+      duplicates exactly on the near-identical corpora dedup exists
+      for). A B-member bucket costs B² join rows — inherent to LSH —
+      and AQE's skew-join splitting spreads a hot bucket across tasks,
+      which a single collect_list reducer cannot do.
+    - The band shuffle carries (id, band, bh) only — 24 bytes/row — not
+      the 64-long signature (which would be amplified ×bands). Sigs are
+      fetched once per SURVIVING pair by an id equi-join.
+    """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_w)
+    # materialized: banding + both sides of the verify join reference it
+    sig = materialize(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_w,
+                           portable),
+        reliable)
     # Banding stays in the interpreted array-lambda form DELIBERATELY:
     # a codegen formulation (16 band-hash structs off the wide agg
     # columns in one projection) measured 23s cold vs 5s here — Janino
     # JIT of the ~150-expression method dominates. Banding evaluates
     # once per DOCUMENT (not per shingle), so the interpreted per-row
-    # cost stays negligible at any scale.
+    # cost stays negligible at any scale. In portable mode the band key
+    # is the joined slice STRING itself (SQL-replayable, ~40 bytes);
+    # default compresses it to 8 bytes with xxhash64 — same equivalence
+    # classes minus a ~2^-64 collision, so same pairs.
+    def _band_key(b):
+        s = F.concat_ws(",", F.transform(
+            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string")))
+        return s if portable else F.xxhash64(s)
+
     banded = sig.select(
-        id_col, "sig",
+        F.col(id_col).alias("id"),
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", F.transform(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string")))).alias("bh"))
-        )).alias("bk"))
-    buckets = (banded
-               .groupBy(F.col("bk.band").alias("band"),
-                        F.col("bk.bh").alias("bh"))
-               .agg(F.slice(F.array_sort(
-                    F.collect_list(F.struct(F.col(id_col).alias("id"),
-                                            F.col("sig").alias("sig")))),
-                    1, 64).alias("members"))
-               .filter(F.size("members") > 1))
-    pair_idx = F.filter(
-        F.flatten(F.transform(
-            F.sequence(F.lit(1), F.size("members")),
-            lambda i: F.transform(
-                F.sequence(F.lit(1), F.size("members")),
-                lambda j: F.struct(i.alias("i"), j.alias("j"))))),
-        lambda p: p["i"] < p["j"])
+            lambda b: F.struct(b.alias("band"), _band_key(b).alias("bh"))
+        )).alias("bk")) \
+        .select("id", F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh"))
+    cand = (banded.toDF("id_a", "band", "bh")
+            .join(banded.toDF("id_b", "band", "bh"), on=["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
     matches = F.size(F.filter(
-        F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v))
-    pairs = (buckets
-             .select(F.explode(pair_idx).alias("p"), "members")
-             .select(F.col("members")[F.col("p.i") - 1].alias("a"),
-                     F.col("members")[F.col("p.j") - 1].alias("b"))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"),
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    pairs = (cand
+             .join(sig.toDF("id_a", "sig_a"), on="id_a")
+             .join(sig.toDF("id_b", "sig_b"), on="id_b")
+             .select("id_a", "id_b",
                      (matches.cast("double")
                       / F.lit(float(num_hashes))).alias("sim")))
-    return (pairs.filter(F.col("sim") >= threshold)
-            .groupBy("id_a", "id_b").agg(F.max("sim").alias("sim")))
+    return pairs.filter(F.col("sim") >= threshold)
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text",
@@ -207,18 +245,39 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """64-bit SimHash over whitespace tokens:
-    bit_j = sign( Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1) ).
+    bit_j = sign( Σ_tokens (bit_j(hash(token)) ? +1 : -1) ).
 
     Explode+aggregate formulation: array lambdas are interpreted in Spark,
     but 64 SUM aggregates over exploded token hashes stay inside
     whole-stage codegen, with map-side partial aggregation keeping the
-    shuffle at ~one row per document."""
-    th = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-          .select(F.col(id_col), F.xxhash64("t").alias("h")))
-    aggs = [F.sum(F.when(F.shiftright(F.col("h"), j)
-                         .bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+    shuffle at ~one row per document.
+
+    ``portable=True`` draws the 64 token bits from two 32-bit md5-derived
+    halves instead of xxhash64 (bits 0-31 ← md5 chars 1-8, bits 32-63 ←
+    chars 9-16) — bit-identical in any engine, so the DuckDB oracle
+    replays the whole fingerprint."""
+    tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col))
+                         .alias("t"))
+    if portable:
+        th = tok_rows.select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10)
+            .cast("long").alias("h_lo"),
+            F.conv(F.substring(F.md5("t"), 9, 8), 16, 10)
+            .cast("long").alias("h_hi"))
+
+        def bit(j):
+            src, k = ("h_lo", j) if j < 32 else ("h_hi", j - 32)
+            return F.shiftright(F.col(src), k).bitwiseAND(F.lit(1))
+    else:
+        th = tok_rows.select(F.col(id_col), F.xxhash64("t").alias("h"))
+
+        def bit(j):
+            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+
+    aggs = [F.sum(F.when(bit(j) == 1, 1).otherwise(-1))
             .alias(f"__b{j}__") for j in range(64)]
     wide = th.groupBy(id_col).agg(*aggs)
     out = F.lit(0).cast("long")
@@ -231,48 +290,42 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  reliable: bool | None = None,
+                  portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole on 4×16-bit bands (hamming ≤ 3
-    ⇒ at least one band equal), then exact hamming verify via bit_count."""
-    sh = simhash64(df, text_col, id_col)
+    ⇒ at least one band equal), then exact hamming verify via bit_count.
+
+    Pair generation is an equi self-join on (band, bh) — NO bucket cap
+    (see minhash_lsh_pairs). The 8-byte fingerprint rides the band rows
+    (×4 amplification of 8 bytes is noise), so the verify needs no
+    join-back."""
+    sh = materialize(simhash64(df, text_col, id_col, portable), reliable)
     banded = sh.select(
-        id_col, "sh",
+        F.col(id_col).alias("id"), "sh",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.shiftright("sh", 16 * b)
                      .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
-            for b in range(4)])).alias("bk"))
-    buckets = (banded
-               .groupBy(F.col("bk.band"), F.col("bk.bh"))
-               .agg(F.slice(F.array_sort(F.collect_list(
-                    F.struct(F.col(id_col).alias("id"),
-                             F.col("sh").alias("sh")))), 1, 64)
-                    .alias("members"))
-               .filter(F.size("members") > 1))
-    pair_idx = F.filter(
-        F.flatten(F.transform(
-            F.sequence(F.lit(1), F.size("members")),
-            lambda i: F.transform(
-                F.sequence(F.lit(1), F.size("members")),
-                lambda j: F.struct(i.alias("i"), j.alias("j"))))),
-        lambda p: p["i"] < p["j"])
-    pairs = (buckets
-             .select(F.explode(pair_idx).alias("p"), "members")
-             .select(F.col("members")[F.col("p.i") - 1].alias("a"),
-                     F.col("members")[F.col("p.j") - 1].alias("b"))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"),
-                     F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-                     .alias("hamming"))
-             .filter(F.col("hamming") <= max_hamming)
-             .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
-    return pairs
+            for b in range(4)])).alias("bk")) \
+        .select("id", "sh", F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh"))
+    return (banded.toDF("id_a", "sh_a", "band", "bh")
+            .join(banded.toDF("id_b", "sh_b", "band", "bh"),
+                  on=["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
                         max_df_ratio: float = 0.5,
-                        shingle_w: int = 3) -> DataFrame:
+                        shingle_w: int = 3,
+                        reliable: bool | None = None) -> DataFrame:
     """Exact n-gram (word w-shingle) Jaccard via inverted-index self-join —
     the SQL-expressible (oracle-checkable) dedup path (Broder
     w-shingling; shingle_w=1 degenerates to plain tokens).
@@ -288,20 +341,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     The pruned inverted index (id, tok, set-size) is built in ONE pass —
     set sizes and document frequencies attached as window counts over
-    the same postings — and materialized via localCheckpoint before the
-    self-join, which would otherwise recompute the shingling 2× more
-    (measured 7.4s → 2.9s at sf0.1). On a multi-executor cluster,
-    swap localCheckpoint for a persisted/parquet-backed index (a
-    non-reliable checkpoint dies with its executor)."""
+    the same postings — and materialized before the self-join, which
+    would otherwise recompute the shingling 2× more (measured
+    7.4s → 2.9s at sf0.1). Materialization policy (localCheckpoint on
+    local masters, reliable checkpoint on clusters) comes from
+    checkpoint.materialize; override with ``reliable=``."""
     toks = _shingle_rows(df, text_col, id_col, shingle_w, distinct=True)
     ndocs = df.count()
     sz = F.count(F.lit(1)).over(W.partitionBy(id_col))
     dfreq = F.count(F.lit(1)).over(W.partitionBy("tok"))
-    cold = (toks.withColumn("sz", sz)
-            .withColumn("df", dfreq)
-            .filter(F.col("df") <= int(max_df_ratio * ndocs))
-            .select(id_col, "tok", "sz")
-            .localCheckpoint())
+    cold = materialize(
+        toks.withColumn("sz", sz)
+        .withColumn("df", dfreq)
+        .filter(F.col("df") <= int(max_df_ratio * ndocs))
+        .select(id_col, "tok", "sz"),
+        reliable)
     a = cold.toDF("id_a", "tok", "sz_a")
     b = cold.toDF("id_b", "tok", "sz_b")
     return (a.join(b, on="tok")

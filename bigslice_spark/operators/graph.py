@@ -15,10 +15,10 @@ against a recursive CTE.
 Scale shape: each iteration is one join (labels ⋈ symmetric edges) +
 one min-aggregation — both hash-partitioned on node id, so every
 iteration reuses the same partitioning. Iterations = graph diameter
-(near-dup clusters are shallow; ≤10 covers real corpora).
-localCheckpoint every iteration truncates the exponentially growing
-lineage — without it the plan doubles per round. On a multi-executor
-cluster prefer reliable checkpoints or persist+count per round.
+(near-dup clusters are shallow; ≤10 covers real corpora). Each round
+is materialized (checkpoint.materialize) to truncate the
+exponentially growing lineage — localCheckpoint on local masters,
+reliable checkpoints on clusters, overridable with ``reliable=``.
 """
 
 from __future__ import annotations
@@ -26,12 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import materialize
+
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          nodes: DataFrame | None = None,
                          node_col: str = "node",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         reliable: bool | None = None) -> DataFrame:
     """(node, component) for every node, component = min reachable id.
 
     `edges` are undirected (symmetrized internally). `nodes` optionally
@@ -42,7 +45,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.distinct().localCheckpoint()
+    sym = materialize(sym.distinct(), reliable)
 
     lab = sym.select("u").distinct() \
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
@@ -51,17 +54,18 @@ def connected_components(edges: DataFrame, src: str = "src",
                  .join(lab.select("node"), on="node", how="left_anti")
                  .select("node", F.col("node").alias("label")))
         lab = lab.unionByName(extra)
-    lab = lab.localCheckpoint()
+    lab = materialize(lab, reliable)
 
     for _ in range(max_iter):
         # candidate labels: own label + the label of every neighbor
         nbr = (sym.join(lab, sym.v == lab.node)
                .select(F.col("u").alias("node"),
                        F.col("label").alias("cand")))
-        new = (lab.select("node", F.col("label").alias("cand"))
-               .unionByName(nbr)
-               .groupBy("node").agg(F.min("cand").alias("label"))
-               .localCheckpoint())
+        new = materialize(
+            lab.select("node", F.col("label").alias("cand"))
+            .unionByName(nbr)
+            .groupBy("node").agg(F.min("cand").alias("label")),
+            reliable)
         changed = (new.join(lab.withColumnRenamed("label", "old"), "node")
                    .filter(F.col("label") != F.col("old")).count())
         lab = new

@@ -96,11 +96,13 @@ def op_reader_func(spark, sf_dir):
 """)
 def op_writer_func(spark, sf_dir):
     """bigslice.WriterFunc (reference slice.go:404-548): pass-through sink
-    tap; result is the identity of its input."""
+    tap; result is the identity of its input. The tap's terminal call
+    (pdf=None on EOF, the exception on failure) lets sinks flush/abort."""
     sess, t = _s(spark, sf_dir)
 
     def tap(shard: int, pdf) -> None:
-        _ = len(pdf)  # side-effect channel, like the reference
+        if pdf is not None:
+            _ = len(pdf)  # side-effect channel, like the reference
 
     return sess.wrap(t["nation"]).writer_func(tap).df
 
@@ -361,6 +363,41 @@ def op_repartition(spark, sf_dir):
     sess, t = _s(spark, sf_dir)
     sl = sess.wrap(t["orders"]).map_("o_orderkey", "o_custkey")
     return sl.repartition_func(8, F.col("o_custkey") * 31 + 7).df
+
+
+@query("op_repartition_custom", """
+    SELECT o_orderkey, o_custkey FROM orders
+""")
+def op_repartition_custom(spark, sf_dir):
+    """bigslice.Repartition with an ARBITRARY Python partition function
+    (reference reshuffle.go:52-76 takes any user Go func) — the opaque
+    slow path next to op_repartition's Column fast path; content is
+    preserved whatever the placement."""
+    sess, t = _s(spark, sf_dir)
+    sl = sess.wrap(t["orders"].select("o_orderkey", "o_custkey"))
+    return sl.repartition_func(
+        8, lambda okey, ckey: (okey * 2654435761 + ckey) % 8,
+        cols=["o_orderkey", "o_custkey"]).df
+
+
+@query("op_cache_partial", """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def op_cache_partial(spark, sf_dir):
+    """bigslice CachePartial (reference cache.go:45-66, internal/
+    slicecache): per-shard cache — one shard's files are deleted between
+    two calls, and only that shard is recomputed/rewritten; the result
+    must still be the complete table."""
+    import os
+    import shutil
+    import tempfile
+    sess, t = _s(spark, sf_dir)
+    prefix = tempfile.mkdtemp(prefix="bsc_pcache_")
+    sl = sess.wrap(t["nation"]
+                   .select("n_nationkey", "n_name", "n_regionkey"))
+    sl.cache_partial(prefix, F.col("n_nationkey"), 4)   # writes all 4
+    shutil.rmtree(os.path.join(prefix, "__shard__=1"))  # invalidate one
+    return sl.cache_partial(prefix, F.col("n_nationkey"), 4).df
 
 
 @query("op_reshard", """
@@ -793,12 +830,32 @@ def percentile_quantity(spark, sf_dir):
         F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95"))
 
 
-@query("approx_distinct")  # rows-only: algorithm-specific estimates
+@query("approx_distinct", """
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS approx_parts_ok,
+           true AS approx_p50_ok
+    FROM lineitem
+""")
 def approx_distinct(spark, sf_dir):
+    """HLL++ count-distinct and approx_percentile with a CHECKABLE
+    contract: the estimates are algorithm-specific (no engine-neutral
+    oracle value exists), so the entry emits the exact values computed
+    alongside plus boolean error-bound assertions — the oracle computes
+    the exact side and expects the bounds to hold (a bound violation
+    hash-mismatches). Bounds: 3×rsd for HLL (rsd=0.05), ±2.0 quantity
+    units for the percentile sketch."""
     _, t = _s(spark, sf_dir)
-    return t["lineitem"].agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_quantity, 0.5)").alias("approx_p50"))
+    agg = t["lineitem"].agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("__approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("__p50"),
+        F.expr("approx_percentile(l_quantity, 0.5)").alias("__ap50"))
+    return agg.select(
+        "exact_parts",
+        (F.abs(F.col("__approx").cast("double") - F.col("exact_parts"))
+         <= 0.15 * F.col("exact_parts")).alias("approx_parts_ok"),
+        (F.abs(F.col("__ap50") - F.col("__p50")) <= F.lit(2.0))
+        .alias("approx_p50_ok"))
 
 
 @query("pivot_status", f"""
@@ -900,22 +957,129 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(t["documents"]).select("h", "doc_id", "n_copies")
 
 
-@query("dedup_minhash")  # rows-only: LSH banding isn't ANSI-SQL
+def _shingle_cte() -> str:
+    """Shared DuckDB CTE: word-3-shingle rows per document (whole-doc
+    fallback for short docs) — the SQL twin of dedup._shingle_rows."""
+    return """
+    base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM base)"""
+
+
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16,
+                    threshold: float = 0.5) -> str:
+    """Exact SQL replay of the PORTABLE-mode minhash_lsh_pairs pipeline:
+    md5-derived 31-bit token hash → the same fixed affine family → 64
+    MIN aggregates → 16-band keys → candidate self-join (band key equal,
+    id_a < id_b) → signature-match verify. All integer arithmetic, so
+    equality is exact, not approximate."""
+    from .operators.dedup import _MH_PRIME, minhash_coeffs
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {_MH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes)))
+    bhs = ",\n             ".join(
+        "concat_ws(',', "
+        + ", ".join(f"s{b * rpb + i}" for i in range(rpb))
+        + f") AS bh{b}"
+        for b in range(bands))
+    band_or = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(bands))
+    matches = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
+    return f"""
+    WITH {_shingle_cte()},
+    toks AS (SELECT doc_id, unnest(sl) AS tok FROM sh),
+    hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                  % {_MH_PRIME} AS h
+           FROM toks),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM hx GROUP BY doc_id),
+    sigb AS (SELECT *,
+             {bhs}
+             FROM sig)
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({matches} AS DOUBLE) / {float(num_hashes)} AS sim
+      FROM sigb a JOIN sigb b
+        ON a.doc_id < b.doc_id AND ({band_or}))
+    WHERE sim >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """Exact SQL replay of the PORTABLE-mode simhash_pairs pipeline: the
+    64 sign bits come from md5-derived 32-bit halves, candidates share an
+    equal 16-bit band, verify is the bit-difference count."""
+    def bit_sum(j):
+        src, k = ("h_lo", j) if j < 32 else ("h_hi", j - 32)
+        return (f"CAST(sum(CASE WHEN (({src} >> {k}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) > 0 AS INT) AS b{j}")
+    sig_bits = ",\n             ".join(bit_sum(j) for j in range(64))
+    bhs = ",\n             ".join(
+        "concat_ws(''" + "".join(f", b{16 * b + i}" for i in range(16))
+        + f") AS bh{b}"
+        for b in range(4))
+    band_or = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(4))
+    hamming = " + ".join(
+        f"(CASE WHEN a.b{j} <> b.b{j} THEN 1 ELSE 0 END)"
+        for j in range(64))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS t
+      FROM documents),
+    hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(t), 1, 8))::BIGINT AS h_lo,
+                  ('0x' || substr(md5(t), 9, 8))::BIGINT AS h_hi
+           FROM toks),
+    sig AS (SELECT doc_id,
+             {sig_bits}
+            FROM hx GROUP BY doc_id),
+    sigb AS (SELECT *,
+             {bhs}
+             FROM sig)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({hamming} AS INT) AS hamming
+      FROM sigb a JOIN sigb b
+        ON a.doc_id < b.doc_id AND ({band_or}))
+    WHERE hamming <= {max_hamming}
+    """
+
+
+@query("dedup_minhash", _minhash_oracle())
 def dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
-    fully expression-level. Verified against exact Jaccard in tests."""
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→candidate
+    self-join→signature verify), fully expression-level with NO bucket
+    cap. Runs in PORTABLE hash mode (md5-derived token hashes) so the
+    DuckDB oracle replays the ENTIRE pipeline exactly — candidate
+    generation included. The xxhash64 fast path (identical plan shape)
+    is pytest-verified against exact Jaccard."""
     from .operators.dedup import minhash_lsh_pairs
     _, t = _s(spark, sf_dir)
     return minhash_lsh_pairs(t["documents"], num_hashes=64, bands=16,
-                             threshold=0.5)
+                             threshold=0.5, portable=True)
 
 
-@query("dedup_simhash")  # rows-only
+@query("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs: 4×16-bit band pigeonhole + hamming verify."""
+    """SimHash near-dup pairs: 4×16-bit band pigeonhole + hamming verify,
+    no bucket cap. PORTABLE hash mode — the oracle replays fingerprints,
+    banding, and the hamming check bit-for-bit in SQL."""
     from .operators.dedup import simhash_pairs
     _, t = _s(spark, sf_dir)
-    return simhash_pairs(t["documents"], max_hamming=8)
+    return simhash_pairs(t["documents"], max_hamming=8, portable=True)
 
 
 @query("ngram_jaccard", """
@@ -1025,12 +1189,41 @@ def dedup_components(spark, sf_dir):
     return connected_components(pairs, src="id_a", dst="id_b")
 
 
-@query("dedup_embedding")  # rows-only
+def _embed_pairs_oracle(dim: int = 64, threshold: float = 0.4) -> str:
+    """SQL replay of embedding_cosine_pairs: same-label pairs, cosine in
+    the exact left-associative expression order _dot_wide codegens →
+    bitwise-identical doubles → an exact threshold filter."""
+    dot = " + ".join(
+        f"CAST(a.embedding[{i+1}] AS DOUBLE) * CAST(b.embedding[{i+1}] "
+        f"AS DOUBLE)" for i in range(dim))
+    nsum = " + ".join(
+        f"CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{i+1}] AS "
+        f"DOUBLE)" for i in range(dim))
+    return f"""
+    WITH norms AS (SELECT vec_id AS id, sqrt({nsum}) AS nrm
+                   FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ({dot}) / (na.nrm * nb.nrm) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      JOIN norms na ON na.id = a.vec_id
+      JOIN norms nb ON nb.id = b.vec_id
+      WHERE na.nrm > 0 AND nb.nrm > 0)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@query("dedup_embedding", _embed_pairs_oracle())
 def dedup_embedding(spark, sf_dir):
-    """Embedding near-dup pairs (cosine ≥ 0.95) bucketed by label."""
+    """Embedding near-dup pairs bucketed by label. The synthetic corpus
+    has no true near-dups (max same-label cosine ≈ 0.51 at sf0.1), so
+    the registry entry runs at threshold 0.4 to exercise real rows —
+    the oracle replays the cosine bitwise (same technique as
+    similarity_topk), making the threshold filter exact."""
     from .operators.dedup import embedding_cosine_pairs
     _, t = _s(spark, sf_dir)
-    return embedding_cosine_pairs(t["embeddings"], threshold=0.95)
+    return embedding_cosine_pairs(t["embeddings"], threshold=0.4)
 
 
 def _cosine_oracle(dim: int = 64) -> str:
@@ -1846,13 +2039,21 @@ def q9_product_profit(spark, sf_dir):
       FROM lineitem GROUP BY l_partkey)
     SELECT l_partkey, part_value FROM pv
     WHERE part_value > (
-      SELECT CAST(sum(CAST(part_value AS DECIMAL(38,8))) AS DOUBLE) * 0.001
+      SELECT CAST(sum(CAST(part_value AS DECIMAL(38,8))) AS DOUBLE)
+             / count(*) * 1.25
       FROM pv)
 """)
 def q11_important_parts(spark, sf_dir):
     """TPC-H Q11 shape (value concentration; lineitem revenue stands in
     for partsupp stock value).  The global-total scalar subquery is a
-    1-row broadcast cross join — no second pass over lineitem."""
+    1-row broadcast cross join — no second pass over lineitem.
+
+    Threshold is MEAN-relative (1.25× the average part value), not a
+    fixed fraction of the total: per-part share scales as 1/nparts, so
+    any fixed fraction goes vacuous (0 rows) as SF grows — the TPC-H
+    spec itself scales the fraction by 1/SF for the same reason. The
+    mean-relative form is non-empty and selective at every SF
+    (measured: 21/242/2348 rows at sf0.001/0.01/0.1)."""
     _, t = _s(spark, sf_dir)
     pv = (t["lineitem"]
           .groupBy("l_partkey")
@@ -1860,7 +2061,7 @@ def q11_important_parts(spark, sf_dir):
                .alias("part_value")))
     total = pv.agg(
         (F.sum(F.col("part_value").cast("decimal(38,8)")).cast("double")
-         * F.lit(0.001)).alias("threshold"))
+         / F.count(F.lit(1)) * F.lit(1.25)).alias("threshold"))
     return (pv.crossJoin(F.broadcast(total))
             .filter(F.col("part_value") > F.col("threshold"))
             .select("l_partkey", "part_value"))

@@ -187,8 +187,14 @@ def load_tables(spark: SparkSession, sf_dir: str,
     per query call costs ~0.3s of driver time each — measured as several
     seconds across a bench run. DataFrames are plans, not data; reuse is
     safe within one SparkSession."""
-    ck = (spark.sparkContext.applicationId, os.path.abspath(sf_dir),
-          tuple(tables))
+    tables = tuple(tables)  # normalize once: a generator would be
+    # exhausted by the cache key below, silently caching {}
+    app_id = spark.sparkContext.applicationId
+    # evict entries from stopped sessions — they pin dead DataFrame/session
+    # references for the process lifetime otherwise
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[k]
+    ck = (app_id, os.path.abspath(sf_dir), tables)
     hit = _TABLE_CACHE.get(ck)
     if hit is not None:
         # views are global session state: re-point them at THIS sf_dir

@@ -240,25 +240,44 @@ class Slice:
         by prefix so equal keys co-locate; no sort."""
         return self._with(self.df.repartition(*self.key_cols))
 
-    def repartition_func(self, nshard: int, fn_col: Column) -> "Slice":
+    def repartition_func(self, nshard: int, fn: Column | Callable,
+                         cols: Sequence[str] | None = None) -> "Slice":
         """bigslice.Repartition (reference reshuffle.go:44-76): shuffle with
-        a user-defined partition function. ``fn_col`` is a Column computing
-        the target shard id; we repartition on it (hash of the computed id —
-        exact physical placement is not observable by any reference
-        operator, see SURVEY §7 hard-part 5)."""
+        a user-defined partition function.
+
+        Fast path: ``fn`` is a Column computing the target shard id; we
+        repartition on it (hash of the computed id — exact physical
+        placement is not observable by any reference operator, see
+        SURVEY §7 hard-part 5). Slow path: ``fn`` is an arbitrary Python
+        callable ``fn(*key_values) -> int`` over ``cols`` (default: the
+        key prefix), evaluated as a row-at-a-time udf — an opaque
+        partitioner is inherently non-vectorizable (the reference runs
+        the user's Go func per row too, reshuffle.go:52-76); keep hot
+        paths on the Column form."""
+        if _is_col(fn):
+            part = fn
+        else:
+            from pyspark.sql.types import LongType
+            f = fn
+            udf = F.udf(lambda *vals: int(f(*vals)), LongType())
+            part = udf(*[F.col(c) for c in (cols or self.key_cols)])
         tmp = "__part__"
-        df = self.df.withColumn(tmp, fn_col % F.lit(nshard))
+        df = self.df.withColumn(tmp, F.pmod(part, F.lit(nshard)))
         df = df.repartition(nshard, tmp).drop(tmp)
         return self._with(df)
 
-    def reshard(self, nshard: int) -> "Slice":
+    def reshard(self, nshard: int, shuffle: bool = True) -> "Slice":
         """bigslice.Reshard (reference reshard.go:15-45): change shard
-        count. Coalesce (no shuffle) when shrinking, repartition when
-        growing — cheaper than the reference, which always shuffles."""
+        count. Always shuffles by default, like the reference
+        (reshard.go:28-30). ``shuffle=False`` opts into coalesce when
+        shrinking — no shuffle, but it FUSES the upstream stage into
+        nshard tasks, collapsing its parallelism (an expensive upstream
+        then runs nshard-wide) — an optimization to opt into knowingly,
+        not a default."""
         cur = self.df.rdd.getNumPartitions()
         if nshard == cur:
             return self
-        if nshard < cur:
+        if nshard < cur and not shuffle:
             return self._with(self.df.coalesce(nshard))
         return self._with(self.df.repartition(nshard))
 
@@ -302,15 +321,29 @@ class Slice:
 
     def writer_func(self, fn: Callable) -> "Slice":
         """bigslice.WriterFunc (reference slice.go:404-548): pass-through
-        sink tap — fn(shard, pdf) sees every batch; result is identity."""
+        sink tap — fn(shard, pdf) sees every batch; result is identity.
+
+        Terminal-call contract, like the reference (slice.go:404-548
+        invokes the write fn once more with the final error or EOF so
+        sinks can flush or abort): after a shard's last batch, fn is
+        called with ``None``; if the shard fails mid-stream, fn is
+        called with the raised exception before it propagates."""
         schema = self.df.schema
 
         def _tap(it):
             from pyspark import TaskContext
             shard = TaskContext.get().partitionId()
-            for pdf in it:
-                fn(shard, pdf)
-                yield pdf
+            try:
+                for pdf in it:
+                    fn(shard, pdf)
+                    yield pdf
+            except GeneratorExit:
+                raise
+            except BaseException as ex:
+                fn(shard, ex)
+                raise
+            else:
+                fn(shard, None)
 
         return self._with(self.df.mapInPandas(_tap, schema=schema))
 
@@ -327,6 +360,41 @@ class Slice:
         if not os.path.exists(marker):
             self.df.write.mode("overwrite").parquet(prefix)
         return Slice(spark.read.parquet(prefix), prefix=self.prefix)
+
+    def cache_partial(self, prefix: str, shard_col: Column,
+                      nshard: int) -> "Slice":
+        """bigslice CachePartial (reference cache.go:45-66 +
+        internal/slicecache/slicecache.go:1-120): per-shard cache
+        granularity — a rerun recomputes ONLY the shards whose cache
+        files are missing, short-circuiting the rest.
+
+        Spark emulation: shard membership is a deterministic function of
+        the row (``pmod(shard_col, nshard)``), materialized as a
+        Hive-partitioned parquet layout ``prefix/__shard__=k/``. On each
+        call, shards whose directory exists are served from the files;
+        only the missing shards' rows are computed and appended — and
+        when the upstream plan is native (no opaque Python map), Catalyst
+        pushes the shard predicate toward the scan, so the recompute
+        reads less too. Shards with zero rows leave no directory and are
+        recomputed per call (cheap by construction); cache invalidation
+        is the caller's job, like ``cache``."""
+        import os
+        spark = self.df.sparkSession
+        tmp = "__shard__"
+        have = set()
+        if os.path.isdir(prefix):
+            for d in os.listdir(prefix):
+                if d.startswith(f"{tmp}="):
+                    have.add(int(d.split("=", 1)[1]))
+        missing = [s for s in range(nshard) if s not in have]
+        if missing:
+            ann = self.df.withColumn(
+                tmp, F.pmod(shard_col, F.lit(nshard)).cast("int"))
+            if have:
+                ann = ann.filter(F.col(tmp).isin(missing))
+            ann.write.mode("append").partitionBy(tmp).parquet(prefix)
+        out = spark.read.parquet(prefix).select(*self.df.columns)
+        return Slice(out, prefix=self.prefix)
 
     def persist(self, level: str = "MEMORY_AND_DISK") -> "Slice":
         from pyspark import StorageLevel

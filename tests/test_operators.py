@@ -78,6 +78,71 @@ def test_cache_short_circuits(session):
     assert sorted(c2.collect()) == [(1,), (2,), (3,)]
 
 
+def test_writer_func_terminal_calls(session, spark):
+    """Reference slice.go:404-548: the write fn is invoked once more at
+    shard end (EOF → pdf=None) so sinks can flush; batches all arrive
+    before their shard's EOF."""
+    sl = session.const(3, list(range(30)), names=["n"], schema="n long")
+    acc_rows = spark.sparkContext.accumulator(0)
+    acc_eof = spark.sparkContext.accumulator(0)
+
+    def tap(shard, pdf):
+        if pdf is None:
+            acc_eof.add(1)
+        else:
+            acc_rows.add(len(pdf))
+
+    out = sl.writer_func(tap)
+    assert out.count() == 30
+    assert acc_rows.value == 30
+    assert acc_eof.value == out.num_shard()
+
+
+def test_cache_partial_per_shard(session, spark):
+    """CachePartial semantics (reference cache.go:45-66): delete ONE
+    shard's files → only that shard is rewritten (other shard files
+    untouched on disk), and the result is still complete."""
+    import shutil
+    prefix = tempfile.mkdtemp(prefix="bsc_pcache_test_")
+    sl = session.const(4, list(range(40)), names=["n"], schema="n long")
+    c1 = sl.cache_partial(prefix, F.col("n"), 4)
+    assert sorted(r[0] for r in c1.collect()) == list(range(40))
+    shards = sorted(d for d in os.listdir(prefix)
+                    if d.startswith("__shard__="))
+    assert shards == [f"__shard__={i}" for i in range(4)]
+
+    def dir_sig(d):
+        p = os.path.join(prefix, d)
+        return sorted((f, os.path.getmtime(os.path.join(p, f)))
+                      for f in os.listdir(p))
+
+    keep_sigs = {d: dir_sig(d) for d in shards if d != "__shard__=2"}
+    shutil.rmtree(os.path.join(prefix, "__shard__=2"))
+    c2 = sl.cache_partial(prefix, F.col("n"), 4)
+    assert sorted(r[0] for r in c2.collect()) == list(range(40))
+    assert os.path.isdir(os.path.join(prefix, "__shard__=2"))
+    for d, sig in keep_sigs.items():
+        assert dir_sig(d) == sig, f"{d} was rewritten"
+    # third call: everything present → no write at all
+    all_sigs = {d: dir_sig(d) for d in shards}
+    sl.cache_partial(prefix, F.col("n"), 4)
+    for d, sig in all_sigs.items():
+        assert dir_sig(d) == sig
+
+
+def test_repartition_func_python_callable(session):
+    sl = session.const(4, list(range(100)), names=["n"], schema="n long")
+    out = sl.repartition_func(8, lambda n: (n * 7 + 3) % 8, cols=["n"])
+    assert sorted(r[0] for r in out.collect()) == list(range(100))
+
+
+def test_reshard_shuffles_by_default(session):
+    sl = session.const(8, list(range(80)), names=["n"], schema="n long")
+    assert sl.reshard(3).num_shard() == 3
+    assert sl.reshard(3, shuffle=False).num_shard() == 3
+    assert sorted(r[0] for r in sl.reshard(3).collect()) == list(range(80))
+
+
 def test_reader_func_shard_state(session):
     import pandas as pd
 
@@ -126,6 +191,40 @@ def test_minhash_tracks_exact_jaccard(spark, tables):
         assert j.get((a, b), 0.0) >= 0.4, \
             f"LSH pair ({a},{b}) sim={sim} but exact jaccard " \
             f"{j.get((a, b))}"
+
+
+def test_lsh_no_bucket_cap(spark):
+    """A degenerate bucket (100 identical docs → every band collides)
+    must yield ALL n·(n-1)/2 pairs — a capped pair generator silently
+    misses duplicates on exactly the corpora dedup exists for."""
+    from bigslice_spark.operators.dedup import minhash_lsh_pairs, \
+        simhash_pairs
+    n = 100
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(n)], "doc_id long, text string")
+    want = n * (n - 1) // 2
+    mh = minhash_lsh_pairs(df, num_hashes=64, bands=16, threshold=0.5)
+    assert mh.count() == want
+    assert mh.agg(F.min("sim")).collect()[0][0] == 1.0
+    sh = simhash_pairs(df, max_hamming=0)
+    assert sh.count() == want
+
+
+def test_minhash_portable_matches_default_shape(spark):
+    """Portable (md5) and default (xxhash64) modes use different hash
+    families but identical pipeline shape; on exact-duplicate docs both
+    must produce the same pair set at sim=1.0."""
+    from bigslice_spark.operators.dedup import minhash_lsh_pairs
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "one two three four five six")],
+        "doc_id long, text string")
+    for portable in (False, True):
+        got = {(r["id_a"], r["id_b"]): r["sim"] for r in minhash_lsh_pairs(
+            df, threshold=0.9, portable=portable).collect()}
+        assert got == {(1, 2): 1.0}, f"portable={portable}: {got}"
 
 
 def test_simhash_identical_docs_zero_hamming(session, spark):
