@@ -72,9 +72,22 @@ def main() -> None:
     except Exception:
         pass
 
+    # The registry's dedup_minhash runs in PORTABLE (md5) hash mode so
+    # its DuckDB oracle can replay the pipeline exactly; the bench
+    # measures the production fast path (xxhash64, same un-capped
+    # self-join plan) — the one a real pipeline runs.
+    def _minhash_fast(spark, sf_dir):
+        from bigslice_spark.operators.dedup import minhash_lsh_pairs
+        from bigslice_spark.session import load_tables
+        t = load_tables(spark, sf_dir)
+        return minhash_lsh_pairs(t["documents"], num_hashes=64, bands=16,
+                                 threshold=0.5, portable=False)
+
+    overrides = {"dedup_minhash": _minhash_fast}
+
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES.get(name)
+        fn = overrides.get(name) or QUERIES.get(name)
         if fn is None:
             continue
         t0 = time.time()

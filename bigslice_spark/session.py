@@ -90,6 +90,14 @@ class Session:
         from .slice import Slice
         if not columns:
             raise ValueError("const requires at least one column")
+        columns = [list(c) for c in columns]
+        lens = {len(c) for c in columns}
+        if len(lens) > 1:
+            # construction-time check, like the reference's Const panic on
+            # ragged columns (slice.go:202-290) — zip would silently
+            # truncate to the shortest column
+            raise ValueError(
+                f"const: columns have unequal lengths {sorted(lens)}")
         ncol = len(columns)
         names = list(names) if names else [f"c{i}" for i in range(ncol)]
         rows = list(zip(*columns))

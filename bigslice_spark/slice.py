@@ -28,6 +28,35 @@ def _is_col(x: Any) -> bool:
     return isinstance(x, Column)
 
 
+def _require_schema(op: str, schema: Any) -> None:
+    """Construction-time typecheck, mirroring the reference's panics at
+    slice construction (reference typecheck/typecheck.go; slice_test.go:727
+    TestMapError): an opaque-fn path without a declared output schema
+    would otherwise fail lazily at action time, far from the bug."""
+    if schema is None:
+        raise TypeError(
+            f"{op}: an fn-path needs an explicit output schema "
+            "(e.g. schema='k string, v long') — the function is opaque, "
+            "so the output type can't be inferred")
+
+
+def _check_cogroup_keys(slices: Sequence["Slice"]) -> None:
+    """Keys must agree in width AND type across cogroup inputs
+    (reference cogroup.go:60-77 typechecks key assignability)."""
+    k = slices[0].prefix
+    want = [f.dataType for f in slices[0].df.schema.fields[:k]]
+    for i, s in enumerate(slices[1:], start=1):
+        if s.prefix != k:
+            raise ValueError(
+                f"cogroup: input {i} has key width {s.prefix}, "
+                f"expected {k}")
+        got = [f.dataType for f in s.df.schema.fields[:k]]
+        if got != want:
+            raise TypeError(
+                f"cogroup: input {i} key types {[str(t) for t in got]} "
+                f"!= input 0 key types {[str(t) for t in want]}")
+
+
 class Slice:
     """A sharded, keyed dataset. ``prefix`` = key width (first k columns)."""
 
@@ -74,6 +103,7 @@ class Slice:
         Slow path: ``fn(pdf) -> pdf`` over Arrow batches with ``schema``.
         """
         if fn is not None:
+            _require_schema("map_", schema)
             return Slice(self.df.mapInPandas(
                 lambda it: (fn(pdf) for pdf in it), schema=schema),
                 prefix=prefix)
@@ -116,6 +146,7 @@ class Slice:
                              F.explode(F.col(explode_col)).alias(explode_col))
             return Slice(out, prefix=prefix)
 
+        _require_schema("flatmap", schema)
         import pandas as pd
 
         def _fm(it):
@@ -148,6 +179,9 @@ class Slice:
             out = self.df.groupBy(*keys).agg(
                 *[c.alias(n) for n, c in aggs.items()])
             return Slice(out, prefix=len(keys))
+        if fn is None:
+            raise TypeError("fold: pass either aggs or fn")
+        _require_schema("fold", schema)
         return Slice(
             self.df.groupBy(*keys).applyInPandas(fn, schema=schema),
             prefix=len(keys))
@@ -164,6 +198,10 @@ class Slice:
                 f"reduce_ requires exactly one value column, have {vals}")
         v = vals[0]
         if isinstance(agg, str):
+            if not hasattr(F, agg):
+                raise ValueError(
+                    f"reduce_: unknown aggregate function {agg!r} "
+                    "(must name a pyspark.sql.functions aggregate)")
             agg = getattr(F, agg)(v)
         out = self.df.groupBy(*keys).agg(agg.alias(v))
         return Slice(out, prefix=len(keys))
@@ -180,12 +218,11 @@ class Slice:
         reference merge-sorts by key only; we pin order for testability).
         """
         slices = (self,) + others
+        _check_cogroup_keys(slices)
         k = self.prefix
         keys = self.key_cols
         grouped: list[DataFrame] = []
         for i, s in enumerate(slices):
-            if s.prefix != k:
-                raise ValueError("cogroup inputs must share key width")
             vals = s.value_cols
             kmap = dict(zip(s.key_cols, keys))
             df = s.df
@@ -224,8 +261,8 @@ class Slice:
         Unlike ``cogroup``, groups stream through Arrow instead of being
         materialized as collect_list arrays — the path for huge groups.
         """
-        if other.prefix != self.prefix:
-            raise ValueError("cogroup inputs must share key width")
+        _check_cogroup_keys((self, other))
+        _require_schema("cogroup_apply", schema)
         keys = self.key_cols
         odf = other.df
         for old, new in zip(other.key_cols, keys):
