@@ -957,30 +957,15 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(t["documents"]).select("h", "doc_id", "n_copies")
 
 
-def _shingle_cte() -> str:
-    """Shared DuckDB CTE: word-3-shingle rows per document (whole-doc
-    fallback for short docs) — the SQL twin of dedup._shingle_rows."""
-    return """
-    base AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-                                 t -> t <> '') AS tk
-      FROM documents),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_transform(generate_series(1, len(tk) - 2),
-                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
-             ELSE [concat_ws(' ', tk)] END AS sl
-      FROM base)"""
-
-
-def _minhash_oracle(num_hashes: int = 64, bands: int = 16,
-                    threshold: float = 0.5) -> str:
-    """Exact SQL replay of the PORTABLE-mode minhash_lsh_pairs pipeline:
+def _minhash_pairs_ctes(src: str = "documents", num_hashes: int = 64,
+                        bands: int = 16, threshold: float = 0.5) -> str:
+    """CTE chain (ending in ``mh_pairs(id_a, id_b, sim)``) replaying the
+    PORTABLE-mode minhash_lsh_pairs pipeline over relation ``src``:
     md5-derived 31-bit token hash → the same fixed affine family → 64
     MIN aggregates → 16-band keys → candidate self-join (band key equal,
     id_a < id_b) → signature-match verify. All integer arithmetic, so
-    equality is exact, not approximate."""
+    equality is exact, not approximate. Reused by the dedup_minhash and
+    pipeline_end2end oracles."""
     from .operators.dedup import _MH_PRIME, minhash_coeffs
     rpb = num_hashes // bands
     mins = ",\n             ".join(
@@ -996,24 +981,42 @@ def _minhash_oracle(num_hashes: int = 64, bands: int = 16,
         f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
         for i in range(num_hashes))
     return f"""
-    WITH {_shingle_cte()},
-    toks AS (SELECT doc_id, unnest(sl) AS tok FROM sh),
-    hx AS (SELECT doc_id,
+    mh_base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM {src}),
+    mh_sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM mh_base),
+    mh_toks AS (SELECT doc_id, unnest(sl) AS tok FROM mh_sh),
+    mh_hx AS (SELECT doc_id,
                   ('0x' || substr(md5(tok), 1, 15))::BIGINT
                   % {_MH_PRIME} AS h
-           FROM toks),
-    sig AS (SELECT doc_id,
+           FROM mh_toks),
+    mh_sig AS (SELECT doc_id,
              {mins}
-            FROM hx GROUP BY doc_id),
-    sigb AS (SELECT *,
+            FROM mh_hx GROUP BY doc_id),
+    mh_sigb AS (SELECT *,
              {bhs}
-             FROM sig)
-    SELECT id_a, id_b, sim FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST({matches} AS DOUBLE) / {float(num_hashes)} AS sim
-      FROM sigb a JOIN sigb b
-        ON a.doc_id < b.doc_id AND ({band_or}))
-    WHERE sim >= {threshold}
+             FROM mh_sig),
+    mh_pairs AS (
+      SELECT id_a, id_b, sim FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST({matches} AS DOUBLE) / {float(num_hashes)} AS sim
+        FROM mh_sigb a JOIN mh_sigb b
+          ON a.doc_id < b.doc_id AND ({band_or}))
+      WHERE sim >= {threshold})"""
+
+
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16,
+                    threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes('documents', num_hashes, bands, threshold)}
+    SELECT id_a, id_b, sim FROM mh_pairs
     """
 
 
@@ -1265,9 +1268,65 @@ def similarity_topk(spark, sf_dir):
     return brute_force_topk(emb, qs, k=10, dim=64)
 
 
-@query("similarity_lsh")  # rows-only: hyperplane family isn't ANSI-SQL
+def _lsh_oracle(dim: int = 64, nbits: int = 6, multiprobe: int = 2,
+                k: int = 10) -> str:
+    """Exact SQL replay of lsh_topk: the hyperplane family is a fixed
+    seeded LCG, so its float coefficients are embedded as literals; the
+    projection sums use the same left-associative order as _bucket_expr →
+    identical doubles → identical sign bits → identical buckets,
+    candidates, and (via the _cosine_oracle technique) cosines."""
+    from .operators.similarity import _hyperplanes
+    planes = _hyperplanes(dim, nbits)
+
+    def bucket(vec: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            proj = " + ".join(
+                f"CAST({vec}[{j+1}] AS DOUBLE) * ({p[j]!r})"
+                for j in range(dim))
+            terms.append(f"(CASE WHEN ({proj}) > 0 "
+                         f"THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    dot = " + ".join(
+        f"CAST(v[{i+1}] AS DOUBLE) * CAST(qv[{i+1}] AS DOUBLE)"
+        for i in range(dim))
+    nsum = " + ".join(
+        f"CAST(embedding[{i+1}] AS DOUBLE) * CAST(embedding[{i+1}] AS "
+        f"DOUBLE)" for i in range(dim))
+    probes = ["bk0"] + [f"xor(bk0, {1 << i})"
+                        for i in range(max(0, multiprobe - 1))]
+    probe_sel = " UNION ALL ".join(
+        f"SELECT qid, qv, qnrm, {p} AS bk FROM qb" for p in probes)
+    return f"""
+    WITH norms AS (SELECT vec_id AS id, sqrt({nsum}) AS nrm
+                   FROM embeddings),
+    c AS (SELECT e.vec_id AS nid, e.embedding AS v, n.nrm
+          FROM embeddings e JOIN norms n ON n.id = e.vec_id
+          WHERE n.nrm > 0),
+    cb AS (SELECT nid, v, nrm, ({bucket('v')}) AS bk FROM c),
+    q AS (SELECT e.vec_id AS qid, e.embedding AS qv, n.nrm AS qnrm
+          FROM embeddings e JOIN norms n ON n.id = e.vec_id
+          WHERE e.vec_id < 5 AND n.nrm > 0),
+    qb AS (SELECT qid, qv, qnrm, ({bucket('qv')}) AS bk0 FROM q),
+    pr AS ({probe_sel}),
+    scored AS (
+      SELECT qid, nid, ({dot}) / (nrm * qnrm) AS cosine
+      FROM cb JOIN pr USING (bk) WHERE nid <> qid)
+    SELECT qid, nid, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid
+                 ORDER BY cosine DESC, nid) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@query("similarity_lsh", _lsh_oracle())
 def similarity_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (bucketed equi-join + exact rerank)."""
+    """Random-hyperplane LSH ANN (bucketed equi-join + exact rerank).
+    The hyperplane family is deterministic (seeded LCG), so the whole
+    path — bucketing, multiprobe, rerank — is replayed exactly by the
+    SQL oracle; cosines are bitwise-identical (wide codegen sums)."""
     from .operators.similarity import lsh_topk
     _, t = _s(spark, sf_dir)
     emb = t["embeddings"]
@@ -1275,14 +1334,32 @@ def similarity_lsh(spark, sf_dir):
     return lsh_topk(emb, qs, k=10, nbits=6, multiprobe=2, dim=64)
 
 
-@query("similarity_ivf")  # rows-only: KMeans cells aren't ANSI-SQL
+@query("similarity_ivf", """
+    SELECT vec_id AS qid, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+""")
 def similarity_ivf(spark, sf_dir):
-    """IVF ANN: KMeans cells + nprobe nearest-cell search."""
-    from .operators.similarity import ivf_topk
+    """IVF ANN: KMeans cells + nprobe nearest-cell search. KMeans
+    centroids aren't ANSI-SQL-replayable (MLlib kmeans|| init), so the
+    entry is PROPERTY-checked instead of rows-only: per query, recall@10
+    against the (bitwise-oracled) brute-force ground truth must be
+    ≥ 0.5 — a violated bound hash-mismatches. Measured: ≥ 0.5 at
+    nprobe=3 across SFs; the entry runs nprobe=4 (superset of probed
+    cells ⇒ recall only improves)."""
+    from .operators.similarity import brute_force_topk, ivf_topk
     _, t = _s(spark, sf_dir)
     emb = t["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, qs, k=10, ncells=8, nprobe=3)
+    ivf = ivf_topk(emb, qs, k=10, ncells=8, nprobe=4)
+    bf = brute_force_topk(emb, qs, k=10, dim=64)
+    hits = (ivf.select("qid", "nid")
+            .join(bf.select("qid", "nid"), ["qid", "nid"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (bf.select("qid").distinct()
+            .join(hits, on="qid", how="left")
+            .select("qid",
+                    (F.coalesce(F.col("n_hits"), F.lit(0)) >= 5)
+                    .alias("recall_ok")))
 
 
 @query("token_counts", r"""
@@ -1398,10 +1475,29 @@ def lang_id(spark, sf_dir):
 ORACLE["lang_id"] = _lang_oracle()
 
 
-@query("fingerprint")  # rows-only: rolling hash isn't ANSI-SQL
+def _fingerprint_oracle() -> str:
+    """SQL replay of the rolling polynomial hash: the corpus is pure
+    ASCII (bytes == codepoints), and DuckDB's 128-bit HUGEINT holds the
+    intermediate acc*257+b (< 2^70) that overflows BIGINT — so
+    list_reduce folds the exact same sequence mod 2^61-1."""
+    from .operators.text import FP_BASE, FP_MOD
+    return f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(0::HUGEINT,
+                   list_transform(string_split(text, ''),
+                                  c -> ascii(c)::HUGEINT)),
+               (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})
+           AS BIGINT) AS fp
+    FROM documents
+    """
+
+
+@query("fingerprint", _fingerprint_oracle())
 def fingerprint(spark, sf_dir):
     """Rolling polynomial document fingerprint (pandas UDF path);
-    verified against a pure-Python reference in tests."""
+    verified against a pure-Python reference in tests AND replayed
+    exactly by the HUGEINT list_reduce oracle."""
     from .operators.text import fingerprint as _fp
     _, t = _s(spark, sf_dir)
     return _fp(t["documents"])
@@ -1423,8 +1519,36 @@ def multimodal_meta(spark, sf_dir):
     return extract_features(m).select("id", "n_bytes")
 
 
-@query("multimodal_features")  # rows-only: fake feature vectors
+def _multimodal_oracle(feat_dim: int = 8) -> str:
+    """SQL replay of extract_features' deterministic fake decode: the
+    payload is the utf-8 encoding of ``text`` (pure ASCII in this corpus,
+    driver-verified: octet_length(encode(text)) == length(text) for every
+    row), so byte values are codepoints and the byte-histogram moments
+    are exact integer counts divided in double — bitwise equal."""
+    feat = ", ".join(
+        f"CAST(sum(CASE WHEN m = {j} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / any_value(n)" for j in range(feat_dim))
+    return f"""
+    WITH idx AS (
+      SELECT doc_id, text, length(text) AS n,
+             unnest(generate_series(1, length(text))) AS i
+      FROM documents),
+    b AS (
+      SELECT doc_id, n,
+             ascii(substr(text, CAST(i AS INT), 1)) % {feat_dim} AS m
+      FROM idx)
+    SELECT doc_id AS id, CAST(any_value(n) AS BIGINT) AS n_bytes,
+           [{feat}] AS feat
+    FROM b GROUP BY doc_id
+    """
+
+
+@query("multimodal_features", _multimodal_oracle())
 def multimodal_features(spark, sf_dir):
+    """Binary-media feature extraction through the real Arrow/mapInPandas
+    plumbing; the deterministic fake decode (byte-histogram moments) is
+    replayed exactly by the SQL oracle, so the whole batching path is
+    value-checked, not just row-counted."""
     from .operators.multimodal import extract_features, pack_media
     _, t = _s(spark, sf_dir)
     m = pack_media(t["documents"].withColumn(
@@ -1476,19 +1600,48 @@ def stream_tumbling(spark, sf_dir):
                              "bs_stream_tumbling")
 
 
-@query("stream_sessions")  # rows-only: session_window start equality is
-def stream_sessions(spark, sf_dir):  # engine-specific at window edges
-    """Streaming session_window aggregation (gap 30min) per user."""
+@query("stream_sessions", """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id, epoch_us(min(ts)) AS start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+""")
+def stream_sessions(spark, sf_dir):
+    """Streaming session_window aggregation (gap 30min) per user. A
+    session_window's start is its first event's timestamp, and Spark
+    opens a NEW session when the inter-event gap is >= the gap size
+    (windows [t, t+g) merge only on strict overlap) — both replayed
+    exactly by the batch gap-sessionization oracle, making the
+    streaming path fully oracle-checked, not rows-only."""
     from .streaming import run_to_completion, session_windows, stream_events
     ev = stream_events(spark, sf_dir)
-    return run_to_completion(session_windows(ev, "30 minutes"),
-                             "bs_stream_sessions")
+    out = run_to_completion(session_windows(ev, "30 minutes"),
+                            "bs_stream_sessions")
+    return out.select("user_id", F.unix_micros("start").alias("start_us"),
+                      "n_events")
 
 
-@query("stream_stateful")  # rows-only: GroupState is not ANSI-SQL
+@query("stream_stateful", """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS total,
+           count(*) >= 50 AS flagged
+    FROM events GROUP BY user_id
+""")
 def stream_stateful(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running counts carried across micro-batches."""
+    per-user running counts carried across micro-batches in GroupState.
+    Over the finite file source (one micro-batch: no maxFilesPerTrigger)
+    the update-mode emissions are exactly one final row per user, equal
+    to the batch group-by — the oracle."""
     from .streaming import (run_to_completion, stateful_user_counts,
                             stream_events)
     ev = stream_events(spark, sf_dir)
@@ -1724,12 +1877,57 @@ def sql_passthrough(spark, sf_dir):
     return spark.sql(_SQL_PASSTHROUGH)
 
 
-@query("pipeline_end2end")  # rows-only: chains minhash (non-SQL) dedup
+def _pipeline_oracle() -> str:
+    """SQL replay of the WHOLE pipeline: quality filter → exact dedup →
+    portable-minhash near-dup removal (reusing _minhash_pairs_ctes over
+    the filtered subset) → per-language token budget. Composing the
+    per-stage oracles end-to-end pins that the stages compose the same
+    way in both engines."""
+    return f"""
+    WITH qs AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS toks,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+                 AS alpha
+      FROM documents),
+    qm AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(alpha AS DOUBLE)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) AS dr
+      FROM qs),
+    keepq AS (
+      SELECT doc_id FROM qm
+      WHERE least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+            + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0
+                    THEN 1.0 ELSE 0.0 END) * 0.3
+            + dr * 0.3 >= 0.5),
+    d0 AS (SELECT * FROM documents
+           WHERE doc_id IN (SELECT doc_id FROM keepq)),
+    ex AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+           FROM d0 GROUP BY md5(text)),
+    d1 AS (SELECT * FROM d0 WHERE doc_id IN (SELECT doc_id FROM ex)),
+    {_minhash_pairs_ctes('d1')},
+    losers AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs),
+    d2 AS (SELECT * FROM d1
+           WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT)
+               AS token_budget
+    FROM d2 GROUP BY lang
+    """
+
+
+@query("pipeline_end2end", _pipeline_oracle())
 def pipeline_end2end(spark, sf_dir):
     """The flagship training-data pipeline, end to end: quality filter →
-    exact dedup → MinHash near-dup removal → per-language token budget.
-    Every stage is one of the audited operators; this entry pins that
-    they compose."""
+    exact dedup → MinHash near-dup removal (portable hash mode, so even
+    this stage is SQL-replayable) → per-language token budget. Every
+    stage is one of the audited operators; the composed oracle pins
+    that they compose."""
     from .operators.dedup import exact_dedup, minhash_dedup
     from .operators.text import bpe_token_count, quality_score
     _, t = _s(spark, sf_dir)
@@ -1738,7 +1936,7 @@ def pipeline_end2end(spark, sf_dir):
     docs = docs.join(q.select("doc_id"), on="doc_id", how="left_semi")
     keep_exact = exact_dedup(docs).select("doc_id")
     docs = docs.join(keep_exact, on="doc_id", how="left_semi")
-    docs = minhash_dedup(docs, threshold=0.5)
+    docs = minhash_dedup(docs, threshold=0.5, portable=True)
     return (docs.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(bpe_token_count("text")).alias("token_budget"))

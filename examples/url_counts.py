@@ -27,6 +27,8 @@ def main() -> None:
     seen = []
 
     def tap(shard: int, pdf) -> None:   # WriterFunc-style sink tap
+        if pdf is None:                 # terminal EOF call: flush point
+            return
         seen.append((shard, len(pdf)))
 
     out = tempfile.mkdtemp(prefix="urls_out_")
