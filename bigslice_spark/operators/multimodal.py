@@ -38,11 +38,29 @@ def pack_media(df: DataFrame, payload_col: str, id_col: str,
 def repartition_by_bytes(df: DataFrame, payload_col: str = "media",
                          target_partition_mb: int = 128) -> DataFrame:
     """Size partitions by payload bytes, not row count — with media rows,
-    row-count partitioning OOMs on skewed blobs."""
-    stats = df.select(F.sum(F.octet_length(payload_col)).alias("b")).first()
-    total = stats["b"] or 0
-    nparts = max(1, int(total / (target_partition_mb * 1024 * 1024)) + 1)
-    return df.repartition(nparts)
+    row-count partitioning OOMs on skewed blobs.
+
+    Skew-aware: blobs at/above the target size are split off and
+    round-robined across their OWN partitions (≈1 giant blob per task)
+    instead of landing next to a full budget of small rows — bounding
+    any partition at ~2× target even when one blob IS the partition
+    budget. One stats scan (two aggregates), then one shuffle each for
+    the small and big sides; the union concatenates partitions without
+    another exchange."""
+    target = target_partition_mb * 1024 * 1024
+    blen = F.octet_length(payload_col)
+    stats = df.agg(
+        F.sum(F.when(blen < target, blen).otherwise(0)).alias("small_b"),
+        F.sum(F.when(blen >= target, 1).otherwise(0)).alias("n_big"),
+    ).first()
+    small_bytes = stats["small_b"] or 0
+    n_big = stats["n_big"] or 0
+    n_small = max(1, int(small_bytes / target) + 1)
+    small = df.filter(blen < target).repartition(n_small)
+    if not n_big:
+        return small
+    big = df.filter(blen >= target).repartition(int(n_big))
+    return small.union(big)
 
 
 def extract_features(df: DataFrame, fake: bool = True,

@@ -139,16 +139,19 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              ncells: int = 16, nprobe: int = 4,
-             sample_fraction: float = 1.0, seed: int = 42) -> DataFrame:
+             sample_fraction: float = 1.0, seed: int = 42,
+             dim: int | None = None) -> DataFrame:
     """IVF ANN: KMeans cells (pyspark.ml), probe nprobe nearest cells.
-    Trains on a sample; assignment + rerank are expression-level."""
+    Trains on a sample; assignment + rerank are expression-level.
+    Pass ``dim`` when known — the fallback inference is a driver-side
+    ``.first()`` (one extra tiny job per call)."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
     except ImportError as ex:  # pragma: no cover
         raise NotImplementedError(f"pyspark.ml unavailable: {ex}")
 
-    dim = _dim_of(df, vec_col)
+    dim = dim or _dim_of(df, vec_col)
     corpus = _prep(df, vec_col, id_col, dim)
     train = corpus if sample_fraction >= 1.0 else \
         corpus.sample(fraction=sample_fraction, seed=seed)

@@ -1350,7 +1350,7 @@ def similarity_ivf(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     emb = t["embeddings"]
     qs = emb.filter(F.col("vec_id") < 5)
-    ivf = ivf_topk(emb, qs, k=10, ncells=8, nprobe=4)
+    ivf = ivf_topk(emb, qs, k=10, ncells=8, nprobe=4, dim=64)
     bf = brute_force_topk(emb, qs, k=10, dim=64)
     hits = (ivf.select("qid", "nid")
             .join(bf.select("qid", "nid"), ["qid", "nid"])

@@ -276,6 +276,29 @@ def test_multimodal_plumbing(spark, tables):
         extract_features(m, fake=False)
 
 
+def test_repartition_by_bytes_isolates_big_blobs(spark):
+    """A blob at/above the target must land in its own partition, not
+    alongside a full budget of small rows."""
+    from bigslice_spark.operators.multimodal import (pack_media,
+                                                     repartition_by_bytes)
+    target_mb = 1
+    rows = [(i, b"x" * 1000) for i in range(100)]          # 100 KB small
+    rows += [(1000, b"y" * (2 * 1024 * 1024)),             # 2 giant blobs
+             (1001, b"z" * (2 * 1024 * 1024))]
+    df = spark.createDataFrame(rows, "doc_id long, b binary")
+    m = pack_media(df, "b", "doc_id")
+    out = repartition_by_bytes(m, target_partition_mb=target_mb)
+    assert out.count() == 102
+    per_part = out.select(F.spark_partition_id().alias("p"),
+                          F.octet_length("media").alias("n")) \
+        .groupBy("p").agg(F.sum("n").alias("bytes"),
+                          F.count(F.lit(1)).alias("rows")).collect()
+    big_parts = [r for r in per_part
+                 if r["bytes"] >= 2 * 1024 * 1024]
+    for r in big_parts:
+        assert r["rows"] == 1, f"big blob shares a partition: {r}"
+
+
 def test_similarity_lsh_recall_vs_brute(spark, tables):
     """LSH with multiprobe should recover a decent fraction of the true
     top-10 (recall sanity, not exactness)."""

@@ -123,6 +123,27 @@ def test_tpch_remainder_plan_shapes(spark, sf_dir):
             in txt, f"{name}: no broadcast join in plan"
 
 
+def test_lsh_pair_generation_is_equi_join(spark, sf_dir, tables):
+    """The un-capped LSH pair generators must stay bucketed equi-joins:
+    no Cartesian/BroadcastNestedLoop anywhere (the all-pairs plan that
+    dies at 100TB), bounded exchanges past the signature checkpoint."""
+    from bigslice_spark.operators.dedup import (embedding_cosine_pairs,
+                                                minhash_lsh_pairs,
+                                                simhash_pairs)
+    docs = tables["documents"]
+    for name, df in [
+        ("minhash", minhash_lsh_pairs(docs)),
+        ("simhash", simhash_pairs(docs)),
+        ("embedding", embedding_cosine_pairs(tables["embeddings"],
+                                             threshold=0.4)),
+    ]:
+        txt = explain_str(df)
+        assert "Cartesian" not in txt, f"{name}: cartesian"
+        assert "BroadcastNestedLoopJoin" not in txt, f"{name}: BNL"
+        n = count_exchanges(df)
+        assert n <= 4, f"{name}: {n} exchanges past the sig checkpoint"
+
+
 def test_range_join_avoids_nested_loop(spark, sf_dir):
     """The binned interval join must plan as a hash equi-join on the bin
     id — never BroadcastNestedLoop/Cartesian (the naive range-join plan
