@@ -1600,6 +1600,27 @@ def stream_tumbling(spark, sf_dir):
                              "bs_stream_tumbling")
 
 
+@query("stream_sliding", f"""
+    WITH e AS (SELECT event_type, value, epoch_us(ts) AS tu FROM events),
+    w AS (SELECT event_type, value,
+                 ((tu // 1800000000) - i) * 1800000000 AS ws_us
+          FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i) t)
+    SELECT ws_us, event_type, CAST(count(*) AS BIGINT) AS n,
+           {_dsum_sql('value', 6)} AS v
+    FROM w GROUP BY ws_us, event_type
+""")
+def stream_sliding(spark, sf_dir):
+    """Streaming SLIDING-window aggregation (width 1h, slide 30min):
+    every event belongs to exactly width/slide epoch-aligned windows,
+    which the batch oracle replays by fanning each event out to its two
+    window starts. Completes the tumbling/sliding/session window
+    triple (SURVEY §2.3)."""
+    from .streaming import run_to_completion, sliding_counts, stream_events
+    ev = stream_events(spark, sf_dir)
+    return run_to_completion(sliding_counts(ev, "1 hour", "30 minutes"),
+                             "bs_stream_sliding")
+
+
 @query("stream_sessions", """
     WITH g AS (
       SELECT user_id, ts,
@@ -1647,6 +1668,55 @@ def stream_stateful(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     return run_to_completion(stateful_user_counts(ev),
                              "bs_stream_stateful", output_mode="update")
+
+
+@query("source_binary", """
+    SELECT r_regionkey, r_name,
+           CAST(length(r_name) AS BIGINT) AS n_bytes
+    FROM region
+""")
+def source_binary(spark, sf_dir):
+    """binaryFile source (sources.binary_files) — the opaque-blob front
+    door for multimodal ingest (SURVEY §2.1 #19's Spark mapping): one
+    file per region row round-tripped through binary content."""
+    import os
+    import tempfile
+    from .sources import binary_files
+    _, t = _s(spark, sf_dir)
+    d = os.path.join(tempfile.gettempdir(),
+                     f"bsc_bin_{os.path.basename(sf_dir)}")
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        os.makedirs(d, exist_ok=True)
+        for key, name in t["region"].select("r_regionkey",
+                                            "r_name").collect():
+            with open(os.path.join(d, f"{key}.txt"), "w") as f:
+                f.write(name)
+        open(os.path.join(d, "_DONE"), "w").close()
+    b = binary_files(spark, d, glob="*.txt")
+    fname = F.element_at(F.split("path", "/"), -1)
+    return b.select(
+        F.regexp_extract(fname, r"(\d+)", 1).cast("long")
+        .alias("r_regionkey"),
+        F.decode("content", "utf-8").alias("r_name"),
+        F.col("length").alias("n_bytes"))
+
+
+@query("stream_sink_parquet", """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'purchase'
+""")
+def stream_sink_parquet(spark, sf_dir):
+    """The write half of streaming (readStream → transform →
+    writeStream): append-mode filter/projection driven into a parquet
+    file sink with checkpointed exactly-once commits, read back and
+    compared to the batch filter."""
+    import tempfile
+    from .streaming import stream_events, stream_to_parquet
+    ev = stream_events(spark, sf_dir)
+    out = (ev.filter(F.col("event_type") == "purchase")
+           .select("event_id", "user_id", "value"))
+    d = tempfile.mkdtemp(prefix="bsc_ssink_")
+    return stream_to_parquet(out, f"{d}/data", f"{d}/ckpt")
 
 
 @query("scan_reader_lines", """

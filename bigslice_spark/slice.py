@@ -347,6 +347,22 @@ class Slice:
 
         self.df.rdd.mapPartitionsWithIndex(_each).count()
 
+    def scan_batches(self, fn: Callable[[int, Any], None]) -> None:
+        """Vectorized Scan: terminal consumption of Arrow batches —
+        fn(shard_id, pandas_DataFrame) per batch. The Arrow twin of
+        ``scan`` (which hands out row tuples through the pickled-RDD
+        path for reference-faithful semantics); prefer this for bulk
+        side-effecting consumption."""
+        def _each(it):
+            from pyspark import TaskContext
+            shard = TaskContext.get().partitionId()
+            for pdf in it:
+                fn(shard, pdf)
+            return iter(())
+
+        self.df.mapInPandas(
+            _each, schema="__x__ int").count()
+
     def scan_rows(self):
         """Driver-side scanner (reference sliceio/scanner.go:27-101)."""
         return self.df.toLocalIterator()

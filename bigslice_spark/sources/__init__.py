@@ -58,6 +58,20 @@ def tar_reader(spark: SparkSession, path: str) -> DataFrame:
                        "body binary")
 
 
+def binary_files(spark: SparkSession, path: str,
+                 glob: str | None = None) -> DataFrame:
+    """Opaque media/blob ingest: one row per file —
+    (path string, modificationTime timestamp, length long,
+    content binary). The front door for multimodal pipelines
+    (operators/multimodal.py consumes the content column); files
+    parallelize across partitions, each blob stays whole (pair with
+    repartition_by_bytes before any Arrow stage)."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: str,
              header: bool = True) -> DataFrame:
     return spark.read.schema(schema).option("header", header).csv(path)

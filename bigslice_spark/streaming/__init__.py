@@ -52,6 +52,23 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour",
             .select(F.col("w.start").alias("hr"), "event_type", "n", "v"))
 
 
+def sliding_counts(events: DataFrame, width: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked SLIDING-window counts per event_type: each event lands
+    in width/slide overlapping windows (epoch-aligned starts every
+    ``slide``). Emits the window start as epoch µs for engine-neutral
+    comparison."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(38,6)"))
+                 .cast("double").alias("v"))
+            .select(F.unix_micros(F.col("w.start")).alias("ws_us"),
+                    "event_type", "n", "v"))
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes",
                     watermark: str = "2 hours") -> DataFrame:
     """Native session_window aggregation (gap-based sessions per user)."""
@@ -76,6 +93,27 @@ def run_to_completion(agg: DataFrame, name: str,
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
+                      name: str = "bs_stream_sink") -> DataFrame:
+    """The write half of the streaming story (readStream →
+    transformations → writeStream): drive ``df`` (append-mode capable —
+    no aggregation, or a watermarked one) to a parquet sink with a
+    checkpoint dir for exactly-once file commits, synchronously to
+    completion, then return the materialized result as a batch frame."""
+    spark = df.sparkSession
+    q = (df.writeStream.outputMode("append")
+         .format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .queryName(name)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(path)
 
 
 def stateful_user_counts(events: DataFrame,

@@ -65,6 +65,16 @@ def test_scan_consumes_all_shards(session):
     assert seen.count() == 40
 
 
+def test_scan_batches_arrow_path(session, spark):
+    sl = session.const(4, list(range(40)), names=["n"], schema="n long")
+    acc = spark.sparkContext.accumulator(0)
+    shards = spark.sparkContext.accumulator(0)
+    sl.scan_batches(lambda shard, pdf: (acc.add(int(pdf["n"].sum())),
+                                        shards.add(1)))
+    assert acc.value == sum(range(40))
+    assert shards.value >= 1
+
+
 def test_cache_short_circuits(session):
     prefix = tempfile.mkdtemp(prefix="bsc_cache_test_")
     sl = session.const(2, [1, 2, 3], names=["n"], schema="n long")
