@@ -45,6 +45,66 @@ def test_stateful_user_counts(spark, sf_dir, tables):
     assert got == batch
 
 
+def test_watermark_drops_late_data(spark):
+    """The §2.3 late-data claim, pinned: in append mode with a 1-hour
+    watermark, an event arriving in a later micro-batch but timestamped
+    BEFORE the advanced watermark must be dropped; an in-watermark
+    late event must still be aggregated."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = tempfile.mkdtemp(prefix="bsc_late_")
+    src, out = os.path.join(d, "src"), os.path.join(d, "sink")
+    os.makedirs(src)
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("k", T.StringType())])
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "k"]), schema=schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name))
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    write_batch("b1", [(t0, "a"), (t0 + pd.Timedelta(minutes=5), "a")])
+
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(src + "/*")
+              .withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "15 minutes").alias("w"), "k")
+              .agg(F.count(F.lit(1)).alias("n")))
+    q = (stream.writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(d, "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # batch 2 advances event-time to 12:00 → watermark 11:00, and the
+        # 10:00-10:15 window below it finalizes (emitted in append mode)
+        write_batch("b2", [(t0 + pd.Timedelta(hours=2), "a")])
+        q.processAllAvailable()
+        # batch 3: one event at 09:00 (< watermark 11:00 → DROPPED) and
+        # one at 11:30 (>= watermark → kept, window not yet final)
+        write_batch("b3", [(t0 - pd.Timedelta(hours=1), "a"),
+                           (t0 + pd.Timedelta(minutes=90), "a")])
+        q.processAllAvailable()
+        # batch 4 pushes the watermark past every open window
+        write_batch("b4", [(t0 + pd.Timedelta(hours=5), "a")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r["w"]["start"].isoformat(), r["n"])
+           for r in spark.read.parquet(out).collect()}
+    # 09:00 late event absent; 10:00 window has BOTH b1 events;
+    # 11:30 and 12:00 and 15:00 events each in their own window
+    assert ("2026-01-01T10:00:00", 2) in got
+    assert ("2026-01-01T11:30:00", 1) in got
+    assert ("2026-01-01T12:00:00", 1) in got
+    assert not any(s.startswith("2026-01-01T09:00") for s, _ in got), got
+
+
 def test_scan_reader_lines(spark):
     from bigslice_spark.sources import scan_reader
     d = tempfile.mkdtemp(prefix="bsc_text_")
