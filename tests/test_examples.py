@@ -21,6 +21,18 @@ def test_wordcount_example():
     assert counts == sorted(counts, reverse=True)
 
 
+def test_llm_pipeline_example():
+    out = _run("examples/llm_pipeline.py")
+    budget = [l for l in out.splitlines() if "\t" in l]
+    stages = [l for l in out.splitlines() if l.startswith("# ")]
+    assert budget, out
+    assert len(stages) == 4
+    counts = [int(s.rsplit(": ", 1)[1]) for s in stages]
+    # monotonically non-increasing survivors through the funnel
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
+
+
 def test_url_counts_example():
     out = _run("examples/url_counts.py")
     assert "wrote " in out
