@@ -221,6 +221,35 @@ def op_fold_custom(spark, sf_dir):
                                   "max_qp double, n long"))).df
 
 
+@query("op_fold_stream", """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY l_returnflag
+""")
+def op_fold_stream(spark, sf_dir):
+    """Streaming Fold (Slice.fold_stream): arbitrary accumulator over
+    key-sorted Arrow batches with carry-over — groups NEVER materialize
+    whole (SURVEY §7 hard-part 2; the reference's Fold holds accumulator
+    maps fully in memory, accum.go:17-19). l_quantity is integer-valued,
+    so the float partial sums are exact and order-independent."""
+    sess, t = _s(spark, sf_dir)
+    sl = sess.wrap(t["lineitem"].select("l_returnflag", "l_quantity"))
+
+    def init():
+        return [0, 0]
+
+    def step(acc, chunk):
+        acc[0] += len(chunk)
+        acc[1] += int(chunk["l_quantity"].sum())
+        return acc
+
+    def emit(key, acc):
+        return {"l_returnflag": key[0], "n": acc[0], "qty": acc[1]}
+
+    return sl.fold_stream(init, step, emit,
+                          "l_returnflag string, n long, qty long").df
+
+
 @query("op_reduce", """
     SELECT o_custkey, max(o_totalprice) AS max_price
     FROM orders GROUP BY o_custkey

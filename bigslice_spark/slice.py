@@ -186,6 +186,58 @@ class Slice:
             self.df.groupBy(*keys).applyInPandas(fn, schema=schema),
             prefix=len(keys))
 
+    def fold_stream(self, init: Callable[[], Any],
+                    step: Callable[[Any, Any], Any],
+                    emit: Callable[[tuple, Any], dict],
+                    schema: Any) -> "Slice":
+        """Fold for groups too large to materialize (SURVEY §7 hard-part
+        2 — the reference's own known weakness: its Fold holds each
+        accumulator map fully in memory, accum.go:17-19 BUG note, and
+        ``fold(fn=)``/applyInPandas materializes each GROUP as one
+        pandas frame).
+
+        Here the group STREAMS: hash-repartition by the key prefix,
+        sort within partitions by key, then run Arrow batches through a
+        carry-over accumulator — peak memory is one Arrow batch plus
+        one accumulator, regardless of group size.
+
+        ``init() -> acc``; ``step(acc, chunk_pdf) -> acc`` consumes one
+        batch-chunk of a group's rows (key columns included);
+        ``emit(key_tuple, acc) -> dict`` produces the output row.
+        ``step`` must be associative across chunks in row order.
+        """
+        _require_schema("fold_stream", schema)
+        keys = self.key_cols
+
+        def run(batches):
+            import pandas as pd
+            cur_key, acc = None, None
+            rows: list[dict] = []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                # consecutive runs of equal keys (input is key-sorted)
+                grouped = pdf.groupby(list(keys), sort=False)
+                for key, chunk in grouped:
+                    key = key if isinstance(key, tuple) else (key,)
+                    if key != cur_key:
+                        if cur_key is not None:
+                            rows.append(emit(cur_key, acc))
+                        cur_key, acc = key, init()
+                    acc = step(acc, chunk)
+                if rows:
+                    yield pd.DataFrame(rows)
+                    rows = []
+            if cur_key is not None:
+                rows.append(emit(cur_key, acc))
+            if rows:
+                yield pd.DataFrame(rows)
+
+        df = (self.df.repartition(*keys)
+              .sortWithinPartitions(*keys)
+              .mapInPandas(run, schema=schema))
+        return Slice(df, prefix=len(keys))
+
     def reduce_(self, agg: Column | str) -> "Slice":
         """bigslice.Reduce (reference reduce.go:19-94): commutative+
         associative reduce of the single residual value column. Lowered to

@@ -88,6 +88,32 @@ def test_cache_short_circuits(session):
     assert sorted(c2.collect()) == [(1,), (2,), (3,)]
 
 
+def test_fold_stream_groups_span_batches(session, spark):
+    """fold_stream must carry the accumulator across Arrow batch
+    boundaries: with 7-row batches and 40-row groups, every group spans
+    several chunks; totals must equal groupBy."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        keys = ["a"] * 40 + ["b"] * 40 + ["c"] * 3
+        vals = list(range(83))
+        sl = session.const(2, keys, vals, names=["k", "v"],
+                           schema="k string, v long")
+        out = sl.fold_stream(
+            lambda: [0, 0],
+            lambda acc, chunk: [acc[0] + len(chunk),
+                                acc[1] + int(chunk["v"].sum())],
+            lambda key, acc: {"k": key[0], "n": acc[0], "s": acc[1]},
+            "k string, n long, s long")
+        got = {r["k"]: (r["n"], r["s"]) for r in out.df.collect()}
+        want = {r["k"]: (r["n"], r["s"])
+                for r in sl.fold(aggs={"n": F.count(F.lit(1)),
+                                       "s": F.sum("v")}).df.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_writer_func_terminal_calls(session, spark):
     """Reference slice.go:404-548: the write fn is invoked once more at
     shard end (EOF → pdf=None) so sinks can flush; batches all arrive
