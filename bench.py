@@ -37,6 +37,11 @@ HEADLINE = [
     "ngram_jaccard",
     "similarity_topk",
     "text_stats",
+    # added round 2 (no r1 baseline; ratchet starts at r2)
+    "dedup_simhash",
+    "similarity_lsh",
+    "asof_join",
+    "op_fold_stream",
 ]
 
 
@@ -72,10 +77,10 @@ def main() -> None:
     except Exception:
         pass
 
-    # The registry's dedup_minhash runs in PORTABLE (md5) hash mode so
-    # its DuckDB oracle can replay the pipeline exactly; the bench
-    # measures the production fast path (xxhash64, same un-capped
-    # self-join plan) — the one a real pipeline runs.
+    # The registry's dedup_minhash/dedup_simhash run in PORTABLE (md5)
+    # hash mode so their DuckDB oracles can replay the pipelines exactly;
+    # the bench measures the production fast path (xxhash64, same
+    # un-capped self-join plans) — the one a real pipeline runs.
     def _minhash_fast(spark, sf_dir):
         from bigslice_spark.operators.dedup import minhash_lsh_pairs
         from bigslice_spark.session import load_tables
@@ -83,7 +88,15 @@ def main() -> None:
         return minhash_lsh_pairs(t["documents"], num_hashes=64, bands=16,
                                  threshold=0.5, portable=False)
 
-    overrides = {"dedup_minhash": _minhash_fast}
+    def _simhash_fast(spark, sf_dir):
+        from bigslice_spark.operators.dedup import simhash_pairs
+        from bigslice_spark.session import load_tables
+        t = load_tables(spark, sf_dir)
+        return simhash_pairs(t["documents"], max_hamming=8,
+                             portable=False)
+
+    overrides = {"dedup_minhash": _minhash_fast,
+                 "dedup_simhash": _simhash_fast}
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -154,12 +154,13 @@ def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
     minhash_lsh_pairs)."""
     hx = (_shingle_rows(df, text_col, id_col, shingle_w, distinct=False)
           .select(F.col(id_col), _tok_hash31(portable).alias("h")))
-    p = F.lit(_MH_PRIME)
     # splitmix64-derived coefficients: an arithmetic-progression family
     # ((2i+1)*c) is NOT pairwise independent — one shared shingle could
     # win the min for most i simultaneously (observed: 45/64 matches on
     # a 0.009-Jaccard pair). a in [1, p-1], b in [0, p-1).
-    aggs = [F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), p))
+    # One F.expr parse per aggregate (not ~6 chained Column ops): py4j
+    # round trips per operator cost real driver seconds on 64-wide aggs.
+    aggs = [F.expr(f"min(pmod(h * {a} + {b}, {_MH_PRIME}))")
             .alias(f"__s{i}__")
             for i, (a, b) in enumerate(minhash_coeffs(num_hashes))]
     return hx.groupBy(id_col).agg(*aggs)
@@ -270,22 +271,21 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
         def bit(j):
             src, k = ("h_lo", j) if j < 32 else ("h_hi", j - 32)
-            return F.shiftright(F.col(src), k).bitwiseAND(F.lit(1))
+            return f"(shiftright({src}, {k}) & 1)"
     else:
         th = tok_rows.select(F.col(id_col), F.xxhash64("t").alias("h"))
 
         def bit(j):
-            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+            return f"(shiftright(h, {j}) & 1)"
 
-    aggs = [F.sum(F.when(bit(j) == 1, 1).otherwise(-1))
+    # F.expr per aggregate / one parse for the 64-bit assembly — chained
+    # Column ops cost a py4j round trip each (driver seconds at 64-wide)
+    aggs = [F.expr(f"sum(CASE WHEN {bit(j)} = 1 THEN 1 ELSE -1 END)")
             .alias(f"__b{j}__") for j in range(64)]
     wide = th.groupBy(id_col).agg(*aggs)
-    out = F.lit(0).cast("long")
-    for j in range(64):
-        out = out.bitwiseOR(
-            F.when(F.col(f"__b{j}__") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long")))
+    out = F.expr(" | ".join(
+        f"(CASE WHEN __b{j}__ > 0 THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for j in range(64)))
     return wide.select(F.col(id_col), out.alias("sh"))
 
 

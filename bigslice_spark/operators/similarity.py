@@ -34,10 +34,12 @@ def _as_double_vec(col) -> "F.Column":
 
 
 def _dot_wide(a: str, b: str, dim: int) -> "F.Column":
-    acc = F.col(a)[0] * F.col(b)[0]
-    for i in range(1, dim):
-        acc = acc + F.col(a)[i] * F.col(b)[i]
-    return acc
+    # one F.expr parse instead of ~2*dim chained Column ops: building
+    # wide expressions operator-by-operator costs one py4j round trip
+    # EACH (measured ~8s of pure driver time for the 6-plane LSH plan);
+    # the SQL string parses JVM-side in one call and yields the same
+    # left-associative tree — same codegen, same bitwise doubles.
+    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)))
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
@@ -98,15 +100,15 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 def _bucket_expr(vec: str, planes: list[list[float]]) -> "F.Column":
     """Sign-bit bucket id from a fixed hyperplane family, as wide codegen
-    sums: bit_i = (Σ_j v[j] * p_i[j]) > 0."""
-    out = F.lit(0)
+    sums: bit_i = (Σ_j v[j] * p_i[j]) > 0. Built as ONE F.expr parse
+    (driver-latency, see _dot_wide); bits are disjoint so summing the
+    CASEs equals OR-ing them."""
+    terms = []
     for i, p in enumerate(planes):
-        proj = F.col(vec)[0] * F.lit(p[0])
-        for j in range(1, len(p)):
-            proj = proj + F.col(vec)[j] * F.lit(p[j])
-        out = out.bitwiseOR(
-            F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    return out
+        proj = " + ".join(f"{vec}[{j}] * ({p[j]!r})"
+                          for j in range(len(p)))
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(terms))
 
 
 def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
@@ -160,15 +162,15 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
     def cell_dists(vec: str):
-        """array<struct<d,cell>> of squared L2 to each centroid, wide."""
+        """array<struct<d,cell>> of squared L2 to each centroid, wide —
+        one F.expr parse (driver-latency, see _dot_wide)."""
         entries = []
         for ci, c in enumerate(centers):
-            d = (F.col(vec)[0] - F.lit(c[0])) * (F.col(vec)[0] - F.lit(c[0]))
-            for j in range(1, dim):
-                d = d + (F.col(vec)[j] - F.lit(c[j])) \
-                    * (F.col(vec)[j] - F.lit(c[j]))
-            entries.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
-        return F.array(*entries)
+            d = " + ".join(
+                f"({vec}[{j}] - ({c[j]!r})) * ({vec}[{j}] - ({c[j]!r}))"
+                for j in range(dim))
+            entries.append(f"named_struct('d', ({d}), 'cell', {ci})")
+        return F.expr("array(" + ", ".join(entries) + ")")
 
     assigned = corpus.withColumn(
         "cell", F.array_min(cell_dists("v"))["cell"])
