@@ -17,7 +17,6 @@ vectorized 128-row Frames (reference slice.go:600-634).
 
 from __future__ import annotations
 
-import itertools
 from typing import Any, Callable, Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
