@@ -72,3 +72,67 @@ def connected_components(edges: DataFrame, src: str = "src",
         if changed == 0:
             return lab.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"did not converge in {max_iter} iterations")
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping: float = 0.85,
+             ordered: bool = False,
+             reliable: bool | None = None) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node, rank).
+
+    The second iterative §3-C workload next to connected_components:
+    each iteration is one join (ranks ⋈ edges) + one aggregation, both
+    hash-partitioned on node id; ranks are materialized per round
+    (checkpoint.materialize) to truncate lineage. Simple variant:
+    dangling-node mass is dropped (not redistributed) — deterministic
+    and replayed identically by the SQL oracle.
+
+    Float determinism: the default sums neighbor contributions with the
+    codegen'd partial aggregate (order non-deterministic across
+    partitions — the scale path). ``ordered=True`` folds contributions
+    in neighbor-id order (collect_list → array_sort → left fold), so
+    every double is BITWISE reproducible in any engine that folds the
+    same order — the oracle-replayable mode. Cost: per-NODE interpreted
+    lambda + the in-degree-sized array; a hub node with millions of
+    in-edges should use the default mode.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("d"))
+         .distinct())
+    e = materialize(e, reliable)
+    nodes = (e.select(F.col("s").alias("node"))
+             .union(e.select(F.col("d").alias("node"))).distinct())
+    nodes = materialize(nodes, reliable)
+    n = nodes.count()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # both literals forced double so Spark and the SQL replay compute
+    # the identical IEEE (1.0-0.85)/N and d*S — DuckDB would otherwise
+    # parse 0.85 as DECIMAL and disagree in the last ulp
+    base = (F.lit(1.0) - F.lit(float(damping))) / F.lit(float(n))
+    rank = nodes.select("node", (F.lit(1.0) / F.lit(float(n)))
+                        .alias("r"))
+    for _ in range(iters):
+        contrib = (e.join(rank, e.s == rank.node)
+                   .join(deg, on="s")
+                   .select(F.col("d").alias("node"),
+                           F.col("s").alias("nbr"),
+                           (F.col("r") / F.col("outdeg")).alias("c")))
+        if ordered:
+            summed = (contrib.groupBy("node")
+                      .agg(F.array_sort(F.collect_list(
+                          F.struct(F.col("nbr").alias("s"),
+                                   F.col("c").alias("c")))).alias("xs"))
+                      .select("node", F.expr(
+                          "aggregate(xs, CAST(0.0 AS DOUBLE), "
+                          "(acc, x) -> acc + x.c)").alias("in_sum")))
+        else:
+            summed = contrib.groupBy("node").agg(
+                F.sum("c").alias("in_sum"))
+        rank = materialize(
+            nodes.join(summed, on="node", how="left")
+            .select("node",
+                    (base + F.lit(float(damping))
+                     * F.coalesce(F.col("in_sum"), F.lit(0.0)))
+                    .alias("r")),
+            reliable)
+    return rank.select("node", F.col("r").alias("rank"))

@@ -1246,6 +1246,66 @@ def _embed_pairs_oracle(dim: int = 64, threshold: float = 0.4) -> str:
     """
 
 
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Exact SQL replay of pagerank(ordered=True): every float op is
+    order-pinned — init 1/N, contributions folded in neighbor-id order
+    (list_reduce == Spark's aggregate() left fold), damping constants
+    forced to DOUBLE (DuckDB parses bare 0.85 as DECIMAL, which would
+    differ in the last ulp) — so three iterations of ranks match
+    bitwise."""
+    it_ctes = []
+    prev = "r0"
+    for k in range(iters):
+        nxt = f"r{k + 1}"
+        it_ctes.append(f""",
+    c{k} AS (
+      SELECT e.d AS node, e.s AS nbr, {prev}.r / deg.outdeg AS c
+      FROM e JOIN {prev} ON {prev}.node = e.s
+      JOIN deg ON deg.node = e.s),
+    f{k} AS (
+      SELECT node, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(c ORDER BY nbr)), (acc, x) -> acc + x) AS in_sum
+      FROM c{k} GROUP BY node),
+    {nxt} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST({damping} AS DOUBLE))
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM nodes)
+             + CAST({damping} AS DOUBLE)
+               * coalesce(f.in_sum, CAST(0.0 AS DOUBLE)) AS r
+      FROM nodes n LEFT JOIN f{k} f ON f.node = n.node)""")
+        prev = nxt
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS d
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY s),
+    r0 AS (SELECT node,
+                  CAST(1.0 AS DOUBLE)
+                  / (SELECT CAST(count(*) AS DOUBLE) FROM nodes) AS r
+           FROM nodes){"".join(it_ctes)}
+    SELECT node, r AS rank FROM {prev}
+    """
+
+
+@query("pagerank", _pagerank_oracle())
+def pagerank_q(spark, sf_dir):
+    """Iterative PageRank (operators/graph.py) over the supplier →
+    customer shipment graph — the second SURVEY §3-C iterative workload
+    next to dedup_components. ordered=True folds contributions in
+    neighbor order, so all three iterations of double arithmetic match
+    the SQL oracle bitwise."""
+    from .operators.graph import pagerank
+    _, t = _s(spark, sf_dir)
+    e = (t["lineitem"].select("l_suppkey", "l_orderkey")
+         .join(t["orders"].select("o_orderkey", "o_custkey"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .select(F.col("l_suppkey").alias("src"),
+                 (F.col("o_custkey") + 1000000).alias("dst")))
+    return pagerank(e, iters=3, damping=0.85, ordered=True)
+
+
 @query("dedup_embedding", _embed_pairs_oracle())
 def dedup_embedding(spark, sf_dir):
     """Embedding near-dup pairs bucketed by label. The synthetic corpus

@@ -275,6 +275,20 @@ def test_simhash_identical_docs_zero_hamming(session, spark):
     assert pairs[(1, 2)] == 0
 
 
+def test_pagerank_hand_computed(spark):
+    """a→b only, N=2, d=0.85: a never receives mass → 0.075; b settles
+    at 0.075 + 0.85·0.075 = 0.13875 (dangling mass dropped, documented).
+    Ordered and default modes must agree here (single contribution per
+    node → no reassociation)."""
+    from bigslice_spark.operators.graph import pagerank
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for ordered in (False, True):
+        got = {r["node"]: r["rank"]
+               for r in pagerank(e, iters=3, ordered=ordered).collect()}
+        assert abs(got[1] - 0.075) < 1e-12
+        assert abs(got[2] - 0.13875) < 1e-12
+
+
 def test_asof_strict_vs_inclusive(spark):
     from bigslice_spark.operators.asof import asof_join
     left = spark.createDataFrame(
