@@ -20,9 +20,16 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               value_cols: list[str] | None = None,
-              strict: bool = False) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right_ts <= left_ts (or < if strict), matching on `on`."""
+              strict: bool = False,
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the nearest right row matching on
+    ``on``: direction="backward" (default) takes the latest right row
+    with right_ts <= left_ts (< if strict); direction="forward" takes
+    the EARLIEST right row with right_ts >= left_ts (> if strict) —
+    same union-sort-carry plan with the timestamp order flipped."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, "
+                         f"got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns
@@ -44,7 +51,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         .unionByName(r_tag.select(*lcols, "__ts__", "__side__",
                                   *value_cols))
     # side 0 sorts before 1 at equal ts (inclusive); side 2 after (strict)
-    w = (W.partitionBy(on).orderBy("__ts__", "__side__")
+    ts_ord = F.col("__ts__").asc() if direction == "backward" \
+        else F.col("__ts__").desc()
+    w = (W.partitionBy(on).orderBy(ts_ord, "__side__")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     carried = u.select(
         *lcols, "__ts__", "__side__",

@@ -1668,6 +1668,29 @@ def asof_join_q(spark, sf_dir):
     return out.select("event_id", "view_us")
 
 
+@query("asof_join_forward", """
+    SELECT p.event_id AS event_id, epoch_us(v.ts) AS next_view_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts < v.ts
+""")
+def asof_join_forward_q(spark, sf_dir):
+    """Forward as-of join: for each purchase, the EARLIEST strictly-later
+    view by the same user — same union-sort-carry plan with the sort
+    flipped (operators/asof.py direction='forward')."""
+    from .operators.asof import asof_join
+    _, t = _s(spark, sf_dir)
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.col("ts").alias("vts"),
+                 F.unix_micros("ts").alias("next_view_us")))
+    out = asof_join(p, v, on="user_id", left_ts="ts", right_ts="vts",
+                    value_cols=["next_view_us"], strict=True,
+                    direction="forward")
+    return out.select("event_id", "next_view_us")
+
+
 # =====================================================================
 # Structured Streaming (SURVEY §2.3 — beyond the strictly-batch
 # reference). Finite source + complete mode ⇒ deterministic, so the

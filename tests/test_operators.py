@@ -305,6 +305,24 @@ def test_asof_strict_vs_inclusive(spark):
     assert got["l1"] is None and got["l2"] == 8.0
 
 
+def test_asof_forward_direction(spark):
+    from bigslice_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, 7.0), (1, 150, 8.0)], "k long, rts long, val double")
+    fwd = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    value_cols=["val"], strict=True, direction="forward")
+    got = {r["tag"]: r["val"] for r in fwd.collect()}
+    # l1@100: earliest right strictly after 100 is 150→8.0; l2@200: none
+    assert got == {"l1": 8.0, "l2": None}
+    incl = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                     value_cols=["val"], strict=False,
+                     direction="forward")
+    got = {r["tag"]: r["val"] for r in incl.collect()}
+    assert got == {"l1": 7.0, "l2": None}
+
+
 def test_multimodal_plumbing(spark, tables):
     from bigslice_spark.operators.multimodal import (extract_features,
                                                      frame_sample,
