@@ -44,6 +44,16 @@ def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
         return df.localCheckpoint()
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        import tempfile
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="bss_ckpt_"))
+        master = spark.conf.get("spark.master", "local")
+        if master.startswith("local"):
+            import tempfile
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="bss_ckpt_"))
+        else:
+            # a driver-local temp dir is NOT reliable on a real cluster
+            # (executors can't read it back) — fail loudly up front
+            # instead of mid-job far from the cause
+            raise RuntimeError(
+                "materialize(reliable=True) on a cluster needs a shared "
+                "checkpoint dir: call spark.sparkContext.setCheckpointDir"
+                "('hdfs://... or s3a://...') first")
     return df.checkpoint()

@@ -39,7 +39,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     for c in value_cols:
         if c not in l_tag.columns:
             l_tag = l_tag.withColumn(c, F.lit(None))
-    r_tag = right.select(
+    # a right row with NULL ts satisfies no inequality — drop it here
+    # (left rows with NULL ts sort before everything via *_nulls_first
+    # below, see no right rows, and correctly emit NULL values)
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on), F.col(right_ts).alias("__ts__"),
         *[F.col(c) for c in value_cols]) \
         .withColumn("__side__", F.lit(0 if not strict else 2))
@@ -51,8 +54,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         .unionByName(r_tag.select(*lcols, "__ts__", "__side__",
                                   *value_cols))
     # side 0 sorts before 1 at equal ts (inclusive); side 2 after (strict)
-    ts_ord = F.col("__ts__").asc() if direction == "backward" \
-        else F.col("__ts__").desc()
+    ts_ord = F.col("__ts__").asc_nulls_first() \
+        if direction == "backward" else F.col("__ts__").desc_nulls_first()
     w = (W.partitionBy(on).orderBy(ts_ord, "__side__")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     carried = u.select(

@@ -104,7 +104,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .union(e.select(F.col("d").alias("node"))).distinct())
     nodes = materialize(nodes, reliable)
     n = nodes.count()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # materialized: referenced by the contribution join EVERY iteration
+    deg = materialize(
+        e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")), reliable)
     # both literals forced double so Spark and the SQL replay compute
     # the identical IEEE (1.0-0.85)/N and d*S — DuckDB would otherwise
     # parse 0.85 as DECIMAL and disagree in the last ulp

@@ -48,18 +48,27 @@ def repartition_by_bytes(df: DataFrame, payload_col: str = "media",
     the small and big sides; the union concatenates partitions without
     another exchange."""
     target = target_partition_mb * 1024 * 1024
-    blen = F.octet_length(payload_col)
+    # NULL payloads count as 0 bytes — they must flow through like any
+    # other row (a filter on a NULL length would silently drop them)
+    blen = F.coalesce(F.octet_length(payload_col), F.lit(0))
     stats = df.agg(
         F.sum(F.when(blen < target, blen).otherwise(0)).alias("small_b"),
         F.sum(F.when(blen >= target, 1).otherwise(0)).alias("n_big"),
     ).first()
     small_bytes = stats["small_b"] or 0
-    n_big = stats["n_big"] or 0
+    n_big = int(stats["n_big"] or 0)
     n_small = max(1, int(small_bytes / target) + 1)
     small = df.filter(blen < target).repartition(n_small)
     if not n_big:
         return small
-    big = df.filter(blen >= target).repartition(int(n_big))
+    # range-partition the big side on a unique id: boundaries come from
+    # sampling the (few) big rows, giving ~1 giant blob per partition
+    # deterministically — plain round-robin starts each input partition
+    # at a random offset, so two giants could collide on one task
+    big = (df.filter(blen >= target)
+           .withColumn("__rid__", F.monotonically_increasing_id())
+           .repartitionByRange(n_big, "__rid__")
+           .drop("__rid__"))
     return small.union(big)
 
 

@@ -1795,15 +1795,14 @@ def source_binary(spark, sf_dir):
     import tempfile
     from .sources import binary_files
     _, t = _s(spark, sf_dir)
-    d = os.path.join(tempfile.gettempdir(),
-                     f"bsc_bin_{os.path.basename(sf_dir)}")
-    if not os.path.exists(os.path.join(d, "_DONE")):
-        os.makedirs(d, exist_ok=True)
-        for key, name in t["region"].select("r_regionkey",
-                                            "r_name").collect():
-            with open(os.path.join(d, f"{key}.txt"), "w") as f:
-                f.write(name)
-        open(os.path.join(d, "_DONE"), "w").close()
+    # fresh dir per call: a basename-keyed cache would serve stale files
+    # when a different corpus shares the basename, and the write is only
+    # 5 tiny files anyway
+    d = tempfile.mkdtemp(prefix="bsc_bin_")
+    for key, name in t["region"].select("r_regionkey",
+                                        "r_name").collect():
+        with open(os.path.join(d, f"{key}.txt"), "w") as f:
+            f.write(name)
     b = binary_files(spark, d, glob="*.txt")
     fname = F.element_at(F.split("path", "/"), -1)
     return b.select(

@@ -215,10 +215,17 @@ class Slice:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                # consecutive runs of equal keys (input is key-sorted)
-                grouped = pdf.groupby(list(keys), sort=False)
+                # consecutive runs of equal keys (input is key-sorted);
+                # dropna=False — Spark groupBy keeps a null-key group
+                grouped = pdf.groupby(list(keys), sort=False,
+                                      dropna=False)
                 for key, chunk in grouped:
                     key = key if isinstance(key, tuple) else (key,)
+                    # normalize pandas' NaN null-key marker to None so a
+                    # null-key group compares equal ACROSS chunks
+                    # (NaN != NaN would re-emit it once per batch)
+                    key = tuple(None if (isinstance(x, float) and x != x)
+                                else x for x in key)
                     if key != cur_key:
                         if cur_key is not None:
                             rows.append(emit(cur_key, acc))
@@ -481,15 +488,23 @@ class Slice:
         pushes the shard predicate toward the scan, so the recompute
         reads less too. Shards with zero rows leave no directory and are
         recomputed per call (cheap by construction); cache invalidation
-        is the caller's job, like ``cache``."""
-        import os
+        is the caller's job, like ``cache``.
+
+        Shard discovery goes through the Hadoop FileSystem API, so any
+        supported scheme (file://, hdfs://, s3a://) works — a
+        driver-local listdir would silently see a remote prefix as
+        empty and re-append the full dataset on every call."""
         spark = self.df.sparkSession
         tmp = "__shard__"
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(prefix)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         have = set()
-        if os.path.isdir(prefix):
-            for d in os.listdir(prefix):
-                if d.startswith(f"{tmp}="):
-                    have.add(int(d.split("=", 1)[1]))
+        if fs.exists(jpath):
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if name.startswith(f"{tmp}="):
+                    have.add(int(name.split("=", 1)[1]))
         missing = [s for s in range(nshard) if s not in have]
         if missing:
             ann = self.df.withColumn(

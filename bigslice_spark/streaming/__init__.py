@@ -113,7 +113,9 @@ def stream_to_parquet(df: DataFrame, path: str, checkpoint: str,
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(path)
+    # schema passed explicitly: a stream that committed ZERO rows leaves
+    # only _spark_metadata behind, and schema inference would throw
+    return spark.read.schema(df.schema).parquet(path)
 
 
 def stateful_user_counts(events: DataFrame,

@@ -305,6 +305,67 @@ def test_asof_strict_vs_inclusive(spark):
     assert got["l1"] is None and got["l2"] == 8.0
 
 
+def test_fold_stream_null_keys_kept(session, spark):
+    """Spark groupBy keeps a null-key group; fold_stream must too, and
+    must emit it ONCE even when its rows span Arrow batches."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        keys = ["a"] * 3 + [None] * 20
+        sl = session.const(2, keys, list(range(23)), names=["k", "v"],
+                           schema="k string, v long")
+        out = sl.fold_stream(
+            lambda: [0],
+            lambda acc, chunk: [acc[0] + len(chunk)],
+            lambda key, acc: {"k": key[0], "n": acc[0]},
+            "k string, n long")
+        got = {r["k"]: r["n"] for r in out.df.collect()}
+        assert got == {"a": 3, None: 20}
+        assert out.df.count() == 2
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_repartition_by_bytes_keeps_null_payloads(spark):
+    from bigslice_spark.operators.multimodal import (pack_media,
+                                                     repartition_by_bytes)
+    df = spark.createDataFrame(
+        [(1, b"xx"), (2, None), (3, b"yyy")], "doc_id long, b binary")
+    out = repartition_by_bytes(pack_media(df, "b", "doc_id"),
+                               target_partition_mb=1)
+    assert out.count() == 3
+
+
+def test_asof_null_timestamps(spark):
+    """NULL-ts left rows match nothing (both directions); NULL-ts right
+    rows match no left row."""
+    from bigslice_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, None, "lnull"), (1, 120, "l1")],
+        "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 5.0), (1, 100, 7.0)], "k long, rts long, val double")
+    for direction, want in [("backward", {"lnull": None, "l1": 7.0}),
+                            ("forward", {"lnull": None, "l1": None})]:
+        out = asof_join(left, right, on="k", left_ts="ts",
+                        right_ts="rts", value_cols=["val"],
+                        direction=direction)
+        got = {r["tag"]: r["val"] for r in out.collect()}
+        assert got == want, f"{direction}: {got}"
+
+
+def test_stream_to_parquet_empty_result(spark, sf_dir):
+    import tempfile
+    from bigslice_spark.streaming import stream_events, stream_to_parquet
+    d = tempfile.mkdtemp(prefix="bsc_ssink_empty_")
+    ev = stream_events(spark, sf_dir)
+    out = stream_to_parquet(
+        ev.filter(F.col("event_type") == "no_such_type")
+        .select("event_id"), f"{d}/data", f"{d}/ckpt")
+    assert out.count() == 0
+    assert out.columns == ["event_id"]
+
+
 def test_asof_forward_direction(spark):
     from bigslice_spark.operators.asof import asof_join
     left = spark.createDataFrame(
