@@ -1830,6 +1830,27 @@ def stream_sink_parquet(spark, sf_dir):
     return stream_to_parquet(out, f"{d}/data", f"{d}/ckpt")
 
 
+@query("op_compact", """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+""")
+def op_compact(spark, sf_dir):
+    """Small-files compaction (Session.compact_parquet): orders written
+    as 64 tiny files, compacted to byte-sized output files; content
+    must round-trip exactly."""
+    import tempfile
+    sess, t = _s(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="bsc_compact_")
+    src, dst = f"{d}/src", f"{d}/dst"
+    (t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+     .repartition(64).write.parquet(src))
+    out = sess.compact_parquet(src, dst, target_file_mb=64)
+    import glob
+    n_src = len(glob.glob(f"{src}/part-*"))
+    n_dst = len(glob.glob(f"{dst}/part-*"))
+    assert n_dst < n_src, f"no compaction: {n_src} -> {n_dst}"
+    return out
+
+
 @query("scan_reader_lines", """
     SELECT CAST(count(*) AS BIGINT) AS n_lines,
            CAST(sum(length(text)) AS BIGINT) AS n_chars

@@ -156,6 +156,23 @@ class Session:
         per value."""
         df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
+    def compact_parquet(self, src: str, dst: str,
+                        target_file_mb: int = 256) -> "DataFrame":
+        """Small-files compaction — the streaming-sink/incremental-ingest
+        hangover at scale: a parquet dir with thousands of KB-sized
+        files costs a scheduler task + a footer read each. Re-writes
+        ``src`` into ``dst`` with file count sized from the ACTUAL input
+        bytes (Hadoop ContentSummary, no data scan), ~target_file_mb
+        per output file."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(src)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        total = fs.getContentSummary(jpath).getLength()
+        nfiles = max(1, int(total // (target_file_mb * 1024 * 1024)) + 1)
+        df = self.spark.read.parquet(src)
+        df.repartition(nfiles).write.mode("overwrite").parquet(dst)
+        return self.spark.read.parquet(dst)
+
     def reader_func(self, nshard: int, fn, schema: Any) -> "Slice":
         """bigslice.ReaderFunc (reference slice.go:292-402): a custom
         vectorized per-shard source. Implemented as mapInPandas over a seed
