@@ -1,0 +1,83 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+- hash_split:    stable train/val/test assignment from a hash of the
+                 document id — the same row lands in the same split on
+                 every run, every engine, any partitioning (unlike
+                 ``df.randomSplit``, which depends on partition layout).
+- budget_sample: keep documents per group (e.g. language) until a
+                 token budget is exhausted, in a deterministic priority
+                 order — the "sample 50B tokens per language" step of a
+                 corpus build. One shuffle (the group window).
+
+Both are pure expression-level (no UDFs) and SQL-replayable, so the
+registry oracles check them exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_SPLIT_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: str, portable: bool) -> "F.Column":
+    """id → bucket in [0, 10000). Default xxhash64 (fast JVM path);
+    portable=True derives it from md5 hex (bit-identical in any engine,
+    same trick as dedup._tok_hash31)."""
+    s = F.col(id_col).cast("string")
+    if portable:
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(s)
+    return F.pmod(h, F.lit(_SPLIT_BUCKETS))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               fractions: Sequence[tuple[str, float]] = (
+                   ("train", 0.98), ("val", 0.01), ("test", 0.01)),
+               portable: bool = False) -> DataFrame:
+    """Append a ``split`` column assigning each row to a named split by
+    hash-bucketing its id — deterministic, engine-independent, and
+    stable under repartitioning/appends (a new row never moves existing
+    rows between splits). Fractions must sum to ≤ 1; any remainder
+    bucket range is assigned to the LAST split."""
+    total = sum(f for _, f in fractions)
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    bucket = _hash_bucket(id_col, portable)
+    expr = None
+    hi = 0
+    for name, frac in fractions[:-1]:
+        hi += int(round(frac * _SPLIT_BUCKETS))
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else \
+            expr.when(cond, name)
+    last = fractions[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def budget_sample(df: DataFrame, weight: Column | str,
+                  budget: int, key_col: str = "lang",
+                  order_col: str = "doc_id") -> DataFrame:
+    """Per-group budget sampling: walk each group in ``order_col`` order
+    and keep rows while the running sum of ``weight`` stays within
+    ``budget`` (first row always kept even if oversized — a budget
+    should never produce an empty group).
+
+    Scale shape: ONE shuffle (window partitioned by ``key_col``);
+    deterministic given the ordering column, so the SQL oracle replays
+    it exactly. Skewed groups are a single partition each — for a
+    handful of huge groups, pre-salt upstream or raise
+    spark.sql.windowExec buffer thresholds."""
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    w = (W.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = F.sum(wcol).over(w)
+    return (df.withColumn("__cum__", cum)
+            .filter((F.col("__cum__") <= budget)
+                    | (F.col("__cum__") - wcol == 0))
+            .drop("__cum__"))

@@ -1782,6 +1782,57 @@ def stream_stateful(spark, sf_dir):
                              "bs_stream_stateful", output_mode="update")
 
 
+@query("op_hash_split", """
+    SELECT doc_id,
+           CASE WHEN b < 9800 THEN 'train'
+                WHEN b < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT % 10000 AS b
+          FROM documents)
+""")
+def op_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    hash-bucketed by id, stable across runs/engines/partitionings —
+    unlike randomSplit. Portable md5 mode replayed exactly by the
+    oracle."""
+    from .operators.sampling import hash_split
+    _, t = _s(spark, sf_dir)
+    return hash_split(t["documents"], portable=True) \
+        .select("doc_id", "split")
+
+
+@query("op_budget_sample", r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                 AS tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, tokens,
+             sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, lang, tokens FROM c
+    WHERE cum <= 2000 OR cum - tokens = 0
+""")
+def op_budget_sample(spark, sf_dir):
+    """Per-language token-budget sampling (operators/sampling.py): keep
+    docs in doc_id order until 2000 BPE-ish tokens per language — the
+    'sample N tokens per language' corpus-build step, one window
+    shuffle, fully SQL-replayed."""
+    from .operators.sampling import budget_sample
+    from .operators.text import bpe_token_count
+    _, t = _s(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", "lang", bpe_token_count("text").cast("long")
+        .alias("tokens"))
+    return budget_sample(d, "tokens", budget=2000, key_col="lang",
+                         order_col="doc_id")
+
+
 @query("source_binary", """
     SELECT r_regionkey, r_name,
            CAST(length(r_name) AS BIGINT) AS n_bytes

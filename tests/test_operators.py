@@ -275,6 +275,45 @@ def test_simhash_identical_docs_zero_hamming(session, spark):
     assert pairs[(1, 2)] == 0
 
 
+def test_hash_split_stable_under_repartition(spark, tables):
+    """The whole point vs randomSplit: assignment is a pure function of
+    the id — identical after any repartitioning, and proportions track
+    the requested fractions."""
+    from bigslice_spark.operators.sampling import hash_split
+    docs = tables["documents"]
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(docs).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs.repartition(17))
+         .select("doc_id", "split").collect()}
+    assert a == b
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert train / n > 0.9  # 98% requested; tiny corpus → loose bound
+
+
+def test_hash_split_bad_fractions(spark, tables):
+    from bigslice_spark.operators.sampling import hash_split
+    with pytest.raises(ValueError, match="fractions"):
+        hash_split(tables["documents"], fractions=(("a", 0.9), ("b", 0.9)))
+
+
+def test_budget_sample_first_row_always_kept(spark):
+    """A group whose first document exceeds the budget still yields that
+    document (a budget never empties a group); later rows stop at the
+    budget."""
+    from bigslice_spark.operators.sampling import budget_sample
+    df = spark.createDataFrame(
+        [(1, "en", 500), (2, "en", 10), (3, "de", 40), (4, "de", 50),
+         (5, "de", 20)],
+        "doc_id long, lang string, tokens long")
+    got = {r["doc_id"] for r in
+           budget_sample(df, "tokens", budget=100).collect()}
+    # en: doc 1 oversized but first → kept; doc 2 would exceed → out
+    # de: 40+50=90 ≤ 100 kept; +20=110 > 100 → doc 5 out
+    assert got == {1, 3, 4}
+
+
 def test_pagerank_hand_computed(spark):
     """a→b only, N=2, d=0.85: a never receives mass → 0.075; b settles
     at 0.075 + 0.85·0.075 = 0.13875 (dangling mass dropped, documented).
