@@ -115,3 +115,50 @@ def test_repartition_func_preserves_rows(session, pairs, nshard):
     out = sl.repartition_func(nshard, F.crc32(F.col("key")) % nshard)
     base = Counter((r["key"], r["val"]) for r in sl.df.collect())
     assert Counter((r["key"], r["val"]) for r in out.df.collect()) == base
+
+
+@PROP
+@given(ids=st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                    min_size=1, max_size=120, unique=True),
+       nshard=NSHARD)
+def test_hash_split_partition_and_determinism(session, spark, ids,
+                                              nshard):
+    """Every row gets exactly one split; assignment is a pure function
+    of the id (repartition-invariant) in both hash modes."""
+    from bigslice_spark.operators.sampling import hash_split
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long") \
+        .repartition(nshard)
+    for portable in (False, True):
+        out = hash_split(df, portable=portable).collect()
+        assert len(out) == len(ids)
+        assign = {r["doc_id"]: r["split"] for r in out}
+        assert set(assign.values()) <= {"train", "val", "test"}
+        again = {r["doc_id"]: r["split"]
+                 for r in hash_split(df.repartition(1),
+                                     portable=portable).collect()}
+        assert assign == again
+
+
+@PROP
+@given(rows=st.lists(st.tuples(KEYS,
+                               st.integers(min_value=0, max_value=50)),
+                     min_size=1, max_size=80),
+       budget=st.integers(min_value=1, max_value=200))
+def test_budget_sample_matches_python(session, spark, rows, budget):
+    """budget_sample equals the sequential python walk: per key (in id
+    order), keep while cumulative weight fits; first weighted row of a
+    group is always kept."""
+    from bigslice_spark.operators.sampling import budget_sample
+    data = [(i, k, w) for i, (k, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, k string, w long")
+    got = {r["doc_id"] for r in
+           budget_sample(df, "w", budget=budget, key_col="k",
+                         order_col="doc_id").collect()}
+    want = set()
+    cum = defaultdict(int)
+    for i, k, w in data:
+        prior = cum[k]
+        cum[k] += w
+        if cum[k] <= budget or prior == 0:
+            want.add(i)
+    assert got == want
