@@ -144,6 +144,34 @@ def test_lsh_pair_generation_is_equi_join(spark, sf_dir, tables):
         assert n <= 4, f"{name}: {n} exchanges past the sig checkpoint"
 
 
+def test_sampling_ops_plan_shapes(spark, sf_dir, tables):
+    """hash_split is a pure projection (ZERO exchanges); budget_sample
+    is exactly the one window shuffle."""
+    from bigslice_spark.operators.sampling import budget_sample, hash_split
+    docs = tables["documents"]
+    split = hash_split(docs).select("doc_id", "split")
+    assert count_exchanges(split) == 0, explain_str(split)[:800]
+    bs = budget_sample(
+        docs.select("doc_id", "lang",
+                    F.length("text").cast("long").alias("w")),
+        "w", budget=1000, key_col="lang")
+    assert count_exchanges(bs) == 1, explain_str(bs)[:800]
+
+
+def test_fold_stream_single_shuffle(spark, sf_dir, tables):
+    """fold_stream: one repartition exchange + in-partition sort; the
+    Arrow stage must not add a second shuffle."""
+    from bigslice_spark import Session
+    sess = Session(spark)
+    sl = sess.wrap(tables["lineitem"].select("l_returnflag",
+                                             "l_quantity"))
+    out = sl.fold_stream(
+        lambda: [0], lambda acc, c: [acc[0] + len(c)],
+        lambda k, acc: {"l_returnflag": k[0], "n": acc[0]},
+        "l_returnflag string, n long")
+    assert count_exchanges(out.df) == 1, explain_str(out.df)[:800]
+
+
 def test_range_join_avoids_nested_loop(spark, sf_dir):
     """The binned interval join must plan as a hash equi-join on the bin
     id — never BroadcastNestedLoop/Cartesian (the naive range-join plan
