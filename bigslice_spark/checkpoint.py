@@ -27,25 +27,35 @@ disk-backed, so the reliable path is the faithful one on clusters.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+
+def _single_jvm(master: str) -> bool:
+    # Strict: "local" / "local[...]" only. "local-cluster[...]" runs
+    # separate executor JVMs whose localCheckpoint blocks CAN be lost
+    # with an executor — exactly what the reliable path exists to avoid.
+    return master == "local" or re.match(r"local\[", master) is not None
 
 
 def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     """Eagerly compute ``df`` once and return a lineage-free handle.
 
-    reliable=None (default): localCheckpoint under a ``local[...]``
-    master, reliable checkpoint otherwise. See module docstring.
+    reliable=None (default): localCheckpoint under a single-JVM
+    ``local[...]`` master, reliable checkpoint otherwise (including
+    ``local-cluster[...]``). See module docstring.
     """
     spark = df.sparkSession
     if reliable is None:
         master = spark.conf.get("spark.master", "local")
-        reliable = not master.startswith("local")
+        reliable = not _single_jvm(master)
     if not reliable:
         return df.localCheckpoint()
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         master = spark.conf.get("spark.master", "local")
-        if master.startswith("local"):
+        if _single_jvm(master):
             import tempfile
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="bss_ckpt_"))
         else:

@@ -44,14 +44,23 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     stable under repartitioning/appends (a new row never moves existing
     rows between splits). Fractions must sum to ≤ 1; any remainder
     bucket range is assigned to the LAST split."""
+    if any(f <= 0 for _, f in fractions):
+        raise ValueError(f"every fraction must be > 0, got {fractions}")
     total = sum(f for _, f in fractions)
     if not 0 < total <= 1.0 + 1e-9:
         raise ValueError(f"fractions must sum to (0, 1], got {total}")
     bucket = _hash_bucket(id_col, portable)
     expr = None
-    hi = 0
-    for name, frac in fractions[:-1]:
-        hi += int(round(frac * _SPLIT_BUCKETS))
+    cum = 0.0
+    for i, (name, frac) in enumerate(fractions[:-1]):
+        cum += frac
+        # Round the CUMULATIVE sum (not per-split increments, which can
+        # drift) and cap so every later split keeps >= 1 bucket — e.g.
+        # (0.99995, 0.00005) must not round the boundary to 10000 and
+        # silently empty the last split.
+        remaining = len(fractions) - 1 - i
+        hi = min(int(round(cum * _SPLIT_BUCKETS)),
+                 _SPLIT_BUCKETS - remaining)
         cond = bucket < hi
         expr = F.when(cond, name) if expr is None else \
             expr.when(cond, name)
@@ -74,10 +83,17 @@ def budget_sample(df: DataFrame, weight: Column | str,
     handful of huge groups, pre-salt upstream or raise
     spark.sql.windowExec buffer thresholds."""
     wcol = F.col(weight) if isinstance(weight, str) else weight
+    # Reject negative weights in-plan (a negative weight would let
+    # non-prefix rows back under budget); the raise_error branch is
+    # never taken on valid data so the cumulative sum is unchanged.
+    wchk = F.when(wcol < 0, F.raise_error(
+        F.concat(F.lit("budget_sample: negative weight "),
+                 wcol.cast("string")))).otherwise(wcol)
     w = (W.partitionBy(key_col).orderBy(order_col)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    cum = F.sum(wcol).over(w)
-    return (df.withColumn("__cum__", cum)
+    rn = F.row_number().over(W.partitionBy(key_col).orderBy(order_col))
+    cum = F.sum(wchk).over(w)
+    return (df.withColumn("__cum__", cum).withColumn("__rn__", rn)
             .filter((F.col("__cum__") <= budget)
-                    | (F.col("__cum__") - wcol == 0))
-            .drop("__cum__"))
+                    | (F.col("__rn__") == 1))
+            .drop("__cum__", "__rn__"))

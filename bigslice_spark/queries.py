@@ -1813,10 +1813,11 @@ def op_hash_split(spark, sf_dir):
     c AS (
       SELECT doc_id, lang, tokens,
              sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                 ROWS UNBOUNDED PRECEDING) AS cum
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
       FROM t)
     SELECT doc_id, lang, tokens FROM c
-    WHERE cum <= 2000 OR cum - tokens = 0
+    WHERE cum <= 2000 OR rn = 1
 """)
 def op_budget_sample(spark, sf_dir):
     """Per-language token-budget sampling (operators/sampling.py): keep

@@ -164,6 +164,15 @@ class Session:
         ``src`` into ``dst`` with file count sized from the ACTUAL input
         bytes (Hadoop ContentSummary, no data scan), ~target_file_mb
         per output file."""
+        import os
+        s, d = os.path.abspath(src), os.path.abspath(dst)
+        if d == s or (d + os.sep).startswith(s + os.sep) \
+                or (s + os.sep).startswith(d + os.sep):
+            # the overwrite write would destroy the input it is lazily
+            # reading from
+            raise ValueError(
+                f"compact_parquet: dst {dst!r} overlaps src {src!r}; "
+                "write to a fresh directory, then swap")
         jvm = self.spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(src)
         fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())

@@ -504,11 +504,23 @@ class Slice:
             for st in fs.listStatus(jpath):
                 name = st.getPath().getName()
                 if name.startswith(f"{tmp}="):
-                    have.add(int(name.split("=", 1)[1]))
+                    val = name.split("=", 1)[1]
+                    # tolerate non-integer dirs (e.g. a
+                    # __HIVE_DEFAULT_PARTITION__ left by a writer whose
+                    # shard expression produced NULLs) instead of
+                    # bricking the prefix
+                    try:
+                        have.add(int(val))
+                    except ValueError:
+                        continue
         missing = [s for s in range(nshard) if s not in have]
         if missing:
+            # NULL shard values deterministically land in shard 0 —
+            # otherwise they write a __HIVE_DEFAULT_PARTITION__ dir that
+            # is never matched by the missing-shard recompute
             ann = self.df.withColumn(
-                tmp, F.pmod(shard_col, F.lit(nshard)).cast("int"))
+                tmp, F.coalesce(F.pmod(shard_col, F.lit(nshard)),
+                                F.lit(0)).cast("int"))
             if have:
                 ann = ann.filter(F.col(tmp).isin(missing))
             ann.write.mode("append").partitionBy(tmp).parquet(prefix)

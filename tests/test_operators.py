@@ -166,6 +166,76 @@ def test_cache_partial_per_shard(session, spark):
         assert dir_sig(d) == sig
 
 
+def test_cache_partial_null_shard_values(session, spark):
+    """NULL shard values must not brick the prefix: they land in shard 0
+    (coalesce before pmod) and a rerun still short-circuits."""
+    prefix = tempfile.mkdtemp(prefix="bsc_pcache_null_")
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,), (3,)], "n long")
+    sl = session.wrap(df)
+    c1 = sl.cache_partial(prefix, F.col("n"), 2)
+    assert sorted(r[0] for r in c1.collect() if r[0] is not None) == [1, 2, 3]
+    assert sum(1 for r in c1.collect() if r[0] is None) == 1
+    names = {d for d in os.listdir(prefix) if d.startswith("__shard__=")}
+    assert "__shard__=__HIVE_DEFAULT_PARTITION__" not in names
+    # a rogue non-integer dir (pre-fix layouts) is tolerated, not fatal
+    os.makedirs(os.path.join(prefix, "__shard__=__HIVE_DEFAULT_PARTITION__"),
+                exist_ok=True)
+    c2 = sl.cache_partial(prefix, F.col("n"), 2)
+    assert c2.count() == 4
+
+
+def test_compact_parquet_rejects_overlapping_dst(session, spark):
+    src = tempfile.mkdtemp(prefix="bsc_compact_src_")
+    spark.range(10).write.mode("overwrite").parquet(src)
+    with pytest.raises(ValueError, match="overlaps"):
+        session.compact_parquet(src, src)
+    with pytest.raises(ValueError, match="overlaps"):
+        session.compact_parquet(src, os.path.join(src, "out"))
+
+
+def test_materialize_master_matching():
+    """local-cluster[...] runs separate executor JVMs — it must route to
+    the reliable checkpoint path, not localCheckpoint."""
+    from bigslice_spark.checkpoint import _single_jvm
+    assert _single_jvm("local")
+    assert _single_jvm("local[32]")
+    assert _single_jvm("local[*]")
+    assert not _single_jvm("local-cluster[2,1,1024]")
+    assert not _single_jvm("spark://host:7077")
+    assert not _single_jvm("yarn")
+
+
+def test_hash_split_boundary_and_validation(spark):
+    """Cumulative rounding must not empty the last split at a rounded
+    boundary; non-positive fractions are rejected."""
+    from bigslice_spark.operators.sampling import hash_split
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, fractions=(("a", 0.99995), ("b", 0.00005)))
+    got = {r["split"] for r in out.select("split").distinct().collect()}
+    assert got == {"a", "b"}
+    with pytest.raises(ValueError, match="> 0"):
+        hash_split(df, fractions=(("a", 1.00005), ("b", -0.00005)))
+
+
+def test_budget_sample_validates_and_first_row_is_positional(spark):
+    """Negative weights raise in-plan; the oversized-row exception applies
+    to the group's FIRST row only (not any row whose prior cumsum is 0)."""
+    from bigslice_spark.operators.sampling import budget_sample
+    df = spark.createDataFrame(
+        [(1, "en", 0), (2, "en", 500), (3, "en", 10)],
+        "doc_id long, lang string, tokens long")
+    got = {r["doc_id"] for r in
+           budget_sample(df, "tokens", budget=100).collect()}
+    # doc 1: first row (weight 0) kept; doc 2: prior cumsum 0 but NOT the
+    # first row and oversized → dropped; doc 3 blocked by doc 2's 500
+    assert got == {1}
+    bad = spark.createDataFrame([(1, "en", -5)],
+                                "doc_id long, lang string, tokens long")
+    with pytest.raises(Exception, match="negative weight"):
+        budget_sample(bad, "tokens", budget=100).collect()
+
+
 def test_repartition_func_python_callable(session):
     sl = session.const(4, list(range(100)), names=["n"], schema="n long")
     out = sl.repartition_func(8, lambda n: (n * 7 + 3) % 8, cols=["n"])

@@ -156,9 +156,11 @@ def test_budget_sample_matches_python(session, spark, rows, budget):
                          order_col="doc_id").collect()}
     want = set()
     cum = defaultdict(int)
+    seen = set()
     for i, k, w in data:
-        prior = cum[k]
+        first = k not in seen
+        seen.add(k)
         cum[k] += w
-        if cum[k] <= budget or prior == 0:
+        if cum[k] <= budget or first:
             want.add(i)
     assert got == want
