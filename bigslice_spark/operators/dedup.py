@@ -325,7 +325,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.6,
                         max_df_ratio: float = 0.5,
                         shingle_w: int = 3,
-                        reliable: bool | None = None) -> DataFrame:
+                        reliable: bool | None = None,
+                        ndocs: int | None = None) -> DataFrame:
     """Exact n-gram (word w-shingle) Jaccard via inverted-index self-join —
     the SQL-expressible (oracle-checkable) dedup path (Broder
     w-shingling; shingle_w=1 degenerates to plain tokens).
@@ -345,17 +346,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     would otherwise recompute the shingling 2× more (measured
     7.4s → 2.9s at sf0.1). Materialization policy (localCheckpoint on
     local masters, reliable checkpoint on clusters) comes from
-    checkpoint.materialize; override with ``reliable=``."""
+    checkpoint.materialize; override with ``reliable=``.
+
+    The df-pruning threshold needs the corpus size: pass ``ndocs=`` if
+    known, else it is computed IN-PLAN as a broadcast 1-row aggregate
+    (the q11/q22 threshold-subquery pattern) — never as a driver-side
+    ``df.count()``, which would cost a full extra pass over the corpus
+    before the real job at 100 TB."""
     toks = _shingle_rows(df, text_col, id_col, shingle_w, distinct=True)
-    ndocs = df.count()
     sz = F.count(F.lit(1)).over(W.partitionBy(id_col))
     dfreq = F.count(F.lit(1)).over(W.partitionBy("tok"))
-    cold = materialize(
-        toks.withColumn("sz", sz)
-        .withColumn("df", dfreq)
-        .filter(F.col("df") <= int(max_df_ratio * ndocs))
-        .select(id_col, "tok", "sz"),
-        reliable)
+    ann = toks.withColumn("sz", sz).withColumn("df", dfreq)
+    if ndocs is not None:
+        pruned = ann.filter(F.col("df") <= int(max_df_ratio * ndocs))
+    else:
+        nd = df.select(F.count(F.lit(1)).alias("__ndocs__"))
+        pruned = (ann.join(F.broadcast(nd))
+                  .filter(F.col("df") <= F.floor(
+                      F.lit(float(max_df_ratio)) * F.col("__ndocs__"))))
+    cold = materialize(pruned.select(id_col, "tok", "sz"), reliable)
     a = cold.toDF("id_a", "tok", "sz_a")
     b = cold.toDF("id_b", "tok", "sz_b")
     return (a.join(b, on="tok")

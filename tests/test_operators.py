@@ -282,6 +282,31 @@ def test_fingerprint_matches_pure_python(spark, tables):
         assert got[r["doc_id"]] == h
 
 
+def test_ngram_jaccard_no_driver_count_job(spark, tables):
+    """ndocs for df-pruning is an in-plan broadcast subquery, not a
+    driver-side df.count() (a blocking extra corpus pass at 100 TB) —
+    build the plan with DataFrame.count poisoned to prove it. An explicit
+    ndocs= must give the same pairs as the in-plan count."""
+    from bigslice_spark.operators.dedup import ngram_jaccard_pairs
+    docs = tables["documents"]
+    from pyspark.sql import DataFrame as _DF
+
+    def _boom(self):
+        raise AssertionError("driver-side .count() in ngram_jaccard_pairs")
+
+    orig = _DF.count
+    _DF.count = _boom
+    try:
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    finally:
+        _DF.count = orig
+    n = docs.count()
+    explicit = ngram_jaccard_pairs(docs, threshold=0.5, ndocs=n)
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    want = sorted((r["id_a"], r["id_b"]) for r in explicit.collect())
+    assert got == want and len(got) > 0
+
+
 def test_minhash_tracks_exact_jaccard(spark, tables):
     """MinHash signature similarity must approximate exact token-set
     Jaccard: pairs found by LSH at high threshold should have high exact
