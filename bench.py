@@ -42,6 +42,8 @@ HEADLINE = [
     "similarity_lsh",
     "asof_join",
     "op_fold_stream",
+    # added round 3 (ratchet starts at r3)
+    "fingerprint",
 ]
 
 

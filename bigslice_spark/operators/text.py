@@ -117,20 +117,115 @@ FP_MOD = (1 << 61) - 1
 FP_BASE = 257
 
 
+_FP_MASK61 = (1 << 61) - 1   # == FP_MOD; fold constant for 2^61-1
+_FP_MASK53 = (1 << 53) - 1
+
+
+_FP_CHUNK = 64  # bytes per chunk in the two-level vectorized Horner
+
+
+def _fp_batch(texts: "pd.Series") -> "np.ndarray":
+    """Vectorized rolling hash h = (h*257 + b) mod (2^61-1) over utf-8
+    bytes, batch-at-a-time, with work O(total bytes) and Python-level
+    loop steps O(chunk + maxlen/chunk) — robust to both many-short-docs
+    and one-huge-doc batches.
+
+    Two exact rewrites make it vectorizable:
+    - Horner starts at h=0, so leading zero bytes are identity steps:
+      LEFT-padding any prefix with \\x00 never changes the hash.
+    - Blocking: group bytes into 64-byte chunks; the hash is a Horner
+      walk over chunk VALUES with base 257^64, and each chunk value is
+      a 64-step Horner over its bytes — the latter runs vectorized over
+      ALL chunks of ALL documents at once.
+
+    All modular arithmetic stays inside uint64 via the Mersenne
+    structure of 2^61-1 (2^61 ≡ 1): shifts split products into < 2^63
+    partial sums, one fold (y>>61)+(y&mask) plus a conditional subtract
+    restores y < 2^61-1. The doc-level step needs a general
+    61-bit × 61-bit modmul, done by 32-bit limb splitting
+    (2^64 ≡ 8, t·2^32 ≡ (t>>29) + (t & 2^29-1)<<32)."""
+    import numpy as np
+
+    C = _FP_CHUNK
+    bufs = [(t or "").encode("utf-8") for t in texts]
+    n = len(bufs)
+    if n == 0:
+        return np.empty(0, dtype="int64")
+    counts = np.fromiter(((len(b) + C - 1) // C for b in bufs),
+                         dtype=np.int64, count=n)
+    if counts.max() == 0:
+        return np.zeros(n, dtype="int64")
+
+    mod = np.uint64(FP_MOD)
+    m53, m61 = np.uint64(_FP_MASK61 >> 8), np.uint64(_FP_MASK61)
+    m29 = np.uint64((1 << 29) - 1)
+    m32 = np.uint64(0xFFFFFFFF)
+    s8, s29, s32 = np.uint64(8), np.uint64(29), np.uint64(32)
+    s53, s61 = np.uint64(53), np.uint64(61)
+
+    # -- level 0: value of every 64-byte chunk, specialized ·257 path --
+    flat = b"".join(b"\x00" * (int(k) * C - len(b)) + b
+                    for k, b in zip(counts, bufs))
+    W = np.frombuffer(flat, dtype=np.uint8).reshape(-1, C)
+    cv = np.zeros(W.shape[0], dtype=np.uint64)
+    for j in range(C):
+        y = (cv >> s53) + ((cv & m53) << s8) + cv  # cv*257 split, < 2^63
+        y = (y >> s61) + (y & m61)                 # fold 2^61 ≡ 1
+        y += W[:, j].astype(np.uint64)
+        y -= (y >= mod) * mod
+        cv = y
+
+    # -- levels 1+: 64-ary tree reduction over value sequences --------
+    # Each doc's hash is a Horner walk over its chunk values with base
+    # 257^C; left-padding a value sequence with zeros is again identity
+    # (h=0 prefix), so each round packs every doc's values into
+    # 64-slot groups and reduces columns — log64(maxlen/C) rounds of 64
+    # vectorized steps each, skew-immune (one huge doc adds rounds, not
+    # per-chunk Python steps).
+    base = pow(FP_BASE, C, FP_MOD)
+    while counts.max() > 1:
+        b_hi = np.uint64(base >> 32)
+        b_lo = np.uint64(base & 0xFFFFFFFF)
+        cnt2 = (counts + C - 1) // C
+        o_end = np.cumsum(cnt2) * C
+        ends = np.cumsum(counts)
+        intra = np.arange(int(ends[-1])) - np.repeat(ends - counts, counts)
+        idx = np.repeat(o_end - counts, counts) + intra
+        buf = np.zeros(int(o_end[-1]) if len(o_end) else 0,
+                       dtype=np.uint64)
+        buf[idx] = cv
+        V = buf.reshape(-1, C)
+        h = np.zeros(V.shape[0], dtype=np.uint64)
+        for j in range(C):
+            a_hi, a_lo = h >> s32, h & m32
+            r0 = (a_hi * b_hi) * np.uint64(8)       # ·2^64 ≡ ·8, < 2^61
+            t1 = a_hi * b_lo + a_lo * b_hi          # < 2^62
+            r1 = (t1 >> s29) + ((t1 & m29) << s32)  # t1·2^32 folded
+            t2 = a_lo * b_lo                        # < 2^64, fits
+            r2 = (t2 >> s61) + (t2 & m61)
+            y = r0 + r1 + r2                        # < 2^63
+            y = (y >> s61) + (y & m61)
+            y -= (y >= mod) * mod
+            y += V[:, j]
+            y -= (y >= mod) * mod
+            h = y
+        cv, counts = h, cnt2
+        base = pow(base, C, FP_MOD)
+
+    out = np.zeros(n, dtype=np.uint64)
+    out[counts > 0] = cv
+    return out.astype("int64")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Rolling polynomial hash (base 257 mod 2^61-1) over the utf-8 bytes —
     a deterministic whole-document fingerprint (winnowing building block).
-    Arrow-batched pandas path; pure-Python reference in tests."""
+    Arrow-batched pandas path, numpy-vectorized across the batch (see
+    _fp_batch); pure-Python reference in tests."""
 
     def fp_series(s: pd.Series) -> pd.Series:
-        out = []
-        for txt in s:
-            h = 0
-            for b in (txt or "").encode("utf-8"):
-                h = (h * FP_BASE + b) % FP_MOD
-            out.append(h)
-        return pd.Series(out, dtype="int64")
+        return pd.Series(_fp_batch(s), dtype="int64")
 
     fp_udf = F.pandas_udf(fp_series, "long")
     return df.select(id_col, fp_udf(F.col(text_col)).alias("fp"))
