@@ -61,6 +61,13 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # run the engine's recommended conf (bigslice_spark.session
+        # _DEFAULT_CONF): 64 MB dim-broadcast ceiling + AQE skew-join —
+        # the config a real deployment of this engine uses
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024))
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.codegen.methodSplitThreshold", "256")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
