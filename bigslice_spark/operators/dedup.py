@@ -73,6 +73,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_copies")))
 
 
+def _bucketed_self_join(rel: DataFrame, keys: list[str],
+                        id_col: str = "id",
+                        chunk_target: int = 2048) -> DataFrame:
+    """Self-join ``rel`` with itself on ``keys``; non-key columns come back
+    suffixed ``_a`` / ``_b``. Output is identical to
+    ``rel ⋈_keys rel`` — but buckets larger than ``chunk_target`` rows
+    are salted so their quadratic pair output spreads across tasks.
+
+    Why AQE isn't enough: Spark's skew-join splitter triggers on join
+    INPUT partition bytes, while a degenerate LSH bucket (B near-identical
+    documents) has tiny input — B rows of ~24 bytes — and quadratic
+    OUTPUT (B² candidate rows), all produced by the single task that owns
+    that key (measured: a 2k-doc hot bucket never trips AQE at any
+    threshold because its input is ~48 KB). So the split must be explicit
+    and output-aware:
+
+    - bucket sizes are counted IN-PLAN (map-side partial agg → ~one row
+      per bucket) and joined back (AQE broadcasts the hot-bucket table
+      when small);
+    - each member of a hot bucket gets a chunk ``c = hash(id) mod nc``
+      with ``nc = ceil(B / chunk_target)``; the left side replicates to
+      cells ``(c, j) ∀j``, the right to ``(i, c) ∀i``, and the join key
+      becomes ``keys + (ci, cj)`` — every ordered pair lands in EXACTLY
+      one cell ``(c_a, c_b)``, so no duplicates and no misses;
+    - per-cell work is bounded by ``chunk_target²`` pair rows regardless
+      of B; replication cost is 2·B·nc narrow rows, negligible next to
+      the B² join output that was already inherent to LSH.
+
+    Cold buckets take ``nc = 1`` — one cell, the original plan, two extra
+    int columns of overhead. (The reference has no analog: bigslice's
+    cogroup would funnel the whole bucket through one reducer,
+    reduce.go:1-40.)"""
+    payload = [c for c in rel.columns if c not in keys]
+    counts = rel.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn__"))
+    hot = counts.filter(F.col("__bn__") > chunk_target).select(
+        *keys,
+        F.ceil(F.col("__bn__") / F.lit(float(chunk_target)))
+        .cast("int").alias("__nc__"))
+    salted = (rel.join(F.broadcast(hot), on=list(keys), how="left")
+              .withColumn("__nc__", F.coalesce(F.col("__nc__"), F.lit(1)))
+              .withColumn("__c__",
+                          F.pmod(F.xxhash64(F.col(id_col)),
+                                 F.col("__nc__")).cast("int")))
+    chunks = F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1))
+    left = salted.select(
+        *keys, *[F.col(c).alias(c + "_a") for c in payload],
+        F.col("__c__").alias("__ci__"), chunks.alias("__cj__"))
+    right = salted.select(
+        *keys, *[F.col(c).alias(c + "_b") for c in payload],
+        chunks.alias("__ci__"), F.col("__c__").alias("__cj__"))
+    return (left.join(right, on=list(keys) + ["__ci__", "__cj__"])
+            .drop("__ci__", "__cj__"))
+
+
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str,
                   w: int = 3, distinct: bool = True) -> DataFrame:
     """(id, shingle) rows via posexplode + window lead — every expression
@@ -171,7 +225,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       bands: int = 16, threshold: float = 0.5,
                       shingle_w: int = 3,
                       reliable: bool | None = None,
-                      portable: bool = False) -> DataFrame:
+                      portable: bool = False,
+                      chunk_target: int = 2048) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, verified by signature
     similarity (fraction of matching minhashes ≈ Jaccard).
 
@@ -184,8 +239,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
       degenerate the bucket (a capped collect_list would silently miss
       duplicates exactly on the near-identical corpora dedup exists
       for). A B-member bucket costs B² join rows — inherent to LSH —
-      and AQE's skew-join splitting spreads a hot bucket across tasks,
-      which a single collect_list reducer cannot do.
+      and _bucketed_self_join salts hot buckets so that cost spreads
+      across (B/chunk)² tasks. (AQE's skew splitter can NOT do this:
+      it triggers on join input bytes, and a degenerate bucket has
+      ~24·B bytes of input but B² of output.)
     - The band shuffle carries (id, band, bh) only — 24 bytes/row — not
       the 64-long signature (which would be amplified ×bands). Sigs are
       fetched once per SURVIVING pair by an id equi-join.
@@ -219,8 +276,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         )).alias("bk")) \
         .select("id", F.col("bk.band").alias("band"),
                 F.col("bk.bh").alias("bh"))
-    cand = (banded.toDF("id_a", "band", "bh")
-            .join(banded.toDF("id_b", "band", "bh"), on=["band", "bh"])
+    cand = (_bucketed_self_join(banded, ["band", "bh"],
+                                chunk_target=chunk_target)
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct())
@@ -292,12 +349,14 @@ def simhash64(df: DataFrame, text_col: str = "text",
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   reliable: bool | None = None,
-                  portable: bool = False) -> DataFrame:
+                  portable: bool = False,
+                  chunk_target: int = 2048) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole on 4×16-bit bands (hamming ≤ 3
     ⇒ at least one band equal), then exact hamming verify via bit_count.
 
-    Pair generation is an equi self-join on (band, bh) — NO bucket cap
-    (see minhash_lsh_pairs). The 8-byte fingerprint rides the band rows
+    Pair generation is an equi self-join on (band, bh) — NO bucket cap,
+    hot buckets salted (see _bucketed_self_join). The 8-byte fingerprint
+    rides the band rows
     (×4 amplification of 8 bytes is noise), so the verify needs no
     join-back."""
     sh = materialize(simhash64(df, text_col, id_col, portable), reliable)
@@ -310,11 +369,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             for b in range(4)])).alias("bk")) \
         .select("id", "sh", F.col("bk.band").alias("band"),
                 F.col("bk.bh").alias("bh"))
-    return (banded.toDF("id_a", "sh_a", "band", "bh")
-            .join(banded.toDF("id_b", "sh_b", "band", "bh"),
-                  on=["band", "bh"])
+    return (_bucketed_self_join(banded, ["band", "bh"],
+                                chunk_target=chunk_target)
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
+            .select(F.col("id_a"), F.col("id_b"),
                     F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
                     .alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
@@ -326,7 +384,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         max_df_ratio: float = 0.5,
                         shingle_w: int = 3,
                         reliable: bool | None = None,
-                        ndocs: int | None = None) -> DataFrame:
+                        ndocs: int | None = None,
+                        chunk_target: int = 2048) -> DataFrame:
     """Exact n-gram (word w-shingle) Jaccard via inverted-index self-join —
     the SQL-expressible (oracle-checkable) dedup path (Broder
     w-shingling; shingle_w=1 degenerates to plain tokens).
@@ -365,9 +424,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .filter(F.col("df") <= F.floor(
                       F.lit(float(max_df_ratio)) * F.col("__ndocs__"))))
     cold = materialize(pruned.select(id_col, "tok", "sz"), reliable)
-    a = cold.toDF("id_a", "tok", "sz_a")
-    b = cold.toDF("id_b", "tok", "sz_b")
-    return (a.join(b, on="tok")
+    return (_bucketed_self_join(cold.toDF("id", "tok", "sz"), ["tok"],
+                                chunk_target=chunk_target)
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b", "sz_a", "sz_b")
             .agg(F.count(F.lit(1)).alias("inter"))
@@ -382,7 +440,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id",
                            bucket_col: str = "label",
-                           threshold: float = 0.95) -> DataFrame:
+                           threshold: float = 0.95,
+                           chunk_target: int = 2048) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold within coarse buckets
     (label / LSH band / IVF cell). The bucket join bounds the quadratic
     candidate space; cosine is a codegen'd zip_with/aggregate in double."""
@@ -393,11 +452,10 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                               lambda x: x.cast("double")).alias("v"))
     v = v.withColumn("n", F.sqrt(_dot_wide("v", "v", dim))) \
         .filter(F.col("n") > 0)
-    a = v.toDF("id_a", "bk", "va", "na")
-    b = v.toDF("id_b", "bk", "vb", "nb")
-    dot = _dot_wide("va", "vb", dim)
-    return (a.join(b, on="bk")
+    dot = _dot_wide("v_a", "v_b", dim)
+    return (_bucketed_self_join(v.toDF("id", "bk", "v", "n"), ["bk"],
+                                chunk_target=chunk_target)
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+            .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

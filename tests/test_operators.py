@@ -342,6 +342,56 @@ def test_lsh_no_bucket_cap(spark):
     assert sh.count() == want
 
 
+def test_bucketed_self_join_salting_exact(spark):
+    """_bucketed_self_join with salting engaged (chunk_target below the
+    hot-bucket size) must produce EXACTLY the rows of the naive self-join
+    — every ordered pair lands in one (c_a, c_b) cell, none duplicated,
+    none lost — on a mix of hot, warm, and singleton buckets."""
+    from bigslice_spark.operators.dedup import _bucketed_self_join
+    rows = ([(i, "hot") for i in range(137)]
+            + [(1000 + i, "warm") for i in range(23)]
+            + [(2000, "solo")])
+    rel = spark.createDataFrame(rows, "id long, bk string")
+    naive = (rel.toDF("id_a", "bk")
+             .join(rel.toDF("id_b", "bk"), on="bk")
+             .select("bk", "id_a", "id_b"))
+    salted = _bucketed_self_join(rel, ["bk"], chunk_target=10) \
+        .select("bk", "id_a", "id_b")
+    want = sorted(map(tuple, naive.collect()))
+    got = sorted(map(tuple, salted.collect()))
+    assert got == want
+    # and salting must actually be in the plan (cell columns join keys)
+    assert "__ci__" in salted._jdf.queryExecution().analyzed().toString()
+
+
+def test_lsh_degenerate_bucket_salted_pairs_exact(spark):
+    """Stress: a hot LSH bucket (identical docs) plus mutually-dissimilar
+    decoys. AQE's skew splitter cannot split this join (input bytes per
+    bucket are tiny; the blowup is in the OUTPUT), so the explicit
+    salting must carry it — and the pair set must be identical to the
+    unsalted plan."""
+    import hashlib
+    from bigslice_spark.operators.dedup import minhash_lsh_pairs
+    hot = [(i, "the quick brown fox jumps over the lazy dog")
+           for i in range(150)]
+    # decoys: md5-derived word soup — dissimilar to the hot doc AND to
+    # each other (shared-prefix decoys would be near-dups of themselves)
+    decoys = [(10_000 + i,
+               " ".join(hashlib.md5(f"{i}:{k}".encode()).hexdigest()
+                        for k in range(8)))
+              for i in range(40)]
+    df = spark.createDataFrame(hot + decoys, "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=16, threshold=0.5)
+    salted = minhash_lsh_pairs(df, chunk_target=32, **kw)
+    plain = minhash_lsh_pairs(df, chunk_target=1 << 30, **kw)
+    want = sorted((r["id_a"], r["id_b"], r["sim"])
+                  for r in plain.collect())
+    got = sorted((r["id_a"], r["id_b"], r["sim"])
+                 for r in salted.collect())
+    assert got == want
+    assert len(got) == 150 * 149 // 2  # all hot pairs, no decoy pairs
+
+
 def test_minhash_portable_matches_default_shape(spark):
     """Portable (md5) and default (xxhash64) modes use different hash
     families but identical pipeline shape; on exact-duplicate docs both
