@@ -1,0 +1,84 @@
+"""Run a fixed battery of registry queries under ONE Spark config and
+print normalized results as a single JSON line.
+
+Used by test_dual_config.py, which diffs the output across configs
+(local[1] vs local[32], Arrow on vs off) — the Spark analog of the
+reference running every operator under both the Local and
+Bigmachine.Test executors and comparing (slice_test.go:64-103). A
+result that changes with the master or the serialization path means an
+operator leaked a partitioning or Arrow-batch assumption into its
+OUTPUT, which on a real cluster shows up as silent wrong answers.
+
+Usage: python tests/dual_config_runner.py <master> <arrow:on|off> <sf_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Every entry here must have config-independent OUTPUT. Deliberately
+# excluded: op_head (per-shard semantics — row set depends on the number
+# of input shards by design, like the reference's Head), op_reshard /
+# op_reshuffle (tested by partition-count elsewhere; row sets ARE stable
+# but they're trivial projections), streaming entries (own harness).
+BATTERY = [
+    "op_map", "op_map_pandas", "op_filter", "op_flatmap_pandas",
+    "op_fold", "op_fold_custom", "op_reduce", "op_cogroup_apply",
+    "op_repartition_custom", "op_budget_sample", "op_hash_split",
+    "word_count", "dedup_minhash", "ngram_jaccard", "text_stats",
+    "asof_join", "window_rank", "q1_pricing_summary",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return [_norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _norm(x) for k, x in sorted(v.items())}
+    if isinstance(v, bytearray):
+        return bytes(v).hex()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def main() -> None:
+    master, arrow, sf_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.appName(f"dualcfg-{master}-{arrow}")
+             .master(master)
+             .config("spark.sql.shuffle.partitions",
+                     "1" if master == "local[1]" else "8")
+             .config("spark.sql.execution.arrow.pyspark.enabled",
+                     "true" if arrow == "on" else "false")
+             .config("spark.sql.execution.arrow.pyspark.fallback.enabled",
+                     "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigslice_spark.queries import QUERIES
+
+    out = {}
+    for name in BATTERY:
+        df = QUERIES[name](spark, sf_dir)
+        rows = [[_norm(v) for _, v in sorted(r.asDict().items())]
+                for r in df.collect()]
+        out[name] = {"cols": sorted(df.columns), "rows": sorted(
+            rows, key=lambda r: json.dumps(r, default=str))}
+    print("DUALCFG:" + json.dumps(out, default=str, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
