@@ -6,8 +6,10 @@ Public API mirrors the reference's combinators (SURVEY.md §2.1) lowered onto
 DataFrames; see bigslice_spark.slice.Slice and bigslice_spark.session.Session.
 """
 
+from .pragma import Exclusive, Materialize, Pragma, Procs
 from .session import Session, get_spark, load_tables
 from .slice import Slice
 
-__all__ = ["Session", "Slice", "get_spark", "load_tables"]
+__all__ = ["Session", "Slice", "get_spark", "load_tables",
+           "Pragma", "Procs", "Exclusive", "Materialize"]
 __version__ = "0.1.0"

@@ -221,6 +221,38 @@ def op_fold_custom(spark, sf_dir):
                                   "max_qp double, n long"))).df
 
 
+@query("op_pragma", """
+    SELECT l_returnflag,
+           min(l_quantity * l_extendedprice) AS min_qp,
+           max(l_quantity * l_extendedprice) AS max_qp,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+""")
+def op_pragma(spark, sf_dir):
+    """Pragma directives (reference slice.go:107-200): the op_fold_custom
+    accumulator annotated Procs(4) | Materialize — the heavy
+    applyInPandas stage runs at total_cores//4 concurrency (each task
+    owning ~4 cores' headroom) over a materialized input. Results must
+    be identical to the un-pragma'd fold; the concurrency-cap mechanics
+    are plan-gated in tests/test_pragma.py."""
+    import pandas as pd
+    from bigslice_spark import Materialize, Procs
+    sess, t = _s(spark, sf_dir)
+
+    def acc(key, pdf):
+        qp = pdf["l_quantity"] * pdf["l_extendedprice"]
+        return pd.DataFrame({"l_returnflag": [key[0]],
+                             "min_qp": [float(qp.min())],
+                             "max_qp": [float(qp.max())],
+                             "n": [len(pdf)]})
+
+    return (sess.wrap(t["lineitem"])
+            .map_("l_returnflag", "l_quantity", "l_extendedprice")
+            .fold(fn=acc, schema=("l_returnflag string, min_qp double, "
+                                  "max_qp double, n long"),
+                  pragma=Procs(4) | Materialize)).df
+
+
 @query("op_fold_stream", """
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty

@@ -39,6 +39,16 @@ def _require_schema(op: str, schema: Any) -> None:
             "so the output type can't be inferred")
 
 
+def _apply_pragma(df: DataFrame, pragma: Any,
+                  keys: list[str] | None = None) -> DataFrame:
+    """Apply a resource pragma (bigslice_spark.pragma) ahead of an
+    opaque-fn stage; None is a no-op. Late import: pragma is optional."""
+    if pragma is None:
+        return df
+    from .pragma import apply_pragma
+    return apply_pragma(df, pragma, keys=keys)
+
+
 def _check_cogroup_keys(slices: Sequence["Slice"]) -> None:
     """Keys must agree in width AND type across cogroup inputs
     (reference cogroup.go:60-77 typechecks key assignability)."""
@@ -94,16 +104,20 @@ class Slice:
     # -- core combinators (reference §2.1) --------------------------------
 
     def map_(self, *exprs: Column | str, fn: Callable | None = None,
-             schema: Any = None, prefix: int = 1) -> "Slice":
+             schema: Any = None, prefix: int = 1,
+             pragma: "Any" = None) -> "Slice":
         """bigslice.Map (reference slice.go:550-638): 1→1 row transform,
         n→m columns (full column replacement, like the reference).
 
         Fast path: pass aliased Column expressions → ``select`` (codegen).
         Slow path: ``fn(pdf) -> pdf`` over Arrow batches with ``schema``.
+        ``pragma=`` (fn path): Procs/Exclusive/Materialize resource
+        directives for a heavyweight fn — see bigslice_spark.pragma.
         """
         if fn is not None:
             _require_schema("map_", schema)
-            return Slice(self.df.mapInPandas(
+            src = _apply_pragma(self.df, pragma)
+            return Slice(src.mapInPandas(
                 lambda it: (fn(pdf) for pdf in it), schema=schema),
                 prefix=prefix)
         return Slice(self.df.select(*exprs), prefix=prefix)
@@ -112,7 +126,7 @@ class Slice:
         return self._with(self.df.withColumns(dict(named)))
 
     def filter_(self, cond: Column | str | Callable,
-                schema: Any = None) -> "Slice":
+                schema: Any = None, pragma: "Any" = None) -> "Slice":
         """bigslice.Filter (reference slice.go:640-726). Fast path: Column
         predicate (pushed down by Catalyst). Slow path: a Python callable
         ``fn(pdf) -> boolean Series`` over Arrow batches."""
@@ -124,11 +138,12 @@ class Slice:
             for pdf in it:
                 yield pdf[cond(pdf)]
 
-        return self._with(self.df.mapInPandas(_filt, schema=out_schema))
+        src = _apply_pragma(self.df, pragma)
+        return self._with(src.mapInPandas(_filt, schema=out_schema))
 
     def flatmap(self, *exprs: Column | str, explode_col: str | None = None,
                 fn: Callable | None = None, schema: Any = None,
-                prefix: int = 1) -> "Slice":
+                prefix: int = 1, pragma: "Any" = None) -> "Slice":
         """bigslice.Flatmap (reference slice.go:728-841): 1→0..N rows.
 
         Fast path: expressions where one (``explode_col``) is array-valued →
@@ -160,10 +175,12 @@ class Slice:
                 if out is not None:
                     yield out
 
-        return Slice(self.df.mapInPandas(_gen, schema=schema), prefix=prefix)
+        src = _apply_pragma(self.df, pragma)
+        return Slice(src.mapInPandas(_gen, schema=schema), prefix=prefix)
 
     def fold(self, aggs: dict[str, Column] | None = None,
-             fn: Callable | None = None, schema: Any = None) -> "Slice":
+             fn: Callable | None = None, schema: Any = None,
+             pragma: "Any" = None) -> "Slice":
         """bigslice.Fold (reference slice.go:843-955 + accum.go): keyed
         aggregation with an arbitrary accumulator.
 
@@ -181,8 +198,9 @@ class Slice:
         if fn is None:
             raise TypeError("fold: pass either aggs or fn")
         _require_schema("fold", schema)
+        src = _apply_pragma(self.df, pragma, keys=keys)
         return Slice(
-            self.df.groupBy(*keys).applyInPandas(fn, schema=schema),
+            src.groupBy(*keys).applyInPandas(fn, schema=schema),
             prefix=len(keys))
 
     def fold_stream(self, init: Callable[[], Any],
