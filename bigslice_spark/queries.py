@@ -30,7 +30,22 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # tag the query's jobs for the Spark UI / history server
+            # (left set on purpose: the caller's ACTION runs after we
+            # return; the next query overwrites the thread-local tag)
+            try:
+                spark.sparkContext.setJobGroup(
+                    f"bss:{name}", (fn.__doc__ or name).strip()
+                    .splitlines()[0], True)
+            except Exception:
+                pass  # never let status tagging break a query
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = tagged
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -50,8 +50,16 @@ _DEFAULT_CONF: dict[str, str] = {
 
 
 def get_spark(app_name: str = "bigslice_spark", master: str | None = None,
-              conf: dict[str, str] | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with scale-oriented defaults."""
+              conf: dict[str, str] | None = None,
+              ui: bool | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-oriented defaults.
+
+    ``ui=True`` enables the Spark web UI — the live task-status display
+    (the reference's status surface, exec/bigmachine.go:46-52 +
+    cmd/slicetrace). Default off for headless/bench runs; also
+    switchable via SPARK_GRAFT_UI=1. Query-level attribution in the UI
+    comes from job-group tags (Session.job_group; the registry tags
+    every query as ``bss:<name>``)."""
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         master = os.environ.get(
@@ -60,6 +68,10 @@ def get_spark(app_name: str = "bigslice_spark", master: str | None = None,
         )
     builder = builder.master(master)
     merged = dict(_DEFAULT_CONF)
+    if ui is None and os.environ.get("SPARK_GRAFT_UI"):
+        ui = os.environ["SPARK_GRAFT_UI"] not in ("0", "false", "")
+    if ui is not None:
+        merged["spark.ui.enabled"] = "true" if ui else "false"
     if conf:
         merged.update(conf)
     for k, v in merged.items():
@@ -211,6 +223,42 @@ class Session:
     def wrap(self, df: DataFrame, prefix: int = 1) -> "Slice":
         from .slice import Slice
         return Slice(df, prefix=prefix)
+
+    # -- status / introspection ------------------------------------------
+    # The reference keeps a live per-task status display and a trace tool
+    # (exec/bigmachine.go:46-52, :457-477 + cmd/slicetrace). Spark's web
+    # UI is that surface (enable via get_spark(ui=True) / SPARK_GRAFT_UI);
+    # job groups map its jobs/stages back to named queries.
+
+    def job_group(self, name: str, description: str | None = None,
+                  interrupt_on_cancel: bool = True):
+        """Context manager: tag every action run inside with a job group,
+        so the Spark UI / history server attributes its jobs+stages to
+        ``name``, and ``cancel_job_group(name)`` can stop them — the
+        analog of the reference's per-invocation task naming
+        (exec/session.go:214-251).
+
+        >>> with sess.job_group("nightly-dedup"):
+        ...     pairs.collect()
+        """
+        import contextlib
+
+        sc = self.spark.sparkContext
+
+        @contextlib.contextmanager
+        def _grp():
+            sc.setJobGroup(name, description or name, interrupt_on_cancel)
+            try:
+                yield self
+            finally:
+                sc.setJobGroup("", "")
+
+        return _grp()
+
+    def cancel_job_group(self, name: str) -> None:
+        """Cancel all running jobs tagged with ``name`` (reference:
+        ctx-cancellation of an invocation's tasks)."""
+        self.spark.sparkContext.cancelJobGroup(name)
 
 
 _TABLE_CACHE: dict[tuple, dict[str, "DataFrame"]] = {}
