@@ -224,6 +224,62 @@ class Session:
         from .slice import Slice
         return Slice(df, prefix=prefix)
 
+    # -- cache management ------------------------------------------------
+    # The reference pushes cache invalidation entirely onto the user
+    # (cache.go:38-44: "the cache is NOT automatically invalidated");
+    # these helpers are the missing convenience: enumerate and delete
+    # cache(prefix)/cache_partial(prefix) parquet dirs through the
+    # Hadoop FS API (file://, hdfs://, s3a:// alike).
+
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()), jpath, jvm
+
+    def list_caches(self, root: str) -> list[dict]:
+        """Enumerate cache dirs under ``root``: name, bytes, file count,
+        and whether the cache is complete (_SUCCESS present — a partial
+        cache means a writer died mid-flight and the next cache() call
+        will overwrite it)."""
+        fs, jroot, jvm = self._fs(root)
+        out: list[dict] = []
+        if not fs.exists(jroot):
+            return out
+        for st in fs.listStatus(jroot):
+            if not st.isDirectory():
+                continue
+            sub = st.getPath()
+            s = fs.getContentSummary(sub)
+            out.append({
+                "prefix": sub.toString(),
+                "bytes": s.getLength(),
+                "files": s.getFileCount(),
+                "complete": fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(sub, "_SUCCESS")),
+            })
+        return sorted(out, key=lambda d: d["prefix"])
+
+    def drop_cache(self, prefix: str) -> bool:
+        """Delete the cache dir at ``prefix``. Returns False if absent.
+        Refuses (ValueError) unless the dir actually looks like a
+        parquet cache — a _SUCCESS marker, part files, or
+        cache_partial's __shard__= subdirs — so a typo'd path can't
+        recursively delete arbitrary data."""
+        fs, jpath, _ = self._fs(prefix)
+        if not fs.exists(jpath):
+            return False
+        looks = any(
+            (n := st.getPath().getName()) == "_SUCCESS"
+            or n.endswith(".parquet") or n.startswith("part-")
+            or n.startswith("__shard__=")
+            for st in fs.listStatus(jpath))
+        if not looks:
+            raise ValueError(
+                f"drop_cache: {prefix} does not look like a "
+                "bigslice_spark cache dir; refusing to delete")
+        return bool(fs.delete(jpath, True))
+
     # -- status / introspection ------------------------------------------
     # The reference keeps a live per-task status display and a trace tool
     # (exec/bigmachine.go:46-52, :457-477 + cmd/slicetrace). Spark's web

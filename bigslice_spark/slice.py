@@ -482,11 +482,17 @@ class Slice:
         """bigslice.Cache: materialize to ``prefix`` (parquet dir); on
         rerun, short-circuits recomputation by reading the files. Cache
         invalidation is the caller's job, like the reference
-        (cache.go:38-44)."""
-        import os
-        marker = os.path.join(prefix, "_SUCCESS")
+        (cache.go:38-44) — with Session.drop_cache/list_caches as the
+        convenience the reference lacks. The completeness marker is
+        checked through the Hadoop FS API (a driver-local exists() would
+        see an hdfs:// or s3a:// prefix as absent and rewrite the cache
+        every call)."""
         spark = self.df.sparkSession
-        if not os.path.exists(marker):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(prefix)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        marker = jvm.org.apache.hadoop.fs.Path(jpath, "_SUCCESS")
+        if not fs.exists(marker):
             self.df.write.mode("overwrite").parquet(prefix)
         return Slice(spark.read.parquet(prefix), prefix=self.prefix)
 

@@ -88,6 +88,32 @@ def test_cache_short_circuits(session):
     assert sorted(c2.collect()) == [(1,), (2,), (3,)]
 
 
+def test_cache_gc_helpers(session):
+    """list_caches enumerates prefix dirs with size + completeness;
+    drop_cache deletes a cache dir but refuses non-cache dirs."""
+    import pytest
+    root = tempfile.mkdtemp(prefix="bsc_cache_gc_")
+    sl = session.const(2, [1, 2, 3], names=["n"], schema="n long")
+    sl.cache(os.path.join(root, "a"))
+    sl.cache(os.path.join(root, "b"))
+    infos = session.list_caches(root)
+    assert [i["prefix"].rsplit("/", 1)[1] for i in infos] == ["a", "b"]
+    assert all(i["complete"] and i["bytes"] > 0 and i["files"] > 0
+               for i in infos)
+    assert session.drop_cache(os.path.join(root, "a")) is True
+    assert [i["prefix"].rsplit("/", 1)[1]
+            for i in session.list_caches(root)] == ["b"]
+    assert session.drop_cache(os.path.join(root, "a")) is False  # absent
+    # refusal: a dir with unrelated content must not be deletable
+    trap = os.path.join(root, "not_a_cache")
+    os.makedirs(trap)
+    with open(os.path.join(trap, "precious.txt"), "w") as f:
+        f.write("do not delete")
+    with pytest.raises(ValueError, match="refusing"):
+        session.drop_cache(trap)
+    assert os.path.exists(os.path.join(trap, "precious.txt"))
+
+
 def test_fold_stream_groups_span_batches(session, spark):
     """fold_stream must carry the accumulator across Arrow batch
     boundaries: with 7-row batches and 40-row groups, every group spans
