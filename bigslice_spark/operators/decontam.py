@@ -1,0 +1,70 @@
+"""Benchmark decontamination: find training documents that overlap an
+evaluation set by shared word n-grams — the standard guard against
+train/test leakage in LLM training pipelines (the GPT-3/PaLM-style
+"13-gram overlap" rule, here with a configurable ``ngram_w``).
+
+Spark-first shape, asymmetric by design (unlike the dedup self-joins):
+the training corpus is ~100 TB, the eval set is ~MBs, so
+
+    train shingles  ⋈_broadcast  DISTINCT eval shingles
+
+scans the train corpus ONCE with a map-side broadcast hash join — no
+shuffle of the corpus at all; the only exchange is the final narrow
+aggregation of (train_id, eval_id) hit counts (map-side combined).
+A Zipf-hot n-gram cannot skew this: a broadcast join has no per-key
+task ownership, so fanout spreads with the train partitions wherever
+the hot gram occurs. Set ``broadcast_eval=False`` for an unusually
+large eval set and the same plan runs as a shuffle join.
+
+Shingling reuses the codegen'd posexplode+lead path from the dedup
+module (whole-stage codegen; docs shorter than ``ngram_w`` contribute
+their whole text as one shingle), so results are exactly replayable in
+ANSI SQL — the DuckDB oracle for the ``decontaminate`` registry entry
+replays the full pipeline.
+
+Reference: no analog in bigslice (grep: no contamination/decontam
+operator); this is part of the LLM-pipeline surface this engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _shingle_rows
+
+
+def contamination_report(train: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         ngram_w: int = 8, min_shared: int = 1,
+                         broadcast_eval: bool = True) -> DataFrame:
+    """(train_id, eval_id, n_shared): training docs sharing at least
+    ``min_shared`` DISTINCT word ``ngram_w``-grams with an eval doc.
+
+    ``n_shared`` counts distinct shared grams per (train, eval) pair —
+    both sides' shingle relations are de-duplicated per doc, so a gram
+    repeated inside a document doesn't inflate the count."""
+    tr = _shingle_rows(train, text_col, id_col, w=ngram_w,
+                       distinct=True).toDF("train_id", "tok")
+    ev = _shingle_rows(eval_df, text_col, id_col, w=ngram_w,
+                       distinct=True).toDF("eval_id", "tok")
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (tr.join(ev, on="tok")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ngram_w: int = 8, min_shared: int = 1,
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Drop training docs contaminated by the eval set (any eval doc,
+    ``min_shared`` distinct shared grams). Anti-join on the report's
+    train ids — the report stays narrow, the corpus passes through
+    unshuffled."""
+    flagged = contamination_report(
+        train, eval_df, text_col, id_col, ngram_w, min_shared,
+        broadcast_eval).select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(flagged, on=id_col, how="left_anti")

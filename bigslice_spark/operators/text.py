@@ -217,6 +217,33 @@ def _fp_batch(texts: "pd.Series") -> "np.ndarray":
     return out.astype("int64")
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     ngram_w: int = 2) -> DataFrame:
+    """Per-document repetition signals — the Gopher/RefinedWeb quality
+    rules for machine-generated or boilerplate text:
+
+    - ``dup_ngram_frac``: fraction of word n-gram occurrences that are
+      repeats of an earlier occurrence (1 − distinct/total);
+    - ``top_ngram_frac``: share of occurrences taken by the single most
+      frequent n-gram.
+
+    Plan shape: the codegen'd shingle path (posexplode + window lead)
+    hash-partitions by ``id_col``, and both aggregations cluster on a
+    superset of that key, so Catalyst adds NO further exchange — the
+    whole operator is the shingle window's one shuffle (gated in
+    tests/test_plans.py). Short docs (< ngram_w tokens) count their
+    whole text as one gram, matching the dedup shingle semantics."""
+    from .dedup import _shingle_rows  # local: dedup imports text at load
+    rows = _shingle_rows(df, text_col, id_col, w=ngram_w, distinct=False)
+    per = rows.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.sum("c").cast("double")
+    return (per.groupBy(id_col)
+            .agg((F.lit(1.0) - F.count(F.lit(1)) / tot)
+                 .alias("dup_ngram_frac"),
+                 (F.max("c") / tot).alias("top_ngram_frac")))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Rolling polynomial hash (base 257 mod 2^61-1) over the utf-8 bytes —

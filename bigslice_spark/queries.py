@@ -2819,3 +2819,69 @@ def json_props(spark, sf_dir):
     return (t["events"].groupBy("event_type")
             .agg(F.sum(k).alias("k_total"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query("decontaminate", """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM base),
+    toks AS (SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM sh),
+    tr AS (SELECT doc_id AS train_id, tok FROM toks WHERE doc_id % 17 <> 0),
+    ev AS (SELECT doc_id AS eval_id, tok FROM toks WHERE doc_id % 17 = 0)
+    SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (tok)
+    GROUP BY train_id, eval_id
+    HAVING count(*) >= 2
+""")
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): training docs
+    sharing >= 2 distinct word 3-grams with a held-out eval split
+    (doc_id % 17). The 100TB shape: one scan of the train corpus,
+    broadcast hash join against the distinct eval shingles, narrow
+    (train_id, eval_id) count agg — the corpus itself never shuffles."""
+    from .operators.decontam import contamination_report
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_report(tr, ev, ngram_w=3, min_shared=2)
+
+
+@query("repetition_stats", """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 2 THEN
+               list_transform(generate_series(1, len(tk) - 1),
+                   i -> concat_ws(' ', tk[i], tk[i+1]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM base),
+    toks AS (SELECT doc_id, unnest(sl) AS tok FROM sh),
+    per AS (SELECT doc_id, tok, count(*) AS c
+            FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id,
+           1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS dup_ngram_frac,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+               AS top_ngram_frac
+    FROM per GROUP BY doc_id
+""")
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/text.py):
+    duplicate-bigram fraction + top-bigram share per document. One
+    shuffle total — both aggs cluster on a superset of the shingle
+    window's hash partitioning (plan-gated)."""
+    from .operators.text import repetition_stats as _rep
+    _, t = _s(spark, sf_dir)
+    return _rep(t["documents"], ngram_w=2)

@@ -696,3 +696,55 @@ def test_functions_module_exports(spark, tables):
         BF.upper(BF.col("lang")).alias("u"))
     r = df.first()
     assert r["tc"] > 0 and isinstance(r["h"], int) and r["u"].isupper()
+
+
+def test_contamination_report_matches_python(spark, tables):
+    """contamination_report pairs/counts must equal a pure-Python
+    distinct-shared-shingle count over the same split."""
+    from bigslice_spark.operators.decontam import (contamination_report,
+                                                   decontaminate)
+    docs = tables["documents"].limit(120)
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+
+    def grams(text, w=3):
+        tk = text.split()
+        if len(tk) >= w:
+            return {" ".join(tk[i:i + w]) for i in range(len(tk) - w + 1)}
+        return {" ".join(tk)}
+
+    tr_g = {r["doc_id"]: grams(r["text"]) for r in tr.collect()}
+    ev_g = {r["doc_id"]: grams(r["text"]) for r in ev.collect()}
+    want = {}
+    for tid, tg in tr_g.items():
+        for eid, eg in ev_g.items():
+            n = len(tg & eg)
+            if n >= 2:
+                want[(tid, eid)] = n
+    rep = contamination_report(tr, ev, ngram_w=3, min_shared=2)
+    got = {(r["train_id"], r["eval_id"]): r["n_shared"]
+           for r in rep.collect()}
+    assert got == want and len(got) > 0
+
+    clean = decontaminate(tr, ev, ngram_w=3, min_shared=2)
+    flagged = {t for t, _ in want}
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert kept == set(tr_g) - flagged
+
+
+def test_repetition_stats_matches_python(spark, tables):
+    """dup/top n-gram fractions vs a pure-Python bigram count."""
+    from collections import Counter as C
+    from bigslice_spark.operators.text import repetition_stats
+    docs = tables["documents"].limit(50)
+    got = {r["doc_id"]: (r["dup_ngram_frac"], r["top_ngram_frac"])
+           for r in repetition_stats(docs, ngram_w=2).collect()}
+    for r in docs.collect():
+        tk = r["text"].split()
+        gs = ([" ".join(tk[i:i + 2]) for i in range(len(tk) - 1)]
+              if len(tk) >= 2 else [" ".join(tk)])
+        c = C(gs)
+        tot = sum(c.values())
+        dup, top = got[r["doc_id"]]
+        assert abs(dup - (1.0 - len(c) / tot)) < 1e-12
+        assert abs(top - max(c.values()) / tot) < 1e-12

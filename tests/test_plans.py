@@ -237,3 +237,26 @@ def test_partitioned_write_prunes_partitions(spark, tables,
     j = ev.join(dim, on="event_type")
     jtxt = explain_str(j)
     assert "dynamicpruning" in jtxt.lower(), jtxt[:2000]
+
+
+def test_decontaminate_corpus_never_shuffles(spark, sf_dir, tables):
+    """Decontamination at 100 TB: the train corpus must meet the eval
+    shingles via a broadcast hash join (map-side, no corpus exchange);
+    the only exchanges allowed are the shingle window + final count agg
+    on the narrow (train_id, eval_id) hit relation."""
+    from bigslice_spark.operators.decontam import contamination_report
+    docs = tables["documents"]
+    rep = contamination_report(docs.filter(F.col("doc_id") % 17 != 0),
+                               docs.filter(F.col("doc_id") % 17 == 0))
+    txt = explain_str(rep)
+    assert "BroadcastHashJoin" in txt, txt[:2000]
+    assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
+
+
+def test_repetition_stats_single_shuffle(spark, tables):
+    """Both aggs cluster on a superset of the shingle window's hash
+    partitioning — the whole operator is one exchange."""
+    from bigslice_spark.operators.text import repetition_stats
+    df = repetition_stats(tables["documents"], ngram_w=2)
+    n = count_exchanges(df)
+    assert n == 1, explain_str(df)[:2000]
