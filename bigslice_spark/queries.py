@@ -2885,3 +2885,41 @@ def repetition_stats(spark, sf_dir):
     from .operators.text import repetition_stats as _rep
     _, t = _s(spark, sf_dir)
     return _rep(t["documents"], ngram_w=2)
+
+
+@query("pack_sequences", """
+    WITH tc AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents),
+    nz AS (SELECT * FROM tc WHERE n_tokens > 0),
+    off AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_off
+      FROM nz),
+    ex AS (
+      SELECT doc_id, n_tokens, token_off,
+             CAST(unnest(generate_series(token_off // 512,
+                 (token_off + n_tokens - 1) // 512)) AS BIGINT) AS seq_id
+      FROM off)
+    SELECT doc_id, seq_id,
+           CAST(GREATEST(0, seq_id * 512 - token_off) AS BIGINT)
+               AS begin_tok,
+           CAST(LEAST(n_tokens, (seq_id + 1) * 512 - token_off) AS BIGINT)
+               AS end_tok
+    FROM ex
+""")
+def pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing (operators/packing.py):
+    global token offsets via the two-level distributed prefix sum
+    (range-partition metadata → within-partition window → broadcast
+    partition offsets), then explode each doc into its 512-token
+    training sequences. The oracle replays it as the single-window
+    cumsum DuckDB can afford at sf0.01."""
+    from .operators.packing import pack_sequences as _pack
+    _, t = _s(spark, sf_dir)
+    return _pack(t["documents"], max_len=512)

@@ -748,3 +748,31 @@ def test_repetition_stats_matches_python(spark, tables):
         dup, top = got[r["doc_id"]]
         assert abs(dup - (1.0 - len(c) / tot)) < 1e-12
         assert abs(top - max(c.values()) / tot) < 1e-12
+
+
+def test_pack_sequences_matches_python(spark, tables):
+    """Global concat-and-chunk packing == a single-threaded cumsum walk,
+    including documents that span a sequence boundary."""
+    from bigslice_spark.operators.packing import pack_sequences
+    docs = tables["documents"]
+    L = 64
+    got = sorted((r["doc_id"], r["seq_id"], r["begin_tok"], r["end_tok"])
+                 for r in pack_sequences(docs, L).collect())
+    want, off = [], 0
+    for r in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        tc = len(r["text"].split())
+        if tc == 0:
+            continue
+        for s in range(off // L, (off + tc - 1) // L + 1):
+            want.append((r["doc_id"], s, max(0, s * L - off),
+                         min(tc, (s + 1) * L - off)))
+        off += tc
+    assert got == sorted(want)
+    assert any(b > 0 or e < 64 for _, _, b, e in got)  # spanning happened
+    # every sequence except the last is exactly full
+    import collections
+    fill = collections.Counter()
+    for _, s, b, e in got:
+        fill[s] += e - b
+    last = max(fill)
+    assert all(v == L for s, v in fill.items() if s != last)

@@ -260,3 +260,15 @@ def test_repetition_stats_single_shuffle(spark, tables):
     df = repetition_stats(tables["documents"], ngram_w=2)
     n = count_exchanges(df)
     assert n == 1, explain_str(df)[:2000]
+
+
+def test_pack_sequences_no_rowlevel_single_partition(spark, tables):
+    """The global prefix sum must be the two-level scan: the only
+    SinglePartition exchange allowed is the one over the ~#partitions
+    per-partition totals — never over row-level data (a naive
+    `sum() over (order by id)` window would plan exactly that)."""
+    from bigslice_spark.operators.packing import pack_sequences
+    txt = explain_str(pack_sequences(tables["documents"], 512))
+    assert txt.count("SinglePartition") == 1, txt[:2000]
+    # and the broadcast of partition offsets is present
+    assert "BroadcastExchange" in txt
