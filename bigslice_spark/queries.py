@@ -2923,3 +2923,46 @@ def pack_sequences(spark, sf_dir):
     from .operators.packing import pack_sequences as _pack
     _, t = _s(spark, sf_dir)
     return _pack(t["documents"], max_len=512)
+
+
+@query("winnow", """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [concat_ws(' ', tk)] END AS gl
+      FROM base),
+    kg AS (
+      SELECT doc_id, len(gl) AS p,
+             unnest(generate_series(1, len(gl))) - 1 AS pos,
+             unnest(gl) AS gram
+      FROM g),
+    hx AS (
+      SELECT doc_id, p, pos,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT
+                 % 2147483647 AS h
+      FROM kg),
+    m AS (
+      SELECT doc_id, p, pos,
+             min({'h': h, 'np': -pos}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mr
+      FROM hx)
+    SELECT DISTINCT doc_id, CAST(mr.h AS BIGINT) AS fp,
+           CAST(-mr.np AS BIGINT) AS fp_pos
+    FROM m WHERE pos <= greatest(p - 4, 0)
+""")
+def winnow(spark, sf_dir):
+    """Winnowing fingerprint selection (operators/winnow.py): MOSS
+    min-of-window k-gram hash sampling, rightmost tie-break encoded as
+    min(struct(h, -pos)). Portable md5 hash mode so DuckDB replays the
+    selection bit-for-bit."""
+    from .operators.winnow import winnow_fingerprints
+    _, t = _s(spark, sf_dir)
+    return winnow_fingerprints(t["documents"], k=3, window=4,
+                               portable=True)

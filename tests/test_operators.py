@@ -776,3 +776,51 @@ def test_pack_sequences_matches_python(spark, tables):
         fill[s] += e - b
     last = max(fill)
     assert all(v == L for s, v in fill.items() if s != last)
+
+
+def _py_winnow(text, k=3, w=4):
+    import hashlib
+    tk = text.split()
+    if len(tk) >= k:
+        grams = [" ".join(tk[i:i + k]) for i in range(len(tk) - k + 1)]
+    else:
+        grams = [" ".join(tk)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+          % ((1 << 31) - 1) for g in grams]
+    sel = set()
+    for p in range(max(len(hs) - w, 0) + 1):
+        win = hs[p:p + w]
+        mn = min(win)
+        pos = p + max(i for i, h in enumerate(win) if h == mn)
+        sel.add((hs[pos], pos))
+    return sel
+
+
+def test_winnow_matches_python(spark, tables):
+    """Winnowing selection == the paper's imperative walk with
+    rightmost-min tie-break, over the portable md5 hash."""
+    from bigslice_spark.operators.winnow import winnow_fingerprints
+    docs = tables["documents"].limit(40)
+    out = winnow_fingerprints(docs, k=3, window=4, portable=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp"], r["fp_pos"]))
+    for r in docs.collect():
+        assert got.get(r["doc_id"], set()) == _py_winnow(r["text"])
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """The winnowing guarantee: documents sharing a token run of at
+    least window + k - 1 tokens share >= 1 selected fingerprint, and
+    winnow_pairs reports them."""
+    from bigslice_spark.operators.winnow import winnow_pairs
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+3-1
+    rows = [(1, "xx yy " + shared + " zz"),
+            (2, shared + " aa bb cc dd"),
+            (3, "totally different words nothing common here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in winnow_pairs(df, k=3, window=4,
+                                   min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

@@ -272,3 +272,13 @@ def test_pack_sequences_no_rowlevel_single_partition(spark, tables):
     assert txt.count("SinglePartition") == 1, txt[:2000]
     # and the broadcast of partition offsets is present
     assert "BroadcastExchange" in txt
+
+
+def test_winnow_single_window_exchange(spark, tables):
+    """The k-gram lead window and the winnowing min window share
+    (id, pos) clustering — one exchange serves both; the only other
+    shuffle is the distinct on narrow (id, fp, pos) rows."""
+    from bigslice_spark.operators.winnow import winnow_fingerprints
+    df = winnow_fingerprints(tables["documents"], k=3, window=4)
+    n = count_exchanges(df)
+    assert n <= 2, explain_str(df)[:2000]
