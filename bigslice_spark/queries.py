@@ -2966,3 +2966,51 @@ def winnow(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     return winnow_fingerprints(t["documents"], k=3, window=4,
                                portable=True)
+
+
+@query("pii_scrub", r"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-123-4567, ssn 123-45-6789,'
+                  || ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '(?:\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b',
+               '<PHONE>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+               '(?:\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b'))
+               AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
+    FROM inj
+""")
+def pii_scrub(spark, sf_dir):
+    """PII redaction (operators/pii.py): emails/SSNs/phones/IPs →
+    typed placeholders + per-doc counts, pure codegen projection.
+    The synthetic corpus has no PII, so the query injects a
+    deterministic per-doc set first (same expression in the oracle) —
+    the scrub itself is exercised on every row."""
+    from .operators.pii import scrub_pii
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" reach user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1-555-123-4567,"
+                       " ssn 123-45-6789, host 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string")).alias("text"))
+    return scrub_pii(injected)

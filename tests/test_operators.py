@@ -824,3 +824,26 @@ def test_winnow_guarantee_and_pairs(spark):
                                    min_shared=1).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_scrub_pii_semantics(spark):
+    from bigslice_spark.operators.pii import scrub_pii
+    rows = [
+        (1, "mail a.b-c@ex-1.co.uk now"),
+        (2, "ssn 123-45-6789 phone (555) 123-4567 mixed"),
+        (3, "+44 20 7946 0958? call 1-800-555-0199 done"),
+        (4, "ips 10.0.0.1 192.168.255.255 and no pii words"),
+        (5, "clean text with numbers 12345 and dots a.b.c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(df).collect()}
+    assert got[1]["text"] == "mail <EMAIL> now" and got[1]["n_email"] == 1
+    # SSN claimed before the looser phone pattern can eat it
+    assert got[2]["text"] == "ssn <SSN> phone <PHONE> mixed"
+    assert got[2]["n_ssn"] == 1 and got[2]["n_phone"] == 1
+    assert "<PHONE>" in got[3]["text"]
+    assert got[4]["text"] == "ips <IP> <IP> and no pii words"
+    assert got[4]["n_ip"] == 2
+    assert got[5]["text"] == rows[4][1]  # untouched
+    assert all(got[5][k] == 0 for k in
+               ("n_email", "n_ssn", "n_phone", "n_ip"))

@@ -282,3 +282,11 @@ def test_winnow_single_window_exchange(spark, tables):
     df = winnow_fingerprints(tables["documents"], k=3, window=4)
     n = count_exchanges(df)
     assert n <= 2, explain_str(df)[:2000]
+
+
+def test_pii_scrub_is_pure_projection(spark, tables):
+    """scrub_pii adds zero exchanges — it must run at scan speed."""
+    from bigslice_spark.operators.pii import scrub_pii
+    df = scrub_pii(tables["documents"])
+    assert count_exchanges(df) == 0, explain_str(df)[:800]
+    assert "codegen id" in explain_str(df)
