@@ -459,3 +459,43 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
             .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def span_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = "\n",
+               keep: str = "min_id") -> DataFrame:
+    """Cross-document span-level exact dedup (the C4 / RefinedWeb line
+    rule): split every document on ``sep``, keep each distinct span
+    only in ONE document (the smallest ``id_col`` containing it), drop
+    it everywhere else, and reconstruct the surviving text in original
+    span order. Documents whose every span is claimed elsewhere vanish
+    (C4 drops emptied documents).
+
+    Scale shape: the ownership decision shuffles only (md5, id) pairs —
+    24-byte rows, never span text; the text moves in exactly two
+    exchanges (the hash-join that applies the verdict and the groupBy
+    that reassembles documents). Per-document reassembly uses an
+    interpreted array transform, which is fine per-DOCUMENT (see
+    PERFORMANCE.md's codegen rule of thumb: codegen per-token work,
+    tolerate interpretation once per document).
+
+    Reference: no analog in bigslice; part of the LLM-pipeline surface
+    this engine adds.
+    """
+    if keep != "min_id":
+        raise ValueError(f"unsupported keep policy: {keep}")
+    spans = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                       .alias("pos", "span"))
+             .filter(F.col("span") != ""))
+    h = F.md5(F.col("span"))
+    owner = (spans.select(h.alias("h"), F.col(id_col))
+             .groupBy("h").agg(F.min(id_col).alias("__keep")))
+    kept = (spans.withColumn("h", h)
+            .join(owner, on="h")
+            .filter(F.col(id_col) == F.col("__keep")))
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "span")))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(ordered, lambda x: x["span"]), sep)
+                .alias(text_col)))

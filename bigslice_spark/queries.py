@@ -3014,3 +3014,39 @@ def pii_scrub(spark, sf_dir):
                        " ssn 123-45-6789, host 10.0.0."),
                  (F.col("doc_id") % 256).cast("string")).alias("text"))
     return scrub_pii(injected)
+
+
+@query("line_dedup", r"""
+    WITH inj AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+\s+){8})',
+                            '\1' || chr(10), 'g') AS text
+      FROM documents),
+    sl AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM inj),
+    spans AS (
+      SELECT doc_id, unnest(generate_series(1, len(l))) - 1 AS pos,
+             unnest(l) AS span
+      FROM sl),
+    ne AS (SELECT * FROM spans WHERE span <> ''),
+    owner AS (SELECT span AS s, min(doc_id) AS keep
+              FROM ne GROUP BY span),
+    kept AS (SELECT ne.doc_id, ne.pos, ne.span
+             FROM ne JOIN owner ON ne.span = owner.s
+             WHERE ne.doc_id = owner.keep)
+    SELECT doc_id, string_agg(span, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+""")
+def line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style cross-document line dedup
+    (operators/dedup.py span_dedup): each distinct line survives only
+    in the smallest doc_id containing it; emptied documents vanish.
+    The single-line synthetic corpus gets deterministic line breaks
+    (every 8 tokens, same regexp in the oracle) so the rule is
+    exercised mid-document."""
+    from .operators.dedup import span_dedup
+    _, t = _s(spark, sf_dir)
+    lines = t["documents"].select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+\s+){8})", "$1\n")
+        .alias("text"))
+    return span_dedup(lines)

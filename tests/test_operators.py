@@ -847,3 +847,14 @@ def test_scrub_pii_semantics(spark):
     assert got[5]["text"] == rows[4][1]  # untouched
     assert all(got[5][k] == 0 for k in
                ("n_email", "n_ssn", "n_phone", "n_ip"))
+
+
+def test_span_dedup_semantics(spark):
+    """Keep-in-min-id line dedup: owner keeps, later docs lose the
+    line, fully-claimed docs vanish, order is preserved."""
+    from bigslice_spark.operators.dedup import span_dedup
+    rows = [(1, "aa bb\ncc dd\nee"), (2, "cc dd\nxx yy"),
+            (3, "aa bb\ncc dd"), (4, "solo line\n\naa bb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in span_dedup(df).collect()}
+    assert got == {1: "aa bb\ncc dd\nee", 2: "xx yy", 4: "solo line"}

@@ -290,3 +290,17 @@ def test_pii_scrub_is_pure_projection(spark, tables):
     df = scrub_pii(tables["documents"])
     assert count_exchanges(df) == 0, explain_str(df)[:800]
     assert "codegen id" in explain_str(df)
+
+
+def test_span_dedup_ownership_shuffles_hashes_not_text(spark, tables):
+    """span_dedup's ownership agg must shuffle (md5, id) pairs only —
+    the exchange feeding the owner HashAggregate carries no span text;
+    the text moves in exactly the verdict join + reassembly."""
+    from bigslice_spark.operators.dedup import span_dedup
+    txt = explain_str(span_dedup(tables["documents"]))
+    import re
+    # the exchange directly under the partial owner agg projects [h, id]
+    aggs = [m for m in re.finditer(r"Arguments: hashpartitioning\(h#\d+",
+                                   txt)]
+    assert aggs, txt[:2000]
+    assert "Cartesian" not in txt
