@@ -3050,3 +3050,35 @@ def line_dedup(spark, sf_dir):
         F.regexp_replace("text", r"((?:\S+\s+){8})", "$1\n")
         .alias("text"))
     return span_dedup(lines)
+
+
+@query("classify_score", """
+    WITH w AS (
+      SELECT j AS feature,
+             (('0x' || substr(md5(CAST(j AS VARCHAR)), 1, 15))::BIGINT
+              % 2001 - 1000) / 1024.0 AS weight
+      FROM generate_series(0, 1023) t(j)),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+                 string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                 % 2147483647 % 1024 AS feature
+      FROM toks)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.weight) AS DOUBLE) / count(*) AS score
+    FROM feats JOIN w USING (feature)
+    GROUP BY doc_id
+""")
+def classify_score(spark, sf_dir):
+    """Hashed-feature linear classifier inference
+    (operators/classify.py): broadcast model join + mean-pooled score.
+    Dyadic weights (k/1024) make the double sum exact, so the oracle
+    replays bitwise. The demo model covers every feature id, so the
+    inner-join oracle equals the operator's left join."""
+    from .operators.classify import demo_weights, score_documents
+    _, t = _s(spark, sf_dir)
+    return score_documents(t["documents"], demo_weights(spark),
+                           portable=True)

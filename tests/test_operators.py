@@ -858,3 +858,44 @@ def test_span_dedup_semantics(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["text"] for r in span_dedup(df).collect()}
     assert got == {1: "aa bb\ncc dd\nee", 2: "xx yy", 4: "solo line"}
+
+
+def test_score_documents_matches_python(spark, tables):
+    """Mean-pooled hashed linear score == pure-python walk (dyadic
+    weights ⇒ double sums are exact, so equality is bitwise)."""
+    import hashlib
+    from bigslice_spark.operators.classify import (demo_weights,
+                                                   score_documents)
+    docs = tables["documents"].limit(30)
+    out = score_documents(docs, demo_weights(spark), portable=True)
+    got = {r["doc_id"]: (r["n_tokens"], r["score"])
+           for r in out.collect()}
+
+    def h31(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) \
+            % ((1 << 31) - 1)
+
+    wtab = {j: (int(hashlib.md5(str(j).encode()).hexdigest()[:15], 16)
+                % 2001 - 1000) / 1024.0 for j in range(1024)}
+    for r in docs.collect():
+        tk = r["text"].split()
+        s = sum(wtab[h31(t) % 1024] for t in tk)
+        n, score = got[r["doc_id"]]
+        assert n == len(tk)
+        assert score == s / len(tk)  # exact: dyadic weights
+
+
+def test_score_documents_unknown_features_count(spark):
+    """Tokens whose feature has no model row weigh 0 but still count
+    toward the mean-pool denominator."""
+    from bigslice_spark.operators.classify import score_documents
+    df = spark.createDataFrame([(1, "aa bb cc dd")],
+                               "doc_id long, text string")
+    w = df.sparkSession.createDataFrame([(0, 1.0)],
+                                        "feature long, weight double")
+    r = score_documents(df, w, dim=1, bias=0.5).first()
+    assert r["n_tokens"] == 4 and r["score"] == 0.5 + 1.0
+    w0 = df.sparkSession.createDataFrame([(999, 1.0)],
+                                         "feature long, weight double")
+    r0 = score_documents(df, w0, dim=1, bias=0.25).first()
+    assert r0["score"] == 0.25

@@ -304,3 +304,16 @@ def test_span_dedup_ownership_shuffles_hashes_not_text(spark, tables):
                                    txt)]
     assert aggs, txt[:2000]
     assert "Cartesian" not in txt
+
+
+def test_classifier_scoring_broadcasts_model(spark, tables):
+    """score_documents: the model joins broadcast (the corpus never
+    shuffles for the join); the per-doc agg is the single exchange and
+    has a map-side partial stage."""
+    from bigslice_spark.operators.classify import (demo_weights,
+                                                   score_documents)
+    df = score_documents(tables["documents"], demo_weights(spark))
+    txt = explain_str(df)
+    assert "BroadcastHashJoin" in txt, txt[:1500]
+    assert count_exchanges(df) == 1, txt[:1500]
+    assert_partial_aggregation(df)
