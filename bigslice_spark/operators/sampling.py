@@ -97,3 +97,59 @@ def budget_sample(df: DataFrame, weight: Column | str,
             .filter((F.col("__cum__") <= budget)
                     | (F.col("__rn__") == 1))
             .drop("__cum__", "__rn__"))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      n_per: int | dict[str, int],
+                      id_col: str = "doc_id",
+                      portable: bool = False) -> DataFrame:
+    """Exact-count per-stratum sample: keep at most ``n_per`` rows in
+    each stratum (per-stratum quotas via a dict; missing strata keep
+    nothing with a dict, everything is capped with an int).
+
+    Deterministic: rows rank within their stratum by a hash of
+    ``id_col`` (ties broken by ``id_col`` itself), so the same rows
+    survive on any run, any partitioning, any engine. One exchange —
+    the stratum window; at 100 TB the quota table is pure metadata.
+
+    For a RATE rather than a count, use ``stratified_frac`` — it is a
+    zero-shuffle projection and the better fit when strata are huge."""
+    rank = F.row_number().over(
+        W.partitionBy(strata_col)
+        .orderBy(_hash_bucket(id_col, portable), F.col(id_col)))
+    out = df.withColumn("__rk", rank)
+    if isinstance(n_per, dict):
+        quota = F.lit(None)
+        for k, v in n_per.items():
+            quota = F.when(F.col(strata_col) == k, F.lit(int(v))) \
+                .otherwise(quota)
+        keep = F.col("__rk") <= F.coalesce(quota, F.lit(0))
+    else:
+        keep = F.col("__rk") <= int(n_per)
+    return out.filter(keep).drop("__rk")
+
+
+def stratified_frac(df: DataFrame, strata_col: str,
+                    frac_per: float | dict[str, float],
+                    id_col: str = "doc_id",
+                    portable: bool = False) -> DataFrame:
+    """Per-stratum rate sample: keep a deterministic ``frac`` of each
+    stratum by hash-bucketing ``id_col`` (the hash_split mechanism,
+    quota per stratum). ZERO exchanges — a pure filter that runs at
+    scan speed and composes with pushdown; the sample is stable across
+    runs and engines (portable=True for oracle replay)."""
+    b = _hash_bucket(id_col, portable)
+    if isinstance(frac_per, dict):
+        for k, v in frac_per.items():
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"fraction for {k!r} out of [0,1]: {v}")
+        thr = F.lit(0)
+        for k, v in frac_per.items():
+            thr = F.when(F.col(strata_col) == k,
+                         F.lit(int(round(v * _SPLIT_BUCKETS)))) \
+                .otherwise(thr)
+    else:
+        if not 0.0 <= frac_per <= 1.0:
+            raise ValueError(f"fraction out of [0,1]: {frac_per}")
+        thr = F.lit(int(round(frac_per * _SPLIT_BUCKETS)))
+    return df.filter(b < thr)

@@ -3082,3 +3082,39 @@ def classify_score(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     return score_documents(t["documents"], demo_weights(spark),
                            portable=True)
+
+
+@query("stratified_sample", """
+    WITH r AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 15))::BIGINT % 10000, doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, text, lang, source, n_chars FROM r WHERE rk <= 12
+""")
+def stratified_sample(spark, sf_dir):
+    """Exact per-stratum quota sampling (operators/sampling.py): at
+    most 12 docs per source, ranked by a portable id hash — the
+    'cap every domain' corpus-balancing step. One window exchange."""
+    from .operators.sampling import stratified_sample as _strat
+    _, t = _s(spark, sf_dir)
+    return _strat(t["documents"], "source", 12, portable=True)
+
+
+@query("stratified_frac", """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 10000
+        < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 0 END
+""")
+def stratified_frac(spark, sf_dir):
+    """Per-stratum rate sampling (operators/sampling.py): 25% of en,
+    50% of zh, drop the rest — deterministic hash thresholds, ZERO
+    exchanges (plan-gated pure filter; the 100 TB path for
+    language-rebalancing a corpus)."""
+    from .operators.sampling import stratified_frac as _frac
+    _, t = _s(spark, sf_dir)
+    return _frac(t["documents"], "lang", {"en": 0.25, "zh": 0.5},
+                 portable=True)

@@ -899,3 +899,40 @@ def test_score_documents_unknown_features_count(spark):
                                          "feature long, weight double")
     r0 = score_documents(df, w0, dim=1, bias=0.25).first()
     assert r0["score"] == 0.25
+
+
+def test_stratified_sample_quota_and_determinism(spark, tables):
+    from bigslice_spark.operators.sampling import stratified_sample
+    docs = tables["documents"]
+    out = stratified_sample(docs, "lang", 5)
+    per = {r["lang"]: r["count"]
+           for r in out.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"]
+            for r in docs.groupBy("lang").count().collect()}
+    for k, n in full.items():
+        assert per.get(k, 0) == min(5, n)
+    # deterministic under different partitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(docs.repartition(7), "lang", 5)
+               .collect())
+    assert a == b
+    # dict quotas: unlisted strata keep nothing
+    d = stratified_sample(docs, "lang", {"en": 3})
+    got = {r["lang"]: r["count"]
+           for r in d.groupBy("lang").count().collect()}
+    assert got == {"en": 3}
+
+
+def test_stratified_frac_is_subset_of_hash_split_mechanism(spark,
+                                                           tables):
+    """stratified_frac keeps the hash-bucket prefix per stratum —
+    nested fractions are SUBSETS (the property that lets a pipeline
+    downsample further without reshuffling membership)."""
+    from bigslice_spark.operators.sampling import stratified_frac
+    docs = tables["documents"]
+    small = {r["doc_id"] for r in
+             stratified_frac(docs, "lang", {"en": 0.2}).collect()}
+    big = {r["doc_id"] for r in
+           stratified_frac(docs, "lang", {"en": 0.6}).collect()}
+    assert small and small < big

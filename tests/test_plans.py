@@ -317,3 +317,9 @@ def test_classifier_scoring_broadcasts_model(spark, tables):
     assert "BroadcastHashJoin" in txt, txt[:1500]
     assert count_exchanges(df) == 1, txt[:1500]
     assert_partial_aggregation(df)
+
+
+def test_stratified_frac_zero_exchanges(spark, tables):
+    from bigslice_spark.operators.sampling import stratified_frac
+    df = stratified_frac(tables["documents"], "lang", {"en": 0.25})
+    assert count_exchanges(df) == 0, explain_str(df)[:800]
