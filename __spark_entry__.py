@@ -37,11 +37,23 @@ _R02_GREEN = frozenset((
 ))
 
 
+# Round-3 additions: brand-new code with no prior-round signal of any
+# kind — hoist them to the head of the window so the driver checks them
+# first (the displaced entries were all hard-verified in round 2 by the
+# judge's driver_sim pass).
+_R3_NEW = ("decontaminate", "repetition_stats", "pack_sequences",
+           "winnow", "pii_scrub", "line_dedup", "classify_score",
+           "stratified_sample", "stratified_frac")
+
+
 def _rotated() -> list[str]:
+    new = [k for k in _R3_NEW if k in QUERIES]
     fresh = [k for k in QUERIES
-             if k not in _R02_GREEN and k not in _DEFERRED]
+             if k not in _R02_GREEN and k not in _DEFERRED
+             and k not in new]
     tail = [k for k in QUERIES if k in _R02_GREEN or k in _DEFERRED]
-    return fresh + list(_DEFERRED) + [k for k in tail if k not in _DEFERRED]
+    return (new + fresh + list(_DEFERRED)
+            + [k for k in tail if k not in _DEFERRED])
 
 
 def entry(spark: SparkSession) -> DataFrame:
