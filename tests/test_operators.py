@@ -936,3 +936,40 @@ def test_stratified_frac_is_subset_of_hash_split_mechanism(spark,
     big = {r["doc_id"] for r in
            stratified_frac(docs, "lang", {"en": 0.6}).collect()}
     assert small and small < big
+
+
+def test_text_operator_edge_inputs(spark):
+    """Null / empty / whitespace-only / single-token documents flow
+    through every text operator without error, with pinned semantics:
+    content-empty docs are mutual duplicates; token-less docs vanish
+    from token-denominated ops; null text propagates null (or drops)
+    rather than raising."""
+    from bigslice_spark.operators import classify as C
+    from bigslice_spark.operators import dedup as D
+    from bigslice_spark.operators import packing as P
+    from bigslice_spark.operators import pii as PI
+    rows = [(1, None), (2, ""), (3, "   "), (4, "solo"),
+            (5, "two words"), (6, "a b c d e f g")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # "" and "   " are both content-empty → an LSH duplicate pair
+    mh = {(r["id_a"], r["id_b"]) for r in
+          D.minhash_lsh_pairs(df).collect()}
+    assert mh == {(2, 3)}
+
+    # token-less docs can't occupy token space → dropped from packing
+    packed = {r["doc_id"] for r in P.pack_sequences(df, 4).collect()}
+    assert packed == {4, 5, 6}
+
+    # ...and from classifier scoring (mean over zero tokens undefined)
+    scored = {r["doc_id"] for r in
+              C.score_documents(df, C.demo_weights(spark)).collect()}
+    assert scored == {4, 5, 6}
+
+    # null text: scrub passes null through, counts go null not crash
+    pii = {r["doc_id"]: r["text"] for r in PI.scrub_pii(df).collect()}
+    assert pii[1] is None and pii[4] == "solo"
+
+    # span_dedup: null drops, identical-content docs dedup to min id
+    sd = {r["doc_id"] for r in D.span_dedup(df).collect()}
+    assert 1 not in sd and 4 in sd
