@@ -3118,3 +3118,19 @@ def stratified_frac(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     return _frac(t["documents"], "lang", {"en": 0.25, "zh": 0.5},
                  portable=True)
+
+
+@query("stream_dedup", """
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events
+""")
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/stream_distinct_keys):
+    dropDuplicatesWithinWatermark keeps per-key state only inside the
+    watermark horizon — the scale-safe exactly-once pattern. One
+    micro-batch over the finite source == batch DISTINCT."""
+    from .streaming import run_to_completion, stream_distinct_keys, \
+        stream_events
+    ev = stream_events(spark, sf_dir)
+    return run_to_completion(stream_distinct_keys(ev),
+                             "bs_stream_dedup", output_mode="append")

@@ -142,3 +142,21 @@ def stateful_user_counts(events: DataFrame,
         stateStructType="total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_distinct_keys(events: DataFrame,
+                         keys: tuple[str, ...] = ("user_id",
+                                                  "event_type"),
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup — the exactly-once event-processing
+    pattern: emit each key combination once, with
+    ``dropDuplicatesWithinWatermark`` bounding the dedup state to the
+    watermark horizon (unbounded-key dedup state is the classic
+    streaming OOM). Only the key columns are emitted, so the result is
+    deterministic (WHICH duplicate row arrives first is not). Over the
+    finite test source (one micro-batch) this equals batch DISTINCT —
+    the oracle."""
+    return (events.withWatermark("ts", watermark)
+            .select(*keys, "ts")
+            .dropDuplicatesWithinWatermark(list(keys))
+            .select(*keys))

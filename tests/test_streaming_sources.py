@@ -129,3 +129,19 @@ def test_tar_reader(spark):
     rows = {r["name"]: (r["size"], bytes(r["body"]))
             for r in tar_reader(spark, d).collect()}
     assert rows == {"x/one.txt": (5, b"hello"), "two.bin": (2, b"\x00\x01")}
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir, tables):
+    """Streaming dropDuplicatesWithinWatermark over the finite source
+    emits exactly the batch-DISTINCT key set."""
+    from bigslice_spark.streaming import (run_to_completion,
+                                          stream_distinct_keys,
+                                          stream_events)
+    ev = stream_events(spark, sf_dir)
+    got = {(r["user_id"], r["event_type"]) for r in run_to_completion(
+        stream_distinct_keys(ev), "t_stream_dedup",
+        output_mode="append").collect()}
+    want = {(r["user_id"], r["event_type"]) for r in
+            tables["events"].select("user_id", "event_type")
+            .distinct().collect()}
+    assert got == want and len(got) > 0
