@@ -43,7 +43,8 @@ _R02_GREEN = frozenset((
 # judge's driver_sim pass).
 _R3_NEW = ("decontaminate", "repetition_stats", "pack_sequences",
            "winnow", "pii_scrub", "line_dedup", "classify_score",
-           "stratified_sample", "stratified_frac", "stream_dedup")
+           "stratified_sample", "stratified_frac", "stream_dedup",
+           "dedup_against")
 
 
 def _rotated() -> list[str]:

@@ -221,6 +221,29 @@ def _minhash_wide(df: DataFrame, text_col: str, id_col: str,
     return hx.groupBy(id_col).agg(*aggs)
 
 
+def _band_rows(sig: DataFrame, id_col: str, bands: int,
+               rows_per_band: int, portable: bool) -> DataFrame:
+    """(id, band, bh) rows from a signature relation — the NARROW
+    banding product (24 bytes/row; the 512-byte signature itself never
+    rides a band shuffle). Interpreted array-lambda form deliberately:
+    per-DOCUMENT evaluation, see the codegen note in
+    minhash_lsh_pairs."""
+    def _band_key(b):
+        s = F.concat_ws(",", F.transform(
+            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            lambda x: x.cast("string")))
+        return s if portable else F.xxhash64(s)
+
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(b.alias("band"), _band_key(b).alias("bh"))
+        )).alias("bk")) \
+        .select("id", F.col("bk.band").alias("band"),
+                F.col("bk.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.5,
@@ -263,20 +286,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # is the joined slice STRING itself (SQL-replayable, ~40 bytes);
     # default compresses it to 8 bytes with xxhash64 — same equivalence
     # classes minus a ~2^-64 collision, so same pairs.
-    def _band_key(b):
-        s = F.concat_ws(",", F.transform(
-            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-            lambda x: x.cast("string")))
-        return s if portable else F.xxhash64(s)
-
-    banded = sig.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(b.alias("band"), _band_key(b).alias("bh"))
-        )).alias("bk")) \
-        .select("id", F.col("bk.band").alias("band"),
-                F.col("bk.bh").alias("bh"))
+    banded = _band_rows(sig, id_col, bands, rows_per_band, portable)
     cand = (_bucketed_self_join(banded, ["band", "bh"],
                                 chunk_target=chunk_target)
             .filter(F.col("id_a") < F.col("id_b"))
@@ -500,3 +510,114 @@ def span_dedup(df: DataFrame, text_col: str = "text",
             .agg(F.array_join(
                 F.transform(ordered, lambda x: x["span"]), sep)
                 .alias(text_col)))
+
+
+def _bucketed_join(left: DataFrame, right: DataFrame, keys: list[str],
+                   id_col: str = "id",
+                   chunk_target: int = 2048) -> DataFrame:
+    """Two-relation analog of _bucketed_self_join: ``left ⋈_keys
+    right`` (payload columns suffixed ``_a``/``_b``) with hot buckets
+    chunked on BOTH sides so a degenerate key's |A_k|·|B_k| output
+    spreads across (nca·ncb) cells instead of one task.
+
+    Unlike the self-join, each side needs the OTHER side's chunk count
+    to replicate against, so the per-key sizes are tiny aggregates
+    (map-side combine → ~one row per key) joined into a hot-key table
+    that broadcasts back to both sides; keys where both sides fit in
+    one chunk pay only two extra int columns."""
+    la = [c for c in left.columns if c not in keys]
+    rb = [c for c in right.columns if c not in keys]
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__ln__"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__rn__"))
+    hot = (lc.join(rc, on=list(keys))
+           .select(*keys,
+                   F.ceil(F.col("__ln__") / F.lit(float(chunk_target)))
+                   .cast("int").alias("__nca__"),
+                   F.ceil(F.col("__rn__") / F.lit(float(chunk_target)))
+                   .cast("int").alias("__ncb__"))
+           .filter((F.col("__nca__") > 1) | (F.col("__ncb__") > 1)))
+    l2 = (left.join(F.broadcast(hot), on=list(keys), how="left")
+          .withColumn("__nca__", F.coalesce(F.col("__nca__"), F.lit(1)))
+          .withColumn("__ncb__", F.coalesce(F.col("__ncb__"), F.lit(1)))
+          .withColumn("__ca__", F.pmod(F.xxhash64(F.col(id_col)),
+                                       F.col("__nca__")).cast("int")))
+    r2 = (right.join(F.broadcast(hot), on=list(keys), how="left")
+          .withColumn("__nca__", F.coalesce(F.col("__nca__"), F.lit(1)))
+          .withColumn("__ncb__", F.coalesce(F.col("__ncb__"), F.lit(1)))
+          .withColumn("__cb__", F.pmod(F.xxhash64(F.col(id_col)),
+                                       F.col("__ncb__")).cast("int")))
+    lrep = l2.select(
+        *keys, *[F.col(c).alias(c + "_a") for c in la],
+        F.col("__ca__"),
+        F.explode(F.sequence(F.lit(0), F.col("__ncb__") - 1))
+        .alias("__cb__"))
+    rrep = r2.select(
+        *keys, *[F.col(c).alias(c + "_b") for c in rb],
+        F.explode(F.sequence(F.lit(0), F.col("__nca__") - 1))
+        .alias("__ca__"), F.col("__cb__"))
+    return (lrep.join(rrep, on=list(keys) + ["__ca__", "__cb__"])
+            .drop("__ca__", "__cb__"))
+
+
+def exact_dedup_against(new_df: DataFrame, corpus_df: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: drop new documents whose content digest
+    already exists in the corpus (the continual-ingestion shape — a new
+    crawl against 100 TB of accepted data). The anti-join shuffles
+    16-byte digests, never text."""
+    seen = corpus_df.select(F.md5(F.col(text_col)).alias("__h")) \
+        .distinct()
+    return (new_df.withColumn("__h", F.md5(F.col(text_col)))
+            .join(seen, on="__h", how="left_anti").drop("__h"))
+
+
+def minhash_pairs_against(new_df: DataFrame, corpus_df: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 64,
+                          bands: int = 16, shingle_w: int = 3,
+                          threshold: float = 0.8,
+                          reliable: bool | None = None,
+                          portable: bool = False,
+                          chunk_target: int = 2048) -> DataFrame:
+    """(new_id, corpus_id, sim): near-duplicate matches of NEW documents
+    against an EXISTING corpus — the asymmetric LSH join. Same narrow
+    band relation and signature-verify as minhash_lsh_pairs, but
+    corpus×corpus pairs are never generated: each side bands
+    independently and only cross-side candidates survive, so the cost
+    is driven by the (small) new batch, not the corpus' own near-dup
+    structure."""
+    sig_n = materialize(
+        minhash_signatures(new_df, text_col, id_col, num_hashes,
+                           shingle_w, portable), reliable)
+    sig_c = materialize(
+        minhash_signatures(corpus_df, text_col, id_col, num_hashes,
+                           shingle_w, portable), reliable)
+    rpb = num_hashes // bands
+    bn = _band_rows(sig_n, id_col, bands, rpb, portable)
+    bc = _band_rows(sig_c, id_col, bands, rpb, portable)
+    cand = (_bucketed_join(bn, bc, ["band", "bh"],
+                           chunk_target=chunk_target)
+            .select(F.col("id_a").alias("new_id"),
+                    F.col("id_b").alias("corpus_id"))
+            .distinct())
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (cand
+            .join(sig_n.toDF("new_id", "sig_a"), on="new_id")
+            .join(sig_c.toDF("corpus_id", "sig_b"), on="corpus_id")
+            .select("new_id", "corpus_id",
+                    (matches.cast("double")
+                     / F.lit(float(num_hashes))).alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+def minhash_dedup_against(new_df: DataFrame, corpus_df: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id", **kw) -> DataFrame:
+    """Keep only new documents with NO near-duplicate in the corpus —
+    the admission filter of an incremental ingestion pipeline."""
+    flagged = (minhash_pairs_against(new_df, corpus_df, text_col,
+                                     id_col, **kw)
+               .select(F.col("new_id").alias(id_col)).distinct())
+    return new_df.join(flagged, on=id_col, how="left_anti")

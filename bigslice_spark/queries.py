@@ -1034,7 +1034,10 @@ def dedup_exact(spark, sf_dir):
 
 
 def _minhash_pairs_ctes(src: str = "documents", num_hashes: int = 64,
-                        bands: int = 16, threshold: float = 0.5) -> str:
+                        bands: int = 16, threshold: float = 0.5,
+                        pair_pred: str = "a.doc_id < b.doc_id",
+                        a_name: str = "id_a",
+                        b_name: str = "id_b") -> str:
     """CTE chain (ending in ``mh_pairs(id_a, id_b, sim)``) replaying the
     PORTABLE-mode minhash_lsh_pairs pipeline over relation ``src``:
     md5-derived 31-bit token hash → the same fixed affine family → 64
@@ -1080,11 +1083,11 @@ def _minhash_pairs_ctes(src: str = "documents", num_hashes: int = 64,
              {bhs}
              FROM mh_sig),
     mh_pairs AS (
-      SELECT id_a, id_b, sim FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT {a_name}, {b_name}, sim FROM (
+        SELECT a.doc_id AS {a_name}, b.doc_id AS {b_name},
                CAST({matches} AS DOUBLE) / {float(num_hashes)} AS sim
         FROM mh_sigb a JOIN mh_sigb b
-          ON a.doc_id < b.doc_id AND ({band_or}))
+          ON {pair_pred} AND ({band_or}))
       WHERE sim >= {threshold})"""
 
 
@@ -3134,3 +3137,32 @@ def stream_dedup(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     return run_to_completion(stream_distinct_keys(ev),
                              "bs_stream_dedup", output_mode="append")
+
+
+def _minhash_against_oracle(threshold: float = 0.7) -> str:
+    """Asymmetric replay: signatures over ALL documents (identical
+    per-doc values either way), pairs restricted to new-side (doc_id %
+    11 = 0) × corpus-side rows."""
+    return f"""
+    WITH {_minhash_pairs_ctes(
+        'documents', threshold=threshold,
+        pair_pred='a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0',
+        a_name='new_id', b_name='corpus_id')}
+    SELECT new_id, corpus_id, sim FROM mh_pairs
+    """
+
+
+@query("dedup_against", _minhash_against_oracle())
+def dedup_against(spark, sf_dir):
+    """Incremental dedup (operators/dedup.py minhash_pairs_against):
+    near-dup matches of a NEW batch (doc_id % 11 = 0) against the
+    EXISTING corpus — asymmetric banded LSH, corpus×corpus pairs never
+    generated. Portable md5 mode; the oracle replays signatures +
+    banding + verify exactly."""
+    from .operators.dedup import minhash_pairs_against
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    new = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    return minhash_pairs_against(new, corpus, threshold=0.7,
+                                 portable=True)

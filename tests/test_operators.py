@@ -973,3 +973,59 @@ def test_text_operator_edge_inputs(spark):
     # span_dedup: null drops, identical-content docs dedup to min id
     sd = {r["doc_id"] for r in D.span_dedup(df).collect()}
     assert 1 not in sd and 4 in sd
+
+
+def test_bucketed_join_two_sided_exact(spark):
+    """_bucketed_join with both sides chunked (chunk_target below both
+    hot sizes) == the naive inner join, on asymmetric hot/warm/solo
+    buckets and keys present on only one side."""
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.dedup import _bucketed_join
+    lrows = ([(i, "hot") for i in range(57)]
+             + [(100 + i, "warm") for i in range(4)]
+             + [(200, "lonly")])
+    rrows = ([(1000 + i, "hot") for i in range(33)]
+             + [(1100, "warm")] + [(1200, "ronly")])
+    left = spark.createDataFrame(lrows, "id long, bk string")
+    right = spark.createDataFrame(rrows, "id long, bk string")
+    naive = (left.toDF("ida", "bk").join(right.toDF("idb", "bk"), "bk")
+             .select("bk", "ida", "idb"))
+    got = (_bucketed_join(left, right, ["bk"], chunk_target=8)
+           .select("bk", "id_a", "id_b"))
+    assert sorted(map(tuple, naive.collect())) \
+        == sorted(map(tuple, got.collect()))
+
+
+def test_minhash_against_equals_cross_side_subset(spark, tables):
+    """minhash_pairs_against(new, corpus) == the cross-side subset of
+    the full corpus' self-join pairs, re-oriented new→corpus."""
+    from bigslice_spark.operators.dedup import (minhash_lsh_pairs,
+                                                minhash_pairs_against)
+    docs = tables["documents"]
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    full = {(r["id_a"], r["id_b"]): r["sim"]
+            for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    want = {}
+    for (a, b), s in full.items():
+        if a % 7 == 0 and b % 7 != 0:
+            want[(a, b)] = s
+        elif b % 7 == 0 and a % 7 != 0:
+            want[(b, a)] = s
+    got = {(r["new_id"], r["corpus_id"]): r["sim"]
+           for r in minhash_pairs_against(new, corpus,
+                                          threshold=0.5).collect()}
+    assert got == want
+
+
+def test_exact_dedup_against(spark):
+    from bigslice_spark.operators.dedup import exact_dedup_against
+    new = spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new"), (3, "also seen")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen"), (102, "other")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            exact_dedup_against(new, corpus).collect()}
+    assert kept == {2}
