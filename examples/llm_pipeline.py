@@ -1,12 +1,15 @@
 """The 100TB training-data pipeline, end to end on this engine:
 
-  quality filter → exact dedup → MinHash near-dup removal →
-  near-dup CLUSTER report (connected components) → per-language
-  token budget — with distributed counters at every stage.
+  PII scrub → quality prefilter → classifier score filter →
+  exact dedup → cross-document line dedup → MinHash near-dup removal →
+  near-dup CLUSTER report (connected components) → benchmark
+  decontamination → stratified source quotas → per-language token
+  budget → sequence packing — with distributed counters at every
+  stage.
 
-Every stage is one of the audited operators (same composition the
-`pipeline_end2end` registry entry oracle-checks); this script is the
-runnable user journey with per-stage survivor counts.
+Every stage is one of the audited operators (the same compositions the
+`pipeline_end2end` / round-3 registry entries oracle-check); this
+script is the runnable user journey with per-stage survivor counts.
 
 Run: python examples/llm_pipeline.py [sf_dir]
 """
@@ -18,9 +21,14 @@ import pyspark.sql.functions as F
 
 from bigslice_spark import Session
 from bigslice_spark.metrics import Scope
+from bigslice_spark.operators.classify import demo_weights, score_documents
+from bigslice_spark.operators.decontam import decontaminate
 from bigslice_spark.operators.dedup import (exact_dedup,
-                                            minhash_lsh_pairs)
+                                            minhash_lsh_pairs, span_dedup)
 from bigslice_spark.operators.graph import connected_components
+from bigslice_spark.operators.packing import pack_sequences
+from bigslice_spark.operators.pii import scrub_pii
+from bigslice_spark.operators.sampling import stratified_sample
 from bigslice_spark.operators.text import bpe_token_count, quality_score
 
 
@@ -31,17 +39,38 @@ def main() -> None:
     docs = sess.read_parquet(f"{sf_dir}/documents.parquet").df
     scope.counter("ingested").incr(docs.count())
 
+    # 0. PII scrub — pure projection, runs at scan speed
+    meta = docs.drop("text")
+    docs = scrub_pii(docs).select("doc_id", "text") \
+        .join(meta, on="doc_id")
+
     # 1. cheap quality prefilter (codegen'd token stats)
     q = quality_score(docs).filter(F.col("quality") >= 0.5)
     docs = docs.join(q.select("doc_id"), on="doc_id", how="left_semi")
     scope.counter("after_quality").incr(docs.count())
 
-    # 2. exact dedup: 16-byte digests shuffle, not content
+    # 2. model-based quality: hashed-feature linear scorer (broadcast
+    #    model; stands in for a trained fasttext-style classifier)
+    scored = score_documents(docs, demo_weights(sess.spark))
+    keep = scored.filter(F.col("score") > -0.2).select("doc_id")
+    docs = docs.join(keep, on="doc_id", how="left_semi")
+    scope.counter("after_classifier").incr(docs.count())
+
+    # 3. exact dedup: 16-byte digests shuffle, not content
     docs = docs.join(exact_dedup(docs).select("doc_id"),
                      on="doc_id", how="left_semi")
     scope.counter("after_exact_dedup").incr(docs.count())
 
-    # 3. near-dup pairs (un-capped banded LSH) → clusters → keep minima
+    # 4. cross-document line dedup (C4 rule; lines = 8-token spans on
+    #    this single-line synthetic corpus)
+    lined = docs.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+\s+){8})", "$1\n"))
+    deduped = span_dedup(lined).withColumn(
+        "text", F.regexp_replace("text", "\n", " "))
+    docs = deduped.join(meta, on="doc_id")
+    scope.counter("after_line_dedup").incr(docs.count())
+
+    # 5. near-dup pairs (un-capped banded LSH) → clusters → keep minima
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     losers = comp.filter(F.col("node") != F.col("component")) \
@@ -49,13 +78,30 @@ def main() -> None:
     docs = docs.join(losers, on="doc_id", how="left_anti")
     scope.counter("after_near_dedup").incr(docs.count())
 
-    # 4. per-language token budget for the sampler
+    # 6. decontaminate against a held-out eval split (broadcast eval
+    #    shingles — the corpus never shuffles)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    docs = decontaminate(train, eval_df, ngram_w=3, min_shared=2)
+    scope.counter("after_decontam").incr(docs.count())
+
+    # 7. cap every source at a quota (deterministic stratified sample)
+    docs = stratified_sample(docs, "source", 50)
+    scope.counter("after_source_quota").incr(docs.count())
+
+    # 8. per-language token budget for the sampler
     budget = (docs.groupBy("lang")
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum(bpe_token_count("text")).alias("token_budget"))
               .orderBy("lang"))
     for lang, n_docs, tokens in budget.collect():
         print(f"{lang}\t{n_docs}\t{tokens}")
+
+    # 9. pack survivors into fixed-length training sequences
+    packed = pack_sequences(docs, max_len=512)
+    n_seq = packed.agg(F.max("seq_id")).first()[0]
+    scope.counter("train_sequences").incr(int(n_seq) + 1)
+
     for stage, n in scope.snapshot().items():
         print(f"# {stage}: {n}")
 

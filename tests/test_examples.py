@@ -26,11 +26,13 @@ def test_llm_pipeline_example():
     budget = [l for l in out.splitlines() if "\t" in l]
     stages = [l for l in out.splitlines() if l.startswith("# ")]
     assert budget, out
-    assert len(stages) == 4
-    counts = [int(s.rsplit(": ", 1)[1]) for s in stages]
-    # monotonically non-increasing survivors through the funnel
+    assert len(stages) == 9
+    # survivor counts (all but the trailing sequence-count stage) are
+    # monotonically non-increasing through the funnel
+    counts = [int(s.rsplit(": ", 1)[1]) for s in stages[:-1]]
     assert counts == sorted(counts, reverse=True)
     assert counts[-1] > 0
+    assert int(stages[-1].rsplit(": ", 1)[1]) > 0
 
 
 def test_url_counts_example():
