@@ -31,6 +31,13 @@ BATTERY = [
     "op_repartition_custom", "op_budget_sample", "op_hash_split",
     "word_count", "dedup_minhash", "ngram_jaccard", "text_stats",
     "asof_join", "window_rank", "q1_pricing_summary",
+    # round-3 pipeline operators — packing's two-level prefix sum and
+    # the stratified window are exactly the kind of op that could leak
+    # a partitioning assumption; pack_sequences output must be
+    # IDENTICAL under local[1] (one physical partition) and local[32]
+    "pack_sequences", "winnow", "pii_scrub", "line_dedup",
+    "classify_score", "stratified_sample", "stratified_frac",
+    "repetition_stats", "decontaminate", "dedup_against",
 ]
 
 
