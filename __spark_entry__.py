@@ -44,7 +44,7 @@ _R02_GREEN = frozenset((
 _R3_NEW = ("decontaminate", "repetition_stats", "pack_sequences",
            "winnow", "pii_scrub", "line_dedup", "classify_score",
            "stratified_sample", "stratified_frac", "stream_dedup",
-           "dedup_against")
+           "dedup_against", "corpus_stats")
 
 
 def _rotated() -> list[str]:

@@ -256,3 +256,25 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
     fp_udf = F.pandas_udf(fp_series, "long")
     return df.select(id_col, fp_udf(F.col(text_col)).alias("fp"))
+
+
+def corpus_stats(df: DataFrame, strata_col: str = "source",
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum corpus health report: document count, token count,
+    exact-duplicate fraction (1 − distinct content digests / docs) and
+    mean tokens per document — the numbers a pipeline owner checks
+    after every build. One grouped aggregation (count DISTINCT plans
+    Spark's expand + two-phase agg); every input to the two ratios is
+    an exact integer, so the doubles are engine-reproducible."""
+    tc = token_count(text_col)
+    return (df.groupBy(strata_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(tc).alias("n_tokens"),
+                 F.count_distinct(F.md5(F.col(text_col)))
+                 .alias("n_distinct"))
+            .select(strata_col, "n_docs", "n_tokens", "n_distinct",
+                    (F.lit(1.0) - F.col("n_distinct")
+                     / F.col("n_docs").cast("double")).alias("dup_frac"),
+                    (F.col("n_tokens").cast("double")
+                     / F.col("n_docs")).alias("mean_tokens")))

@@ -3166,3 +3166,26 @@ def dedup_against(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 11 != 0)
     return minhash_pairs_against(new, corpus, threshold=0.7,
                                  portable=True)
+
+
+@query("corpus_stats", """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> ''))) AS BIGINT)
+               AS n_tokens,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           1.0 - count(DISTINCT md5(text))
+                 / CAST(count(*) AS DOUBLE) AS dup_frac,
+           CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> ''))) AS DOUBLE)
+               / count(*) AS mean_tokens
+    FROM documents GROUP BY source
+""")
+def corpus_stats(spark, sf_dir):
+    """Per-source corpus health report (operators/text.py): doc/token
+    counts, exact-dup fraction from distinct digests, mean doc length.
+    Integer inputs → reproducible doubles."""
+    from .operators.text import corpus_stats as _cs
+    _, t = _s(spark, sf_dir)
+    return _cs(t["documents"])

@@ -1029,3 +1029,21 @@ def test_exact_dedup_against(spark):
     kept = {r["doc_id"] for r in
             exact_dedup_against(new, corpus).collect()}
     assert kept == {2}
+
+
+def test_corpus_stats_matches_python(spark, tables):
+    import hashlib
+    from bigslice_spark.operators.text import corpus_stats
+    docs = tables["documents"]
+    got = {r["source"]: r.asDict()
+           for r in corpus_stats(docs).collect()}
+    by_src = {}
+    for r in docs.collect():
+        by_src.setdefault(r["source"], []).append(r["text"])
+    for src, texts in by_src.items():
+        g = got[src]
+        assert g["n_docs"] == len(texts)
+        assert g["n_tokens"] == sum(len(t.split()) for t in texts)
+        nd = len({hashlib.md5(t.encode()).hexdigest() for t in texts})
+        assert g["n_distinct"] == nd
+        assert g["dup_frac"] == 1.0 - nd / len(texts)
