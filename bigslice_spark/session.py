@@ -358,12 +358,19 @@ def load_tables(spark: SparkSession, sf_dir: str,
         if os.path.exists(path):
             df = spark.read.parquet(path)
             if name == "events":
-                # ts arrives as int64 nanos (see nanosAsLong conf); rebuild
-                # a microsecond TIMESTAMP. Integer division is required:
-                # ns values (~1.7e18) exceed double's 2^53 integer range,
-                # so `/ 1000` would round by up to ±1µs.
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+                # ts has shipped as either int64 nanos (rounds 1-2 testdata,
+                # read as long via the nanosAsLong conf) or a native
+                # timestamp[us]. Normalize both to a session-tz TIMESTAMP
+                # (UTC session => values equal DuckDB's naive read).
+                ts_type = dict(df.dtypes)["ts"]
+                if ts_type == "bigint":
+                    # Integer division is required: ns values (~1.7e18)
+                    # exceed double's 2^53 integer range, so `/ 1000`
+                    # would round by up to ±1µs.
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+                elif ts_type == "timestamp_ntz":
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df.createOrReplaceTempView(name)
             out[name] = df
     _TABLE_CACHE[ck] = out

@@ -19,25 +19,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # int64 nanos in the parquet
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the ns→µs rebuild."""
+    """readStream over the events parquet, ts normalized to TIMESTAMP.
+
+    The testdata has shipped ts as either int64 nanos (rounds 1-2) or a
+    native timestamp[us]; probe the static footer once to pick the
+    stream schema (readStream requires one up front)."""
+    import os
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = static.schema["ts"].dataType
     # FileStreamSource requires a DIRECTORY; events.parquet is a plain
     # file, so stream the parent dir with a glob filter.
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+    raw = (spark.readStream.schema(_events_schema(ts_type))
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour",
