@@ -1666,7 +1666,7 @@ def _multimodal_oracle(feat_dim: int = 8) -> str:
     are exact integer counts divided in double — bitwise equal."""
     feat = ", ".join(
         f"CAST(sum(CASE WHEN m = {j} THEN 1 ELSE 0 END) AS DOUBLE)"
-        f" / any_value(n)" for j in range(feat_dim))
+        f" / any_value(n) AS f{j}" for j in range(feat_dim))
     return f"""
     WITH idx AS (
       SELECT doc_id, text, length(text) AS n,
@@ -1677,7 +1677,7 @@ def _multimodal_oracle(feat_dim: int = 8) -> str:
              ascii(substr(text, CAST(i AS INT), 1)) % {feat_dim} AS m
       FROM idx)
     SELECT doc_id AS id, CAST(any_value(n) AS BIGINT) AS n_bytes,
-           [{feat}] AS feat
+           {feat}
     FROM b GROUP BY doc_id
     """
 
@@ -1687,12 +1687,21 @@ def multimodal_features(spark, sf_dir):
     """Binary-media feature extraction through the real Arrow/mapInPandas
     plumbing; the deterministic fake decode (byte-histogram moments) is
     replayed exactly by the SQL oracle, so the whole batching path is
-    value-checked, not just row-counted."""
+    value-checked, not just row-counted.
+
+    The feature vector is projected to scalar f0..f7 columns here (the
+    operator itself returns array<double>): the driver's canonicalizer
+    sorts/hashes column values and cannot order list cells, so the
+    registry entry exposes the same data in hashable shape
+    (CORRECTNESS_r03 `unhashable type: 'list'`)."""
     from .operators.multimodal import extract_features, pack_media
     _, t = _s(spark, sf_dir)
     m = pack_media(t["documents"].withColumn(
         "bin", F.encode("text", "utf-8")), "bin", "doc_id")
-    return extract_features(m)
+    out = extract_features(m)
+    return out.select(
+        "id", "n_bytes",
+        *[F.col("feat")[j].alias(f"f{j}") for j in range(8)])
 
 
 @query("asof_join", """

@@ -349,29 +349,41 @@ def load_tables(spark: SparkSession, sf_dir: str,
     out: dict[str, DataFrame] = {}
     from pyspark.sql import functions as F
 
-    # The driver may hand us a session without this conf; it is a runtime
-    # SQLConf, so set it here — events.parquet is INT64 TIMESTAMP(NANOS),
-    # which the reader otherwise rejects.
+    # The driver may hand us a session without these confs; both are
+    # runtime SQLConfs, so set them here — events.parquet is INT64
+    # TIMESTAMP(NANOS), which the reader otherwise rejects, and the
+    # ntz→timestamp normalization below is only identity under a UTC
+    # session zone (a non-UTC session would shift ntz-path instants
+    # relative to the bigint path and the DuckDB oracle).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
             if name == "events":
-                # ts has shipped as either int64 nanos (rounds 1-2 testdata,
-                # read as long via the nanosAsLong conf) or a native
-                # timestamp[us]. Normalize both to a session-tz TIMESTAMP
-                # (UTC session => values equal DuckDB's naive read).
-                ts_type = dict(df.dtypes)["ts"]
-                if ts_type == "bigint":
-                    # Integer division is required: ns values (~1.7e18)
-                    # exceed double's 2^53 integer range, so `/ 1000`
-                    # would round by up to ±1µs.
-                    df = df.withColumn(
-                        "ts", F.timestamp_micros(F.expr("ts div 1000")))
-                elif ts_type == "timestamp_ntz":
-                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+                df = normalize_events_ts(df)
             df.createOrReplaceTempView(name)
             out[name] = df
     _TABLE_CACHE[ck] = out
     return dict(out)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-tz TIMESTAMP.
+
+    ts has shipped as either int64 nanos (rounds 1-2 testdata, read as
+    long via the nanosAsLong conf) or a native timestamp[us]/ntz.
+    Shared by the batch reader (load_tables) and the streaming source
+    (streaming.stream_events) so a third encoding is handled in exactly
+    one place. UTC session => values equal DuckDB's naive read."""
+    from pyspark.sql import functions as F
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # Integer division is required: ns values (~1.7e18) exceed
+        # double's 2^53 integer range, so `/ 1000` would round by ±1µs.
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df

@@ -35,20 +35,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The testdata has shipped ts as either int64 nanos (rounds 1-2) or a
     native timestamp[us]; probe the static footer once to pick the
-    stream schema (readStream requires one up front)."""
+    stream schema (readStream requires one up front). When the static
+    file does not exist YET — standard FileStreamSource usage is to
+    start the stream before data arrives — fall back to the legacy
+    int64-nanos schema instead of failing the probe."""
     import os
+    from ..session import normalize_events_ts
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_type = static.schema["ts"].dataType
+    try:
+        static = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet"))
+        ts_type = static.schema["ts"].dataType
+    except Exception:
+        ts_type = T.LongType()
     # FileStreamSource requires a DIRECTORY; events.parquet is a plain
     # file, so stream the parent dir with a glob filter.
     raw = (spark.readStream.schema(_events_schema(ts_type))
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    if isinstance(ts_type, T.LongType):
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour",
