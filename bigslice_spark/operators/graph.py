@@ -138,3 +138,29 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                     .alias("r")),
             reliable)
     return rank.select("node", F.col("r").alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected edge list.
+
+    Canonicalizes to src < dst (drops self-loops and duplicate
+    orientations), then counts closing wedges with the standard
+    ordered two-join: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — each
+    triangle found exactly once, no orientation blowup.
+
+    Scale shape: two equi-joins, both shuffling the (deduped) edge
+    list by a single node key; no cartesian anywhere. Skewed (hub)
+    vertices are the classic hazard — AQE skew-join splits them; for
+    adversarial power-law graphs, pre-salting the hub side (operators/
+    skew.py) composes. Returns a 1-row DataFrame (n_triangles)."""
+    e = (edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .filter(F.col("a") < F.col("b"))
+         .distinct())
+    e_bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = e.join(e_bc, on="b").select("a", "b", "c")
+    closed = wedge.join(
+        e.select(F.col("a"), F.col("b").alias("c")), on=["a", "c"])
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

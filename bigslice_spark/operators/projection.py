@@ -1,0 +1,87 @@
+"""Embedding projections and space-filling-curve layout.
+
+Two layout/compression primitives a 100 TB training-data store needs:
+
+- random_projection: Johnson-Lindenstrauss-style dense random projection
+  of an embedding column to a small output dimension — the cheap
+  front-end of ANN indexing, clustering, and dedup (project once, store
+  8 doubles instead of 64+). Same deterministic hyperplane family as
+  similarity.lsh_topk, and the same wide-codegen dot products: one
+  projection is d multiply-adds per output dim, fully inside
+  whole-stage codegen, ZERO shuffles — a pure map over the corpus.
+
+- zorder_value / write_zordered: bit-interleaved Morton code over two
+  integer keys. Range-partitioning + sorting by the z-value clusters
+  rows so that a scan filtered on EITHER key touches a bounded band of
+  files — the standard multi-dimensional data-layout trick (Delta
+  OPTIMIZE ZORDER, Hudi clustering) expressed with plain Spark
+  primitives. The z-value is a codegen'd bit expression; the write is
+  repartitionByRange + sortWithinPartitions (one range exchange, no
+  extra pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _hyperplanes
+
+
+def random_projection(df: DataFrame, out_dim: int = 8,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      dim: int | None = None,
+                      seed: int = 42) -> DataFrame:
+    """Project ``vec_col`` (array<float|double>, length ``dim``) to
+    ``out_dim`` doubles r0..rK via the deterministic seeded hyperplane
+    family. Output columns are scalars (driver-hashable, parquet-
+    friendly); one F.expr parse per output dim, left-associative sums —
+    bitwise-reproducible by any engine writing the same expression."""
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(f"cannot infer dim: {vec_col} has no rows")
+        dim = len(row[0])
+    planes = _hyperplanes(dim, out_dim, seed=seed)
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("__v__"))
+    projs = [
+        F.expr(" + ".join(f"__v__[{j}] * ({p[j]!r})" for j in range(dim)))
+        .alias(f"r{i}")
+        for i, p in enumerate(planes)]
+    return v.select(id_col, *projs)
+
+
+def zorder_value(a, b, bits: int = 16) -> "F.Column":
+    """Morton code: interleave the low ``bits`` bits of two non-negative
+    integer columns (a even positions, b odd). Codegen'd shift/mask
+    arithmetic, reproducible in any engine with >>, &, * (DuckDB
+    included — no Java-only intrinsics)."""
+    ca = a if not isinstance(a, str) else F.col(a)
+    cb = b if not isinstance(b, str) else F.col(b)
+    ca, cb = ca.cast("long"), cb.cast("long")
+    terms = []
+    for i in range(bits):
+        bit = 1 << i
+        terms.append(ca.bitwiseAND(F.lit(bit)) * F.lit(1 << i))
+        terms.append(cb.bitwiseAND(F.lit(bit)) * F.lit(1 << (i + 1)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_files: int = 64, bits: int = 16) -> None:
+    """Lay out ``df`` as parquet clustered by the z-order of
+    (col_a, col_b): range-partition on the z-value (one exchange),
+    sort within partitions (no extra exchange), write. A reader
+    filtering on either column then prunes to a contiguous band of
+    files via min/max footer stats."""
+    (df.withColumn("__z__", zorder_value(col_a, col_b, bits))
+       .repartitionByRange(n_files, "__z__")
+       .sortWithinPartitions("__z__")
+       .drop("__z__")
+       .write.mode("overwrite").parquet(path))

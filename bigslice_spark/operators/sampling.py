@@ -153,3 +153,29 @@ def stratified_frac(df: DataFrame, strata_col: str,
             raise ValueError(f"fraction out of [0,1]: {frac_per}")
         thr = F.lit(int(round(frac_per * _SPLIT_BUCKETS)))
     return df.filter(b < thr)
+
+
+def mix_weights(df: DataFrame, strata_col: str = "source",
+                text_col: str = "text", alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum: the
+    multilingual/multi-source rebalancing rule w_s = (n_s/N)^alpha
+    (alpha<1 upweights small strata — the mT5/XLM-R sampling scheme).
+
+    One hash aggregation over the corpus (exact integer token counts),
+    one broadcast of the 1-row total back in-plan — no driver collect.
+    The weight is computed as pow(n_s/N, alpha); with alpha=0.5 that is
+    sqrt(), the one transcendental that IEEE requires correctly rounded,
+    so the doubles are engine-bitwise-reproducible from exact integer
+    inputs. (Other alphas are supported but their pow() is only
+    reproducible within 1 ulp across engines — use portable alpha=0.5
+    for oracle-checked runs.)"""
+    from .text import token_count
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("tot"))
+    j = per.crossJoin(F.broadcast(tot))
+    frac = F.col("n_tokens").cast("double") / F.col("tot").cast("double")
+    w = F.sqrt(frac) if alpha == 0.5 else F.pow(frac, F.lit(alpha))
+    return j.select(strata_col, "n_docs", "n_tokens",
+                    w.alias("weight"))

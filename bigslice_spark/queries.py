@@ -3198,3 +3198,263 @@ def corpus_stats(spark, sf_dir):
     from .operators.text import corpus_stats as _cs
     _, t = _s(spark, sf_dir)
     return _cs(t["documents"])
+
+
+# =====================================================================
+# Round 4: retrieval, projections, clustering, funnels, graph metrics,
+# mixture weights, JSONL round-trip, z-order layout.
+# =====================================================================
+
+_BM25_TERMS = ["spark", "vector", "stream"]
+
+
+def _bm25_oracle(terms: list[str], k: int = 20, k1: float = 1.2,
+                 b: float = 0.75) -> str:
+    """SQL replay of operators/search.bm25_score: rational idf (no ln),
+    per-term partials added in literal query order (the same
+    order-deterministic sum the Spark side uses), constants embedded via
+    repr so both engines parse identical doubles."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    cases = " + ".join(
+        f"COALESCE(max(CASE WHEN term = '{t}' THEN part END), 0.0)"
+        for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS term,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS dl
+      FROM documents),
+    post AS (SELECT * FROM toks WHERE term IN ({tlist})),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+                  any_value(dl) AS dl
+           FROM post GROUP BY doc_id, term),
+    corpus AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> ''))) AS DOUBLE) AS tot_dl
+      FROM documents),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM tf GROUP BY term),
+    sc AS (
+      SELECT tf.doc_id, tf.term,
+             ((corpus.n_docs - dfreq.df + {0.5!r}) / (dfreq.df + {0.5!r}))
+             * (tf.tf * ({k1 + 1.0!r}))
+             / (tf.tf + ({k1!r}) * ({1.0!r} - ({b!r})
+                + ({b!r}) * tf.dl / (corpus.tot_dl / corpus.n_docs)))
+                 AS part
+      FROM tf JOIN dfreq USING (term), corpus),
+    agg AS (SELECT doc_id, {cases} AS score FROM sc GROUP BY doc_id)
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rank
+    FROM agg ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@query("bm25_search", _bm25_oracle(_BM25_TERMS))
+def bm25_search(spark, sf_dir):
+    """Inverted-index BM25 retrieval (operators/search.py): posting
+    lists only for the query's terms, corpus scalars broadcast in-plan,
+    order-deterministic per-term score sum, global top-20."""
+    from .operators.search import bm25_score
+    _, t = _s(spark, sf_dir)
+    return bm25_score(t["documents"], _BM25_TERMS, k=20)
+
+
+def _rp_oracle(dim: int = 64, out_dim: int = 8) -> str:
+    """SQL replay of operators/projection.random_projection: same seeded
+    LCG hyperplanes as literals, same left-associative sums."""
+    from .operators.similarity import _hyperplanes
+    planes = _hyperplanes(dim, out_dim, seed=42)
+    projs = ", ".join(
+        "(" + " + ".join(
+            f"CAST(embedding[{j+1}] AS DOUBLE) * ({p[j]!r})"
+            for j in range(dim)) + f") AS r{i}"
+        for i, p in enumerate(planes))
+    return f"SELECT vec_id, {projs} FROM embeddings"
+
+
+@query("random_projection", _rp_oracle())
+def random_projection_q(spark, sf_dir):
+    """JL-style dense random projection 64→8 (operators/projection.py):
+    zero-shuffle codegen map over the corpus — the cheap front-end of
+    ANN / clustering / embedding dedup."""
+    from .operators.projection import random_projection
+    _, t = _s(spark, sf_dir)
+    return random_projection(t["embeddings"], out_dim=8, dim=64)
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64, mean_dims: int = 4,
+                   scale: int = 12) -> str:
+    """SQL replay of operators/clustering.kmeans_update: per-cell
+    distances as one UNION ALL branch per centroid (same left-assoc
+    sums), argmin via row_number ordered (d, cell) — the tie-break
+    array_min(struct(d, cell)) uses — then decimal-exact coordinate
+    means."""
+    from .operators.clustering import seed_centroids
+    cents = seed_centroids(k, dim)
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, {ci} AS cell, ("
+        + " + ".join(
+            f"(CAST(embedding[{j+1}] AS DOUBLE) - ({c[j]!r}))"
+            f" * (CAST(embedding[{j+1}] AS DOUBLE) - ({c[j]!r}))"
+            for j in range(dim))
+        + ") AS d FROM embeddings"
+        for ci, c in enumerate(cents))
+    means = ", ".join(
+        f"CAST(sum(CAST(CAST(embedding[{m+1}] AS DOUBLE)"
+        f" AS DECIMAL(38,{scale}))) AS DOUBLE) / count(*) AS m{m}"
+        for m in range(mean_dims))
+    return f"""
+    WITH dists AS ({branches}),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM dists) WHERE rn = 1)
+    SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n,
+           {means}
+    FROM assign JOIN embeddings USING (vec_id)
+    GROUP BY cell
+    """
+
+
+@query("kmeans_step", _kmeans_oracle())
+def kmeans_step(spark, sf_dir):
+    """One deterministic Lloyd step (operators/clustering.py):
+    zero-shuffle argmin assignment against literal centroids + one
+    k-row aggregation with decimal-exact coordinate means — the
+    bit-checkable complement to similarity_ivf's ml-KMeans cells."""
+    from .operators.clustering import kmeans_update, seed_centroids
+    _, t = _s(spark, sf_dir)
+    return kmeans_update(t["embeddings"], seed_centroids(8, 64))
+
+
+@query("funnel_steps", """
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS et, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT u, min(us) AS t1 FROM ev WHERE et = 'view' GROUP BY u),
+    s2 AS (SELECT s1.u, s1.t1, min(e.us) AS t2
+           FROM s1 LEFT JOIN ev e
+             ON e.u = s1.u AND e.et = 'click' AND e.us >= s1.t1
+           GROUP BY s1.u, s1.t1),
+    s3 AS (SELECT s2.u, s2.t1, s2.t2, min(e.us) AS t3
+           FROM s2 LEFT JOIN ev e
+             ON e.u = s2.u AND e.et = 'purchase' AND e.us >= s2.t2
+           GROUP BY s2.u, s2.t1, s2.t2)
+    SELECT u AS user_id, t1, t2, t3,
+           CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+                + (t3 IS NOT NULL)::INT AS INT) AS depth
+    FROM s3
+""")
+def funnel_steps(spark, sf_dir):
+    """Ordered view→click→purchase funnel (operators/funnel.py):
+    greedy-earliest stage timestamps per user, one event-scale shuffle,
+    step-chaining on the reduced per-user aggregate."""
+    from .operators.funnel import funnel
+    _, t = _s(spark, sf_dir)
+    return funnel(t["events"], ["view", "click", "purchase"])
+
+
+@query("triangle_count", """
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey
+       AND l1.l_partkey < l2.l_partkey)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN (SELECT a AS b, b AS c FROM e) e2 USING (b)
+    JOIN (SELECT a, b AS c FROM e) e3
+      ON e3.a = e1.a AND e3.c = e2.c
+""")
+def triangle_count_q(spark, sf_dir):
+    """Triangle count (operators/graph.py) over the parts-co-ordered
+    graph (edge = two parts share an order): ordered two-join wedge
+    closure, a<b<c each triangle once, no cartesian."""
+    from .operators.graph import triangle_count
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"]
+    l1 = li.select(F.col("l_orderkey").alias("ok"),
+                   F.col("l_partkey").alias("src"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"),
+                   F.col("l_partkey").alias("dst"))
+    edges = (l1.join(l2, on="ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    return triangle_count(edges)
+
+
+@query("mix_weights", """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> ''))) AS BIGINT)
+                 AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) AS weight
+    FROM per, tot
+""")
+def mix_weights_q(spark, sf_dir):
+    """Temperature-scaled mixture weights (operators/sampling.py):
+    w_s = (n_s/N)^0.5 from exact integer token totals — sqrt is the one
+    correctly-rounded transcendental, so the doubles replay bitwise."""
+    from .operators.sampling import mix_weights
+    _, t = _s(spark, sf_dir)
+    return mix_weights(t["documents"], "source")
+
+
+@query("source_jsonl", """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def source_jsonl(spark, sf_dir):
+    """JSONL round-trip (sources/read_json): write the documents table
+    as JSON-lines, read it back with a PINNED schema (never
+    inferSchema in production paths), prove content fidelity against
+    the parquet original. The oracle reads the parquet view — it never
+    touches the temp files, so there is no ordering hazard between the
+    driver's two runs."""
+    import tempfile
+
+    from .sources import read_json
+    _, t = _s(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="bss_jsonl_")
+    t["documents"].write.mode("overwrite").json(out)
+    return read_json(
+        spark, out,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").select("doc_id", "text", "lang", "source",
+                               "n_chars")
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        bit = 1 << i
+        terms.append(f"(l_partkey & {bit}) * {1 << i}")
+        terms.append(f"(l_suppkey & {bit}) * {1 << (i + 1)}")
+    z = " + ".join(terms)
+    return f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({z} AS BIGINT) AS zval
+    FROM lineitem
+    """
+
+
+@query("zorder_layout", _zorder_oracle())
+def zorder_layout(spark, sf_dir):
+    """Morton / z-order value (operators/projection.py zorder_value)
+    over (l_partkey, l_suppkey): the multi-dimensional clustering key
+    for write_zordered's range-partitioned layout — integer bit
+    arithmetic, exact in any engine."""
+    from .operators.projection import zorder_value
+    _, t = _s(spark, sf_dir)
+    return t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        zorder_value("l_partkey", "l_suppkey").cast("long").alias("zval"))

@@ -1047,3 +1047,109 @@ def test_corpus_stats_matches_python(spark, tables):
         nd = len({hashlib.md5(t.encode()).hexdigest() for t in texts})
         assert g["n_distinct"] == nd
         assert g["dup_frac"] == 1.0 - nd / len(texts)
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_funnel_greedy_and_break(spark):
+    from bigslice_spark.operators.funnel import funnel
+    rows = [
+        # user 1: view@10, click@20, purchase@30 — full funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: click BEFORE first view never counts; no click after
+        (2, "click", 5), (2, "view", 10), (2, "purchase", 30),
+        # user 3: purchase before click -> funnel breaks at step 3
+        (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+        # user 4: no view at all -> omitted entirely
+        (4, "click", 1), (4, "purchase", 2),
+        # user 5: same-ts chain counts (>= semantics)
+        (5, "view", 7), (5, "click", 7), (5, "purchase", 7),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, s * 1_000_000) for u, t, s in rows],
+        "user_id long, event_type string, us long",
+    ).select("user_id", "event_type",
+             F.timestamp_micros("us").alias("ts"))
+    got = {r["user_id"]: (r["t1"], r["t2"], r["t3"], r["depth"])
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    M = 1_000_000
+    assert got[1] == (10 * M, 20 * M, 30 * M, 3)
+    assert got[2] == (10 * M, None, None, 1)
+    assert got[3] == (10 * M, 20 * M, None, 2)
+    assert 4 not in got
+    assert got[5] == (7 * M, 7 * M, 7 * M, 3)
+
+
+def test_triangle_count_known_graph(spark):
+    from bigslice_spark.operators.graph import triangle_count
+    # K4 (4 triangles... no: K4 has C(4,3)=4 triangles) + a pendant edge
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(3, 9), (9, 3), (5, 5)]  # dup orientation + self loop
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from bigslice_spark.operators.projection import zorder_value
+    df = spark.createDataFrame(
+        [(0b101, 0b011)], "a long, b long").select(
+        zorder_value("a", "b").alias("z"))
+    # a bits at even positions: 1,0,1 -> 1 + 16; b odd: 1,1,0 -> 2 + 8
+    assert df.collect()[0]["z"] == (1 + 16) + (2 + 8)
+
+
+def test_zorder_write_clusters_files(spark, tables, tmp_path):
+    from bigslice_spark.operators.projection import write_zordered
+    out = str(tmp_path / "zorder")
+    write_zordered(tables["lineitem"], out, "l_partkey", "l_suppkey",
+                   n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == tables["lineitem"].count()
+
+
+def test_kmeans_assign_ties_to_lower_cell(spark):
+    from bigslice_spark.operators.clustering import kmeans_assign
+    cents = [[0.0, 0.0], [2.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.1, 0.0]), (3, [1.9, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cell"]
+           for r in kmeans_assign(df, cents).collect()}
+    assert got == {1: 0, 2: 0, 3: 1}  # equidistant vec 1 -> lower cell
+
+
+def test_bm25_drops_nonmatching_docs(spark):
+    from bigslice_spark.operators.search import bm25_score
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma delta"), (3, "beta")],
+        "doc_id long, text string")
+    got = bm25_score(df, ["beta"], k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert set(ids) == {1, 3}
+    # doc 3 (tf=1 but dl=1) outranks doc 1 (tf=2, dl=3) iff the length
+    # normalization does its job on this corpus; just pin determinism:
+    assert [r["rank"] for r in got] == [1, 2]
+    assert got[0]["score"] >= got[1]["score"]
+
+
+def test_random_projection_shape_and_determinism(spark, tables):
+    from bigslice_spark.operators.projection import random_projection
+    emb = tables["embeddings"]
+    a = random_projection(emb, out_dim=4, dim=64).collect()
+    b = random_projection(emb, out_dim=4, dim=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a[0]) == 5  # vec_id + r0..r3
+
+
+def test_mix_weights_sqrt_of_share(spark):
+    from bigslice_spark.operators.sampling import mix_weights
+    import math
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d e", "s1"), (3, "f", "s2")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r for r in mix_weights(df, "source").collect()}
+    assert got["s1"]["n_tokens"] == 5
+    assert got["s2"]["n_tokens"] == 1
+    assert got["s1"]["weight"] == math.sqrt(5 / 6)
+    assert got["s2"]["weight"] == math.sqrt(1 / 6)

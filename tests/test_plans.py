@@ -323,3 +323,51 @@ def test_stratified_frac_zero_exchanges(spark, tables):
     from bigslice_spark.operators.sampling import stratified_frac
     df = stratified_frac(tables["documents"], "lang", {"en": 0.25})
     assert count_exchanges(df) == 0, explain_str(df)[:800]
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_random_projection_zero_exchanges(spark, tables):
+    from bigslice_spark.operators.projection import random_projection
+    df = random_projection(tables["embeddings"], out_dim=8, dim=64)
+    assert count_exchanges(df) == 0  # pure codegen map over the scan
+
+
+def test_kmeans_assign_zero_exchanges(spark, tables):
+    from bigslice_spark.operators.clustering import (kmeans_assign,
+                                                     seed_centroids)
+    df = kmeans_assign(tables["embeddings"], seed_centroids(8, 64))
+    assert count_exchanges(df) == 0  # literal centroids: no join at all
+
+
+def test_bm25_scalars_broadcast_and_bounded_exchanges(spark, sf_dir):
+    df = QUERIES["bm25_search"](spark, sf_dir)
+    plan = explain_str(df)
+    # corpus scalars + per-term df arrive via broadcast (the 1-row cross
+    # join is a BuildRight BNL over one row — fine at any corpus size);
+    # an unpartitioned CartesianProduct would be the all-pairs disaster
+    assert "CartesianProduct" not in plan
+    # tf agg + df agg + scalar agg + per-doc agg + final top-k: the
+    # posting-list data itself shuffles a bounded number of times
+    assert count_exchanges(df) <= 6
+
+
+def test_triangle_count_all_equi_joins(spark, sf_dir):
+    plan = explain_str(QUERIES["triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_value_is_codegen(spark, tables):
+    from bigslice_spark.operators.projection import zorder_value
+    df = tables["lineitem"].select(
+        zorder_value("l_partkey", "l_suppkey").alias("z"))
+    assert count_exchanges(df) == 0
+
+
+def test_funnel_single_event_scale_shuffle(spark, sf_dir):
+    # the raw event table is shuffled once (user_id agg); the chaining
+    # joins run on per-user aggregates — exchanges stay bounded
+    df = QUERIES["funnel_steps"](spark, sf_dir)
+    assert count_exchanges(df) <= 6  # 3 aggs + joins, all user_id-keyed
