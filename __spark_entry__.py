@@ -27,6 +27,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 _R4_NEW = (
     "bm25_search", "random_projection", "kmeans_step", "funnel_steps",
     "triangle_count", "mix_weights", "source_jsonl", "zorder_layout",
+    "stream_join", "upsert_merge", "chunk_docs", "bigram_pmi",
 )
 _R3_FAILED = ("multimodal_features",)
 _NEVER_DRIVER_CHECKED = (
@@ -46,8 +47,8 @@ _R2_BACKFILL = (
     "window_range_frame", "topk_orders", "join_semi", "join_anti",
     "join_broadcast", "set_ops", "rollup_agg", "cube_agg",
     "grouping_sets", "pivot_status", "percentile_quantity",
-    "approx_distinct", "agg_stats", "distinct_pairs", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_regional_revenue",
+    "approx_distinct", "agg_stats", "distinct_pairs",
+    "q1_pricing_summary",
 )
 
 

@@ -278,3 +278,74 @@ def corpus_stats(df: DataFrame, strata_col: str = "source",
                      / F.col("n_docs").cast("double")).alias("dup_frac"),
                     (F.col("n_tokens").cast("double")
                      / F.col("n_docs")).alias("mean_tokens")))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    stride: int | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into (overlapping) token-window chunks — the
+    long-document → training-sequence step that precedes packing.
+
+    Chunk starts fall at multiples of ``stride`` (default = chunk_tokens,
+    i.e. disjoint windows) in [0, n_tokens); each chunk carries up to
+    ``chunk_tokens`` tokens. Empty documents yield no chunks. Pure
+    codegen (sequence → transform → slice → explode), zero shuffles —
+    a map over the corpus at any scale.
+
+    Output: (id_col, chunk_id, chunk_text, n_tokens)."""
+    stride = stride or chunk_tokens
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride))
+    chunks = df.select(
+        F.col(id_col), toks.alias("__t__"),
+        F.posexplode(starts).alias("chunk_id", "__s__")) \
+        .filter(F.size("__t__") > 0)
+    piece = F.slice(F.col("__t__"), F.col("__s__") + 1,
+                    chunk_tokens)
+    return chunks.select(
+        id_col, "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"))
+
+
+def bigram_pmi(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_count: int = 5,
+               k: int = 30) -> DataFrame:
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information. PMI is kept in the RATIONAL form
+    (N·c12)/(c1·c2) — a monotone transform of log-PMI built from exact
+    integer counts, so ordering and values replay bitwise in any engine
+    (log() is not identically rounded; see queries.py conventions).
+
+    One explode over the corpus feeds both the unigram and bigram
+    counts; the pair join brings two ≤vocabulary-size count tables to
+    the bigram table — all hash joins on the token key. Ties break by
+    bigram text."""
+    w = F.col("__w__")
+    toks = df.select(tokens(text_col).alias("__t__")) \
+        .filter(F.size("__t__") > 0)
+    uni = (toks.select(F.explode("__t__").alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    tot = toks.select(F.explode("__t__").alias("w")) \
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    pairs = toks.select(
+        F.explode(F.zip_with(
+            F.slice("__t__", 1, F.size("__t__") - 1),
+            F.slice("__t__", 2, F.size("__t__") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("__w__")) \
+        .select(w["w1"].alias("w1"), w["w2"].alias("w2")) \
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")) \
+        .filter(F.col("c12") >= min_count)
+    uni2 = uni.select(F.col("w1").alias("w2"),
+                      F.col("c1").alias("c2"))
+    j = (pairs.join(uni, on="w1").join(uni2, on="w2")
+         .crossJoin(F.broadcast(tot)))
+    pmi = (F.col("n_tok").cast("double") * F.col("c12").cast("double")) \
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    return (j.select("w1", "w2", "c12", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(k))

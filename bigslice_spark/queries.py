@@ -3458,3 +3458,121 @@ def zorder_layout(spark, sf_dir):
     return t["lineitem"].select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         zorder_value("l_partkey", "l_suppkey").cast("long").alias("zval"))
+
+
+@query("stream_join", """
+    SELECT p.event_id AS p_id, v.event_id AS v_id,
+           epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+""")
+def stream_join(spark, sf_dir):
+    """Watermarked stream-stream join (streaming/stream_stream_join):
+    purchases matched to same-user views in the preceding hour, both
+    sides watermarked + time-bound predicate so join state ages out
+    (the unbounded-buffer OOM every naive stream join hits). One
+    micro-batch over the finite source == the batch interval join."""
+    from .streaming import (run_to_completion, stream_events,
+                            stream_stream_join)
+    ev = stream_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase")
+    v = ev.filter(F.col("event_type") == "view")
+    joined = stream_stream_join(p, v, on="user_id", bound="1 hour")
+    out = joined.select(
+        F.col("l.event_id").alias("p_id"),
+        F.col("r.event_id").alias("v_id"),
+        F.unix_micros(F.col("l.ts")).alias("p_us"),
+        F.unix_micros(F.col("r.ts")).alias("v_us"))
+    return run_to_completion(out, "bs_stream_join",
+                             output_mode="append")
+
+
+@query("upsert_merge", """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN o_totalprice + o_totalprice
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 <> 0
+""")
+def upsert_merge(spark, sf_dir):
+    """Snapshot MERGE (operators/upsert.py): seed v=1 with orders, then
+    apply one batch that doubles o_totalprice for keys %10=0 and
+    deletes keys %100=0 — updates win on key collision via a left-anti
+    join, deletes via the __deleted__ marker, the result committed as
+    an immutable v=2 snapshot (readers resolve max committed version).
+    The doubled price is x+x — exact in IEEE, so the oracle replays
+    bitwise."""
+    import tempfile
+
+    from .operators.upsert import read_latest, upsert
+    _, t = _s(spark, sf_dir)
+    base = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="bss_upsert_")
+    upsert(spark, path, base, ["o_orderkey"])
+    updates = (base.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_totalprice",
+                           F.col("o_totalprice") + F.col("o_totalprice"))
+               .withColumn("__deleted__",
+                           F.col("o_orderkey") % 100 == 0))
+    upsert(spark, path, updates, ["o_orderkey"])
+    return read_latest(spark, path)
+
+
+@query("chunk_docs", """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    nz AS (SELECT * FROM t WHERE len(tk) > 0),
+    s AS (SELECT doc_id, tk,
+                 unnest(range(0, len(tk), 48)) AS st
+          FROM nz)
+    SELECT doc_id, CAST(st // 48 AS INT) AS chunk_id,
+           array_to_string(list_slice(tk, st + 1, st + 48), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(tk, st + 1, st + 48)) AS BIGINT)
+               AS n_tokens
+    FROM s
+""")
+def chunk_docs(spark, sf_dir):
+    """Token-window chunking (operators/text.py chunk_documents):
+    disjoint 48-token windows per document, the long-doc →
+    training-sequence step before pack_sequences. Pure codegen
+    (sequence → slice → explode), zero shuffles."""
+    from .operators.text import chunk_documents
+    _, t = _s(spark, sf_dir)
+    return chunk_documents(t["documents"], chunk_tokens=48)
+
+
+@query("bigram_pmi", """
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    nz AS (SELECT tk FROM t WHERE len(tk) > 0),
+    uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+              SELECT unnest(tk) AS w1 FROM nz) GROUP BY w1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM (
+              SELECT unnest(tk) AS w FROM nz)),
+    pr AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM nz, unnest(generate_series(1, len(tk) - 1)) u(i)),
+    pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM pr GROUP BY w1, w2 HAVING count(*) >= 5)
+    SELECT p.w1, p.w2, p.c12,
+           (CAST(n_tok AS DOUBLE) * CAST(c12 AS DOUBLE))
+           / (CAST(a.c1 AS DOUBLE) * CAST(b.c1 AS DOUBLE)) AS pmi
+    FROM pairs p
+    JOIN uni a ON a.w1 = p.w1
+    JOIN uni b ON b.w1 = p.w2, tot
+    ORDER BY pmi DESC, p.w1, p.w2 LIMIT 30
+""")
+def bigram_pmi_q(spark, sf_dir):
+    """Collocation mining (operators/text.py bigram_pmi): top-30
+    adjacent bigrams by rational PMI (N·c12)/(c1·c2) — exact integer
+    counts, one double expression, bitwise-portable ordering."""
+    from .operators.text import bigram_pmi
+    _, t = _s(spark, sf_dir)
+    return bigram_pmi(t["documents"], min_count=5, k=30)

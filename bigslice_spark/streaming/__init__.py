@@ -176,3 +176,28 @@ def stream_distinct_keys(events: DataFrame,
             .select(*keys, "ts")
             .dropDuplicatesWithinWatermark(list(keys))
             .select(*keys))
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       on: str = "user_id",
+                       left_ts: str = "ts", right_ts: str = "ts",
+                       bound: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream INNER join: left events match right
+    events with the same key whose timestamp falls in
+    [left_ts − bound, left_ts]. Both sides carry watermarks and the
+    join predicate carries the time bound — the two things Spark needs
+    to age join state out instead of buffering both streams forever
+    (the unbounded-state OOM every naive stream join hits). Returns the
+    joined frame; callers project/rename before sinking.
+
+    Over the finite test source (one micro-batch) the inner join emits
+    exactly the batch answer — the oracle."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return (lw.alias("l").join(
+        rw.alias("r"),
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (rcol >= lcol - F.expr(f"INTERVAL {bound}"))
+        & (rcol <= lcol)))

@@ -1153,3 +1153,81 @@ def test_mix_weights_sqrt_of_share(spark):
     assert got["s2"]["n_tokens"] == 1
     assert got["s1"]["weight"] == math.sqrt(5 / 6)
     assert got["s2"]["weight"] == math.sqrt(1 / 6)
+
+
+def test_upsert_versions_updates_and_deletes(spark, tmp_path):
+    from bigslice_spark.operators.upsert import (read_latest, upsert,
+                                                 _versions)
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    assert upsert(spark, path, base, ["k"]) == 1
+    batch = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False)],
+        "k long, v string, __deleted__ boolean")
+    assert upsert(spark, path, batch, ["k"]) == 2
+    got = {r["k"]: r["v"] for r in read_latest(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 2 updated, 4 new
+    # v=1 remains intact (immutable snapshots)
+    assert _versions(spark, path) == [1, 2]
+    v1 = {r["k"] for r in spark.read.parquet(f"{path}/v=1").collect()}
+    assert v1 == {1, 2, 3}
+
+
+def test_upsert_empty_path_raises_on_read(spark, tmp_path):
+    import pytest as _pt
+    from bigslice_spark.operators.upsert import read_latest
+    with _pt.raises(FileNotFoundError):
+        read_latest(spark, str(tmp_path / "nope"))
+
+
+def test_chunk_documents_windows_and_empties(spark):
+    from bigslice_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x"), (4, None)],
+        "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=2).collect())
+    assert got == [
+        (1, 0, "a b", 2), (1, 1, "c d", 2), (1, 2, "e", 1),
+        (3, 0, "x", 1)]  # empty/null docs vanish
+
+
+def test_chunk_documents_overlapping_stride(spark):
+    from bigslice_spark.operators.text import chunk_documents
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted((r["chunk_id"], r["chunk_text"]) for r in
+                 chunk_documents(df, chunk_tokens=3, stride=2).collect())
+    assert got == [(0, "a b c"), (1, "c d")]
+
+
+def test_bigram_pmi_counts_exact(spark):
+    from bigslice_spark.operators.text import bigram_pmi
+    # "x y" appears 3 times, c(x)=3, c(y)=3, N=12
+    df = spark.createDataFrame(
+        [(1, "x y p q"), (2, "x y r s"), (3, "x y t u")],
+        "doc_id long, text string")
+    got = bigram_pmi(df, min_count=3, k=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["w1"], r["w2"], r["c12"]) == ("x", "y", 3)
+    assert r["pmi"] == (12.0 * 3.0) / (3.0 * 3.0)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from bigslice_spark.queries import QUERIES
+    from bigslice_spark.session import load_tables
+    got = QUERIES["stream_join"](spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    v = ev.filter(F.col("event_type") == "view").alias("v")
+    batch = (p.join(v, (F.col("p.user_id") == F.col("v.user_id"))
+                    & (F.col("v.ts") >= F.col("p.ts")
+                       - F.expr("INTERVAL 1 HOUR"))
+                    & (F.col("v.ts") <= F.col("p.ts")))
+             .select(F.col("p.event_id").alias("p_id"),
+                     F.col("v.event_id").alias("v_id")))
+    assert (sorted((r["p_id"], r["v_id"]) for r in got.collect())
+            == sorted((r["p_id"], r["v_id"]) for r in batch.collect()))
