@@ -44,6 +44,10 @@ HEADLINE = [
     "op_fold_stream",
     # added round 3 (ratchet starts at r3)
     "fingerprint",
+    # added round 4 (ratchet starts at r4)
+    "bm25_search",
+    "random_projection",
+    "chunk_docs",
 ]
 
 

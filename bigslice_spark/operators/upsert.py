@@ -75,7 +75,9 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
         ins = updates
         if has_del:
             ins = ins.filter(~updates[deleted_col]).drop(deleted_col)
-        merged = keep.unionByName(ins)
+        # schema evolution, additive-only: a column present on one side
+        # only arrives as NULL on the other (Delta's mergeSchema rule)
+        merged = keep.unionByName(ins, allowMissingColumns=True)
         new_v = vs[-1] + 1
     else:
         merged = updates.filter(~updates[deleted_col]).drop(deleted_col) \
@@ -84,3 +86,40 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
     merged.write.mode("overwrite").parquet(
         os.path.join(path, f"v={new_v}"))
     return new_v
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Time travel: read a specific committed snapshot."""
+    if version not in _versions(spark, path):
+        raise FileNotFoundError(f"no committed v={version} under {path}")
+    return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` committed snapshots (plus
+    any uncommitted partials — dead writers' debris). Returns the
+    versions removed. Readers of a dropped version fail fast on the
+    missing _SUCCESS rather than reading half a table."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm = spark.sparkContext._jvm
+    jroot = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed = _versions(spark, path)
+    keep = set(committed[-keep_last:])
+    removed = []
+    if not fs.exists(jroot):
+        return removed
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        m = re.fullmatch(r"v=(\d+)", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        committed_v = v in committed
+        if v in keep:
+            continue
+        fs.delete(st.getPath(), True)
+        if committed_v:
+            removed.append(v)
+    return sorted(removed)

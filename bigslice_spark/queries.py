@@ -3576,3 +3576,37 @@ def bigram_pmi_q(spark, sf_dir):
     from .operators.text import bigram_pmi
     _, t = _s(spark, sf_dir)
     return bigram_pmi(t["documents"], min_count=5, k=30)
+
+
+@query("stream_enrich", """
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_name, n.n_name AS nation
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id % 1500
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+""")
+def stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the streaming event flow joined to
+    static dimension tables (customer→nation) — Spark broadcasts the
+    static side into every micro-batch, no stream state at all (the
+    scale-free streaming join; contrast stream_join's stateful
+    stream-stream case). The synthetic user_id has no FK to customer,
+    so the entry derives one deterministically (user_id % 1500 — same
+    expression in the oracle; custkeys are 0-based)."""
+    from .streaming import run_to_completion, stream_events
+    _, t = _s(spark, sf_dir)
+    ev = stream_events(spark, sf_dir) \
+        .filter(F.col("event_type") == "purchase") \
+        .withColumn("__ck__", F.col("user_id") % 1500)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("__ck__"), "c_name", "c_nationkey")
+    nat = t["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"))
+    out = (ev.join(F.broadcast(cust), on="__ck__")
+           .join(F.broadcast(nat), on="c_nationkey")
+           .select("event_id", "user_id", "event_type", "c_name",
+                   "nation"))
+    return run_to_completion(out, "bs_stream_enrich",
+                             output_mode="append")

@@ -1231,3 +1231,28 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
                      F.col("v.event_id").alias("v_id")))
     assert (sorted((r["p_id"], r["v_id"]) for r in got.collect())
             == sorted((r["p_id"], r["v_id"]) for r in batch.collect()))
+
+
+def test_upsert_time_travel_vacuum_schema_evolution(spark, tmp_path):
+    from bigslice_spark.operators.upsert import (read_latest,
+                                                 read_version, upsert,
+                                                 vacuum, _versions)
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a")], "k long, v string"), ["k"])
+    # additive schema evolution: the batch brings a new column
+    upsert(spark, path, spark.createDataFrame(
+        [(2, "b", 9)], "k long, v string, extra long"), ["k"])
+    got = {r["k"]: (r["v"], r["extra"])
+           for r in read_latest(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9)}
+    upsert(spark, path, spark.createDataFrame(
+        [(3, "c", 1)], "k long, v string, extra long"), ["k"])
+    # time travel to v=1
+    assert [r["k"] for r in read_version(spark, path, 1).collect()] == [1]
+    # vacuum keeps the newest 2
+    assert vacuum(spark, path, keep_last=2) == [1]
+    assert _versions(spark, path) == [2, 3]
+    import pytest as _pt
+    with _pt.raises(FileNotFoundError):
+        read_version(spark, path, 1)
