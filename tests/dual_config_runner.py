@@ -38,6 +38,14 @@ BATTERY = [
     "pack_sequences", "winnow", "pii_scrub", "line_dedup",
     "classify_score", "stratified_sample", "stratified_frac",
     "repetition_stats", "decontaminate", "dedup_against",
+    # round-4 operators — bm25's order-deterministic score sum, the
+    # funnel's chained per-user aggregates, triangle's distinct-edge
+    # joins, k-means' decimal means, and the chunker's per-doc windows
+    # must all be partition- and transport-invariant; upsert_merge
+    # additionally exercises snapshot listing under each config
+    "bm25_search", "random_projection", "kmeans_step", "funnel_steps",
+    "triangle_count", "mix_weights", "chunk_docs", "bigram_pmi",
+    "zorder_layout", "upsert_merge",
 ]
 
 
