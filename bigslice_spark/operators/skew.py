@@ -45,3 +45,32 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str],
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(nsalts - 1))))
     return b.join(s, on=on + ["__salt"], how=how).drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str],
+                    top_n: int = 20) -> DataFrame:
+    """Skew diagnostics: the report to read BEFORE tuning a join/agg.
+
+    Top-N heaviest keys with exact counts and their share of total
+    rows, plus each key's multiple of the mean key load ("a perfectly
+    even partitioning would give every key load 1.0×; this key is
+    840×"). One hash aggregation over the input + a tiny top-k — no
+    second pass; the total and distinct-key count ride along as a
+    1-row broadcast (the q11 scalar pattern, no driver collect).
+
+    All doubles derive from exact integers with one division each, so
+    the report is engine-reproducible (oracle-checkable)."""
+    per = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per.agg(F.sum("n_rows").alias("tot"),
+                  F.count(F.lit(1)).alias("n_keys"))
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("n_rows").cast("double") / F.col("tot").cast("double")
+    # load multiple vs the mean key: n / (tot / n_keys), same operand
+    # order in the oracle
+    hot = (F.col("n_rows").cast("double")
+           / (F.col("tot").cast("double")
+              / F.col("n_keys").cast("double")))
+    return (j.select(*key_cols, "n_rows", share.alias("share"),
+                     hot.alias("x_mean"))
+            .orderBy(F.desc("n_rows"), *key_cols)
+            .limit(top_n))

@@ -3610,3 +3610,26 @@ def stream_enrich(spark, sf_dir):
                    "nation"))
     return run_to_completion(out, "bs_stream_enrich",
                              output_mode="append")
+
+
+@query("key_skew_report", """
+    WITH per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM per)
+    SELECT event_type, n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+           CAST(n_rows AS DOUBLE)
+               / (CAST(tot AS DOUBLE) / CAST(n_keys AS DOUBLE))
+               AS x_mean
+    FROM per, tot
+    ORDER BY n_rows DESC, event_type LIMIT 20
+""")
+def key_skew_report_q(spark, sf_dir):
+    """Skew diagnostics (operators/skew.py key_skew_report): top keys
+    by exact count with share-of-total and multiple-of-mean-load — one
+    aggregation, scalars broadcast in-plan."""
+    from .operators.skew import key_skew_report
+    _, t = _s(spark, sf_dir)
+    return key_skew_report(t["events"], ["event_type"])

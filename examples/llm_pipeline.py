@@ -28,8 +28,9 @@ from bigslice_spark.operators.dedup import (exact_dedup,
 from bigslice_spark.operators.graph import connected_components
 from bigslice_spark.operators.packing import pack_sequences
 from bigslice_spark.operators.pii import scrub_pii
-from bigslice_spark.operators.sampling import stratified_sample
-from bigslice_spark.operators.text import bpe_token_count, quality_score
+from bigslice_spark.operators.sampling import mix_weights, stratified_sample
+from bigslice_spark.operators.text import (bpe_token_count, chunk_documents,
+                                           quality_score)
 
 
 def main() -> None:
@@ -89,16 +90,30 @@ def main() -> None:
     docs = stratified_sample(docs, "source", 50)
     scope.counter("after_source_quota").incr(docs.count())
 
-    # 8. per-language token budget for the sampler
+    # 8. per-language token budget for the sampler + temperature
+    #    mixture weights per source ((n_s/N)^0.5 — the mT5/XLM-R rule)
     budget = (docs.groupBy("lang")
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum(bpe_token_count("text")).alias("token_budget"))
               .orderBy("lang"))
     for lang, n_docs, tokens in budget.collect():
         print(f"{lang}\t{n_docs}\t{tokens}")
+    for r in mix_weights(docs, "source").orderBy("source").collect():
+        print(f"mix\t{r['source']}\t{r['weight']:.4f}")
+
+    # 8b. split long survivors into 128-token windows (chunk → pack is
+    #     the standard long-doc path). Packing orders by its id column,
+    #     so chunks get a unique, order-preserving uid
+    #     (doc_id·1024 + chunk_id — chunks/doc ≪ 1024 on any corpus
+    #     this example runs on).
+    chunks = (chunk_documents(docs, chunk_tokens=128)
+              .select((F.col("doc_id") * 1024 + F.col("chunk_id"))
+                      .alias("doc_id"),
+                      F.col("chunk_text").alias("text")))
+    scope.counter("chunks").incr(chunks.count())
 
     # 9. pack survivors into fixed-length training sequences
-    packed = pack_sequences(docs, max_len=512)
+    packed = pack_sequences(chunks, max_len=512)
     n_seq = packed.agg(F.max("seq_id")).first()[0]
     scope.counter("train_sequences").incr(int(n_seq) + 1)
 

@@ -1256,3 +1256,14 @@ def test_upsert_time_travel_vacuum_schema_evolution(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(FileNotFoundError):
         read_version(spark, path, 1)
+
+
+def test_key_skew_report_exact_shares(spark):
+    from bigslice_spark.operators.skew import key_skew_report
+    df = spark.createDataFrame(
+        [("hot",)] * 8 + [("warm",)] * 3 + [("cold",)],
+        "k string")
+    got = key_skew_report(df, ["k"], top_n=2).collect()
+    assert [(r["k"], r["n_rows"]) for r in got] == [("hot", 8), ("warm", 3)]
+    assert got[0]["share"] == 8 / 12
+    assert got[0]["x_mean"] == 8.0 / (12.0 / 3.0)  # 2x the mean key
