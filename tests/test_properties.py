@@ -164,3 +164,104 @@ def test_budget_sample_matches_python(session, spark, rows, budget):
         if cum[k] <= budget or first:
             want.add(i)
     assert got == want
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1,
+    max_size=12)
+
+
+@PROP
+@given(texts=TEXTS,
+       chunk=st.integers(min_value=1, max_value=7))
+def test_chunk_documents_reconstructs_tokens(spark, texts, chunk):
+    """Disjoint chunking loses nothing: re-concatenating each doc's
+    chunks in chunk_id order yields exactly the original token list."""
+    from bigslice_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = defaultdict(list)
+    for r in chunk_documents(df, chunk_tokens=chunk).collect():
+        got[r["doc_id"]].append((r["chunk_id"], r["chunk_text"]))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            assert i not in got
+            continue
+        pieces = [c for _, c in sorted(got[i])]
+        assert " ".join(pieces).split() == toks
+        # every chunk but the last is exactly `chunk` tokens
+        sizes = [len(p.split()) for p in pieces]
+        assert all(s == chunk for s in sizes[:-1])
+        assert 1 <= sizes[-1] <= chunk
+
+
+@PROP
+@given(ab=st.lists(st.tuples(st.integers(0, 2**16 - 1),
+                             st.integers(0, 2**16 - 1)),
+                   min_size=1, max_size=40))
+def test_zorder_value_is_bijective_16bit(spark, ab):
+    """Morton interleave must be invertible on 16-bit pairs — collisions
+    would silently merge distinct (a,b) cells in the layout sort."""
+    from bigslice_spark.operators.projection import zorder_value
+    df = spark.createDataFrame(ab, "a long, b long")
+    rows = df.select("a", "b",
+                     zorder_value("a", "b").alias("z")).collect()
+    for r in rows:
+        a, b, z = r["a"], r["b"], r["z"]
+        ra = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (ra, rb) == (a, b)
+
+
+@PROP
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                      min_size=0, max_size=60))
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+    from bigslice_spark.operators.graph import triangle_count
+    df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    want = sum(1 for a, b, c in combinations(sorted(nodes), 3)
+               if (a, b) in und and (b, c) in und and (a, c) in und)
+    assert got == want
+
+
+@PROP
+@given(ev=st.lists(st.tuples(st.integers(1, 4),
+                             st.sampled_from(["s1", "s2", "s3", "junk"]),
+                             st.integers(0, 50)),
+                   min_size=1, max_size=60))
+def test_funnel_matches_python_walk(spark, ev):
+    """Greedy-earliest funnel equals the obvious per-user python walk."""
+    from bigslice_spark.operators.funnel import funnel
+    df = spark.createDataFrame(
+        [(u, t, s * 1_000_000) for u, t, s in ev],
+        "user_id long, event_type string, us long",
+    ).select("user_id", "event_type",
+             F.timestamp_micros("us").alias("ts"))
+    steps = ["s1", "s2", "s3"]
+    got = {r["user_id"]: (r["t1"], r["t2"], r["t3"], r["depth"])
+           for r in funnel(df, steps).collect()}
+    by_user = defaultdict(list)
+    for u, t, s in ev:
+        by_user[u].append((t, s * 1_000_000))
+    for u, evs in by_user.items():
+        ts = [None, None, None]
+        prev = None
+        for i, stp in enumerate(steps):
+            cand = [s for t, s in evs
+                    if t == stp and (prev is None or s >= prev)]
+            if i == 0:
+                cand = [s for t, s in evs if t == stp]
+            ts[i] = min(cand) if cand else None
+            prev = ts[i]
+            if prev is None:
+                break
+        if ts[0] is None:
+            assert u not in got
+        else:
+            depth = sum(1 for x in ts if x is not None)
+            assert got[u] == (ts[0], ts[1], ts[2], depth)
