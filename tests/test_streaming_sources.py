@@ -145,3 +145,13 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir, tables):
             tables["events"].select("user_id", "event_type")
             .distinct().collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_events_starts_before_data_exists(spark, tmp_path):
+    """ADVICE r3: a stream must be startable before events.parquet
+    lands (standard FileStreamSource usage) — the static-footer probe
+    falls back to the legacy int64-nanos schema instead of raising."""
+    from bigslice_spark.streaming import stream_events
+    df = stream_events(spark, str(tmp_path))  # empty dir: no footer
+    assert df.isStreaming
+    assert dict(df.dtypes)["ts"] == "timestamp"
