@@ -3633,3 +3633,23 @@ def key_skew_report_q(spark, sf_dir):
     from .operators.skew import key_skew_report
     _, t = _s(spark, sf_dir)
     return key_skew_report(t["events"], ["event_type"])
+
+
+@query("source_orc", """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+""")
+def source_orc(spark, sf_dir):
+    """ORC round-trip (sources/read_orc): write orders as ORC, read it
+    back, prove content fidelity against the parquet original — the
+    columnar-format interop story (both formats share Spark's
+    pushdown/pruning machinery). Oracle reads the parquet view; the
+    temp dir is never touched by the driver's oracle run."""
+    import tempfile
+
+    from .sources import read_orc
+    _, t = _s(spark, sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    out = tempfile.mkdtemp(prefix="bss_orc_")
+    t["orders"].select(*cols).write.mode("overwrite").orc(out)
+    return read_orc(spark, out).select(*cols)

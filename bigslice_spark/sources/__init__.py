@@ -79,3 +79,14 @@ def read_csv(spark: SparkSession, path: str, schema: str,
 
 def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: str | None = None) -> DataFrame:
+    """ORC source (columnar alternative to parquet; Spark-native reader
+    with the same pushdown/pruning machinery). Schema pinning optional —
+    ORC carries its own types."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.orc(path)
