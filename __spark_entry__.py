@@ -28,7 +28,7 @@ _R4_NEW = (
     "bm25_search", "random_projection", "kmeans_step", "funnel_steps",
     "triangle_count", "mix_weights", "source_jsonl", "zorder_layout",
     "stream_join", "upsert_merge", "chunk_docs", "bigram_pmi",
-    "stream_enrich", "key_skew_report", "source_orc",
+    "stream_enrich", "key_skew_report", "source_orc", "dedup_keep_best",
 )
 _R3_FAILED = ("multimodal_features",)
 _NEVER_DRIVER_CHECKED = (
@@ -48,7 +48,6 @@ _R2_BACKFILL = (
     "window_range_frame", "topk_orders", "join_semi", "join_anti",
     "join_broadcast", "set_ops", "rollup_agg", "cube_agg",
     "grouping_sets", "pivot_status", "percentile_quantity",
-    "approx_distinct",
 )
 
 

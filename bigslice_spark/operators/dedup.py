@@ -621,3 +621,38 @@ def minhash_dedup_against(new_df: DataFrame, corpus_df: DataFrame,
                                      id_col, **kw)
                .select(F.col("new_id").alias(id_col)).distinct())
     return new_df.join(flagged, on=id_col, how="left_anti")
+
+
+def dedup_keep_best(df: DataFrame, score: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    score_col: str = "quality",
+                    threshold: float = 0.5,
+                    portable: bool = False) -> DataFrame:
+    """Policy-based near-dup removal: each duplicate CLUSTER keeps its
+    highest-``score_col`` member (ties → smallest id) instead of the
+    smallest id — real corpus builds keep the best copy (longest /
+    cleanest / highest quality), not an arbitrary one.
+
+    Composition of the audited pieces: banded-LSH pairs →
+    connected-components clusters → per-cluster argmax via
+    max(struct(score, -id)) — one extra aggregation on cluster ids
+    (tiny at any corpus size), no new shuffle of document data.
+    Returns (id_col, score_col) for every surviving document
+    (cluster winners + all singletons)."""
+    from .graph import connected_components
+    from pyspark.sql import functions as F
+    pairs = minhash_lsh_pairs(df, threshold=threshold, portable=portable,
+                              text_col=text_col, id_col=id_col)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    member = comp.join(score, comp["node"] == score[id_col]) \
+        .select(score[id_col], "component", score_col)
+    best = member.groupBy("component").agg(
+        F.max(F.struct(F.col(score_col).alias("q"),
+                       (-F.col(id_col)).alias("nd"))).alias("w"))
+    winners = best.select(
+        (-F.col("w")["nd"]).cast("long").alias(id_col))
+    singles = score.join(
+        comp.select(F.col("node").alias(id_col)),
+        on=id_col, how="left_anti").select(id_col)
+    keep = winners.unionByName(singles)
+    return score.join(keep, on=id_col).select(id_col, score_col)

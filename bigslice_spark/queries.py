@@ -3653,3 +3653,69 @@ def source_orc(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="bss_orc_")
     t["orders"].select(*cols).write.mode("overwrite").orc(out)
     return read_orc(spark, out).select(*cols)
+
+
+def _keep_best_oracle() -> str:
+    """Replay of dedup_keep_best: portable-minhash pairs
+    (_minhash_pairs_ctes) → recursive-CTE components → per-cluster
+    argmax of the quality score via max(struct(q, -id)) — bitwise float
+    parity holds because the quality expression is the oracled
+    quality_score replay."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes('documents', threshold=0.5)},
+    sym AS (SELECT id_a AS u, id_b AS v FROM mh_pairs
+            UNION SELECT id_b, id_a FROM mh_pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node),
+    comp AS (SELECT node, min(label) AS component
+             FROM reach GROUP BY node),
+    qs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS toks,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                  AS BIGINT) AS alpha
+      FROM documents),
+    qm AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(alpha AS DOUBLE)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) AS mtl,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE) AS dr
+      FROM qs),
+    q AS (
+      SELECT doc_id,
+             least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+             + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0
+                     THEN 1.0 ELSE 0.0 END) * 0.3
+             + dr * 0.3 AS quality
+      FROM qm),
+    member AS (SELECT c.node AS doc_id, c.component, q.quality
+               FROM comp c JOIN q ON q.doc_id = c.node),
+    best AS (SELECT component,
+                    max({{'q': quality, 'nd': -doc_id}}) AS w
+             FROM member GROUP BY component),
+    keep AS (
+      SELECT CAST(-(w.nd) AS BIGINT) AS doc_id FROM best
+      UNION ALL
+      SELECT doc_id FROM q
+      WHERE doc_id NOT IN (SELECT node FROM comp))
+    SELECT q.doc_id, q.quality FROM q JOIN keep USING (doc_id)
+    """
+
+
+@query("dedup_keep_best", _keep_best_oracle())
+def dedup_keep_best_q(spark, sf_dir):
+    """Policy-based near-dup removal (operators/dedup.py
+    dedup_keep_best): each LSH/components duplicate cluster keeps its
+    HIGHEST-quality member (ties → smallest id) — corpus builds keep
+    the best copy, not an arbitrary one. Portable hash mode so the
+    oracle replays pairs, clusters, scores, and the argmax exactly."""
+    from .operators.dedup import dedup_keep_best
+    from .operators.text import quality_score
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    return dedup_keep_best(docs, quality_score(docs), portable=True)

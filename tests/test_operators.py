@@ -1267,3 +1267,20 @@ def test_key_skew_report_exact_shares(spark):
     assert [(r["k"], r["n_rows"]) for r in got] == [("hot", 8), ("warm", 3)]
     assert got[0]["share"] == 8 / 12
     assert got[0]["x_mean"] == 8.0 / (12.0 / 3.0)  # 2x the mean key
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    from bigslice_spark.operators.dedup import dedup_keep_best
+    # docs 1,2,3 near-identical (one cluster), 9 unrelated (singleton);
+    # doc 2 has the highest quality score -> cluster keeps 2, not min-id 1
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, base + " word"),
+         (9, "completely different text about spark shuffles here")],
+        "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)],
+        "doc_id long, quality double")
+    got = sorted(r["doc_id"] for r in
+                 dedup_keep_best(df, score, threshold=0.5).collect())
+    assert got == [2, 9]
