@@ -123,3 +123,34 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
         if committed_v:
             removed.append(v)
     return sorted(removed)
+
+
+def snapshot_diff(spark: SparkSession, path: str, v_old: int, v_new: int,
+                  key_cols: list[str]) -> DataFrame:
+    """Change-data-capture between two committed snapshots: one row per
+    key whose state changed, classified 'inserted' / 'deleted' /
+    'updated' (value change in any non-key column, null-safe struct
+    compare). Unchanged keys are not emitted.
+
+    One full-outer join on the key — the scale cost is a co-partitioned
+    merge of the two snapshots; at 100 TB pair with zorder/bucketed
+    layouts so the join is exchange-free."""
+    from pyspark.sql import functions as F
+    old = read_version(spark, path, v_old)
+    new = read_version(spark, path, v_new)
+    val_cols = sorted(set(old.columns) & set(new.columns)
+                      - set(key_cols))
+    o = old.select(*key_cols,
+                   F.struct(*val_cols).alias("__o__"),
+                   F.lit(True).alias("__in_o__"))
+    n = new.select(*key_cols,
+                   F.struct(*val_cols).alias("__n__"),
+                   F.lit(True).alias("__in_n__"))
+    j = o.join(n, on=key_cols, how="full")
+    change = (
+        F.when(F.col("__in_o__").isNull(), "inserted")
+         .when(F.col("__in_n__").isNull(), "deleted")
+         .when(~F.col("__o__").eqNullSafe(F.col("__n__")), "updated"))
+    return (j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*key_cols, "change"))

@@ -3719,3 +3719,60 @@ def dedup_keep_best_q(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     docs = t["documents"]
     return dedup_keep_best(docs, quality_score(docs), portable=True)
+
+
+@query("snapshot_diff", """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 100 = 0 THEN 'deleted'
+                ELSE 'updated' END AS change
+    FROM orders WHERE o_orderkey % 10 = 0
+""")
+def snapshot_diff_q(spark, sf_dir):
+    """CDC between table versions (operators/upsert.py snapshot_diff):
+    replays the upsert_merge scenario (double price for keys %10=0,
+    delete %100=0), then diffs v1->v2 - one full-outer key join with
+    null-safe struct compare. The oracle states the expected change
+    set directly from the base table."""
+    import tempfile
+
+    from .operators.upsert import snapshot_diff, upsert
+    _, t = _s(spark, sf_dir)
+    base = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="bss_diff_")
+    upsert(spark, path, base, ["o_orderkey"])
+    updates = (base.filter(F.col("o_orderkey") % 10 == 0)
+               .withColumn("o_totalprice",
+                           F.col("o_totalprice") + F.col("o_totalprice"))
+               .withColumn("__deleted__",
+                           F.col("o_orderkey") % 100 == 0))
+    upsert(spark, path, updates, ["o_orderkey"])
+    return snapshot_diff(spark, path, 1, 2, ["o_orderkey"])
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 600000.0, 24
+
+
+@query("price_histogram", f"""
+    WITH b AS (
+      SELECT CAST(least(greatest(floor((o_totalprice - ({_HIST_LO!r}))
+                 / (({_HIST_HI!r}) - ({_HIST_LO!r})) * {_HIST_BINS}),
+                 -1.0), CAST({_HIST_BINS} AS DOUBLE)) AS BIGINT) AS bin
+      FROM orders)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+""")
+def price_histogram(spark, sf_dir):
+    """Fixed-width numeric histogram over o_totalprice: bin index from
+    the same floor((x-lo)/(hi-lo)*k) double expression in both engines
+    (identical operand order -> identical bins; out-of-range clamps to
+    -1 / k sentinels). One hash aggregation, k+2 output rows - the
+    scale-free distribution profile every pipeline report needs."""
+    _, t = _s(spark, sf_dir)
+    lo, hi, k = _HIST_LO, _HIST_HI, _HIST_BINS
+    x = F.col("o_totalprice")
+    bin_ = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / (F.lit(hi) - F.lit(lo))
+                           * F.lit(k)).cast("double"), F.lit(-1.0)),
+        F.lit(float(k))).cast("long")
+    return (t["orders"].select(bin_.alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))

@@ -1284,3 +1284,17 @@ def test_dedup_keep_best_prefers_high_score(spark):
     got = sorted(r["doc_id"] for r in
                  dedup_keep_best(df, score, threshold=0.5).collect())
     assert got == [2, 9]
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from bigslice_spark.operators.upsert import snapshot_diff, upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"), ["k"])
+    upsert(spark, path, spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False),
+         (1, "a", False)],  # 1 re-upserted with SAME value: unchanged
+        "k long, v string, __deleted__ boolean"), ["k"])
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()}
+    assert got == {2: "updated", 3: "deleted", 4: "inserted"}
