@@ -371,3 +371,30 @@ def test_funnel_single_event_scale_shuffle(spark, sf_dir):
     # joins run on per-user aggregates — exchanges stay bounded
     df = QUERIES["funnel_steps"](spark, sf_dir)
     assert count_exchanges(df) <= 6  # 3 aggs + joins, all user_id-keyed
+
+
+def test_price_histogram_single_aggregation(spark, sf_dir):
+    df = QUERIES["price_histogram"](spark, sf_dir)
+    # map-side partial agg + one exchange on the bin id — nothing else
+    assert count_exchanges(df) == 1
+    assert_partial_aggregation(df)
+
+
+def test_stream_enrich_is_stateless_broadcast(spark, sf_dir):
+    # the plan gate runs on the BATCH equivalent of the enrichment (the
+    # streaming plan is per-micro-batch): dims must broadcast
+    from bigslice_spark.session import load_tables
+    t = load_tables(spark, sf_dir)
+    ev = (t["events"].filter(F.col("event_type") == "purchase")
+          .withColumn("__ck__", F.col("user_id") % 1500))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("__ck__"), "c_name", "c_nationkey")
+    j = ev.join(F.broadcast(cust), on="__ck__")
+    txt = explain_str(j)
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_dedup_keep_best_no_cartesian(spark, sf_dir):
+    txt = explain_str(QUERIES["dedup_keep_best"](spark, sf_dir))
+    assert "CartesianProduct" not in txt
