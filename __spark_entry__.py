@@ -29,7 +29,7 @@ _R4_NEW = (
     "triangle_count", "mix_weights", "source_jsonl", "zorder_layout",
     "stream_join", "upsert_merge", "chunk_docs", "bigram_pmi",
     "stream_enrich", "key_skew_report", "source_orc", "dedup_keep_best",
-    "snapshot_diff", "price_histogram",
+    "snapshot_diff", "price_histogram", "heavy_hitters",
 )
 _R3_FAILED = ("multimodal_features",)
 _NEVER_DRIVER_CHECKED = (

@@ -3776,3 +3776,25 @@ def price_histogram(spark, sf_dir):
         F.lit(float(k))).cast("long")
     return (t["orders"].select(bin_.alias("bin"))
             .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("heavy_hitters", """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS freq
+    FROM toks, tot
+    GROUP BY tok, n_total
+    HAVING CAST(count(*) AS DOUBLE) >= 0.01 * CAST(n_total AS DOUBLE)
+""")
+def heavy_hitters_q(spark, sf_dir):
+    """φ-heavy hitters (operators/sketch.py): per-partition Misra-Gries
+    candidate generation (map-only, O(parts·k) rows) + broadcast-filter
+    exact recount — the sketch bounds the WORK, the output stays exact
+    and partition-independent, so the oracle is a plain HAVING clause."""
+    from .operators.sketch import heavy_hitters
+    _, t = _s(spark, sf_dir)
+    return heavy_hitters(t["documents"], phi=0.01)

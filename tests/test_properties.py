@@ -265,3 +265,21 @@ def test_funnel_matches_python_walk(spark, ev):
         else:
             depth = sum(1 for x in ts if x is not None)
             assert got[u] == (ts[0], ts[1], ts[2], depth)
+
+
+@PROP
+@given(toks=st.lists(st.sampled_from(list("abcdefgh")), min_size=1,
+                     max_size=200),
+       nshard=st.integers(min_value=1, max_value=6))
+def test_heavy_hitters_exact_any_partitioning(spark, toks, nshard):
+    """The MG sketch bounds work, never the answer: output equals the
+    brute-force HAVING for any input under any partitioning."""
+    from bigslice_spark.operators.sketch import heavy_hitters
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)],
+        "doc_id long, text string").repartition(nshard)
+    got = {(r["tok"], r["n"]) for r in
+           heavy_hitters(df, phi=0.1).collect()}
+    want = {(t, c) for t, c in Counter(toks).items()
+            if c >= 0.1 * len(toks)}
+    assert got == want
