@@ -30,6 +30,7 @@ _R4_NEW = (
     "stream_join", "upsert_merge", "chunk_docs", "bigram_pmi",
     "stream_enrich", "key_skew_report", "source_orc", "dedup_keep_best",
     "snapshot_diff", "price_histogram", "heavy_hitters",
+    "stream_upsert", "tfidf_terms",
 )
 _R3_FAILED = ("multimodal_features",)
 _NEVER_DRIVER_CHECKED = (

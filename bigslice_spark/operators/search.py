@@ -84,3 +84,36 @@ def bm25_score(df: DataFrame, terms: list[str], k: int = 20,
     return topk.withColumn(
         "rank", F.row_number().over(
             W.orderBy(F.desc("score"), F.col(id_col))))
+
+
+def tfidf_top_terms(df: DataFrame, m: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-m terms by tf·idf — the classic sparse document
+    representation (keyword extraction, routing, weak labels).
+
+    idf uses the same rational form as bm25_score (no ln() — engine-
+    bitwise). Plan shape: one explode → (doc, term) counts → per-term
+    document frequencies (an inverted-index aggregation, shuffles the
+    vocabulary once, never the corpus text) → hash join on term →
+    per-doc top-m window. Returns (id_col, term, tfidf, rank), ties by
+    term text."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (tf.join(dfreq, on="term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "tfidf",
+                  F.col("tf") * ((F.col("n_docs") - F.col("df")
+                                  + F.lit(0.5))
+                                 / (F.col("df") + F.lit(0.5)))))
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= m)
+            .select(id_col, "term", "tfidf", "rank"))

@@ -3798,3 +3798,59 @@ def heavy_hitters_q(spark, sf_dir):
     from .operators.sketch import heavy_hitters
     _, t = _s(spark, sf_dir)
     return heavy_hitters(t["documents"], phi=0.01)
+
+
+@query("stream_upsert", """
+    SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+           epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'purchase'
+""")
+def stream_upsert_q(spark, sf_dir):
+    """Streaming MERGE (streaming/stream_upsert): each micro-batch of
+    purchase events upserts into a versioned snapshot table keyed by
+    event_id via foreachBatch — the maintain-a-serving-table pattern,
+    idempotent under at-least-once redelivery. Over the finite source
+    the final table equals the batch filter."""
+    import tempfile
+
+    from .streaming import stream_events, stream_upsert
+    ev = (stream_events(spark, sf_dir)
+          .filter(F.col("event_type") == "purchase")
+          .select("event_id", "user_id",
+                  F.unix_micros("ts").alias("ts_us")))
+    base = tempfile.mkdtemp(prefix="bss_supsert_")
+    return stream_upsert(ev, base + "/tbl", ["event_id"],
+                         checkpoint=base + "/ckpt")
+
+
+@query("tfidf_terms", """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM tf GROUP BY term),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 AS tfidf
+      FROM tf JOIN dfreq USING (term), nd),
+    r AS (SELECT doc_id, term, tfidf,
+                 CAST(row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS INT) AS rank
+          FROM sc)
+    SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+""")
+def tfidf_terms(spark, sf_dir):
+    """Per-document top-3 tf-idf terms (operators/search.py
+    tfidf_top_terms): inverted-index df aggregation (vocabulary
+    shuffles once, corpus text never), rational idf for bitwise float
+    parity, per-doc top-m window with term tie-break."""
+    from .operators.search import tfidf_top_terms
+    _, t = _s(spark, sf_dir)
+    return tfidf_top_terms(t["documents"], m=3)

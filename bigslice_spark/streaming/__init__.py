@@ -201,3 +201,31 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (rcol >= lcol - F.expr(f"INTERVAL {bound}"))
         & (rcol <= lcol)))
+
+
+def stream_upsert(df: DataFrame, path: str, key_cols: list[str],
+                  checkpoint: str,
+                  name: str = "bs_stream_upsert") -> DataFrame:
+    """Streaming MERGE: apply each micro-batch as a keyed upsert into a
+    versioned snapshot table (operators/upsert.py) via foreachBatch —
+    the standard pattern for maintaining a mutable serving table from a
+    stream when the sink format has no transactional MERGE of its own.
+    Re-delivered batches re-apply the same keys idempotently (updates
+    win on collision), so the table converges under at-least-once
+    delivery. Runs to completion over the finite source, then returns
+    the final table."""
+    from ..operators.upsert import read_latest, upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert(batch_df.sparkSession, path, batch_df, key_cols)
+
+    q = (df.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint)
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_latest(df.sparkSession, path)

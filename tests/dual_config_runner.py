@@ -45,7 +45,7 @@ BATTERY = [
     # additionally exercises snapshot listing under each config
     "bm25_search", "random_projection", "kmeans_step", "funnel_steps",
     "triangle_count", "mix_weights", "chunk_docs", "bigram_pmi",
-    "zorder_layout", "upsert_merge",
+    "zorder_layout", "upsert_merge", "tfidf_terms", "heavy_hitters",
 ]
 
 
