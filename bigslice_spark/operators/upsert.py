@@ -10,36 +10,61 @@ SNAPSHOT pattern with primitives Spark ships:
 - a table is a directory of versioned snapshot subdirs ``v=N``;
 - ``upsert`` reads the latest snapshot, merges the update batch
   (updates win on key collision, ``__deleted__`` column drops rows),
-  and writes the WHOLE result as ``v=N+1`` — never mutating ``v=N``;
+  and commits the result as ``v=N+1`` — never mutating ``v=N``;
 - readers always resolve the max committed version (a ``_SUCCESS``
   marker gates visibility), so a crashed writer leaves a dead partial
   dir, not a corrupt table.
 
-At 100 TB a full-snapshot rewrite per merge is the wrong default —
-partition the table and rewrite only partitions the update batch
-touches (``partition_by=``); untouched partitions are carried forward
-by reference would require a manifest, so this implementation rewrites
-them but documents the boundary honestly: snapshot-rewrite cost is
-O(table), the format-with-log cost is O(touched files + log). The merge
-JOIN itself is scale-correct either way: one left-anti join on the key
-(existing rows not superseded) + union with the update batch.
+Two physical strategies:
+
+- **Unpartitioned** (default): ``v=N+1`` is a full snapshot rewrite.
+  O(table) per merge — fine for dimension-sized tables, wrong for a
+  100 TB fact table.
+- **Partitioned** (``partition_by=``): ``v=N+1`` physically contains
+  ONLY the partitions the update batch touches; every untouched
+  partition is carried forward *by reference* through a
+  ``_MANIFEST.json`` that maps its Hive dir (``p=a/q=b``) to the
+  version whose directory physically holds its data. Merge cost is
+  O(touched partitions + manifest), the Delta/Iceberg cost model,
+  with zero data copied for untouched partitions. References always
+  point at the PHYSICAL version (no chains to walk), and commit order
+  is data → manifest → ``_SUCCESS`` (Spark's own marker is suppressed
+  for the write) so a version is never visible half-described.
+
+Single-writer assumption: concurrent ``upsert``/``vacuum`` calls on
+the same table path are not coordinated (there is no lock service in
+plain parquet); run merges for a table from one writer at a time.
+``vacuum`` is safe against an in-flight writer ABOVE the max committed
+version (it only reaps uncommitted debris below it), but two
+concurrent writers would race on the same ``v=N+1`` dir.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _jfs(spark: SparkSession, path: str):
+    """(jvm, fs, jpath) for ``path`` via the Hadoop FS API (works on
+    HDFS/S3/local alike — same pattern as the cache helpers,
+    session.py drop_cache/list_caches)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
 
 
 def _versions(spark: SparkSession, path: str) -> list[int]:
-    """Committed snapshot versions under ``path`` via the Hadoop FS API
-    (works on HDFS/S3/local alike — same pattern as the cache helpers,
-    session.py drop_cache/list_caches)."""
-    jvm = spark.sparkContext._jvm
-    jroot = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    """Committed snapshot versions under ``path`` (``_SUCCESS``-gated)."""
+    jvm, fs, jroot = _jfs(spark, path)
     if not fs.exists(jroot):
         return []
     out = []
@@ -53,74 +78,324 @@ def _versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
+def _write_text(spark: SparkSession, dir_path: str, name: str,
+                text: str) -> None:
+    jvm, fs, jdir = _jfs(spark, dir_path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(jdir, name), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, file_path: str) -> str | None:
+    jvm, fs, jp = _jfs(spark, file_path)
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        except Exception:
+            # commons-io not on the classpath: fall back to a tiny
+            # Spark text read (manifests are single-line JSON).
+            return "\n".join(
+                r.value for r in spark.read.text(file_path).collect())
+    finally:
+        stream.close()
+
+
+def _read_manifest(spark: SparkSession, vdir: str) -> dict | None:
+    txt = _read_text(spark, os.path.join(vdir, _MANIFEST))
+    return None if txt is None else json.loads(txt)
+
+
+def _leaf_dirs(spark: SparkSession, base: str, depth: int) -> list[str]:
+    """Hive partition dir relpaths exactly ``depth`` levels below
+    ``base`` (e.g. ``['p=a/q=b', 'p=a/q=c']``), skipping hidden
+    ``_``/``.`` entries."""
+    jvm, fs, jbase = _jfs(spark, base)
+    if not fs.exists(jbase):
+        return []
+    out: list[str] = []
+
+    def rec(jp, rel: str, d: int) -> None:
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            if (not st.isDirectory() or name.startswith("_")
+                    or name.startswith(".")):
+                continue
+            nrel = f"{rel}/{name}" if rel else name
+            if d == 1:
+                out.append(nrel)
+            else:
+                rec(st.getPath(), nrel, d - 1)
+
+    rec(jbase, "", depth)
+    return sorted(out)
+
+
+def _read_snapshot(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Materialize the logical table at ``version``: local partitions
+    plus manifest-carried ones, grouped by physical version so each
+    group reads with one ``basePath`` (partition columns inferred from
+    the dirs), unioned by name (additive schema evolution: columns a
+    carried old partition predates arrive as NULL), then projected and
+    cast to the manifest's recorded schema for a stable column order
+    and stable partition-column types (dir-name inference would
+    otherwise re-type e.g. a numeric string partition value)."""
+    vdir = os.path.join(path, f"v={version}")
+    man = _read_manifest(spark, vdir)
+    if man is None:
+        return spark.read.parquet(vdir)
+    pb = man["partition_by"]
+    schema = T.StructType.fromJson(man["schema"])
+    groups: dict[int, list[str]] = {}
+    for rel in _leaf_dirs(spark, vdir, len(pb)):
+        groups.setdefault(version, []).append(rel)
+    for rel, pv in man["carried"].items():
+        groups.setdefault(int(pv), []).append(rel)
+    parts = []
+    for pv in sorted(groups):
+        basep = os.path.join(path, f"v={pv}")
+        dirs = [os.path.join(basep, rel) for rel in sorted(groups[pv])]
+        parts.append(spark.read.option("basePath", basep).parquet(*dirs))
+    if not parts:  # every partition deleted: legitimately empty table
+        return spark.createDataFrame([], schema)
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra, allowMissingColumns=True)
+    cols = [(F.col(f.name) if f.name in df.columns
+             else F.lit(None)).cast(f.dataType).alias(f.name)
+            for f in schema.fields]
+    return df.select(*cols)
+
+
 def read_latest(spark: SparkSession, path: str) -> DataFrame:
     vs = _versions(spark, path)
     if not vs:
         raise FileNotFoundError(f"no committed snapshot under {path}")
-    return spark.read.parquet(os.path.join(path, f"v={vs[-1]}"))
-
-
-def upsert(spark: SparkSession, path: str, updates: DataFrame,
-           key_cols: list[str], deleted_col: str = "__deleted__") -> int:
-    """MERGE ``updates`` into the table at ``path``; returns the new
-    version number. Update rows replace existing rows with the same
-    key; unseen keys insert; rows with ``deleted_col`` true delete.
-    First call on an empty path creates v=1 from the batch."""
-    has_del = deleted_col in updates.columns
-    vs = _versions(spark, path)
-    if vs:
-        base = read_latest(spark, path)
-        keep = base.join(updates.select(*key_cols).distinct(),
-                         on=key_cols, how="left_anti")
-        ins = updates
-        if has_del:
-            ins = ins.filter(~updates[deleted_col]).drop(deleted_col)
-        # schema evolution, additive-only: a column present on one side
-        # only arrives as NULL on the other (Delta's mergeSchema rule)
-        merged = keep.unionByName(ins, allowMissingColumns=True)
-        new_v = vs[-1] + 1
-    else:
-        merged = updates.filter(~updates[deleted_col]).drop(deleted_col) \
-            if has_del else updates
-        new_v = 1
-    merged.write.mode("overwrite").parquet(
-        os.path.join(path, f"v={new_v}"))
-    return new_v
+    return _read_snapshot(spark, path, vs[-1])
 
 
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     """Time travel: read a specific committed snapshot."""
     if version not in _versions(spark, path):
         raise FileNotFoundError(f"no committed v={version} under {path}")
-    return spark.read.parquet(os.path.join(path, f"v={version}"))
+    return _read_snapshot(spark, path, version)
+
+
+def _write_committed(df: DataFrame, vdir: str,
+                     partition_by: list[str] | None,
+                     manifest: dict | None) -> None:
+    """Write ``df`` to ``vdir`` with Spark's own ``_SUCCESS`` marker
+    suppressed, then commit: manifest first, ``_SUCCESS`` last — a
+    reader never sees a committed version whose manifest is missing."""
+    spark = df.sparkSession
+    hconf = spark._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(vdir)
+    finally:
+        if old is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, old)
+    if manifest is not None:
+        _write_text(spark, vdir, _MANIFEST,
+                    json.dumps(manifest, sort_keys=True))
+    _write_text(spark, vdir, "_SUCCESS", "")
+
+
+def _live_rows(updates: DataFrame, deleted_col: str) -> DataFrame:
+    """Insert set of an update batch: delete-marked rows removed.
+    A NULL marker means 'not deleted' (coalesced), so a nullable
+    delete column upserts the row instead of silently dropping it."""
+    if deleted_col not in updates.columns:
+        return updates
+    return (updates
+            .filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+            .drop(deleted_col))
+
+
+def upsert(spark: SparkSession, path: str, updates: DataFrame,
+           key_cols: list[str], deleted_col: str = "__deleted__",
+           partition_by: list[str] | None = None) -> int:
+    """MERGE ``updates`` into the table at ``path``; returns the new
+    version number. Update rows replace existing rows with the same
+    key; unseen keys insert; rows with ``deleted_col`` true delete
+    (NULL counts as false). First call on an empty path creates v=1.
+
+    With ``partition_by`` (which must stay fixed for the table's
+    lifetime — it is recorded in the manifest and later calls may omit
+    it), the merge is PARTITION-PRUNED: only partitions present in the
+    update batch are read, merged, and rewritten; all others carry
+    forward by manifest reference at zero data cost. Keys must not
+    move between partitions (the key's partition columns identify it —
+    standard Hive/Delta static-partition semantics), and partition
+    values must be non-NULL. One driver-side ``collect()`` of the
+    DISTINCT partition tuples runs per merge — metadata-scale (the
+    touched-partition list), the same driver state a Delta commit
+    holds; the touched dir names are derived by a tiny marker write so
+    Hive dir escaping always matches Spark's own."""
+    vs = _versions(spark, path)
+    vdir_for = lambda v: os.path.join(path, f"v={v}")  # noqa: E731
+
+    # -------- resolve layout against an existing table ------------
+    man = _read_manifest(spark, vdir_for(vs[-1])) if vs else None
+    if vs:
+        existing_pb = man["partition_by"] if man else None
+        if partition_by is not None and partition_by != existing_pb:
+            raise ValueError(
+                f"partition_by {partition_by} does not match the "
+                f"table's layout {existing_pb}")
+        partition_by = existing_pb
+
+    ins = _live_rows(updates, deleted_col)
+
+    # -------- unpartitioned: full-snapshot rewrite (documented) ---
+    if not partition_by:
+        if vs:
+            base = _read_snapshot(spark, path, vs[-1])
+            keep = base.join(updates.select(*key_cols).distinct(),
+                             on=key_cols, how="left_anti")
+            # schema evolution, additive-only: a column present on one
+            # side only arrives as NULL (Delta's mergeSchema rule)
+            merged = keep.unionByName(ins, allowMissingColumns=True)
+            new_v = vs[-1] + 1
+        else:
+            merged, new_v = ins, 1
+        merged.write.mode("overwrite").parquet(vdir_for(new_v))
+        return new_v
+
+    # -------- partitioned: rewrite touched partitions only --------
+    pb = partition_by
+    missing = [c for c in pb if c not in updates.columns]
+    if missing:
+        raise ValueError(f"update batch lacks partition columns {missing}")
+    new_v = (vs[-1] + 1) if vs else 1
+    vdir = vdir_for(new_v)
+
+    upd_parts = updates.select(*pb).distinct()
+    tuples = upd_parts.collect()  # metadata-scale: touched partitions
+    for row in tuples:
+        if any(row[c] is None for c in pb):
+            raise ValueError(
+                f"NULL partition value in update batch: {row.asDict()}")
+
+    # marker write: let Spark render the Hive dir names for the
+    # touched tuples so escaping/encoding matches the real data write
+    marker = spark.createDataFrame(tuples, schema=upd_parts.schema) \
+        .withColumn("__m__", F.lit(1))
+    marker_dir = os.path.join(vdir, "_touched")
+    marker.write.mode("overwrite").partitionBy(*pb).parquet(marker_dir)
+    touched = set(_leaf_dirs(spark, marker_dir, len(pb)))
+
+    if vs:
+        base_man = man if man else {"partition_by": pb, "carried": {}}
+        layout: dict[str, int] = {
+            rel: vs[-1]
+            for rel in _leaf_dirs(spark, vdir_for(vs[-1]), len(pb))}
+        layout.update(
+            {rel: int(pv) for rel, pv in base_man["carried"].items()})
+        carried = {rel: pv for rel, pv in layout.items()
+                   if rel not in touched}
+        touched_base = [rel for rel in layout if rel in touched]
+        if touched_base:
+            groups: dict[int, list[str]] = {}
+            for rel in touched_base:
+                groups.setdefault(layout[rel], []).append(rel)
+            parts = []
+            for pv in sorted(groups):
+                basep = vdir_for(pv)
+                parts.append(spark.read.option("basePath", basep).parquet(
+                    *[os.path.join(basep, rel)
+                      for rel in sorted(groups[pv])]))
+            base_touched = parts[0]
+            for extra in parts[1:]:
+                base_touched = base_touched.unionByName(
+                    extra, allowMissingColumns=True)
+            keep = base_touched.join(
+                updates.select(*key_cols).distinct(),
+                on=key_cols, how="left_anti")
+            merged = keep.unionByName(ins, allowMissingColumns=True)
+        else:
+            merged = ins
+    else:
+        carried, merged = {}, ins
+
+    manifest = {"partition_by": pb, "carried": carried,
+                "schema": merged.schema.jsonValue()}
+    _write_committed(merged, vdir, pb, manifest)
+    return new_v
 
 
 def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
-    """Drop all but the newest ``keep_last`` committed snapshots (plus
-    any uncommitted partials — dead writers' debris). Returns the
-    versions removed. Readers of a dropped version fail fast on the
-    missing _SUCCESS rather than reading half a table."""
+    """Drop all but the newest ``keep_last`` committed snapshots, plus
+    uncommitted partials BELOW the max committed version (a dir above
+    it may be an in-flight writer's — left alone). Returns committed
+    versions removed. For partitioned tables, a reaped old version
+    whose partition dirs are still referenced by a kept manifest is
+    DEMOTED, not deleted: its ``_SUCCESS``/manifest go (no longer
+    time-travelable) but referenced partition data stays until no kept
+    manifest points at it. Readers of a dropped version fail fast on
+    the missing ``_SUCCESS`` rather than reading half a table.
+    Single-writer assumption as for ``upsert``."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    jvm = spark.sparkContext._jvm
-    jroot = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    jvm, fs, jroot = _jfs(spark, path)
     committed = _versions(spark, path)
     keep = set(committed[-keep_last:])
-    removed = []
+    max_committed = committed[-1] if committed else None
+    removed: list[int] = []
     if not fs.exists(jroot):
         return removed
+
+    # partition dirs still referenced by a manifest we are keeping
+    live: dict[int, set[str]] = {}
+    for v in keep:
+        man = _read_manifest(spark, os.path.join(path, f"v={v}"))
+        if man:
+            for rel, pv in man["carried"].items():
+                live.setdefault(int(pv), set()).add(rel)
+
     for st in fs.listStatus(jroot):
         name = st.getPath().getName()
         m = re.fullmatch(r"v=(\d+)", name)
         if not m:
             continue
         v = int(m.group(1))
-        committed_v = v in committed
         if v in keep:
             continue
-        fs.delete(st.getPath(), True)
-        if committed_v:
+        vdir = os.path.join(path, name)
+        if v not in committed:
+            # uncommitted debris — but never an in-flight writer's dir
+            # (>= max committed) nor one still holding referenced data
+            if (max_committed is not None and v < max_committed
+                    and v not in live):
+                fs.delete(st.getPath(), True)
+            continue
+        if v in live:
+            man = _read_manifest(spark, vdir)
+            depth = len(man["partition_by"]) if man else 0
+            fs.delete(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"),
+                      False)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(vdir, _MANIFEST),
+                      False)
+            if depth:
+                for rel in _leaf_dirs(spark, vdir, depth):
+                    if rel not in live[v]:
+                        fs.delete(jvm.org.apache.hadoop.fs.Path(
+                            os.path.join(vdir, rel)), True)
+            removed.append(v)
+        else:
+            fs.delete(st.getPath(), True)
             removed.append(v)
     return sorted(removed)
 
@@ -129,28 +404,44 @@ def snapshot_diff(spark: SparkSession, path: str, v_old: int, v_new: int,
                   key_cols: list[str]) -> DataFrame:
     """Change-data-capture between two committed snapshots: one row per
     key whose state changed, classified 'inserted' / 'deleted' /
-    'updated' (value change in any non-key column, null-safe struct
-    compare). Unchanged keys are not emitted.
+    'updated' (value change in any non-key column of EITHER snapshot —
+    a column present on one side only compares against NULL, matching
+    the additive mergeSchema rule, so a row whose only change is in a
+    newly added column classifies as updated). Unchanged keys are not
+    emitted. Tables whose only columns are the keys diff on presence
+    alone (inserted/deleted).
 
     One full-outer join on the key — the scale cost is a co-partitioned
     merge of the two snapshots; at 100 TB pair with zorder/bucketed
     layouts so the join is exchange-free."""
-    from pyspark.sql import functions as F
     old = read_version(spark, path, v_old)
     new = read_version(spark, path, v_new)
-    val_cols = sorted(set(old.columns) & set(new.columns)
+    val_cols = sorted((set(old.columns) | set(new.columns))
                       - set(key_cols))
-    o = old.select(*key_cols,
-                   F.struct(*val_cols).alias("__o__"),
-                   F.lit(True).alias("__in_o__"))
-    n = new.select(*key_cols,
-                   F.struct(*val_cols).alias("__n__"),
-                   F.lit(True).alias("__in_n__"))
-    j = o.join(n, on=key_cols, how="full")
-    change = (
-        F.when(F.col("__in_o__").isNull(), "inserted")
-         .when(F.col("__in_n__").isNull(), "deleted")
-         .when(~F.col("__o__").eqNullSafe(F.col("__n__")), "updated"))
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        cols = list(df.columns)
+        sel = [F.col(c) for c in key_cols]
+        if val_cols:
+            fields = []
+            for c in val_cols:
+                if c in cols:
+                    fields.append(F.col(c).alias(c))
+                else:
+                    other = new if df is old else old
+                    fields.append(F.lit(None)
+                                  .cast(other.schema[c].dataType)
+                                  .alias(c))
+            sel.append(F.struct(*fields).alias(f"__{tag}__"))
+        sel.append(F.lit(True).alias(f"__in_{tag}__"))
+        return df.select(*sel)
+
+    j = side(old, "o").join(side(new, "n"), on=key_cols, how="full")
+    change = (F.when(F.col("__in_o__").isNull(), "inserted")
+               .when(F.col("__in_n__").isNull(), "deleted"))
+    if val_cols:
+        change = change.when(
+            ~F.col("__o__").eqNullSafe(F.col("__n__")), "updated")
     return (j.withColumn("change", change)
             .filter(F.col("change").isNotNull())
             .select(*key_cols, "change"))

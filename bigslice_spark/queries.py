@@ -3520,6 +3520,43 @@ def upsert_merge(spark, sf_dir):
     return read_latest(spark, path)
 
 
+@query("upsert_partitioned", """
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                     AND o_orderkey % 10 = 0
+                THEN o_totalprice + o_totalprice
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderpriority = '1-URGENT'
+               AND o_orderkey % 100 = 0)
+""")
+def upsert_partitioned_q(spark, sf_dir):
+    """Partition-pruned MERGE (operators/upsert.py): seed v=1 with
+    orders partitioned by o_orderpriority, then apply a batch that
+    touches ONLY the 1-URGENT partition (double price for keys %10=0,
+    delete %100=0). v=2 physically rewrites just that partition; the
+    other four carry forward by _MANIFEST.json reference at zero data
+    cost — merge cost O(touched partitions), not O(table). The doubled
+    price is x+x — exact in IEEE, so the oracle replays bitwise."""
+    import tempfile
+
+    from .operators.upsert import read_latest, upsert
+    _, t = _s(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="bss_upsertp_")
+    upsert(spark, path, base, ["o_orderkey"],
+           partition_by=["o_orderpriority"])
+    updates = (base.filter((F.col("o_orderpriority") == "1-URGENT")
+                           & (F.col("o_orderkey") % 10 == 0))
+               .withColumn("o_totalprice",
+                           F.col("o_totalprice") + F.col("o_totalprice"))
+               .withColumn("__deleted__",
+                           F.col("o_orderkey") % 100 == 0))
+    upsert(spark, path, updates, ["o_orderkey"])
+    return read_latest(spark, path)
+
+
 @query("chunk_docs", """
     WITH t AS (
       SELECT doc_id,
@@ -3802,25 +3839,31 @@ def heavy_hitters_q(spark, sf_dir):
 
 @query("stream_upsert", """
     SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
-           epoch_us(ts) AS ts_us
+           epoch_us(ts) AS ts_us,
+           CAST(user_id % 16 AS BIGINT) AS shard
     FROM events WHERE event_type = 'purchase'
 """)
 def stream_upsert_q(spark, sf_dir):
     """Streaming MERGE (streaming/stream_upsert): each micro-batch of
     purchase events upserts into a versioned snapshot table keyed by
     event_id via foreachBatch — the maintain-a-serving-table pattern,
-    idempotent under at-least-once redelivery. Over the finite source
-    the final table equals the batch filter."""
+    idempotent under at-least-once redelivery. The table is
+    hash-sharded (user_id % 16) and merged with ``partition_by`` so a
+    micro-batch rewrites only the shards it touches (manifest
+    carry-forward), not the full snapshot. Over the finite source the
+    final table equals the batch filter."""
     import tempfile
 
     from .streaming import stream_events, stream_upsert
     ev = (stream_events(spark, sf_dir)
           .filter(F.col("event_type") == "purchase")
           .select("event_id", "user_id",
-                  F.unix_micros("ts").alias("ts_us")))
+                  F.unix_micros("ts").alias("ts_us"),
+                  (F.col("user_id") % 16).cast("long").alias("shard")))
     base = tempfile.mkdtemp(prefix="bss_supsert_")
     return stream_upsert(ev, base + "/tbl", ["event_id"],
-                         checkpoint=base + "/ckpt")
+                         checkpoint=base + "/ckpt",
+                         partition_by=["shard"])
 
 
 @query("tfidf_terms", """

@@ -204,22 +204,26 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
 
 
 def stream_upsert(df: DataFrame, path: str, key_cols: list[str],
-                  checkpoint: str,
-                  name: str = "bs_stream_upsert") -> DataFrame:
+                  checkpoint: str, name: str = "bs_stream_upsert",
+                  partition_by: list[str] | None = None) -> DataFrame:
     """Streaming MERGE: apply each micro-batch as a keyed upsert into a
     versioned snapshot table (operators/upsert.py) via foreachBatch —
     the standard pattern for maintaining a mutable serving table from a
     stream when the sink format has no transactional MERGE of its own.
     Re-delivered batches re-apply the same keys idempotently (updates
     win on collision), so the table converges under at-least-once
-    delivery. Runs to completion over the finite source, then returns
-    the final table."""
+    delivery. Pass ``partition_by`` so each micro-batch rewrites only
+    the partitions it touches (manifest carry-forward) — without it
+    every batch rewrites the FULL snapshot, O(table) per batch and
+    quadratic in stream length. Runs to completion over the finite
+    source, then returns the final table."""
     from ..operators.upsert import read_latest, upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert(batch_df.sparkSession, path, batch_df, key_cols)
+        upsert(batch_df.sparkSession, path, batch_df, key_cols,
+               partition_by=partition_by)
 
     q = (df.writeStream.foreachBatch(apply_batch)
          .option("checkpointLocation", checkpoint)

@@ -1298,3 +1298,213 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     got = {r["k"]: r["change"]
            for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()}
     assert got == {2: "updated", 3: "deleted", 4: "inserted"}
+
+
+# ---------- partition-pruned MERGE (operators/upsert.py) ----------
+
+def _pdirs(path):
+    """Physical partition subdirs (p=...) under a version dir."""
+    import os
+    return sorted(d for d in os.listdir(path)
+                  if os.path.isdir(os.path.join(path, d))
+                  and not d.startswith(("_", ".")))
+
+
+def test_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    import json
+    import os
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "k long, p string, x long")
+    assert upsert(spark, path, base, ["k"], partition_by=["p"]) == 1
+    v1_files = {f: os.path.getmtime(os.path.join(path, "v=1", d, f))
+                for d in _pdirs(os.path.join(path, "v=1"))
+                for f in os.listdir(os.path.join(path, "v=1", d))}
+    batch = spark.createDataFrame(
+        [(2, "a", 99, False), (5, "a", 50, False), (3, "b", 30, True)],
+        "k long, p string, x long, __deleted__ boolean")
+    assert upsert(spark, path, batch, ["k"]) == 2  # layout from manifest
+    got = {r["k"]: (r["p"], r["x"])
+           for r in read_latest(spark, path).collect()}
+    assert got == {1: ("a", 10), 2: ("a", 99), 4: ("c", 40),
+                   5: ("a", 50)}
+    # v=2 physically holds ONLY the touched partitions (a rewritten,
+    # b emptied by the delete -> no dir); c carried by manifest ref
+    assert _pdirs(os.path.join(path, "v=2")) == ["p=a"]
+    with open(os.path.join(path, "v=2", "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["carried"] == {"p=c": 1}
+    assert man["partition_by"] == ["p"]
+    # untouched v=1 data files byte-untouched (never rewritten)
+    for d in _pdirs(os.path.join(path, "v=1")):
+        for f in os.listdir(os.path.join(path, "v=1", d)):
+            assert os.path.getmtime(
+                os.path.join(path, "v=1", d, f)) == v1_files[f]
+
+
+def test_upsert_partitioned_carry_chain_resolves_physical(spark, tmp_path):
+    import json
+    import os
+    from bigslice_spark.operators.upsert import (read_latest,
+                                                 read_version, upsert)
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 3)],
+        "k long, p string, x long"), ["k"], partition_by=["p"])
+    upsert(spark, path, spark.createDataFrame(
+        [(2, "b", 22)], "k long, p string, x long"), ["k"])
+    upsert(spark, path, spark.createDataFrame(
+        [(3, "c", 33)], "k long, p string, x long"), ["k"])
+    # v=3 must reference a's PHYSICAL home v=1 directly, not v=2
+    with open(os.path.join(path, "v=3", "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["carried"] == {"p=a": 1, "p=b": 2}
+    assert {r["k"]: r["x"] for r in read_latest(spark, path).collect()} \
+        == {1: 1, 2: 22, 3: 33}
+    # time travel still sees the old state
+    assert {r["k"]: r["x"] for r in
+            read_version(spark, path, 2).collect()} == {1: 1, 2: 22, 3: 3}
+
+
+def test_upsert_partitioned_vacuum_keeps_referenced_data(spark, tmp_path):
+    import os
+    import pytest as _pt
+    from bigslice_spark.operators.upsert import (read_latest,
+                                                 read_version, upsert,
+                                                 vacuum, _versions)
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "k long, p string, x long"),
+        ["k"], partition_by=["p"])
+    upsert(spark, path, spark.createDataFrame(
+        [(2, "b", 22)], "k long, p string, x long"), ["k"])
+    upsert(spark, path, spark.createDataFrame(
+        [(2, "b", 23)], "k long, p string, x long"), ["k"])
+    # keep only v=3; v=1 holds p=a still referenced by v=3's manifest
+    assert vacuum(spark, path, keep_last=1) == [1, 2]
+    assert _versions(spark, path) == [3]
+    with _pt.raises(FileNotFoundError):
+        read_version(spark, path, 1)
+    # demoted v=1 keeps the referenced partition dir, sheds _SUCCESS
+    assert _pdirs(os.path.join(path, "v=1")) == ["p=a"]
+    assert not os.path.exists(os.path.join(path, "v=1", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "v=2"))
+    # latest still reads the carried partition's data
+    assert {r["k"]: r["x"] for r in read_latest(spark, path).collect()} \
+        == {1: 1, 2: 23}
+
+
+def test_vacuum_spares_inflight_writer_dir(spark, tmp_path):
+    import os
+    from bigslice_spark.operators.upsert import upsert, vacuum
+    path = str(tmp_path / "tbl")
+    for i in range(3):
+        upsert(spark, path, spark.createDataFrame(
+            [(i, "x")], "k long, v string"), ["k"])
+    # v=4: an in-flight writer's partial (no _SUCCESS), ABOVE max
+    os.makedirs(os.path.join(path, "v=4"))
+    # v=0-style stale partial BELOW max committed: reaped
+    os.makedirs(os.path.join(path, "v=1") + "_")  # non-matching: ignored
+    assert vacuum(spark, path, keep_last=2) == [1]
+    assert os.path.exists(os.path.join(path, "v=4"))  # writer untouched
+
+
+def test_upsert_null_delete_marker_means_not_deleted(spark, tmp_path):
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a")], "k long, v string"), ["k"])
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "A", None), (2, "b", None)],
+        "k long, v string, __deleted__ boolean"), ["k"])
+    got = {r["k"]: r["v"] for r in read_latest(spark, path).collect()}
+    assert got == {1: "A", 2: "b"}  # NULL marker upserts, never drops
+
+
+def test_upsert_partitioned_guards(spark, tmp_path):
+    import pytest as _pt
+    from bigslice_spark.operators.upsert import upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 1)], "k long, p string, x long"),
+        ["k"], partition_by=["p"])
+    with _pt.raises(ValueError, match="partition_by"):
+        upsert(spark, path, spark.createDataFrame(
+            [(1, "a", 1)], "k long, p string, x long"),
+            ["k"], partition_by=["x"])
+    with _pt.raises(ValueError, match="NULL partition"):
+        upsert(spark, path, spark.createDataFrame(
+            [(9, None, 9)], "k long, p string, x long"), ["k"])
+    with _pt.raises(ValueError, match="partition columns"):
+        upsert(spark, path, spark.createDataFrame(
+            [(9, 9)], "k long, x long"), ["k"])
+
+
+def test_upsert_partitioned_schema_evolution(spark, tmp_path):
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "k long, p string, x long"),
+        ["k"], partition_by=["p"])
+    # batch brings a new column and touches only p=a; p=b carried
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 11, "new")], "k long, p string, x long, w string"),
+        ["k"])
+    got = {r["k"]: (r["x"], r["w"])
+           for r in read_latest(spark, path).collect()}
+    assert got == {1: (11, "new"), 2: (2, None)}
+
+
+def test_snapshot_diff_new_column_only_change(spark, tmp_path):
+    from bigslice_spark.operators.upsert import snapshot_diff, upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"), ["k"])
+    # the ONLY change to key 1 is the newly added column w
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 7)], "k long, v string, w long"), ["k"])
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()}
+    assert got == {1: "updated"}
+
+
+def test_snapshot_diff_keys_only_table(spark, tmp_path):
+    from bigslice_spark.operators.upsert import snapshot_diff, upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1,), (2,)], "k long"), ["k"])
+    upsert(spark, path, spark.createDataFrame(
+        [(2, True), (3, False)], "k long, __deleted__ boolean"), ["k"])
+    got = {r["k"]: r["change"]
+           for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()}
+    assert got == {2: "deleted", 3: "inserted"}
+
+
+def test_stream_upsert_partitioned_prunes(spark, tmp_path):
+    """Streaming MERGE with partition_by: micro-batches rewrite only
+    touched partitions (the fix for the O(table)-per-batch rewrite)."""
+    import os
+    from bigslice_spark.streaming import stream_upsert
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "k long, p string, x long") \
+        .coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    stream = (spark.readStream.schema("k long, p string, x long")
+              .parquet(src + "/b0"))
+    out = stream_upsert(stream, str(tmp_path / "tbl"),
+                        ["k"], str(tmp_path / "ck"),
+                        partition_by=["p"])
+    got = {r["k"]: (r["p"], r["x"]) for r in out.collect()}
+    assert got == {1: ("a", 1), 2: ("b", 2)}
+    # follow-up batch touching only p=a
+    batch = spark.createDataFrame(
+        [(1, "a", 99)], "k long, p string, x long")
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    upsert(spark, str(tmp_path / "tbl"), batch, ["k"])
+    assert _pdirs(os.path.join(str(tmp_path / "tbl"), "v=2")) == ["p=a"]
+    got = {r["k"]: r["x"]
+           for r in read_latest(spark, str(tmp_path / "tbl")).collect()}
+    assert got == {1: 99, 2: 2}
