@@ -72,6 +72,14 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", txt, re.MULTILINE))
 
 
+def count_scans(df: DataFrame, source: str = "parquet") -> int:
+    """Number of file-scan nodes over ``source`` in the physical plan —
+    the how-many-times-do-we-read-the-corpus gate (each detail block
+    ``(N) Scan <source>`` is one physical scan node)."""
+    txt = explain_str(df)
+    return len(re.findall(rf"^\(\d+\) Scan {source}", txt, re.MULTILINE))
+
+
 def codegen_fraction(df: DataFrame) -> float:
     """Fraction of plan nodes inside WholeStageCodegen spans — widen them
     (low fraction ⇒ interpreted operators in the hot path)."""

@@ -3837,6 +3837,20 @@ def heavy_hitters_q(spark, sf_dir):
     return heavy_hitters(t["documents"], phi=0.01)
 
 
+@query("heavy_hitters_approx")
+def heavy_hitters_approx_q(spark, sf_dir):
+    """ONE-pass φ-heavy hitters (operators/sketch.py exact=False):
+    merged Misra-Gries counters as (n_lo, n_hi) bounds, half the
+    corpus scans of the exact mode. The bounds are sound under any
+    partitioning but the counter VALUES are partition-dependent, so
+    this entry is rows-only for the driver; the error guarantee
+    n_lo ≤ true ≤ n_hi = n_lo + floor(N/(k+1)) is property-tested
+    (tests/test_properties.py heavy_hitters_approx_bounds)."""
+    from .operators.sketch import heavy_hitters
+    _, t = _s(spark, sf_dir)
+    return heavy_hitters(t["documents"], phi=0.01, exact=False)
+
+
 @query("stream_upsert", """
     SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
            epoch_us(ts) AS ts_us,

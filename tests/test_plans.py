@@ -398,3 +398,15 @@ def test_stream_enrich_is_stateless_broadcast(spark, sf_dir):
 def test_dedup_keep_best_no_cartesian(spark, sf_dir):
     txt = explain_str(QUERIES["dedup_keep_best"](spark, sf_dir))
     assert "CartesianProduct" not in txt
+
+
+def test_heavy_hitters_scan_counts(spark, sf_dir):
+    """Exact mode reads the corpus exactly twice (candidate pass +
+    recount — N rides the candidate pass, no third count scan); the
+    one-pass approximate mode reads it once."""
+    from bigslice_spark.plans import count_scans
+    from bigslice_spark.session import load_tables
+    from bigslice_spark.operators.sketch import heavy_hitters
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert count_scans(heavy_hitters(docs, phi=0.01)) == 2
+    assert count_scans(heavy_hitters(docs, phi=0.01, exact=False)) == 1

@@ -283,3 +283,32 @@ def test_heavy_hitters_exact_any_partitioning(spark, toks, nshard):
     want = {(t, c) for t, c in Counter(toks).items()
             if c >= 0.1 * len(toks)}
     assert got == want
+
+
+@PROP
+@given(toks=st.lists(st.sampled_from(list("abcdefgh")), min_size=1,
+                     max_size=200),
+       nshard=st.integers(min_value=1, max_value=6))
+def test_heavy_hitters_approx_bounds_any_partitioning(spark, toks, nshard):
+    """One-pass Misra-Gries mode: for any input and partitioning, every
+    output bound brackets the true count with error ≤ floor(N/(k+1)),
+    and no true φ-heavy hitter is missed."""
+    import math
+    from bigslice_spark.operators.sketch import heavy_hitters
+    phi = 0.1
+    k = int(math.ceil(2.0 / phi))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)],
+        "doc_id long, text string").repartition(nshard)
+    rows = heavy_hitters(df, phi=phi, exact=False).collect()
+    true = Counter(toks)
+    n = len(toks)
+    got = {r["tok"]: r for r in rows}
+    for tok, r in got.items():
+        assert r["n_total"] == n
+        assert r["n_hi"] == r["n_lo"] + n // (k + 1)
+        assert r["n_lo"] <= true[tok] <= r["n_hi"], \
+            (tok, r["n_lo"], true[tok], r["n_hi"])
+    for tok, c in true.items():  # completeness: superset of the answer
+        if c >= phi * n:
+            assert tok in got, (tok, c, n)
