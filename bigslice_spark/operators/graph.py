@@ -74,6 +74,49 @@ def connected_components(edges: DataFrame, src: str = "src",
     raise RuntimeError(f"did not converge in {max_iter} iterations")
 
 
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", iters: int = 4,
+                      reliable: bool | None = None) -> DataFrame:
+    """Synchronous label-propagation communities → (node, label).
+
+    Each round, every node adopts the most frequent label among its
+    neighbors' current labels plus its own, ties broken by MIN label —
+    a fully deterministic rule (no random order, no async sweeps), so
+    a fixed ``iters`` replays identically in SQL (unrolled CTEs, the
+    pagerank-oracle pattern) and under any partitioning. Communities
+    are denser than connected components: CC merges anything touching,
+    LPA keeps weakly-linked clusters apart — the next analysis step
+    after near-dup clustering at corpus scale.
+
+    Scale shape per iteration: one join (labels ⋈ symmetric edges,
+    both hash-partitioned on node id), one count aggregation, one
+    per-node window for the arg-max — all on (node, label) pairs,
+    O(edges) rows; lineage truncated per round via
+    checkpoint.materialize. Fixed iteration count (synchronous LPA on
+    bipartite structures can oscillate rather than converge — a bound,
+    not a convergence test, is the contract)."""
+    from pyspark.sql.window import Window
+
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = materialize(sym.distinct(), reliable)
+    lab = (sym.select("u").distinct()
+           .select(F.col("u").alias("node"), F.col("u").alias("label")))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        nbr = (sym.join(lab, sym.v == lab.node)
+               .select(F.col("u").alias("node"), "label"))
+        cand = nbr.unionByName(lab)
+        counts = cand.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c"))
+        lab = materialize(
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("node", "label"),
+            reliable)
+    return lab
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 3, damping: float = 0.85,
              ordered: bool = False,

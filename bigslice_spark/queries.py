@@ -614,6 +614,34 @@ def source_csv(spark, sf_dir):
         .option("header", "true").csv(d)
 
 
+@query("source_csv_malformed", """
+    SELECT * FROM (VALUES
+        (0, 'alpha', false), (1, 'beta', false),
+        (2, 'gamma', true), (CAST(NULL AS INT), 'delta', true),
+        (3, 'epsilon', false)) AS t(k, name, bad)
+""")
+def source_csv_malformed(spark, sf_dir):
+    """Malformed-row CSV ingest (sources/read_csv): a file with a
+    too-many-fields row and an untypeable row is read PERMISSIVE with
+    ``corrupt_record_col`` — parseable fields survive, each broken raw
+    line lands in the corrupt column, and quarantine is a plain filter
+    (``bad``) instead of silent loss. The fixture is a fixed 5-line
+    file written per run; the oracle states the expected parse
+    verbatim."""
+    import os
+    import tempfile
+
+    from .sources import read_csv
+    d = tempfile.mkdtemp(prefix="bss_badcsv_")
+    with open(os.path.join(d, "data.csv"), "w") as fh:
+        fh.write("k,name\n0,alpha\n1,beta\n2,gamma,extra\n"
+                 "x,delta\n3,epsilon\n")
+    df = read_csv(spark, d, "k int, name string",
+                  corrupt_record_col="_bad")
+    return df.select("k", "name",
+                     F.col("_bad").isNotNull().alias("bad"))
+
+
 # =====================================================================
 # Relational surface beyond the reference (SURVEY §2.3) — Spark frees.
 # =====================================================================
@@ -1337,6 +1365,58 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
            FROM nodes){"".join(it_ctes)}
     SELECT node, r AS rank FROM {prev}
     """
+
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Exact SQL replay of label_propagation: same candidate multiset
+    (neighbor labels + own label), same arg-max rule (count DESC,
+    label ASC), one unrolled CTE pair per synchronous round — integer
+    counts and ids only, so the replay is exact, not approximate."""
+    ctes = []
+    prev = "l0"
+    for k in range(iters):
+        nxt = f"l{k + 1}"
+        ctes.append(f""",
+    c{k} AS (
+      SELECT node, label, count(*) AS c FROM (
+        SELECT s.u AS node, l.label FROM sym s
+        JOIN {prev} l ON l.node = s.v
+        UNION ALL SELECT node, label FROM {prev})
+      GROUP BY node, label),
+    {nxt} AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        FROM c{k})
+      WHERE rn = 1)""")
+        prev = nxt
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS d
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    sym AS (SELECT s AS u, d AS v FROM e UNION SELECT d, s FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)
+    {"".join(ctes)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM {prev}
+    """
+
+
+@query("lpa_communities", _lpa_oracle())
+def lpa_communities(spark, sf_dir):
+    """Label-propagation communities (operators/graph.py
+    label_propagation) over the supplier → customer shipment graph —
+    the community-detection step after near-dup clustering, denser
+    than connected components. Synchronous rounds with the
+    deterministic (count DESC, label ASC) arg-max make the fixed
+    4-iteration run bitwise replayable by the unrolled-CTE oracle."""
+    from .operators.graph import label_propagation
+    _, t = _s(spark, sf_dir)
+    e = (t["lineitem"]
+         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+         .select(F.col("l_suppkey").alias("src"),
+                 (F.col("o_custkey") + 1000000).alias("dst")))
+    return label_propagation(e, iters=4)
 
 
 @query("pagerank", _pagerank_oracle())
@@ -3487,6 +3567,55 @@ def stream_join(spark, sf_dir):
         F.unix_micros(F.col("r.ts")).alias("v_us"))
     return run_to_completion(out, "bs_stream_join",
                              output_mode="append")
+
+
+@query("stream_join_outer", """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+         thr AS (SELECT min(m) - 7200000000 - 60000000 AS t FROM (
+            SELECT epoch_us(max(ts)) AS m FROM p
+            UNION ALL SELECT epoch_us(max(ts)) FROM v))
+    SELECT p.event_id AS p_id, v.event_id AS v_id,
+           epoch_us(p.ts) AS p_us
+    FROM p LEFT JOIN v ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts, thr
+    WHERE epoch_us(p.ts) < thr.t
+""")
+def stream_join_outer_q(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermark expiry
+    (streaming/stream_stream_join how='left_outer'): purchases match
+    views in the preceding hour; a purchase with NO view emits with a
+    NULL view id once the watermark passes its match window — the
+    emit-unmatched-after-expiry pattern (state aged out, never
+    buffered forever). Outer results for rows still inside the final
+    watermark horizon are legitimately unemitted at end-of-input, so
+    both engines filter to CLOSED left rows: p.ts strictly below
+    min(max purchase ts, max view ts) − 2h watermark − 1min margin —
+    the same integer threshold expression on each side."""
+    from .streaming import (run_to_completion, stream_events,
+                            stream_stream_join)
+    ev = stream_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase")
+    v = ev.filter(F.col("event_type") == "view")
+    joined = stream_stream_join(p, v, on="user_id", bound="1 hour",
+                                how="left_outer")
+    out = joined.select(
+        F.col("l.event_id").alias("p_id"),
+        F.col("r.event_id").alias("v_id"),
+        F.unix_micros(F.col("l.ts")).alias("p_us"))
+    res = run_to_completion(out, "bs_stream_join_outer",
+                            output_mode="append")
+    _, t = _s(spark, sf_dir)
+    thr = (t["events"]
+           .filter(F.col("event_type").isin("purchase", "view"))
+           .groupBy("event_type")
+           .agg(F.max(F.unix_micros("ts")).alias("m"))
+           .agg((F.min("m") - F.lit(7200000000 + 60000000))
+                .alias("thr")))
+    return (res.join(F.broadcast(thr))
+            .filter(F.col("p_us") < F.col("thr")).drop("thr"))
 
 
 @query("upsert_merge", """

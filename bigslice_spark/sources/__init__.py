@@ -73,8 +73,38 @@ def binary_files(spark: SparkSession, path: str,
 
 
 def read_csv(spark: SparkSession, path: str, schema: str,
-             header: bool = True) -> DataFrame:
-    return spark.read.schema(schema).option("header", header).csv(path)
+             header: bool = True, mode: str = "PERMISSIVE",
+             corrupt_record_col: str | None = None,
+             **options: str) -> DataFrame:
+    """CSV source with an explicit malformed-row policy — the first
+    thing every real-world CSV ingest hits:
+
+    - ``mode='PERMISSIVE'`` (default): malformed fields become NULL;
+      pass ``corrupt_record_col`` to additionally capture each broken
+      raw line in that column (added to the schema as a string) so bad
+      rows can be quarantined with a plain ``filter`` instead of lost —
+      the badRecordsPath pattern without a side-channel write.
+    - ``mode='DROPMALFORMED'``: silently drop rows that don't parse.
+    - ``mode='FAILFAST'``: abort the read on the first malformed row.
+
+    Extra ``options`` pass through to the reader (sep, quote, escape,
+    multiLine, ...). Schema is always pinned — never inferSchema in a
+    production path (a sampling inference pass over 100 TB is a full
+    extra read, and a wrong guess poisons every downstream cast)."""
+    valid = {"PERMISSIVE", "DROPMALFORMED", "FAILFAST"}
+    if mode.upper() not in valid:
+        raise ValueError(f"mode {mode!r} not in {sorted(valid)}")
+    r = (spark.read.option("header", header)
+         .option("mode", mode.upper()))
+    if corrupt_record_col is not None:
+        if mode.upper() != "PERMISSIVE":
+            raise ValueError(
+                "corrupt_record_col requires mode='PERMISSIVE'")
+        schema = f"{schema}, {corrupt_record_col} string"
+        r = r.option("columnNameOfCorruptRecord", corrupt_record_col)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.schema(schema).csv(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:

@@ -182,17 +182,30 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
                        on: str = "user_id",
                        left_ts: str = "ts", right_ts: str = "ts",
                        bound: str = "1 hour",
-                       watermark: str = "2 hours") -> DataFrame:
-    """Watermarked stream-stream INNER join: left events match right
-    events with the same key whose timestamp falls in
-    [left_ts − bound, left_ts]. Both sides carry watermarks and the
-    join predicate carries the time bound — the two things Spark needs
-    to age join state out instead of buffering both streams forever
-    (the unbounded-state OOM every naive stream join hits). Returns the
+                       watermark: str = "2 hours",
+                       how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream join: left events match right events
+    with the same key whose timestamp falls in [left_ts − bound,
+    left_ts]. Both sides carry watermarks and the join predicate
+    carries the time bound — the two things Spark needs to age join
+    state out instead of buffering both streams forever (the
+    unbounded-state OOM every naive stream join hits). Returns the
     joined frame; callers project/rename before sinking.
 
-    Over the finite test source (one micro-batch) the inner join emits
-    exactly the batch answer — the oracle."""
+    ``how='left_outer'`` additionally emits each unmatched left row
+    (right columns NULL) once the watermark passes the end of its
+    match window — the emit-unmatched-after-expiry pattern. Expiry
+    results surface in the no-data micro-batch the engine runs when
+    the watermark advances (`spark.sql.streaming.noDataMicroBatches`,
+    on by default), so `processAllAvailable` over a finite source
+    includes every CLOSED left row; rows still inside the watermark
+    horizon at end-of-input have emitted their matches but not their
+    null-result — callers comparing against a batch oracle filter to
+    left_ts below the final watermark (see the stream_join_outer
+    registry entry).
+
+    Over the finite test source the inner join emits exactly the batch
+    answer — the oracle."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
@@ -200,7 +213,7 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
         rw.alias("r"),
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (rcol >= lcol - F.expr(f"INTERVAL {bound}"))
-        & (rcol <= lcol)))
+        & (rcol <= lcol), how))
 
 
 def stream_upsert(df: DataFrame, path: str, key_cols: list[str],

@@ -312,3 +312,35 @@ def test_heavy_hitters_approx_bounds_any_partitioning(spark, toks, nshard):
     for tok, c in true.items():  # completeness: superset of the answer
         if c >= phi * n:
             assert tok in got, (tok, c, n)
+
+
+@PROP
+@given(edges=st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10)),
+                      min_size=1, max_size=40),
+       nshard=st.integers(min_value=1, max_value=4))
+def test_label_propagation_matches_python_walk(spark, edges, nshard):
+    """Deterministic synchronous LPA: the distributed result after k
+    rounds equals a literal single-threaded replay of the same rule
+    (neighbor labels + own, count DESC then min label) for any edge
+    list under any partitioning."""
+    from bigslice_spark.operators.graph import label_propagation
+    iters = 3
+    df = spark.createDataFrame(edges, "src long, dst long") \
+        .repartition(nshard)
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=iters).collect()}
+    sym = set()
+    for u, v in edges:
+        sym.add((u, v))
+        sym.add((v, u))
+    nodes = {u for u, _ in sym}
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            cnt = Counter(lab[b] for a, b in sym if a == n)
+            cnt[lab[n]] += 1
+            new[n] = sorted(cnt.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    assert got == lab

@@ -155,3 +155,36 @@ def test_stream_events_starts_before_data_exists(spark, tmp_path):
     df = stream_events(spark, str(tmp_path))  # empty dir: no footer
     assert df.isStreaming
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_read_csv_malformed_row_policies(spark, tmp_path):
+    """PERMISSIVE captures the raw broken line in the corrupt column
+    (quarantine via filter), DROPMALFORMED silently drops, FAILFAST
+    aborts the read — the three standard CSV ingest policies."""
+    import pytest as _pt
+    from bigslice_spark.sources import read_csv
+    p = tmp_path / "data.csv"
+    p.write_text("k,name\n0,alpha\n1,beta\n2,gamma,extra\n"
+                 "x,delta\n3,epsilon\n")
+    path = str(tmp_path)
+    got = sorted(
+        ((r["k"], r["name"], r["_bad"]) for r in read_csv(
+            spark, path, "k int, name string",
+            corrupt_record_col="_bad").collect()),
+        key=repr)
+    assert got == sorted([
+        (0, "alpha", None), (1, "beta", None),
+        (2, "gamma", "2,gamma,extra"),   # too many fields
+        (None, "delta", "x,delta"),      # untypeable field
+        (3, "epsilon", None)], key=repr)
+    assert sorted(r["k"] for r in read_csv(
+        spark, path, "k int, name string",
+        mode="DROPMALFORMED").collect()) == [0, 1, 3]
+    with _pt.raises(Exception, match="FAILED_READ_FILE|Malformed"):
+        read_csv(spark, path, "k int, name string",
+                 mode="FAILFAST").collect()
+    with _pt.raises(ValueError, match="mode"):
+        read_csv(spark, path, "k int, name string", mode="nope")
+    with _pt.raises(ValueError, match="PERMISSIVE"):
+        read_csv(spark, path, "k int, name string",
+                 mode="DROPMALFORMED", corrupt_record_col="_bad")
