@@ -37,16 +37,25 @@ def random_projection(df: DataFrame, out_dim: int = 8,
     ``out_dim`` doubles r0..rK via the deterministic seeded hyperplane
     family. Output columns are scalars (driver-hashable, parquet-
     friendly); one F.expr parse per output dim, left-associative sums —
-    bitwise-reproducible by any engine writing the same expression."""
+    bitwise-reproducible by any engine writing the same expression.
+
+    ``dim=None`` infers the width with an EAGER driver-side
+    ``first()`` — one action inside an otherwise lazy operator; pass
+    ``dim=`` explicitly in pipelines that must stay action-free. A
+    ragged corpus fails loudly per-row (raise_error when a vector's
+    length differs from ``dim``) instead of silently projecting NULLs
+    from out-of-bounds indexing."""
     if dim is None:
         row = df.select(vec_col).first()
         if row is None or row[0] is None:
             raise ValueError(f"cannot infer dim: {vec_col} has no rows")
         dim = len(row[0])
     planes = _hyperplanes(dim, out_dim, seed=seed)
-    v = df.select(F.col(id_col),
-                  F.transform(F.col(vec_col),
-                              lambda x: x.cast("double")).alias("__v__"))
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    checked = F.when(F.size(vec) == dim, vec).otherwise(F.expr(
+        f"raise_error('random_projection: ragged {vec_col} "
+        f"(size != {dim})')"))
+    v = df.select(F.col(id_col), checked.alias("__v__"))
     projs = [
         F.expr(" + ".join(f"__v__[{j}] * ({p[j]!r})" for j in range(dim)))
         .alias(f"r{i}")

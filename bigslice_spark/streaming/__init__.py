@@ -38,22 +38,43 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream schema (readStream requires one up front). When the static
     file does not exist YET — standard FileStreamSource usage is to
     start the stream before data arrives — fall back to the legacy
-    int64-nanos schema instead of failing the probe."""
+    int64-nanos schema instead of failing the probe. A stream's schema
+    is FIXED at start, so a file that later lands with a different
+    encoding cannot be re-probed: a timestamp-typed file fails the
+    parquet conversion outright, and to close the silent case (a plain
+    int64 column holding non-nano units, which the div-1000
+    normalization would skew 1000×) the fallback path guards the
+    derived timestamps with an in-plan plausibility check that
+    raise_errors instead of emitting skewed event times — restart the
+    stream once the file exists to pick up its real encoding."""
     import os
     from ..session import normalize_events_ts
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fallback = False
     try:
         static = spark.read.parquet(
             os.path.join(sf_dir, "events.parquet"))
         ts_type = static.schema["ts"].dataType
     except Exception:
         ts_type = T.LongType()
+        fallback = True
     # FileStreamSource requires a DIRECTORY; events.parquet is a plain
     # file, so stream the parent dir with a glob filter.
     raw = (spark.readStream.schema(_events_schema(ts_type))
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return normalize_events_ts(raw)
+    out = normalize_events_ts(raw)
+    if fallback:
+        lo = F.lit("1990-01-01").cast("timestamp")
+        hi = F.lit("2200-01-01").cast("timestamp")
+        out = out.withColumn("ts", F.when(
+            (F.col("ts") >= lo) & (F.col("ts") < hi), F.col("ts"))
+            .otherwise(F.expr(
+                "raise_error('stream_events: ts outside plausible "
+                "range - the file that arrived does not match the "
+                "pinned legacy int64-nanos fallback schema; restart "
+                "the stream now that events.parquet exists')")))
+    return out
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour",

@@ -1508,3 +1508,14 @@ def test_stream_upsert_partitioned_prunes(spark, tmp_path):
     got = {r["k"]: r["x"]
            for r in read_latest(spark, str(tmp_path / "tbl")).collect()}
     assert got == {1: 99, 2: 2}
+
+
+def test_random_projection_ragged_corpus_fails_loudly(spark):
+    from bigslice_spark.operators.projection import random_projection
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    got = random_projection(df, out_dim=2, dim=2)
+    import pytest as _pt
+    with _pt.raises(Exception, match="ragged"):
+        got.collect()

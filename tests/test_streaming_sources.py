@@ -188,3 +188,33 @@ def test_read_csv_malformed_row_policies(spark, tmp_path):
     with _pt.raises(ValueError, match="PERMISSIVE"):
         read_csv(spark, path, "k int, name string",
                  mode="DROPMALFORMED", corrupt_record_col="_bad")
+
+
+def test_stream_events_fallback_guard_trips_on_wrong_units(spark, tmp_path):
+    """ADVICE r4: if a stream started before data pinned the legacy
+    int64-nanos schema and the file that lands carries int64 values in
+    OTHER units, the div-1000 normalization would silently skew every
+    timestamp 1000x — the fallback path instead raise_errors on
+    implausible derived event times."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+    from bigslice_spark.streaming import stream_events
+    df = stream_events(spark, str(tmp_path))  # empty dir: fallback pin
+    # micros-valued int64 (~1.7e15): read as nanos -> 1970s timestamps
+    tbl = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000], pa.int64()),
+        "user_id": pa.array([7], pa.int64()),
+        "event_type": pa.array(["view"], pa.string()),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string())})
+    pq.write_table(tbl, os.path.join(str(tmp_path), "events.parquet"))
+    q = (df.writeStream.format("memory").outputMode("append")
+         .queryName("bss_guard_test").start())
+    try:
+        with _pt.raises(Exception, match="plausible|raise_error"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
