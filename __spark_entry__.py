@@ -15,47 +15,66 @@ from bigslice_spark.queries import ORACLE, QUERIES
 
 # The driver's correctness harness samples the FIRST 50 registry entries
 # in registration order; rotate so every entry accumulates a hard driver
-# signal across rounds. Round-4 window, in priority order:
-#   1. round-4 additions (no prior signal of any kind);
-#   2. multimodal_features — failed the r3 driver compare (list-typed
-#      column, now projected to scalars) and must re-prove green;
-#   3. the 16 entries no CORRECTNESS_r{1,2,3} artifact ever covered
-#      (judge driver_sim-verified in round 2, but the driver artifact is
-#      the durable signal);
-#   4. backfill with round-2-green entries whose driver signal is oldest
-#      (the r2 window), heaviest pipelines first.
-_R4_NEW = (
-    "bm25_search", "random_projection", "kmeans_step", "funnel_steps",
-    "triangle_count", "mix_weights", "source_jsonl", "zorder_layout",
-    "stream_join", "upsert_merge", "chunk_docs", "bigram_pmi",
-    "stream_enrich", "key_skew_report", "source_orc", "dedup_keep_best",
-    "snapshot_diff", "price_histogram", "heavy_hitters",
-    "stream_upsert", "tfidf_terms",
+# signal across rounds. Round-5 window, in priority order:
+#   1. round-5 additions (no prior signal of any kind);
+#   2. entries whose IMPLEMENTATION changed this round — their r4
+#      artifacts describe code that no longer exists (stream_upsert
+#      even changed schema: + shard column; heavy_hitters was
+#      rewritten one-scan-fused; upsert_merge/snapshot_diff sit on the
+#      rewritten upsert core; random_projection gained the ragged
+#      guard) — a changed entry must re-prove, stale-but-unchanged can
+#      wait one more round;
+#   3. ALL 38 entries whose latest driver artifact is r2 — the stalest
+#      unchanged signal in the registry (op_* core family, set ops /
+#      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
+#      aggregates);
+#   4. the two heaviest r3-era pipelines (ngram_jaccard,
+#      dedup_against); the remaining r3 entries head the tail for the
+#      r6 window.
+_R5_NEW = (
+    "upsert_partitioned", "stream_join_outer", "lpa_communities",
+    "source_csv_malformed", "heavy_hitters_approx",
 )
-_R3_FAILED = ("multimodal_features",)
-_NEVER_DRIVER_CHECKED = (
-    "scan_reader_lines", "sql_passthrough", "scalar_functions",
-    "range_join", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_late_lines",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity", "q20_part_promotion", "q21_waiting_suppliers",
-    "q22_idle_customers", "json_props",
+_R5_CHANGED = (
+    "stream_upsert", "heavy_hitters", "upsert_merge", "snapshot_diff",
+    "random_projection",
 )
-# oldest-signal backfill (r2 window, last driver-checked in r02):
-# heavy multi-stage pipelines and operators touched by round-4 perf work
-# first, trivial passthroughs last.
-_R2_BACKFILL = (
-    "dedup_minhash", "dedup_simhash", "dedup_exact", "word_count",
-    "sessionize", "events_hourly", "window_rank", "window_running",
-    "window_range_frame", "topk_orders", "join_semi", "join_anti",
-    "join_broadcast", "set_ops", "rollup_agg", "cube_agg",
-    "grouping_sets", "pivot_status", "percentile_quantity",
+_R2_STALE = (
+    "op_const", "op_reader_func", "op_writer_func", "op_map",
+    "op_map_pandas", "op_filter", "op_flatmap", "op_flatmap_pandas",
+    "op_fold", "op_fold_custom", "op_fold_stream", "op_reduce",
+    "op_cogroup", "op_cogroup_apply", "op_reshuffle", "op_repartition",
+    "op_repartition_custom", "op_reshard", "op_head", "op_scan",
+    "op_prefixed", "op_cache", "op_cache_partial", "source_tar",
+    "source_csv", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_regional_revenue", "join_broadcast", "set_ops", "rollup_agg",
+    "cube_agg", "grouping_sets", "pivot_status", "percentile_quantity",
+    "approx_distinct", "distinct_pairs", "agg_stats",
+)
+_R3_HEAVY = ("ngram_jaccard", "dedup_against")
+# next-stalest after the window (r3-era) — ordered first in the tail so
+# the round-6 rotation starts from them
+_R3_TAIL = (
+    "similarity_topk", "similarity_lsh", "similarity_ivf",
+    "pack_sequences", "line_dedup", "dedup_components", "asof_join",
+    "asof_join_forward", "fingerprint", "text_stats", "token_counts",
+    "lang_id", "quality_score", "repetition_stats", "corpus_stats",
+    "pii_scrub", "decontaminate", "classify_score", "stratified_sample",
+    "stratified_frac", "op_hash_split", "op_budget_sample", "winnow",
+    "pagerank", "dedup_embedding", "multimodal_meta", "source_binary",
+    "op_compact", "op_pragma", "op_salted_join", "op_salted_agg",
+    "pipeline_end2end", "stream_tumbling", "stream_sliding",
+    "stream_sessions", "stream_stateful", "stream_dedup",
+    "stream_sink_parquet", "unpivot_measures", "q2_min_cost_supplier",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q14_promo_share", "q16_supplier_cnt", "q18_large_orders",
+    "q19_discounted_revenue",
 )
 
 
 def _rotated() -> list[str]:
-    head = [k for k in (_R4_NEW + _R3_FAILED + _NEVER_DRIVER_CHECKED
-                        + _R2_BACKFILL) if k in QUERIES]
+    head = [k for k in (_R5_NEW + _R5_CHANGED + _R2_STALE + _R3_HEAVY
+                        + _R3_TAIL) if k in QUERIES]
     seen = set(head)
     return head + [k for k in QUERIES if k not in seen]
 
