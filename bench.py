@@ -54,6 +54,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # A/B knob (PERFORMANCE.md protocol): run only the first N headline
+    # entries in this JVM — used to isolate list-position/JVM-pressure
+    # effects from real plan regressions. Unset = full list (the driver).
+    n_only = os.environ.get("SPARK_GRAFT_BENCH_N")
+    headline = HEADLINE[:int(n_only)] if n_only else HEADLINE
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -116,7 +121,7 @@ def main() -> None:
                  "dedup_simhash": _simhash_fast}
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = overrides.get(name) or QUERIES.get(name)
         if fn is None:
             continue

@@ -46,6 +46,13 @@ BATTERY = [
     "bm25_search", "random_projection", "kmeans_step", "funnel_steps",
     "triangle_count", "mix_weights", "chunk_docs", "bigram_pmi",
     "zorder_layout", "upsert_merge", "tfidf_terms", "heavy_hitters",
+    # round-5 operators — the partition-pruned merge's manifest
+    # carry-forward, LPA's synchronous arg-max rounds, and the CSV
+    # corrupt-record capture must be partition- and transport-invariant
+    # (heavy_hitters_approx is deliberately absent: its counter VALUES
+    # are partition-dependent by design; only its bounds are invariant,
+    # which the property test covers)
+    "upsert_partitioned", "lpa_communities", "source_csv_malformed",
 ]
 
 
