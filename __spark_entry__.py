@@ -28,12 +28,13 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      unchanged signal in the registry (op_* core family, set ops /
 #      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
 #      aggregates);
-#   4. the two heaviest r3-era pipelines (ngram_jaccard,
-#      dedup_against); the remaining r3 entries head the tail for the
-#      r6 window.
+#   4. the heaviest r3-era pipelines (ngram_jaccard, dedup_against)
+#      sit at positions 51-52 — first in line for the r6 window along
+#      with the rest of the r3 tail below.
 _R5_NEW = (
-    "upsert_partitioned", "stream_join_outer", "lpa_communities",
-    "source_csv_malformed", "heavy_hitters_approx",
+    "upsert_partitioned", "compact_partitioned", "stream_join_outer",
+    "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
+    "ewma_value",
 )
 _R5_CHANGED = (
     "stream_upsert", "heavy_hitters", "upsert_merge", "snapshot_diff",

@@ -336,6 +336,96 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
     return new_v
 
 
+def compact_partitions(spark: SparkSession, path: str,
+                       target_bytes: int = 128 << 20,
+                       min_files: int = 2,
+                       partitions: list[str] | None = None) -> int:
+    """Small-file compaction for a PARTITIONED snapshot table: commit
+    ``v=N+1`` where every partition holding ≥ ``min_files`` data files
+    (or exactly the Hive relpaths in ``partitions``) is rewritten
+    coalesced, and every other partition carries forward by manifest
+    reference — the OPTIMIZE companion to the partition-pruned merge
+    (micro-batch merges shard each touched partition across the
+    shuffle-partition count; this folds them back). Returns the new
+    version, or the current one untouched if nothing qualifies.
+
+    One Spark job regardless of partition count: the target partitions
+    are read as one frame and hash-repartitioned on the partition
+    columns (+ a content-hash salt bounding files to
+    ceil(max_partition_bytes/target_bytes) per partition), so each
+    compacted partition lands in at most that many files — 1 for the
+    common small-file case. Data is byte-identical row-wise; only
+    layout changes. Same single-writer contract as ``upsert``."""
+    vs = _versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    latest = vs[-1]
+    man = _read_manifest(spark, os.path.join(path, f"v={latest}"))
+    if man is None:
+        raise ValueError(
+            "compact_partitions requires a partitioned table "
+            "(use partition_by= on upsert); op_compact covers plain "
+            "directories")
+    pb = man["partition_by"]
+    jvm, fs, _ = _jfs(spark, path)
+    layout: dict[str, int] = {
+        rel: latest
+        for rel in _leaf_dirs(spark, os.path.join(path, f"v={latest}"),
+                              len(pb))}
+    layout.update({rel: int(pv) for rel, pv in man["carried"].items()})
+
+    def _stats(rel: str, pv: int) -> tuple[int, int]:
+        jdir = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, f"v={pv}", rel))
+        n = size = 0
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                n += 1
+                size += st.getLen()
+        return n, size
+
+    stats = {rel: _stats(rel, pv) for rel, pv in layout.items()}
+    if partitions is not None:
+        unknown = sorted(set(partitions) - set(layout))
+        if unknown:
+            raise ValueError(f"unknown partitions: {unknown}")
+        targets = list(partitions)
+    else:
+        targets = [rel for rel, (n, _) in stats.items()
+                   if n >= min_files]
+    if not targets:
+        return latest
+
+    groups: dict[int, list[str]] = {}
+    for rel in targets:
+        groups.setdefault(layout[rel], []).append(rel)
+    parts = []
+    for pv in sorted(groups):
+        basep = os.path.join(path, f"v={pv}")
+        parts.append(spark.read.option("basePath", basep).parquet(
+            *[os.path.join(basep, rel) for rel in sorted(groups[pv])]))
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra, allowMissingColumns=True)
+
+    k = max(1, max(-(-stats[rel][1] // target_bytes)
+                   for rel in targets))
+    data_cols = [c for c in df.columns if c not in pb]
+    salt = (F.pmod(F.xxhash64(*data_cols), F.lit(k)) if data_cols
+            else F.lit(0))
+    out = (df.withColumn("__salt__", salt)
+           .repartition(*pb, "__salt__").drop("__salt__"))
+
+    new_v = latest + 1
+    carried = {rel: pv for rel, pv in layout.items()
+               if rel not in set(targets)}
+    manifest = {"partition_by": pb, "carried": carried,
+                "schema": man["schema"]}
+    _write_committed(out, os.path.join(path, f"v={new_v}"), pb, manifest)
+    return new_v
+
+
 def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` committed snapshots, plus
     uncommitted partials BELOW the max committed version (a dir above

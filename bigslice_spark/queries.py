@@ -3686,6 +3686,56 @@ def upsert_partitioned_q(spark, sf_dir):
     return read_latest(spark, path)
 
 
+@query("ewma_value", """
+    WITH l AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id)
+                 AS xs
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(len(xs) AS INT) AS n_events,
+           list_reduce(xs, (acc, x) ->
+               CAST(0.3 AS DOUBLE) * x
+               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * acc)
+               AS ewma
+    FROM l
+""")
+def ewma_value_q(spark, sf_dir):
+    """Per-user EWMA of event values (operators/timeseries.py
+    ewma_last): one aggregation exchange, per-key ordered left fold
+    with α pinned to DOUBLE — bitwise-replayed by DuckDB's
+    list_reduce, which seeds with the first element exactly like the
+    Spark fold's init."""
+    from .operators.timeseries import ewma_last
+    _, t = _s(spark, sf_dir)
+    return ewma_last(t["events"], "user_id", "ts", "value",
+                     order_cols=["event_id"], alpha=0.3)
+
+
+@query("compact_partitioned", """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+""")
+def compact_partitioned_q(spark, sf_dir):
+    """Small-file compaction for partitioned snapshot tables
+    (operators/upsert.py compact_partitions) — the OPTIMIZE companion
+    to the partition-pruned merge: the seeded table's partitions are
+    sharded across the shuffle-partition count; one compaction commit
+    folds each back to ~1 file via a single hash-repartitioned job,
+    untouched layout carried by manifest reference. Rows are
+    byte-identical to the source — the oracle is the identity
+    projection."""
+    import tempfile
+
+    from .operators.upsert import (compact_partitions, read_latest,
+                                   upsert)
+    _, t = _s(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="bss_compactp_")
+    upsert(spark, path, base, ["o_orderkey"],
+           partition_by=["o_orderpriority"])
+    compact_partitions(spark, path, min_files=1)
+    return read_latest(spark, path)
+
+
 @query("chunk_docs", """
     WITH t AS (
       SELECT doc_id,

@@ -1519,3 +1519,46 @@ def test_random_projection_ragged_corpus_fails_loudly(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="ragged"):
         got.collect()
+
+
+def test_compact_partitions_folds_small_files(spark, tmp_path):
+    import os
+    from bigslice_spark.operators.upsert import (compact_partitions,
+                                                 read_latest, upsert)
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 10) for i in range(100)],
+        "k long, p string, x long").repartition(8)
+    upsert(spark, path, base, ["k"], partition_by=["p"])
+
+    def files(v, rel):
+        return [f for f in os.listdir(os.path.join(path, f"v={v}", rel))
+                if not f.startswith(("_", "."))]
+
+    assert len(files(1, "p=a")) > 1  # sharded by the 8 input partitions
+    assert compact_partitions(spark, path, min_files=2) == 2
+    assert len(files(2, "p=a")) == 1 and len(files(2, "p=b")) == 1
+    got = {(r["k"], r["p"], r["x"])
+           for r in read_latest(spark, path).collect()}
+    assert got == {(i, "a" if i % 2 else "b", i * 10)
+                   for i in range(100)}
+    # nothing qualifies now: no-op, version unchanged
+    assert compact_partitions(spark, path, min_files=2) == 2
+
+
+def test_compact_partitions_carries_untouched(spark, tmp_path):
+    import json
+    import os
+    from bigslice_spark.operators.upsert import (compact_partitions,
+                                                 read_latest, upsert)
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "k long, p string, x long")
+        .repartition(4), ["k"], partition_by=["p"])
+    # compact ONLY p=a; p=b must carry forward by reference to v=1
+    assert compact_partitions(spark, path, partitions=["p=a"]) == 2
+    with open(os.path.join(path, "v=2", "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["carried"] == {"p=b": 1}
+    assert {r["k"]: r["x"] for r in read_latest(spark, path).collect()} \
+        == {1: 1, 2: 2}

@@ -344,3 +344,36 @@ def test_label_propagation_matches_python_walk(spark, edges, nshard):
                             key=lambda kv: (-kv[1], kv[0]))[0][0]
         lab = new
     assert got == lab
+
+
+@PROP
+@given(rows=st.lists(st.tuples(st.integers(0, 3),
+                               st.floats(min_value=-100, max_value=100,
+                                         allow_nan=False,
+                                         width=32)),
+                     min_size=1, max_size=60),
+       nshard=NSHARD)
+def test_ewma_matches_python_fold(spark, rows, nshard):
+    """ewma_last equals the literal python left fold (same IEEE ops in
+    the same order -> exact equality, not approx) for any input under
+    any partitioning."""
+    from bigslice_spark.operators.timeseries import ewma_last
+    import datetime
+    a = 0.3
+    data = [(k, datetime.datetime(2026, 1, 1)
+             + datetime.timedelta(seconds=i), i, float(v))
+            for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k long, ts timestamp, eid long, value double") \
+        .repartition(nshard)
+    got = {r["k"]: (r["n_events"], r["ewma"]) for r in
+           ewma_last(df, "k", "ts", "value",
+                     order_cols=["eid"], alpha=a).collect()}
+    want = {}
+    for k, _, _, v in data:  # already in (ts, eid) order
+        if k not in want:
+            want[k] = (1, v)
+        else:
+            n, s = want[k]
+            want[k] = (n + 1, a * v + (1.0 - a) * s)
+    assert got == want
