@@ -48,6 +48,10 @@ HEADLINE = [
     "bm25_search",
     "random_projection",
     "chunk_docs",
+    # added round 5 (ratchet starts at r5)
+    "lpa_communities",
+    "upsert_partitioned",
+    "ewma_value",
 ]
 
 

@@ -89,30 +89,34 @@ def label_propagation(edges: DataFrame, src: str = "src",
     after near-dup clustering at corpus scale.
 
     Scale shape per iteration: one join (labels ⋈ symmetric edges,
-    both hash-partitioned on node id), one count aggregation, one
-    per-node window for the arg-max — all on (node, label) pairs,
-    O(edges) rows; lineage truncated per round via
-    checkpoint.materialize. Fixed iteration count (synchronous LPA on
-    bipartite structures can oscillate rather than converge — a bound,
-    not a convergence test, is the contract)."""
-    from pyspark.sql.window import Window
-
+    both hash-partitioned on node id), one count aggregation, and an
+    arg-max folded into a second aggregation as ``max(struct(c,
+    -label))`` — partial-agg friendly, no per-node sort/window — all
+    on (node, label) pairs, O(edges) rows; lineage truncated per round
+    via checkpoint.materialize. The own-label vote enters as a
+    one-time self-loop on every node instead of a per-round union.
+    Fixed iteration count (synchronous LPA on bipartite structures can
+    oscillate rather than converge — a bound, not a convergence test,
+    is the contract)."""
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # self-loops: each node's own current label always gets one vote
+    sym = sym.union(e.select("u", F.col("u").alias("v"))
+                    .union(e.select(F.col("v").alias("u"), "v")))
     sym = materialize(sym.distinct(), reliable)
     lab = (sym.select("u").distinct()
            .select(F.col("u").alias("node"), F.col("u").alias("label")))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(iters):
-        nbr = (sym.join(lab, sym.v == lab.node)
-               .select(F.col("u").alias("node"), "label"))
-        cand = nbr.unionByName(lab)
-        counts = cand.groupBy("node", "label").agg(
+        votes = (sym.join(lab, sym.v == lab.node)
+                 .select(F.col("u").alias("node"), "label"))
+        counts = votes.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("c"))
+        # arg-max (count DESC, label ASC) == max of (c, -label) structs
         lab = materialize(
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("node", "label"),
+            counts.groupBy("node").agg(F.max(F.struct(
+                F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label")),
             reliable)
     return lab
 

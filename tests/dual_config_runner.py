@@ -53,6 +53,7 @@ BATTERY = [
     # are partition-dependent by design; only its bounds are invariant,
     # which the property test covers)
     "upsert_partitioned", "lpa_communities", "source_csv_malformed",
+    "compact_partitioned", "ewma_value",
 ]
 
 

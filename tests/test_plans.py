@@ -410,3 +410,11 @@ def test_heavy_hitters_scan_counts(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     assert count_scans(heavy_hitters(docs, phi=0.01)) == 2
     assert count_scans(heavy_hitters(docs, phi=0.01, exact=False)) == 1
+
+
+def test_ewma_single_exchange(spark, sf_dir):
+    """Per-key EWMA is ONE aggregation exchange (partial collect_list
+    rides the map side); no window, no second shuffle."""
+    from bigslice_spark.plans import count_exchanges
+    n = count_exchanges(QUERIES["ewma_value"](spark, sf_dir))
+    assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
