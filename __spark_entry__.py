@@ -28,13 +28,14 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      unchanged signal in the registry (op_* core family, set ops /
 #      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
 #      aggregates);
-#   4. the heaviest r3-era pipelines (ngram_jaccard, dedup_against)
-#      sit at positions 51-52 — first in line for the r6 window along
-#      with the rest of the r3 tail below.
+#   4. with 9 new + 5 changed entries the window fits 36 of the 38
+#      r2-stale entries; distinct_pairs/agg_stats (simplest, unchanged)
+#      plus the r3 tail (ngram_jaccard/dedup_against first) queue for
+#      the r6 window.
 _R5_NEW = (
     "upsert_partitioned", "compact_partitioned", "stream_join_outer",
     "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
-    "ewma_value",
+    "ewma_value", "ngram_containment", "equidepth_histogram",
 )
 _R5_CHANGED = (
     "stream_upsert", "heavy_hitters", "upsert_merge", "snapshot_diff",

@@ -396,7 +396,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         shingle_w: int = 3,
                         reliable: bool | None = None,
                         ndocs: int | None = None,
-                        chunk_target: int = 2048) -> DataFrame:
+                        chunk_target: int = 2048,
+                        metric: str = "jaccard") -> DataFrame:
     """Exact n-gram (word w-shingle) Jaccard via inverted-index self-join —
     the SQL-expressible (oracle-checkable) dedup path (Broder
     w-shingling; shingle_w=1 degenerates to plain tokens).
@@ -422,7 +423,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     known, else it is computed IN-PLAN as a broadcast 1-row aggregate
     (the q11/q22 threshold-subquery pattern) — never as a driver-side
     ``df.count()``, which would cost a full extra pass over the corpus
-    before the real job at 100 TB."""
+    before the real job at 100 TB.
+
+    ``metric='containment'`` scores inter/min(|A|,|B|) instead —
+    the asymmetric near-dup case (a doc quoted whole inside a larger
+    one scores ~1.0 where Jaccard stays low); same index, same join,
+    only the final expression changes. Output column is named after
+    the metric."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     toks = _shingle_rows(df, text_col, id_col, shingle_w, distinct=True)
     sz = F.count(F.lit(1)).over(W.partitionBy(id_col))
     dfreq = F.count(F.lit(1)).over(W.partitionBy("tok"))
@@ -440,12 +449,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b", "sz_a", "sz_b")
             .agg(F.count(F.lit(1)).alias("inter"))
-            .withColumn("jaccard",
+            .withColumn(metric,
                         F.col("inter").cast("double")
-                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-                        .cast("double"))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+                        / (F.least("sz_a", "sz_b").cast("double")
+                           if metric == "containment" else
+                           (F.col("sz_a") + F.col("sz_b")
+                            - F.col("inter")).cast("double")))
+            .filter(F.col(metric) >= threshold)
+            .select("id_a", "id_b", metric))
 
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",

@@ -1,0 +1,79 @@
+"""Exact global order statistics without the single-partition trap.
+
+A naive ``row_number() OVER (ORDER BY x)`` has no PARTITION BY, so
+Spark plans a single-partition sort — one task owns the whole table
+(the same hazard packing.py documents for the global prefix sum, and
+the reason every 100 TB "sort the corpus" step must be range-based).
+global_rank computes the identical 1-based rank with the two-level
+scan instead:
+
+1. range-partition on the order columns (partition order == key
+   order), pin the partitioning with an eager materialize (the
+   partition id feeds two subtrees; lazy recomputation could
+   re-sample range boundaries);
+2. row_number WITHIN each partition — distributed windows;
+3. per-partition counts → one window over #partitions METADATA rows
+   yields each partition's global offset;
+4. broadcast offsets back: rank = local row_number + offset.
+
+``order_cols`` must be a TOTAL order (append a unique tiebreaker id) —
+with ties the rank of equal keys would depend on which side of a range
+boundary they land.
+
+equidepth_histogram builds on it: exact k-quantile buckets
+(bucket = (rank-1)·k div n) with per-bucket count/min/max — the
+distribution profile where every bucket holds the same row count,
+complementing the fixed-width price_histogram entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..checkpoint import materialize
+
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                rank_col: str = "rank") -> DataFrame:
+    """Input columns + ``rank_col``: exact 1-based global rank in
+    ``order_cols`` order, computed with range partitioning + two-level
+    offsets (no single-partition sort anywhere in the plan)."""
+    cols = [F.col(c) for c in order_cols]
+    part = (df.repartitionByRange(*cols)
+            .withColumn("__pid", F.spark_partition_id()))
+    part = materialize(part)
+    local = part.withColumn(
+        "__rn", F.row_number().over(
+            W.partitionBy("__pid").orderBy(*cols)))
+    poff = (part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+            .withColumn("__off", F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__pid")
+                    .rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0)))
+            .select("__pid", "__off"))
+    return (local.join(F.broadcast(poff), on="__pid")
+            .withColumn(rank_col,
+                        (F.col("__rn") + F.col("__off")).cast("long"))
+            .drop("__pid", "__rn", "__off"))
+
+
+def equidepth_histogram(df: DataFrame, val_col: str,
+                        tiebreak_col: str, k: int = 10) -> DataFrame:
+    """(bucket, n_rows, lo, hi): exact equi-depth histogram of
+    ``val_col`` in ``k`` buckets — every bucket holds n/k (±1) rows;
+    ``lo``/``hi`` are the bucket's min/max values (untouched doubles,
+    so cross-engine exact). ``tiebreak_col`` must be unique."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ranked = global_rank(df.select(val_col, tiebreak_col),
+                         [val_col, tiebreak_col], rank_col="rank")
+    n = ranked.agg(F.count(F.lit(1)).alias("__total__"))
+    return (ranked.join(F.broadcast(n))
+            .withColumn("bucket", F.expr(
+                f"((rank - 1) * {int(k)}) div __total__").cast("long"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min(val_col).alias("lo"),
+                 F.max(val_col).alias("hi")))

@@ -1240,6 +1240,79 @@ def ngram_jaccard(spark, sf_dir):
                                max_df_ratio=0.3, shingle_w=3)
 
 
+@query("ngram_containment", """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM base),
+    toks AS (SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM toks GROUP BY doc_id),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    hot AS (SELECT tok FROM toks GROUP BY tok
+            HAVING count(*) > (SELECT CAST(floor(0.3 * n) AS BIGINT)
+                               FROM ndocs)),
+    cold AS (SELECT doc_id, tok FROM toks
+             WHERE tok NOT IN (SELECT tok FROM hot)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM cold a JOIN cold b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+               AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+          >= 0.9
+""")
+def ngram_containment(spark, sf_dir):
+    """Asymmetric near-dup pairs (operators/dedup.py
+    metric='containment'): inter/min(|A|,|B|) over the same pruned
+    inverted index as ngram_jaccard — a document quoted whole inside a
+    larger one scores ~1.0 where Jaccard stays low. Same index build,
+    same bucketed self-join; only the final expression differs."""
+    from .operators.dedup import ngram_jaccard_pairs
+    _, t = _s(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"], threshold=0.9,
+                               max_df_ratio=0.3, shingle_w=3,
+                               metric="containment")
+
+
+@query("equidepth_histogram", """
+    WITH r AS (
+      SELECT o_totalprice AS x,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                 AS rn,
+             count(*) OVER () AS n
+      FROM orders)
+    SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS lo, max(x) AS hi
+    FROM r GROUP BY bucket
+""")
+def equidepth_histogram_q(spark, sf_dir):
+    """Exact equi-depth (decile) histogram of o_totalprice
+    (operators/rank.py): the global rank comes from range
+    partitioning + two-level offsets, NOT a single-partition sort
+    window — the plan a 100 TB order-statistics pass needs. Bucket
+    bounds are untouched doubles; the oracle replays with a plain
+    row_number (fine at DuckDB's scale, fatal at Spark's)."""
+    from .operators.rank import equidepth_histogram
+    _, t = _s(spark, sf_dir)
+    return equidepth_histogram(t["orders"], "o_totalprice",
+                               "o_orderkey", k=10)
+
+
 @query("dedup_components", """
     WITH RECURSIVE pairs AS (
       -- same pair generation as the ngram_jaccard oracle

@@ -418,3 +418,25 @@ def test_ewma_single_exchange(spark, sf_dir):
     from bigslice_spark.plans import count_exchanges
     n = count_exchanges(QUERIES["ewma_value"](spark, sf_dir))
     assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
+
+
+def test_equidepth_no_single_partition_data_exchange(spark, sf_dir):
+    """The global rank's DATA rows must never pass through a
+    SinglePartition exchange (the naive global-sort-window plan);
+    per-range __pid windows carry the data side, and SinglePartition
+    is allowed only for the metadata-sized offset/total subtrees
+    (whose rows are partition counts, not table rows)."""
+    import re
+    from bigslice_spark.plans import explain_str
+    txt = explain_str(QUERIES["equidepth_histogram"](spark, sf_dir))
+    assert "__pid" in txt  # data-side windows are per-range-partition
+    for block in re.split(r"\n(?=\(\d+\) )", txt):
+        head = block.splitlines()[0]
+        if not re.match(r"\(\d+\) Exchange", head):
+            continue
+        args = next((l for l in block.splitlines()
+                     if l.startswith("Arguments:")), "")
+        inp = next((l for l in block.splitlines()
+                    if l.startswith("Input")), "")
+        if "o_totalprice" in inp:
+            assert "SinglePartition" not in args, (head, args)

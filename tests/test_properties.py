@@ -377,3 +377,39 @@ def test_ewma_matches_python_fold(spark, rows, nshard):
             n, s = want[k]
             want[k] = (n + 1, a * v + (1.0 - a) * s)
     assert got == want
+
+
+@PROP
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=100),
+       nshard=NSHARD, k=st.integers(min_value=1, max_value=7))
+def test_equidepth_histogram_matches_python(spark, vals, nshard, k):
+    """Exact equi-depth buckets equal the brute-force sorted walk for
+    any input, bucket count, and partitioning — the two-level rank is
+    indistinguishable from a global sort."""
+    from bigslice_spark.operators.rank import equidepth_histogram
+    data = [(float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(data, "x double, id long") \
+        .repartition(nshard)
+    got = {r["bucket"]: (r["n_rows"], r["lo"], r["hi"]) for r in
+           equidepth_histogram(df, "x", "id", k=k).collect()}
+    srt = sorted(data)
+    n = len(srt)
+    want = {}
+    for rn0, (x, _) in enumerate(srt):
+        b = rn0 * k // n
+        c, lo, hi = want.get(b, (0, x, x))
+        want[b] = (c + 1, min(lo, x), max(hi, x))
+    assert got == want
+
+
+@PROP
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=80,
+                     unique=True),
+       nshard=NSHARD)
+def test_global_rank_equals_sorted_position(spark, vals, nshard):
+    from bigslice_spark.operators.rank import global_rank
+    df = spark.createDataFrame([(v,) for v in vals], "x long") \
+        .repartition(nshard)
+    got = {r["x"]: r["rank"]
+           for r in global_rank(df, ["x"]).collect()}
+    assert got == {v: i + 1 for i, v in enumerate(sorted(vals))}
