@@ -426,6 +426,47 @@ def compact_partitions(spark: SparkSession, path: str,
     return new_v
 
 
+def snapshot_stats(spark: SparkSession, path: str,
+                   version: int | None = None) -> DataFrame:
+    """(partition, physical_version, n_files, n_bytes) for every
+    partition of a partitioned snapshot table at ``version`` (default
+    latest) — the table-health view behind compaction decisions:
+    small-file pressure (n_files ≫ 1 after many micro-batch merges)
+    and partition skew (n_bytes) read straight off the manifest +
+    directory listing, no data scan. Driver-side metadata listing,
+    returned as a local DataFrame (one row per partition)."""
+    vs = _versions(spark, path)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"no committed v={v} under {path}")
+    man = _read_manifest(spark, os.path.join(path, f"v={v}"))
+    if man is None:
+        raise ValueError("snapshot_stats requires a partitioned table")
+    pb = man["partition_by"]
+    jvm, fs, _ = _jfs(spark, path)
+    layout: dict[str, int] = {
+        rel: v
+        for rel in _leaf_dirs(spark, os.path.join(path, f"v={v}"),
+                              len(pb))}
+    layout.update({rel: int(pv) for rel, pv in man["carried"].items()})
+    rows = []
+    for rel, pv in sorted(layout.items()):
+        jdir = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, f"v={pv}", rel))
+        n = size = 0
+        for st in fs.listStatus(jdir):
+            if st.isFile() and not st.getPath().getName() \
+                    .startswith(("_", ".")):
+                n += 1
+                size += st.getLen()
+        rows.append((rel, pv, n, size))
+    return spark.createDataFrame(
+        rows, "partition string, physical_version int, n_files int, "
+              "n_bytes long")
+
+
 def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
     """Drop all but the newest ``keep_last`` committed snapshots, plus
     uncommitted partials BELOW the max committed version (a dir above

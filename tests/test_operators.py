@@ -1562,3 +1562,30 @@ def test_compact_partitions_carries_untouched(spark, tmp_path):
     assert man["carried"] == {"p=b": 1}
     assert {r["k"]: r["x"] for r in read_latest(spark, path).collect()} \
         == {1: 1, 2: 2}
+
+
+def test_snapshot_stats_tracks_files_and_carries(spark, tmp_path):
+    from bigslice_spark.operators.upsert import (compact_partitions,
+                                                 snapshot_stats, upsert)
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i) for i in range(40)],
+        "k long, p string, x long").repartition(4),
+        ["k"], partition_by=["p"])
+    before = {r["partition"]: r for r in
+              snapshot_stats(spark, path).collect()}
+    assert set(before) == {"p=a", "p=b"}
+    assert before["p=a"]["n_files"] > 1
+    assert before["p=a"]["physical_version"] == 1
+    compact_partitions(spark, path, min_files=2)
+    after = {r["partition"]: r for r in
+             snapshot_stats(spark, path).collect()}
+    assert after["p=a"]["n_files"] == 1
+    assert after["p=a"]["physical_version"] == 2
+    # an untouched-by-merge partition reports its carried physical home
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 99)], "k long, p string, x long"), ["k"])
+    s3 = {r["partition"]: r for r in
+          snapshot_stats(spark, path).collect()}
+    assert s3["p=b"]["physical_version"] == 2
+    assert s3["p=a"]["physical_version"] == 3

@@ -440,3 +440,30 @@ def test_equidepth_no_single_partition_data_exchange(spark, sf_dir):
                     if l.startswith("Input")), "")
         if "o_totalprice" in inp:
             assert "SinglePartition" not in args, (head, args)
+
+
+def test_partitioned_snapshot_read_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column of a manifest-based snapshot
+    table must reach every group scan as a PartitionFilter (carried
+    and local dirs alike) — the partition-pruned read that makes the
+    mutable-table format viable at 100 TB."""
+    import re
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    from bigslice_spark.plans import explain_str
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 3)],
+        "k long, p string, x long"), ["k"], partition_by=["p"])
+    upsert(spark, path, spark.createDataFrame(
+        [(2, "b", 22)], "k long, p string, x long"), ["k"])
+    df = read_latest(spark, path).filter(F.col("p") == "a")
+    txt = explain_str(df)
+    scans = [b for b in re.split(r"\n(?=\(\d+\) )", txt)
+             if b.splitlines()[0].endswith("Scan parquet ")
+             or "Scan parquet" in b.splitlines()[0]]
+    assert scans, txt[:1500]
+    for b in scans:
+        pf = next((l for l in b.splitlines()
+                   if l.startswith("PartitionFilters")), "")
+        assert "= a)" in pf, (b.splitlines()[0], pf)
+    assert [(r["k"], r["x"]) for r in df.collect()] == [(1, 1)]
