@@ -285,17 +285,31 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
     upd_parts = updates.select(*pb).distinct()
     tuples = upd_parts.collect()  # metadata-scale: touched partitions
     for row in tuples:
-        if any(row[c] is None for c in pb):
-            raise ValueError(
-                f"NULL partition value in update batch: {row.asDict()}")
+        for c in pb:
+            if row[c] is None or row[c] == "":
+                raise ValueError(
+                    f"NULL/empty partition value in update batch: "
+                    f"{row.asDict()}")
 
-    # marker write: let Spark render the Hive dir names for the
-    # touched tuples so escaping/encoding matches the real data write
-    marker = spark.createDataFrame(tuples, schema=upd_parts.schema) \
-        .withColumn("__m__", F.lit(1))
-    marker_dir = os.path.join(vdir, "_touched")
-    marker.write.mode("overwrite").partitionBy(*pb).parquet(marker_dir)
-    touched = set(_leaf_dirs(spark, marker_dir, len(pb)))
+    # render the touched Hive dir names. Simple partition types
+    # (string/integer) render driver-side through Spark's OWN
+    # escapePathName — zero extra jobs, same bytes the writer
+    # produces; anything else (dates, decimals — writer-formatted)
+    # falls back to a tiny marker write so encoding always matches.
+    simple = (T.StringType(), T.IntegerType(), T.LongType(),
+              T.ShortType(), T.ByteType())
+    if all(f.dataType in simple for f in upd_parts.schema.fields):
+        esc = spark.sparkContext._jvm.org.apache.spark.sql.catalyst \
+            .catalog.ExternalCatalogUtils.escapePathName
+        touched = {"/".join(f"{esc(c)}={esc(str(row[c]))}" for c in pb)
+                   for row in tuples}
+    else:
+        marker = spark.createDataFrame(tuples, schema=upd_parts.schema) \
+            .withColumn("__m__", F.lit(1))
+        marker_dir = os.path.join(vdir, "_touched")
+        marker.write.mode("overwrite").partitionBy(*pb) \
+            .parquet(marker_dir)
+        touched = set(_leaf_dirs(spark, marker_dir, len(pb)))
 
     if vs:
         base_man = man if man else {"partition_by": pb, "carried": {}}

@@ -1434,7 +1434,7 @@ def test_upsert_partitioned_guards(spark, tmp_path):
         upsert(spark, path, spark.createDataFrame(
             [(1, "a", 1)], "k long, p string, x long"),
             ["k"], partition_by=["x"])
-    with _pt.raises(ValueError, match="NULL partition"):
+    with _pt.raises(ValueError, match="NULL/empty partition"):
         upsert(spark, path, spark.createDataFrame(
             [(9, None, 9)], "k long, p string, x long"), ["k"])
     with _pt.raises(ValueError, match="partition columns"):
@@ -1589,3 +1589,49 @@ def test_snapshot_stats_tracks_files_and_carries(spark, tmp_path):
           snapshot_stats(spark, path).collect()}
     assert s3["p=b"]["physical_version"] == 2
     assert s3["p=a"]["physical_version"] == 3
+
+
+def test_upsert_partitioned_special_char_partition_values(spark, tmp_path):
+    """Driver-side Hive dir rendering must match Spark's writer bytes
+    for escaped values (slash, percent, space, equals, unicode)."""
+    import json
+    import os
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    path = str(tmp_path / "tbl")
+    vals = ["a/b", "100%", "sp ce", "u=v", "日本語"]
+    upsert(spark, path, spark.createDataFrame(
+        [(i, v, i) for i, v in enumerate(vals)],
+        "k long, p string, x long"), ["k"], partition_by=["p"])
+    # touch ONLY the slash partition; the rest must carry by the same
+    # escaped relpaths the writer produced
+    upsert(spark, path, spark.createDataFrame(
+        [(0, "a/b", 99)], "k long, p string, x long"), ["k"])
+    with open(os.path.join(path, "v=2", "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert set(man["carried"]) == {"p=100%25", "p=sp ce", "p=u%3Dv",
+                                   "p=日本語"}
+    got = {r["p"]: r["x"] for r in read_latest(spark, path).collect()}
+    assert got == {"a/b": 99, "100%": 1, "sp ce": 2, "u=v": 3,
+                   "日本語": 4}
+
+
+def test_upsert_partitioned_date_partition_fallback(spark, tmp_path):
+    """Non-simple partition types (date) go through the marker-write
+    fallback and still prune/carry correctly."""
+    import datetime
+    import json
+    import os
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    path = str(tmp_path / "tbl")
+    d1, d2 = datetime.date(2026, 1, 1), datetime.date(2026, 1, 2)
+    upsert(spark, path, spark.createDataFrame(
+        [(1, d1, 1), (2, d2, 2)], "k long, d date, x long"),
+        ["k"], partition_by=["d"])
+    upsert(spark, path, spark.createDataFrame(
+        [(1, d1, 11)], "k long, d date, x long"), ["k"])
+    with open(os.path.join(path, "v=2", "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert list(man["carried"].values()) == [1] and \
+        list(man["carried"].keys())[0].startswith("d=2026-01-02")
+    assert {r["k"]: r["x"] for r in read_latest(spark, path).collect()} \
+        == {1: 11, 2: 2}
