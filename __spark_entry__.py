@@ -35,7 +35,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 _R5_NEW = (
     "upsert_partitioned", "compact_partitioned", "stream_join_outer",
     "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
-    "ewma_value", "ngram_containment", "equidepth_histogram",
+    "ewma_value", "ngram_containment", "equidepth_histogram", "event_gaps",
 )
 _R5_CHANGED = (
     "stream_upsert", "heavy_hitters", "upsert_merge", "snapshot_diff",

@@ -3759,6 +3759,37 @@ def upsert_partitioned_q(spark, sf_dir):
     return read_latest(spark, path)
 
 
+@query("event_gaps", """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+    FROM g GROUP BY user_id
+""")
+def event_gaps(spark, sf_dir):
+    """Inter-event gap statistics per user (lead/lag window surface):
+    lag over (user_id, ts, event_id) ordering — one window exchange
+    reused by the following aggregation on the same key, exact integer
+    microsecond gaps. The session-dwell/retention building block next
+    to sessionize."""
+    from pyspark.sql.window import Window
+    _, t = _s(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = t["events"].select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+    return (g.groupBy("user_id")
+            .agg(F.count("gap_us").alias("n_gaps"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.max("gap_us").alias("max_gap_us"),
+                 F.sum("gap_us").alias("total_gap_us")))
+
+
 @query("ewma_value", """
     WITH l AS (
       SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id)

@@ -53,7 +53,8 @@ BATTERY = [
     # are partition-dependent by design; only its bounds are invariant,
     # which the property test covers)
     "upsert_partitioned", "lpa_communities", "source_csv_malformed",
-    "compact_partitioned", "ewma_value",
+    "compact_partitioned", "ewma_value", "event_gaps",
+    "equidepth_histogram", "ngram_containment",
 ]
 
 

@@ -467,3 +467,10 @@ def test_partitioned_snapshot_read_prunes_partitions(spark, tmp_path):
                    if l.startswith("PartitionFilters")), "")
         assert "= a)" in pf, (b.splitlines()[0], pf)
     assert [(r["k"], r["x"]) for r in df.collect()] == [(1, 1)]
+
+
+def test_event_gaps_reuses_window_partitioning(spark, sf_dir):
+    """lag window and the following per-user aggregation share the
+    user_id hash partitioning — one exchange total."""
+    n = count_exchanges(QUERIES["event_gaps"](spark, sf_dir))
+    assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
