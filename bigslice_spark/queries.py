@@ -3759,6 +3759,45 @@ def upsert_partitioned_q(spark, sf_dir):
     return read_latest(spark, path)
 
 
+@query("lm_quality", """
+    WITH tkt AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    nz AS (SELECT doc_id, tk FROM tkt WHERE len(tk) >= 2),
+    rb AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+           FROM nz, unnest(generate_series(1, len(tk) - 1)) u(i)),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM rb GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS V FROM (
+            SELECT unnest(tk) AS w FROM tkt)),
+    db AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+           FROM nz, unnest(generate_series(1, len(tk) - 1)) u(i)),
+    s AS (SELECT doc_id,
+                 CAST(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                         / CAST(coalesce(c1.c1, 0) + V AS DOUBLE))
+                      AS DECIMAL(38,12)) AS lp
+          FROM db LEFT JOIN c12 USING (w1, w2)
+                  LEFT JOIN c1 USING (w1), v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
+    FROM s GROUP BY doc_id
+""")
+def lm_quality_q(spark, sf_dir):
+    """Statistical-LM quality scoring (operators/lm.py): per-document
+    mean add-one-smoothed bigram log-probability under the corpus's
+    own bigram model — the exactly-specified analog of CCNet's KenLM
+    perplexity filter. Every ln input is an exact integer rational and
+    the per-doc sum runs over decimal-cast addends, so the score is
+    partial-agg-order independent and replays across engines inside
+    the driver's float normalization."""
+    from .operators.lm import lm_quality
+    _, t = _s(spark, sf_dir)
+    return lm_quality(t["documents"])
+
+
 @query("event_gaps", """
     WITH g AS (
       SELECT user_id,

@@ -117,6 +117,22 @@ def main() -> None:
     n_seq = packed.agg(F.max("seq_id")).first()[0]
     scope.counter("train_sequences").incr(int(n_seq) + 1)
 
+    # 10. materialize the curated corpus as a MUTABLE serving table:
+    #     language-partitioned snapshot (the next ingest batch merges
+    #     with upsert(partition_by=...) touching only its languages),
+    #     then fold the write's shards into one file per partition and
+    #     report table health — the round-5 serving-layer ending.
+    import tempfile
+
+    from bigslice_spark.operators.upsert import (compact_partitions,
+                                                 snapshot_stats, upsert)
+    table = tempfile.mkdtemp(prefix="llm_serving_") + "/corpus"
+    upsert(sess.spark, table, docs, ["doc_id"], partition_by=["lang"])
+    compact_partitions(sess.spark, table, min_files=2)
+    for r in snapshot_stats(sess.spark, table).collect():
+        print(f"serving\t{r['partition']}\tv{r['physical_version']}"
+              f"\t{r['n_files']} files\t{r['n_bytes']}B")
+
     for stage, n in scope.snapshot().items():
         print(f"# {stage}: {n}")
 

@@ -54,7 +54,7 @@ BATTERY = [
     # which the property test covers)
     "upsert_partitioned", "lpa_communities", "source_csv_malformed",
     "compact_partitioned", "ewma_value", "event_gaps",
-    "equidepth_histogram", "ngram_containment",
+    "equidepth_histogram", "ngram_containment", "lm_quality",
 ]
 
 

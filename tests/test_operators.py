@@ -1635,3 +1635,32 @@ def test_upsert_partitioned_date_partition_fallback(spark, tmp_path):
         list(man["carried"].keys())[0].startswith("d=2026-01-02")
     assert {r["k"]: r["x"] for r in read_latest(spark, path).collect()} \
         == {1: 11, 2: 2}
+
+
+def test_lm_quality_hand_computed(spark):
+    """Add-one bigram LM scores on a 3-doc corpus, hand-checked —
+    including an out-of-model document scored against a separate
+    reference (the CCNet setup)."""
+    import math
+    import pytest as _pt
+    from bigslice_spark.operators.lm import lm_quality
+    ref = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a")], "doc_id long, text string")
+    # model: c12 = {(a,b):1, (b,a):2}; c1 = {a:1, b:2}; V = 2
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in lm_quality(ref).collect()}
+    d1 = (math.log(2 / 3) + math.log(3 / 4)) / 2
+    assert got[1][0] == 2
+    assert got[1][1] == _pt.approx(d1, rel=1e-9)
+    assert got[2] == (1, _pt.approx(math.log(3 / 4), rel=1e-9))
+    # unseen bigram against the same reference: (c,c) -> ln(1/(0+2))
+    all3 = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "c c")],
+        "doc_id long, text string")
+    got3 = {r["doc_id"]: r["avg_logprob"]
+            for r in lm_quality(all3, ref=ref).collect()}
+    assert got3[3] == _pt.approx(math.log(1 / 2), rel=1e-9)
+    # single-token / empty docs emit nothing (no bigrams)
+    none = lm_quality(spark.createDataFrame(
+        [(9, "solo"), (10, "")], "doc_id long, text string"))
+    assert none.count() == 0
