@@ -353,7 +353,8 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
 def compact_partitions(spark: SparkSession, path: str,
                        target_bytes: int = 128 << 20,
                        min_files: int = 2,
-                       partitions: list[str] | None = None) -> int:
+                       partitions: list[str] | None = None,
+                       zorder_by: tuple[str, str] | None = None) -> int:
     """Small-file compaction for a PARTITIONED snapshot table: commit
     ``v=N+1`` where every partition holding ≥ ``min_files`` data files
     (or exactly the Hive relpaths in ``partitions``) is rewritten
@@ -369,7 +370,13 @@ def compact_partitions(spark: SparkSession, path: str,
     ceil(max_partition_bytes/target_bytes) per partition), so each
     compacted partition lands in at most that many files — 1 for the
     common small-file case. Data is byte-identical row-wise; only
-    layout changes. Same single-writer contract as ``upsert``."""
+    layout changes. Same single-writer contract as ``upsert``.
+
+    ``zorder_by=(col_a, col_b)`` is OPTIMIZE ZORDER: compacted
+    partitions are additionally SORTED by the Morton code of the two
+    columns (sortWithinPartitions — no extra exchange), so a reader
+    filtering on either column prunes row groups via min/max footer
+    stats inside each partition file."""
     vs = _versions(spark, path)
     if not vs:
         raise FileNotFoundError(f"no committed snapshot under {path}")
@@ -430,6 +437,14 @@ def compact_partitions(spark: SparkSession, path: str,
             else F.lit(0))
     out = (df.withColumn("__salt__", salt)
            .repartition(*pb, "__salt__").drop("__salt__"))
+    if zorder_by is not None:
+        from .projection import zorder_value
+        # sort key leads with the partition columns: the dynamic-
+        # partition writer requires [pb...] ordering and would insert
+        # its own UNSTABLE sort (destroying z order) if the incoming
+        # ordering didn't already satisfy it
+        out = (out.withColumn("__z__", zorder_value(*zorder_by))
+               .sortWithinPartitions(*pb, "__z__").drop("__z__"))
 
     new_v = latest + 1
     carried = {rel: pv for rel, pv in layout.items()

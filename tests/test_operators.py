@@ -1664,3 +1664,30 @@ def test_lm_quality_hand_computed(spark):
     none = lm_quality(spark.createDataFrame(
         [(9, "solo"), (10, "")], "doc_id long, text string"))
     assert none.count() == 0
+
+
+def test_compact_partitions_zorder_sorts_within_partition(spark, tmp_path):
+    """OPTIMIZE ZORDER: compacted partition files hold rows in Morton
+    order of the two clustering columns (min/max row-group pruning),
+    with the row multiset unchanged."""
+    from bigslice_spark.operators.projection import zorder_value
+    from bigslice_spark.operators.upsert import (compact_partitions,
+                                                 read_latest, upsert)
+    import os
+    path = str(tmp_path / "tbl")
+    rows = [(i, "a", (i * 37) % 101, (i * 53) % 97) for i in range(200)]
+    upsert(spark, path, spark.createDataFrame(
+        rows, "k long, p string, x long, y long").repartition(8),
+        ["k"], partition_by=["p"])
+    assert compact_partitions(spark, path, min_files=2,
+                              zorder_by=("x", "y")) == 2
+    pdir = os.path.join(path, "v=2", "p=a")
+    files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    got = spark.read.parquet(os.path.join(pdir, files[0])) \
+        .withColumn("z", zorder_value("x", "y")).collect()
+    zs = [r["z"] for r in got]
+    assert zs == sorted(zs), "rows not in Morton order"
+    assert {(r["k"], r["x"], r["y"]) for r in got} == \
+        {(k, x, y) for k, _, x, y in rows}
+    assert read_latest(spark, path).count() == 200
