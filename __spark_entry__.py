@@ -36,7 +36,7 @@ _R5_NEW = (
     "upsert_partitioned", "compact_partitioned", "stream_join_outer",
     "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
     "ewma_value", "ngram_containment", "equidepth_histogram", "event_gaps",
-    "lm_quality",
+    "lm_quality", "schema_evolution",
 )
 _R5_CHANGED = (
     "stream_upsert", "heavy_hitters", "upsert_merge", "snapshot_diff",

@@ -560,6 +560,38 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
     return sorted(removed)
 
 
+def schema_diff(spark: SparkSession, path: str, v_old: int,
+                v_new: int) -> DataFrame:
+    """Schema evolution between two committed snapshots: one row per
+    column whose definition changed — (column, change, old_type,
+    new_type) with change ∈ added / removed / type_changed. Pure
+    metadata (manifest schema for partitioned tables, parquet footer
+    via a zero-row read otherwise); the DDL-audit companion to
+    snapshot_diff's row-level CDC."""
+    def sch(v: int):
+        man = _read_manifest(spark, os.path.join(path, f"v={v}"))
+        if man is not None:
+            return T.StructType.fromJson(man["schema"])
+        return read_version(spark, path, v).schema
+    if v_old not in _versions(spark, path):
+        raise FileNotFoundError(f"no committed v={v_old} under {path}")
+    if v_new not in _versions(spark, path):
+        raise FileNotFoundError(f"no committed v={v_new} under {path}")
+    old = {f.name: f.dataType.simpleString() for f in sch(v_old).fields}
+    new = {f.name: f.dataType.simpleString() for f in sch(v_new).fields}
+    rows = []
+    for c in sorted(old.keys() | new.keys()):
+        if c not in new:
+            rows.append((c, "removed", old[c], None))
+        elif c not in old:
+            rows.append((c, "added", None, new[c]))
+        elif old[c] != new[c]:
+            rows.append((c, "type_changed", old[c], new[c]))
+    return spark.createDataFrame(
+        rows, "column string, change string, old_type string, "
+              "new_type string")
+
+
 def snapshot_diff(spark: SparkSession, path: str, v_old: int, v_new: int,
                   key_cols: list[str]) -> DataFrame:
     """Change-data-capture between two committed snapshots: one row per

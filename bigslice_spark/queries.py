@@ -3722,6 +3722,35 @@ def upsert_merge(spark, sf_dir):
     return read_latest(spark, path)
 
 
+@query("schema_evolution", """
+    SELECT * FROM (VALUES
+        ('o_comment', 'added', CAST(NULL AS VARCHAR), 'string'))
+        AS t(col_name, change, old_type, new_type)
+""")
+def schema_evolution_q(spark, sf_dir):
+    """DDL audit between snapshot versions (operators/upsert.py
+    schema_diff): v=2 of a partitioned orders table adds o_comment;
+    the diff reports exactly that column as added — pure metadata
+    (manifest schemas), no data scan. The oracle states the expected
+    delta verbatim."""
+    import tempfile
+
+    from .operators.upsert import schema_diff, upsert
+    _, t = _s(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="bss_schemaev_")
+    upsert(spark, path, base, ["o_orderkey"],
+           partition_by=["o_orderpriority"])
+    upsert(spark, path,
+           base.filter(F.col("o_orderkey") % 1000 == 0)
+           .withColumn("o_comment", F.lit("amended")),
+           ["o_orderkey"])
+    return schema_diff(spark, path, 1, 2).select(
+        F.col("column").alias("col_name"), "change", "old_type",
+        "new_type")
+
+
 @query("upsert_partitioned", """
     SELECT o_orderkey, o_orderpriority,
            CASE WHEN o_orderpriority = '1-URGENT'

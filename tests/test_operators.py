@@ -1691,3 +1691,27 @@ def test_compact_partitions_zorder_sorts_within_partition(spark, tmp_path):
     assert {(r["k"], r["x"], r["y"]) for r in got} == \
         {(k, x, y) for k, _, x, y in rows}
     assert read_latest(spark, path).count() == 200
+
+
+def test_schema_diff_tracks_evolution(spark, tmp_path):
+    from bigslice_spark.operators.upsert import schema_diff, upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 1)], "k long, p string, x long"),
+        ["k"], partition_by=["p"])
+    upsert(spark, path, spark.createDataFrame(
+        [(2, "b", 2, "w")], "k long, p string, x long, w string"),
+        ["k"])
+    got = [(r["column"], r["change"], r["old_type"], r["new_type"])
+           for r in schema_diff(spark, path, 1, 2).collect()]
+    assert got == [("w", "added", None, "string")]
+    assert schema_diff(spark, path, 1, 1).count() == 0
+    # plain (unpartitioned) tables diff via the parquet footer
+    p2 = str(tmp_path / "plain")
+    upsert(spark, p2, spark.createDataFrame([(1, 5)], "k long, x int"),
+           ["k"])
+    upsert(spark, p2, spark.createDataFrame(
+        [(2, 6)], "k long, x long"), ["k"])
+    got2 = {(r["column"], r["change"]) for r in
+            schema_diff(spark, p2, 1, 2).collect()}
+    assert got2 == {("x", "type_changed")}
