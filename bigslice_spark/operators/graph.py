@@ -83,10 +83,13 @@ def label_propagation(edges: DataFrame, src: str = "src",
     neighbors' current labels plus its own, ties broken by MIN label —
     a fully deterministic rule (no random order, no async sweeps), so
     a fixed ``iters`` replays identically in SQL (unrolled CTEs, the
-    pagerank-oracle pattern) and under any partitioning. Communities
-    are denser than connected components: CC merges anything touching,
-    LPA keeps weakly-linked clusters apart — the next analysis step
-    after near-dup clustering at corpus scale.
+    pagerank-oracle pattern) and under any partitioning. SELF-EDGES
+    are ignored: a node's own label enters the vote exactly once
+    whether or not the input contains (u, u) — the rule depends on
+    the neighborhood, not on edge bookkeeping. Communities are denser
+    than connected components: CC merges anything touching, LPA keeps
+    weakly-linked clusters apart — the next analysis step after
+    near-dup clustering at corpus scale.
 
     Scale shape per iteration: one join (labels ⋈ symmetric edges,
     both hash-partitioned on node id), one count aggregation, and an
@@ -100,10 +103,15 @@ def label_propagation(edges: DataFrame, src: str = "src",
     is the contract)."""
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # self-loops: each node's own current label always gets one vote
-    sym = sym.union(e.select("u", F.col("u").alias("v"))
-                    .union(e.select(F.col("v").alias("u"), "v")))
+    nodes = e.select("u").union(e.select(F.col("v").alias("u")))
+    # drop input self-edges, then give EVERY node exactly one
+    # self-loop: the own-label vote enters once, never twice (a real
+    # (u,u) edge would otherwise collide with the injected loop in
+    # distinct() — or double-count without it)
+    ne = e.filter(F.col("u") != F.col("v"))
+    sym = (ne.union(ne.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+           .union(nodes.select("u", F.col("u").alias("v"))))
     sym = materialize(sym.distinct(), reliable)
     lab = (sym.select("u").distinct()
            .select(F.col("u").alias("node"), F.col("u").alias("label")))

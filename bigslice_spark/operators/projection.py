@@ -52,9 +52,14 @@ def random_projection(df: DataFrame, out_dim: int = 8,
         dim = len(row[0])
     planes = _hyperplanes(dim, out_dim, seed=seed)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    checked = F.when(F.size(vec) == dim, vec).otherwise(F.expr(
-        f"raise_error('random_projection: ragged {vec_col} "
-        f"(size != {dim})')"))
+    # NULL vectors pass through (projections come out NULL, filterable
+    # downstream) — only a PRESENT vector of the wrong length is an
+    # error
+    checked = (F.when(F.col(vec_col).isNull(), F.lit(None))
+               .when(F.size(vec) == dim, vec)
+               .otherwise(F.expr(
+                   f"raise_error('random_projection: ragged {vec_col} "
+                   f"(size != {dim})')")))
     v = df.select(F.col(id_col), checked.alias("__v__"))
     projs = [
         F.expr(" + ".join(f"__v__[{j}] * ({p[j]!r})" for j in range(dim)))

@@ -34,11 +34,11 @@ from pyspark.sql import functions as F
 from ..checkpoint import materialize
 
 
-def global_rank(df: DataFrame, order_cols: list[str],
-                rank_col: str = "rank") -> DataFrame:
-    """Input columns + ``rank_col``: exact 1-based global rank in
-    ``order_cols`` order, computed with range partitioning + two-level
-    offsets (no single-partition sort anywhere in the plan)."""
+def _ranked(df: DataFrame, order_cols: list[str],
+            rank_col: str) -> tuple[DataFrame, DataFrame]:
+    """(ranked rows, per-partition counts (__pid, __n)) — the counts
+    frame is metadata-sized, so totals derive from it without a second
+    pass over the ranked data."""
     cols = [F.col(c) for c in order_cols]
     part = (df.repartitionByRange(*cols)
             .withColumn("__pid", F.spark_partition_id()))
@@ -46,17 +46,28 @@ def global_rank(df: DataFrame, order_cols: list[str],
     local = part.withColumn(
         "__rn", F.row_number().over(
             W.partitionBy("__pid").orderBy(*cols)))
-    poff = (part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    poff = (counts
             .withColumn("__off", F.coalesce(
                 F.sum("__n").over(
                     W.orderBy("__pid")
                     .rowsBetween(W.unboundedPreceding, -1)),
                 F.lit(0)))
             .select("__pid", "__off"))
-    return (local.join(F.broadcast(poff), on="__pid")
-            .withColumn(rank_col,
-                        (F.col("__rn") + F.col("__off")).cast("long"))
-            .drop("__pid", "__rn", "__off"))
+    ranked = (local.join(F.broadcast(poff), on="__pid")
+              .withColumn(rank_col,
+                          (F.col("__rn") + F.col("__off")).cast("long"))
+              .drop("__pid", "__rn", "__off"))
+    return ranked, counts
+
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                rank_col: str = "rank") -> DataFrame:
+    """Input columns + ``rank_col``: exact 1-based global rank in
+    ``order_cols`` order, computed with range partitioning + two-level
+    offsets (no single-partition sort anywhere in the plan)."""
+    ranked, _ = _ranked(df, order_cols, rank_col)
+    return ranked
 
 
 def equidepth_histogram(df: DataFrame, val_col: str,
@@ -67,9 +78,11 @@ def equidepth_histogram(df: DataFrame, val_col: str,
     so cross-engine exact). ``tiebreak_col`` must be unique."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    ranked = global_rank(df.select(val_col, tiebreak_col),
-                         [val_col, tiebreak_col], rank_col="rank")
-    n = ranked.agg(F.count(F.lit(1)).alias("__total__"))
+    ranked, counts = _ranked(df.select(val_col, tiebreak_col),
+                             [val_col, tiebreak_col], "rank")
+    # total from the metadata-sized partition counts — never a second
+    # aggregation pass over the ranked table rows
+    n = counts.agg(F.sum("__n").alias("__total__"))
     return (ranked.join(F.broadcast(n))
             .withColumn("bucket", F.expr(
                 f"((rank - 1) * {int(k)}) div __total__").cast("long"))

@@ -136,40 +136,89 @@ def _leaf_dirs(spark: SparkSession, base: str, depth: int) -> list[str]:
     return sorted(out)
 
 
+def _layout_of(spark: SparkSession, path: str, version: int,
+               man: dict) -> dict[str, int]:
+    """{partition relpath: physical version} for a committed
+    partitioned version — local dirs plus manifest-carried refs."""
+    vdir = os.path.join(path, f"v={version}")
+    layout = {rel: version for rel in _leaf_dirs(
+        spark, vdir, len(man["partition_by"]))}
+    layout.update({rel: int(pv) for rel, pv in man["carried"].items()})
+    return layout
+
+
+def _grouped_read(spark: SparkSession, path: str,
+                  layout: dict[str, int],
+                  schema: T.StructType) -> DataFrame | None:
+    """One schema-pinned read per physical version over the partition
+    dirs in ``layout``, unioned by name. Pinning the schema suppresses
+    Hive partition-value type INFERENCE (a string partition value
+    '01' must stay '01', never become int 1 and re-render as '1') and
+    fills columns a carried old partition predates with NULL straight
+    from the reader. Returns None for an empty layout."""
+    groups: dict[int, list[str]] = {}
+    for rel, pv in layout.items():
+        groups.setdefault(int(pv), []).append(rel)
+    df = None
+    for pv in sorted(groups):
+        basep = os.path.join(path, f"v={pv}")
+        part = (spark.read.option("basePath", basep).schema(schema)
+                .parquet(*[os.path.join(basep, rel)
+                           for rel in sorted(groups[pv])]))
+        df = part if df is None else df.unionByName(
+            part, allowMissingColumns=True)
+    return df
+
+
+def _evolve_schema(prev: T.StructType | None,
+                   new: T.StructType) -> T.StructType:
+    """Additive schema-evolution union: previous columns keep their
+    position (taking the new definition where redefined), new columns
+    append. A merge batch that does not touch every partition must
+    never DROP a column an earlier batch added — the manifest schema
+    is the union of everything the table has ever carried."""
+    if prev is None:
+        return new
+    new_by_name = {f.name: f for f in new.fields}
+    prev_names = {f.name for f in prev.fields}
+    out = [new_by_name.get(f.name, f) for f in prev.fields]
+    out += [f for f in new.fields if f.name not in prev_names]
+    return T.StructType(out)
+
+
+def _partition_stats(spark: SparkSession, path: str,
+                     layout: dict[str, int]) -> dict[str, tuple[int, int]]:
+    """{relpath: (n_files, n_bytes)} from the FS listing — metadata
+    only, no data scan."""
+    jvm, fs, _ = _jfs(spark, path)
+    out: dict[str, tuple[int, int]] = {}
+    for rel, pv in layout.items():
+        jdir = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, f"v={pv}", rel))
+        n = size = 0
+        for st in fs.listStatus(jdir):
+            if st.isFile() and not st.getPath().getName() \
+                    .startswith(("_", ".")):
+                n += 1
+                size += st.getLen()
+        out[rel] = (n, size)
+    return out
+
+
 def _read_snapshot(spark: SparkSession, path: str, version: int) -> DataFrame:
     """Materialize the logical table at ``version``: local partitions
-    plus manifest-carried ones, grouped by physical version so each
-    group reads with one ``basePath`` (partition columns inferred from
-    the dirs), unioned by name (additive schema evolution: columns a
-    carried old partition predates arrive as NULL), then projected and
-    cast to the manifest's recorded schema for a stable column order
-    and stable partition-column types (dir-name inference would
-    otherwise re-type e.g. a numeric string partition value)."""
+    plus manifest-carried ones via the schema-pinned grouped read,
+    projected to the manifest's column order."""
     vdir = os.path.join(path, f"v={version}")
     man = _read_manifest(spark, vdir)
     if man is None:
         return spark.read.parquet(vdir)
-    pb = man["partition_by"]
     schema = T.StructType.fromJson(man["schema"])
-    groups: dict[int, list[str]] = {}
-    for rel in _leaf_dirs(spark, vdir, len(pb)):
-        groups.setdefault(version, []).append(rel)
-    for rel, pv in man["carried"].items():
-        groups.setdefault(int(pv), []).append(rel)
-    parts = []
-    for pv in sorted(groups):
-        basep = os.path.join(path, f"v={pv}")
-        dirs = [os.path.join(basep, rel) for rel in sorted(groups[pv])]
-        parts.append(spark.read.option("basePath", basep).parquet(*dirs))
-    if not parts:  # every partition deleted: legitimately empty table
+    df = _grouped_read(spark, path,
+                       _layout_of(spark, path, version, man), schema)
+    if df is None:  # every partition deleted: legitimately empty table
         return spark.createDataFrame([], schema)
-    df = parts[0]
-    for extra in parts[1:]:
-        df = df.unionByName(extra, allowMissingColumns=True)
-    cols = [(F.col(f.name) if f.name in df.columns
-             else F.lit(None)).cast(f.dataType).alias(f.name)
-            for f in schema.fields]
-    return df.select(*cols)
+    return df.select(*[f.name for f in schema.fields])
 
 
 def read_latest(spark: SparkSession, path: str) -> DataFrame:
@@ -311,30 +360,16 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
             .parquet(marker_dir)
         touched = set(_leaf_dirs(spark, marker_dir, len(pb)))
 
+    prev_schema = T.StructType.fromJson(man["schema"]) if vs else None
     if vs:
-        base_man = man if man else {"partition_by": pb, "carried": {}}
-        layout: dict[str, int] = {
-            rel: vs[-1]
-            for rel in _leaf_dirs(spark, vdir_for(vs[-1]), len(pb))}
-        layout.update(
-            {rel: int(pv) for rel, pv in base_man["carried"].items()})
+        layout = _layout_of(spark, path, vs[-1], man)
         carried = {rel: pv for rel, pv in layout.items()
                    if rel not in touched}
-        touched_base = [rel for rel in layout if rel in touched]
-        if touched_base:
-            groups: dict[int, list[str]] = {}
-            for rel in touched_base:
-                groups.setdefault(layout[rel], []).append(rel)
-            parts = []
-            for pv in sorted(groups):
-                basep = vdir_for(pv)
-                parts.append(spark.read.option("basePath", basep).parquet(
-                    *[os.path.join(basep, rel)
-                      for rel in sorted(groups[pv])]))
-            base_touched = parts[0]
-            for extra in parts[1:]:
-                base_touched = base_touched.unionByName(
-                    extra, allowMissingColumns=True)
+        base_touched = _grouped_read(
+            spark, path,
+            {rel: pv for rel, pv in layout.items() if rel in touched},
+            prev_schema)
+        if base_touched is not None:
             keep = base_touched.join(
                 updates.select(*key_cols).distinct(),
                 on=key_cols, how="left_anti")
@@ -344,8 +379,12 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
     else:
         carried, merged = {}, ins
 
+    # manifest schema = union with everything the table ever carried:
+    # a batch that doesn't touch a column-bearing partition must not
+    # drop that column from the logical table
     manifest = {"partition_by": pb, "carried": carried,
-                "schema": merged.schema.jsonValue()}
+                "schema": _evolve_schema(prev_schema,
+                                         merged.schema).jsonValue()}
     _write_committed(merged, vdir, pb, manifest)
     return new_v
 
@@ -388,25 +427,8 @@ def compact_partitions(spark: SparkSession, path: str,
             "(use partition_by= on upsert); op_compact covers plain "
             "directories")
     pb = man["partition_by"]
-    jvm, fs, _ = _jfs(spark, path)
-    layout: dict[str, int] = {
-        rel: latest
-        for rel in _leaf_dirs(spark, os.path.join(path, f"v={latest}"),
-                              len(pb))}
-    layout.update({rel: int(pv) for rel, pv in man["carried"].items()})
-
-    def _stats(rel: str, pv: int) -> tuple[int, int]:
-        jdir = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(path, f"v={pv}", rel))
-        n = size = 0
-        for st in fs.listStatus(jdir):
-            name = st.getPath().getName()
-            if st.isFile() and not name.startswith(("_", ".")):
-                n += 1
-                size += st.getLen()
-        return n, size
-
-    stats = {rel: _stats(rel, pv) for rel, pv in layout.items()}
+    layout = _layout_of(spark, path, latest, man)
+    stats = _partition_stats(spark, path, layout)
     if partitions is not None:
         unknown = sorted(set(partitions) - set(layout))
         if unknown:
@@ -418,17 +440,10 @@ def compact_partitions(spark: SparkSession, path: str,
     if not targets:
         return latest
 
-    groups: dict[int, list[str]] = {}
-    for rel in targets:
-        groups.setdefault(layout[rel], []).append(rel)
-    parts = []
-    for pv in sorted(groups):
-        basep = os.path.join(path, f"v={pv}")
-        parts.append(spark.read.option("basePath", basep).parquet(
-            *[os.path.join(basep, rel) for rel in sorted(groups[pv])]))
-    df = parts[0]
-    for extra in parts[1:]:
-        df = df.unionByName(extra, allowMissingColumns=True)
+    df = _grouped_read(
+        spark, path,
+        {rel: layout[rel] for rel in targets},
+        T.StructType.fromJson(man["schema"]))
 
     k = max(1, max(-(-stats[rel][1] // target_bytes)
                    for rel in targets))
@@ -473,24 +488,10 @@ def snapshot_stats(spark: SparkSession, path: str,
     man = _read_manifest(spark, os.path.join(path, f"v={v}"))
     if man is None:
         raise ValueError("snapshot_stats requires a partitioned table")
-    pb = man["partition_by"]
-    jvm, fs, _ = _jfs(spark, path)
-    layout: dict[str, int] = {
-        rel: v
-        for rel in _leaf_dirs(spark, os.path.join(path, f"v={v}"),
-                              len(pb))}
-    layout.update({rel: int(pv) for rel, pv in man["carried"].items()})
-    rows = []
-    for rel, pv in sorted(layout.items()):
-        jdir = jvm.org.apache.hadoop.fs.Path(
-            os.path.join(path, f"v={pv}", rel))
-        n = size = 0
-        for st in fs.listStatus(jdir):
-            if st.isFile() and not st.getPath().getName() \
-                    .startswith(("_", ".")):
-                n += 1
-                size += st.getLen()
-        rows.append((rel, pv, n, size))
+    layout = _layout_of(spark, path, v, man)
+    stats = _partition_stats(spark, path, layout)
+    rows = [(rel, pv, stats[rel][0], stats[rel][1])
+            for rel, pv in sorted(layout.items())]
     return spark.createDataFrame(
         rows, "partition string, physical_version int, n_files int, "
               "n_bytes long")

@@ -67,8 +67,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if fallback:
         lo = F.lit("1990-01-01").cast("timestamp")
         hi = F.lit("2200-01-01").cast("timestamp")
+        # NULL ts passes through (a missing timestamp is not an
+        # encoding mismatch); only an implausible PRESENT value aborts
         out = out.withColumn("ts", F.when(
-            (F.col("ts") >= lo) & (F.col("ts") < hi), F.col("ts"))
+            F.col("ts").isNull()
+            | ((F.col("ts") >= lo) & (F.col("ts") < hi)), F.col("ts"))
             .otherwise(F.expr(
                 "raise_error('stream_events: ts outside plausible "
                 "range - the file that arrived does not match the "

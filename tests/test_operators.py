@@ -1715,3 +1715,80 @@ def test_schema_diff_tracks_evolution(spark, tmp_path):
     got2 = {(r["column"], r["change"]) for r in
             schema_diff(spark, p2, 1, 2).collect()}
     assert got2 == {("x", "type_changed")}
+
+
+def test_label_propagation_self_edge_votes_once(spark):
+    """A real (u,u) edge must not change the vote count: own label
+    enters exactly once (review r5 counterexample)."""
+    from bigslice_spark.operators.graph import label_propagation
+    df = spark.createDataFrame([(3, 0), (2, 4), (3, 3), (2, 3)],
+                               "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, iters=1).collect()}
+    # node 3: neighbor labels {0, 2} + own 3 -> three-way tie -> min 0
+    assert got == {0: 0, 2: 2, 3: 0, 4: 2}
+    # a node appearing ONLY in a self-edge keeps its own label
+    solo = spark.createDataFrame([(7, 7)], "src long, dst long")
+    assert [(r["node"], r["label"]) for r in
+            label_propagation(solo, iters=2).collect()] == [(7, 7)]
+
+
+def test_upsert_partitioned_batch_without_column_keeps_it(spark, tmp_path):
+    """Review r5: a merge batch lacking a previously-added column and
+    not touching its partition must NOT drop the column — the manifest
+    schema is the union of everything the table ever carried."""
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "k long, p string, x long"),
+        ["k"], partition_by=["p"])
+    # v2 adds w, touching only p=a
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "a", 11, "kept")], "k long, p string, x long, w string"),
+        ["k"])
+    # v3 has NO w and touches only p=b
+    upsert(spark, path, spark.createDataFrame(
+        [(2, "b", 22)], "k long, p string, x long"), ["k"])
+    got = {r["k"]: (r["x"], r["w"])
+           for r in read_latest(spark, path).collect()}
+    assert got == {1: (11, "kept"), 2: (22, None)}
+    # new-partition-only batch (touched_base empty) must also keep w
+    upsert(spark, path, spark.createDataFrame(
+        [(3, "c", 3)], "k long, p string, x long"), ["k"])
+    got = {r["k"]: (r["x"], r["w"])
+           for r in read_latest(spark, path).collect()}
+    assert got == {1: (11, "kept"), 2: (22, None), 3: (3, None)}
+
+
+def test_upsert_partitioned_numeric_string_partition_values(spark, tmp_path):
+    """Review r5: string partition values '01' and '1' are DIFFERENT
+    partitions and must survive reads verbatim (no Hive type
+    inference re-typing '01' to int 1)."""
+    from bigslice_spark.operators.upsert import read_latest, upsert
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "01", 1), (2, "1", 2)], "k long, p string, x long"),
+        ["k"], partition_by=["p"])
+    got = {r["k"]: r["p"] for r in read_latest(spark, path).collect()}
+    assert got == {1: "01", 2: "1"}
+    # merge touching only '01' keeps the two partitions distinct
+    upsert(spark, path, spark.createDataFrame(
+        [(1, "01", 11)], "k long, p string, x long"), ["k"])
+    rows = {(r["k"], r["p"], r["x"])
+            for r in read_latest(spark, path).collect()}
+    assert rows == {(1, "01", 11), (2, "1", 2)}
+    import os
+    assert sorted(d for d in os.listdir(os.path.join(path, "v=2"))
+                  if d.startswith("p=")) == ["p=01"]
+
+
+def test_random_projection_null_vector_passes_through(spark):
+    """Review r5: a NULL vector is missing, not ragged — projections
+    come out NULL instead of aborting the job."""
+    from bigslice_spark.operators.projection import random_projection
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["r0"] for r in
+           random_projection(df, out_dim=1, dim=2).collect()}
+    assert got[2] is None and got[1] is not None

@@ -321,8 +321,9 @@ def test_heavy_hitters_approx_bounds_any_partitioning(spark, toks, nshard):
 def test_label_propagation_matches_python_walk(spark, edges, nshard):
     """Deterministic synchronous LPA: the distributed result after k
     rounds equals a literal single-threaded replay of the same rule
-    (neighbor labels + own, count DESC then min label) for any edge
-    list under any partitioning."""
+    (distinct non-self neighbors' labels + own exactly once, count
+    DESC then min label) for any edge list — including self-edges —
+    under any partitioning."""
     from bigslice_spark.operators.graph import label_propagation
     iters = 3
     df = spark.createDataFrame(edges, "src long, dst long") \
@@ -330,10 +331,13 @@ def test_label_propagation_matches_python_walk(spark, edges, nshard):
     got = {r["node"]: r["label"]
            for r in label_propagation(df, iters=iters).collect()}
     sym = set()
+    nodes = set()
     for u, v in edges:
-        sym.add((u, v))
-        sym.add((v, u))
-    nodes = {u for u, _ in sym}
+        nodes.add(u)
+        nodes.add(v)
+        if u != v:  # self-edges ignored: own label votes exactly once
+            sym.add((u, v))
+            sym.add((v, u))
     lab = {n: n for n in nodes}
     for _ in range(iters):
         new = {}
