@@ -28,16 +28,16 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      unchanged signal in the registry (op_* core family, set ops /
 #      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
 #      aggregates);
-#   4. with 12 new + 5 changed entries the 50-slot window fits 33 of
-#      the 38 r2-stale entries; pivot_status / percentile_quantity /
-#      approx_distinct / distinct_pairs / agg_stats (simplest,
-#      unchanged) plus the r3 tail (ngram_jaccard/dedup_against
-#      first) queue for the r6 window.
+#   4. with 13 new + 5 changed entries the 50-slot window fits 32 of
+#      the 38 r2-stale entries; grouping_sets / pivot_status /
+#      percentile_quantity / approx_distinct / distinct_pairs /
+#      agg_stats (simplest, unchanged) plus the r3 tail
+#      (ngram_jaccard/dedup_against first) queue for the r6 window.
 _R5_NEW = (
     "upsert_partitioned", "compact_partitioned", "stream_join_outer",
     "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
     "ewma_value", "ngram_containment", "equidepth_histogram", "event_gaps",
-    "lm_quality", "schema_evolution",
+    "lm_quality", "schema_evolution", "edit_distance_pairs",
 )
 _R5_CHANGED = (
     "stream_upsert", "heavy_hitters", "upsert_merge", "snapshot_diff",

@@ -667,3 +667,31 @@ def dedup_keep_best(df: DataFrame, score: DataFrame,
         on=id_col, how="left_anti").select(id_col)
     keep = winners.unionByName(singles)
     return score.join(keep, on=id_col).select(id_col, score_col)
+
+
+def edit_distance_rerank(pairs: DataFrame, docs: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         max_dist: int | None = None) -> DataFrame:
+    """Exact Levenshtein verification of candidate near-dup pairs —
+    the standard last stage after LSH/shingle candidate generation:
+    join each (id_a, id_b) back to its texts and compute the JVM
+    codegen ``levenshtein`` (+ optional ``max_dist`` filter).
+
+    Scale: edit distance is quadratic in document length, so it runs
+    on the CANDIDATE pairs only (bounded by the generator), never the
+    corpus cross product; the two text joins shuffle candidate ids
+    against the corpus key. Spark's levenshtein is character-exact
+    incl. multi-byte text; DuckDB's replay is byte-level — equal on
+    ASCII corpora (the oracle's case), off by the byte/char gap
+    otherwise."""
+    a = docs.select(F.col(id_col).alias("id_a"),
+                    F.col(text_col).alias("__ta__"))
+    b = docs.select(F.col(id_col).alias("id_b"),
+                    F.col(text_col).alias("__tb__"))
+    out = (pairs.join(a, on="id_a").join(b, on="id_b")
+           .withColumn("edit_dist", F.levenshtein("__ta__", "__tb__"))
+           .drop("__ta__", "__tb__"))
+    if max_dist is not None:
+        out = out.filter(F.col("edit_dist") <= max_dist)
+    return out

@@ -1240,6 +1240,61 @@ def ngram_jaccard(spark, sf_dir):
                                max_df_ratio=0.3, shingle_w=3)
 
 
+@query("edit_distance_pairs", """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM base),
+    toks AS (SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM sh),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM toks GROUP BY doc_id),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    hot AS (SELECT tok FROM toks GROUP BY tok
+            HAVING count(*) > (SELECT CAST(floor(0.3 * n) AS BIGINT)
+                               FROM ndocs)),
+    cold AS (SELECT doc_id, tok FROM toks
+             WHERE tok NOT IN (SELECT tok FROM hot)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM cold a JOIN cold b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE)
+            / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8)
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+""")
+def edit_distance_pairs(spark, sf_dir):
+    """Edit-distance verification of near-dup candidates
+    (operators/dedup.py edit_distance_rerank): the ngram-Jaccard
+    candidate pairs joined back to their texts and scored with the
+    codegen JVM levenshtein — the exact last stage after shingle/LSH
+    generation, quadratic only in document length and only on the
+    bounded candidate set. Spark's distance is character-exact;
+    DuckDB's replay is byte-level, identical on this ASCII corpus."""
+    from .operators.dedup import (edit_distance_rerank,
+                                  ngram_jaccard_pairs)
+    _, t = _s(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(t["documents"], threshold=0.8,
+                                max_df_ratio=0.3, shingle_w=3) \
+        .select("id_a", "id_b")
+    return edit_distance_rerank(pairs, t["documents"])
+
+
 @query("ngram_containment", """
     WITH base AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),

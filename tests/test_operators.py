@@ -1792,3 +1792,20 @@ def test_random_projection_null_vector_passes_through(spark):
     got = {r["vec_id"]: r["r0"] for r in
            random_projection(df, out_dim=1, dim=2).collect()}
     assert got[2] is None and got[1] is not None
+
+
+def test_edit_distance_rerank_values_and_filter(spark):
+    from bigslice_spark.operators.dedup import edit_distance_rerank
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"),
+         (4, "日本語テスト"), (5, "日本語てスト")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in edit_distance_rerank(pairs, docs).collect()}
+    # character-exact, including multi-byte text (one substitution)
+    assert got == {(1, 2): 3, (1, 3): 0, (4, 5): 1}
+    kept = {(r["id_a"], r["id_b"]) for r in
+            edit_distance_rerank(pairs, docs, max_dist=1).collect()}
+    assert kept == {(1, 3), (4, 5)}
