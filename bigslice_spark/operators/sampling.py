@@ -179,3 +179,34 @@ def mix_weights(df: DataFrame, strata_col: str = "source",
     w = F.sqrt(frac) if alpha == 0.5 else F.pow(frac, F.lit(alpha))
     return j.select(strata_col, "n_docs", "n_tokens",
                     w.alias("weight"))
+
+
+def sample_per_key(df: DataFrame, key_cols: Sequence[str],
+                   k: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic uniform-ish sample of exactly ≤k rows PER KEY —
+    the distributed form of per-group reservoir sampling. The "random"
+    order is md5(key:id) (engine-portable, seed-free), so the same k
+    rows survive on every run, engine, and partitioning; rows within a
+    key are exchange-ranked once (a single window shuffle on the key).
+
+    Scale shape: one exchange on ``key_cols``; no per-key
+    materialization beyond the window sort, and the output is bounded
+    at k·|keys| rows. For billions of rows per key, pre-filter with a
+    cheap hash-range cut (WHERE bucket < ~4k/expected_rows·buckets)
+    before ranking so the window sorts a sliver, not the key's whole
+    partition — documented rather than automatic because the cut needs
+    the expected per-key cardinality.
+
+    Reference: no analog in bigslice (its sampling story is
+    user-written map/filter); standard eval-set/inspection tooling for
+    a corpus pipeline.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    tag = F.md5(F.concat_ws(
+        ":", *[F.col(c).cast("string") for c in key_cols],
+        F.col(id_col).cast("string")))
+    w = (W.partitionBy(*key_cols)
+         .orderBy(tag.asc(), F.col(id_col).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))

@@ -23,7 +23,7 @@ the first element) — the same contract pagerank(ordered=True) pins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -48,3 +48,83 @@ def ewma_last(df: DataFrame, key_col: str, ts_col: str, val_col: str,
     return (df.groupBy(key_col).agg(xs.alias("__xs__"))
             .select(F.col(key_col), F.size("__xs__").alias("n_events"),
                     F.expr(fold).alias("ewma")))
+
+
+def time_rollup(df: DataFrame, ts_col: str = "ts",
+                val_col: str = "value",
+                user_col: str = "user_id",
+                scale: int = 4) -> DataFrame:
+    """Hierarchical time-bucket rollup (the hypertable/continuous-
+    aggregate shape): one pass producing hour, day, and week grains
+    plus the grand total from a single ROLLUP aggregation — the NULL
+    pattern of (week_us, day_us, hour_us) identifies the grain, no
+    grouping-id convention needed cross-engine.
+
+    Scale shape: one fused rollup aggregation (the Expand multiplies
+    rows 4x before the partial agg, but partials collapse to |buckets|
+    per grain) plus the standard second exchange the exact
+    count-DISTINCT adds (partial on (grain, user), final on grain) —
+    at 100 TB this is the cost of four separate GROUP BYs fused into
+    two shuffles of bucket-cardinality rows.
+    Sums are decimal-exact (queries.py float conventions); bucket
+    boundaries are ISO date_trunc (week starts Monday on both
+    engines); buckets surface as unix-microsecond BIGINTs so the
+    values hash identically everywhere.
+    """
+    v = F.col(val_col).cast("double")
+    wk = F.unix_micros(F.date_trunc("week", F.col(ts_col)))
+    dy = F.unix_micros(F.date_trunc("day", F.col(ts_col)))
+    hr = F.unix_micros(F.date_trunc("hour", F.col(ts_col)))
+    return (df.select(wk.alias("week_us"), dy.alias("day_us"),
+                      hr.alias("hour_us"), v.alias("__v"),
+                      F.col(user_col).alias("__u"))
+            .rollup("week_us", "day_us", "hour_us")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("__v").cast(f"decimal(38,{scale})"))
+                 .cast("double").alias("sum_value"),
+                 F.countDistinct("__u").alias("n_users")))
+
+
+def rolling_zscore(df: DataFrame, key_col: str, ts_col: str,
+                   val_col: str, order_cols: list[str] | None = None,
+                   window: int = 20, min_n: int = 8,
+                   z_threshold: float = 3.0,
+                   scale: int = 6) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each value is scored
+    against the mean/stddev of its own trailing ``window`` values
+    (exclusive frame — the current row never smooths itself), and rows
+    with |z| ≥ ``z_threshold`` after ``min_n`` warm-up points are
+    emitted as anomalies.
+
+    Scale shape: ONE window exchange on the key (same shape as
+    event_gaps); the frame is ROWS-bounded so state per row is O(window)
+    regardless of key size. Window sums go through decimal (exact,
+    order-independent); the variance is then plain double arithmetic in
+    a pinned expression order, so the score — and the threshold cut —
+    is bitwise engine-reproducible.
+    """
+    if window < 2 or min_n < 2:
+        raise ValueError("window and min_n must be ≥ 2")
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (W.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-window, -1))
+    v = F.col(val_col).cast("double")
+    s = (F.sum(v.cast(f"decimal(38,{scale})")).over(w)
+         .cast("double"))
+    s2 = (F.sum((v * v).cast(f"decimal(38,{scale})")).over(w)
+          .cast("double"))
+    n = F.count(v).over(w)
+    nd = n.cast("double")
+    mean = s / nd
+    var = (s2 - s * s / nd) / (nd - F.lit(1.0))
+    z = (v - mean) / F.sqrt(var)
+    out = (df.select(F.col(key_col),
+                     F.unix_micros(F.col(ts_col)).alias("ts_us"),
+                     v.alias("value"),
+                     n.alias("__n"), mean.alias("mean"),
+                     var.alias("__var"), z.alias("z")))
+    return (out.filter((F.col("__n") >= min_n) & (F.col("__var") > 0)
+                       & (F.abs(F.col("z")) >= z_threshold))
+            .select(key_col, "ts_us", "value",
+                    F.col("__n").cast("int").alias("n_ref"),
+                    "mean", "z"))

@@ -4317,3 +4317,86 @@ def tfidf_terms(spark, sf_dir):
     from .operators.search import tfidf_top_terms
     _, t = _s(spark, sf_dir)
     return tfidf_top_terms(t["documents"], m=3)
+
+
+@query("sample_per_key", """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(concat_ws(':', lang,
+                                      CAST(doc_id AS VARCHAR))) ASC,
+                        doc_id ASC) AS rn
+      FROM documents) WHERE rn <= 3
+""")
+def sample_per_key_q(spark, sf_dir):
+    """Deterministic per-key reservoir sample (operators/sampling.py
+    sample_per_key): ≤3 documents per language, chosen by an
+    engine-portable md5 priority — the eval-set / inspection sampler.
+    One window exchange on the key; the same rows survive on any
+    engine or partitioning."""
+    from .operators.sampling import sample_per_key
+    _, t = _s(spark, sf_dir)
+    return (sample_per_key(t["documents"], ["lang"], 3)
+            .select("lang", "doc_id", "n_chars"))
+
+
+@query("time_rollup", """
+    SELECT epoch_us(date_trunc('week', ts)) AS week_us,
+           epoch_us(date_trunc('day', ts)) AS day_us,
+           epoch_us(date_trunc('hour', ts)) AS hour_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,4)))
+                AS DOUBLE) AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY ROLLUP(week_us, day_us, hour_us)
+""")
+def time_rollup_q(spark, sf_dir):
+    """Hierarchical time-bucket rollup (operators/timeseries.py
+    time_rollup): hour→day→week→total grains from ONE fused
+    aggregation — the hypertable/continuous-aggregate shape. Exact
+    decimal sums; ISO week truncation; buckets as unix-microsecond
+    BIGINTs so grains hash identically cross-engine."""
+    from .operators.timeseries import time_rollup
+    _, t = _s(spark, sf_dir)
+    return time_rollup(t["events"])
+
+
+@query("ts_anomaly", """
+    WITH b AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+      FROM events),
+    w AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, v,
+             CAST(sum(CAST(v AS DECIMAL(38,6))) OVER fr AS DOUBLE) AS s,
+             CAST(sum(CAST(v * v AS DECIMAL(38,6))) OVER fr AS DOUBLE)
+                 AS s2,
+             count(v) OVER fr AS n
+      FROM b
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, ts_us, v AS value, CAST(n AS INT) AS n_ref,
+           s / CAST(n AS DOUBLE) AS mean,
+           (v - s / CAST(n AS DOUBLE))
+             / sqrt((s2 - s * s / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) AS z
+    FROM w
+    WHERE n >= 8
+      AND (s2 - s * s / CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) - 1.0) > 0
+      AND abs((v - s / CAST(n AS DOUBLE))
+              / sqrt((s2 - s * s / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0))) >= 2.0
+""")
+def ts_anomaly_q(spark, sf_dir):
+    """Per-user rolling z-score anomalies (operators/timeseries.py
+    rolling_zscore): each event value scored against its own trailing
+    20-event window (exclusive frame, 8-point warm-up), |z| ≥ 2
+    emitted. One window exchange; decimal-exact window sums make the
+    threshold cut bitwise engine-reproducible."""
+    from .operators.timeseries import rolling_zscore
+    _, t = _s(spark, sf_dir)
+    return rolling_zscore(t["events"], "user_id", "ts", "value",
+                          order_cols=["event_id"], window=20,
+                          min_n=8, z_threshold=2.0)

@@ -1809,3 +1809,66 @@ def test_edit_distance_rerank_values_and_filter(spark):
     kept = {(r["id_a"], r["id_b"]) for r in
             edit_distance_rerank(pairs, docs, max_dist=1).collect()}
     assert kept == {(1, 3), (4, 5)}
+
+
+def test_sample_per_key_bounded_and_deterministic(spark, tables):
+    from bigslice_spark.operators.sampling import sample_per_key
+    docs = tables["documents"]
+    s1 = sample_per_key(docs, ["lang"], 2).select("lang", "doc_id")
+    s2 = sample_per_key(docs.repartition(13), ["lang"], 2) \
+        .select("lang", "doc_id")
+    a = {(r["lang"], r["doc_id"]) for r in s1.collect()}
+    b = {(r["lang"], r["doc_id"]) for r in s2.collect()}
+    assert a == b, "sample must not depend on partitioning"
+    from collections import Counter
+    per = Counter(l for l, _ in a)
+    assert all(v <= 2 for v in per.values())
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(per) == langs, "every key with rows must be sampled"
+
+
+def test_rolling_zscore_matches_numpy_walk(spark):
+    import numpy as np
+    from bigslice_spark.operators.timeseries import rolling_zscore
+    import datetime as dt
+    rng = np.random.default_rng(5)
+    vals = rng.normal(50.0, 4.0, 60).round(2)
+    vals[25] = 500.0   # planted spike
+    vals[40] = -400.0  # planted dip
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(minutes=i), i, float(vals[i]))
+            for i in range(len(vals))]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    got = {r["ts_us"]: r["z"] for r in rolling_zscore(
+        df, "user_id", "ts", "value", order_cols=["event_id"],
+        window=10, min_n=5, z_threshold=3.0).collect()}
+    # python reference walk (float sums are fine at this magnitude)
+    expect = {}
+    for i in range(len(vals)):
+        ref = vals[max(0, i - 10):i]
+        if len(ref) < 5:
+            continue
+        m, sd = ref.mean(), ref.std(ddof=1)
+        if sd > 0 and abs((vals[i] - m) / sd) >= 3.0:
+            us = int((t0 + dt.timedelta(minutes=i)
+                      - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            expect[us] = (vals[i] - m) / sd
+    assert set(got) == set(expect)
+    assert all(abs(got[k] - expect[k]) < 1e-9 for k in got)
+    # the planted outliers are flagged
+    base_us = int((t0 - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    flagged = {int((k - base_us) // 60_000_000) for k in got}
+    assert {25, 40} <= flagged
+
+
+def test_time_rollup_grains_are_consistent(spark, tables):
+    from bigslice_spark.operators.timeseries import time_rollup
+    rows = time_rollup(tables["events"]).collect()
+    total = [r for r in rows if r["week_us"] is None]
+    assert len(total) == 1 and total[0]["day_us"] is None
+    n_day = sum(r["n_events"] for r in rows
+                if r["day_us"] is not None and r["hour_us"] is None)
+    n_hour = sum(r["n_events"] for r in rows
+                 if r["hour_us"] is not None)
+    assert n_day == n_hour == total[0]["n_events"]

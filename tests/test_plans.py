@@ -474,3 +474,30 @@ def test_event_gaps_reuses_window_partitioning(spark, sf_dir):
     user_id hash partitioning — one exchange total."""
     n = count_exchanges(QUERIES["event_gaps"](spark, sf_dir))
     assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
+
+
+def test_sample_per_key_single_exchange(spark, sf_dir):
+    """Per-key reservoir sample is one window shuffle on the key."""
+    n = count_exchanges(QUERIES["sample_per_key"](spark, sf_dir))
+    assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
+
+
+def test_ts_anomaly_single_exchange(spark, sf_dir):
+    """Rolling z-score: one window exchange on the key; the ROWS frame
+    keeps per-row state O(window)."""
+    n = count_exchanges(QUERIES["ts_anomaly"](spark, sf_dir))
+    assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
+
+
+def test_time_rollup_fused_with_partial_agg(spark, sf_dir):
+    """All four grains come from one fused rollup (Expand) plus the
+    exact count-distinct's second exchange — never four scans."""
+    df = QUERIES["time_rollup"](spark, sf_dir)
+    n = count_exchanges(df)
+    assert n <= 2, f"expected <=2 shuffles, plan has {n}"
+    import re
+    txt = explain_str(df)
+    scans = re.findall(r"\(\d+\) Scan parquet", txt)
+    assert len(scans) == 1, f"events must be scanned once: {scans}"
+    assert "Expand" in txt, "rollup should plan a fused Expand"
+    assert_partial_aggregation(df)
