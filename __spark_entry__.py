@@ -35,7 +35,8 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      (ngram_jaccard/dedup_against first) queue for the r6 window.
 _R5_NEW = (
     # late round-5 additions (newest first — zero prior signal)
-    "sample_per_key", "time_rollup", "ts_anomaly",
+    "sample_per_key", "time_rollup", "ts_anomaly", "kmeans_train",
+    "semantic_dedup",
     "upsert_partitioned", "compact_partitioned", "stream_join_outer",
     "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
     "ewma_value", "ngram_containment", "equidepth_histogram", "event_gaps",

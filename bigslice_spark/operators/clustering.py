@@ -35,25 +35,75 @@ def seed_centroids(k: int, dim: int, seed: int = 7,
     return [[x * scale for x in row] for row in _hyperplanes(dim, k, seed=seed)]
 
 
-def kmeans_assign(df: DataFrame, centroids: list[list[float]],
-                  vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
-    """Assign each vector to its nearest centroid (squared L2, argmin;
-    ties break toward the lower cell id). One F.expr parse; the whole
-    assignment is a zero-shuffle projection."""
+def _argmin_expr(centroids: list[list[float]],
+                 v_col: str = "__v__") -> "F.Column":
+    """struct('d', 'cell') of the nearest centroid (squared L2, argmin;
+    ties break toward the lower cell id) over a double-array column.
+    One F.expr parse; pure codegen projection."""
     dim = len(centroids[0])
-    v = df.select(F.col(id_col),
-                  F.transform(F.col(vec_col),
-                              lambda x: x.cast("double")).alias("__v__"))
     entries = []
     for ci, c in enumerate(centroids):
         d = " + ".join(
-            f"(__v__[{j}] - ({c[j]!r})) * (__v__[{j}] - ({c[j]!r}))"
+            f"({v_col}[{j}] - ({c[j]!r})) * ({v_col}[{j}] - ({c[j]!r}))"
             for j in range(dim))
         entries.append(f"named_struct('d', ({d}), 'cell', {ci})")
-    arg = F.expr("array_min(array(" + ", ".join(entries) + "))")
-    return v.select(id_col, arg["cell"].cast("int").alias("cell"),
-                    arg["d"].alias("dist"))
+    return F.expr("array_min(array(" + ", ".join(entries) + "))")
+
+
+# Above ~1500 unrolled multiply-add terms (k·dim) the single argmin
+# expression overflows the JVM's 64 KB generated-method limit and the
+# whole stage silently falls back to interpreted eval — the join path
+# below has no such cliff.
+_CODEGEN_TERM_LIMIT = 1500
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  method: str = "auto") -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, argmin;
+    ties break toward the lower cell id).
+
+    Two physical strategies with bitwise-identical results:
+
+    - ``unrolled`` (small k·dim): a single codegen argmin projection —
+      zero shuffles, the fastest path while the generated method fits
+      the JVM's 64 KB limit;
+    - ``join`` (large k·dim): broadcast the k centroids, compute each
+      distance with an index-ordered array fold (same left-assoc sum →
+      same IEEE doubles), take min(struct(d, cell)) per vector — the
+      partial aggregation collapses the k candidate rows map-side, so
+      the only exchange is n 1-row groups. No codegen cliff at any k.
+
+    ``auto`` picks unrolled while k·dim ≤ ~1500, else join.
+    """
+    k, dim = len(centroids), len(centroids[0])
+    if method == "auto":
+        method = "unrolled" if k * dim <= _CODEGEN_TERM_LIMIT else "join"
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("__v__"))
+    if method == "unrolled":
+        arg = _argmin_expr(centroids)
+        return v.select(id_col, arg["cell"].cast("int").alias("cell"),
+                        arg["d"].alias("dist"))
+    if method != "join":
+        raise ValueError(f"unknown method: {method}")
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(centroids)],
+        "cell int, c array<double>")
+    d = F.aggregate(
+        F.zip_with("__v__", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, t: acc + t)
+    best = F.min(F.struct(F.col("__d").alias("d"), "cell"))
+    return (v.join(F.broadcast(cents))
+            .withColumn("__d", d)
+            .groupBy(id_col)
+            .agg(best.alias("__best"))
+            .select(id_col,
+                    F.col("__best.cell").cast("int").alias("cell"),
+                    F.col("__best.d").alias("dist")))
 
 
 def kmeans_update(df: DataFrame, centroids: list[list[float]],
@@ -78,3 +128,48 @@ def kmeans_update(df: DataFrame, centroids: list[list[float]],
             (F.sum(F.col("__v__")[m].cast(f"decimal(38,{scale})"))
              .cast("double") / F.count(F.lit(1))).alias(f"m{m}"))
     return j.groupBy("cell").agg(*aggs)
+
+
+def kmeans_means(df: DataFrame, centroids: list[list[float]],
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 scale: int = 12) -> DataFrame:
+    """Full-width Lloyd update: (cell, n, m0..m{dim-1}) per non-empty
+    cell, means decimal-exact (order-independent, engine-bitwise).
+    One scan + one k-row aggregation — the per-iteration cost of
+    distributed k-means at any corpus size."""
+    dim = len(centroids[0])
+    v = df.select(F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("__v__"))
+    arg = _argmin_expr(centroids)
+    assigned = v.select(arg["cell"].cast("int").alias("cell"), "__v__")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for m in range(dim):
+        aggs.append(
+            (F.sum(F.col("__v__")[m].cast(f"decimal(38,{scale})"))
+             .cast("double") / F.count(F.lit(1))).alias(f"m{m}"))
+    return assigned.groupBy("cell").agg(*aggs)
+
+
+def kmeans_train(df: DataFrame, k: int = 8, dim: int = 64,
+                 iters: int = 5, vec_col: str = "embedding",
+                 id_col: str = "vec_id", seed: int = 7,
+                 scale: int = 12) -> list[list[float]]:
+    """Iterative Lloyd k-means with deterministic everything: seeded
+    data-independent init, exact-decimal means, (d, cell) tie-break —
+    the same run on any engine/partitioning yields bitwise-identical
+    centroids. Cells that go empty keep their previous centroid.
+
+    Driver traffic per iteration is k·dim doubles (the new centroids);
+    the corpus-side cost is one scan + one k-row shuffle per iteration
+    — the canonical distributed k-means loop, preferred over
+    pyspark.ml when reproducibility matters (ml's float accumulation
+    is partition-order dependent; see similarity_ivf's weak oracle).
+    """
+    cents = seed_centroids(k, dim, seed=seed)
+    for _ in range(iters):
+        rows = {r["cell"]: r
+                for r in kmeans_means(df, cents, vec_col, id_col,
+                                      scale).collect()}
+        cents = [[rows[c][f"m{j}"] for j in range(dim)]
+                 if c in rows else cents[c] for c in range(k)]
+    return cents

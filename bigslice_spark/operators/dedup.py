@@ -695,3 +695,58 @@ def edit_distance_rerank(pairs: DataFrame, docs: DataFrame,
     if max_dist is not None:
         out = out.filter(F.col("edit_dist") <= max_dist)
     return out
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   threshold: float = 0.95,
+                   chunk_target: int = 2048,
+                   cell_col: str | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every embedding to
+    its nearest centroid (a zero-shuffle codegen argmin — centroids
+    typically come from clustering.kmeans_train), then drop any vector
+    that has a lower-id neighbor with cosine ≥ ``threshold`` INSIDE its
+    cluster. Returns the survivors as (id, cell).
+
+    The cluster step is what makes this scale: candidate pairs are
+    generated per-cell (k cells bound the quadratic blowup to
+    Σ|cell|²), with hot cells salted by _bucketed_self_join exactly
+    like the LSH path. Choose k ~ N/target_cell_size; the drop rule is
+    the same greedy lower-id policy the other dedup families use, so
+    results are deterministic and engine-reproducible (exact-double
+    cosines, (d, cell) assignment tie-break).
+
+    The inline argmin stays codegen-compiled up to k·dim ≈ 1500 (the
+    JVM method limit, see clustering._CODEGEN_TERM_LIMIT). For larger
+    k, either cluster in a reduced space (random_projection first —
+    what the SemDeDup paper's pipeline does) or precompute cells with
+    ``kmeans_assign(method='join')`` and pass ``cell_col=`` to skip
+    the inline assignment entirely.
+    """
+    from .similarity import _dot_wide
+    from .clustering import _argmin_expr
+    dim = len(centroids[0])
+    keep = [F.col(cell_col)] if cell_col else []
+    v = df.select(F.col(id_col), *keep,
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("__v__"))
+    if cell_col:
+        v = v.select(F.col(id_col).alias("id"),
+                     F.col(cell_col).cast("int").alias("cell"), "__v__")
+    else:
+        arg = _argmin_expr(centroids)
+        v = v.select(F.col(id_col).alias("id"),
+                     arg["cell"].cast("int").alias("cell"), "__v__")
+    v = v.withColumn("n", F.sqrt(_dot_wide("__v__", "__v__", dim)))
+    cand = (_bucketed_self_join(
+                v.filter(F.col("n") > 0).toDF("id", "cell", "v", "n"),
+                ["cell"], chunk_target=chunk_target)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine",
+                        _dot_wide("v_a", "v_b", dim)
+                        / (F.col("n_a") * F.col("n_b")))
+            .filter(F.col("cosine") >= threshold))
+    dropped = cand.select(F.col("id_b").alias("id")).distinct()
+    return (v.select("id", "cell")
+            .join(dropped, on="id", how="left_anti")
+            .select(F.col("id").alias(id_col), "cell"))

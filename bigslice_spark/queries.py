@@ -4400,3 +4400,139 @@ def ts_anomaly_q(spark, sf_dir):
     return rolling_zscore(t["events"], "user_id", "ts", "value",
                           order_cols=["event_id"], window=20,
                           min_n=8, z_threshold=2.0)
+
+
+def _seed_cells_cte(k: int, dim: int) -> str:
+    """Shared CTE text: argmin cell assignment against the literal
+    seed_centroids(k, dim) — the same left-assoc squared-L2 sums and
+    (d, cell) tie-break clustering._argmin_expr codegens."""
+    from .operators.clustering import seed_centroids
+    cents = seed_centroids(k, dim)
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, {ci} AS cell, ("
+        + " + ".join(
+            f"(CAST(embedding[{j+1}] AS DOUBLE) - ({c[j]!r}))"
+            f" * (CAST(embedding[{j+1}] AS DOUBLE) - ({c[j]!r}))"
+            for j in range(dim))
+        + ") AS d FROM embeddings"
+        for ci, c in enumerate(cents))
+    return f"""
+    dists AS ({branches}),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM dists) WHERE rn = 1)"""
+
+
+def _kmeans_train_oracle(k: int = 8, dim: int = 64, mean_dims: int = 4,
+                         scale: int = 12) -> str:
+    """Replay of ONE kmeans_train iteration + the narrow reporting
+    update: assign against literal seeds → full-width decimal-exact
+    means (empty cells coalesce back to their seed) → re-assign
+    against the TRAINED centroids (same arithmetic the Spark side runs
+    after collecting them as literals) → (cell, n, m0..m3)."""
+    from .operators.clustering import seed_centroids
+    cents = seed_centroids(k, dim)
+    means_full = ", ".join(
+        f"CAST(sum(CAST(CAST(embedding[{m+1}] AS DOUBLE)"
+        f" AS DECIMAL(38,{scale}))) AS DOUBLE) / count(*) AS m{m}"
+        for m in range(dim))
+    seed_rows = ", ".join(
+        "(" + ", ".join([str(ci)] + [repr(c[j]) for j in range(dim)])
+        + ")" for ci, c in enumerate(cents))
+    seed_cols = ", ".join(f"s{j}" for j in range(dim))
+    cent_cols = ", ".join(f"coalesce(u.m{j}, s.s{j}) AS c{j}"
+                          for j in range(dim))
+    d2 = " + ".join(
+        f"(CAST(e.embedding[{j+1}] AS DOUBLE) - c.c{j})"
+        f" * (CAST(e.embedding[{j+1}] AS DOUBLE) - c.c{j})"
+        for j in range(dim))
+    means_narrow = ", ".join(
+        f"CAST(sum(CAST(CAST(embedding[{m+1}] AS DOUBLE)"
+        f" AS DECIMAL(38,{scale}))) AS DOUBLE) / count(*) AS m{m}"
+        for m in range(mean_dims))
+    return f"""
+    WITH {_seed_cells_cte(k, dim)},
+    upd AS (
+      SELECT cell, {means_full}
+      FROM assign JOIN embeddings USING (vec_id) GROUP BY cell),
+    seeds(cell, {seed_cols}) AS (VALUES {seed_rows}),
+    cent1 AS (
+      SELECT s.cell, {cent_cols}
+      FROM seeds s LEFT JOIN upd u ON u.cell = s.cell),
+    d2 AS (
+      SELECT e.vec_id, c.cell, ({d2}) AS d
+      FROM embeddings e CROSS JOIN cent1 c),
+    assign2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cell) AS rn
+        FROM d2) WHERE rn = 1)
+    SELECT CAST(cell AS INT) AS cell, CAST(count(*) AS BIGINT) AS n,
+           {means_narrow}
+    FROM assign2 JOIN embeddings USING (vec_id)
+    GROUP BY cell
+    """
+
+
+@query("kmeans_train", _kmeans_train_oracle())
+def kmeans_train_q(spark, sf_dir):
+    """Iterative k-means (operators/clustering.py kmeans_train): one
+    full Lloyd iteration (driver traffic = k·dim doubles) followed by
+    the narrow reporting update under the trained centroids. Every
+    step is deterministic — seeded init, decimal-exact means,
+    (d, cell) tie-break — so the unrolled SQL replay matches
+    bitwise."""
+    from .operators.clustering import kmeans_train, kmeans_update
+    _, t = _s(spark, sf_dir)
+    cents = kmeans_train(t["embeddings"], k=8, dim=64, iters=1)
+    return kmeans_update(t["embeddings"], cents)
+
+
+def _semantic_dedup_oracle(k: int = 8, dim: int = 64,
+                           threshold: float = 0.35) -> str:
+    """Cell assignment against literal seeds, within-cell exact cosine
+    pairs at ``threshold``, survivors = vectors with no lower-id near
+    neighbor in their cell (the greedy lower-id drop rule shared by
+    every dedup family here)."""
+    dot = " + ".join(
+        f"CAST(a.embedding[{i+1}] AS DOUBLE)"
+        f" * CAST(b.embedding[{i+1}] AS DOUBLE)" for i in range(dim))
+    nsum = " + ".join(
+        f"CAST(embedding[{i+1}] AS DOUBLE)"
+        f" * CAST(embedding[{i+1}] AS DOUBLE)" for i in range(dim))
+    return f"""
+    WITH {_seed_cells_cte(k, dim)},
+    norms AS (SELECT vec_id, sqrt({nsum}) AS nrm FROM embeddings),
+    dropped AS (
+      SELECT DISTINCT cb.vec_id AS id
+      FROM assign ca
+      JOIN assign cb ON cb.cell = ca.cell AND ca.vec_id < cb.vec_id
+      JOIN embeddings a ON a.vec_id = ca.vec_id
+      JOIN embeddings b ON b.vec_id = cb.vec_id
+      JOIN norms na ON na.vec_id = ca.vec_id
+      JOIN norms nb ON nb.vec_id = cb.vec_id
+      WHERE na.nrm > 0 AND nb.nrm > 0
+        AND ({dot}) / (na.nrm * nb.nrm) >= {threshold!r})
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+    FROM assign a
+    WHERE a.vec_id NOT IN (SELECT id FROM dropped)
+    """
+
+
+@query("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup (operators/dedup.py semantic_dedup): cluster the
+    embeddings (here: the deterministic seed cells, k=8 — production
+    composes clustering.kmeans_train first), then drop any vector with
+    a lower-id cosine-0.35 neighbor inside its cluster. Candidate
+    pairs are bounded per-cell and hot cells are salted — never an
+    all-pairs join."""
+    from .operators.clustering import seed_centroids
+    from .operators.dedup import semantic_dedup
+    _, t = _s(spark, sf_dir)
+    return semantic_dedup(t["embeddings"], seed_centroids(8, 64),
+                          threshold=0.35)

@@ -1872,3 +1872,55 @@ def test_time_rollup_grains_are_consistent(spark, tables):
     n_hour = sum(r["n_events"] for r in rows
                  if r["hour_us"] is not None)
     assert n_day == n_hour == total[0]["n_events"]
+
+
+def test_kmeans_assign_join_path_matches_unrolled_bitwise(spark, tables):
+    from bigslice_spark.operators.clustering import (kmeans_assign,
+                                                     seed_centroids)
+    emb = tables["embeddings"]
+    cents = seed_centroids(8, 64)
+    a = {r["vec_id"]: (r["cell"], r["dist"]) for r in
+         kmeans_assign(emb, cents, method="unrolled").collect()}
+    b = {r["vec_id"]: (r["cell"], r["dist"]) for r in
+         kmeans_assign(emb, cents, method="join").collect()}
+    assert a == b  # cells AND exact doubles
+
+
+def test_kmeans_train_reduces_cost_and_is_layout_stable(spark, tables):
+    from bigslice_spark.operators.clustering import (kmeans_assign,
+                                                     kmeans_train,
+                                                     seed_centroids)
+    emb = tables["embeddings"]
+
+    def cost(cents):
+        return kmeans_assign(emb, cents).agg(
+            F.sum("dist")).collect()[0][0]
+
+    c0 = cost(seed_centroids(8, 64))
+    t1 = kmeans_train(emb, k=8, dim=64, iters=1)
+    t3 = kmeans_train(emb, k=8, dim=64, iters=3)
+    assert cost(t1) <= c0 and cost(t3) <= cost(t1)  # Lloyd monotonicity
+    t3b = kmeans_train(emb.repartition(17), k=8, dim=64, iters=3)
+    assert t3 == t3b, "training must not depend on partitioning"
+
+
+def test_semantic_dedup_drops_planted_near_dup(spark):
+    from bigslice_spark.operators.dedup import semantic_dedup
+    base = [0.5] * 4
+    near = [0.5, 0.5, 0.5, 0.502]          # cosine ≈ 1 with base
+    far = [-0.5, 0.5, -0.5, 0.5]           # orthogonal-ish
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<float>")
+    cents = [[0.5] * 4, [-0.5, 0.5, -0.5, 0.5]]
+    got = {r["vec_id"]: r["cell"] for r in semantic_dedup(
+        df, cents, threshold=0.95).collect()}
+    assert set(got) == {1, 3}, got           # 2 dropped (near-dup of 1)
+    # precomputed-cell path gives the same answer
+    from bigslice_spark.operators.clustering import kmeans_assign
+    cells = kmeans_assign(df, cents, method="join") \
+        .select("vec_id", F.col("cell").alias("c"))
+    got2 = {r["vec_id"]: r["cell"] for r in semantic_dedup(
+        df.join(cells, on="vec_id"), cents, threshold=0.95,
+        cell_col="c").collect()}
+    assert got2 == got

@@ -501,3 +501,23 @@ def test_time_rollup_fused_with_partial_agg(spark, sf_dir):
     assert len(scans) == 1, f"events must be scanned once: {scans}"
     assert "Expand" in txt, "rollup should plan a fused Expand"
     assert_partial_aggregation(df)
+
+
+def test_semantic_dedup_no_cartesian_and_salted_cells(spark, sf_dir):
+    """SemDeDup candidates come from the salted per-cell equi-join —
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    txt = explain_str(QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_kmeans_means_is_projection_plus_single_agg(spark, tables):
+    """The per-iteration Lloyd cost: zero joins, one k-row exchange."""
+    from bigslice_spark.operators.clustering import (kmeans_means,
+                                                     seed_centroids)
+    df = kmeans_means(tables["embeddings"], seed_centroids(8, 64))
+    n = count_exchanges(df)
+    assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
+    txt = explain_str(df)
+    assert "Join" not in txt, "assignment must be inline, not a join"
+    assert_partial_aggregation(df)
