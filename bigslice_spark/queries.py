@@ -4536,3 +4536,35 @@ def semantic_dedup_q(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     return semantic_dedup(t["embeddings"], seed_centroids(8, 64),
                           threshold=0.35)
+
+
+# no oracle: the BPE merge loop is iterative argmax-then-rewrite —
+# not expressible in (non-recursive-aggregate) SQL; the driver records
+# the weaker rows-only check, and tests/test_operators.py pins the
+# merge sequence against a hand-computed corpus instead.
+@query("bpe_merges")
+def bpe_merges_q(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py bpe_train): one
+    distributed word-count pass (the only corpus-scale work) + the
+    driver-side merge loop over the vocabulary table. Deterministic
+    (count DESC, pair lexicographic tie-break), so the merge table is
+    stable across engines and partitionings."""
+    from .operators.bpe import bpe_train
+    _, t = _s(spark, sf_dir)
+    merges = bpe_train(t["documents"], num_merges=40)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, n long")
+
+
+# no oracle: applying ranked merges is the same iterative rewrite,
+# corpus-side (Arrow pandas UDF). Pinned by unit tests instead.
+@query("bpe_token_counts")
+def bpe_token_counts_q(spark, sf_dir):
+    """Token counts under a learned BPE vocabulary (operators/bpe.py
+    bpe_encode): train 40 merges, then count tokens per document with
+    the Arrow-batched encoder — the budget/packing input for a
+    tokenizer-aware pipeline."""
+    from .operators.bpe import bpe_encode, bpe_train
+    _, t = _s(spark, sf_dir)
+    merges = bpe_train(t["documents"], num_merges=40)
+    return bpe_encode(t["documents"], merges)

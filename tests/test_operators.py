@@ -1924,3 +1924,30 @@ def test_semantic_dedup_drops_planted_near_dup(spark):
         df.join(cells, on="vec_id"), cents, threshold=0.95,
         cell_col="c").collect()}
     assert got2 == got
+
+
+def test_bpe_merge_loop_hand_computed():
+    from bigslice_spark.operators.bpe import _EOW, _merge_loop
+    merges = _merge_loop([("ab", 5), ("abc", 3)], 10)
+    assert merges == [
+        (0, "a", "b", 8),          # most frequent pair
+        (1, "ab", _EOW, 5),
+        (2, "ab", "c", 3),         # tie vs (c,EOW): lexicographic
+        (3, "abc", _EOW, 3),
+    ]
+
+
+def test_bpe_train_layout_stable_and_encode(spark, tables):
+    from bigslice_spark.operators.bpe import (bpe_encode, bpe_train,
+                                              _EOW)
+    docs = tables["documents"]
+    m1 = bpe_train(docs, num_merges=25)
+    m2 = bpe_train(docs.repartition(13), num_merges=25)
+    assert m1 == m2 and len(m1) == 25
+    # encode with a hand vocabulary: "ab"→1 tok, "abc"→1, "xyz"→4
+    merges = [(0, "a", "b", 8), (1, "ab", _EOW, 5),
+              (2, "ab", "c", 3), (3, "abc", _EOW, 3)]
+    df = spark.createDataFrame([(1, "ab abc xyz")],
+                               "doc_id long, text string")
+    got = bpe_encode(df, merges).collect()
+    assert [(r["doc_id"], r["n_tokens"]) for r in got] == [(1, 6)]
