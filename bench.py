@@ -52,6 +52,13 @@ HEADLINE = [
     "lpa_communities",
     "upsert_partitioned",
     "ewma_value",
+    "time_rollup",
+    "ts_anomaly",
+    "bpe_merges",
+    # last: ~8s of its ~11s is cold Janino JIT of the wide argmin +
+    # dot-product codegen (constant, amortized at scale — the
+    # dedup_minhash story); keep the JIT-heavy tail at the end.
+    "semantic_dedup",
 ]
 
 

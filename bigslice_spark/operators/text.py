@@ -349,3 +349,66 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
         / (F.col("c1").cast("double") * F.col("c2").cast("double"))
     return (j.select("w1", "w2", "c12", pmi.alias("pmi"))
             .orderBy(F.desc("pmi"), "w1", "w2").limit(k))
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000,
+                 stopwords: tuple[str, ...] = _GOPHER_STOPWORDS
+                 ) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1),
+    each surfaced as its own flag plus the combined verdict — the
+    standard cheap pre-filter battery before dedup/classification:
+
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10] characters;
+    - ≤10% of words contain '#';
+    - ≤30% of lines end with an ellipsis, ≤90% start with a bullet;
+    - ≥80% of words contain an alphabetic character;
+    - ≥2 distinct common English stopwords present.
+
+    Every ratio test is an INTEGER cross-multiplication (10·n_hash ≤
+    n_words, etc.) — no float thresholds, so the cut is trivially
+    engine-exact. One pass, pure codegen projection: zero shuffles at
+    any corpus size.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    nw = F.size(toks).cast("long")
+    total_len = F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, w: acc + F.length(w))
+    n_hash = F.size(F.filter(toks, lambda w: w.contains("#"))) \
+        .cast("long")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))) \
+        .cast("long")
+    lines = F.filter(F.split(t, "\n"), lambda l: l != "")
+    nl = F.size(lines).cast("long")
+    n_ell = F.size(F.filter(lines, lambda l: l.endswith("..."))) \
+        .cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.startswith("-") | l.startswith("*"))) \
+        .cast("long")
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(
+        stops, lambda s: F.array_contains(toks, s))).cast("long")
+    rules = {
+        "r_word_count": (nw >= min_words) & (nw <= max_words),
+        "r_mean_word_len": (total_len >= 3 * nw)
+        & (total_len <= 10 * nw),
+        "r_hash_ratio": 10 * n_hash <= nw,
+        "r_ellipsis_lines": 10 * n_ell <= 3 * nl,
+        "r_bullet_lines": 10 * n_bullet <= 9 * nl,
+        "r_alpha_words": 5 * n_alpha >= 4 * nw,
+        "r_stopwords": n_stop >= 2,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col), nw.alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"))

@@ -4568,3 +4568,64 @@ def bpe_token_counts_q(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     merges = bpe_train(t["documents"], num_merges=40)
     return bpe_encode(t["documents"], merges)
+
+
+@query("gopher_rules", """
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> l <> '') AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS nw,
+             CAST(coalesce(list_sum(
+                 list_transform(toks, t -> length(t))), 0)
+                  AS BIGINT) AS total_len,
+             CAST(len(list_filter(toks, t -> contains(t, '#')))
+                  AS BIGINT) AS n_hash,
+             CAST(len(list_filter(toks,
+                 t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT)
+                 AS n_alpha,
+             CAST(len(lines) AS BIGINT) AS nl,
+             CAST(len(list_filter(lines, l -> suffix(l, '...')))
+                  AS BIGINT) AS n_ell,
+             CAST(len(list_filter(lines,
+                 l -> prefix(l, '-') OR prefix(l, '*'))) AS BIGINT)
+                 AS n_bullet,
+             CAST(len(list_filter(
+                 ['the','key','order','scan'],
+                 s -> list_contains(toks, s))) AS BIGINT) AS n_stop
+      FROM b)
+    SELECT doc_id, nw AS n_words,
+           nw >= 20 AND nw <= 100000 AS r_word_count,
+           total_len >= 3 * nw AND total_len <= 10 * nw
+               AS r_mean_word_len,
+           10 * n_hash <= nw AS r_hash_ratio,
+           10 * n_ell <= 3 * nl AS r_ellipsis_lines,
+           10 * n_bullet <= 9 * nl AS r_bullet_lines,
+           5 * n_alpha >= 4 * nw AS r_alpha_words,
+           n_stop >= 2 AS r_stopwords,
+           (nw >= 20 AND nw <= 100000)
+             AND (total_len >= 3 * nw AND total_len <= 10 * nw)
+             AND 10 * n_hash <= nw
+             AND 10 * n_ell <= 3 * nl
+             AND 10 * n_bullet <= 9 * nl
+             AND 5 * n_alpha >= 4 * nw
+             AND n_stop >= 2 AS passes
+    FROM m
+""")
+def gopher_rules_q(spark, sf_dir):
+    """Gopher quality-rule battery (operators/text.py gopher_rules):
+    seven per-document flags + combined verdict, every ratio an
+    integer cross-multiplication — a zero-shuffle codegen projection
+    over the corpus. min_words=20 fits the synthetic corpus' ~25-word
+    documents, and the stopword lexicon is remapped to the corpus
+    vocabulary, so both verdicts actually occur (the operator default
+    is the Gopher English list)."""
+    from .operators.text import gopher_rules
+    _, t = _s(spark, sf_dir)
+    return gopher_rules(t["documents"], min_words=20,
+                        stopwords=("the", "key", "order", "scan"))

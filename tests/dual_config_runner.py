@@ -55,6 +55,13 @@ BATTERY = [
     "upsert_partitioned", "lpa_communities", "source_csv_malformed",
     "compact_partitioned", "ewma_value", "event_gaps",
     "equidepth_histogram", "ngram_containment", "lm_quality",
+    # late round-5 — k-means training collects/re-embeds centroids as
+    # literals (must be layout-stable), SemDeDup's salted cell join,
+    # the md5-priority sampler, the rollup's Expand, the exclusive
+    # window frame, and the BPE trainer's top-k'd word table must all
+    # be partition- and transport-invariant
+    "sample_per_key", "time_rollup", "ts_anomaly", "kmeans_train",
+    "semantic_dedup", "bpe_merges", "bpe_token_counts",
 ]
 
 

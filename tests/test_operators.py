@@ -1951,3 +1951,31 @@ def test_bpe_train_layout_stable_and_encode(spark, tables):
                                "doc_id long, text string")
     got = bpe_encode(df, merges).collect()
     assert [(r["doc_id"], r["n_tokens"]) for r in got] == [(1, 6)]
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from bigslice_spark.operators.text import gopher_rules
+    good = ("the cat and the dog be friends that have fun with " * 6)
+    docs = [
+        (1, good),                                   # passes all
+        (2, "the of"),                               # too short
+        (3, "#a #b #c #d #e #f #g #h " + good),      # hash ratio
+        (4, good + "\n" + "\n".join(["- b"] * 40)),  # bullets
+        (5, good + "\n" + "\n".join(["x..."] * 40)), # ellipses
+        (6, ("aaaaaaaaaaaaaaaaaaaaaaaa " * 60) + "the of"),  # word len
+        (7, ("12 34 " * 30) + "the of"),             # alpha ratio
+        (8, ("cat dog " * 30)),                      # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in
+            gopher_rules(df, min_words=20).collect()}
+    assert rows[1]["passes"]
+    assert not rows[2]["r_word_count"]
+    assert not rows[3]["r_hash_ratio"]
+    assert not rows[4]["r_bullet_lines"]
+    assert not rows[5]["r_ellipsis_lines"]
+    assert not rows[6]["r_mean_word_len"]
+    assert not rows[7]["r_alpha_words"]
+    assert not rows[8]["r_stopwords"]
+    for d in range(2, 9):
+        assert not rows[d]["passes"], d

@@ -521,3 +521,10 @@ def test_kmeans_means_is_projection_plus_single_agg(spark, tables):
     txt = explain_str(df)
     assert "Join" not in txt, "assignment must be inline, not a join"
     assert_partial_aggregation(df)
+
+
+def test_gopher_rules_zero_exchanges(spark, sf_dir):
+    """The quality battery is a pure projection — no shuffle at any
+    corpus size."""
+    n = count_exchanges(QUERIES["gopher_rules"](spark, sf_dir))
+    assert n == 0, f"expected 0 shuffles, plan has {n}"
