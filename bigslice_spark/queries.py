@@ -4629,3 +4629,36 @@ def gopher_rules_q(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     return gopher_rules(t["documents"], min_words=20,
                         stopwords=("the", "key", "order", "scan"))
+
+
+_SPINE_SPARK = """
+    WITH RECURSIVE spine(day) AS (
+      SELECT DATE '2024-01-01'
+      UNION ALL
+      SELECT date_add(day, 1) FROM spine WHERE day < DATE '2024-02-15')
+    SELECT s.day, CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE)) e ON e.day = s.day
+"""
+
+
+@query("date_spine_gapfill", """
+    WITH RECURSIVE spine(day) AS (
+      SELECT DATE '2024-01-01'
+      UNION ALL
+      SELECT day + 1 FROM spine WHERE day < DATE '2024-02-15')
+    SELECT s.day, CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE)) e ON e.day = s.day
+""")
+def date_spine_gapfill(spark, sf_dir):
+    """Recursive-CTE date spine + gap-filled daily counts (Spark 4's
+    WITH RECURSIVE — part of the full SQL surface the reference lacks,
+    SURVEY §2.3): generate the calendar driver-free, left-join the
+    daily aggregate, zero-fill missing days. The recursion is
+    bounded (46 rows) and runs once on the driver side of the plan;
+    the corpus-scale work stays one partial-agg'd GROUP BY."""
+    _s(spark, sf_dir)  # registers the temp views
+    return spark.sql(_SPINE_SPARK)
