@@ -1,0 +1,43 @@
+"""Declarative data-quality checks — the pipeline guardrail.
+
+``data_checks`` evaluates a dict of named boolean expectations over a
+table in ONE aggregation pass (conditional partial-agg sums — no per
+check scan, no shuffle beyond the single global agg) and returns one
+row per check: (check, n_violations, n_rows). A row violates a check
+when the expectation is NOT TRUE for it — i.e. FALSE or NULL, so a
+null in a checked column counts as a violation unless the expectation
+handles it explicitly.
+
+This is the batch CI gate for a 100 TB corpus build: run it on every
+snapshot version before publishing (compose with upsert's `_SUCCESS`
+protocol), alert on any n_violations > 0.
+
+Reference: no analog in bigslice (closest: user asserts inside map
+funcs); standard data-quality tooling re-expressed as one Spark agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def data_checks(df: DataFrame,
+                checks: dict[str, Column]) -> DataFrame:
+    """(check, n_violations, n_rows) per named expectation, computed
+    in a single scan + single 1-row aggregation. Output is
+    driver-tiny (one row per check) by construction."""
+    if not checks:
+        raise ValueError("no checks given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in checks.items():
+        aggs.append(F.sum(F.when(cond, 0).otherwise(1))
+                    .alias(f"__v_{name}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', __v_{name}" for name in checks)
+    return (wide.select(
+        F.expr(f"stack({len(checks)}, {stack}) AS (check, n_violations)"),
+        F.col("__n").alias("n_rows"))
+        .select("check", F.col("n_violations").cast("long"),
+                F.col("n_rows").cast("long")))

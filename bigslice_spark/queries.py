@@ -4662,3 +4662,47 @@ def date_spine_gapfill(spark, sf_dir):
     the corpus-scale work stays one partial-agg'd GROUP BY."""
     _s(spark, sf_dir)  # registers the temp views
     return spark.sql(_SPINE_SPARK)
+
+
+@query("data_checks", """
+    WITH w AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE NOT (l_quantity >= 1
+                                         AND l_quantity <= 50))
+                 AS v_qty_range,
+             count(*) FILTER (WHERE NOT (l_discount >= 0
+                                         AND l_discount <= 0.1))
+                 AS v_discount_range,
+             count(*) FILTER (WHERE NOT (l_extendedprice > 0))
+                 AS v_price_positive,
+             count(*) FILTER (WHERE l_orderkey IS NULL)
+                 AS v_orderkey_not_null
+      FROM lineitem)
+    SELECT 'qty_range' AS check,
+           CAST(v_qty_range AS BIGINT) AS n_violations,
+           CAST(n AS BIGINT) AS n_rows FROM w
+    UNION ALL SELECT 'discount_range', CAST(v_discount_range AS BIGINT),
+                     CAST(n AS BIGINT) FROM w
+    UNION ALL SELECT 'price_positive',
+                     CAST(v_price_positive AS BIGINT),
+                     CAST(n AS BIGINT) FROM w
+    UNION ALL SELECT 'orderkey_not_null',
+                     CAST(v_orderkey_not_null AS BIGINT),
+                     CAST(n AS BIGINT) FROM w
+""")
+def data_checks_q(spark, sf_dir):
+    """Declarative data-quality gate (operators/checks.py data_checks):
+    four expectations over lineitem evaluated in one conditional
+    aggregation pass — the publish-time guardrail for snapshot
+    versions. NOT-TRUE (false or null) counts as a violation."""
+    from .operators.checks import data_checks
+    _, t = _s(spark, sf_dir)
+    li = t["lineitem"]
+    return data_checks(li, {
+        "qty_range": (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 50),
+        "discount_range": (F.col("l_discount") >= 0)
+        & (F.col("l_discount") <= 0.1),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+    })

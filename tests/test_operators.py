@@ -1979,3 +1979,16 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not rows[8]["r_stopwords"]
     for d in range(2, 9):
         assert not rows[d]["passes"], d
+
+
+def test_data_checks_null_counts_as_violation(spark):
+    from bigslice_spark.operators.checks import data_checks
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "k long, v double")
+    got = {r["check"]: (r["n_violations"], r["n_rows"]) for r in
+           data_checks(df, {
+               "v_nonneg": F.col("v") >= 0,
+               "k_not_null": F.col("k").isNotNull(),
+           }).collect()}
+    assert got == {"v_nonneg": (2, 3),   # NULL and -1 both violate
+                   "k_not_null": (0, 3)}

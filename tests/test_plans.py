@@ -528,3 +528,15 @@ def test_gopher_rules_zero_exchanges(spark, sf_dir):
     corpus size."""
     n = count_exchanges(QUERIES["gopher_rules"](spark, sf_dir))
     assert n == 0, f"expected 0 shuffles, plan has {n}"
+
+
+def test_data_checks_single_scan_single_agg(spark, sf_dir):
+    """All expectations fold into ONE conditional aggregation: one
+    scan, one exchange of a single partial row."""
+    import re
+    df = QUERIES["data_checks"](spark, sf_dir)
+    n = count_exchanges(df)
+    assert n == 1, f"expected 1 shuffle, plan has {n}"
+    txt = explain_str(df)
+    scans = re.findall(r"\(\d+\) Scan parquet", txt)
+    assert len(scans) == 1, f"lineitem must be scanned once: {scans}"
