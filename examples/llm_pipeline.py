@@ -50,6 +50,16 @@ def main() -> None:
     docs = docs.join(q.select("doc_id"), on="doc_id", how="left_semi")
     scope.counter("after_quality").incr(docs.count())
 
+    # 1b. Gopher rule battery — seven per-doc flags, integer-exact
+    #     ratio cuts, zero-shuffle (stopword lexicon remapped to the
+    #     synthetic vocabulary)
+    from bigslice_spark.operators.text import gopher_rules
+    g = gopher_rules(docs, min_words=10,
+                     stopwords=("the", "key", "order", "scan"))
+    docs = docs.join(g.filter(F.col("passes")).select("doc_id"),
+                     on="doc_id", how="left_semi")
+    scope.counter("after_gopher").incr(docs.count())
+
     # 2. model-based quality: hashed-feature linear scorer (broadcast
     #    model; stands in for a trained fasttext-style classifier)
     scored = score_documents(docs, demo_weights(sess.spark))
@@ -78,6 +88,17 @@ def main() -> None:
         .select(F.col("node").alias("doc_id"))
     docs = docs.join(losers, on="doc_id", how="left_anti")
     scope.counter("after_near_dedup").incr(docs.count())
+
+    # 5b. SemDeDup over the embedding space: deterministic k-means
+    #     clusters, then drop lower-id cosine neighbors within a cell
+    from bigslice_spark.operators.clustering import kmeans_train
+    from bigslice_spark.operators.dedup import semantic_dedup
+    emb = sess.read_parquet(f"{sf_dir}/embeddings.parquet").df
+    cents = kmeans_train(emb, k=8, dim=64, iters=2)
+    sem = semantic_dedup(emb, cents, threshold=0.35)
+    docs = docs.join(sem.select(F.col("vec_id").alias("doc_id")),
+                     on="doc_id", how="left_semi")
+    scope.counter("after_semantic_dedup").incr(docs.count())
 
     # 6. decontaminate against a held-out eval split (broadcast eval
     #    shingles — the corpus never shuffles)
@@ -116,6 +137,23 @@ def main() -> None:
     packed = pack_sequences(chunks, max_len=512)
     n_seq = packed.agg(F.max("seq_id")).first()[0]
     scope.counter("train_sequences").incr(int(n_seq) + 1)
+
+    # 9b. train the tokenizer ON the curated corpus (one word-count
+    #     pass + driver merge loop) and price it in real BPE tokens
+    from bigslice_spark.operators.bpe import bpe_encode, bpe_train
+    merges = bpe_train(docs, num_merges=30, min_count=2)
+    bpe_total = bpe_encode(docs, merges).agg(
+        F.sum("n_tokens")).first()[0]
+    print(f"bpe	{len(merges)} merges	{bpe_total} tokens")
+
+    # 9c. data-quality gate before the table goes live
+    from bigslice_spark.operators.checks import data_checks
+    for r in data_checks(docs, {
+        "doc_id_not_null": F.col("doc_id").isNotNull(),
+        "text_not_empty": F.length("text") > 0,
+    }).collect():
+        print(f"check	{r['check']}	{r['n_violations']}"
+              f"/{r['n_rows']}")
 
     # 10. materialize the curated corpus as a MUTABLE serving table:
     #     language-partitioned snapshot (the next ingest batch merges

@@ -8,7 +8,7 @@ import sys
 def _run(script: str) -> str:
     out = subprocess.run(
         [sys.executable, script, "/root/testdata/sf0.001"],
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=420)
     assert out.returncode == 0, out.stderr[-2000:]
     return out.stdout
 
@@ -26,7 +26,7 @@ def test_llm_pipeline_example():
     budget = [l for l in out.splitlines() if "\t" in l]
     stages = [l for l in out.splitlines() if l.startswith("# ")]
     assert budget, out
-    assert len(stages) == 10
+    assert len(stages) == 12
     # survivor counts (all but the trailing chunk- and sequence-count
     # stages, which may exceed the doc funnel) are monotonically
     # non-increasing through the funnel
