@@ -99,3 +99,17 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
        .sortWithinPartitions("__z__")
        .drop("__z__")
        .write.mode("overwrite").parquet(path))
+
+
+def write_range_sorted(df: DataFrame, path: str, cols: list[str],
+                       n_files: int = 64) -> None:
+    """Total-order layout: range-partition on ``cols`` (one sampled
+    exchange — Spark's RangePartitioner, never a single-partition
+    sort), sort within partitions, write. File k's key range precedes
+    file k+1's, so the table reads back globally ordered and a point /
+    range predicate on ``cols`` prunes to a contiguous file band via
+    min/max footer stats — the 1-D complement of write_zordered's
+    multi-dimensional clustering."""
+    (df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+       .sortWithinPartitions(*cols)
+       .write.mode("overwrite").parquet(path))

@@ -4706,3 +4706,17 @@ def data_checks_q(spark, sf_dir):
         "price_positive": F.col("l_extendedprice") > 0,
         "orderkey_not_null": F.col("l_orderkey").isNotNull(),
     })
+
+
+@query("range_sorted_layout", """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+""")
+def range_sorted_layout_q(spark, sf_dir):
+    """Total-order write layout (operators/projection.py
+    write_range_sorted): range-partition + in-partition sort — the
+    plan gate pins RangePartitioning with NO single-partition global
+    sort; the oracle pins that layout is value-neutral (same rows)."""
+    _, t = _s(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    return (o.repartitionByRange(8, F.col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"))

@@ -1992,3 +1992,22 @@ def test_data_checks_null_counts_as_violation(spark):
            }).collect()}
     assert got == {"v_nonneg": (2, 3),   # NULL and -1 both violate
                    "k_not_null": (0, 3)}
+
+
+def test_write_range_sorted_files_are_disjoint_bands(spark, tables,
+                                                     tmp_path):
+    from bigslice_spark.operators.projection import write_range_sorted
+    path = str(tmp_path / "sorted")
+    write_range_sorted(tables["orders"], path, ["o_orderkey"],
+                       n_files=4)
+    got = (spark.read.parquet(path)
+           .select(F.input_file_name().alias("f"), "o_orderkey")
+           .groupBy("f")
+           .agg(F.min("o_orderkey").alias("lo"),
+                F.max("o_orderkey").alias("hi"),
+                F.count(F.lit(1)).alias("n"))
+           .collect())
+    spans = sorted((r["lo"], r["hi"]) for r in got)
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file bands: {spans}"

@@ -540,3 +540,12 @@ def test_data_checks_single_scan_single_agg(spark, sf_dir):
     txt = explain_str(df)
     scans = re.findall(r"\(\d+\) Scan parquet", txt)
     assert len(scans) == 1, f"lineitem must be scanned once: {scans}"
+
+
+def test_range_sorted_layout_no_global_sort(spark, sf_dir):
+    """Total-order layout must range-partition (sampled exchange) and
+    sort within partitions — never collapse to one partition."""
+    txt = explain_str(QUERIES["range_sorted_layout"](spark, sf_dir))
+    assert "rangepartitioning" in txt.lower(), txt[:1200]
+    assert "SinglePartition" not in txt, txt[:1200]
+    assert "Sort" in txt
