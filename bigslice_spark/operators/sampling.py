@@ -210,3 +210,42 @@ def sample_per_key(df: DataFrame, key_cols: Sequence[str],
          .orderBy(tag.asc(), F.col(id_col).asc()))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def mixture_sample(df: DataFrame, strata_col: str = "source",
+                   total: int = 1000, alpha: float = 0.5,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Materialize a temperature-mixed corpus: per-stratum quotas are
+    ``floor(total · w_s / Σw)`` from mix_weights' (n_s/N)^alpha
+    temperatures, then each stratum keeps its quota by the md5
+    priority sample_per_key uses — "give me a ~``total``-document mix
+    at temperature alpha", deterministically.
+
+    Scale shape: mix_weights' aggregation (one exchange over strata
+    counts), a broadcast join of the |strata|-row quota table back
+    onto the corpus, and one window exchange for the per-stratum rank
+    — nothing driver-side, nothing quadratic. With alpha=0.5 the
+    weight doubles are engine-bitwise (sqrt of exact-integer ratios),
+    so the floor() quotas are exact cross-engine.
+    """
+    w = mix_weights(df, strata_col, text_col=text_col, alpha=alpha)
+    # decimal-exact Σw: order-independent, so the floor() quota cut
+    # cannot flip on partial-aggregation order (queries.py float
+    # conventions)
+    wtot = w.agg(F.sum(F.col("weight").cast("decimal(38,18)"))
+                 .cast("double").alias("wtot"))
+    quota = (w.crossJoin(F.broadcast(wtot))
+             .select(strata_col,
+                     F.floor(F.lit(float(total)) * F.col("weight")
+                             / F.col("wtot")).alias("__quota")))
+    tag = F.md5(F.concat_ws(
+        ":", F.col(strata_col).cast("string"),
+        F.col(id_col).cast("string")))
+    rank = F.row_number().over(
+        W.partitionBy(strata_col)
+        .orderBy(tag.asc(), F.col(id_col).asc()))
+    return (df.join(F.broadcast(quota), on=strata_col)
+            .withColumn("__rn", rank)
+            .filter(F.col("__rn") <= F.col("__quota"))
+            .drop("__rn", "__quota"))

@@ -4720,3 +4720,41 @@ def range_sorted_layout_q(spark, sf_dir):
     o = t["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
     return (o.repartitionByRange(8, F.col("o_orderkey"))
             .sortWithinPartitions("o_orderkey"))
+
+
+@query("mixture_sample", """
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> ''))) AS BIGINT)
+                 AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+    w AS (SELECT source,
+                 sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE))
+                     AS weight
+          FROM per, tot),
+    wt AS (SELECT CAST(sum(CAST(weight AS DECIMAL(38,18)))
+                       AS DOUBLE) AS wtot FROM w),
+    q AS (SELECT source,
+                 floor(CAST(200 AS DOUBLE) * weight / wtot) AS quota
+          FROM w, wt),
+    ranked AS (
+      SELECT d.doc_id, d.source, d.lang, q.quota,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(concat_ws(':', d.source,
+                                      CAST(d.doc_id AS VARCHAR))) ASC,
+                        d.doc_id ASC) AS rn
+      FROM documents d JOIN q ON q.source = d.source)
+    SELECT doc_id, source, lang FROM ranked WHERE rn <= quota
+""")
+def mixture_sample_q(spark, sf_dir):
+    """Temperature-mixed corpus materialization (operators/sampling.py
+    mixture_sample): ~200 documents at temperature 0.5, per-stratum
+    floor quotas from bitwise-exact sqrt weights, md5-priority pick.
+    One agg + broadcast quota join + one window exchange."""
+    from .operators.sampling import mixture_sample
+    _, t = _s(spark, sf_dir)
+    return (mixture_sample(t["documents"], "source", total=200)
+            .select("doc_id", "source", "lang"))

@@ -2011,3 +2011,23 @@ def test_write_range_sorted_files_are_disjoint_bands(spark, tables,
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, f"overlapping file bands: {spans}"
+
+
+def test_mixture_sample_quotas_and_determinism(spark, tables):
+    import math
+    from bigslice_spark.operators.sampling import (mix_weights,
+                                                   mixture_sample)
+    docs = tables["documents"]
+    got = mixture_sample(docs, "source", total=100).collect()
+    got2 = mixture_sample(docs.repartition(11), "source",
+                          total=100).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in got2}
+    # per-stratum sizes equal the floor quotas from the weights
+    ws = {r["source"]: r["weight"]
+          for r in mix_weights(docs, "source").collect()}
+    wtot = sum(ws.values())
+    from collections import Counter
+    sizes = Counter(r["source"] for r in got)
+    for s, w in ws.items():
+        expect = math.floor(100.0 * w / wtot)
+        assert sizes.get(s, 0) == expect, (s, sizes.get(s), expect)
