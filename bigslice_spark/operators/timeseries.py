@@ -128,3 +128,33 @@ def rolling_zscore(df: DataFrame, key_col: str, ts_col: str,
             .select(key_col, "ts_us", "value",
                     F.col("__n").cast("int").alias("n_ref"),
                     "mean", "z"))
+
+
+def retention_cohorts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of
+    their FIRST event; for each (cohort_week, weeks_since) cell, how
+    many distinct cohort members were active that week — the classic
+    retention triangle.
+
+    Scale shape: one aggregation to per-(user, week) activity (the
+    dominant exchange, partial-agg'd), one broadcast-friendly
+    self-derived first-week join rides the same user partitioning,
+    then a count-distinct per cell over user-week rows (bounded by
+    users × active weeks, far below event count). Weeks surface as
+    unix-microsecond BIGINTs (ISO Monday truncation, engine-neutral).
+    """
+    uw = (df.select(F.col(user_col).alias("u"),
+                    F.unix_micros(F.date_trunc("week", F.col(ts_col)))
+                    .alias("wk"))
+          .distinct())
+    first = uw.groupBy("u").agg(F.min("wk").alias("cohort_wk"))
+    j = uw.join(first, on="u")
+    week_us = 7 * 24 * 3600 * 1_000_000
+    # week starts are exact week_us multiples apart (UTC micros), so
+    # the double division is exact and the cast truncation safe
+    weeks_since = ((F.col("wk") - F.col("cohort_wk"))
+                   / F.lit(week_us)).cast("int")
+    return (j.groupBy(F.col("cohort_wk"),
+                      weeks_since.alias("weeks_since"))
+            .agg(F.countDistinct("u").alias("n_users")))

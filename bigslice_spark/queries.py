@@ -4758,3 +4758,27 @@ def mixture_sample_q(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     return (mixture_sample(t["documents"], "source", total=200)
             .select("doc_id", "source", "lang"))
+
+
+@query("retention_cohorts", """
+    WITH uw AS (
+      SELECT DISTINCT user_id AS u,
+             epoch_us(date_trunc('week', ts)) AS wk
+      FROM events),
+    first AS (SELECT u, min(wk) AS cohort_wk FROM uw GROUP BY u)
+    SELECT cohort_wk,
+           CAST((wk - cohort_wk) // 604800000000 AS INT)
+               AS weeks_since,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM uw JOIN first USING (u)
+    GROUP BY cohort_wk, weeks_since
+""")
+def retention_cohorts_q(spark, sf_dir):
+    """Weekly retention triangle (operators/timeseries.py
+    retention_cohorts): cohort by first-activity ISO week, distinct
+    active members per (cohort, weeks-since) cell. The per-(user,
+    week) reduction happens before anything joins, so the heavy
+    exchange moves user-week rows, never raw events."""
+    from .operators.timeseries import retention_cohorts
+    _, t = _s(spark, sf_dir)
+    return retention_cohorts(t["events"])

@@ -2031,3 +2031,18 @@ def test_mixture_sample_quotas_and_determinism(spark, tables):
     for s, w in ws.items():
         expect = math.floor(100.0 * w / wtot)
         assert sizes.get(s, 0) == expect, (s, sizes.get(s), expect)
+
+
+def test_retention_cohorts_triangle_invariants(spark, tables):
+    from bigslice_spark.operators.timeseries import retention_cohorts
+    rows = retention_cohorts(tables["events"]).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_wk"], {})[r["weeks_since"]] = \
+            r["n_users"]
+    n_users = tables["events"].select("user_id").distinct().count()
+    # week-0 cells partition the user base; no cell exceeds week 0
+    assert sum(c[0] for c in by_cohort.values()) == n_users
+    for c in by_cohort.values():
+        assert all(v <= c[0] for v in c.values())
+        assert min(c) == 0 and all(k >= 0 for k in c)
