@@ -417,3 +417,44 @@ def test_global_rank_equals_sorted_position(spark, vals, nshard):
     got = {r["x"]: r["rank"]
            for r in global_rank(df, ["x"]).collect()}
     assert got == {v: i + 1 for i, v in enumerate(sorted(vals))}
+
+
+VECS = st.lists(
+    st.tuples(st.integers(0, 10**6),
+              st.lists(st.floats(min_value=-1.0, max_value=1.0,
+                                 allow_nan=False, width=16),
+                       min_size=4, max_size=4)),
+    min_size=2, max_size=40, unique_by=lambda t: t[0])
+
+
+@PROP
+@given(vecs=VECS, tau=st.sampled_from([0.5, 0.9, 0.99]))
+def test_semantic_dedup_matches_brute_force(spark, vecs, tau):
+    """Survivors == python brute-force greedy drop within cells: the
+    salted cell join and inline assignment must not change semantics.
+    Double vectors end-to-end, identical expression order, so the
+    comparison is exact — no tolerance."""
+    import math
+
+    from bigslice_spark.operators.clustering import seed_centroids
+    from bigslice_spark.operators.dedup import semantic_dedup
+    cents = seed_centroids(2, 4)
+    df = spark.createDataFrame(vecs,
+                               "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in
+           semantic_dedup(df, cents, threshold=tau).collect()}
+
+    def cell(v):
+        return min(((sum((x - c) * (x - c) for x, c in zip(v, cc)), ci)
+                    for ci, cc in enumerate(cents)))[1]
+
+    rows = sorted(vecs)
+    cells = {i: cell(v) for i, v in rows}
+    norms = {i: math.sqrt(sum(x * x for x in v)) for i, v in rows}
+    dropped = {
+        j for j, vj in rows for i, vi in rows
+        if i < j and cells[i] == cells[j]
+        and norms[i] > 0 and norms[j] > 0
+        and (sum(a * b for a, b in zip(vi, vj))
+             / (norms[i] * norms[j])) >= tau}
+    assert got == {i for i, _ in rows if i not in dropped}
