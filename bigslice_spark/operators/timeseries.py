@@ -158,3 +158,46 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
     return (j.groupBy(F.col("cohort_wk"),
                       weeks_since.alias("weeks_since"))
             .agg(F.countDistinct("u").alias("n_users")))
+
+
+def ts_pattern_search(df: DataFrame, key_col: str, ts_col: str,
+                      val_col: str, pattern: list[float],
+                      k: int = 10,
+                      order_cols: list[str] | None = None) -> DataFrame:
+    """Top-k time-series subsequence search: slide a length-m window
+    over every key's value series (ordered, exclusive of nothing —
+    the window ENDS at each row) and return the k windows closest to
+    ``pattern`` by squared Euclidean distance.
+
+    Scale shape: ONE window exchange on the key builds the per-row
+    length-m arrays (state O(m) per row); the distance is a codegen'd
+    zip_with/aggregate fold; the global top-k plans as
+    TakeOrderedAndProject — never a single-partition sort. Distances
+    are doubles in a pinned left-fold order (squares are non-negative,
+    so the zero seed is bitwise equal to DuckDB's first-element seed).
+
+    Normalization: pre-scale the series (e.g. with a rolling_zscore
+    pass) if amplitude-invariant matching is wanted; the operator
+    matches raw values.
+    """
+    m = len(pattern)
+    if m < 2:
+        raise ValueError("pattern must have at least 2 points")
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = (W.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-(m - 1), 0))
+    win = F.collect_list(F.col(val_col).cast("double")).over(w)
+    pat = "array(" + ", ".join(
+        f"CAST({float(p)!r} AS DOUBLE)" for p in pattern) + ")"
+    dist = F.expr(
+        f"aggregate(zip_with(__win__, {pat}, "
+        f"(x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+    base = (df.select(F.col(key_col),
+                      F.unix_micros(F.col(ts_col)).alias("ts_us"),
+                      win.alias("__win__"))
+            .filter(F.size("__win__") == m)
+            .select(key_col, "ts_us", dist.alias("dist")))
+    return (base.orderBy(F.col("dist").asc(), F.col(key_col).asc(),
+                         F.col("ts_us").asc())
+            .limit(k))

@@ -4782,3 +4782,39 @@ def retention_cohorts_q(spark, sf_dir):
     from .operators.timeseries import retention_cohorts
     _, t = _s(spark, sf_dir)
     return retention_cohorts(t["events"])
+
+
+@query("ts_pattern_search", """
+    WITH b AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+      FROM events),
+    w AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                 AS win
+      FROM b),
+    d AS (
+      SELECT user_id, ts_us,
+             list_reduce(list_transform(range(1, 9),
+                 i -> (win[i] - ([100.0, 200.0, 300.0, 400.0, 500.0,
+                                  600.0, 700.0, 800.0])[i])
+                      * (win[i] - ([100.0, 200.0, 300.0, 400.0, 500.0,
+                                    600.0, 700.0, 800.0])[i])),
+                 (a, x) -> a + x) AS dist
+      FROM w WHERE len(win) = 8)
+    SELECT user_id, ts_us, dist FROM d
+    ORDER BY dist, user_id, ts_us LIMIT 10
+""")
+def ts_pattern_search_q(spark, sf_dir):
+    """Top-10 sliding windows nearest a ramp pattern
+    (operators/timeseries.py ts_pattern_search): one window exchange
+    builds the per-row arrays, the distance folds in codegen, the
+    top-k plans as TakeOrderedAndProject. Left-fold distance order
+    matches DuckDB's list_reduce bitwise (zero seed == first-element
+    seed for non-negative squares)."""
+    from .operators.timeseries import ts_pattern_search
+    _, t = _s(spark, sf_dir)
+    pattern = [100.0 * i for i in range(1, 9)]
+    return ts_pattern_search(t["events"], "user_id", "ts", "value",
+                             pattern, k=10, order_cols=["event_id"])

@@ -2046,3 +2046,22 @@ def test_retention_cohorts_triangle_invariants(spark, tables):
     for c in by_cohort.values():
         assert all(v <= c[0] for v in c.values())
         assert min(c) == 0 and all(k >= 0 for k in c)
+
+
+def test_ts_pattern_search_finds_planted_pattern(spark):
+    import datetime as dt
+    from bigslice_spark.operators.timeseries import ts_pattern_search
+    t0 = dt.datetime(2024, 1, 1)
+    pattern = [10.0, 20.0, 30.0, 40.0]
+    vals = [500.0] * 20
+    vals[8:12] = pattern            # plant an exact match at rows 8-11
+    rows = [(1, t0 + dt.timedelta(minutes=i), i, vals[i])
+            for i in range(len(vals))]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    top = ts_pattern_search(df, "user_id", "ts", "value", pattern,
+                            k=1, order_cols=["event_id"]).collect()
+    assert len(top) == 1 and top[0]["dist"] == 0.0
+    # window END timestamp = minute 11
+    base = int((t0 - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    assert (top[0]["ts_us"] - base) // 60_000_000 == 11

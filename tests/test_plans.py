@@ -549,3 +549,13 @@ def test_range_sorted_layout_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" in txt.lower(), txt[:1200]
     assert "SinglePartition" not in txt, txt[:1200]
     assert "Sort" in txt
+
+
+def test_ts_pattern_search_take_ordered(spark, sf_dir):
+    """Subsequence top-k: one window exchange + TakeOrderedAndProject
+    — never a global sort."""
+    df = QUERIES["ts_pattern_search"](spark, sf_dir)
+    txt = explain_str(df)
+    assert "TakeOrderedAndProject" in txt, txt[:1200]
+    n = count_exchanges(df)
+    assert n == 1, f"expected 1 shuffle, plan has {n}"
