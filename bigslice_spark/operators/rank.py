@@ -90,3 +90,30 @@ def equidepth_histogram(df: DataFrame, val_col: str,
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min(val_col).alias("lo"),
                  F.max(val_col).alias("hi")))
+
+
+def key_percentiles(df: DataFrame, key_col: str, val_col: str,
+                    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    order_cols: list[str] | None = None) -> DataFrame:
+    """EXACT per-key percentiles: for each key, the value at ascending
+    rank ceil(p·n) (the lower nearest-rank definition — integer-exact,
+    no interpolation, engine-neutral). One window exchange computes
+    rank and count together; one aggregation picks the target rows.
+    The per-key latency-band report (p50/p90/p99) at any scale — the
+    complement of the GLOBAL equidepth_histogram path.
+    """
+    from pyspark.sql import Window as W
+    order = [F.col(val_col)] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(key_col).orderBy(*order)
+    wc = W.partitionBy(key_col)
+    base = df.select(F.col(key_col),
+                     F.col(val_col).cast("double").alias("__v"),
+                     F.row_number().over(w).alias("__rn"),
+                     F.count(F.lit(1)).over(wc).alias("__n"))
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for p in ps:
+        target = F.ceil(F.lit(float(p)) * F.col("__n").cast("double"))
+        name = f"p{str(p)[2:].ljust(2, '0')}"
+        aggs.append(F.max(F.when(F.col("__rn") == target,
+                                 F.col("__v"))).alias(name))
+    return base.groupBy(key_col).agg(*aggs)

@@ -4818,3 +4818,58 @@ def ts_pattern_search_q(spark, sf_dir):
     pattern = [100.0 * i for i in range(1, 9)]
     return ts_pattern_search(t["events"], "user_id", "ts", "value",
                              pattern, k=10, order_cols=["event_id"])
+
+
+@query("key_percentiles", """
+    WITH r AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(value AS DOUBLE),
+                                         event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = ceil(0.5 * n) THEN v END) AS p50,
+           max(CASE WHEN rn = ceil(0.9 * n) THEN v END) AS p90,
+           max(CASE WHEN rn = ceil(0.99 * n) THEN v END) AS p99
+    FROM r GROUP BY user_id
+""")
+def key_percentiles_q(spark, sf_dir):
+    """Exact per-key p50/p90/p99 (operators/rank.py key_percentiles):
+    nearest-rank definition over one window exchange — integer-exact
+    target ranks, no interpolation, no approx sketch."""
+    from .operators.rank import key_percentiles
+    _, t = _s(spark, sf_dir)
+    return key_percentiles(t["events"], "user_id", "value",
+                           order_cols=["event_id"])
+
+
+@query("common_paths", """
+    WITH p AS (
+      SELECT user_id,
+             event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE path IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+""")
+def common_paths_q(spark, sf_dir):
+    """Top-10 three-step event paths (sequence mining's frequency
+    backbone): lead windows share one user exchange, trigram counts
+    partial-aggregate, top-k plans as TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+    _, t = _s(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    et = F.col("event_type")
+    path = F.concat_ws(">", et, F.lead(et, 1).over(w),
+                       F.lead(et, 2).over(w))
+    # concat_ws skips NULLs, so require all three legs explicitly
+    full = (F.lead(et, 1).over(w).isNotNull()
+            & F.lead(et, 2).over(w).isNotNull())
+    return (t["events"].select(path.alias("path"), full.alias("__ok"))
+            .filter(F.col("__ok"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("path")).limit(10))

@@ -2065,3 +2065,26 @@ def test_ts_pattern_search_finds_planted_pattern(spark):
     # window END timestamp = minute 11
     base = int((t0 - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
     assert (top[0]["ts_us"] - base) // 60_000_000 == 11
+
+
+def test_key_percentiles_matches_numpy_nearest_rank(spark):
+    import math
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rows = [(int(k), i, float(v)) for i, (k, v) in enumerate(
+        zip(rng.integers(0, 4, 300), rng.normal(100, 20, 300)))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double")
+    from bigslice_spark.operators.rank import key_percentiles
+    got = {r["user_id"]: r for r in key_percentiles(
+        df, "user_id", "value", order_cols=["event_id"]).collect()}
+    import collections
+    per = collections.defaultdict(list)
+    for k, _, v in rows:
+        per[k].append(v)
+    for k, vs in per.items():
+        vs = sorted(vs)
+        n = len(vs)
+        assert got[k]["n"] == n
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert got[k][col] == vs[math.ceil(p * n) - 1], (k, col)

@@ -559,3 +559,15 @@ def test_ts_pattern_search_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in txt, txt[:1200]
     n = count_exchanges(df)
     assert n == 1, f"expected 1 shuffle, plan has {n}"
+
+
+def test_key_percentiles_single_exchange(spark, sf_dir):
+    """Rank + count share the key partitioning; the picking agg reuses
+    it — one exchange total."""
+    n = count_exchanges(QUERIES["key_percentiles"](spark, sf_dir))
+    assert n <= 2, f"expected <=2 shuffles, plan has {n}"
+
+
+def test_common_paths_take_ordered(spark, sf_dir):
+    txt = explain_str(QUERIES["common_paths"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt, txt[:1000]
