@@ -638,3 +638,30 @@ def snapshot_diff(spark: SparkSession, path: str, v_old: int, v_new: int,
     return (j.withColumn("change", change)
             .filter(F.col("change").isNotNull())
             .select(*key_cols, "change"))
+
+
+def scd2_intervals(df: DataFrame, key_cols: list[str], ts_col: str,
+                   order_cols: list[str] | None = None) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log:
+    each change row becomes a validity interval [eff_from_us,
+    eff_to_us) per key, closed by the key's next change (the current
+    row carries eff_to_us = NULL). The standard historization step
+    between a CDC feed (snapshot_diff / stream_upsert batches) and
+    point-in-time lookups (asof_join / range_join consume the result
+    directly).
+
+    One window exchange on the key (lead over the change order);
+    timestamps surface as unix-micros BIGINTs. Ties on ``ts_col``
+    break by ``order_cols`` — pass the change-log sequence id for a
+    total order, otherwise same-timestamp changes produce zero-width
+    intervals in log order (the conventional CDC semantics).
+    """
+    from pyspark.sql import Window as W
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(*key_cols).orderBy(*order)
+    eff_from = F.unix_micros(F.col(ts_col))
+    eff_to = F.lead(eff_from).over(w)
+    return (df.withColumn("eff_from_us", eff_from)
+            .withColumn("eff_to_us", eff_to)
+            .withColumn("is_current", eff_to.isNull())
+            .drop(ts_col))

@@ -4873,3 +4873,26 @@ def common_paths_q(spark, sf_dir):
             .filter(F.col("__ok"))
             .groupBy("path").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("path")).limit(10))
+
+
+@query("scd2_intervals", """
+    SELECT event_id, user_id, value,
+           epoch_us(ts) AS eff_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+               AS eff_to_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM events
+""")
+def scd2_intervals_q(spark, sf_dir):
+    """Type-2 SCD historization (operators/upsert.py scd2_intervals):
+    the per-user value change log becomes validity intervals closed by
+    the next change, open for the current row — one lead window
+    exchange; feeds point-in-time lookups via asof/range join."""
+    from .operators.upsert import scd2_intervals
+    _, t = _s(spark, sf_dir)
+    ev = t["events"].select("event_id", "user_id", "ts", "value")
+    return scd2_intervals(ev, ["user_id"], "ts",
+                          order_cols=["event_id"])

@@ -2088,3 +2088,25 @@ def test_key_percentiles_matches_numpy_nearest_rank(spark):
         assert got[k]["n"] == n
         for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             assert got[k][col] == vs[math.ceil(p * n) - 1], (k, col)
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    import datetime as dt
+    from bigslice_spark.operators.upsert import scd2_intervals
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1 + i % 2, t0 + dt.timedelta(hours=i), float(i))
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = scd2_intervals(df, ["user_id"], "ts",
+                         order_cols=["event_id"]).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["eff_from_us"])
+        # consecutive intervals chain exactly; only the last is open
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["eff_to_us"] == b["eff_from_us"]
+            assert not a["is_current"]
+        assert ivs[-1]["is_current"] and ivs[-1]["eff_to_us"] is None
