@@ -41,3 +41,28 @@ def data_checks(df: DataFrame,
         F.col("__n").alias("n_rows"))
         .select("check", F.col("n_violations").cast("long"),
                 F.col("n_rows").cast("long")))
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct) per profiled column — the
+    describe()-style observability report as data. Exact distincts
+    (one Expand pass fans the multi-distinct aggregation; at 100 TB
+    swap in approx_count_distinct per column if ±2% suffices — exact
+    is the default because the result feeds data_checks-style gates).
+    All counts integer, so cross-engine comparison is trivial."""
+    if not cols:
+        raise ValueError("no columns given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"__nulls_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{c}', __nulls_{c}, __nd_{c}" for c in cols)
+    return (wide.select(
+        F.expr(f"stack({len(cols)}, {stack}) "
+               f"AS (column, n_nulls, n_distinct)"),
+        F.col("__n").alias("n_rows"))
+        .select("column", F.col("n_rows").cast("long"),
+                F.col("n_nulls").cast("long"),
+                F.col("n_distinct").cast("long")))

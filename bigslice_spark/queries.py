@@ -4896,3 +4896,85 @@ def scd2_intervals_q(spark, sf_dir):
     ev = t["events"].select("event_id", "user_id", "ts", "value")
     return scd2_intervals(ev, ["user_id"], "ts",
                           order_cols=["event_id"])
+
+
+@query("moments_agg", f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             {_dsum_sql('value', 6)} AS s1,
+             {_dsum_sql('value * value', 6)} AS s2,
+             {_dsum_sql('value * value * value', 6)} AS s3,
+             {_dsum_sql('value * value * value * value', 6)} AS s4
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, n, s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+               + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s)
+    SELECT event_type, n, mean,
+           m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS kurtosis
+    FROM m
+""")
+def moments_agg_q(spark, sf_dir):
+    """Exact higher moments per event type: population skewness and
+    excess kurtosis derived from decimal-exact power sums (v, v2, v3,
+    v4) in ONE partial-agg'd pass — identical doubles cross-engine
+    because every downstream op is a pinned-order double expression.
+    Complements agg_stats' mean/stddev."""
+    _, t = _s(spark, sf_dir)
+    v = F.col("value")
+    n = F.count(F.lit(1)).cast("long")
+    s1 = dsum(v, 6)
+    s2 = dsum(v * v, 6)
+    s3 = dsum(v * v * v, 6)
+    s4 = dsum(v * v * v * v, 6)
+    base = t["events"].groupBy("event_type").agg(
+        n.alias("n"), s1.alias("s1"), s2.alias("s2"),
+        s3.alias("s3"), s4.alias("s4"))
+    nn = F.col("n")
+    mean = F.col("s1") / nn
+    m2 = F.col("s2") / nn - mean * mean
+    m3 = (F.col("s3") / nn - F.lit(3.0) * mean * (F.col("s2") / nn)
+          + F.lit(2.0) * mean * mean * mean)
+    m4 = (F.col("s4") / nn - F.lit(4.0) * mean * (F.col("s3") / nn)
+          + F.lit(6.0) * mean * mean * (F.col("s2") / nn)
+          - F.lit(3.0) * mean * mean * mean * mean)
+    return base.select(
+        "event_type", "n", mean.alias("mean"),
+        (m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)))
+        .alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis"))
+
+
+@query("table_profile", """
+    WITH w AS (
+      SELECT count(*) AS n,
+             count(*) FILTER (WHERE event_type IS NULL) AS nu_et,
+             count(DISTINCT event_type) AS nd_et,
+             count(*) FILTER (WHERE user_id IS NULL) AS nu_u,
+             count(DISTINCT user_id) AS nd_u,
+             count(*) FILTER (WHERE props IS NULL) AS nu_p,
+             count(DISTINCT props) AS nd_p
+      FROM events)
+    SELECT 'event_type' AS column, CAST(n AS BIGINT) AS n_rows,
+           CAST(nu_et AS BIGINT) AS n_nulls,
+           CAST(nd_et AS BIGINT) AS n_distinct FROM w
+    UNION ALL SELECT 'user_id', CAST(n AS BIGINT),
+                     CAST(nu_u AS BIGINT), CAST(nd_u AS BIGINT) FROM w
+    UNION ALL SELECT 'props', CAST(n AS BIGINT),
+                     CAST(nu_p AS BIGINT), CAST(nd_p AS BIGINT) FROM w
+""")
+def table_profile_q(spark, sf_dir):
+    """Column observability profile (operators/checks.py
+    table_profile): rows/nulls/exact-distincts for three events
+    columns in one multi-distinct aggregation."""
+    from .operators.checks import table_profile
+    _, t = _s(spark, sf_dir)
+    return table_profile(t["events"],
+                         ["event_type", "user_id", "props"])

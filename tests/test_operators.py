@@ -2110,3 +2110,13 @@ def test_scd2_intervals_tile_the_timeline(spark):
             assert a["eff_to_us"] == b["eff_from_us"]
             assert not a["is_current"]
         assert ivs[-1]["is_current"] and ivs[-1]["eff_to_us"] is None
+
+
+def test_table_profile_counts(spark):
+    from bigslice_spark.operators.checks import table_profile
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, s string")
+    got = {r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for r in table_profile(df, ["k", "s"]).collect()}
+    assert got == {"k": (4, 1, 3), "s": (4, 1, 2)}
