@@ -62,6 +62,13 @@ BATTERY = [
     # be partition- and transport-invariant
     "sample_per_key", "time_rollup", "ts_anomaly", "kmeans_train",
     "semantic_dedup", "bpe_merges", "bpe_token_counts",
+    # the analytics/observability wave: every entry is one-or-two
+    # exchange expression-level code whose values must not depend on
+    # layout or transport
+    "gopher_rules", "date_spine_gapfill", "data_checks",
+    "range_sorted_layout", "mixture_sample", "retention_cohorts",
+    "ts_pattern_search", "key_percentiles", "common_paths",
+    "scd2_intervals", "moments_agg", "table_profile",
 ]
 
 

@@ -26,7 +26,7 @@ def _run(master: str, arrow: str, sf_dir: str) -> dict:
     env = dict(os.environ)
     out = subprocess.run(
         [sys.executable, RUNNER, master, arrow, sf_dir],
-        capture_output=True, text=True, timeout=900, env=env)
+        capture_output=True, text=True, timeout=1500, env=env)
     assert out.returncode == 0, out.stderr[-3000:]
     line = [ln for ln in out.stdout.splitlines()
             if ln.startswith("DUALCFG:")]
