@@ -4978,3 +4978,37 @@ def table_profile_q(spark, sf_dir):
     _, t = _s(spark, sf_dir)
     return table_profile(t["events"],
                          ["event_type", "user_id", "props"])
+
+
+@query("multimodal_frames", """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS L,
+             greatest(1, length(text) // 64) AS n
+      FROM documents),
+    idx AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(n - 1 AS BIGINT), 3)) AS i
+      FROM base),
+    fr AS (
+      SELECT b.doc_id AS id, CAST(i AS INT) AS frame_idx,
+             substr(b.text, CAST(i * 64 + 1 AS INT), 64) AS f
+      FROM idx JOIN base b USING (doc_id))
+    SELECT id, frame_idx, CAST(length(f) AS BIGINT) AS n_bytes,
+           md5(f) AS frame_md5
+    FROM fr WHERE length(f) > 0
+""")
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing (operators/multimodal.py frame_sample):
+    every 3rd 64-byte 'frame' of each packed payload through the
+    Arrow mapInPandas path — decode is honestly stubbed (media libs
+    absent), but batching, schema, and slicing are real; the oracle
+    replays the byte math and content md5 over the ascii payload."""
+    from .operators.multimodal import frame_sample, pack_media
+    _, t = _s(spark, sf_dir)
+    m = pack_media(t["documents"].withColumn(
+        "bin", F.encode("text", "utf-8")), "bin", "doc_id")
+    fr = frame_sample(m, every_n=3)
+    return (fr.select("id", "frame_idx",
+                      F.length("frame").cast("long").alias("n_bytes"),
+                      F.md5("frame").alias("frame_md5"))
+            .filter(F.col("n_bytes") > 0))
