@@ -24,15 +24,18 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      rewritten upsert core; random_projection gained the ragged
 #      guard) — a changed entry must re-prove, stale-but-unchanged can
 #      wait one more round;
-#   3. ALL 38 entries whose latest driver artifact is r2 — the stalest
+#   3. the 38 entries whose latest driver artifact is r2 — the stalest
 #      unchanged signal in the registry (op_* core family, set ops /
 #      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
 #      aggregates);
-#   4. with 13 new + 5 changed entries the 50-slot window fits 32 of
-#      the 38 r2-stale entries; grouping_sets / pivot_status /
-#      percentile_quantity / approx_distinct / distinct_pairs /
-#      agg_stats (simplest, unchanged) plus the r3 tail
-#      (ngram_jaccard/dedup_against first) queue for the r6 window.
+#   4. ACCOUNTING (late round 5): _R5_NEW grew to 33 with the
+#      session's additions, so 33 new + 5 changed fill 38 slots and
+#      only the FIRST 12 r2-stale entries (op_const … op_reduce) make
+#      the 50-slot window; the remaining 26 r2-stale plus the r3 tail
+#      queue for round 6 — zero-driver-signal entries outrank
+#      stale-but-once-green ones, and every queued entry was re-proven
+#      by this session's full driver-sim (0 failures) as a soft
+#      signal in the meantime.
 _R5_NEW = (
     # late round-5 additions (newest first — zero prior signal)
     "sample_per_key", "time_rollup", "ts_anomaly", "kmeans_train",

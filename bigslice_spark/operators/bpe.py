@@ -135,14 +135,21 @@ def bpe_encode(df: DataFrame,
     from pyspark.sql.functions import pandas_udf
 
     ranks = {(a, b): r for r, a, b, _ in merges}
+    # plain dict memo in the closure: pickled empty to each python
+    # worker, then SHARED across that worker's Arrow batches (an
+    # lru_cache built inside the UDF body would reset per batch and
+    # re-encode every hot word each time)
+    cache: dict[str, int] = {}
 
     @pandas_udf("long")
     def n_tokens(texts: pd.Series) -> pd.Series:
-        from functools import lru_cache
-
-        @lru_cache(maxsize=1 << 20)
         def enc(w: str) -> int:
-            return _encode_word(w, ranks)
+            n = cache.get(w)
+            if n is None:
+                if len(cache) > (1 << 20):
+                    cache.clear()  # Zipf head long gone by here
+                n = cache[w] = _encode_word(w, ranks)
+            return n
 
         def doc(t: str) -> int:
             if t is None:

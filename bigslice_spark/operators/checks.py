@@ -22,25 +22,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _stacked(wide: DataFrame, labels: list[str], per_label_cols: int,
+             out_cols: list[str]) -> DataFrame:
+    """stack() the positional __c{i}_{j} columns of a 1-row frame into
+    one row per label. Labels ride as escaped string LITERALS and the
+    value columns are positional, so arbitrary user-supplied names
+    (dashes, spaces, quotes) never reach an identifier position."""
+    cells = []
+    for i, label in enumerate(labels):
+        lit = "'" + label.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        cells.append(", ".join(
+            [lit] + [f"__c{i}_{j}" for j in range(per_label_cols)]))
+    return wide.select(
+        F.expr(f"stack({len(labels)}, {', '.join(cells)}) "
+               f"AS ({', '.join(out_cols)})"),
+        F.col("__n"))
+
+
 def data_checks(df: DataFrame,
                 checks: dict[str, Column]) -> DataFrame:
     """(check, n_violations, n_rows) per named expectation, computed
     in a single scan + single 1-row aggregation. Output is
-    driver-tiny (one row per check) by construction."""
+    driver-tiny (one row per check) by construction. Check names are
+    arbitrary strings (carried as literals, never identifiers)."""
     if not checks:
         raise ValueError("no checks given")
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, cond in checks.items():
+    for i, cond in enumerate(checks.values()):
         aggs.append(F.sum(F.when(cond, 0).otherwise(1))
-                    .alias(f"__v_{name}"))
+                    .alias(f"__c{i}_0"))
     wide = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{name}', __v_{name}" for name in checks)
-    return (wide.select(
-        F.expr(f"stack({len(checks)}, {stack}) AS (check, n_violations)"),
-        F.col("__n").alias("n_rows"))
-        .select("check", F.col("n_violations").cast("long"),
-                F.col("n_rows").cast("long")))
+    return (_stacked(wide, list(checks), 1, ["check", "n_violations"])
+            .select("check",
+                    F.col("n_violations").cast("long"),
+                    F.col("__n").cast("long").alias("n_rows")))
 
 
 def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -53,16 +68,14 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     if not cols:
         raise ValueError("no columns given")
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-                    .alias(f"__nulls_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+                    .alias(f"__c{i}_0"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__c{i}_1"))
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{c}', __nulls_{c}, __nd_{c}" for c in cols)
-    return (wide.select(
-        F.expr(f"stack({len(cols)}, {stack}) "
-               f"AS (column, n_nulls, n_distinct)"),
-        F.col("__n").alias("n_rows"))
-        .select("column", F.col("n_rows").cast("long"),
-                F.col("n_nulls").cast("long"),
-                F.col("n_distinct").cast("long")))
+    return (_stacked(wide, cols, 2,
+                     ["column", "n_nulls", "n_distinct"])
+            .select("column",
+                    F.col("__n").cast("long").alias("n_rows"),
+                    F.col("n_nulls").cast("long"),
+                    F.col("n_distinct").cast("long")))

@@ -132,28 +132,45 @@ def kmeans_update(df: DataFrame, centroids: list[list[float]],
 
 def kmeans_means(df: DataFrame, centroids: list[list[float]],
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 scale: int = 12) -> DataFrame:
+                 scale: int = 12, method: str = "auto") -> DataFrame:
     """Full-width Lloyd update: (cell, n, m0..m{dim-1}) per non-empty
     cell, means decimal-exact (order-independent, engine-bitwise).
-    One scan + one k-row aggregation — the per-iteration cost of
-    distributed k-means at any corpus size."""
-    dim = len(centroids[0])
-    v = df.select(F.transform(F.col(vec_col),
-                              lambda x: x.cast("double")).alias("__v__"))
-    arg = _argmin_expr(centroids)
-    assigned = v.select(arg["cell"].cast("int").alias("cell"), "__v__")
+
+    Small k·dim: inline codegen assignment fused into the scan — one
+    exchange total. Past the codegen limit (``auto`` switches like
+    kmeans_assign): assignment via the broadcast-join path, joined
+    back on ``id_col`` before the per-cell aggregation — one more
+    exchange, no interpreted-eval cliff, same bits either way."""
+    k, dim = len(centroids), len(centroids[0])
+    if method == "auto":
+        method = "unrolled" if k * dim <= _CODEGEN_TERM_LIMIT else "join"
     aggs = [F.count(F.lit(1)).alias("n")]
     for m in range(dim):
         aggs.append(
             (F.sum(F.col("__v__")[m].cast(f"decimal(38,{scale})"))
              .cast("double") / F.count(F.lit(1))).alias(f"m{m}"))
-    return assigned.groupBy("cell").agg(*aggs)
+    if method == "unrolled":
+        v = df.select(F.transform(F.col(vec_col),
+                                  lambda x: x.cast("double"))
+                      .alias("__v__"))
+        arg = _argmin_expr(centroids)
+        assigned = v.select(arg["cell"].cast("int").alias("cell"),
+                            "__v__")
+        return assigned.groupBy("cell").agg(*aggs)
+    cells = kmeans_assign(df, centroids, vec_col, id_col,
+                          method=method).select(id_col, "cell")
+    vecs = df.select(F.col(id_col),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double"))
+                     .alias("__v__"))
+    return vecs.join(cells, on=id_col).groupBy("cell").agg(*aggs)
 
 
 def kmeans_train(df: DataFrame, k: int = 8, dim: int = 64,
                  iters: int = 5, vec_col: str = "embedding",
                  id_col: str = "vec_id", seed: int = 7,
-                 scale: int = 12) -> list[list[float]]:
+                 scale: int = 12,
+                 method: str = "auto") -> list[list[float]]:
     """Iterative Lloyd k-means with deterministic everything: seeded
     data-independent init, exact-decimal means, (d, cell) tie-break —
     the same run on any engine/partitioning yields bitwise-identical
@@ -169,7 +186,7 @@ def kmeans_train(df: DataFrame, k: int = 8, dim: int = 64,
     for _ in range(iters):
         rows = {r["cell"]: r
                 for r in kmeans_means(df, cents, vec_col, id_col,
-                                      scale).collect()}
+                                      scale, method=method).collect()}
         cents = [[rows[c][f"m{j}"] for j in range(dim)]
                  if c in rows else cents[c] for c in range(k)]
     return cents

@@ -738,6 +738,10 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
         v = v.select(F.col(id_col).alias("id"),
                      arg["cell"].cast("int").alias("cell"), "__v__")
     v = v.withColumn("n", F.sqrt(_dot_wide("__v__", "__v__", dim)))
+    # the assignment subtree feeds BOTH the candidate self-join and
+    # the survivor anti-join — cut it once so the corpus-scale scan +
+    # argmin doesn't run twice (the ngram_jaccard shared-index rule)
+    v = materialize(v)
     cand = (_bucketed_self_join(
                 v.filter(F.col("n") > 0).toDF("id", "cell", "v", "n"),
                 ["cell"], chunk_target=chunk_target)

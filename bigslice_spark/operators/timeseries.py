@@ -56,9 +56,12 @@ def time_rollup(df: DataFrame, ts_col: str = "ts",
                 scale: int = 4) -> DataFrame:
     """Hierarchical time-bucket rollup (the hypertable/continuous-
     aggregate shape): one pass producing hour, day, and week grains
-    plus the grand total from a single ROLLUP aggregation — the NULL
-    pattern of (week_us, day_us, hour_us) identifies the grain, no
-    grouping-id convention needed cross-engine.
+    plus the grand total from a single ROLLUP aggregation. ``gid``
+    (grouping_id — 0 detail, 1 day-grain, 3 week-grain, 7 total;
+    Spark and DuckDB share the first-column-is-MSB convention)
+    identifies the grain EXPLICITLY: a NULL ``ts_col`` produces
+    all-NULL buckets whose detail rows would otherwise be
+    indistinguishable from the subtotal rows.
 
     Scale shape: one fused rollup aggregation (the Expand multiplies
     rows 4x before the partial agg, but partials collapse to |buckets|
@@ -79,7 +82,8 @@ def time_rollup(df: DataFrame, ts_col: str = "ts",
                       hr.alias("hour_us"), v.alias("__v"),
                       F.col(user_col).alias("__u"))
             .rollup("week_us", "day_us", "hour_us")
-            .agg(F.count(F.lit(1)).alias("n_events"),
+            .agg(F.grouping_id().cast("int").alias("gid"),
+                 F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.col("__v").cast(f"decimal(38,{scale})"))
                  .cast("double").alias("sum_value"),
                  F.countDistinct("__u").alias("n_users")))
@@ -142,19 +146,20 @@ def retention_cohorts(df: DataFrame, user_col: str = "user_id",
     self-derived first-week join rides the same user partitioning,
     then a count-distinct per cell over user-week rows (bounded by
     users × active weeks, far below event count). Weeks surface as
-    unix-microsecond BIGINTs (ISO Monday truncation, engine-neutral).
+    DATEs and weeks_since comes from calendar datediff/7 — exact in
+    ANY session timezone (an epoch-micros subtraction would mis-bin
+    the week that straddles a DST shift).
     """
     uw = (df.select(F.col(user_col).alias("u"),
-                    F.unix_micros(F.date_trunc("week", F.col(ts_col)))
-                    .alias("wk"))
+                    F.date_trunc("week", F.col(ts_col))
+                    .cast("date").alias("wk"))
           .distinct())
     first = uw.groupBy("u").agg(F.min("wk").alias("cohort_wk"))
     j = uw.join(first, on="u")
-    week_us = 7 * 24 * 3600 * 1_000_000
-    # week starts are exact week_us multiples apart (UTC micros), so
-    # the double division is exact and the cast truncation safe
-    weeks_since = ((F.col("wk") - F.col("cohort_wk"))
-                   / F.lit(week_us)).cast("int")
+    # week starts are exactly 7 calendar days apart, so datediff/7 is
+    # an exact small integer
+    weeks_since = (F.datediff(F.col("wk"), F.col("cohort_wk"))
+                   / F.lit(7)).cast("int")
     return (j.groupBy(F.col("cohort_wk"),
                       weeks_since.alias("weeks_since"))
             .agg(F.countDistinct("u").alias("n_users")))

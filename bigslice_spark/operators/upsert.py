@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..checkpoint import materialize
+
 _MANIFEST = "_MANIFEST.json"
 
 
@@ -89,19 +91,24 @@ def _write_text(spark: SparkSession, dir_path: str, name: str,
 
 
 def _read_text(spark: SparkSession, file_path: str) -> str | None:
+    """Read a small metadata file through the Hadoop FS API. Plain
+    java.io line reader — no commons-io dependency, and deliberately
+    NOT spark.read.text: Spark's file index hides underscore-prefixed
+    paths, so it can never see `_MANIFEST.json`."""
     jvm, fs, jp = _jfs(spark, file_path)
     if not fs.exists(jp):
         return None
     stream = fs.open(jp)
     try:
-        try:
-            return jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8")
-        except Exception:
-            # commons-io not on the classpath: fall back to a tiny
-            # Spark text read (manifests are single-line JSON).
-            return "\n".join(
-                r.value for r in spark.read.text(file_path).collect())
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return "\n".join(lines)
     finally:
         stream.close()
 
@@ -306,6 +313,12 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
                 f"table's layout {existing_pb}")
         partition_by = existing_pb
 
+    # the batch plan is consumed up to three times (touched-partition
+    # collect, the anti-join key set, the written union) — cut its
+    # lineage ONCE so an expensive derived batch isn't recomputed per
+    # consumer (checkpoint.materialize policy; no-op cost for a plain
+    # scan, one pass saved for a pipeline)
+    updates = materialize(updates)
     ins = _live_rows(updates, deleted_col)
 
     # -------- unpartitioned: full-snapshot rewrite (documented) ---

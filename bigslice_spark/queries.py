@@ -4345,6 +4345,7 @@ def sample_per_key_q(spark, sf_dir):
     SELECT epoch_us(date_trunc('week', ts)) AS week_us,
            epoch_us(date_trunc('day', ts)) AS day_us,
            epoch_us(date_trunc('hour', ts)) AS hour_us,
+           CAST(GROUPING(week_us, day_us, hour_us) AS INT) AS gid,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,4)))
                 AS DOUBLE) AS sum_value,
@@ -4763,11 +4764,11 @@ def mixture_sample_q(spark, sf_dir):
 @query("retention_cohorts", """
     WITH uw AS (
       SELECT DISTINCT user_id AS u,
-             epoch_us(date_trunc('week', ts)) AS wk
+             CAST(date_trunc('week', ts) AS DATE) AS wk
       FROM events),
     first AS (SELECT u, min(wk) AS cohort_wk FROM uw GROUP BY u)
     SELECT cohort_wk,
-           CAST((wk - cohort_wk) // 604800000000 AS INT)
+           CAST(date_diff('day', cohort_wk, wk) // 7 AS INT)
                AS weeks_since,
            CAST(count(DISTINCT u) AS BIGINT) AS n_users
     FROM uw JOIN first USING (u)

@@ -2120,3 +2120,13 @@ def test_table_profile_counts(spark):
     got = {r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
            for r in table_profile(df, ["k", "s"]).collect()}
     assert got == {"k": (4, 1, 3), "s": (4, 1, 2)}
+
+
+def test_data_checks_arbitrary_names(spark):
+    from bigslice_spark.operators.checks import data_checks
+    df = spark.createDataFrame([(1,)], "k long")
+    got = {r["check"]: r["n_violations"] for r in data_checks(df, {
+        "qty-range": F.col("k") > 0,
+        "has 'quote' and space": F.col("k") < 0,
+    }).collect()}
+    assert got == {"qty-range": 0, "has 'quote' and space": 1}
