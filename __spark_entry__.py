@@ -42,6 +42,7 @@ _R5_NEW = (
     "semantic_dedup", "bpe_merges", "bpe_token_counts", "gopher_rules",
     "date_spine_gapfill", "data_checks", "range_sorted_layout", "mixture_sample", "retention_cohorts", "ts_pattern_search", "key_percentiles",
     "common_paths", "scd2_intervals", "moments_agg", "table_profile", "multimodal_frames",
+    "stream_dedup_against",
     "upsert_partitioned", "compact_partitioned", "stream_join_outer",
     "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
     "ewma_value", "ngram_containment", "equidepth_histogram", "event_gaps",

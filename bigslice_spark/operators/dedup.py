@@ -590,18 +590,25 @@ def minhash_pairs_against(new_df: DataFrame, corpus_df: DataFrame,
                           threshold: float = 0.8,
                           reliable: bool | None = None,
                           portable: bool = False,
-                          chunk_target: int = 2048) -> DataFrame:
+                          chunk_target: int = 2048,
+                          corpus_sig: DataFrame | None = None
+                          ) -> DataFrame:
     """(new_id, corpus_id, sim): near-duplicate matches of NEW documents
     against an EXISTING corpus — the asymmetric LSH join. Same narrow
     band relation and signature-verify as minhash_lsh_pairs, but
     corpus×corpus pairs are never generated: each side bands
     independently and only cross-side candidates survive, so the cost
     is driven by the (small) new batch, not the corpus' own near-dup
-    structure."""
+    structure.
+
+    Repeated admission runs (a streaming ingest, a nightly batch
+    series) should precompute ``corpus_sig = materialize(
+    minhash_signatures(corpus, ...))`` once and pass it in — otherwise
+    every call re-indexes the full corpus."""
     sig_n = materialize(
         minhash_signatures(new_df, text_col, id_col, num_hashes,
                            shingle_w, portable), reliable)
-    sig_c = materialize(
+    sig_c = corpus_sig if corpus_sig is not None else materialize(
         minhash_signatures(corpus_df, text_col, id_col, num_hashes,
                            shingle_w, portable), reliable)
     rpb = num_hashes // bands

@@ -5013,3 +5013,40 @@ def multimodal_frames(spark, sf_dir):
                       F.length("frame").cast("long").alias("n_bytes"),
                       F.md5("frame").alias("frame_md5"))
             .filter(F.col("n_bytes") > 0))
+
+
+def _stream_admit_oracle(threshold: float = 0.7) -> str:
+    """Batch replay of the streaming admission gate: chopping the
+    stream into micro-batches cannot change the result because every
+    batch is checked against the STATIC corpus only."""
+    return f"""
+    WITH {_minhash_pairs_ctes(
+        'documents', threshold=threshold,
+        pair_pred='a.doc_id % 11 = 0 AND b.doc_id % 11 <> 0',
+        a_name='new_id', b_name='corpus_id')}
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 11 = 0
+      AND doc_id NOT IN (SELECT new_id FROM mh_pairs)
+    """
+
+
+@query("stream_dedup_against", _stream_admit_oracle())
+def stream_dedup_against_q(spark, sf_dir):
+    """Streaming near-dup admission (streaming/stream_dedup_against):
+    incoming documents (doc_id % 11 = 0) stream through foreachBatch
+    and are LSH-checked against the static accepted corpus — the
+    corpus signature index is built once and reused per micro-batch.
+    Batch-mode equivalence is the oracle (admission depends only on
+    the static corpus, not the batching)."""
+    import tempfile
+
+    from .streaming import stream_dedup_against, stream_documents
+    _, t = _s(spark, sf_dir)
+    new = (stream_documents(spark, sf_dir)
+           .filter(F.col("doc_id") % 11 == 0))
+    corpus = t["documents"].filter(F.col("doc_id") % 11 != 0)
+    base = tempfile.mkdtemp(prefix="bss_admit_")
+    out = stream_dedup_against(new, corpus, base + "/out",
+                               base + "/ckpt", threshold=0.7,
+                               portable=True)
+    return out.select("doc_id", "lang", "n_chars")

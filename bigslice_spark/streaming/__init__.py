@@ -270,3 +270,65 @@ def stream_upsert(df: DataFrame, path: str, key_cols: list[str],
     finally:
         q.stop()
     return read_latest(df.sparkSession, path)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (schema pinned — a file
+    stream cannot infer)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    # FileStreamSource requires a DIRECTORY; documents.parquet is a
+    # plain file, so stream the parent dir with a glob filter (the
+    # stream_events pattern)
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
+def stream_dedup_against(docs: DataFrame, corpus: DataFrame,
+                         path: str, checkpoint: str,
+                         name: str = "bs_stream_admit",
+                         **kw) -> DataFrame:
+    """Streaming near-dup ADMISSION: each micro-batch of incoming
+    documents is LSH-checked against the static accepted corpus
+    (operators/dedup.minhash_dedup_against) and only documents with no
+    near-duplicate are appended to ``path`` — the continual-ingestion
+    gate in streaming form.
+
+    The corpus signature index is computed ONCE here and reused by
+    every micro-batch (foreachBatch closes over the materialized
+    relation); per-batch cost is the batch's own signatures plus the
+    banded cross-join against the index. Batches are checked against
+    the CORPUS only, not against each other, so the final admitted set
+    equals the batch-mode result regardless of how the stream was
+    chopped (the oracle's replay) — add a stream_upsert stage after
+    admission when intra-stream dedup is also wanted. Runs to
+    completion over the finite source, then returns the admitted
+    documents."""
+    from ..checkpoint import materialize
+    from ..operators.dedup import (minhash_dedup_against,
+                                   minhash_signatures)
+    sig_kw = {k: kw[k] for k in
+              ("num_hashes", "shingle_w", "portable") if k in kw}
+    corpus_sig = materialize(minhash_signatures(corpus, **sig_kw))
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = minhash_dedup_against(batch_df, corpus,
+                                     corpus_sig=corpus_sig, **kw)
+        kept.write.mode("append").parquet(path)
+
+    q = (docs.writeStream.foreachBatch(admit)
+         .option("checkpointLocation", checkpoint)
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return docs.sparkSession.read.parquet(path)
