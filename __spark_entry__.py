@@ -28,10 +28,10 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      unchanged signal in the registry (op_* core family, set ops /
 #      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
 #      aggregates);
-#   4. ACCOUNTING (late round 5): _R5_NEW grew to 33 with the
-#      session's additions, so 33 new + 5 changed fill 38 slots and
-#      only the FIRST 12 r2-stale entries (op_const … op_reduce) make
-#      the 50-slot window; the remaining 26 r2-stale plus the r3 tail
+#   4. ACCOUNTING (late round 5): _R5_NEW grew to 34 with the
+#      session's additions, so 34 new + 5 changed fill 39 slots and
+#      only the FIRST 11 r2-stale entries (op_const … op_fold_stream)
+#      make the 50-slot window; the remaining 27 r2-stale + the r3 tail
 #      queue for round 6 — zero-driver-signal entries outrank
 #      stale-but-once-green ones, and every queued entry was re-proven
 #      by this session's full driver-sim (0 failures) as a soft
