@@ -28,10 +28,10 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      unchanged signal in the registry (op_* core family, set ops /
 #      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
 #      aggregates);
-#   4. ACCOUNTING (late round 5): _R5_NEW grew to 34 with the
-#      session's additions, so 34 new + 5 changed fill 39 slots and
-#      only the FIRST 11 r2-stale entries (op_const … op_fold_stream)
-#      make the 50-slot window; the remaining 27 r2-stale + the r3 tail
+#   4. ACCOUNTING (late round 5): _R5_NEW grew to 35 with the
+#      session's additions, so 35 new + 5 changed fill 40 slots and
+#      only the FIRST 10 r2-stale entries (op_const … op_fold_custom)
+#      make the 50-slot window; the remaining 28 r2-stale + the r3 tail
 #      queue for round 6 — zero-driver-signal entries outrank
 #      stale-but-once-green ones, and every queued entry was re-proven
 #      by this session's full driver-sim (0 failures) as a soft
@@ -42,7 +42,7 @@ _R5_NEW = (
     "semantic_dedup", "bpe_merges", "bpe_token_counts", "gopher_rules",
     "date_spine_gapfill", "data_checks", "range_sorted_layout", "mixture_sample", "retention_cohorts", "ts_pattern_search", "key_percentiles",
     "common_paths", "scd2_intervals", "moments_agg", "table_profile", "multimodal_frames",
-    "stream_dedup_against",
+    "stream_dedup_against", "k_core",
     "upsert_partitioned", "compact_partitioned", "stream_join_outer",
     "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
     "ewma_value", "ngram_containment", "equidepth_histogram", "event_gaps",

@@ -219,3 +219,43 @@ def triangle_count(edges: DataFrame, src: str = "src",
     closed = wedge.join(
         e.select(F.col("a"), F.col("b").alias("c")), on=["a", "c"])
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(edges: DataFrame, k: int = 2, src: str = "src",
+           dst: str = "dst", iters: int = 4,
+           reliable: bool | None = None) -> DataFrame:
+    """k-core peeling → (node, degree) of nodes surviving ``iters``
+    rounds of "remove every node with degree < k" over the symmetric
+    simple graph (self-edges dropped; parallel edges collapse). The
+    classic graph-quality filter (link-spam cores, dense community
+    seeds) beside CC/LPA/pagerank/triangles.
+
+    Synchronous and deterministic: each round computes exact degrees
+    (one count aggregation over the edge list), keeps nodes ≥ k, and
+    filters both edge endpoints (two semi-joins riding the same node
+    partitioning) — so a fixed ``iters`` replays identically in SQL
+    (the unrolled-CTE pattern). A bound, not a convergence test, is
+    the contract (the LPA rule); on testdata the peel reaches its
+    fixpoint in 2-3 rounds and the property test asserts
+    iters/iters+1 agreement. Lineage truncated per round via
+    checkpoint.materialize; per-round cost is O(edges) rows.
+    """
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    ne = e.filter(F.col("u") != F.col("v"))
+    sym = (ne.union(ne.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))))
+    cur = materialize(sym.distinct(), reliable)
+    deg = None
+    for _ in range(iters):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        alive = deg.filter(F.col("degree") >= k).select("u")
+        cur = materialize(
+            cur.join(alive, on="u", how="left_semi")
+               .join(alive.select(F.col("u").alias("v")),
+                     on="v", how="left_semi"),
+            reliable)
+    # final degrees over the surviving subgraph
+    return (cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+            .filter(F.col("degree") >= k)
+            .select(F.col("u").alias("node"), "degree"))

@@ -2130,3 +2130,23 @@ def test_data_checks_arbitrary_names(spark):
         "has 'quote' and space": F.col("k") < 0,
     }).collect()}
     assert got == {"qty-range": 0, "has 'quote' and space": 1}
+
+
+def test_k_core_peels_chain_keeps_clique(spark):
+    from bigslice_spark.operators.graph import k_core
+    # 4-clique (1-4) + a pendant chain 4-5-6-7: the 2-core is exactly
+    # the clique, and the chain needs MULTIPLE rounds to peel (7 goes,
+    # then 6, then 5)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"]
+           for r in k_core(df, k=2, iters=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # one round is NOT enough — the chain peels one link per round
+    partial = {r["node"] for r in k_core(df, k=2, iters=1).collect()}
+    assert 5 in partial or 6 in partial
+    # fixpoint: an extra round changes nothing
+    again = {r["node"]: r["degree"]
+             for r in k_core(df, k=2, iters=4).collect()}
+    assert again == got
