@@ -458,3 +458,57 @@ def test_semantic_dedup_matches_brute_force(spark, vecs, tau):
         and (sum(a * b for a, b in zip(vi, vj))
              / (norms[i] * norms[j])) >= tau}
     assert got == {i for i, _ in rows if i not in dropped}
+
+
+EDGES = st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                 min_size=1, max_size=40)
+
+
+@PROP
+@given(edges=EDGES, k=st.integers(min_value=1, max_value=4),
+       iters=st.integers(min_value=1, max_value=4))
+def test_k_core_matches_python_peel(spark, edges, k, iters):
+    """The distributed peel equals a literal python replay of the same
+    synchronous rounds (degrees over the simple symmetric graph)."""
+    from bigslice_spark.operators.graph import k_core
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"]
+           for r in k_core(df, k=k, iters=iters).collect()}
+    sym = {(u, v) for u, v in edges if u != v}
+    sym |= {(v, u) for u, v in sym}
+    for _ in range(iters):
+        deg = Counter(u for u, _ in sym)
+        alive = {u for u, d in deg.items() if d >= k}
+        sym = {(u, v) for u, v in sym if u in alive and v in alive}
+    deg = Counter(u for u, _ in sym)
+    expect = {u: d for u, d in deg.items() if d >= k}
+    assert got == expect
+
+
+@PROP
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100,
+                               allow_nan=False, width=16),
+                     min_size=4, max_size=30),
+       kk=st.integers(min_value=1, max_value=5))
+def test_ts_pattern_search_matches_python_walk(spark, vals, kk):
+    import datetime as dt
+    from bigslice_spark.operators.timeseries import ts_pattern_search
+    pattern = [1.0, 2.0, 3.0]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(minutes=i), i, v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    got = [(r["ts_us"], r["dist"]) for r in ts_pattern_search(
+        df, "user_id", "ts", "value", pattern, k=kk,
+        order_cols=["event_id"]).collect()]
+    base = int((t0 - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    cand = []
+    for i in range(2, len(vals)):
+        w = vals[i - 2:i + 1]
+        d = 0.0
+        for a, b in zip(w, pattern):
+            d = d + (a - b) * (a - b)
+        cand.append((base + i * 60_000_000, d))
+    expect = sorted(cand, key=lambda t: (t[1], 1, t[0]))[:kk]
+    assert sorted(got) == sorted(expect)
