@@ -117,3 +117,35 @@ def key_percentiles(df: DataFrame, key_col: str, val_col: str,
         aggs.append(F.max(F.when(F.col("__rn") == target,
                                  F.col("__v"))).alias(name))
     return base.groupBy(key_col).agg(*aggs)
+
+
+def winsorize(df: DataFrame, key_col: str, val_col: str,
+              id_col: str, lo: float = 0.05,
+              hi: float = 0.95) -> DataFrame:
+    """Per-key winsorization: clamp each value into its own key's
+    exact [p_lo, p_hi] band (nearest-rank percentiles, as
+    key_percentiles) — the outlier-taming step before averaging noisy
+    per-user metrics or training on bounded features.
+
+    Zero extra shuffles beyond the one rank window: the band edges are
+    whole-partition window aggregates over the SAME key partitioning
+    (max-over-key of the rank-picked values), and the clamp is a
+    projection.
+    """
+    from pyspark.sql import Window as W
+    w = W.partitionBy(key_col).orderBy(F.col(val_col), F.col(id_col))
+    wk = W.partitionBy(key_col)
+    v = F.col(val_col).cast("double")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wk)
+    base = df.select(F.col(key_col), F.col(id_col), v.alias("__v"),
+                     rn.alias("__rn"), n.alias("__n"))
+    def edge(p):
+        target = F.ceil(F.lit(float(p)) * F.col("__n").cast("double"))
+        return F.max(F.when(F.col("__rn") == target,
+                            F.col("__v"))).over(wk)
+    lo_v, hi_v = edge(lo), edge(hi)
+    return base.select(
+        key_col, id_col, F.col("__v").alias("value"),
+        F.least(F.greatest(F.col("__v"), lo_v), hi_v)
+        .alias("value_w"))

@@ -5095,3 +5095,32 @@ def k_core_q(spark, sf_dir):
          .select(F.col("l_suppkey").alias("src"),
                  (F.col("o_custkey") + 1000000).alias("dst")))
     return k_core(e, k=48, iters=2)
+
+
+@query("winsorize_values", """
+    WITH r AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(value AS DOUBLE),
+                                         event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    e AS (
+      SELECT user_id, event_id, v,
+             max(CASE WHEN rn = ceil(0.05 * n) THEN v END)
+                 OVER (PARTITION BY user_id) AS lo,
+             max(CASE WHEN rn = ceil(0.95 * n) THEN v END)
+                 OVER (PARTITION BY user_id) AS hi
+      FROM r)
+    SELECT user_id, event_id, v AS value,
+           least(greatest(v, lo), hi) AS value_w
+    FROM e
+""")
+def winsorize_values_q(spark, sf_dir):
+    """Per-user winsorization at [p05, p95] (operators/rank.py
+    winsorize): exact nearest-rank band edges computed as window
+    aggregates on the same key partitioning as the rank — one
+    exchange total, clamp is a projection."""
+    from .operators.rank import winsorize
+    _, t = _s(spark, sf_dir)
+    return winsorize(t["events"], "user_id", "value", "event_id")

@@ -571,3 +571,10 @@ def test_key_percentiles_single_exchange(spark, sf_dir):
 def test_common_paths_take_ordered(spark, sf_dir):
     txt = explain_str(QUERIES["common_paths"](spark, sf_dir))
     assert "TakeOrderedAndProject" in txt, txt[:1000]
+
+
+def test_winsorize_single_exchange(spark, sf_dir):
+    """Rank window + band-edge window aggregates share one key
+    exchange; the clamp is a projection."""
+    n = count_exchanges(QUERIES["winsorize_values"](spark, sf_dir))
+    assert n == 1, f"expected 1 shuffle, plan has {n}"
