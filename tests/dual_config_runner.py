@@ -69,6 +69,7 @@ BATTERY = [
     "range_sorted_layout", "mixture_sample", "retention_cohorts",
     "ts_pattern_search", "key_percentiles", "common_paths",
     "scd2_intervals", "moments_agg", "table_profile",
+    "k_core", "winsorize_values", "multimodal_frames",
 ]
 
 
