@@ -118,3 +118,32 @@ def configure_for_input(spark, paths: list[str]) -> int:
     n = advise_shuffle_partitions(total)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call plan audit for a query under development: the numbers
+    every 100 TB readiness review asks for, as a dict —
+
+    - n_exchanges / n_scans: shuffle and scan counts;
+    - broadcast: whether any broadcast join planned;
+    - cartesian: True is almost always a bug at scale;
+    - partial_agg: map-side combine present;
+    - codegen_fraction: share of plan nodes inside WholeStageCodegen
+      (interpreted fallbacks — e.g. an expression past the 64 KB JVM
+      method limit — drag this down);
+    - pushed_scans: (read_schema, pushed_filters) per parquet scan.
+
+    The same predicates the tests/test_plans.py gates assert, exposed
+    for interactive use; feed the dict to your own thresholds.
+    """
+    txt = explain_str(df)
+    return {
+        "n_exchanges": count_exchanges(df),
+        "n_scans": count_scans(df),
+        "broadcast": "BroadcastHashJoin" in txt
+        or "BroadcastNestedLoopJoin" in txt,
+        "cartesian": "CartesianProduct" in txt,
+        "partial_agg": "partial_" in txt or "Partial" in txt,
+        "codegen_fraction": codegen_fraction(df),
+        "pushed_scans": scans_with_pushed_filters(df),
+    }

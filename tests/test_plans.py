@@ -578,3 +578,12 @@ def test_winsorize_single_exchange(spark, sf_dir):
     exchange; the clamp is a projection."""
     n = count_exchanges(QUERIES["winsorize_values"](spark, sf_dir))
     assert n == 1, f"expected 1 shuffle, plan has {n}"
+
+
+def test_plan_report_summarizes_q3(spark, sf_dir):
+    from bigslice_spark.plans import plan_report
+    r = plan_report(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert r["broadcast"] and not r["cartesian"]
+    assert r["n_scans"] >= 3 and r["n_exchanges"] >= 1
+    assert 0.0 <= r["codegen_fraction"] <= 1.0
+    assert r["pushed_scans"]
