@@ -246,7 +246,6 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
     sym = (ne.union(ne.select(F.col("v").alias("u"),
                               F.col("u").alias("v"))))
     cur = materialize(sym.distinct(), reliable)
-    deg = None
     for _ in range(iters):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
         alive = deg.filter(F.col("degree") >= k).select("u")
