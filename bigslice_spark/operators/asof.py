@@ -21,12 +21,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               value_cols: list[str] | None = None,
               strict: bool = False,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance: float | None = None) -> DataFrame:
     """For each left row, attach the nearest right row matching on
     ``on``: direction="backward" (default) takes the latest right row
     with right_ts <= left_ts (< if strict); direction="forward" takes
     the EARLIEST right row with right_ts >= left_ts (> if strict) —
-    same union-sort-carry plan with the timestamp order flipped."""
+    same union-sort-carry plan with the timestamp order flipped.
+
+    ``tolerance`` (seconds, timestamp columns required): a match
+    farther than this from the left timestamp is rejected — values
+    come back NULL, exactly pandas merge_asof's tolerance semantics.
+    Pure post-filter on the carried row; the plan is unchanged."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, "
                          f"got {direction!r}")
@@ -60,7 +66,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     carried = u.select(
         *lcols, "__ts__", "__side__",
+        F.last(F.when(F.col("__side__") != 1, F.col("__ts__")), True)
+        .over(w).alias("__rts__"),
         *[F.last(F.when(F.col("__side__") != 1, F.col(c)), True)
           .over(w).alias(c) for c in value_cols])
-    return carried.filter(F.col("__side__") == 1) \
-        .select(*lcols, *value_cols)
+    out = carried.filter(F.col("__side__") == 1)
+    if tolerance is not None:
+        gap = F.unix_micros("__ts__") - F.unix_micros("__rts__")
+        if direction == "forward":
+            gap = -gap
+        ok = F.col("__rts__").isNotNull() \
+            & (gap <= int(tolerance * 1_000_000))
+        out = out.select(
+            *lcols, "__ts__", "__side__",
+            *[F.when(ok, F.col(c)).alias(c) for c in value_cols])
+    return out.select(*lcols, *value_cols)

@@ -761,3 +761,48 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     return (v.select("id", "cell")
             .join(dropped, on="id", how="left_anti")
             .select(F.col("id").alias(id_col), "cell"))
+
+
+def item_jaccard_pairs(rel: DataFrame, id_col: str, item_col: str,
+                       threshold: float = 0.3,
+                       max_df_ratio: float = 0.5,
+                       nids: int | None = None,
+                       reliable: bool | None = None,
+                       chunk_target: int = 2048) -> DataFrame:
+    """Generic exact set-similarity self-join over ANY (id, item)
+    relation — the ngram_jaccard machinery freed from text: entities
+    with Jaccard(items_a, items_b) ≥ threshold (users by purchased
+    parts, docs by cited ids, hosts by outlinks...).
+
+    Same scale guards as the text path: one-pass inverted index with
+    set sizes and item document-frequencies as window counts, items in
+    > max_df_ratio of ids pruned before the join (quadratic fanout, no
+    signal; Jaccard still uses UNPRUNED sizes), hot posting lists
+    salted by _bucketed_self_join. Pass ``nids=`` if the entity count
+    is known, else it is computed in-plan as a broadcast scalar.
+    """
+    pairs_in = rel.select(F.col(id_col), F.col(item_col).alias("tok")) \
+        .distinct()
+    sz = F.count(F.lit(1)).over(W.partitionBy(id_col))
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("tok"))
+    ann = pairs_in.withColumn("sz", sz).withColumn("df", dfreq)
+    if nids is not None:
+        pruned = ann.filter(F.col("df") <= int(max_df_ratio * nids))
+    else:
+        nd = pairs_in.select(
+            F.count_distinct(F.col(id_col)).alias("__nids__"))
+        pruned = (ann.join(F.broadcast(nd))
+                  .filter(F.col("df") <= F.floor(
+                      F.lit(float(max_df_ratio)) * F.col("__nids__"))))
+    cold = materialize(pruned.select(id_col, "tok", "sz"), reliable)
+    return (_bucketed_self_join(cold.toDF("id", "tok", "sz"), ["tok"],
+                                chunk_target=chunk_target)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .withColumn("jaccard",
+                        F.col("inter").cast("double")
+                        / (F.col("sz_a") + F.col("sz_b")
+                           - F.col("inter")).cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

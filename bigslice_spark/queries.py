@@ -5124,3 +5124,102 @@ def winsorize_values_q(spark, sf_dir):
     from .operators.rank import winsorize
     _, t = _s(spark, sf_dir)
     return winsorize(t["events"], "user_id", "value", "event_id")
+
+
+@query("item_jaccard", """
+    WITH rel AS (
+      SELECT DISTINCT o_custkey AS id, l_partkey AS tok
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nids AS (SELECT count(DISTINCT id) AS n FROM rel),
+    sz AS (SELECT id, count(*) AS sz FROM rel GROUP BY id),
+    dfreq AS (SELECT tok, count(*) AS df FROM rel GROUP BY tok),
+    pruned AS (
+      SELECT rel.id, rel.tok FROM rel
+      JOIN dfreq USING (tok), nids
+      WHERE df <= floor(0.5 * n)),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM pruned a JOIN pruned b
+        ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+    FROM inter JOIN sz sa ON sa.id = inter.id_a
+    JOIN sz sb ON sb.id = inter.id_b
+    WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.10
+""")
+def item_jaccard_q(spark, sf_dir):
+    """Generic set-similarity self-join (operators/dedup.py
+    item_jaccard_pairs): customers whose purchased-part sets overlap
+    at Jaccard ≥ 0.10 — the ngram_jaccard inverted-index machinery
+    over an arbitrary (id, item) relation: one-pass index with
+    window-attached sizes/frequencies, df-pruning, salted hot
+    posting lists."""
+    from .operators.dedup import item_jaccard_pairs
+    _, t = _s(spark, sf_dir)
+    rel = (t["orders"]
+           .join(t["lineitem"],
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .select(F.col("o_custkey").cast("long").alias("cust"),
+                   F.col("l_partkey").alias("part")))
+    return item_jaccard_pairs(rel, "cust", "part", threshold=0.10) \
+        .select(F.col("id_a"), F.col("id_b"), "jaccard")
+
+
+@query("event_transitions", """
+    WITH p AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (SELECT src, dst, count(*) AS n FROM p
+          WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM c
+""")
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transition matrix of event types: per-user
+    lead window (one exchange on user), pair counts, row-normalized
+    probabilities via a window sum over tiny (src, dst) aggregates —
+    the sequence-model summary beside common_paths' top-k trigrams.
+    Exact integer counts; one division per cell."""
+    from pyspark.sql import Window as W
+    _, t = _s(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = t["events"].select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"))
+    c = (p.filter(F.col("dst").isNotNull())
+         .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n").over(W.partitionBy("src"))
+    return c.select("src", "dst", "n",
+                    (F.col("n") / tot.cast("double")).alias("p"))
+
+
+@query("asof_tolerance", """
+    SELECT p.event_id AS event_id,
+           CASE WHEN v.ts IS NOT NULL
+                     AND epoch_us(p.ts) - epoch_us(v.ts) <= 14400000000
+                THEN epoch_us(v.ts) END AS view_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts > v.ts
+""")
+def asof_tolerance_q(spark, sf_dir):
+    """As-of join with a 4-hour tolerance (operators/asof.py
+    tolerance=): a carried match farther back than the tolerance is
+    rejected to NULL — pandas merge_asof semantics, implemented as a
+    pure post-filter on the same one-exchange union-sort-carry plan."""
+    from .operators.asof import asof_join
+    _, t = _s(spark, sf_dir)
+    ev = t["events"]
+    p = ev.filter(F.col("event_type") == "purchase")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id", F.unix_micros("ts").alias("view_us"),
+                 F.col("ts").alias("vts")))
+    out = asof_join(p, v.select("user_id", "vts", "view_us"),
+                    on="user_id", left_ts="ts", right_ts="vts",
+                    value_cols=["view_us"], strict=True,
+                    tolerance=4 * 3600)
+    return out.select("event_id", "view_us")

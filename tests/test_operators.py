@@ -2150,3 +2150,22 @@ def test_k_core_peels_chain_keeps_clique(spark):
     again = {r["node"]: r["degree"]
              for r in k_core(df, k=2, iters=4).collect()}
     assert again == got
+
+
+def test_asof_tolerance_rejects_stale_matches(spark):
+    import datetime as dt
+    from bigslice_spark.operators.asof import asof_join
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=5), "p1"),
+         (1, t0 + dt.timedelta(minutes=10), "p2"),
+         (2, t0, "p3")],
+        "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, t0, 100.0)], "user_id long, vts timestamp, v double")
+    got = {r["tag"]: r["v"] for r in asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="vts",
+        value_cols=["v"], tolerance=3600).collect()}
+    # p2 is 10 min after the right row (inside 1h); p1 is 5h (stale);
+    # p3 has no match at all
+    assert got == {"p1": None, "p2": 100.0, "p3": None}
