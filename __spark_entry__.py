@@ -28,10 +28,10 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      unchanged signal in the registry (op_* core family, set ops /
 #      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
 #      aggregates);
-#   4. ACCOUNTING (late round 5): _R5_NEW grew to 39 with the
-#      session's additions, so 39 new + 5 changed fill 44 slots and
-#      only the FIRST 6 r2-stale entries (op_const … op_filter)
-#      make the 50-slot window; the remaining 32 r2-stale + the r3 tail
+#   4. ACCOUNTING (late round 5): _R5_NEW grew to 41 with the
+#      session's additions, so 41 new + 5 changed fill 46 slots and
+#      only the FIRST 4 r2-stale entries (op_const … op_map)
+#      make the 50-slot window; the remaining 34 r2-stale + the r3 tail
 #      queue for round 6 — zero-driver-signal entries outrank
 #      stale-but-once-green ones, and every queued entry was re-proven
 #      by this session's full driver-sim (0 failures) as a soft
@@ -44,6 +44,7 @@ _R5_NEW = (
     "common_paths", "scd2_intervals", "moments_agg", "table_profile", "multimodal_frames",
     "stream_dedup_against", "k_core", "winsorize_values",
     "item_jaccard", "event_transitions", "asof_tolerance",
+    "lateral_topn", "forward_fill",
     "upsert_partitioned", "compact_partitioned", "stream_join_outer",
     "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
     "ewma_value", "ngram_containment", "equidepth_histogram", "event_gaps",

@@ -5223,3 +5223,47 @@ def asof_tolerance_q(spark, sf_dir):
                     value_cols=["view_us"], strict=True,
                     tolerance=4 * 3600)
     return out.select("event_id", "view_us")
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+@query("lateral_topn", _LATERAL_SQL)
+def lateral_topn_q(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 4 SQL surface, SURVEY §2.3):
+    each customer's top-2 orders by price — the per-row-driven-subquery
+    shape; Catalyst decorrelates it into a ranked join rather than
+    executing per-row."""
+    _s(spark, sf_dir)  # registers the temp views
+    return spark.sql(_LATERAL_SQL)
+
+
+@query("forward_fill", """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+    FROM events
+""")
+def forward_fill_q(spark, sf_dir):
+    """IGNORE NULLS forward fill: the last purchase amount as-of every
+    event per user (last_value over the running frame) — the
+    carry-last-known-value surface the as-of join generalizes; one
+    window exchange."""
+    from pyspark.sql import Window as W
+    _, t = _s(spark, sf_dir)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return t["events"].select(
+        "event_id", "user_id",
+        F.last(pv, ignorenulls=True).over(w)
+        .alias("last_purchase_value"))
