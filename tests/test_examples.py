@@ -42,3 +42,13 @@ def test_url_counts_example():
     assert "wrote " in out
     lines = [l for l in out.splitlines() if "\t" in l]
     assert len(lines) == 5
+
+
+def test_analytics_tour_example():
+    out = _run("examples/analytics_tour.py")
+    lines = {l.split("\t")[0]: l for l in out.splitlines() if "\t" in l}
+    for stage in ("rollup", "retention", "funnel", "paths",
+                  "percentiles", "winsorize", "anomalies", "pattern",
+                  "scd2", "gapfill"):
+        assert stage in lines, (stage, out[-1500:])
+    assert int(lines["funnel"].split("\t")[1].split()[0]) > 0
