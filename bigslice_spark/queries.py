@@ -1544,7 +1544,7 @@ def lpa_communities(spark, sf_dir):
          .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
          .select(F.col("l_suppkey").alias("src"),
                  (F.col("o_custkey") + 1000000).alias("dst")))
-    return label_propagation(e, iters=4)
+    return label_propagation(e, iters=4, broadcast_labels=True)
 
 
 @query("pagerank", _pagerank_oracle())
