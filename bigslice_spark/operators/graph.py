@@ -34,13 +34,17 @@ def connected_components(edges: DataFrame, src: str = "src",
                          nodes: DataFrame | None = None,
                          node_col: str = "node",
                          max_iter: int = 20,
-                         reliable: bool | None = None) -> DataFrame:
+                         reliable: bool | None = None,
+                         broadcast_labels: bool = False) -> DataFrame:
     """(node, component) for every node, component = min reachable id.
 
     `edges` are undirected (symmetrized internally). `nodes` optionally
     supplies isolated vertices (emitted as their own singleton
     component). Converges when an iteration changes no label; raises if
     max_iter rounds don't converge (diameter > max_iter).
+    ``broadcast_labels``: ship the |nodes|-row label relation per round
+    instead of exchanging the edge list (the label_propagation knob) —
+    opt-in, for graphs whose node set fits a broadcast.
     """
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
@@ -58,7 +62,8 @@ def connected_components(edges: DataFrame, src: str = "src",
 
     for _ in range(max_iter):
         # candidate labels: own label + the label of every neighbor
-        nbr = (sym.join(lab, sym.v == lab.node)
+        rhs = F.broadcast(lab) if broadcast_labels else lab
+        nbr = (sym.join(rhs, sym.v == lab.node)
                .select(F.col("u").alias("node"),
                        F.col("label").alias("cand")))
         new = materialize(
@@ -139,7 +144,8 @@ def label_propagation(edges: DataFrame, src: str = "src",
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 3, damping: float = 0.85,
              ordered: bool = False,
-             reliable: bool | None = None) -> DataFrame:
+             reliable: bool | None = None,
+             broadcast_ranks: bool = False) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (node, rank).
 
     The second iterative §3-C workload next to connected_components:
@@ -176,7 +182,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     rank = nodes.select("node", (F.lit(1.0) / F.lit(float(n)))
                         .alias("r"))
     for _ in range(iters):
-        contrib = (e.join(rank, e.s == rank.node)
+        # broadcast_ranks: the label_propagation knob — ship the
+        # |nodes|-row rank relation per round when it fits a broadcast
+        rhs = F.broadcast(rank) if broadcast_ranks else rank
+        contrib = (e.join(rhs, e.s == rank.node)
                    .join(deg, on="s")
                    .select(F.col("d").alias("node"),
                            F.col("s").alias("nbr"),
