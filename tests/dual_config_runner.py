@@ -70,6 +70,8 @@ BATTERY = [
     "ts_pattern_search", "key_percentiles", "common_paths",
     "scd2_intervals", "moments_agg", "table_profile",
     "k_core", "winsorize_values", "multimodal_frames",
+    "item_jaccard", "event_transitions", "asof_tolerance",
+    "lateral_topn", "forward_fill",
 ]
 
 
