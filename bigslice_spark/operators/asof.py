@@ -64,20 +64,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         if direction == "backward" else F.col("__ts__").desc_nulls_first()
     w = (W.partitionBy(on).orderBy(ts_ord, "__side__")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    carried = u.select(
-        *lcols, "__ts__", "__side__",
-        F.last(F.when(F.col("__side__") != 1, F.col("__ts__")), True)
-        .over(w).alias("__rts__"),
-        *[F.last(F.when(F.col("__side__") != 1, F.col(c)), True)
-          .over(w).alias(c) for c in value_cols])
+    # Carry the nearest right row ATOMICALLY as one struct — timestamp
+    # and every value column come from the same right row, exactly like
+    # pandas merge_asof / DuckDB ASOF JOIN (a NULL in the nearest row's
+    # value column stays NULL; it is never backfilled from an older
+    # row, which per-column last(..., ignorenulls) would wrongly do —
+    # and the tolerance gate then provably checks the same row it
+    # accepts). One window expression instead of N+1.
+    row = F.last(
+        F.when(F.col("__side__") != 1,
+               F.struct(F.col("__ts__").alias("__rts__"),
+                        *[F.col(c).alias(c) for c in value_cols])),
+        True).over(w)
+    carried = u.select(*lcols, "__ts__",
+                       F.col("__side__").alias("__side__"),
+                       row.alias("__r__"))
     out = carried.filter(F.col("__side__") == 1)
+    ok = F.col("__r__").isNotNull()
     if tolerance is not None:
-        gap = F.unix_micros("__ts__") - F.unix_micros("__rts__")
+        gap = F.unix_micros("__ts__") \
+            - F.unix_micros(F.col("__r__").getField("__rts__"))
         if direction == "forward":
             gap = -gap
-        ok = F.col("__rts__").isNotNull() \
-            & (gap <= int(tolerance * 1_000_000))
-        out = out.select(
-            *lcols, "__ts__", "__side__",
-            *[F.when(ok, F.col(c)).alias(c) for c in value_cols])
-    return out.select(*lcols, *value_cols)
+        ok = ok & (gap <= int(tolerance * 1_000_000))
+    return out.select(
+        *lcols,
+        *[F.when(ok, F.col("__r__").getField(c)).alias(c)
+          for c in value_cols])

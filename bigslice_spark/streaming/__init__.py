@@ -318,8 +318,10 @@ def stream_dedup_against(docs: DataFrame, corpus: DataFrame,
     corpus_sig = materialize(minhash_signatures(corpus, **sig_kw))
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # No isEmpty() short-circuit: writing an empty batch still lays
+        # down the parquet footer, so an all-empty (or never-firing)
+        # stream yields a readable empty admitted set below instead of
+        # an AnalysisException on a path that was never created.
         kept = minhash_dedup_against(batch_df, corpus,
                                      corpus_sig=corpus_sig, **kw)
         kept.write.mode("append").parquet(path)
@@ -331,4 +333,9 @@ def stream_dedup_against(docs: DataFrame, corpus: DataFrame,
         q.processAllAvailable()
     finally:
         q.stop()
-    return docs.sparkSession.read.parquet(path)
+    spark = docs.sparkSession
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # zero micro-batches ever fired — same contract, empty result
+        return spark.createDataFrame([], docs.schema)

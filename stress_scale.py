@@ -88,9 +88,16 @@ def main():
     def run(name, df_builder):
         for amp in AMPS:
             df = df_builder(amp)
+            # Time a noop-sink write, NOT df.count(): under a bare count
+            # Catalyst prunes every computed column of a pure projection
+            # (gopher_rules would degenerate to a parquet row-count
+            # scan). The noop sink fully evaluates every column JVM-side
+            # with zero sink cost. Row count is reported from a separate
+            # untimed pass — metadata only, not part of the measurement.
             t0 = time.time()
-            n = df.count()
+            df.write.mode("overwrite").format("noop").save()
             wall = round(time.time() - t0, 2)
+            n = df.count()
             print(json.dumps({"op": name, "amp": amp, "rows": n,
                               "sec": wall}), flush=True)
 

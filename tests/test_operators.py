@@ -2169,3 +2169,30 @@ def test_asof_tolerance_rejects_stale_matches(spark):
     # p2 is 10 min after the right row (inside 1h); p1 is 5h (stale);
     # p3 has no match at all
     assert got == {"p1": None, "p2": 100.0, "p3": None}
+
+
+def test_asof_carries_nearest_row_atomically(spark):
+    """A NULL value column in the NEAREST right row stays NULL — it is
+    never backfilled from an older right row (pandas merge_asof /
+    DuckDB ASOF JOIN whole-row semantics), and the tolerance gate
+    checks the timestamp of the same row whose values it accepts."""
+    import datetime as dt
+    from bigslice_spark.operators.asof import asof_join
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30), "p1")],
+        "user_id long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(hours=10), 999.0, "old"),
+         (1, t0, None, "nearest")],
+        "user_id long, vts timestamp, v double, w string")
+    # no tolerance: nearest row's NULL v must NOT be backfilled to 999
+    row = asof_join(left, right, on="user_id", left_ts="ts",
+                    right_ts="vts", value_cols=["v", "w"]).collect()[0]
+    assert row["v"] is None and row["w"] == "nearest"
+    # tolerance 1h: nearest row (30 min back) is in range even though
+    # one of its columns is NULL; the 10h-old row must play no part
+    row = asof_join(left, right, on="user_id", left_ts="ts",
+                    right_ts="vts", value_cols=["v", "w"],
+                    tolerance=3600).collect()[0]
+    assert row["v"] is None and row["w"] == "nearest"

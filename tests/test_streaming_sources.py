@@ -218,3 +218,22 @@ def test_stream_events_fallback_guard_trips_on_wrong_units(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_stream_dedup_against_empty_stream(spark, tmp_path):
+    """ADVICE r5: a stream that delivers no admissible rows (or no
+    micro-batches at all) must still return an EMPTY admitted set, not
+    raise AnalysisException on a parquet path that was never written."""
+    from bigslice_spark.streaming import stream_documents
+    from bigslice_spark.streaming import stream_dedup_against
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    docs = stream_documents(spark, str(src))  # no files => zero batches
+    out = stream_dedup_against(
+        docs, corpus, path=str(tmp_path / "admit"),
+        checkpoint=str(tmp_path / "ckpt"), name="bss_admit_empty")
+    assert out.count() == 0
+    assert "doc_id" in out.columns and "text" in out.columns
