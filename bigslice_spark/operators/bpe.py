@@ -19,10 +19,13 @@ Determinism: candidate pairs rank by (count DESC, pair lexicographic);
 the word table itself is deterministic (exact counts); so the merge
 sequence is reproducible on any engine/partitioning.
 
-``bpe_encode`` applies learned merges corpus-side as an Arrow-batched
-pandas UDF (this is per-row Python by nature — a trie/rank-merge loop —
-so it lives on the designated slow path with an LRU word cache; the
-hot 100 TB path only needs it once per corpus snapshot).
+``bpe_encode`` counts tokens per document PLAN-NATIVELY: the merge
+loop (per-row Python by nature) runs once over the DISTINCT-words
+relation — vocab-scale, bounded by Heaps' law — and per-word token
+counts join back onto the per-document word counts, so no Python UDF
+ever touches the corpus-scale documents relation. The row-at-a-time
+variant is kept as ``bpe_encode_rowwise`` for tiny inputs / parity
+tests.
 
 Reference: no analog in bigslice (its text story is user map funcs);
 this is part of the LLM-pipeline surface the engine adds.
@@ -128,10 +131,59 @@ def bpe_encode(df: DataFrame,
                text_col: str = "text", id_col: str = "doc_id",
                lowercase: bool = True) -> DataFrame:
     """(id, n_tokens): token count per document under the learned
-    merges — the corpus-side budget/packing input. Arrow-batched
-    pandas UDF with a per-executor LRU over distinct words (Zipf makes
-    the hit rate ~99%); merge table broadcast via closure capture
-    (kilobytes)."""
+    merges — the corpus-side budget/packing input.
+
+    Plan shape (no Python over the corpus): explode+aggregate the
+    per-document word counts (one shuffle, map-side combine); encode
+    the DISTINCT words once with the Arrow UDF (a second column-pruned
+    scan feeding a vocab-scale relation — Heaps' law bounds it at
+    ~millions of rows for trillions of tokens, and re-scanning beats
+    materializing the corpus-scale (doc, word, cnt) relation); join
+    per-word token counts back (AQE broadcasts the vocab side when it
+    is small) and sum. Documents with no tokens come back 0 via the
+    left join, matching the row-wise encoder exactly."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    doc_words = (df.select(F.col(id_col), F.explode(tokens(c))
+                           .alias("word"))
+                 .groupBy(id_col, "word")
+                 .agg(F.count(F.lit(1)).alias("__cnt__")))
+    distinct_words = (df.select(F.explode(tokens(c)).alias("word"))
+                      .distinct())
+    encoded = distinct_words.select(
+        "word", _word_tokens_udf(merges)(F.col("word"))
+        .alias("__wt__"))
+    per_doc = (doc_words.join(encoded, "word")
+               .groupBy(id_col)
+               .agg(F.sum(F.col("__cnt__") * F.col("__wt__"))
+                    .alias("n_tokens")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")))
+
+
+def _word_tokens_udf(merges: list[tuple[int, str, str, int]]):
+    """Arrow UDF encoding ONE WORD per row (vocab-scale input only)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): r for r, a, b, _ in merges}
+
+    @pandas_udf("long")
+    def n_word_tokens(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _encode_word(w, ranks))
+
+    return n_word_tokens
+
+
+def bpe_encode_rowwise(df: DataFrame,
+                       merges: list[tuple[int, str, str, int]],
+                       text_col: str = "text", id_col: str = "doc_id",
+                       lowercase: bool = True) -> DataFrame:
+    """Row-at-a-time variant of ``bpe_encode`` (Arrow-batched pandas
+    UDF over the documents relation, per-executor LRU over distinct
+    words). Kept as the parity reference and for tiny interactive
+    inputs; the join plan above is the corpus-scale path."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {(a, b): r for r, a, b, _ in merges}

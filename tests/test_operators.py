@@ -1953,6 +1953,27 @@ def test_bpe_train_layout_stable_and_encode(spark, tables):
     assert [(r["doc_id"], r["n_tokens"]) for r in got] == [(1, 6)]
 
 
+def test_bpe_encode_join_plan_matches_rowwise(spark, tables):
+    """The plan-native encoder (distinct-word encode + join-back) must
+    be count-identical to the row-at-a-time reference on real data,
+    including empty/NULL documents (0 tokens via the left join)."""
+    from bigslice_spark.operators.bpe import (bpe_encode,
+                                              bpe_encode_rowwise,
+                                              bpe_train)
+    docs = tables["documents"]
+    merges = bpe_train(docs, num_merges=25)
+    edge = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "   ")],
+        "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    plan = {r["doc_id"]: r["n_tokens"]
+            for r in bpe_encode(both, merges).collect()}
+    ref = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_encode_rowwise(both, merges).collect()}
+    assert plan == ref
+    assert plan[900001] == plan[900002] == plan[900003] == 0
+
+
 def test_gopher_rules_each_rule_fires(spark):
     from bigslice_spark.operators.text import gopher_rules
     good = ("the cat and the dog be friends that have fun with " * 6)

@@ -587,3 +587,32 @@ def test_plan_report_summarizes_q3(spark, sf_dir):
     assert r["n_scans"] >= 3 and r["n_exchanges"] >= 1
     assert 0.0 <= r["codegen_fraction"] <= 1.0
     assert r["pushed_scans"]
+
+
+def test_bpe_encode_no_python_over_corpus(spark, sf_dir):
+    """Plan-native BPE encoding: the ONLY Python (ArrowEvalPython)
+    node runs over the distinct-words relation — every path from an
+    ArrowEvalPython down to a parquet scan must cross a HashAggregate
+    (the distinct), so no Python executes per corpus row."""
+    df = QUERIES["bpe_token_counts"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    lines = tree.splitlines()
+
+    def indent(s):
+        return len(s) - len(s.lstrip(" :+-*("))
+
+    arrows = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    assert len(arrows) == 1, tree[:1500]
+    i = arrows[0]
+    base = indent(lines[i])
+    saw_agg = False
+    for l in lines[i + 1:]:
+        if indent(l) <= base and l.strip():
+            break  # left the ArrowEvalPython subtree
+        if "HashAggregate" in l or "SortAggregate" in l:
+            saw_agg = True
+        if "Scan parquet" in l:
+            assert saw_agg, \
+                "ArrowEvalPython reads a scan with no aggregate " \
+                "between them (Python over corpus rows):\n" + tree[:1500]
+    assert saw_agg, tree[:1500]
