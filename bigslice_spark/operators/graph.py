@@ -61,20 +61,27 @@ def connected_components(edges: DataFrame, src: str = "src",
     lab = materialize(lab, reliable)
 
     for _ in range(max_iter):
-        # candidate labels: own label + the label of every neighbor
+        # candidate labels: own label + the label of every neighbor.
+        # The own-label row carries own=true so the aggregation below
+        # piggybacks the PREVIOUS label onto each node — convergence
+        # detection is then a filter over the just-materialized result
+        # (one cheap job), not a node⋈node join + shuffle per round.
         rhs = F.broadcast(lab) if broadcast_labels else lab
+        own = lab.select("node", F.col("label").alias("cand"),
+                         F.lit(True).alias("own"))
         nbr = (sym.join(rhs, sym.v == lab.node)
                .select(F.col("u").alias("node"),
-                       F.col("label").alias("cand")))
+                       F.col("label").alias("cand"),
+                       F.lit(False).alias("own")))
         new = materialize(
-            lab.select("node", F.col("label").alias("cand"))
-            .unionByName(nbr)
-            .groupBy("node").agg(F.min("cand").alias("label")),
+            own.unionByName(nbr)
+            .groupBy("node").agg(
+                F.min("cand").alias("label"),
+                F.min(F.when(F.col("own"), F.col("cand")))
+                .alias("__old__")),
             reliable)
-        changed = (new.join(lab.withColumnRenamed("label", "old"), "node")
-                   .filter(F.col("label") != F.col("old")).count())
-        lab = new
-        if changed == 0:
+        lab = new.select("node", "label")
+        if new.filter(F.col("label") != F.col("__old__")).isEmpty():
             return lab.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"did not converge in {max_iter} iterations")
 
@@ -238,23 +245,26 @@ def triangle_count(edges: DataFrame, src: str = "src",
 
 
 def k_core(edges: DataFrame, k: int = 2, src: str = "src",
-           dst: str = "dst", iters: int = 4,
+           dst: str = "dst", iters: int | None = None,
            reliable: bool | None = None) -> DataFrame:
-    """k-core peeling → (node, degree) of nodes surviving ``iters``
-    rounds of "remove every node with degree < k" over the symmetric
-    simple graph (self-edges dropped; parallel edges collapse). The
-    classic graph-quality filter (link-spam cores, dense community
-    seeds) beside CC/LPA/pagerank/triangles.
+    """k-core peeling → (node, degree): repeatedly "remove every node
+    with degree < k" over the symmetric simple graph (self-edges
+    dropped; parallel edges collapse). The classic graph-quality
+    filter (link-spam cores, dense community seeds) beside
+    CC/LPA/pagerank/triangles.
 
-    Synchronous and deterministic: each round computes exact degrees
-    (one count aggregation over the edge list), keeps nodes ≥ k, and
-    filters both edge endpoints (two semi-joins riding the same node
-    partitioning) — so a fixed ``iters`` replays identically in SQL
-    (the unrolled-CTE pattern). A bound, not a convergence test, is
-    the contract (the LPA rule); on testdata the peel reaches its
-    fixpoint in 2-3 rounds and the property test asserts
-    iters/iters+1 agreement. Lineage truncated per round via
-    checkpoint.materialize; per-round cost is O(edges) rows.
+    ``iters=None`` (default) peels to the FIXPOINT — rounds continue
+    until no edge is removed, so the result is the true k-core at any
+    graph diameter (the peel removes ≥1 node per non-final round, so
+    it terminates in ≤|nodes| rounds; convergence is one count over
+    the just-materialized edge list per round, the CC pattern). A
+    fixed integer ``iters`` runs exactly that many synchronous rounds
+    — each round is deterministic (one exact-degree aggregation + two
+    semi-joins riding the same node partitioning), so it replays
+    identically in SQL (the unrolled-CTE oracle mode); deep-diameter
+    graphs get a superset of the core under this mode, by contract.
+    Lineage truncated per round via checkpoint.materialize; per-round
+    cost is O(edges) rows.
     """
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
@@ -262,14 +272,27 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
     sym = (ne.union(ne.select(F.col("v").alias("u"),
                               F.col("u").alias("v"))))
     cur = materialize(sym.distinct(), reliable)
-    for _ in range(iters):
-        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+
+    def peel(g: DataFrame) -> DataFrame:
+        deg = g.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
         alive = deg.filter(F.col("degree") >= k).select("u")
-        cur = materialize(
-            cur.join(alive, on="u", how="left_semi")
-               .join(alive.select(F.col("u").alias("v")),
-                     on="v", how="left_semi"),
+        return materialize(
+            g.join(alive, on="u", how="left_semi")
+             .join(alive.select(F.col("u").alias("v")),
+                   on="v", how="left_semi"),
             reliable)
+
+    if iters is not None:
+        for _ in range(iters):
+            cur = peel(cur)
+    else:
+        n = cur.count()
+        while n:
+            cur = peel(cur)
+            m = cur.count()
+            if m == n:
+                break
+            n = m
     # final degrees over the surviving subgraph
     return (cur.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
             .filter(F.col("degree") >= k)

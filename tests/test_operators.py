@@ -2173,6 +2173,22 @@ def test_k_core_peels_chain_keeps_clique(spark):
     assert again == got
 
 
+def test_k_core_converges_on_deep_chain(spark):
+    """Default (iters=None) peels to the FIXPOINT whatever the graph
+    diameter: a 12-node pendant chain off a 4-clique needs ~12 peel
+    rounds — far past any fixed small bound — and the converged 2-core
+    must be exactly the clique, while a 2-round bound returns a
+    superset (the documented fixed-iters contract)."""
+    from bigslice_spark.operators.graph import k_core
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4 + i, 5 + i) for i in range(12)]  # 4-5-6-...-16
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    bounded = {r["node"] for r in k_core(df, k=2, iters=2).collect()}
+    assert bounded > set(got)  # strict superset: chain not yet peeled
+
+
 def test_asof_tolerance_rejects_stale_matches(spark):
     import datetime as dt
     from bigslice_spark.operators.asof import asof_join
@@ -2217,3 +2233,32 @@ def test_asof_carries_nearest_row_atomically(spark):
                     right_ts="vts", value_cols=["v", "w"],
                     tolerance=3600).collect()[0]
     assert row["v"] is None and row["w"] == "nearest"
+
+
+def test_cc_jobs_bounded_per_round(spark):
+    """Convergence detection is piggybacked onto the label aggregation
+    (the __old__ column) and probed with a filter over the MATERIALIZED
+    round result — so a CC run launches ≤2 jobs per round (materialize
+    + probe), never a third join job. Path graph 0-…-10 converges in
+    11 rounds (min label walks one hop per round + a confirming
+    round)."""
+    from bigslice_spark.operators.graph import connected_components
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tracker = spark.sparkContext.statusTracker()
+    # AQE runs every shuffle stage as its own job, which would make
+    # "jobs" count stages; with it off, one driver ACTION == one job,
+    # which is the metric this gate pins (no third action per round).
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = set(tracker.getJobIdsForGroup(None))
+        out = {r["node"]: r["component"]
+               for r in connected_components(df, max_iter=15).collect()}
+        new_jobs = set(tracker.getJobIdsForGroup(None)) - before
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert out == {i: 0 for i in range(11)}
+    # 2 setup materializations + 11 rounds x (materialize + probe)
+    # + the final collect; a third per-round action would blow past
+    assert len(new_jobs) <= 30, len(new_jobs)

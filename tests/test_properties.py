@@ -512,3 +512,26 @@ def test_ts_pattern_search_matches_python_walk(spark, vals, kk):
         cand.append((base + i * 60_000_000, d))
     expect = sorted(cand, key=lambda t: (t[1], 1, t[0]))[:kk]
     assert sorted(got) == sorted(expect)
+
+
+@PROP
+@given(edges=EDGES, k=st.integers(min_value=1, max_value=4))
+def test_k_core_fixpoint_matches_python_fixpoint(spark, edges, k):
+    """Default mode (iters=None) peels until nothing changes — the
+    result must equal the literal python peel run to ITS fixpoint,
+    whatever the graph shape (not just iters/iters+1 agreement)."""
+    from bigslice_spark.operators.graph import k_core
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=k).collect()}
+    sym = {(u, v) for u, v in edges if u != v}
+    sym |= {(v, u) for u, v in sym}
+    while True:
+        deg = Counter(u for u, _ in sym)
+        alive = {u for u, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in sym if u in alive and v in alive}
+        if nxt == sym:
+            break
+        sym = nxt
+    deg = Counter(u for u, _ in sym)
+    expect = {u: d for u, d in deg.items() if d >= k}
+    assert got == expect
