@@ -31,12 +31,17 @@ Two physical strategies:
   is data → manifest → ``_SUCCESS`` (Spark's own marker is suppressed
   for the write) so a version is never visible half-described.
 
-Single-writer assumption: concurrent ``upsert``/``vacuum`` calls on
-the same table path are not coordinated (there is no lock service in
-plain parquet); run merges for a table from one writer at a time.
-``vacuum`` is safe against an in-flight writer ABOVE the max committed
-version (it only reaps uncommitted debris below it), but two
-concurrent writers would race on the same ``v=N+1`` dir.
+Concurrent writers: commits are ATOMIC — a version is written into a
+writer-private ``v=N.inprogress-<token>`` dir and published with one
+``fs.rename``, so when two uncoordinated writers race on ``v=N+1``
+exactly one commit lands and the loser raises ConcurrentWriteError
+(re-read and retry) instead of silently interleaving files. There is
+still no lock service (plain parquet), so last-writer-wins ordering
+across DIFFERENT versions is the caller's concern, and on stores
+without atomic rename (S3 without a committer) the usual rename-
+commit caveat applies. ``vacuum`` is safe against an in-flight writer
+ABOVE the max committed version (it only reaps uncommitted debris and
+lost-race temps at or below it).
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -245,10 +251,18 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
 def _write_committed(df: DataFrame, vdir: str,
                      partition_by: list[str] | None,
                      manifest: dict | None) -> None:
-    """Write ``df`` to ``vdir`` with Spark's own ``_SUCCESS`` marker
-    suppressed, then commit: manifest first, ``_SUCCESS`` last — a
-    reader never sees a committed version whose manifest is missing."""
+    """Write ``df`` fully into a writer-private temp sibling
+    (``v=N.inprogress-<token>``, Spark ``_SUCCESS`` suppressed;
+    manifest + our own ``_SUCCESS`` written inside it), then PUBLISH
+    with a single ``fs.rename`` to ``v=N`` — so the version appears
+    atomically and fully described, and when two writers race on the
+    same version exactly one rename lands: the loser sees the target
+    exist, removes its temp, and raises instead of silently
+    interleaving files (the concurrent-writer fail-fast; rename is a
+    metadata op on HDFS/local — on S3A it is a copy, the documented
+    caveat of every rename-committed layout)."""
     spark = df.sparkSession
+    tmp = f"{vdir}.inprogress-{uuid.uuid4().hex}"
     hconf = spark._jsc.hadoopConfiguration()
     key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
     old = hconf.get(key)
@@ -257,16 +271,31 @@ def _write_committed(df: DataFrame, vdir: str,
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(vdir)
+        w.parquet(tmp)
     finally:
         if old is None:
             hconf.unset(key)
         else:
             hconf.set(key, old)
     if manifest is not None:
-        _write_text(spark, vdir, _MANIFEST,
+        _write_text(spark, tmp, _MANIFEST,
                     json.dumps(manifest, sort_keys=True))
-    _write_text(spark, vdir, "_SUCCESS", "")
+    _write_text(spark, tmp, "_SUCCESS", "")
+    jvm, fs, _ = _jfs(spark, vdir)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(vdir)
+    # the exists-check is mandatory, not just polite: Hadoop rename
+    # onto an EXISTING directory moves src INSIDE it
+    if fs.exists(dst) or not fs.rename(src, dst):
+        fs.delete(src, True)
+        raise ConcurrentWriteError(
+            f"{vdir} was committed by a concurrent writer; "
+            f"re-read the table and retry the merge")
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced on the same snapshot version; the loser gets
+    this instead of a silently corrupted table."""
 
 
 def _live_rows(updates: DataFrame, deleted_col: str) -> DataFrame:
@@ -333,7 +362,7 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
             new_v = vs[-1] + 1
         else:
             merged, new_v = ins, 1
-        merged.write.mode("overwrite").parquet(vdir_for(new_v))
+        _write_committed(merged, vdir_for(new_v), None, None)
         return new_v
 
     # -------- partitioned: rewrite touched partitions only --------
@@ -368,10 +397,15 @@ def upsert(spark: SparkSession, path: str, updates: DataFrame,
     else:
         marker = spark.createDataFrame(tuples, schema=upd_parts.schema) \
             .withColumn("__m__", F.lit(1))
-        marker_dir = os.path.join(vdir, "_touched")
+        # writer-private scratch OUTSIDE the version dir (the snapshot
+        # write publishes v=N+1 atomically via rename; nothing may
+        # pre-create or dirty the target)
+        marker_dir = os.path.join(path, f"_touched-{uuid.uuid4().hex}")
         marker.write.mode("overwrite").partitionBy(*pb) \
             .parquet(marker_dir)
         touched = set(_leaf_dirs(spark, marker_dir, len(pb)))
+        _jfs(spark, marker_dir)[1].delete(
+            _jfs(spark, marker_dir)[2], True)
 
     prev_schema = T.StructType.fromJson(man["schema"]) if vs else None
     if vs:
@@ -543,6 +577,13 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
         name = st.getPath().getName()
         m = re.fullmatch(r"v=(\d+)", name)
         if not m:
+            # a lost-race/crashed writer's temp for an already-decided
+            # version is dead by construction (its rename can never
+            # land); one at/above max committed may be in flight — left
+            mi = re.fullmatch(r"v=(\d+)\.inprogress-[0-9a-f]+", name)
+            if (mi and max_committed is not None
+                    and int(mi.group(1)) <= max_committed):
+                fs.delete(st.getPath(), True)
             continue
         v = int(m.group(1))
         if v in keep:

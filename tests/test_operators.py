@@ -2262,3 +2262,44 @@ def test_cc_jobs_bounded_per_round(spark):
     # 2 setup materializations + 11 rounds x (materialize + probe)
     # + the final collect; a third per-round action would blow past
     assert len(new_jobs) <= 30, len(new_jobs)
+
+
+def test_upsert_concurrent_writer_fails_fast(spark, tmp_path):
+    """Atomic rename commit: when two writers race on the same v=N,
+    exactly one publishes; the loser raises ConcurrentWriteError, its
+    temp dir is removed, and the winner's snapshot is untouched."""
+    import os
+    import pytest as _pt
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    one = spark.createDataFrame([(1, "a")], "k long, val string")
+    assert U.upsert(spark, path, one, ["k"]) == 1
+    winner = spark.createDataFrame([(2, "w")], "k long, val string")
+    assert U.upsert(spark, path, winner, ["k"]) == 2
+    # a second writer that ALSO chose v=2 (it read the table before
+    # the winner committed) must lose its rename, not interleave
+    loser = spark.createDataFrame([(1, "CLOBBER")], "k long, val string")
+    with _pt.raises(U.ConcurrentWriteError):
+        U._write_committed(loser, os.path.join(path, "v=2"), None, None)
+    rows = {(r["k"], r["val"])
+            for r in U.read_latest(spark, path).collect()}
+    assert rows == {(1, "a"), (2, "w")}
+    assert not [d for d in os.listdir(path) if "inprogress" in d]
+
+
+def test_vacuum_reaps_lost_race_temps(spark, tmp_path):
+    """A crashed/lost-race writer's v=N.inprogress-* temp at or below
+    the max committed version is dead by construction — vacuum removes
+    it; one above max committed may be in flight and is left alone."""
+    import os
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    U.upsert(spark, path, df, ["k"])
+    U.upsert(spark, path, df, ["k"])
+    os.makedirs(os.path.join(path, "v=2.inprogress-deadbeef"))
+    os.makedirs(os.path.join(path, "v=3.inprogress-cafe0001"))
+    U.vacuum(spark, path, keep_last=2)
+    names = set(os.listdir(path))
+    assert "v=2.inprogress-deadbeef" not in names
+    assert "v=3.inprogress-cafe0001" in names  # possibly in flight
