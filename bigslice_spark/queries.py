@@ -5267,3 +5267,71 @@ def forward_fill_q(spark, sf_dir):
         "event_id", "user_id",
         F.last(pv, ignorenulls=True).over(w)
         .alias("last_purchase_value"))
+
+
+_DECODE_SQL = """
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 2.0 END AS f0,
+      CASE WHEN doc_id % 2 = 0 THEN 8.0 ELSE 8000.0 END AS f1,
+      CASE WHEN doc_id % 2 = 0 THEN 8.0 ELSE 1.0 END AS f2,
+      CASE WHEN doc_id % 2 = 0 THEN 3.0 ELSE 16.0 END AS f3,
+      64.0 AS f4,
+      CASE WHEN doc_id % 2 = 0
+           THEN CAST(list_sum(list_transform(range(0, 192, 3),
+                i -> (doc_id * 7 + i) % 256)) AS BIGINT) / 64.0
+           ELSE CAST(list_sum(list_transform(range(0, 64, 1),
+                i -> ((doc_id * 31 + i * 17) % 65536) - 32768))
+                AS BIGINT) / 64.0 END AS f5,
+      CASE WHEN doc_id % 2 = 0
+           THEN CAST(list_sum(list_transform(range(1, 192, 3),
+                i -> (doc_id * 7 + i) % 256)) AS BIGINT) / 64.0
+           ELSE 0.0 END AS f6,
+      CASE WHEN doc_id % 2 = 0
+           THEN CAST(list_sum(list_transform(range(2, 192, 3),
+                i -> (doc_id * 7 + i) % 256)) AS BIGINT) / 64.0
+           ELSE 0.0 END AS f7
+    FROM documents
+"""
+
+
+@query("multimodal_decode", _DECODE_SQL)
+def multimodal_decode_q(spark, sf_dir):
+    """REAL media decode end-to-end (operators/multimodal.py
+    decode_image/decode_wav, fake=False): even doc_ids become 8x8 RGB
+    images (BMP when divisible by 4 — exercising the padded bottom-up
+    BGR layout — else binary PPM) and odd doc_ids become 64-sample
+    PCM16 WAVs, all generated from a pure doc_id formula; the decoder
+    parses the container bytes back and emits exact-integer-mean
+    features, which the oracle recomputes from the same formula
+    WITHOUT the binary round-trip — any header/stride/sign slip in
+    either codec path breaks the hash match. Fixture generation is a
+    bounded-width pandas UDF (8x8x3 + header bytes per row); decode
+    itself is the production mapInPandas path."""
+    import pandas as pd
+    from .operators.multimodal import (extract_features, make_bmp,
+                                       make_ppm, make_wav, pack_media)
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    px = bytes((d * 7 + i) % 256 for i in range(192))
+                    blob = (make_bmp(8, 8, px) if d % 4 == 0
+                            else make_ppm(8, 8, px))
+                else:
+                    blob = make_wav(8000, [
+                        ((d * 31 + i * 17) % 65536) - 32768
+                        for i in range(64)])
+                rows.append((d, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = t["documents"].select("doc_id").mapInPandas(
+        gen, schema="doc_id long, media binary")
+    out = extract_features(pack_media(media, "media", "doc_id"),
+                           fake=False)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        *[F.col("feat")[j].alias(f"f{j}") for j in range(8)])

@@ -2303,3 +2303,47 @@ def test_vacuum_reaps_lost_race_temps(spark, tmp_path):
     names = set(os.listdir(path))
     assert "v=2.inprogress-deadbeef" not in names
     assert "v=3.inprogress-cafe0001" in names  # possibly in flight
+
+
+def test_media_decoders_roundtrip():
+    """Pure-Python PPM/BMP/WAV codecs: builder → decoder round-trips
+    bytes exactly, including BMP row padding (width not a multiple of
+    4) and PPM header comments."""
+    import numpy as np
+    from bigslice_spark.operators.multimodal import (
+        decode_image, decode_wav, make_bmp, make_ppm, make_wav)
+    px = bytes(range(5 * 3 * 3))  # 5x3 RGB, stride 15 -> 1 pad byte
+    assert decode_image(make_ppm(5, 3, px)) == (5, 3, px)
+    assert decode_image(make_bmp(5, 3, px)) == (5, 3, px)
+    # PPM with a comment line in the header
+    ppm = b"P6\n# a comment\n5 3\n255\n" + px
+    assert decode_image(ppm) == (5, 3, px)
+    samples = [0, 100, -100, 32767, -32768, 7]
+    rate, ch, data = decode_wav(make_wav(8000, samples))
+    assert (rate, ch) == (8000, 1)
+    assert data.tolist() == samples
+    assert data.dtype == np.int16
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_image(b"\xff\xd8\xffJPEG...")
+    with _pt.raises(ValueError):
+        decode_wav(b"OggS...")
+
+
+def test_extract_features_real_decode(spark):
+    """fake=False really decodes: hand-computed channel means for an
+    image and the exact sample mean for a WAV."""
+    from bigslice_spark.operators.multimodal import (extract_features,
+                                                     make_ppm, make_wav,
+                                                     pack_media)
+    px = bytes([10, 20, 30, 50, 60, 70])       # 2x1 RGB
+    wav = make_wav(16000, [100, -50, 1, 1])
+    df = spark.createDataFrame(
+        [(1, bytearray(make_ppm(2, 1, px))), (2, bytearray(wav))],
+        "id long, payload binary")
+    out = {r["id"]: r for r in extract_features(
+        pack_media(df, "payload", "id"), fake=False).collect()}
+    assert out[1]["feat"] == [1.0, 2.0, 1.0, 3.0, 2.0, 30.0, 40.0, 50.0]
+    assert out[2]["feat"] == [2.0, 16000.0, 1.0, 16.0, 4.0, 13.0,
+                              0.0, 0.0]
+    assert out[1]["n_bytes"] == len(make_ppm(2, 1, px))
