@@ -222,25 +222,50 @@ def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Global triangle count over an undirected edge list.
 
-    Canonicalizes to src < dst (drops self-loops and duplicate
-    orientations), then counts closing wedges with the standard
-    ordered two-join: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — each
-    triangle found exactly once, no orientation blowup.
+    DEGREE-ORIENTED wedge counting (the standard power-law guard:
+    Chiba–Nishizeki / "rank by degree"): every deduped edge is
+    directed from its lower-(degree, id) endpoint to the higher one,
+    wedges are generated only at each triangle's LOWEST-ranked vertex,
+    and the closing edge is probed in the same directed relation. Each
+    triangle is counted exactly once (its vertices have a unique rank
+    order), and a hub with degree d generates not d² wedges but
+    out-degree² — out-degrees are O(√m)-bounded under this
+    orientation, so total wedge volume is O(m^1.5) on ANY graph,
+    hubs included, instead of Σdeg² blowing up on power-law inputs.
 
-    Scale shape: two equi-joins, both shuffling the (deduped) edge
-    list by a single node key; no cartesian anywhere. Skewed (hub)
-    vertices are the classic hazard — AQE skew-join splits them; for
-    adversarial power-law graphs, pre-salting the hub side (operators/
-    skew.py) composes. Returns a 1-row DataFrame (n_triangles)."""
+    Scale shape: one degree aggregation, two degree-attach joins, the
+    wedge self-join and the closing join — all equi-joins shuffling on
+    a single node key; no cartesian anywhere. Returns a 1-row
+    DataFrame (n_triangles)."""
     e = (edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"))
          .filter(F.col("a") < F.col("b"))
          .distinct())
-    e_bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedge = e.join(e_bc, on="b").select("a", "b", "c")
+    deg = (e.select(F.col("a").alias("n"))
+           .unionAll(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    # attach both endpoint degrees, orient low-(d, id) -> high-(d, id)
+    ed = (e.join(deg.select(F.col("n").alias("a"),
+                            F.col("d").alias("da")), on="a")
+          .join(deg.select(F.col("n").alias("b"),
+                           F.col("d").alias("db")), on="b"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    d_e = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    # wedges at the lowest-ranked vertex: pairs of out-neighbors in
+    # rank order, then probe the closing directed edge
+    lhs = d_e.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    rhs = d_e.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    rank_lt = (F.col("d1") < F.col("d2")) | \
+        ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    wedge = lhs.join(rhs, on="u").filter(rank_lt).select("v1", "v2")
     closed = wedge.join(
-        e.select(F.col("a"), F.col("b").alias("c")), on=["a", "c"])
+        d_e.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        on=["v1", "v2"])
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
