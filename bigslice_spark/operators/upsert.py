@@ -456,7 +456,8 @@ def compact_partitions(spark: SparkSession, path: str,
     ceil(max_partition_bytes/target_bytes) per partition), so each
     compacted partition lands in at most that many files — 1 for the
     common small-file case. Data is byte-identical row-wise; only
-    layout changes. Same single-writer contract as ``upsert``.
+    layout changes. Same atomic-rename commit (and concurrent-writer
+    fail-fast) as ``upsert``.
 
     ``zorder_by=(col_a, col_b)`` is OPTIMIZE ZORDER: compacted
     partitions are additionally SORTED by the Morton code of the two

@@ -611,8 +611,10 @@ def test_multimodal_plumbing(spark, tables):
         assert abs(sum(r["feat"]) - 1.0) < 1e-9  # normalized histogram
     frames = frame_sample(m, every_n=5)
     assert frames.count() >= 50
-    with pytest.raises(NotImplementedError):
-        extract_features(m, fake=False)
+    # fake=False is the REAL decode path since r6 — on a payload that
+    # is not PPM/BMP/WAV it fails loudly at execution, never fabricates
+    with pytest.raises(Exception, match="PPM/BMP|RIFF|ValueError"):
+        extract_features(m, fake=False).collect()
 
 
 def test_repartition_by_bytes_isolates_big_blobs(spark):
