@@ -72,6 +72,9 @@ BATTERY = [
     "k_core", "winsorize_values", "multimodal_frames",
     "item_jaccard", "event_transitions", "asof_tolerance",
     "lateral_topn", "forward_fill",
+    # round-6 — the real PPM/BMP/WAV decode rides mapInPandas (Arrow
+    # transport + partitioning must not change decoded features)
+    "multimodal_decode",
 ]
 
 

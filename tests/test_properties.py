@@ -535,3 +535,62 @@ def test_k_core_fixpoint_matches_python_fixpoint(spark, edges, k):
     deg = Counter(u for u, _ in sym)
     expect = {u: d for u, d in deg.items() if d >= k}
     assert got == expect
+
+
+ASOF_LEFT = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                     min_size=1, max_size=25)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50),
+              st.one_of(st.none(), st.floats(-10, 10, allow_nan=False,
+                                             width=16))),
+    min_size=0, max_size=25)
+
+
+@PROP
+@given(lrows=ASOF_LEFT, rrows=ASOF_RIGHT,
+       strict=st.booleans(),
+       direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 5, 1]))
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows,
+                                             strict, direction, tol):
+    """The union-sort-carry asof_join must agree with pandas
+    merge_asof itself on random keyed series — every combination of
+    direction x strictness x tolerance, including NULL value columns
+    in the nearest row (the r5-ADVICE atomicity corner: pandas never
+    backfills them from older rows, and neither may we)."""
+    import datetime as dt
+    import math
+    import pandas as pd
+    from bigslice_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    lpdf = pd.DataFrame({
+        "k": pd.Series([k for k, _ in lrows], dtype="int64"),
+        "ts": pd.Series([ts(s) for _, s in lrows],
+                        dtype="datetime64[ns]"),
+        "lid": pd.Series(range(len(lrows)), dtype="int64"),
+    }).sort_values("ts")
+    rpdf = pd.DataFrame({
+        "k": pd.Series([k for k, _, _ in rrows], dtype="int64"),
+        "rts": pd.Series([ts(s) for _, s, _ in rrows],
+                         dtype="datetime64[ns]"),
+        "v": pd.Series([v for _, _, v in rrows], dtype="float64"),
+    }).sort_values("rts")
+    want_df = pd.merge_asof(
+        lpdf, rpdf, left_on="ts", right_on="rts", by="k",
+        direction=direction, allow_exact_matches=not strict,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+    want = {int(r.lid): None if math.isnan(r.v) else round(r.v, 6)
+            for r in want_df.itertuples()}
+
+    left = spark.createDataFrame(
+        lpdf, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(
+        rpdf, "k long, rts timestamp, v double")
+    got = {r["lid"]: None if r["v"] is None else round(r["v"], 6)
+           for r in asof_join(left, right, on="k", left_ts="ts",
+                              right_ts="rts", value_cols=["v"],
+                              strict=strict, direction=direction,
+                              tolerance=tol).collect()}
+    assert got == want
