@@ -58,20 +58,27 @@ def data_checks(df: DataFrame,
                     F.col("__n").cast("long").alias("n_rows")))
 
 
-def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+def table_profile(df: DataFrame, cols: list[str],
+                  rsd: float | None = None) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct) per profiled column — the
-    describe()-style observability report as data. Exact distincts
-    (one Expand pass fans the multi-distinct aggregation; at 100 TB
-    swap in approx_count_distinct per column if ±2% suffices — exact
-    is the default because the result feeds data_checks-style gates).
-    All counts integer, so cross-engine comparison is trivial."""
+    describe()-style observability report as data. Exact distincts by
+    default (the result feeds data_checks-style gates, and the
+    single-agg form costs one (ncols+1)-way Expand pass); pass
+    ``rsd=`` (e.g. 0.02) to profile with approx_count_distinct
+    instead — the HLL buffers avoid the Expand entirely (one plain
+    pass whatever the column count), which is the right trade at
+    100 TB where the Expand multiplies the scan by ncols+1 and ±2%
+    cardinality is plenty for a profile. All counts integer, so
+    cross-engine comparison is trivial in exact mode."""
     if not cols:
         raise ValueError("no columns given")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
                     .alias(f"__c{i}_0"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__c{i}_1"))
+        nd = (F.countDistinct(F.col(c)) if rsd is None
+              else F.approx_count_distinct(F.col(c), rsd))
+        aggs.append(nd.alias(f"__c{i}_1"))
     wide = df.agg(*aggs)
     return (_stacked(wide, cols, 2,
                      ["column", "n_nulls", "n_distinct"])

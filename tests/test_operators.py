@@ -2349,3 +2349,20 @@ def test_extract_features_real_decode(spark):
     assert out[2]["feat"] == [2.0, 16000.0, 1.0, 16.0, 4.0, 13.0,
                               0.0, 0.0]
     assert out[1]["n_bytes"] == len(make_ppm(2, 1, px))
+
+
+def test_table_profile_approx_mode(spark):
+    """rsd= switches per-column cardinality to HLL: no Expand in the
+    plan (one plain pass whatever the column count) and estimates
+    within the rsd band on a known-cardinality frame."""
+    from bigslice_spark.operators.checks import table_profile
+    df = spark.range(2000).selectExpr(
+        "id", "id % 37 AS a", "CAST(id % 5 AS STRING) AS b")
+    exact = {r["column"]: r["n_distinct"]
+             for r in table_profile(df, ["a", "b"]).collect()}
+    assert exact == {"a": 37, "b": 5}
+    approx = table_profile(df, ["a", "b"], rsd=0.02)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    got = {r["column"]: r["n_distinct"] for r in approx.collect()}
+    assert abs(got["a"] - 37) <= 3 and abs(got["b"] - 5) <= 1
