@@ -33,6 +33,8 @@ this is part of the LLM-pipeline surface the engine adds.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -203,12 +205,18 @@ def bpe_encode_rowwise(df: DataFrame,
                 n = cache[w] = _encode_word(w, ranks)
             return n
 
+        # same tokenizer as training/word_counts and the join plan:
+        # Java-regex \s is ASCII-only, so split with re.ASCII — a bare
+        # str.split() would also break on unicode whitespace and
+        # silently disagree with the corpus-side word table
+        ws = re.compile(r"\s+", re.ASCII)
+
         def doc(t: str) -> int:
             if t is None:
                 return 0
             if lowercase:
                 t = t.lower()
-            return sum(enc(w) for w in t.split())
+            return sum(enc(w) for w in ws.split(t) if w)
 
         return texts.map(doc)
 

@@ -2366,3 +2366,25 @@ def test_table_profile_approx_mode(spark):
     assert "Expand" not in plan, plan[:800]
     got = {r["column"]: r["n_distinct"] for r in approx.collect()}
     assert abs(got["a"] - 37) <= 3 and abs(got["b"] - 5) <= 1
+
+
+def test_bpe_tokenizers_agree_on_unicode_whitespace(spark):
+    """All three BPE paths (training word table, join-plan encoder,
+    row-wise reference) must split on the SAME whitespace class —
+    Java-regex ASCII \\s. Real unicode whitespace (NBSP, thin space)
+    is NOT a separator for any of them; a bare python str.split()
+    in the row-wise path would silently disagree."""
+    from bigslice_spark.operators.bpe import (bpe_encode,
+                                              bpe_encode_rowwise)
+    merges = []  # no merges: every word costs len(word)+1 (EOW)
+    df = spark.createDataFrame(
+        [(1, "ab\u00a0cd ef"), (2, "x\ty \u2009z")],
+        "doc_id long, text string")
+    plan = {r["doc_id"]: r["n_tokens"]
+            for r in bpe_encode(df, merges).collect()}
+    ref = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_encode_rowwise(df, merges).collect()}
+    assert plan == ref
+    # doc1: NBSP not a separator -> ['ab\xa0cd', 'ef'] -> 6 + 3
+    # doc2: tab + space are -> ['x', 'y', '\u2009z'] -> 2 + 2 + 3
+    assert plan == {1: 9, 2: 7}
