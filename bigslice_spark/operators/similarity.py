@@ -142,24 +142,31 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              ncells: int = 16, nprobe: int = 4,
              sample_fraction: float = 1.0, seed: int = 42,
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None,
+             centers: list[list[float]] | None = None) -> DataFrame:
     """IVF ANN: KMeans cells (pyspark.ml), probe nprobe nearest cells.
     Trains on a sample; assignment + rerank are expression-level.
     Pass ``dim`` when known — the fallback inference is a driver-side
-    ``.first()`` (one extra tiny job per call)."""
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-    except ImportError as ex:  # pragma: no cover
-        raise NotImplementedError(f"pyspark.ml unavailable: {ex}")
-
+    ``.first()`` (one extra tiny job per call). Pass ``centers=``
+    (k×dim floats, e.g. a previous call's training or
+    clustering.kmeans_train output) to SKIP the MLlib fit entirely —
+    the production shape: train the coarse quantizer once per corpus
+    snapshot, reuse it for every query batch."""
     dim = dim or _dim_of(df, vec_col)
     corpus = _prep(df, vec_col, id_col, dim)
-    train = corpus if sample_fraction >= 1.0 else \
-        corpus.sample(fraction=sample_fraction, seed=seed)
-    km = KMeans(k=ncells, seed=seed, featuresCol="feat")
-    model = km.fit(train.withColumn("feat", array_to_vector("v")))
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    if centers is None:
+        try:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+        except ImportError as ex:  # pragma: no cover
+            raise NotImplementedError(f"pyspark.ml unavailable: {ex}")
+        train = corpus if sample_fraction >= 1.0 else \
+            corpus.sample(fraction=sample_fraction, seed=seed)
+        km = KMeans(k=ncells, seed=seed, featuresCol="feat")
+        model = km.fit(train.withColumn("feat", array_to_vector("v")))
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    elif any(len(c) != dim for c in centers):
+        raise ValueError(f"centers must each have dim={dim}")
 
     def cell_dists(vec: str):
         """array<struct<d,cell>> of squared L2 to each centroid, wide —

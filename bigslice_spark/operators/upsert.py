@@ -60,6 +60,11 @@ from ..checkpoint import materialize
 _MANIFEST = "_MANIFEST.json"
 
 
+def _now_ms() -> int:
+    import time
+    return int(time.time() * 1000)
+
+
 def _jfs(spark: SparkSession, path: str):
     """(jvm, fs, jpath) for ``path`` via the Hadoop FS API (works on
     HDFS/S3/local alike — same pattern as the cache helpers,
@@ -584,6 +589,13 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
             mi = re.fullmatch(r"v=(\d+)\.inprogress-[0-9a-f]+", name)
             if (mi and max_committed is not None
                     and int(mi.group(1)) <= max_committed):
+                fs.delete(st.getPath(), True)
+            # a crashed writer's partition-name scratch: reap only
+            # when stale (>1h by FS mtime) — a LIVE writer's marker
+            # exists for milliseconds between write and inline delete
+            elif (re.fullmatch(r"_touched-[0-9a-f]+", name)
+                  and st.getModificationTime()
+                  < _now_ms() - 3_600_000):
                 fs.delete(st.getPath(), True)
             continue
         v = int(m.group(1))

@@ -2388,3 +2388,52 @@ def test_bpe_tokenizers_agree_on_unicode_whitespace(spark):
     # doc1: NBSP not a separator -> ['ab\xa0cd', 'ef'] -> 6 + 3
     # doc2: tab + space are -> ['x', 'y', '\u2009z'] -> 2 + 2 + 3
     assert plan == {1: 9, 2: 7}
+
+
+def test_vacuum_reaps_stale_touched_scratch(spark, tmp_path):
+    """A crashed writer's _touched-* partition-name scratch is reaped
+    by vacuum once stale (>1h mtime); a fresh one (possibly a live
+    writer's) is left alone."""
+    import os
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    U.upsert(spark, path, df, ["k"])
+    U.upsert(spark, path, df, ["k"])
+    stale = os.path.join(path, "_touched-deadbeef")
+    fresh = os.path.join(path, "_touched-cafe0001")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = (os.path.getmtime(stale) - 7200)
+    os.utime(stale, (old, old))
+    U.vacuum(spark, path, keep_last=2)
+    names = set(os.listdir(path))
+    assert "_touched-deadbeef" not in names
+    assert "_touched-cafe0001" in names
+
+
+def test_ivf_accepts_precomputed_centers(spark, tables):
+    """centers= skips the MLlib fit (the production shape: quantizer
+    trained once per corpus snapshot); results with the model's own
+    centers are identical to the in-call fit."""
+    from bigslice_spark.operators.similarity import ivf_topk
+    import pyspark.sql.functions as F
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 3)
+    a = ivf_topk(emb, qs, k=5, ncells=4, nprobe=2, dim=64)
+    # derive the same centers the fit produced by re-running the fit
+    # deterministically (same seed), then pass them explicitly
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from bigslice_spark.operators.similarity import _prep
+    corpus = _prep(emb, "embedding", "vec_id", 64)
+    km = KMeans(k=4, seed=42, featuresCol="feat")
+    model = km.fit(corpus.withColumn("feat", array_to_vector("v")))
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    b = ivf_topk(emb, qs, k=5, ncells=4, nprobe=2, dim=64,
+                 centers=centers)
+    rows = lambda d: sorted((r["qid"], r["nid"]) for r in d.collect())
+    assert rows(a) == rows(b)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dim"):
+        ivf_topk(emb, qs, k=5, dim=64, centers=[[0.0, 1.0]])
