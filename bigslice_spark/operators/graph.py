@@ -128,23 +128,44 @@ def label_propagation(edges: DataFrame, src: str = "src",
     sym = materialize(sym.distinct(), reliable)
     lab = (sym.select("u").distinct()
            .select(F.col("u").alias("node"), F.col("u").alias("label")))
-    for _ in range(iters):
+    for it in range(iters):
         # broadcast_labels: ship the |nodes|-row label relation to the
         # executors instead of exchanging the edge list every round —
         # ~30% faster when labels fit in memory (graphs up to tens of
         # millions of nodes); leave False when |nodes| outgrows a
         # broadcast, the hash join is the any-scale path
         rhs = F.broadcast(lab) if broadcast_labels else lab
+        # the self-loop vote row (u == v) IS the node's previous
+        # label; flagging it lets the round aggregation carry the old
+        # label through, so the exact-fixpoint probe below is a filter
+        # over the just-materialized result — no extra join per round
+        # (the CC convergence pattern). When a round changes nothing,
+        # every further synchronous round is the identity, so stopping
+        # early returns BIT-IDENTICAL output to running all ``iters``
+        # rounds — the fixed-iters oracle contract is preserved, only
+        # wasted rounds are skipped. Oscillating (period-2)
+        # configurations never trigger the probe and run the full
+        # bound, as documented.
         votes = (sym.join(rhs, sym.v == lab.node)
-                 .select(F.col("u").alias("node"), "label"))
+                 .select(F.col("u").alias("node"), "label",
+                         (sym.u == sym.v).alias("own")))
         counts = votes.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("c"))
+            F.count(F.lit(1)).alias("c"),
+            F.max("own").alias("own_any"))
         # arg-max (count DESC, label ASC) == max of (c, -label) structs
-        lab = materialize(
-            counts.groupBy("node").agg(F.max(F.struct(
-                F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
-            .select("node", (-F.col("m.nl")).alias("label")),
+        new = materialize(
+            counts.groupBy("node").agg(
+                F.max(F.struct(F.col("c"),
+                               (-F.col("label")).alias("nl"))).alias("m"),
+                F.min(F.when(F.col("own_any"), F.col("label")))
+                .alias("__old__"))
+            .select("node", (-F.col("m.nl")).alias("label"), "__old__"),
             reliable)
+        done = (it == iters - 1) or new.filter(
+            F.col("label") != F.col("__old__")).isEmpty()
+        lab = new.select("node", "label")
+        if done:
+            break
     return lab
 
 
