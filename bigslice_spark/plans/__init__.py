@@ -131,6 +131,14 @@ def plan_report(df: DataFrame) -> dict:
     - codegen_fraction: share of plan nodes inside WholeStageCodegen
       (interpreted fallbacks — e.g. an expression past the 64 KB JVM
       method limit — drag this down);
+    - n_expands: Expand nodes — grouping sets plan one by design, but
+      an UNEXPECTED Expand usually means a DISTINCT aggregate got
+      mixed into a multi-aggregate (Catalyst's distinct rewrite runs
+      every other buffer over multiplied rows: the approx_distinct
+      finding, 13.6s -> 0.7s once split);
+    - n_python: ArrowEvalPython/BatchEvalPython/MapInPandas nodes —
+      Python in the plan; fine over vocab-scale relations, a red flag
+      directly over a corpus-scale scan;
     - pushed_scans: (read_schema, pushed_filters) per parquet scan.
 
     The same predicates the tests/test_plans.py gates assert, exposed
@@ -145,5 +153,16 @@ def plan_report(df: DataFrame) -> dict:
         "cartesian": "CartesianProduct" in txt,
         "partial_agg": "partial_" in txt or "Partial" in txt,
         "codegen_fraction": codegen_fraction(df),
+        # counted on the simple tree (one line per node; the formatted
+        # text names every node twice — tree + detail section)
+        "n_expands": _tree(df).count("Expand"),
+        "n_python": sum(_tree(df).count(m) for m in
+                        ("ArrowEvalPython", "BatchEvalPython",
+                         "MapInPandas", "FlatMapGroupsInPandas")),
         "pushed_scans": scans_with_pushed_filters(df),
     }
+
+
+def _tree(df: DataFrame) -> str:
+    """Physical plan as the one-line-per-node simple tree."""
+    return df._jdf.queryExecution().executedPlan().toString()
