@@ -52,3 +52,16 @@ def test_analytics_tour_example():
                   "scd2", "gapfill"):
         assert stage in lines, (stage, out[-1500:])
     assert int(lines["funnel"].split("\t")[1].split()[0]) > 0
+
+
+def test_serving_table_example():
+    out = _run("examples/serving_table.py")
+    lines = {l.split("\t")[0]: l for l in out.splitlines() if "\t" in l}
+    for stage in ("v1", "v2", "v3", "diff", "race", "vacuum"):
+        assert stage in lines, (stage, out[-1500:])
+    assert "failed fast" in lines["race"]
+    assert "UNEXPECTED" not in out
+    # the initial row count survives every stage
+    n0 = lines["v1"].split(": ")[1].split()[0]
+    assert lines["vacuum"].endswith(f"latest reads {int(n0) - 1}") or \
+        lines["vacuum"].endswith(f"latest reads {n0}")
