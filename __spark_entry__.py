@@ -57,6 +57,10 @@ _R2_STALE = (
     "approx_distinct", "distinct_pairs", "agg_stats",
 )
 _R2_STALE_DONE = _R2_STALE[:4]
+# changed AFTER the r6 window was sealed (state-partition tuning for
+# the stream-stream joins; driver-sim re-proven this round) — first in
+# the r7 queue so they pick up a fresh hard artifact
+_R6_LATE = ("stream_join", "stream_join_outer")
 _R6_BORDERLINE = ("k_core", "multimodal_features", "bpe_merges")
 _R3_HEAVY = ("ngram_jaccard", "dedup_against")
 # next-stalest after the window (r3-era) — ordered first in the tail so
@@ -82,7 +86,8 @@ _R3_TAIL = (
 def _rotated() -> list[str]:
     head = [k for k in (_R6_NEW + _R6_CHANGED
                         + _R2_STALE[4:] + _R2_STALE_DONE
-                        + _R6_BORDERLINE + _R3_HEAVY + _R3_TAIL)
+                        + _R6_LATE + _R6_BORDERLINE
+                        + _R3_HEAVY + _R3_TAIL)
             if k in QUERIES]
     seen = set()
     head = [k for k in head if not (k in seen or seen.add(k))]

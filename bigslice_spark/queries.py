@@ -3703,8 +3703,11 @@ def stream_join(spark, sf_dir):
         F.col("r.event_id").alias("v_id"),
         F.unix_micros(F.col("l.ts")).alias("p_us"),
         F.unix_micros(F.col("r.ts")).alias("v_us"))
+    # 8 state partitions: stores are pinned by the checkpoint and
+    # sized to state volume (see run_to_completion) — 32 near-empty
+    # stores at this volume is pure per-batch snapshot overhead
     return run_to_completion(out, "bs_stream_join",
-                             output_mode="append")
+                             output_mode="append", state_partitions=8)
 
 
 @query("stream_join_outer", """
@@ -3744,7 +3747,7 @@ def stream_join_outer_q(spark, sf_dir):
         F.col("r.event_id").alias("v_id"),
         F.unix_micros(F.col("l.ts")).alias("p_us"))
     res = run_to_completion(out, "bs_stream_join_outer",
-                            output_mode="append")
+                            output_mode="append", state_partitions=8)
     _, t = _s(spark, sf_dir)
     thr = (t["events"]
            .filter(F.col("event_type").isin("purchase", "view"))

@@ -122,16 +122,35 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
 
 
 def run_to_completion(agg: DataFrame, name: str,
-                      output_mode: str = "complete") -> DataFrame:
+                      output_mode: str = "complete",
+                      state_partitions: int | None = None) -> DataFrame:
     """Drive a streaming aggregation over its (finite) source through the
-    memory sink; returns the final result as a batch DataFrame."""
+    memory sink; returns the final result as a batch DataFrame.
+
+    ``state_partitions``: shuffle-partition count for THIS query. For
+    stateful streaming, partitions == state-store instances and the
+    count is PINNED by the checkpoint at first start (Spark cannot
+    re-partition existing state), so it must be sized to expected
+    state volume, not to the session's batch default — each store
+    costs per-micro-batch snapshot/commit I/O, so hundreds of
+    near-empty stores is pure overhead, while too few caps the
+    parallelism of a 100 TB-scale join state. Scoped here: the conf
+    is set for the query's lifetime and restored after (results are
+    partitioning-invariant — the dual-config battery proves it)."""
     spark = agg.sparkSession
-    q = (agg.writeStream.outputMode(output_mode)
-         .format("memory").queryName(name).start())
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (agg.writeStream.outputMode(output_mode)
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(key, prev)
     return spark.table(name)
 
 
