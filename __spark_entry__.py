@@ -85,9 +85,9 @@ _R3_TAIL = (
 
 def _rotated() -> list[str]:
     head = [k for k in (_R6_NEW + _R6_CHANGED
-                        + _R2_STALE[4:] + _R2_STALE_DONE
+                        + _R2_STALE[4:]
                         + _R6_LATE + _R6_BORDERLINE
-                        + _R3_HEAVY + _R3_TAIL)
+                        + _R3_HEAVY + _R3_TAIL + _R2_STALE_DONE)
             if k in QUERIES]
     seen = set()
     head = [k for k in head if not (k in seen or seen.add(k))]
