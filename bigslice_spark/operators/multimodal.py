@@ -229,8 +229,12 @@ def extract_features(df: DataFrame, fake: bool = True,
             for rid, blob in zip(pdf["id"], pdf["media"]):
                 b = np.frombuffer(blob or b"", dtype=np.uint8)
                 if not fake:
+                    # a NULL payload is a missing blob, not a decode
+                    # error — zero descriptor; non-NULL garbage still
+                    # raises (a corrupt file must fail loudly)
                     rows.append((int(rid), int(len(b)),
-                                 real_feat(bytes(blob or b""))))
+                                 [0.0] * feat_dim if blob is None
+                                 else real_feat(bytes(blob))))
                 elif len(b) == 0:
                     rows.append((int(rid), 0, [0.0] * feat_dim))
                 else:

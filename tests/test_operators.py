@@ -2437,3 +2437,25 @@ def test_ivf_accepts_precomputed_centers(spark, tables):
     import pytest as _pt
     with _pt.raises(ValueError, match="dim"):
         ivf_topk(emb, qs, k=5, dim=64, centers=[[0.0, 1.0]])
+
+
+def test_real_decode_null_vs_garbage(spark):
+    """fake=False: a NULL payload is a MISSING blob (zero descriptor,
+    row flows through); non-NULL garbage is a corrupt file and must
+    fail loudly."""
+    import pytest as _pt
+    from bigslice_spark.operators.multimodal import (extract_features,
+                                                     make_wav,
+                                                     pack_media)
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(make_wav(8000, [5, -5])))],
+        "id long, payload binary")
+    out = {r["id"]: r for r in extract_features(
+        pack_media(df, "payload", "id"), fake=False).collect()}
+    assert out[1]["feat"] == [0.0] * 8 and out[1]["n_bytes"] == 0
+    assert out[2]["feat"][0] == 2.0
+    bad = spark.createDataFrame([(3, bytearray(b"\x00garbage"))],
+                                "id long, payload binary")
+    with _pt.raises(Exception, match="RIFF|PPM/BMP"):
+        extract_features(pack_media(bad, "payload", "id"),
+                         fake=False).collect()
