@@ -290,8 +290,20 @@ def _write_committed(df: DataFrame, vdir: str,
     src = jvm.org.apache.hadoop.fs.Path(tmp)
     dst = jvm.org.apache.hadoop.fs.Path(vdir)
     # the exists-check is mandatory, not just polite: Hadoop rename
-    # onto an EXISTING directory moves src INSIDE it
-    if fs.exists(dst) or not fs.rename(src, dst):
+    # onto an EXISTING directory moves src INSIDE it. A dst that
+    # exists WITHOUT _SUCCESS is a crashed pre-rename-era writer's
+    # partial (nothing using this module's commit path can produce
+    # it) — uncommitted debris that must not block the table forever
+    # (vacuum deliberately leaves dirs above max committed alone), so
+    # clobber it; a COMMITTED dst always fails fast.
+    if fs.exists(dst):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(dst, "_SUCCESS")):
+            fs.delete(src, True)
+            raise ConcurrentWriteError(
+                f"{vdir} was committed by a concurrent writer; "
+                f"re-read the table and retry the merge")
+        fs.delete(dst, True)
+    if not fs.rename(src, dst):
         fs.delete(src, True)
         raise ConcurrentWriteError(
             f"{vdir} was committed by a concurrent writer; "

@@ -2459,3 +2459,29 @@ def test_real_decode_null_vs_garbage(spark):
     with _pt.raises(Exception, match="RIFF|PPM/BMP"):
         extract_features(pack_media(bad, "payload", "id"),
                          fake=False).collect()
+
+
+def test_upsert_clobbers_uncommitted_partial_not_committed(spark,
+                                                           tmp_path):
+    """A crashed writer's PARTIAL v=N (no _SUCCESS) must not block the
+    table forever — the next commit clobbers it; a COMMITTED v=N
+    still fails fast."""
+    import os
+    import pytest as _pt
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    assert U.upsert(spark, path, df, ["k"]) == 1
+    # simulate a crashed writer: v=2 exists with data but no _SUCCESS
+    partial = os.path.join(path, "v=2")
+    os.makedirs(partial)
+    open(os.path.join(partial, "part-junk.parquet"), "w").write("x")
+    two = spark.createDataFrame([(2, "b")], "k long, val string")
+    assert U.upsert(spark, path, two, ["k"]) == 2
+    rows = {(r["k"], r["val"])
+            for r in U.read_latest(spark, path).collect()}
+    assert rows == {(1, "a"), (2, "b")}
+    assert not os.path.exists(os.path.join(partial, "part-junk.parquet"))
+    # committed version still protected
+    with _pt.raises(U.ConcurrentWriteError):
+        U._write_committed(two, partial, None, None)
