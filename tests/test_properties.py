@@ -594,3 +594,43 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows,
                               strict=strict, direction=direction,
                               tolerance=tol).collect()}
     assert got == want
+
+
+BATCHES = st.lists(
+    st.dictionaries(st.integers(0, 6),
+                    st.tuples(st.integers(-50, 50), st.booleans()),
+                    min_size=1, max_size=6),
+    min_size=1, max_size=4)
+
+
+@PROP
+@given(batches=BATCHES, partitioned=st.booleans())
+def test_upsert_random_batches_match_dict_replay(spark, batches,
+                                                 partitioned):
+    """Any sequence of keyed merge/delete batches (through the atomic
+    rename commit path, unpartitioned AND partition-pruned) ends in
+    exactly the state a python dict replay produces — including after
+    a closing vacuum, which must preserve manifest-referenced
+    partition data."""
+    import tempfile
+    from bigslice_spark.operators.upsert import (read_latest, upsert,
+                                                 vacuum)
+    path = tempfile.mkdtemp(prefix="upsert_prop_") + "/t"
+    pb = ["p"] if partitioned else None
+    for batch in batches:
+        rows = [(k, k % 2, v, d) for k, (v, d) in batch.items()]
+        df = spark.createDataFrame(
+            rows, "k long, p long, v long, __deleted__ boolean")
+        upsert(spark, path, df, ["k"], partition_by=pb)
+    state: dict[int, int] = {}
+    for batch in batches:
+        for k, (v, d) in batch.items():
+            if d:
+                state.pop(k, None)
+            else:
+                state[k] = v
+    got = {r["k"]: r["v"] for r in read_latest(spark, path).collect()}
+    assert got == state
+    vacuum(spark, path, keep_last=1)
+    after = {r["k"]: r["v"] for r in read_latest(spark, path).collect()}
+    assert after == state
