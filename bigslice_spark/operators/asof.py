@@ -8,7 +8,12 @@ requirement on either side, skew handled by AQE.
 
 Tie policy: at equal timestamps the right row sorts BEFORE the left row
 (strict=False ⇒ right value at ts==t matches a left row at t; strict=True
-excludes equal timestamps, like `>` vs `>=`).
+excludes equal timestamps, like `>` vs `>=`). Among multiple RIGHT rows
+sharing the exact same (key, ts), the carried row is UNSPECIFIED (a
+distributed shuffle has no input order to preserve, so pandas
+merge_asof's "last input row wins" is not reproducible); disambiguate
+upstream (aggregate duplicates, or fold a sequence number into the
+timestamp) when such ties are possible.
 """
 
 from __future__ import annotations

@@ -143,7 +143,12 @@ def bpe_encode(df: DataFrame,
     materializing the corpus-scale (doc, word, cnt) relation); join
     per-word token counts back (AQE broadcasts the vocab side when it
     is small) and sum. Documents with no tokens come back 0 via the
-    left join, matching the row-wise encoder exactly."""
+    left join, matching the row-wise encoder exactly.
+
+    Precondition: ``id_col`` must uniquely identify rows (the natural
+    doc-id contract) — duplicate ids aggregate their token counts
+    together and every duplicate row receives the combined total,
+    where the row-wise encoder would count each row separately."""
     c = F.col(text_col)
     if lowercase:
         c = F.lower(c)

@@ -202,20 +202,29 @@ def extract_features(df: DataFrame, fake: bool = True,
     image (PPM/BMP): [1, width, height, 3, n_pixels, meanR, meanG,
     meanB]; audio (WAV): [2, rate, channels, 16, n_samples, mean, 0,
     0] — means are exact-integer sums divided by exact counts, so they
-    replay bit-identically in any engine. Unsupported formats raise
-    (JPEG/MP4 need codec libs this container lacks). ``fake=True``
-    keeps the deterministic byte-histogram descriptor."""
+    replay bit-identically in any engine. The descriptor is fixed at
+    8 wide (``feat_dim`` must be 8 in this mode — a NULL payload's
+    zero vector and every decoded vector share one width, never
+    ragged). Unsupported formats raise (JPEG/MP4 need codec libs this
+    container lacks). ``fake=True`` keeps the deterministic
+    byte-histogram descriptor at any ``feat_dim``."""
     import numpy as np
     import pandas as pd
 
+    if not fake and feat_dim != 8:
+        raise ValueError("fake=False emits the fixed 8-wide "
+                         "descriptor; feat_dim must be 8")
     out_schema = "id long, n_bytes long, feat array<double>"
 
     def real_feat(blob: bytes) -> list[float]:
         if blob[:2] in (b"P6", b"BM"):
             w, h, px = decode_image(blob)
+            n = float(w * h)
+            if n == 0:  # legal zero-area container: no pixels, no NaN
+                return [1.0, float(w), float(h), 3.0, 0.0, 0.0, 0.0,
+                        0.0]
             a = np.frombuffer(px, np.uint8).reshape(-1, 3)
             s = a.sum(axis=0, dtype=np.int64)
-            n = float(w * h)
             return [1.0, float(w), float(h), 3.0, n,
                     s[0] / n, s[1] / n, s[2] / n]
         rate, ch, data = decode_wav(blob)

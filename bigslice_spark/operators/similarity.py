@@ -165,8 +165,15 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         km = KMeans(k=ncells, seed=seed, featuresCol="feat")
         model = km.fit(train.withColumn("feat", array_to_vector("v")))
         centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    elif any(len(c) != dim for c in centers):
-        raise ValueError(f"centers must each have dim={dim}")
+    else:
+        if not centers or any(len(c) != dim for c in centers):
+            raise ValueError(
+                f"centers must be a non-empty list of dim={dim} "
+                f"vectors (got {len(centers)})")
+        if nprobe > len(centers):
+            raise ValueError(
+                f"nprobe={nprobe} exceeds the {len(centers)} centers "
+                f"given (ncells is ignored when centers= is passed)")
 
     def cell_dists(vec: str):
         """array<struct<d,cell>> of squared L2 to each centroid, wide —

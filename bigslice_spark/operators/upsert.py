@@ -289,13 +289,16 @@ def _write_committed(df: DataFrame, vdir: str,
     jvm, fs, _ = _jfs(spark, vdir)
     src = jvm.org.apache.hadoop.fs.Path(tmp)
     dst = jvm.org.apache.hadoop.fs.Path(vdir)
-    # the exists-check is mandatory, not just polite: Hadoop rename
-    # onto an EXISTING directory moves src INSIDE it. A dst that
-    # exists WITHOUT _SUCCESS is a crashed pre-rename-era writer's
-    # partial (nothing using this module's commit path can produce
-    # it) — uncommitted debris that must not block the table forever
-    # (vacuum deliberately leaves dirs above max committed alone), so
-    # clobber it; a COMMITTED dst always fails fast.
+    # A dst that exists WITHOUT _SUCCESS is a crashed writer's partial
+    # (nothing using this commit path can produce it) — uncommitted
+    # debris that must not block the table forever (vacuum
+    # deliberately leaves dirs above max committed alone), so clobber
+    # it; a COMMITTED dst always fails fast. Residual window: between
+    # this _SUCCESS probe and the delete, a racer could commit the
+    # same version and lose it — that interleave needs a crashed
+    # partial AND two live writers in the same instant; the pre-
+    # atomic-commit behavior (unconditional overwrite) lost data in
+    # EVERY race.
     if fs.exists(dst):
         if fs.exists(jvm.org.apache.hadoop.fs.Path(dst, "_SUCCESS")):
             fs.delete(src, True)
@@ -303,11 +306,24 @@ def _write_committed(df: DataFrame, vdir: str,
                 f"{vdir} was committed by a concurrent writer; "
                 f"re-read the table and retry the merge")
         fs.delete(dst, True)
-    if not fs.rename(src, dst):
+    # Publish through FileContext.rename, whose default Rename.NONE
+    # semantics FAIL if dst exists — unlike FileSystem.rename, which
+    # would move src INSIDE an existing dst and return true, silently
+    # nesting the loser's snapshot in the winner's. With this one
+    # metadata op the lost-race outcome is an exception, not silent
+    # corruption, with no check-then-act window on the publish itself.
+    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark._jsc.hadoopConfiguration())
+    ren = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(ren, 1)
+    opts[0] = ren.NONE
+    try:
+        fctx.rename(src, dst, opts)
+    except Exception as ex:
         fs.delete(src, True)
         raise ConcurrentWriteError(
             f"{vdir} was committed by a concurrent writer; "
-            f"re-read the table and retry the merge")
+            f"re-read the table and retry the merge") from ex
 
 
 class ConcurrentWriteError(RuntimeError):

@@ -145,6 +145,8 @@ def plan_report(df: DataFrame) -> dict:
     for interactive use; feed the dict to your own thresholds.
     """
     txt = explain_str(df)
+    tree = _tree(df)  # stringified once; one line per node (the
+    # formatted text names every node twice — tree + detail section)
     return {
         "n_exchanges": count_exchanges(df),
         "n_scans": count_scans(df),
@@ -153,10 +155,8 @@ def plan_report(df: DataFrame) -> dict:
         "cartesian": "CartesianProduct" in txt,
         "partial_agg": "partial_" in txt or "Partial" in txt,
         "codegen_fraction": codegen_fraction(df),
-        # counted on the simple tree (one line per node; the formatted
-        # text names every node twice — tree + detail section)
-        "n_expands": _tree(df).count("Expand"),
-        "n_python": sum(_tree(df).count(m) for m in
+        "n_expands": tree.count("Expand"),
+        "n_python": sum(tree.count(m) for m in
                         ("ArrowEvalPython", "BatchEvalPython",
                          "MapInPandas", "FlatMapGroupsInPandas")),
         "pushed_scans": scans_with_pushed_filters(df),

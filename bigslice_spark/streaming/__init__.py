@@ -353,8 +353,13 @@ def stream_dedup_against(docs: DataFrame, corpus: DataFrame,
     finally:
         q.stop()
     spark = docs.sparkSession
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        # zero micro-batches ever fired — same contract, empty result
+    # probe existence explicitly instead of catching the read's
+    # exceptions — a corrupt footer or permission error must FAIL, not
+    # masquerade as "zero documents admitted"; only a path never
+    # created (zero micro-batches ever fired) yields the empty set
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return spark.createDataFrame([], docs.schema)
+    return spark.read.parquet(path)

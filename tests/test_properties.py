@@ -565,6 +565,10 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows,
 
     t0 = dt.datetime(2024, 1, 1)
     ts = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    # which of several right rows sharing an exact (k, ts) is carried
+    # is documented-unspecified in the distributed join (no input
+    # order to preserve), so dedupe them before comparing to pandas
+    rmap = {(k, s): v for k, s, v in rrows}
     lpdf = pd.DataFrame({
         "k": pd.Series([k for k, _ in lrows], dtype="int64"),
         "ts": pd.Series([ts(s) for _, s in lrows],
@@ -572,10 +576,10 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows,
         "lid": pd.Series(range(len(lrows)), dtype="int64"),
     }).sort_values("ts")
     rpdf = pd.DataFrame({
-        "k": pd.Series([k for k, _, _ in rrows], dtype="int64"),
-        "rts": pd.Series([ts(s) for _, s, _ in rrows],
+        "k": pd.Series([k for k, _ in rmap], dtype="int64"),
+        "rts": pd.Series([ts(s) for _, s in rmap],
                          dtype="datetime64[ns]"),
-        "v": pd.Series([v for _, _, v in rrows], dtype="float64"),
+        "v": pd.Series(list(rmap.values()), dtype="float64"),
     }).sort_values("rts")
     want_df = pd.merge_asof(
         lpdf, rpdf, left_on="ts", right_on="rts", by="k",
