@@ -143,7 +143,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              ncells: int = 16, nprobe: int = 4,
              sample_fraction: float = 1.0, seed: int = 42,
              dim: int | None = None,
-             centers: list[list[float]] | None = None) -> DataFrame:
+             centers: list[list[float]] | None = None,
+             max_iter: int = 8) -> DataFrame:
     """IVF ANN: KMeans cells (pyspark.ml), probe nprobe nearest cells.
     Trains on a sample; assignment + rerank are expression-level.
     Pass ``dim`` when known — the fallback inference is a driver-side
@@ -162,7 +163,12 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             raise NotImplementedError(f"pyspark.ml unavailable: {ex}")
         train = corpus if sample_fraction >= 1.0 else \
             corpus.sample(fraction=sample_fraction, seed=seed)
-        km = KMeans(k=ncells, seed=seed, featuresCol="feat")
+        # a COARSE quantizer does not need convergence — cells only
+        # partition the corpus for probing, and recall comes from
+        # nprobe, so a few Lloyd rounds past kmeans|| init suffice
+        # (MLlib's default 20 rounds is mostly per-job overhead here)
+        km = KMeans(k=ncells, seed=seed, featuresCol="feat",
+                    maxIter=max_iter)
         model = km.fit(train.withColumn("feat", array_to_vector("v")))
         centers = [[float(x) for x in c] for c in model.clusterCenters()]
     else:

@@ -2427,7 +2427,7 @@ def test_ivf_accepts_precomputed_centers(spark, tables):
     from pyspark.ml.functions import array_to_vector
     from bigslice_spark.operators.similarity import _prep
     corpus = _prep(emb, "embedding", "vec_id", 64)
-    km = KMeans(k=4, seed=42, featuresCol="feat")
+    km = KMeans(k=4, seed=42, featuresCol="feat", maxIter=8)
     model = km.fit(corpus.withColumn("feat", array_to_vector("v")))
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     b = ivf_topk(emb, qs, k=5, ncells=4, nprobe=2, dim=64,
