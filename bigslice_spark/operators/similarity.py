@@ -172,14 +172,16 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         model = km.fit(train.withColumn("feat", array_to_vector("v")))
         centers = [[float(x) for x in c] for c in model.clusterCenters()]
     else:
-        if not centers or any(len(c) != dim for c in centers):
+        if not centers:
+            raise ValueError("centers must be a non-empty list")
+        bad = [len(c) for c in centers if len(c) != dim]
+        if bad:
             raise ValueError(
-                f"centers must be a non-empty list of dim={dim} "
-                f"vectors (got {len(centers)})")
-        if nprobe > len(centers):
-            raise ValueError(
-                f"nprobe={nprobe} exceeds the {len(centers)} centers "
-                f"given (ncells is ignored when centers= is passed)")
+                f"every center must have dim={dim}; got vector(s) of "
+                f"length {sorted(set(bad))}")
+        # nprobe > len(centers) degrades gracefully (the probe slice
+        # just returns every cell), exactly like the trained path with
+        # nprobe > ncells — train-once/reuse parity
 
     def cell_dists(vec: str):
         """array<struct<d,cell>> of squared L2 to each centroid, wide —

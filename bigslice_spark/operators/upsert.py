@@ -312,18 +312,49 @@ def _write_committed(df: DataFrame, vdir: str,
     # nesting the loser's snapshot in the winner's. With this one
     # metadata op the lost-race outcome is an exception, not silent
     # corruption, with no check-then-act window on the publish itself.
-    fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri(), spark._jsc.hadoopConfiguration())
-    ren = jvm.org.apache.hadoop.fs.Options.Rename
-    opts = spark.sparkContext._gateway.new_array(ren, 1)
-    opts[0] = ren.NONE
+    # Stores without an AbstractFileSystem binding for their scheme
+    # (some object-store connectors expose only a FileSystem) fall
+    # back to FileSystem.rename plus a post-rename nesting check,
+    # which detects-and-repairs the lost race instead of preventing it.
     try:
-        fctx.rename(src, dst, opts)
-    except Exception as ex:
-        fs.delete(src, True)
-        raise ConcurrentWriteError(
-            f"{vdir} was committed by a concurrent writer; "
-            f"re-read the table and retry the merge") from ex
+        fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration())
+    except Exception:
+        fctx = None
+    if fctx is not None:
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(ren, 1)
+        opts[0] = ren.NONE
+        try:
+            fctx.rename(src, dst, opts)
+        except Exception as ex:
+            jex = getattr(ex, "java_exception", None)
+            desc = "" if jex is None else (
+                jex.getClass().getName() + ": "
+                + (jex.getMessage() or ""))
+            if ("FileAlreadyExists" in desc
+                    or "already exists" in desc):
+                fs.delete(src, True)
+                raise ConcurrentWriteError(
+                    f"{vdir} was committed by a concurrent writer; "
+                    f"re-read the table and retry the merge") from ex
+            # genuine IO failure (safe mode, timeout, permissions):
+            # NOT a race — keep the fully written temp (the rename
+            # alone is retryable; vacuum reaps it if abandoned) and
+            # surface the real error
+            raise
+    else:
+        if not fs.rename(src, dst):
+            fs.delete(src, True)
+            raise ConcurrentWriteError(
+                f"{vdir} was committed by a concurrent writer; "
+                f"re-read the table and retry the merge")
+        nested = jvm.org.apache.hadoop.fs.Path(dst, src.getName())
+        if fs.exists(nested):  # rename moved src INSIDE existing dst
+            fs.delete(nested, True)
+            raise ConcurrentWriteError(
+                f"{vdir} was committed by a concurrent writer; "
+                f"re-read the table and retry the merge")
 
 
 class ConcurrentWriteError(RuntimeError):

@@ -357,9 +357,8 @@ def stream_dedup_against(docs: DataFrame, corpus: DataFrame,
     # exceptions — a corrupt footer or permission error must FAIL, not
     # masquerade as "zero documents admitted"; only a path never
     # created (zero micro-batches ever fired) yields the empty set
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..operators.upsert import _jfs
+    _, fs, jpath = _jfs(spark, path)
     if not fs.exists(jpath):
         return spark.createDataFrame([], docs.schema)
     return spark.read.parquet(path)

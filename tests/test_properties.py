@@ -616,25 +616,32 @@ def test_upsert_random_batches_match_dict_replay(spark, batches,
     exactly the state a python dict replay produces — including after
     a closing vacuum, which must preserve manifest-referenced
     partition data."""
+    import shutil
     import tempfile
     from bigslice_spark.operators.upsert import (read_latest, upsert,
                                                  vacuum)
-    path = tempfile.mkdtemp(prefix="upsert_prop_") + "/t"
-    pb = ["p"] if partitioned else None
-    for batch in batches:
-        rows = [(k, k % 2, v, d) for k, (v, d) in batch.items()]
-        df = spark.createDataFrame(
-            rows, "k long, p long, v long, __deleted__ boolean")
-        upsert(spark, path, df, ["k"], partition_by=pb)
-    state: dict[int, int] = {}
-    for batch in batches:
-        for k, (v, d) in batch.items():
-            if d:
-                state.pop(k, None)
-            else:
-                state[k] = v
-    got = {r["k"]: r["v"] for r in read_latest(spark, path).collect()}
-    assert got == state
-    vacuum(spark, path, keep_last=1)
-    after = {r["k"]: r["v"] for r in read_latest(spark, path).collect()}
-    assert after == state
+    root = tempfile.mkdtemp(prefix="upsert_prop_")
+    try:
+        path = root + "/t"
+        pb = ["p"] if partitioned else None
+        for batch in batches:
+            rows = [(k, k % 2, v, d) for k, (v, d) in batch.items()]
+            df = spark.createDataFrame(
+                rows, "k long, p long, v long, __deleted__ boolean")
+            upsert(spark, path, df, ["k"], partition_by=pb)
+        state: dict[int, int] = {}
+        for batch in batches:
+            for k, (v, d) in batch.items():
+                if d:
+                    state.pop(k, None)
+                else:
+                    state[k] = v
+        got = {r["k"]: r["v"]
+               for r in read_latest(spark, path).collect()}
+        assert got == state
+        vacuum(spark, path, keep_last=1)
+        after = {r["k"]: r["v"]
+                 for r in read_latest(spark, path).collect()}
+        assert after == state
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
