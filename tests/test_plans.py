@@ -587,6 +587,13 @@ def test_plan_report_summarizes_q3(spark, sf_dir):
     assert r["n_scans"] >= 3 and r["n_exchanges"] >= 1
     assert 0.0 <= r["codegen_fraction"] <= 1.0
     assert r["pushed_scans"]
+    # pure relational plan: no Expand, no Python nodes
+    assert r["n_expands"] == 0 and r["n_python"] == 0
+    # and the smell detectors actually fire where they should
+    rollup = plan_report(QUERIES["rollup_agg"](spark, sf_dir))
+    assert rollup["n_expands"] == 1
+    bpe = plan_report(QUERIES["bpe_token_counts"](spark, sf_dir))
+    assert bpe["n_python"] == 1
 
 
 def test_bpe_encode_no_python_over_corpus(spark, sf_dir):
