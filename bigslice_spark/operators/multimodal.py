@@ -3,7 +3,8 @@
 Images/audio/video are opaque `binary` columns with a typed metadata
 struct. The Spark-side plumbing — schema, batching, partition-size
 control, Arrow UDF signatures — is real and tested. DECODE is real for
-the container-free formats — PPM (P6), BMP (24-bit uncompressed), WAV
+the codec-library-free formats — PPM (P6), BMP (24-bit uncompressed),
+PNG (8-bit gray/RGB/RGBA via stdlib zlib + scanline unfiltering), WAV
 (PCM16) — parsed pure-Python/numpy in `extract_features(fake=False)`;
 formats that genuinely need codec libraries (JPEG, MP4, ...) raise
 NotImplementedError, and `fake=True` substitutes a deterministic
@@ -111,6 +112,134 @@ def make_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return hdr + data
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def make_png(width: int, height: int, pixels: bytes,
+             filter_type: int = 0) -> bytes:
+    """8-bit truecolor (color type 2) PNG from width*height*3 RGB
+    bytes — stdlib-only (zlib). ``filter_type`` (0=None 1=Sub 2=Up
+    3=Average 4=Paeth) picks the per-scanline filter applied on
+    encode, so tests can exercise every unfilter path in
+    ``decode_image``."""
+    import zlib
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    if filter_type not in range(5):
+        raise ValueError(f"bad PNG filter {filter_type}")
+    stride = width * 3
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        raw.append(filter_type)
+        for i in range(stride):
+            left = row[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = left
+            elif filter_type == 2:
+                pred = up
+            elif filter_type == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            raw.append((row[i] - pred) & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_decode(blob: bytes) -> tuple[int, int, bytes]:
+    """PNG → (width, height, RGB raster): stdlib zlib inflate +
+    scanline unfiltering (all five filter types) + channel extract.
+    Supports 8-bit color types 0 (gray, replicated to RGB), 2 (RGB)
+    and 6 (RGBA, alpha dropped), non-interlaced; per-chunk CRCs are
+    verified so corruption fails loudly rather than decoding noise."""
+    import zlib
+    import numpy as np
+    i, w, h, ctype, idat = 8, None, None, None, bytearray()
+    while i + 8 <= len(blob):
+        ln, = struct.unpack_from(">I", blob, i)
+        tag = blob[i + 4:i + 8]
+        data = blob[i + 8:i + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc, = struct.unpack_from(">I", blob, i + 8 + ln)
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or ctype not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG depth={depth} color={ctype}")
+            if comp or filt or inter:
+                raise ValueError("unsupported PNG compression/"
+                                 "filter method or interlacing")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    bpp = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    zero = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (stride + 1) + 1)
+        prior = out[y - 1] if y else zero
+        if ft == 0:
+            out[y] = line
+        elif ft == 1:   # Sub: per-lane prefix sum mod 256
+            lanes = line.reshape(-1, bpp)
+            out[y] = np.cumsum(lanes, axis=0, dtype=np.uint64
+                               ).astype(np.uint8).reshape(-1)
+        elif ft == 2:   # Up
+            out[y] = line + prior
+        elif ft in (3, 4):  # Average / Paeth: sequential by spec
+            row = out[y]
+            for i2 in range(stride):
+                left = int(row[i2 - bpp]) if i2 >= bpp else 0
+                up = int(prior[i2])
+                ul = int(prior[i2 - bpp]) if i2 >= bpp else 0
+                pred = ((left + up) // 2 if ft == 3
+                        else _paeth(left, up, ul))
+                row[i2] = (int(line[i2]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG scanline filter {ft}")
+    px = out.reshape(h, w, bpp)
+    if ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 6:
+        px = px[:, :, :3]
+    return int(w), int(h), px.tobytes()
+
+
 def make_wav(sample_rate: int, samples: list[int],
              n_channels: int = 1) -> bytes:
     """Canonical 44-byte-header PCM16 WAV from int16 samples."""
@@ -143,8 +272,10 @@ def _ppm_tokens(b: bytes, n: int) -> tuple[list[int], int]:
 
 
 def decode_image(blob: bytes) -> tuple[int, int, bytes]:
-    """PPM(P6)/BMP(24bpp) → (width, height, RGB raster bytes)."""
+    """PPM(P6)/BMP(24bpp)/PNG(8-bit) → (width, height, RGB raster)."""
     import numpy as np
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(blob)
     if blob[:2] == b"P6":
         (w, h, maxval), off = _ppm_tokens(blob, 3)
         if maxval != 255:
@@ -199,7 +330,7 @@ def extract_features(df: DataFrame, fake: bool = True,
 
     ``fake=False`` REALLY decodes (pure Python/numpy, magic-byte
     dispatch) and emits an 8-dim descriptor —
-    image (PPM/BMP): [1, width, height, 3, n_pixels, meanR, meanG,
+    image (PPM/BMP/PNG): [1, width, height, 3, n_pixels, meanR, meanG,
     meanB]; audio (WAV): [2, rate, channels, 16, n_samples, mean, 0,
     0] — means are exact-integer sums divided by exact counts, so they
     replay bit-identically in any engine. The descriptor is fixed at
@@ -217,7 +348,8 @@ def extract_features(df: DataFrame, fake: bool = True,
     out_schema = "id long, n_bytes long, feat array<double>"
 
     def real_feat(blob: bytes) -> list[float]:
-        if blob[:2] in (b"P6", b"BM"):
+        if (blob[:2] in (b"P6", b"BM")
+                or blob[:8] == b"\x89PNG\r\n\x1a\n"):
             w, h, px = decode_image(blob)
             n = float(w * h)
             if n == 0:  # legal zero-area container: no pixels, no NaN
@@ -227,6 +359,13 @@ def extract_features(df: DataFrame, fake: bool = True,
             s = a.sum(axis=0, dtype=np.int64)
             return [1.0, float(w), float(h), 3.0, n,
                     s[0] / n, s[1] / n, s[2] / n]
+        if blob[:4] != b"RIFF":
+            # name the real condition: an unrecognized container must
+            # not surface as a bogus "not a RIFF/WAVE" complaint
+            raise NotImplementedError(
+                f"unsupported media format (magic {blob[:8]!r}); "
+                f"supported: PPM/BMP/PNG/WAV — JPEG/MP4 need codec "
+                f"libraries this container lacks")
         rate, ch, data = decode_wav(blob)
         n = float(len(data))
         mean = int(data.sum(dtype=np.int64)) / n if n else 0.0
@@ -238,11 +377,14 @@ def extract_features(df: DataFrame, fake: bool = True,
             for rid, blob in zip(pdf["id"], pdf["media"]):
                 b = np.frombuffer(blob or b"", dtype=np.uint8)
                 if not fake:
-                    # a NULL payload is a missing blob, not a decode
-                    # error — zero descriptor; non-NULL garbage still
-                    # raises (a corrupt file must fail loudly)
+                    # NULL and b'' payloads are MISSING blobs (empty
+                    # bytes is the common missing-blob encoding), not
+                    # decode errors — zero descriptor; non-empty
+                    # garbage still raises (a corrupt file must fail
+                    # loudly, and never by falling through a magic
+                    # check into a misleading wrong-format error)
                     rows.append((int(rid), int(len(b)),
-                                 [0.0] * feat_dim if blob is None
+                                 [0.0] * feat_dim if len(b) == 0
                                  else real_feat(bytes(blob))))
                 elif len(b) == 0:
                     rows.append((int(rid), 0, [0.0] * feat_dim))

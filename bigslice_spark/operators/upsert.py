@@ -292,30 +292,101 @@ def _write_committed(df: DataFrame, vdir: str,
     # A dst that exists WITHOUT _SUCCESS is a crashed writer's partial
     # (nothing using this commit path can produce it) — uncommitted
     # debris that must not block the table forever (vacuum
-    # deliberately leaves dirs above max committed alone), so clobber
-    # it; a COMMITTED dst always fails fast. Residual window: between
-    # this _SUCCESS probe and the delete, a racer could commit the
-    # same version and lose it — that interleave needs a crashed
-    # partial AND two live writers in the same instant; the pre-
-    # atomic-commit behavior (unconditional overwrite) lost data in
-    # EVERY race.
+    # deliberately leaves dirs above max committed alone). It is moved
+    # ASIDE with one atomic rename to a debris name (never deleted in
+    # place): if a racer committed the same version between the
+    # _SUCCESS probe and the grab, the grab steals a COMMITTED dir —
+    # detected by the _SUCCESS inside the debris, restored with a
+    # rename back, and this writer loses cleanly. No interleave can
+    # silently drop a commit; a COMMITTED dst always fails fast.
     if fs.exists(dst):
         if fs.exists(jvm.org.apache.hadoop.fs.Path(dst, "_SUCCESS")):
             fs.delete(src, True)
             raise ConcurrentWriteError(
                 f"{vdir} was committed by a concurrent writer; "
                 f"re-read the table and retry the merge")
-        fs.delete(dst, True)
-    # Publish through FileContext.rename, whose default Rename.NONE
-    # semantics FAIL if dst exists — unlike FileSystem.rename, which
-    # would move src INSIDE an existing dst and return true, silently
-    # nesting the loser's snapshot in the winner's. With this one
-    # metadata op the lost-race outcome is an exception, not silent
-    # corruption, with no check-then-act window on the publish itself.
-    # Stores without an AbstractFileSystem binding for their scheme
-    # (some object-store connectors expose only a FileSystem) fall
-    # back to FileSystem.rename plus a post-rename nesting check,
-    # which detects-and-repairs the lost race instead of preventing it.
+        debris = jvm.org.apache.hadoop.fs.Path(
+            f"{vdir}.dead-{uuid.uuid4().hex}")
+        outcome = _rename_no_overwrite(spark, jvm, fs, dst, debris)
+        if outcome == "ok" and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(debris, "_SUCCESS")):
+            # stole a commit that landed after the probe: put it back
+            # (if dst re-filled meanwhile, a committed v=N exists
+            # either way — leave the duplicate as debris for vacuum)
+            _rename_no_overwrite(spark, jvm, fs, debris, dst)
+            fs.delete(src, True)
+            raise ConcurrentWriteError(
+                f"{vdir} was committed by a concurrent writer; "
+                f"re-read the table and retry the merge")
+        # "missing-src": another racer grabbed the partial first —
+        # fine, the publish below is atomic regardless
+    outcome = _rename_no_overwrite(spark, jvm, fs, src, dst)
+    if outcome == "exists":
+        fs.delete(src, True)
+        raise ConcurrentWriteError(
+            f"{vdir} was committed by a concurrent writer; "
+            f"re-read the table and retry the merge")
+    if outcome == "missing-src":  # our own temp vanished: not a race
+        raise IOError(f"writer temp {tmp} disappeared before publish "
+                      f"(external deletion? premature vacuum?)")
+
+
+_ALREADY_EXISTS_CLASSES = frozenset({
+    "org.apache.hadoop.fs.FileAlreadyExistsException",
+    "java.nio.file.FileAlreadyExistsException",
+    "org.apache.hadoop.fs.PathExistsException",
+})
+_MISSING_SRC_CLASSES = frozenset({
+    "java.io.FileNotFoundException",
+    "java.nio.file.NoSuchFileException",
+    "org.apache.hadoop.fs.PathNotFoundException",
+})
+
+
+def _classify_rename_exc(ex: Exception) -> str | None:
+    """Map a py4j rename failure to 'exists' / 'missing-src' / None
+    (genuine IO error) by java exception CLASS, walking the cause
+    chain — message-text matching is the fallback only when no java
+    exception is attached (a nested path error whose message happens
+    to contain 'already exists' must not masquerade as a race)."""
+    jex = getattr(ex, "java_exception", None)
+    if jex is None:
+        msg = str(ex)
+        if "FileAlreadyExists" in msg or "already exists" in msg:
+            return "exists"
+        return None
+    hops = 0
+    while jex is not None and hops < 8:
+        try:
+            name = jex.getClass().getName()
+        except Exception:
+            break
+        if name in _ALREADY_EXISTS_CLASSES:
+            return "exists"
+        if name in _MISSING_SRC_CLASSES:
+            return "missing-src"
+        try:
+            jex = jex.getCause()
+        except Exception:
+            break
+        hops += 1
+    return None
+
+
+def _rename_no_overwrite(spark, jvm, fs, src, dst) -> str:
+    """One atomic no-overwrite rename; returns 'ok' / 'exists' /
+    'missing-src', re-raising genuine IO failures (safe mode, timeout,
+    permissions) so the caller keeps its temp — the rename alone is
+    retryable and vacuum reaps it if abandoned.
+
+    Goes through FileContext.rename with Rename.NONE, which FAILS if
+    dst exists — unlike FileSystem.rename, which would move src INSIDE
+    an existing dst and return true, silently nesting the loser's
+    snapshot in the winner's. Stores without an AbstractFileSystem
+    binding for their scheme (some object-store connectors expose only
+    a FileSystem) fall back to FileSystem.rename plus a post-rename
+    nesting check, which detects-and-repairs the lost race instead of
+    preventing it."""
     try:
         fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             fs.getUri(), spark._jsc.hadoopConfiguration())
@@ -328,33 +399,21 @@ def _write_committed(df: DataFrame, vdir: str,
         try:
             fctx.rename(src, dst, opts)
         except Exception as ex:
-            jex = getattr(ex, "java_exception", None)
-            desc = "" if jex is None else (
-                jex.getClass().getName() + ": "
-                + (jex.getMessage() or ""))
-            if ("FileAlreadyExists" in desc
-                    or "already exists" in desc):
-                fs.delete(src, True)
-                raise ConcurrentWriteError(
-                    f"{vdir} was committed by a concurrent writer; "
-                    f"re-read the table and retry the merge") from ex
-            # genuine IO failure (safe mode, timeout, permissions):
-            # NOT a race — keep the fully written temp (the rename
-            # alone is retryable; vacuum reaps it if abandoned) and
-            # surface the real error
-            raise
-    else:
-        if not fs.rename(src, dst):
-            fs.delete(src, True)
-            raise ConcurrentWriteError(
-                f"{vdir} was committed by a concurrent writer; "
-                f"re-read the table and retry the merge")
-        nested = jvm.org.apache.hadoop.fs.Path(dst, src.getName())
-        if fs.exists(nested):  # rename moved src INSIDE existing dst
-            fs.delete(nested, True)
-            raise ConcurrentWriteError(
-                f"{vdir} was committed by a concurrent writer; "
-                f"re-read the table and retry the merge")
+            kind = _classify_rename_exc(ex)
+            if kind is None:
+                raise
+            return kind
+        return "ok"
+    if not fs.rename(src, dst):
+        # FileSystem.rename's false is ambiguous — disambiguate so a
+        # vanished src (racer grabbed it first) isn't reported as a
+        # lost race
+        return "missing-src" if not fs.exists(src) else "exists"
+    nested = jvm.org.apache.hadoop.fs.Path(dst, src.getName())
+    if fs.exists(nested):  # rename moved src INSIDE existing dst
+        fs.delete(nested, True)
+        return "exists"
+    return "ok"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -644,17 +703,27 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
         if not m:
             # a lost-race/crashed writer's temp for an already-decided
             # version is dead by construction (its rename can never
-            # land); one at/above max committed may be in flight — left
+            # land) — but only reap it once stale (>1h by FS mtime):
+            # a LIVE doomed writer may still be mid-parquet-job, and
+            # yanking its temp would turn its clean fail-fast
+            # ConcurrentWriteError into an opaque task/commit failure.
+            # One at/above max committed may be in flight — left alone.
+            stale = st.getModificationTime() < _now_ms() - 3_600_000
             mi = re.fullmatch(r"v=(\d+)\.inprogress-[0-9a-f]+", name)
-            if (mi and max_committed is not None
+            if (mi and stale and max_committed is not None
                     and int(mi.group(1)) <= max_committed):
                 fs.delete(st.getPath(), True)
+            # a crashed partial moved aside by a later committer
+            # (_write_committed's rename-aside): dead on arrival, but
+            # the same staleness guard covers the instant between a
+            # mistaken grab of a committed dir and its rename-back
+            elif (re.fullmatch(r"v=\d+\.dead-[0-9a-f]+", name)
+                  and stale):
+                fs.delete(st.getPath(), True)
             # a crashed writer's partition-name scratch: reap only
-            # when stale (>1h by FS mtime) — a LIVE writer's marker
-            # exists for milliseconds between write and inline delete
-            elif (re.fullmatch(r"_touched-[0-9a-f]+", name)
-                  and st.getModificationTime()
-                  < _now_ms() - 3_600_000):
+            # when stale — a LIVE writer's marker exists for
+            # milliseconds between write and inline delete
+            elif re.fullmatch(r"_touched-[0-9a-f]+", name) and stale:
                 fs.delete(st.getPath(), True)
             continue
         v = int(m.group(1))

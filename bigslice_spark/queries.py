@@ -5311,18 +5311,23 @@ _DECODE_SQL = """
 def multimodal_decode_q(spark, sf_dir):
     """REAL media decode end-to-end (operators/multimodal.py
     decode_image/decode_wav, fake=False): even doc_ids become 8x8 RGB
-    images (BMP when divisible by 4 — exercising the padded bottom-up
-    BGR layout — else binary PPM) and odd doc_ids become 64-sample
+    images — BMP when divisible by 4 (exercising the padded bottom-up
+    BGR layout), PNG when ≡2 mod 8 (stdlib zlib inflate + scanline
+    unfiltering, rotating through all five PNG filter types by
+    doc_id), binary PPM otherwise — and odd doc_ids become 64-sample
     PCM16 WAVs, all generated from a pure doc_id formula; the decoder
     parses the container bytes back and emits exact-integer-mean
     features, which the oracle recomputes from the same formula
-    WITHOUT the binary round-trip — any header/stride/sign slip in
-    either codec path breaks the hash match. Fixture generation is a
-    bounded-width pandas UDF (8x8x3 + header bytes per row); decode
-    itself is the production mapInPandas path."""
+    WITHOUT the binary round-trip (the image descriptor is container-
+    independent, so one oracle covers all three image codecs) — any
+    header/stride/filter/sign slip in any codec path breaks the hash
+    match. Fixture generation is a bounded-width pandas UDF (8x8x3 +
+    header bytes per row); decode itself is the production mapInPandas
+    path."""
     import pandas as pd
     from .operators.multimodal import (extract_features, make_bmp,
-                                       make_ppm, make_wav, pack_media)
+                                       make_png, make_ppm, make_wav,
+                                       pack_media)
     _, t = _s(spark, sf_dir)
 
     def gen(batches):
@@ -5332,8 +5337,13 @@ def multimodal_decode_q(spark, sf_dir):
                 d = int(d)
                 if d % 2 == 0:
                     px = bytes((d * 7 + i) % 256 for i in range(192))
-                    blob = (make_bmp(8, 8, px) if d % 4 == 0
-                            else make_ppm(8, 8, px))
+                    if d % 4 == 0:
+                        blob = make_bmp(8, 8, px)
+                    elif d % 8 == 2:
+                        blob = make_png(8, 8, px,
+                                        filter_type=(d // 8) % 5)
+                    else:
+                        blob = make_ppm(8, 8, px)
                 else:
                     blob = make_wav(8000, [
                         ((d * 31 + i * 17) % 65536) - 32768

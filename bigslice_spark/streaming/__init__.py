@@ -136,7 +136,19 @@ def run_to_completion(agg: DataFrame, name: str,
     near-empty stores is pure overhead, while too few caps the
     parallelism of a 100 TB-scale join state. Scoped here: the conf
     is set for the query's lifetime and restored after (results are
-    partitioning-invariant — the dual-config battery proves it)."""
+    partitioning-invariant — the dual-config battery proves it).
+
+    CONCURRENCY CONTRACT: ``spark.sql.shuffle.partitions`` is a
+    session-level conf read at each micro-batch's planning, and a
+    streaming DataFrame cannot be rebound to a ``newSession()`` clone
+    after construction — so while this call is in flight, no other
+    query (stream or batch) may be PLANNED on the same SparkSession,
+    or the two race on the conf and an interleaved restore can leave
+    the session at the wrong partition count. The helper is
+    synchronous (blocks to completion), which makes the contract
+    automatic for single-threaded callers; multi-threaded drivers
+    that need concurrent streams must build each stream on its own
+    ``spark.newSession()`` from the start."""
     spark = agg.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)

@@ -2292,19 +2292,31 @@ def test_upsert_concurrent_writer_fails_fast(spark, tmp_path):
 def test_vacuum_reaps_lost_race_temps(spark, tmp_path):
     """A crashed/lost-race writer's v=N.inprogress-* temp at or below
     the max committed version is dead by construction — vacuum removes
-    it; one above max committed may be in flight and is left alone."""
+    it once STALE (>1h mtime: a live doomed writer mid-parquet-job
+    keeps its temp so it reaches its clean fail-fast); one above max
+    committed may be in flight and is left alone regardless. Stale
+    v=N.dead-* rename-aside debris is reaped on the same guard."""
     import os
     from bigslice_spark.operators import upsert as U
     path = str(tmp_path / "tbl")
     df = spark.createDataFrame([(1, "a")], "k long, val string")
     U.upsert(spark, path, df, ["k"])
     U.upsert(spark, path, df, ["k"])
-    os.makedirs(os.path.join(path, "v=2.inprogress-deadbeef"))
-    os.makedirs(os.path.join(path, "v=3.inprogress-cafe0001"))
+    old = (U._now_ms() - 2 * 3_600_000) / 1000.0
+    for name in ("v=2.inprogress-deadbeef", "v=3.inprogress-cafe0001",
+                 "v=1.dead-0ddba11", "v=2.inprogress-11ffee00",
+                 "v=2.dead-f4e5d6"):
+        os.makedirs(os.path.join(path, name))
+    for stale in ("v=2.inprogress-deadbeef", "v=3.inprogress-cafe0001",
+                  "v=1.dead-0ddba11"):
+        os.utime(os.path.join(path, stale), (old, old))
     U.vacuum(spark, path, keep_last=2)
     names = set(os.listdir(path))
-    assert "v=2.inprogress-deadbeef" not in names
-    assert "v=3.inprogress-cafe0001" in names  # possibly in flight
+    assert "v=2.inprogress-deadbeef" not in names      # stale + dead
+    assert "v=3.inprogress-cafe0001" in names  # stale but maybe live
+    assert "v=1.dead-0ddba11" not in names             # stale debris
+    assert "v=2.inprogress-11ffee00" in names  # fresh: writer may live
+    assert "v=2.dead-f4e5d6" in names          # fresh debris kept
 
 
 def test_media_decoders_roundtrip():
@@ -2330,6 +2342,49 @@ def test_media_decoders_roundtrip():
         decode_image(b"\xff\xd8\xffJPEG...")
     with _pt.raises(ValueError):
         decode_wav(b"OggS...")
+
+
+def test_png_codec_roundtrip():
+    """Stdlib-zlib PNG codec: encode/decode round-trips exact RGB
+    bytes under ALL FIVE scanline filter types (None/Sub/Up/Average/
+    Paeth), handles gray (type 0, replicated) and RGBA (type 6, alpha
+    dropped), and fails loudly on CRC corruption instead of decoding
+    noise."""
+    import struct
+    import zlib
+    import pytest as _pt
+    from bigslice_spark.operators.multimodal import (
+        _png_decode, decode_image, make_png)
+    px = bytes((i * 7 + 3) % 256 for i in range(5 * 3 * 3))
+    for ft in range(5):
+        assert decode_image(make_png(5, 3, px, filter_type=ft)) \
+            == (5, 3, px), f"filter {ft}"
+
+    def build(ctype, bpp, raw_px, w, h):
+        stride = w * bpp
+        raw = b"".join(b"\x00" + raw_px[y * stride:(y + 1) * stride]
+                       for y in range(h))
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    gray = bytes(range(16))
+    assert _png_decode(build(0, 1, gray, 4, 4))[2] \
+        == b"".join(bytes((g, g, g)) for g in gray)
+    rgba = bytes(i % 256 for i in range(4 * 4 * 4))
+    assert _png_decode(build(6, 4, rgba, 4, 4))[2] \
+        == b"".join(rgba[i * 4:i * 4 + 3] for i in range(16))
+    blob = bytearray(make_png(5, 3, px, filter_type=2))
+    blob[40] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC"):
+        _png_decode(bytes(blob))
+    with _pt.raises(ValueError, match="unsupported"):
+        _png_decode(build(3, 1, gray, 4, 4))   # palette: no PLTE sup.
 
 
 def test_extract_features_real_decode(spark):
@@ -2440,19 +2495,23 @@ def test_ivf_accepts_precomputed_centers(spark, tables):
 
 
 def test_real_decode_null_vs_garbage(spark):
-    """fake=False: a NULL payload is a MISSING blob (zero descriptor,
-    row flows through); non-NULL garbage is a corrupt file and must
-    fail loudly."""
+    """fake=False: NULL and b'' payloads are MISSING blobs (zero
+    descriptor, row flows through — empty bytes is the common
+    missing-blob encoding and must not surface as a bogus 'not a
+    RIFF/WAVE' corruption error); non-empty garbage is a corrupt file
+    and must fail loudly with an error naming the real condition."""
     import pytest as _pt
     from bigslice_spark.operators.multimodal import (extract_features,
                                                      make_wav,
                                                      pack_media)
     df = spark.createDataFrame(
-        [(1, None), (2, bytearray(make_wav(8000, [5, -5])))],
+        [(1, None), (2, bytearray(make_wav(8000, [5, -5]))),
+         (3, bytearray(b""))],
         "id long, payload binary")
     out = {r["id"]: r for r in extract_features(
         pack_media(df, "payload", "id"), fake=False).collect()}
     assert out[1]["feat"] == [0.0] * 8 and out[1]["n_bytes"] == 0
+    assert out[3]["feat"] == [0.0] * 8 and out[3]["n_bytes"] == 0
     assert out[2]["feat"][0] == 2.0
     bad = spark.createDataFrame([(3, bytearray(b"\x00garbage"))],
                                 "id long, payload binary")
@@ -2482,6 +2541,74 @@ def test_upsert_clobbers_uncommitted_partial_not_committed(spark,
             for r in U.read_latest(spark, path).collect()}
     assert rows == {(1, "a"), (2, "b")}
     assert not os.path.exists(os.path.join(partial, "part-junk.parquet"))
+    # the partial was moved ASIDE atomically (not deleted in place):
+    # its junk now lives in a v=2.dead-* debris dir, invisible to
+    # readers and reaped by vacuum once stale
+    dead = [d for d in os.listdir(path) if d.startswith("v=2.dead-")]
+    assert len(dead) == 1
+    assert os.path.exists(
+        os.path.join(path, dead[0], "part-junk.parquet"))
     # committed version still protected
     with _pt.raises(U.ConcurrentWriteError):
         U._write_committed(two, partial, None, None)
+
+
+def test_upsert_grab_restores_stolen_commit(spark, tmp_path,
+                                            monkeypatch):
+    """The crashed-partial rename-aside race: if a concurrent writer
+    commits v=N between this writer's _SUCCESS probe and its grab of
+    the partial, the grab steals a COMMITTED dir — _write_committed
+    must detect the _SUCCESS inside the debris, rename it back, and
+    lose cleanly (no silent lost commit)."""
+    import os
+    import pytest as _pt
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    assert U.upsert(spark, path, df, ["k"]) == 1
+    # v=2 starts as a crashed partial (no _SUCCESS)
+    partial = os.path.join(path, "v=2")
+    os.makedirs(partial)
+    open(os.path.join(partial, "part-racer.parquet"), "w").write("r")
+    real = U._rename_no_overwrite
+
+    def racing(spark_, jvm, fs, src, dst):
+        # the racer's commit lands an instant before the grab executes
+        if (dst.getName() != "v=2"
+                and not os.path.exists(
+                    os.path.join(partial, "_SUCCESS"))):
+            open(os.path.join(partial, "_SUCCESS"), "w").write("")
+        return real(spark_, jvm, fs, src, dst)
+
+    monkeypatch.setattr(U, "_rename_no_overwrite", racing)
+    loser = spark.createDataFrame([(9, "LOST")], "k long, val string")
+    with _pt.raises(U.ConcurrentWriteError):
+        U._write_committed(loser, partial, None, None)
+    # the racer's commit survived, restored at v=2 with its _SUCCESS
+    assert os.path.exists(os.path.join(partial, "_SUCCESS"))
+    assert os.path.exists(os.path.join(partial, "part-racer.parquet"))
+    assert not [d for d in os.listdir(path) if "inprogress" in d]
+
+
+def test_rename_no_overwrite_outcomes(spark, tmp_path):
+    """The atomic publish primitive: ok on free dst, 'exists' on an
+    occupied dst (no nesting inside it), 'missing-src' when src is
+    gone — classified by java exception class, not message text."""
+    import os
+    from bigslice_spark.operators import upsert as U
+    jvm, fs, _ = U._jfs(spark, str(tmp_path))
+    P = jvm.org.apache.hadoop.fs.Path
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(a)
+    open(os.path.join(a, "x"), "w").write("x")
+    assert U._rename_no_overwrite(spark, jvm, fs, P(a), P(b)) == "ok"
+    assert os.path.exists(os.path.join(b, "x"))
+    os.makedirs(a)
+    assert U._rename_no_overwrite(spark, jvm, fs, P(a), P(b)) == "exists"
+    assert os.path.exists(a)          # src untouched on a lost race
+    assert not os.path.exists(os.path.join(b, "a"))   # never nested
+    gone = str(tmp_path / "nope")
+    out = U._rename_no_overwrite(spark, jvm, fs, P(gone), P(b))
+    assert out in ("missing-src", "exists")  # AbstractFS raises FNF;
+    # a FileSystem fallback reports the occupied dst first — either
+    # way the caller cannot mistake it for success
