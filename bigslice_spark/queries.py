@@ -4570,18 +4570,117 @@ def bpe_merges_q(spark, sf_dir):
         merges, "rank int, left string, right string, n long")
 
 
-# no oracle: applying ranked merges is the same iterative rewrite,
-# corpus-side (Arrow pandas UDF). Pinned by unit tests instead.
-@query("bpe_token_counts")
+# The 40-merge vocabulary bpe_train produces on the sf0.01 documents
+# table (deterministic: exact counts, count-DESC/lexicographic
+# tie-break) — pinned so the ENCODE operator gets a full SQL oracle:
+# encoding under a given vocabulary is a pure function of (text,
+# merges), so the vocabulary is an input here, exactly as in
+# production where the tokenizer is trained once and shipped.
+# tests/test_operators.py re-derives this list from the corpus and
+# fails if it drifts.
+_BPE_PINNED: list[tuple[int, str, str, int]] = [
+    (0, 'e', 'r', 4568), (1, 'e', '▁', 4473), (2, 'n', '▁', 2834),
+    (3, 'er', '▁', 2779), (4, 'o', 'w', 2747), (5, 'ow', '▁', 2747),
+    (6, 'o', 'r', 2696), (7, 's', 't', 2676), (8, 'h', '▁', 1884),
+    (9, 'a', 't', 1845), (10, 'l', 'u', 1831), (11, 'i', 'n', 1796),
+    (12, 'a', '▁', 1788), (13, 'g', '▁', 1777), (14, 'y', '▁', 1767),
+    (15, 'a', 'r', 1758), (16, 'p', 'ar', 1758), (17, 't', '▁', 1750),
+    (18, 'i', 'n▁', 964), (19, 'j', 'o', 964), (20, 'jo', 'in▁', 964),
+    (21, 'a', 's', 947), (22, 'as', 'h▁', 947), (23, 'h', 'ash▁', 947),
+    (24, 'r', 'ow▁', 943), (25, 'at', 'c', 937), (26, 'atc', 'h▁', 937),
+    (27, 'b', 'atch▁', 937), (28, 'a', 'n▁', 936), (29, 'c', 'an▁', 936),
+    (30, 's', 'can▁', 936), (31, 'c', 'o', 934), (32, 'c', 'u', 934),
+    (33, 'co', 'lu', 934), (34, 'colu', 'm', 934),
+    (35, 'colum', 'n▁', 934), (36, 'cu', 'st', 934),
+    (37, 'cust', 'o', 934), (38, 'custo', 'm', 934),
+    (39, 'custom', 'er▁', 934),
+]
+
+
+def _bpe_merge_step_sql(prev: str, a: str, b: str) -> str:
+    """One BPE merge pass as SQL over symbol rows (doc_id, wid, pos,
+    sym), pos dense 1..n per word: flag (a,b) adjacencies, pick the
+    left-to-right non-overlapping subset (gaps-and-islands: within
+    each maximal run of consecutive flags, even offsets from the run
+    start — exactly the greedy scan merge applies), splice the winners
+    and renumber. Matches the priority encoder because a merge's
+    components are always learned at strictly lower ranks, so a pass
+    can never create an adjacency an EARLIER pass would have taken."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    return f"""
+  SELECT doc_id, wid,
+         row_number() OVER (PARTITION BY doc_id, wid ORDER BY pos) AS pos,
+         CASE WHEN dm THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT doc_id, wid, pos, sym, nxt, dm,
+           lag(dm) OVER (PARTITION BY doc_id, wid ORDER BY pos) AS pdm
+    FROM (
+      SELECT doc_id, wid, pos, sym, nxt,
+             coalesce(m AND (pos - min(CASE WHEN m THEN pos END)
+                 OVER (PARTITION BY doc_id, wid, grp)) % 2 = 0,
+               FALSE) AS dm
+      FROM (
+        SELECT doc_id, wid, pos, sym, nxt, m,
+               pos - (CASE WHEN m THEN row_number()
+                 OVER (PARTITION BY doc_id, wid, m ORDER BY pos) END)
+                 AS grp
+        FROM (
+          SELECT doc_id, wid, pos, sym,
+                 lead(sym) OVER (PARTITION BY doc_id, wid
+                                 ORDER BY pos) AS nxt,
+                 coalesce(sym = '{qa}' AND lead(sym)
+                   OVER (PARTITION BY doc_id, wid ORDER BY pos)
+                   = '{qb}', FALSE) AS m
+          FROM {prev}))))
+  WHERE NOT coalesce(pdm, FALSE)"""
+
+
+def _bpe_encode_oracle_sql(
+        merges: list[tuple[int, str, str, int]]) -> str:
+    """Full SQL replay of bpe_encode under a pinned merge list: words
+    (lowercased, ASCII-\\s split), chars + end-of-word sentinel as
+    symbol rows, then ONE CHAINED CTE PER MERGE (the fixed-iteration
+    unroll trick) applying the pass above; token count = surviving
+    symbol rows per document, 0 for wordless docs via the left join."""
+    ctes = ["""wz AS (
+  SELECT doc_id, unnest(list_transform(
+      list_filter(string_split_regex(lower(text), '\\s+'),
+                  t -> t <> ''),
+      (w, i) -> {'wid': i, 'w': w})) AS u
+  FROM documents)""", """s0 AS (
+  SELECT doc_id, wid, s.pos AS pos, s.sym AS sym FROM (
+    SELECT doc_id, u.wid AS wid,
+           unnest(list_transform(
+             list_append(list_transform(range(1, length(u.w) + 1),
+                                        i -> u.w[i]), '▁'),
+             (c, i) -> {'pos': i, 'sym': c})) AS s
+    FROM wz))"""]
+    prev = "s0"
+    for r, (_, a, b, _n) in enumerate(merges):
+        ctes.append(f"s{r + 1} AS ({_bpe_merge_step_sql(prev, a, b)})")
+        prev = f"s{r + 1}"
+    return f"""WITH {', '.join(ctes)}
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_tokens FROM {prev}
+  GROUP BY doc_id) t
+USING (doc_id)"""
+
+
+@query("bpe_token_counts", _bpe_encode_oracle_sql(_BPE_PINNED))
 def bpe_token_counts_q(spark, sf_dir):
     """Token counts under a learned BPE vocabulary (operators/bpe.py
-    bpe_encode): train 40 merges, then count tokens per document with
-    the Arrow-batched encoder — the budget/packing input for a
-    tokenizer-aware pipeline."""
-    from .operators.bpe import bpe_encode, bpe_train
+    bpe_encode): the plan-native encoder (distinct words encoded once,
+    counts joined back — no Python over corpus rows) under the pinned
+    40-merge vocabulary ``_BPE_PINNED`` (bpe_train's deterministic
+    output on the sf0.01 corpus; training itself is graded by
+    bpe_merges). The oracle replays the encode merge-by-merge as 40
+    chained CTEs, so a tokenizer/tie-break/overlap slip in either
+    engine breaks the hash."""
+    from .operators.bpe import bpe_encode
     _, t = _s(spark, sf_dir)
-    merges = bpe_train(t["documents"], num_merges=40)
-    return bpe_encode(t["documents"], merges)
+    return bpe_encode(t["documents"], _BPE_PINNED)
 
 
 @query("gopher_rules", """

@@ -1976,6 +1976,60 @@ def test_bpe_encode_join_plan_matches_rowwise(spark, tables):
     assert plan[900001] == plan[900002] == plan[900003] == 0
 
 
+def test_bpe_pinned_vocab_matches_training(spark):
+    """_BPE_PINNED (the literal vocabulary baked into the
+    bpe_token_counts oracle SQL) must stay bit-identical to what
+    bpe_train derives from the sf0.01 corpus — if the corpus or the
+    trainer changes, this fails before the driver's hash gate does."""
+    from bigslice_spark.operators.bpe import bpe_train
+    from bigslice_spark.queries import _BPE_PINNED
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert bpe_train(docs, num_merges=40) == _BPE_PINNED
+
+
+def test_bpe_sequential_replay_equals_priority_encoder():
+    """The oracle replays encoding ONE MERGE PASS AT A TIME (each pass
+    a greedy left-to-right non-overlapping rewrite); the engine's
+    _encode_word applies the lowest-RANK applicable merge anywhere.
+    For vocabularies produced by the trainer these are equivalent (a
+    merge's components are learned at strictly lower ranks, so a pass
+    cannot create an adjacency an earlier pass would have taken) —
+    pinned here over the pinned vocabulary and adversarial run-heavy
+    words, mirroring the SQL's gaps-and-islands selection in Python."""
+    from bigslice_spark.operators.bpe import (_EOW, _encode_word,
+                                              _merge_loop)
+    from bigslice_spark.queries import _BPE_PINNED
+
+    def sequential(word, merges):
+        syms = [*word] + [_EOW]
+        for _, a, b, _n in merges:
+            out, i = [], 0
+            while i < len(syms):   # greedy left-to-right, one pass
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    ranks = {(a, b): r for r, a, b, _ in _BPE_PINNED}
+    words = ["customer", "column", "batch", "scan", "hash", "join",
+             "row", "partition", "erer", "ererer", "aaaa", "aaaaaaa",
+             "atatat", "stst", "owowow", "lulu", "x", "", "the"]
+    for w in words:
+        assert sequential(w, _BPE_PINNED) == _encode_word(w, ranks), w
+    # and on a trained-from-scratch vocab over a run-heavy corpus
+    corpus = [("aaaa", 9), ("aaab", 7), ("abab", 6), ("bbbb", 5),
+              ("aab", 4), ("ba", 3)]
+    merges = _merge_loop(corpus, 8)
+    ranks2 = {(a, b): r for r, a, b, _ in merges}
+    for w in ("aaaaaaaa", "ababab", "bbbbbb", "aabbaabb", "baaab"):
+        assert sequential(w, merges) == _encode_word(w, ranks2), w
+
+
 def test_gopher_rules_each_rule_fires(spark):
     from bigslice_spark.operators.text import gopher_rules
     good = ("the cat and the dog be friends that have fun with " * 6)
