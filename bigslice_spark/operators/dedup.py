@@ -108,7 +108,17 @@ def _bucketed_self_join(rel: DataFrame, keys: list[str],
     Cold buckets take ``nc = 1`` — one cell, the original plan, two extra
     int columns of overhead. (The reference has no analog: bigslice's
     cogroup would funnel the whole bucket through one reducer,
-    reduce.go:1-40.)"""
+    reduce.go:1-40.)
+
+    The join is pinned to sort-merge (``hint("merge")``): if the
+    relation happens to fit the broadcast threshold, Catalyst would
+    broadcast one side — and then the probe side keeps its upstream
+    partitioning (the window's exchange on ``keys`` alone), so the hot
+    bucket's entire B² output is produced by the one task that owns
+    its key and the cell spreading silently does nothing. The hint is
+    plan-neutral at corpus scale (a self-join of a corpus-scale
+    relation is sort-merge anyway — measured at sf0.1) and forces the
+    exchange on ``keys + cells`` exactly where the salting needs it."""
     payload = [c for c in rel.columns if c not in keys]
     bn = F.count(F.lit(1)).over(W.partitionBy(*keys))
     salted = (rel.withColumn(
@@ -124,7 +134,9 @@ def _bucketed_self_join(rel: DataFrame, keys: list[str],
     right = salted.select(
         *keys, *[F.col(c).alias(c + "_b") for c in payload],
         chunks.alias("__ci__"), F.col("__c__").alias("__cj__"))
-    return (left.join(right, on=list(keys) + ["__ci__", "__cj__"])
+    return (left.hint("merge")
+            .join(right.hint("merge"),
+                  on=list(keys) + ["__ci__", "__cj__"])
             .drop("__ci__", "__cj__"))
 
 

@@ -138,13 +138,23 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     return _rerank(scored, k)
 
 
+def _auto_ncells(n: int, cell_target: int) -> int:
+    """~N/cell_target cells, floor 16: keeps each probe's candidate
+    set ~cell_target vectors at ANY corpus size and gives the cell
+    equi-join key enough distinct values to hash-partition without
+    engineered skew (a fixed small ncells is a local-scale constant
+    that turns into a 16-value join key at 100 TB)."""
+    return max(16, -(-n // cell_target))
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             ncells: int = 16, nprobe: int = 4,
+             ncells: int | None = None, nprobe: int = 4,
              sample_fraction: float = 1.0, seed: int = 42,
              dim: int | None = None,
              centers: list[list[float]] | None = None,
-             max_iter: int = 8) -> DataFrame:
+             max_iter: int = 8, cell_target: int = 4096,
+             assign_method: str = "auto") -> DataFrame:
     """IVF ANN: KMeans cells (pyspark.ml), probe nprobe nearest cells.
     Trains on a sample; assignment + rerank are expression-level.
     Pass ``dim`` when known — the fallback inference is a driver-side
@@ -152,8 +162,28 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     (k×dim floats, e.g. a previous call's training or
     clustering.kmeans_train output) to SKIP the MLlib fit entirely —
     the production shape: train the coarse quantizer once per corpus
-    snapshot, reuse it for every query batch."""
+    snapshot, reuse it for every query batch.
+
+    ``ncells=None`` (the default) AUTO-SIZES to ~N/``cell_target``
+    (floor 16): a fixed cell count is a local-scale constant — at
+    corpus scale it makes the cell equi-join key a 16-value skew
+    machine and each probe scans N/16 vectors. Auto-sizing keeps the
+    per-probe candidate set ~``cell_target`` at any corpus size (one
+    column-pruned count() when neither ncells nor centers is given).
+
+    ``assign_method``: ``unrolled`` inlines the per-cell distances as
+    one codegen expression — fastest, but beyond ~1500 multiply-add
+    terms (ncells·dim) the JVM's 64 KB method limit silently drops
+    the stage to interpreted eval; ``join`` broadcasts the centroid
+    table and takes min(struct(d, cell)) per vector (map-side partial
+    agg — no cliff at any ncells) with a small window on the query
+    side for the nprobe probe list. ``auto`` switches at the cliff.
+    Both compute the identical left-associative float sums, so
+    results are bitwise-identical either way."""
     dim = dim or _dim_of(df, vec_col)
+    if ncells is None:
+        ncells = (len(centers) if centers is not None
+                  else _auto_ncells(df.count(), cell_target))
     corpus = _prep(df, vec_col, id_col, dim)
     if centers is None:
         try:
@@ -183,28 +213,59 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         # just returns every cell), exactly like the trained path with
         # nprobe > ncells — train-once/reuse parity
 
-    def cell_dists(vec: str):
-        """array<struct<d,cell>> of squared L2 to each centroid, wide —
-        one F.expr parse (driver-latency, see _dot_wide)."""
-        entries = []
-        for ci, c in enumerate(centers):
-            d = " + ".join(
-                f"({vec}[{j}] - ({c[j]!r})) * ({vec}[{j}] - ({c[j]!r}))"
-                for j in range(dim))
-            entries.append(f"named_struct('d', ({d}), 'cell', {ci})")
-        return F.expr("array(" + ", ".join(entries) + ")")
-
-    assigned = corpus.withColumn(
-        "cell", F.array_min(cell_dists("v"))["cell"])
+    from .clustering import _CODEGEN_TERM_LIMIT, kmeans_assign
+    if assign_method == "auto":
+        assign_method = ("unrolled"
+                         if ncells * dim <= _CODEGEN_TERM_LIMIT
+                         else "join")
     qs = queries.select(F.col(id_col).alias("qid"),
                         _as_double_vec(F.col(vec_col)).alias("qv"))
     qs = (qs.withColumn("qnrm", F.sqrt(_dot_wide("qv", "qv", dim)))
-          .filter(F.col("qnrm") > 0)
-          .withColumn("cells", F.slice(
-              F.array_sort(cell_dists("qv")), 1, nprobe))
-          .withColumn("cell", F.explode(
-              F.transform("cells", lambda s: s["cell"])))
-          .drop("cells"))
+          .filter(F.col("qnrm") > 0))
+    if assign_method == "unrolled":
+        def cell_dists(vec: str):
+            """array<struct<d,cell>> of squared L2 to each centroid,
+            wide — one F.expr parse (driver-latency, see _dot_wide)."""
+            entries = []
+            for ci, c in enumerate(centers):
+                d = " + ".join(
+                    f"({vec}[{j}] - ({c[j]!r})) "
+                    f"* ({vec}[{j}] - ({c[j]!r}))"
+                    for j in range(dim))
+                entries.append(f"named_struct('d', ({d}), 'cell', {ci})")
+            return F.expr("array(" + ", ".join(entries) + ")")
+
+        assigned = corpus.withColumn(
+            "cell", F.array_min(cell_dists("v"))["cell"])
+        qs = (qs.withColumn("cells", F.slice(
+                  F.array_sort(cell_dists("qv")), 1, nprobe))
+              .withColumn("cell", F.explode(
+                  F.transform("cells", lambda s: s["cell"])))
+              .drop("cells"))
+    elif assign_method == "join":
+        # corpus: broadcast-join argmin (map-side partial agg — the
+        # only exchange hashes nid, never the 16-value cell id);
+        # queries: same broadcast with a per-qid window for the
+        # nprobe-nearest cells — query sets are small by contract
+        cells = kmeans_assign(df, centers, vec_col, id_col,
+                              method="join") \
+            .select(F.col(id_col).alias("nid"), "cell")
+        assigned = corpus.join(cells, on="nid")
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            [(ci, c) for ci, c in enumerate(centers)],
+            "cell int, c array<double>")
+        qd = F.aggregate(
+            F.zip_with("qv", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, t: acc + t)
+        wq = W.partitionBy("qid").orderBy("__qd", "cell")
+        qs = (qs.join(F.broadcast(cents))
+              .withColumn("__qd", qd)
+              .withColumn("__pr", F.row_number().over(wq))
+              .filter(F.col("__pr") <= nprobe)
+              .drop("c", "__qd", "__pr"))
+    else:
+        raise ValueError(f"unknown assign_method: {assign_method}")
     scored = (assigned.join(qs, on="cell")
               .filter(F.col("nid") != F.col("qid"))
               .withColumn("cosine", _dot_wide("v", "qv", dim)

@@ -116,6 +116,112 @@ def main():
         lambda a: minhash_lsh_pairs(docs[a], threshold=0.5))
     run("bm25", lambda a: bm25_score(
         docs[a], ["fast", "key", "order"], k=20))
+    ivf_cell_scaling(spark, t)
+    hot_bucket_stress(spark)
+
+
+def ivf_cell_scaling(spark, t):
+    """ivf_topk growth curve with AUTO-SIZED cells: the corpus grows
+    1x/4x/16x, ncells tracks ~N/cell_target (so the per-probe
+    candidate set stays ~constant), and past the ~1500-term codegen
+    cliff the assignment auto-routes through the broadcast-join path.
+    The JSON rows record ncells and the chosen path so the curve
+    demonstrates both the sizing rule and the cliff switch surviving
+    growth — run naively with a FIXED ncells, the same 16x input makes
+    every probe scan 16x more vectors."""
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.clustering import (
+        _CODEGEN_TERM_LIMIT, seed_centroids)
+    from bigslice_spark.operators.similarity import _auto_ncells, ivf_topk
+
+    emb = t["embeddings"]
+    dim = 64
+    qs = emb.filter(F.col("vec_id") < 8).localCheckpoint()
+    for amp in AMPS:
+        parts = []
+        for i in range(amp):
+            rot = i % dim
+            # rotate coordinates per replica: norms preserved, every
+            # replica lands in different cells
+            vec = (F.col("embedding") if rot == 0 else
+                   F.concat(F.slice("embedding", rot + 1, dim - rot),
+                            F.slice("embedding", 1, rot)))
+            parts.append(emb.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                vec.alias("embedding")))
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+        corpus = corpus.localCheckpoint()
+        n = corpus.count()
+        ncells = _auto_ncells(n, 256)
+        centers = seed_centroids(ncells, dim)
+        path = ("unrolled" if ncells * dim <= _CODEGEN_TERM_LIMIT
+                else "join")
+        t0 = time.time()
+        out = ivf_topk(corpus, qs, k=10, nprobe=4, dim=dim,
+                       centers=centers)
+        out.write.mode("overwrite").format("noop").save()
+        print(json.dumps({"op": "ivf_auto_cells", "amp": amp,
+                          "rows": n, "ncells": ncells, "path": path,
+                          "sec": round(time.time() - t0, 2)}),
+              flush=True)
+
+
+def hot_bucket_stress(spark):
+    """Adversarial degenerate-LSH-bucket curve for _bucketed_self_join:
+    ONE planted bucket of B identical-signature rows (B = 500·amp,
+    far past chunk_target) amid 10k cold buckets. Reports wall, total
+    pair rows (B² is inherent to the semantics), and the per-task
+    output skew max/mean — the number AQE cannot fix (the bucket's
+    JOIN INPUT is ~24-byte rows; only its OUTPUT is quadratic). With
+    the (B/chunk_target)² cell spreading, max/mean stays ~1; the
+    amp=1 'unsalted' row (chunk_target=2**31: salting disabled) shows
+    the counterfactual a fixed-key join produces — one task owning
+    all B² rows."""
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.dedup import _bucketed_self_join
+
+    def rel(b):
+        hot = spark.range(b).select(F.lit(-1).alias("bk"),
+                                    F.col("id").alias("id"))
+        cold = spark.range(40_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("bk"),
+            (F.col("id") + 1_000_000).alias("id"))
+        return hot.unionByName(cold).localCheckpoint()
+
+    def measure(name, amp, r, chunk_target):
+        pairs = _bucketed_self_join(r, ["bk"], id_col="id",
+                                    chunk_target=chunk_target)
+        t0 = time.time()
+        per_task = (pairs.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .agg(F.max("n").alias("mx"), F.avg("n").alias("mean"),
+                         F.sum("n").alias("total")).collect()[0])
+        wall = round(time.time() - t0, 2)
+        print(json.dumps({
+            "op": name, "amp": amp, "pair_rows": per_task["total"],
+            "max_task_rows": per_task["mx"],
+            "task_skew": round(per_task["mx"] / per_task["mean"], 2),
+            "sec": wall}), flush=True)
+
+    # AQE's partition COALESCER is disabled for this measurement only:
+    # this synthetic shuffle is a few hundred KB, so the coalescer
+    # legally merges every reduce partition — salted cells included —
+    # into one task, and the probe measures the coalescer, not the
+    # salting. At corpus scale the same cells share reduce partitions
+    # with ~64 MB of cold-bucket data each and are never merged; the
+    # skew SPLITTER (the half of AQE that matters here) stays on and
+    # still cannot see the quadratic OUTPUT behind the ~24-byte input.
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        measure("hot_bucket_unsalted", 1, rel(500), 2**31)
+        for amp in AMPS:
+            measure("hot_bucket_salted", amp, rel(500 * amp), 256)
+    finally:
+        spark.conf.set(key, prev)
 
 
 if __name__ == "__main__":

@@ -2548,6 +2548,46 @@ def test_ivf_accepts_precomputed_centers(spark, tables):
         ivf_topk(emb, qs, k=5, dim=64, centers=[[0.0, 1.0]])
 
 
+def test_ivf_join_assignment_matches_unrolled_bitwise(spark, tables):
+    """Past the ~1500-term codegen cliff ivf_topk must route
+    assignment through the broadcast-join path (auto), and the two
+    strategies must agree on every (qid, nid, cosine, rank) — the
+    join path computes the identical left-associative float sums."""
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.clustering import (
+        _CODEGEN_TERM_LIMIT, seed_centroids)
+    from bigslice_spark.operators.similarity import ivf_topk
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 3)
+    cents = seed_centroids(24, 64)          # 24*64 > 1500: past cliff
+    assert 24 * 64 > _CODEGEN_TERM_LIMIT
+    un = ivf_topk(emb, qs, k=5, nprobe=3, dim=64, centers=cents,
+                  assign_method="unrolled")
+    jo = ivf_topk(emb, qs, k=5, nprobe=3, dim=64, centers=cents,
+                  assign_method="join")
+    au = ivf_topk(emb, qs, k=5, nprobe=3, dim=64, centers=cents)
+    rows = lambda d: sorted(map(tuple, d.collect()))
+    assert rows(un) == rows(jo) == rows(au)
+    # plan gate: auto past the cliff carries the fold-based centroid
+    # join, never the unrolled mega-expression that silently falls
+    # back to interpreted eval
+    from bigslice_spark.plans import explain_str
+    assert "zip_with" in explain_str(au).lower()
+    small = ivf_topk(emb, qs, k=5, nprobe=3, dim=64,
+                     centers=seed_centroids(8, 64))
+    assert "zip_with" not in explain_str(small).lower()
+
+
+def test_ivf_auto_ncells_rule():
+    """ncells=None sizes ~N/cell_target with floor 16 — the scale-safe
+    default (a fixed ncells is a skewed join key at corpus scale)."""
+    from bigslice_spark.operators.similarity import _auto_ncells
+    assert _auto_ncells(1_000, 4096) == 16            # floor
+    assert _auto_ncells(1_000_000, 4096) == 245       # ceil(N/target)
+    assert _auto_ncells(24_000_000_000, 4096) == 5_859_375  # 100TB-ish
+    assert _auto_ncells(4096 * 20, 4096) == 20
+
+
 def test_real_decode_null_vs_garbage(spark):
     """fake=False: NULL and b'' payloads are MISSING blobs (zero
     descriptor, row flows through — empty bytes is the common

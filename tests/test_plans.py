@@ -140,8 +140,13 @@ def test_lsh_pair_generation_is_equi_join(spark, sf_dir, tables):
         txt = explain_str(df)
         assert "Cartesian" not in txt, f"{name}: cartesian"
         assert "BroadcastNestedLoopJoin" not in txt, f"{name}: BNL"
+        # the salted self-join is PINNED to sort-merge (a broadcast
+        # would leave the probe side partitioned by bucket key alone,
+        # un-spreading a degenerate bucket's B² output), so both its
+        # sides legitimately exchange on keys+cells even at test scale
+        assert "SortMergeJoin" in txt, f"{name}: self-join not SMJ"
         n = count_exchanges(df)
-        assert n <= 4, f"{name}: {n} exchanges past the sig checkpoint"
+        assert n <= 5, f"{name}: {n} exchanges past the sig checkpoint"
 
 
 def test_sampling_ops_plan_shapes(spark, sf_dir, tables):
