@@ -91,8 +91,38 @@ class Slice:
     def value_cols(self) -> list[str]:
         return self.df.columns[self.prefix:]
 
+    def _static_num_partitions(self) -> int | None:
+        """Partition count declared by the physical plan's output
+        partitioning (repartition/reshard/agg/join tops all declare
+        one) — read from the adaptive plan's INITIAL physical plan
+        (post-EnsureRequirements, pre-execution), which costs planning
+        only. Neither ``df.rdd`` nor the adaptive plan's own
+        ``outputPartitioning()`` is safe here: both force AQE to
+        execute every upstream query stage of a wide plan just to
+        answer a metadata question (measured: two jobs for one
+        ``num_shard()`` on an aggregate); and ``sparkPlan`` is too
+        EARLY — exchanges aren't inserted yet, so an aggregate still
+        reads UnknownPartitioning there. The declared count is the
+        contract value anyway — AQE may coalesce below it at runtime,
+        exactly as a bigslice shard may end up empty. None when the
+        plan doesn't declare one (scan/union tops)."""
+        try:
+            ep = self.df._jdf.queryExecution().executedPlan()
+            if (ep.getClass().getSimpleName()
+                    == "AdaptiveSparkPlanExec"):
+                ep = ep.initialPlan()
+            n = ep.outputPartitioning().numPartitions()
+            return n if n > 0 else None
+        except Exception:
+            return None
+
     def num_shard(self) -> int:
-        return self.df.rdd.getNumPartitions()
+        """Declared shard count (reference Slice.NumShard). Static
+        from the plan where declared; the RDD fallback only runs for
+        undeclared tops (scans — where building the RDD is narrow and
+        runs no job)."""
+        n = self._static_num_partitions()
+        return n if n is not None else self.df.rdd.getNumPartitions()
 
     def explain(self, mode: str = "formatted") -> None:
         self.df.explain(mode)
@@ -387,7 +417,10 @@ class Slice:
         nshard tasks, collapsing its parallelism (an expensive upstream
         then runs nshard-wide) — an optimization to opt into knowingly,
         not a default."""
-        cur = self.df.rdd.getNumPartitions()
+        cur = self._static_num_partitions()
+        if cur is None:
+            # undeclared top (scan/union): a narrow RDD probe, no job
+            cur = self.df.rdd.getNumPartitions()
         if nshard == cur:
             return self
         if nshard < cur and not shuffle:

@@ -275,6 +275,26 @@ def test_reshard_shuffles_by_default(session):
     assert sorted(r[0] for r in sl.reshard(3).collect()) == list(range(80))
 
 
+def test_num_shard_is_metadata_only_on_wide_plans(session, spark):
+    """num_shard()/reshard() on a plan that declares its partitioning
+    (agg/repartition tops) must run ZERO jobs — the old
+    df.rdd.getNumPartitions() forced AQE to execute every upstream
+    stage of an unexecuted wide plan to answer a metadata question."""
+    import pyspark.sql.functions as F
+    sl = session.const(8, list(range(80)), names=["n"], schema="n long")
+    wide = sl._with(sl.df.groupBy("n").agg(F.count(F.lit(1)).alias("c")),
+                    prefix=1)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    declared = wide.num_shard()
+    same = wide.reshard(declared)          # short-circuit, no shuffle
+    assert sl.reshard(5).num_shard() == 5
+    jobs = set(tracker.getJobIdsForGroup(None)) - before
+    assert jobs == set(), f"metadata probe ran jobs {jobs}"
+    assert same is wide
+    assert declared == int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 def test_reader_func_shard_state(session):
     import pandas as pd
 
