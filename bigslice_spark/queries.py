@@ -4256,18 +4256,47 @@ def heavy_hitters_q(spark, sf_dir):
     return heavy_hitters(t["documents"], phi=0.01)
 
 
-@query("heavy_hitters_approx")
+@query("heavy_hitters_approx", """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true
+            FROM toks GROUP BY tok)
+    SELECT c.tok, c.n_true, TRUE AS found, TRUE AS bounds_ok
+    FROM cnt c, tot
+    WHERE CAST(c.n_true AS DOUBLE) >= 0.01 * CAST(tot.n AS DOUBLE)
+""")
 def heavy_hitters_approx_q(spark, sf_dir):
     """ONE-pass φ-heavy hitters (operators/sketch.py exact=False):
-    merged Misra-Gries counters as (n_lo, n_hi) bounds, half the
-    corpus scans of the exact mode. The bounds are sound under any
-    partitioning but the counter VALUES are partition-dependent, so
-    this entry is rows-only for the driver; the error guarantee
-    n_lo ≤ true ≤ n_hi = n_lo + floor(N/(k+1)) is property-tested
-    (tests/test_properties.py heavy_hitters_approx_bounds)."""
+    merged Misra-Gries counters as (n_lo, n_hi) bounds. The counter
+    VALUES are partition-dependent (merge-order), so they can never
+    hash-match an engine-neutral oracle — instead the entry encodes
+    the sketch's DETERMINISTIC guarantee as data (the similarity_ivf
+    recall trick): for every TRUE φ-heavy token (exact counts, fully
+    SQL-expressible), emit whether the sketch surfaced it (``found``
+    — Misra-Gries guarantees yes) and whether its exact count lies in
+    the sketch's [n_lo, n_hi] (``bounds_ok`` — guaranteed by
+    deficiency ≤ N/(k+1)). The oracle asserts both are TRUE for
+    exactly the true-heavy set, so a missed hitter or violated bound
+    hash-mismatches instead of hiding behind a rows-only check.
+    Partition-count invariance of the booleans is pinned by the
+    dual-config battery; the raw-bounds property stays in
+    tests/test_properties.py."""
     from .operators.sketch import heavy_hitters
     _, t = _s(spark, sf_dir)
-    return heavy_hitters(t["documents"], phi=0.01, exact=False)
+    docs = t["documents"]
+    sk = heavy_hitters(docs, phi=0.01, exact=False)
+    ex = heavy_hitters(docs, phi=0.01, exact=True)
+    return (ex.select("tok", F.col("n").alias("n_true"))
+            .join(sk.select("tok", "n_lo", "n_hi"), on="tok",
+                  how="left")
+            .select("tok", "n_true",
+                    F.col("n_lo").isNotNull().alias("found"),
+                    F.coalesce((F.col("n_lo") <= F.col("n_true"))
+                               & (F.col("n_true") <= F.col("n_hi")),
+                               F.lit(False)).alias("bounds_ok")))
 
 
 @query("stream_upsert", """
@@ -4552,17 +4581,90 @@ def semantic_dedup_q(spark, sf_dir):
                           threshold=0.35)
 
 
-# no oracle: the BPE merge loop is iterative argmax-then-rewrite —
-# not expressible in (non-recursive-aggregate) SQL; the driver records
-# the weaker rows-only check, and tests/test_operators.py pins the
-# merge sequence against a hand-computed corpus instead.
-@query("bpe_merges")
+def _bpe_train_oracle_sql(num_merges: int, min_count: int = 2,
+                          vocab_cap: int = 65536) -> str:
+    """Full SQL replay of bpe_train's merge loop: the word-frequency
+    table (lowercase, ASCII-\\s split, min_count filter, top-vocab_cap
+    by (n DESC, word)) becomes symbol rows, then each of the
+    ``num_merges`` iterations is ONE PAIR of chained CTEs — m{r} picks
+    the argmax pair (sum of word frequencies over ALL adjacent
+    occurrences, overlaps included, tie-break count DESC then pair
+    lexicographic, byte order == code-point order on this corpus) and
+    t{r+1} rewrites every word with that pair merged left-to-right
+    non-overlapping (the same gaps-and-islands selection as the
+    encode oracle). CTEs are MATERIALIZED: each t{r} is referenced
+    twice (by m{r} and t{r+1}), and DuckDB's default inlining would
+    expand the 40-level DAG exponentially. Assumes no merge falls
+    under count 2 (the trainer's early break) — true by orders of
+    magnitude at every test SF."""
+    ctes = [f"""wc AS MATERIALIZED (
+  SELECT word, n FROM (
+    SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                   '\\s+'),
+                                t -> t <> '')) AS word
+      FROM documents)
+    GROUP BY word HAVING count(*) >= {min_count})
+  ORDER BY n DESC, word LIMIT {vocab_cap})""", """t0 AS MATERIALIZED (
+  SELECT word, n, s.pos AS pos, s.sym AS sym FROM (
+    SELECT word, n,
+           unnest(list_transform(
+             list_append(list_transform(range(1, length(word) + 1),
+                                        i -> word[i]), '▁'),
+             (c, i) -> {'pos': i, 'sym': c})) AS s
+    FROM wc))"""]
+    prev = "t0"
+    for r in range(num_merges):
+        ctes.append(f"""m{r} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT word, n, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM {prev})
+  WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY cnt DESC, a, b LIMIT 1)""")
+        ctes.append(f"""t{r + 1} AS MATERIALIZED (
+  SELECT word, n,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN dm THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT word, n, pos, sym, nxt, dm,
+           lag(dm) OVER (PARTITION BY word ORDER BY pos) AS pdm
+    FROM (
+      SELECT word, n, pos, sym, nxt,
+             coalesce(m AND (pos - min(CASE WHEN m THEN pos END)
+                 OVER (PARTITION BY word, grp)) % 2 = 0, FALSE) AS dm
+      FROM (
+        SELECT word, n, pos, sym, nxt, m,
+               pos - (CASE WHEN m THEN row_number()
+                 OVER (PARTITION BY word, m ORDER BY pos) END) AS grp
+        FROM (
+          SELECT q.word, q.n, q.pos, q.sym,
+                 lead(q.sym) OVER (PARTITION BY q.word
+                                   ORDER BY q.pos) AS nxt,
+                 coalesce(q.sym = mm.a AND lead(q.sym)
+                   OVER (PARTITION BY q.word ORDER BY q.pos) = mm.b,
+                   FALSE) AS m
+          FROM {prev} q, m{r} mm))))
+  WHERE NOT coalesce(pdm, FALSE))""")
+        prev = f"t{r + 1}"
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS INTEGER) AS rank, a AS "left", '
+        f'b AS "right", cnt AS n FROM m{r}'
+        for r in range(num_merges))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@query("bpe_merges", _bpe_train_oracle_sql(40))
 def bpe_merges_q(spark, sf_dir):
     """BPE tokenizer training (operators/bpe.py bpe_train): one
     distributed word-count pass (the only corpus-scale work) + the
     driver-side merge loop over the vocabulary table. Deterministic
     (count DESC, pair lexicographic tie-break), so the merge table is
-    stable across engines and partitionings."""
+    stable across engines and partitionings — and fully SQL-oracled:
+    the oracle unrolls the 40 argmax-then-rewrite iterations as
+    chained materialized CTEs and must reproduce the exact merge
+    sequence, counts included."""
     from .operators.bpe import bpe_train
     _, t = _s(spark, sf_dir)
     merges = bpe_train(t["documents"], num_merges=40)
