@@ -15,59 +15,39 @@ from bigslice_spark.queries import ORACLE, QUERIES
 
 # The driver's correctness harness samples the FIRST 50 registry entries
 # in registration order; rotate so every entry accumulates a hard driver
-# signal across rounds. Round-6 window, in priority order:
-#   1. the round-6 addition (zero prior signal of any kind):
-#      multimodal_decode;
-#   2. entries whose IMPLEMENTATION changed this round — their prior
-#      artifacts describe code that no longer exists (asof family:
-#      atomic struct row-carry; stream_dedup_against: empty-stream
-#      guard; bpe_token_counts: plan-native distinct-word join;
-#      dedup_components: piggybacked convergence; triangle_count:
-#      degree orientation; the whole snapshot-table family sits on the
-#      new atomic rename commit) — 15 entries;
-#   3. the r2-stale tail IN FULL: the 34 entries whose latest driver
-#      artifact is r2 (_R2_STALE below minus op_const/op_reader_func/
-#      op_writer_func/op_map, which re-proved in the r5 window) —
-#      1 + 15 + 34 fills the 50 slots exactly, paying the whole
-#      r2-stale debt VERDICT r5 ranked top.
-#   4. Immediately after the window: three borderline-changed entries
-#      whose entry-visible behavior is provably identical (k_core
-#      replays the same fixed-iters rounds, multimodal_features' fake
-#      path restructured only, bpe_merges untouched by the encode
-#      rewrite), then the r3 tail — the r7 rotation starts here.
-_R6_NEW = ("multimodal_decode",)
-_R6_CHANGED = (
-    "asof_join", "asof_join_forward", "asof_tolerance",
-    "stream_dedup_against", "bpe_token_counts", "dedup_components",
-    "triangle_count", "upsert_merge", "upsert_partitioned",
-    "snapshot_diff", "compact_partitioned", "scd2_intervals",
-    "schema_evolution", "stream_upsert", "range_sorted_layout",
-)
-_R2_STALE = (
-    # first 4 re-proved r5; the remaining 34 are this window's payload
-    "op_const", "op_reader_func", "op_writer_func", "op_map",
-    "op_map_pandas", "op_filter", "op_flatmap", "op_flatmap_pandas",
-    "op_fold", "op_fold_custom", "op_fold_stream", "op_reduce",
-    "op_cogroup", "op_cogroup_apply", "op_reshuffle", "op_repartition",
-    "op_repartition_custom", "op_reshard", "op_head", "op_scan",
-    "op_prefixed", "op_cache", "op_cache_partial", "source_tar",
-    "source_csv", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_regional_revenue", "join_broadcast", "set_ops", "rollup_agg",
-    "cube_agg", "grouping_sets", "pivot_status", "percentile_quantity",
-    "approx_distinct", "distinct_pairs", "agg_stats",
-)
-_R2_STALE_DONE = _R2_STALE[:4]
-# changed AFTER the r6 window was sealed (state-partition tuning for
-# the stream-stream joins; driver-sim re-proven this round) — first in
-# the r7 queue so they pick up a fresh hard artifact
+# signal across rounds. Round-7 window, in priority order:
+#   1. entries whose ORACLE is new this round (they have never had a
+#      rows/schema/hash verdict — r6's `err: no_oracle` slots):
+#      heavy_hitters_approx (guarantee-as-data booleans), bpe_merges
+#      (40-step unrolled-CTE trainer replay), bpe_token_counts
+#      (pinned-vocabulary encode replay — implementation also changed
+#      to the pinned list, value-identical at sf0.01 by construction);
+#   2. entries whose FIXTURE/IMPLEMENTATION changed visibly:
+#      multimodal_decode (PNG rows rotated into the image mix),
+#      multimodal_features (b'' now a missing blob, not an error);
+#   3. _R6_LATE (changed after the r6 window sealed) and k_core (the
+#      remaining r6 borderline);
+#   4. the r3-stale payload the r6 VERDICT ranked top: _R3_HEAVY +
+#      _R3_TAIL in staleness order — 42 of the 46 fit; the last four
+#      TPC-H entries (q14/q16/q18/q19) spill to the r8 window.
+# NOT re-windowed despite this round's code touching them: the dedup
+# family (hint("merge") is plan-only — values driver-sim re-proven
+# 10/10 this round), the snapshot-table family (commit-path race
+# hardening only, r6-green, driver-sim re-proven 9/9), similarity_ivf
+# entry pins ncells=8 so the new auto-sizing never engages (and it
+# sits in _R3_TAIL anyway), op_reshard (metadata probe only,
+# driver-sim re-proven). asof_join/asof_join_forward dropped from the
+# r3 tail: they re-proved in the r6 window.
+_R7_NEW_ORACLE = ("heavy_hitters_approx", "bpe_merges",
+                  "bpe_token_counts")
+_R7_CHANGED = ("multimodal_decode", "multimodal_features")
 _R6_LATE = ("stream_join", "stream_join_outer")
-_R6_BORDERLINE = ("k_core", "multimodal_features", "bpe_merges")
+_R6_BORDERLINE = ("k_core",)
 _R3_HEAVY = ("ngram_jaccard", "dedup_against")
-# next-stalest after the window (r3-era) — ordered first in the tail so
-# the round-7 rotation starts from them
+# r3-stale entries in staleness order — the window takes what fits
 _R3_TAIL = (
     "similarity_topk", "similarity_lsh", "similarity_ivf",
-    "pack_sequences", "line_dedup", "asof_join", "asof_join_forward",
+    "pack_sequences", "line_dedup",
     "fingerprint", "text_stats", "token_counts",
     "lang_id", "quality_score", "repetition_stats", "corpus_stats",
     "pii_scrub", "decontaminate", "classify_score", "stratified_sample",
@@ -84,10 +64,9 @@ _R3_TAIL = (
 
 
 def _rotated() -> list[str]:
-    head = [k for k in (_R6_NEW + _R6_CHANGED
-                        + _R2_STALE[4:]
+    head = [k for k in (_R7_NEW_ORACLE + _R7_CHANGED
                         + _R6_LATE + _R6_BORDERLINE
-                        + _R3_HEAVY + _R3_TAIL + _R2_STALE_DONE)
+                        + _R3_HEAVY + _R3_TAIL)
             if k in QUERIES]
     seen = set()
     head = [k for k in head if not (k in seen or seen.add(k))]

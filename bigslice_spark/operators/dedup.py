@@ -547,7 +547,18 @@ def _bucketed_join(left: DataFrame, right: DataFrame, keys: list[str],
     to replicate against, so the per-key sizes are tiny aggregates
     (map-side combine → ~one row per key) joined into a hot-key table
     that broadcasts back to both sides; keys where both sides fit in
-    one chunk pay only two extra int columns."""
+    one chunk pay only two extra int columns.
+
+    Deliberately NOT pinned to sort-merge (contrast
+    _bucketed_self_join): the asymmetric use (small new batch × huge
+    corpus) wins precisely because the small side broadcasts and the
+    corpus never shuffles. Under a broadcast plan each corpus row
+    emits at most ``chunk_target`` pairs per matching a-chunk, and the
+    quadratic output follows the STREAM side's input layout — evenly
+    spread for hash/arrival-ordered inputs; a corpus FILE-CLUSTERED on
+    the join key concentrates it, and such inputs should be
+    pre-repartitioned by the caller (or the join will be sort-merge
+    anyway once both sides exceed the broadcast threshold)."""
     la = [c for c in left.columns if c not in keys]
     rb = [c for c in right.columns if c not in keys]
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__ln__"))
