@@ -139,12 +139,27 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def _auto_ncells(n: int, cell_target: int) -> int:
-    """~N/cell_target cells, floor 16: keeps each probe's candidate
-    set ~cell_target vectors at ANY corpus size and gives the cell
-    equi-join key enough distinct values to hash-partition without
-    engineered skew (a fixed small ncells is a local-scale constant
-    that turns into a 16-value join key at 100 TB)."""
-    return max(16, -(-n // cell_target))
+    """~N/cell_target cells with a floor of 16 and two CAPS, because
+    cell count trades three costs against each other:
+
+    - too FEW cells (a fixed small ncells): each probe scans N/ncells
+      vectors and the cell equi-join key has engineered skew — the
+      reason auto-sizing exists;
+    - too MANY cells: assignment work is O(ncells) PER VECTOR (every
+      vector computes a distance to every centroid), so ~N/cell_target
+      uncapped makes index build O(N²/cell_target) — a quadratic
+      cliff; the 4·√N cap keeps build work at the standard IVF
+      O(N^1.5) (the FAISS sizing rule);
+    - the hard 65 536 cap bounds the broadcast centroid table
+      (≤ ~34 MB at dim 64) and the per-vector fold. Corpora big
+      enough to hit it (≳270 M vectors at the default cell_target)
+      are past what a flat coarse quantizer should index anyway —
+      train centers offline (or hierarchically) and pass ``centers=``,
+      accepting candidate sets above cell_target per probe."""
+    import math
+    cells = -(-n // cell_target)
+    sqrt_cap = 4 * max(1, math.isqrt(n))
+    return max(16, min(cells, max(16, sqrt_cap), 65536))
 
 
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
@@ -165,11 +180,13 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     snapshot, reuse it for every query batch.
 
     ``ncells=None`` (the default) AUTO-SIZES to ~N/``cell_target``
-    (floor 16): a fixed cell count is a local-scale constant — at
-    corpus scale it makes the cell equi-join key a 16-value skew
-    machine and each probe scans N/16 vectors. Auto-sizing keeps the
-    per-probe candidate set ~``cell_target`` at any corpus size (one
-    column-pruned count() when neither ncells nor centers is given).
+    (floor 16, capped at 4·√N and 65 536 — see ``_auto_ncells`` for
+    the three-way cost trade): a fixed cell count is a local-scale
+    constant — at corpus scale it makes the cell equi-join key a
+    16-value skew machine and each probe scans N/16 vectors.
+    Auto-sizing keeps the per-probe candidate set ~``cell_target``
+    until the caps bind (one column-pruned count() when neither
+    ncells nor centers is given).
 
     ``assign_method``: ``unrolled`` inlines the per-cell distances as
     one codegen expression — fastest, but beyond ~1500 multiply-add

@@ -354,6 +354,9 @@ def _classify_rename_exc(ex: Exception) -> str | None:
         msg = str(ex)
         if "FileAlreadyExists" in msg or "already exists" in msg:
             return "exists"
+        if ("FileNotFound" in msg or "NoSuchFile" in msg
+                or "does not exist" in msg or "No such file" in msg):
+            return "missing-src"
         return None
     hops = 0
     while jex is not None and hops < 8:
@@ -716,10 +719,27 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
             # a crashed partial moved aside by a later committer
             # (_write_committed's rename-aside): dead on arrival, but
             # the same staleness guard covers the instant between a
-            # mistaken grab of a committed dir and its rename-back
-            elif (re.fullmatch(r"v=\d+\.dead-[0-9a-f]+", name)
-                  and stale):
-                fs.delete(st.getPath(), True)
+            # mistaken grab of a committed dir and its rename-back.
+            # A dead-* dir CONTAINING _SUCCESS is a stolen commit
+            # whose grabber crashed before the rename-back: if its
+            # version is no longer committed (no live v=N), RESTORE
+            # it instead of reaping — deleting it would permanently
+            # lose an acknowledged commit; if v=N was re-committed
+            # meanwhile, the debris is a superseded duplicate and is
+            # safe to reap.
+            elif re.fullmatch(r"v=(\d+)\.dead-[0-9a-f]+", name):
+                md = re.fullmatch(r"v=(\d+)\.dead-[0-9a-f]+", name)
+                vd = int(md.group(1))
+                committed_dead = fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(st.getPath(),
+                                                  "_SUCCESS"))
+                if committed_dead and vd not in committed:
+                    _rename_no_overwrite(
+                        spark, jvm, fs, st.getPath(),
+                        jvm.org.apache.hadoop.fs.Path(
+                            os.path.join(path, f"v={vd}")))
+                elif stale:
+                    fs.delete(st.getPath(), True)
             # a crashed writer's partition-name scratch: reap only
             # when stale — a LIVE writer's marker exists for
             # milliseconds between write and inline delete

@@ -4283,7 +4283,11 @@ def heavy_hitters_approx_q(spark, sf_dir):
     hash-mismatches instead of hiding behind a rows-only check.
     Partition-count invariance of the booleans is pinned by the
     dual-config battery; the raw-bounds property stays in
-    tests/test_properties.py."""
+    tests/test_properties.py. (The entry pays three corpus token
+    scans — sketch MG pass + the exact mode's own candidate and
+    recount passes — a correctness-gate cost, not the production
+    shape: pipelines run ONE mode, and the one-pass sketch alone is
+    the scale path.)"""
     from .operators.sketch import heavy_hitters
     _, t = _s(spark, sf_dir)
     docs = t["documents"]

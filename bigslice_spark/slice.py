@@ -417,15 +417,50 @@ class Slice:
         nshard tasks, collapsing its parallelism (an expensive upstream
         then runs nshard-wide) — an optimization to opt into knowingly,
         not a default."""
-        cur = self._static_num_partitions()
-        if cur is None:
-            # undeclared top (scan/union): a narrow RDD probe, no job
-            cur = self.df.rdd.getNumPartitions()
-        if nshard == cur:
+        # The no-op short-circuit must compare against a count that
+        # will HOLD at runtime. Declared counts from aggregates/joins
+        # don't qualify — AQE legally coalesces them below the
+        # declaration — so only two evidence classes short-circuit:
+        # an explicit user repartition top with the same count (AQE
+        # never coalesces user-specified repartitions), or a narrow
+        # plan whose actual RDD count is a free metadata probe.
+        # Everything else shuffles, which is the reference's default
+        # behavior anyway (reshard.go:28-30).
+        declared = self._static_num_partitions()
+        if declared == nshard and self._top_is_user_repartition():
             return self
-        if nshard < cur and not shuffle:
+        if declared is None:
+            # undeclared top (scan/union): narrow RDD probe, no job
+            cur = self.df.rdd.getNumPartitions()
+            if nshard == cur:
+                return self
+            if nshard < cur and not shuffle:
+                return self._with(self.df.coalesce(nshard))
+            return self._with(self.df.repartition(nshard))
+        # declared wide top (agg/join): the runtime count may sit
+        # below the declaration, so never no-op on it — move the data
+        if not shuffle:
+            # coalesce only ever lowers a partition count: the
+            # shuffle-free contract, best-effort when runtime already
+            # sits at/below nshard
             return self._with(self.df.coalesce(nshard))
         return self._with(self.df.repartition(nshard))
+
+    def _top_is_user_repartition(self) -> bool:
+        """True when the physical plan's top exchange is an explicit
+        repartition-by-number — the one declared partition count AQE
+        is contractually forbidden to coalesce."""
+        try:
+            ep = self.df._jdf.queryExecution().executedPlan()
+            if (ep.getClass().getSimpleName()
+                    == "AdaptiveSparkPlanExec"):
+                ep = ep.initialPlan()
+            return (ep.getClass().getSimpleName()
+                    == "ShuffleExchangeExec"
+                    and "REPARTITION_BY_NUM"
+                    in ep.shuffleOrigin().toString())
+        except Exception:
+            return False
 
     def head(self, n: int) -> "Slice":
         """bigslice.Head (reference slice.go:957-994): first ≤n rows PER

@@ -287,11 +287,17 @@ def test_num_shard_is_metadata_only_on_wide_plans(session, spark):
     tracker = spark.sparkContext.statusTracker()
     before = set(tracker.getJobIdsForGroup(None))
     declared = wide.num_shard()
-    same = wide.reshard(declared)          # short-circuit, no shuffle
-    assert sl.reshard(5).num_shard() == 5
+    # an agg's declared count may be coalesced below at runtime by
+    # AQE, so reshard must NOT no-op on it — but planning the
+    # repartition is still lazy (no job)
+    moved = wide.reshard(declared)
+    assert moved is not wide
+    # an explicit repartition top IS a count AQE preserves — safe no-op
+    r5 = sl.reshard(5)
+    assert r5.num_shard() == 5
+    assert r5.reshard(5) is r5
     jobs = set(tracker.getJobIdsForGroup(None)) - before
     assert jobs == set(), f"metadata probe ran jobs {jobs}"
-    assert same is wide
     assert declared == int(spark.conf.get("spark.sql.shuffle.partitions"))
 
 
@@ -2393,6 +2399,44 @@ def test_vacuum_reaps_lost_race_temps(spark, tmp_path):
     assert "v=2.dead-f4e5d6" in names          # fresh debris kept
 
 
+def test_vacuum_restores_stolen_commit_from_dead_debris(spark,
+                                                        tmp_path):
+    """The rename-aside crash corner: a v=N.dead-* dir CONTAINING
+    _SUCCESS is a committed snapshot a grabbing writer stole and then
+    crashed before restoring. vacuum must put it back at v=N (never
+    reap it) when no live v=N exists — deleting it would permanently
+    lose an acknowledged commit; a dead dir whose version was
+    re-committed meanwhile is a superseded duplicate and is reaped
+    once stale."""
+    import os
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    U.upsert(spark, path, df, ["k"])                       # v=1
+    two = spark.createDataFrame([(2, "b")], "k long, val string")
+    U.upsert(spark, path, two, ["k"])                      # v=2
+    # simulate: v=2 was stolen into debris by a crashed grabber
+    os.rename(os.path.join(path, "v=2"),
+              os.path.join(path, "v=2.dead-abc123"))
+    old = (U._now_ms() - 2 * 3_600_000) / 1000.0
+    os.utime(os.path.join(path, "v=2.dead-abc123"), (old, old))
+    U.vacuum(spark, path, keep_last=2)
+    assert os.path.exists(os.path.join(path, "v=2", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "v=2.dead-abc123"))
+    rows = {(r["k"], r["val"])
+            for r in U.read_latest(spark, path).collect()}
+    assert rows == {(1, "a"), (2, "b")}
+    # superseded duplicate: committed v=2 exists AND stale debris with
+    # _SUCCESS for the same version -> reaped, live table untouched
+    os.makedirs(os.path.join(path, "v=2.dead-0dd999", ))
+    open(os.path.join(path, "v=2.dead-0dd999", "_SUCCESS"),
+         "w").write("")
+    os.utime(os.path.join(path, "v=2.dead-0dd999"), (old, old))
+    U.vacuum(spark, path, keep_last=2)
+    assert not os.path.exists(os.path.join(path, "v=2.dead-0dd999"))
+    assert os.path.exists(os.path.join(path, "v=2", "_SUCCESS"))
+
+
 def test_media_decoders_roundtrip():
     """Pure-Python PPM/BMP/WAV codecs: builder → decoder round-trips
     bytes exactly, including BMP row padding (width not a multiple of
@@ -2599,13 +2643,18 @@ def test_ivf_join_assignment_matches_unrolled_bitwise(spark, tables):
 
 
 def test_ivf_auto_ncells_rule():
-    """ncells=None sizes ~N/cell_target with floor 16 — the scale-safe
-    default (a fixed ncells is a skewed join key at corpus scale)."""
+    """ncells=None sizes ~N/cell_target with floor 16, a 4·√N cap
+    (keeps index build at the standard IVF O(N^1.5) instead of the
+    quadratic cliff an uncapped N/target rule has), and a hard 65536
+    cap bounding the broadcast centroid table."""
     from bigslice_spark.operators.similarity import _auto_ncells
     assert _auto_ncells(1_000, 4096) == 16            # floor
     assert _auto_ncells(1_000_000, 4096) == 245       # ceil(N/target)
-    assert _auto_ncells(24_000_000_000, 4096) == 5_859_375  # 100TB-ish
     assert _auto_ncells(4096 * 20, 4096) == 20
+    assert _auto_ncells(100_000_000, 4096) == 24_415  # N/target binds
+    assert _auto_ncells(1_000_000, 16) == 4_000        # 4·√N cap binds
+    # hard cap at mega-scale
+    assert _auto_ncells(24_000_000_000, 4096) == 65_536
 
 
 def test_real_decode_null_vs_garbage(spark):
