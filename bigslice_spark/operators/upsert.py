@@ -354,8 +354,10 @@ def _classify_rename_exc(ex: Exception) -> str | None:
         msg = str(ex)
         if "FileAlreadyExists" in msg or "already exists" in msg:
             return "exists"
-        if ("FileNotFound" in msg or "NoSuchFile" in msg
-                or "does not exist" in msg or "No such file" in msg):
+        # only java CLASS-name substrings: generic phrases like
+        # "does not exist" also appear in py4j protocol errors
+        # ("Method rename(...) does not exist"), which must re-raise
+        if "FileNotFoundException" in msg or "NoSuchFileException" in msg:
             return "missing-src"
         return None
     hops = 0
@@ -417,6 +419,38 @@ def _rename_no_overwrite(spark, jvm, fs, src, dst) -> str:
         fs.delete(nested, True)
         return "exists"
     return "ok"
+
+
+def _restore_debris(spark, jvm, fs, debris, dst) -> bool:
+    """Move a stolen committed snapshot back to its live ``v=N`` path;
+    True on success. NEVER destroys the debris — _rename_no_overwrite
+    is unsuitable here because its FileSystem-fallback repair DELETES
+    the dir that nested inside an existing dst, and in this call the
+    nested dir would be the only copy of an acknowledged commit. Any
+    failure leaves the debris untouched for the next vacuum run."""
+    try:
+        fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration())
+    except Exception:
+        fctx = None
+    if fctx is not None:
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(ren, 1)
+        opts[0] = ren.NONE
+        try:
+            fctx.rename(debris, dst, opts)
+        except Exception:
+            return False
+        return True
+    if fs.exists(dst):
+        return False
+    if not fs.rename(debris, dst):
+        return False
+    nested = jvm.org.apache.hadoop.fs.Path(dst, debris.getName())
+    if fs.exists(nested):        # raced with a writer re-landing dst:
+        fs.rename(nested, debris)  # UNDO — put the debris back whole
+        return False
+    return True
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -689,6 +723,7 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
     keep = set(committed[-keep_last:])
     max_committed = committed[-1] if committed else None
     removed: list[int] = []
+    restored: set[int] = set()
     if not fs.exists(jroot):
         return removed
 
@@ -721,23 +756,28 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
             # the same staleness guard covers the instant between a
             # mistaken grab of a committed dir and its rename-back.
             # A dead-* dir CONTAINING _SUCCESS is a stolen commit
-            # whose grabber crashed before the rename-back: if its
-            # version is no longer committed (no live v=N), RESTORE
-            # it instead of reaping — deleting it would permanently
-            # lose an acknowledged commit; if v=N was re-committed
-            # meanwhile, the debris is a superseded duplicate and is
-            # safe to reap.
-            elif re.fullmatch(r"v=(\d+)\.dead-[0-9a-f]+", name):
-                md = re.fullmatch(r"v=(\d+)\.dead-[0-9a-f]+", name)
+            # whose grabber crashed before the rename-back: RESTORE
+            # it — but only when its version sits ABOVE the current
+            # tip. A genuinely stolen-and-never-restored commit is
+            # always above max committed (a later writer would have
+            # re-assigned and committed the same number otherwise);
+            # debris at/below the tip is a superseded duplicate or a
+            # previously REAPED old snapshot, and restoring those
+            # would resurrect data below the keep window.
+            elif (md := re.fullmatch(r"v=(\d+)\.dead-[0-9a-f]+",
+                                     name)):
                 vd = int(md.group(1))
-                committed_dead = fs.exists(
+                has_success = fs.exists(
                     jvm.org.apache.hadoop.fs.Path(st.getPath(),
                                                   "_SUCCESS"))
-                if committed_dead and vd not in committed:
-                    _rename_no_overwrite(
-                        spark, jvm, fs, st.getPath(),
-                        jvm.org.apache.hadoop.fs.Path(
-                            os.path.join(path, f"v={vd}")))
+                if (has_success and vd not in restored
+                        and (max_committed is None
+                             or vd > max_committed)):
+                    if _restore_debris(
+                            spark, jvm, fs, st.getPath(),
+                            jvm.org.apache.hadoop.fs.Path(
+                                os.path.join(path, f"v={vd}"))):
+                        restored.add(vd)
                 elif stale:
                     fs.delete(st.getPath(), True)
             # a crashed writer's partition-name scratch: reap only

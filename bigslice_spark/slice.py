@@ -106,13 +106,25 @@ class Slice:
         contract value anyway — AQE may coalesce below it at runtime,
         exactly as a bigslice shard may end up empty. None when the
         plan doesn't declare one (scan/union tops)."""
+        ep = self._initial_physical_plan()
+        if ep is None:
+            return None
+        try:
+            n = ep.outputPartitioning().numPartitions()
+            return n if n > 0 else None
+        except Exception:
+            return None
+
+    def _initial_physical_plan(self):
+        """The physical plan post-EnsureRequirements but PRE-adaptive
+        execution (the AQE node unwrapped to its initialPlan) — the
+        one plan object safe to inspect without running jobs."""
         try:
             ep = self.df._jdf.queryExecution().executedPlan()
             if (ep.getClass().getSimpleName()
                     == "AdaptiveSparkPlanExec"):
                 ep = ep.initialPlan()
-            n = ep.outputPartitioning().numPartitions()
-            return n if n > 0 else None
+            return ep
         except Exception:
             return None
 
@@ -438,11 +450,11 @@ class Slice:
                 return self._with(self.df.coalesce(nshard))
             return self._with(self.df.repartition(nshard))
         # declared wide top (agg/join): the runtime count may sit
-        # below the declaration, so never no-op on it — move the data
-        if not shuffle:
-            # coalesce only ever lowers a partition count: the
-            # shuffle-free contract, best-effort when runtime already
-            # sits at/below nshard
+        # below the declaration, so never no-op on it — move the data.
+        # shuffle=False remains a SHRINK-only optimization (coalesce
+        # cannot raise a partition count): a growth request always
+        # repartitions, same as the undeclared-top branch.
+        if nshard < declared and not shuffle:
             return self._with(self.df.coalesce(nshard))
         return self._with(self.df.repartition(nshard))
 
@@ -450,12 +462,10 @@ class Slice:
         """True when the physical plan's top exchange is an explicit
         repartition-by-number — the one declared partition count AQE
         is contractually forbidden to coalesce."""
+        ep = self._initial_physical_plan()
         try:
-            ep = self.df._jdf.queryExecution().executedPlan()
-            if (ep.getClass().getSimpleName()
-                    == "AdaptiveSparkPlanExec"):
-                ep = ep.initialPlan()
-            return (ep.getClass().getSimpleName()
+            return (ep is not None
+                    and ep.getClass().getSimpleName()
                     == "ShuffleExchangeExec"
                     and "REPARTITION_BY_NUM"
                     in ep.shuffleOrigin().toString())

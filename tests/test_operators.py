@@ -275,6 +275,19 @@ def test_reshard_shuffles_by_default(session):
     assert sorted(r[0] for r in sl.reshard(3).collect()) == list(range(80))
 
 
+def test_reshard_grow_with_shuffle_false_still_grows(session):
+    """shuffle=False is a SHRINK-only optimization: a growth request
+    must repartition (coalesce cannot raise a partition count), on
+    both declared wide tops and undeclared scan tops."""
+    import pyspark.sql.functions as F
+    sl = session.const(4, list(range(40)), names=["n"], schema="n long")
+    wide = sl._with(
+        sl.df.groupBy("n").agg(F.count(F.lit(1)).alias("c")), prefix=1)
+    grown = wide.reshard(64, shuffle=False)
+    assert grown.df.rdd.getNumPartitions() == 64
+    assert sl.reshard(16, shuffle=False).df.rdd.getNumPartitions() == 16
+
+
 def test_num_shard_is_metadata_only_on_wide_plans(session, spark):
     """num_shard()/reshard() on a plan that declares its partitioning
     (agg/repartition tops) must run ZERO jobs — the old
@@ -2435,6 +2448,31 @@ def test_vacuum_restores_stolen_commit_from_dead_debris(spark,
     U.vacuum(spark, path, keep_last=2)
     assert not os.path.exists(os.path.join(path, "v=2.dead-0dd999"))
     assert os.path.exists(os.path.join(path, "v=2", "_SUCCESS"))
+
+
+def test_vacuum_never_resurrects_reaped_versions(spark, tmp_path):
+    """Dead-* debris at/below the committed tip must never be
+    restored, even with _SUCCESS inside: that shape is a superseded
+    duplicate or a snapshot an earlier vacuum legitimately reaped —
+    restoring it would resurrect data below the keep window. Only
+    debris ABOVE the tip (a stolen commit no later writer re-issued)
+    is restored."""
+    import os
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    for _ in range(3):
+        U.upsert(spark, path, df, ["k"])          # v=1..3
+    old = (U._now_ms() - 2 * 3_600_000) / 1000.0
+    # simulate an old reaped snapshot lingering as debris
+    os.makedirs(os.path.join(path, "v=1.dead-01d001"))
+    open(os.path.join(path, "v=1.dead-01d001", "_SUCCESS"),
+         "w").write("")
+    os.utime(os.path.join(path, "v=1.dead-01d001"), (old, old))
+    U.vacuum(spark, path, keep_last=2)            # reaps v=1 itself
+    names = set(os.listdir(path))
+    assert "v=1.dead-01d001" not in names          # reaped, not moved
+    assert U._versions(spark, path) == [2, 3]      # v=1 stayed dead
 
 
 def test_media_decoders_roundtrip():
