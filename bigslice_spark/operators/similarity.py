@@ -198,9 +198,22 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     Both compute the identical left-associative float sums, so
     results are bitwise-identical either way."""
     dim = dim or _dim_of(df, vec_col)
+    n_corpus = None
     if ncells is None:
-        ncells = (len(centers) if centers is not None
-                  else _auto_ncells(df.count(), cell_target))
+        if centers is not None:
+            ncells = len(centers)
+        else:
+            n_corpus = df.count()
+            ncells = _auto_ncells(n_corpus, cell_target)
+            # the corpus size is in hand only on this auto path, so
+            # also bound the FIT: ~256 training points per centroid
+            # (the standard coarse-quantizer rule) — fitting k-means
+            # on the FULL corpus is the other half of the quadratic
+            # cliff the ncells caps close
+            if sample_fraction >= 1.0:
+                target = 256 * ncells
+                if n_corpus > target:
+                    sample_fraction = target / n_corpus
     corpus = _prep(df, vec_col, id_col, dim)
     if centers is None:
         try:
