@@ -27,9 +27,11 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      multimodal_features (b'' now a missing blob, not an error);
 #   3. _R6_LATE (changed after the r6 window sealed) and k_core (the
 #      remaining r6 borderline);
+#   0. the round-7 ADDITION (zero prior signal of any kind):
+#      epoch_shuffle — first in the window;
 #   4. the r3-stale payload the r6 VERDICT ranked top: _R3_HEAVY +
-#      _R3_TAIL in staleness order — 42 of the 46 fit; the last four
-#      TPC-H entries (q14/q16/q18/q19) spill to the r8 window.
+#      _R3_TAIL in staleness order — 41 of the 46 fit; the tail five
+#      (q10/q14/q16/q18/q19) spill to the r8 window.
 # NOT re-windowed despite this round's code touching them: the dedup
 # family (hint("merge") is plan-only — values driver-sim re-proven
 # 10/10 this round), the snapshot-table family (commit-path race
@@ -38,6 +40,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # sits in _R3_TAIL anyway), op_reshard (metadata probe only,
 # driver-sim re-proven). asof_join/asof_join_forward dropped from the
 # r3 tail: they re-proved in the r6 window.
+_R7_NEW = ("epoch_shuffle",)
 _R7_NEW_ORACLE = ("heavy_hitters_approx", "bpe_merges",
                   "bpe_token_counts")
 _R7_CHANGED = ("multimodal_decode", "multimodal_features")
@@ -64,7 +67,7 @@ _R3_TAIL = (
 
 
 def _rotated() -> list[str]:
-    head = [k for k in (_R7_NEW_ORACLE + _R7_CHANGED
+    head = [k for k in (_R7_NEW + _R7_NEW_ORACLE + _R7_CHANGED
                         + _R6_LATE + _R6_BORDERLINE
                         + _R3_HEAVY + _R3_TAIL)
             if k in QUERIES]

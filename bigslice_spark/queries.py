@@ -4387,6 +4387,29 @@ def sample_per_key_q(spark, sf_dir):
             .select("lang", "doc_id", "n_chars"))
 
 
+@query("epoch_shuffle", """
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+             ORDER BY md5(concat_ws(chr(31), '7', '1',
+                                    CAST(doc_id AS VARCHAR))) ASC,
+                      doc_id ASC) - 1 AS BIGINT) AS pos
+    FROM documents
+""")
+def epoch_shuffle_q(spark, sf_dir):
+    """Deterministic epoch shuffle (operators/sampling.py
+    epoch_order): every document gets its global training position
+    0..N-1 under the (seed=7, epoch=1) md5 permutation — the
+    epoch-ordering step that feeds training shards. The Spark side
+    computes positions with a range partition + two-level prefix
+    count (no single-partition window — plan-gated); the oracle is
+    one global row_number, and a hash match proves the distributed
+    position arithmetic equals the total order bit-for-bit."""
+    from .operators.sampling import epoch_order
+    _, t = _s(spark, sf_dir)
+    return (epoch_order(t["documents"], seed=7, epoch=1)
+            .select("doc_id", "lang", "pos"))
+
+
 @query("time_rollup", """
     SELECT epoch_us(date_trunc('week', ts)) AS week_us,
            epoch_us(date_trunc('day', ts)) AS day_us,

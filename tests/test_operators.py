@@ -2069,6 +2069,27 @@ def test_bpe_sequential_replay_equals_priority_encoder():
         assert sequential(w, merges) == _encode_word(w, ranks2), w
 
 
+def test_epoch_order_is_deterministic_permutation(spark, tables):
+    """epoch_order: positions are exactly 0..N-1 (a permutation),
+    identical under a different input partitioning (the range-sampled
+    boundaries must not leak into positions), and a different epoch
+    produces a different order of the same rows."""
+    from bigslice_spark.operators.sampling import epoch_order
+    docs = tables["documents"].select("doc_id", "lang")
+    a = {r["doc_id"]: r["pos"]
+         for r in epoch_order(docs, seed=7, epoch=1).collect()}
+    n = len(a)
+    assert sorted(a.values()) == list(range(n))
+    b = {r["doc_id"]: r["pos"]
+         for r in epoch_order(docs.repartition(13), seed=7,
+                              epoch=1).collect()}
+    assert a == b, "positions depend on input partitioning"
+    c = {r["doc_id"]: r["pos"]
+         for r in epoch_order(docs, seed=7, epoch=2).collect()}
+    assert sorted(c.values()) == list(range(n))
+    assert a != c, "epoch bump must reshuffle"
+
+
 def test_gopher_rules_each_rule_fires(spark):
     from bigslice_spark.operators.text import gopher_rules
     good = ("the cat and the dog be friends that have fun with " * 6)

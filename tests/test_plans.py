@@ -279,6 +279,22 @@ def test_pack_sequences_no_rowlevel_single_partition(spark, tables):
     assert "BroadcastExchange" in txt
 
 
+def test_epoch_order_no_rowlevel_single_partition(spark, tables):
+    """epoch_order's global positions must come from the two-level
+    scan (range partition + local row_number + broadcast offsets):
+    the only SinglePartition exchange allowed is over the
+    ~#partitions per-partition counts — a naive global
+    `row_number() over (order by pri)` would single-partition the
+    whole corpus."""
+    from bigslice_spark.operators.sampling import epoch_order
+    df = epoch_order(tables["documents"], seed=7, epoch=1)
+    txt = explain_str(df)
+    # (the range exchange itself sits inside the materialize()
+    # checkpoint subtree and is not visible in this plan text)
+    assert txt.count("SinglePartition") == 1, txt[:2000]
+    assert "BroadcastExchange" in txt
+
+
 def test_winnow_single_window_exchange(spark, tables):
     """The k-gram lead window and the winnowing min window share
     (id, pos) clustering — one exchange serves both; the only other
