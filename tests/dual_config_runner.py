@@ -75,6 +75,12 @@ BATTERY = [
     # round-6 — the real PPM/BMP/WAV decode rides mapInPandas (Arrow
     # transport + partitioning must not change decoded features)
     "multimodal_decode",
+    # round-7 — epoch_order's two-level global positions must be
+    # identical under local[1] (one range partition) and local[32]
+    # (many, with SAMPLED boundaries); heavy_hitters_approx's
+    # guarantee-as-data booleans are now invariant by construction
+    # even though the raw counter values are not
+    "epoch_shuffle", "heavy_hitters_approx",
 ]
 
 
