@@ -645,3 +645,42 @@ def test_upsert_random_batches_match_dict_replay(spark, batches,
         assert after == state
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(w=st.integers(min_value=1, max_value=12),
+       h=st.integers(min_value=1, max_value=12),
+       filter_type=st.integers(min_value=0, max_value=4),
+       data=st.data())
+def test_png_codec_roundtrip_property(w, h, filter_type, data):
+    """Random image × random scanline filter: make_png → decode_image
+    must round-trip the exact RGB bytes — the unfilter arithmetic
+    (per-lane cumsum for Sub, wrapping adds for Up, the sequential
+    Average/Paeth recurrences) has byte-wrap edge cases a fixed
+    fixture can miss."""
+    from bigslice_spark.operators.multimodal import (decode_image,
+                                                     make_png)
+    px = bytes(data.draw(st.lists(
+        st.integers(min_value=0, max_value=255),
+        min_size=w * h * 3, max_size=w * h * 3)))
+    assert decode_image(make_png(w, h, px, filter_type=filter_type)) \
+        == (w, h, px)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(n=st.integers(min_value=0, max_value=10**13),
+       target=st.integers(min_value=1, max_value=1 << 20))
+def test_ivf_auto_ncells_bounds_property(n, target):
+    """The auto cell count always respects floor 16, the 4·√N build
+    cap, the hard 65536 cap, and never undercuts N/target unless a
+    cap binds."""
+    import math
+    from bigslice_spark.operators.similarity import _auto_ncells
+    c = _auto_ncells(n, target)
+    assert 16 <= c <= 65536
+    assert c <= max(16, 4 * max(1, math.isqrt(n)))
+    want = -(-n // target)
+    if want <= min(max(16, 4 * max(1, math.isqrt(n))), 65536):
+        assert c == max(16, want)
