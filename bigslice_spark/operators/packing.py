@@ -41,6 +41,39 @@ from ..checkpoint import materialize
 from .text import tokens
 
 
+def global_prefix_sum(df: DataFrame, order_cols: list[str],
+                      weight, out_col: str) -> DataFrame:
+    """``df``'s columns + ``out_col``: the exclusive GLOBAL prefix sum
+    of ``weight`` (a Column; ``F.lit(1)`` yields 0-based positions) in
+    ``order_cols`` total order — the two-level scan from the module
+    docstring, shared by sequence packing and sampling.epoch_order.
+    Internal columns never leak into the output."""
+    meta = (df.repartitionByRange(*[F.col(c) for c in order_cols])
+            .withColumn("__w", weight)
+            .withColumn("__pid", F.spark_partition_id()))
+    # pin __pid: the subtree feeds both the row-level window and the
+    # per-partition totals; lazy recomputation could re-sample range
+    # boundaries and disagree on partition membership
+    meta = materialize(meta)
+    in_part = W.partitionBy("__pid").orderBy(*order_cols)
+    local = meta.withColumn(
+        "__loc", F.coalesce(
+            F.sum("__w").over(
+                in_part.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0)))
+    ptot = meta.groupBy("__pid").agg(F.sum("__w").alias("__ptot"))
+    poff = ptot.withColumn(
+        "__poff", F.coalesce(
+            F.sum("__ptot").over(
+                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0))).select("__pid", "__poff")
+    return (local.join(F.broadcast(poff), on="__pid")
+            .withColumn(out_col,
+                        (F.col("__loc") + F.col("__poff"))
+                        .cast("long"))
+            .drop("__pid", "__loc", "__poff", "__w"))
+
+
 def global_token_offsets(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
     """(id_col, n_tokens, token_off): each document's token count and
@@ -48,28 +81,9 @@ def global_token_offsets(df: DataFrame, text_col: str = "text",
     scan described in the module docstring. Zero-token documents are
     dropped (they occupy no space on the token line)."""
     meta = (df.select(id_col, F.size(tokens(text_col)).alias("n_tokens"))
-            .filter(F.col("n_tokens") > 0)
-            .repartitionByRange(F.col(id_col))
-            .withColumn("__pid", F.spark_partition_id()))
-    # pin __pid: the subtree feeds both the row-level window and the
-    # per-partition totals; lazy recomputation could re-sample range
-    # boundaries and disagree on partition membership
-    meta = materialize(meta)
-    in_part = W.partitionBy("__pid").orderBy(id_col)
-    local = meta.withColumn(
-        "__loc", F.coalesce(
-            F.sum("n_tokens").over(
-                in_part.rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0)))
-    ptot = meta.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptot"))
-    poff = ptot.withColumn(
-        "__poff", F.coalesce(
-            F.sum("__ptot").over(
-                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0))).select("__pid", "__poff")
-    return (local.join(F.broadcast(poff), on="__pid")
-            .select(id_col, "n_tokens",
-                    (F.col("__loc") + F.col("__poff")).alias("token_off")))
+            .filter(F.col("n_tokens") > 0))
+    return global_prefix_sum(meta, [id_col], F.col("n_tokens"),
+                             "token_off")
 
 
 def pack_sequences(df: DataFrame, max_len: int, text_col: str = "text",

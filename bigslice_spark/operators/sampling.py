@@ -262,37 +262,20 @@ def epoch_order(df: DataFrame, seed: int = 0, epoch: int = 0,
     per-partition).
 
     Scale shape: the permutation priority is a pure projection; the
-    global position is a RANGE partition on the priority plus the
-    packing.py two-level prefix count — per-partition local
-    row_number and a broadcast of the k per-partition counts — never
-    a single-partition global window. One range exchange total (the
-    same exchange Spark's own ``orderBy`` plans), so writing the
-    result partitioned-by-``pos``-range yields ordered training
-    shards directly. The range-sampled partition boundaries do NOT
-    leak into the output: positions follow the total (priority, id)
-    order wherever the boundaries land."""
-    from ..checkpoint import materialize
+    global position comes from packing.global_prefix_sum — a RANGE
+    partition on the priority plus the two-level prefix count
+    (per-partition local cumsum and a broadcast of the k
+    per-partition totals), never a single-partition global window.
+    One range exchange total (the same exchange Spark's own
+    ``orderBy`` plans), so writing the result
+    partitioned-by-``pos``-range yields ordered training shards
+    directly. The range-sampled partition boundaries do NOT leak into
+    the output: positions follow the total (priority, id) order
+    wherever the boundaries land."""
+    from .packing import global_prefix_sum
     pri = F.md5(F.concat_ws("\x1f", F.lit(str(int(seed))),
                             F.lit(str(int(epoch))),
                             F.col(id_col).cast("string")))
-    meta = (df.withColumn("__pri", pri)
-            .repartitionByRange(F.col("__pri"), F.col(id_col))
-            .withColumn("__pid", F.spark_partition_id()))
-    # pin __pid: the subtree feeds both the row window and the
-    # per-partition counts; lazy recomputation could re-sample range
-    # boundaries and disagree on partition membership
-    meta = materialize(meta)
-    in_part = W.partitionBy("__pid").orderBy("__pri", id_col)
-    local = meta.withColumn(
-        "__loc", F.row_number().over(in_part) - 1)
-    pcnt = meta.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    poff = pcnt.withColumn(
-        "__poff", F.coalesce(
-            F.sum("__n").over(
-                W.orderBy("__pid")
-                .rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0))).select("__pid", "__poff")
-    return (local.join(F.broadcast(poff), on="__pid")
-            .withColumn("pos",
-                        (F.col("__loc") + F.col("__poff")).cast("long"))
-            .drop("__pri", "__pid", "__loc"))
+    out = global_prefix_sum(df.withColumn("__pri", pri),
+                            ["__pri", id_col], F.lit(1), "pos")
+    return out.drop("__pri")

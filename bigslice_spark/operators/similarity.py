@@ -177,7 +177,11 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     (k×dim floats, e.g. a previous call's training or
     clustering.kmeans_train output) to SKIP the MLlib fit entirely —
     the production shape: train the coarse quantizer once per corpus
-    snapshot, reuse it for every query batch.
+    snapshot, reuse it for every query batch. With EXPLICIT ncells
+    and no centers, the fit runs over sample_fraction of the corpus
+    (default 1.0 — kept for backward-compatible determinism): on a
+    large corpus pass ``sample_fraction≈256·ncells/N`` yourself, the
+    standard points-per-centroid rule the auto path applies for you.
 
     ``ncells=None`` (the default) AUTO-SIZES to ~N/``cell_target``
     (floor 16, capped at 4·√N and 65 536 — see ``_auto_ncells`` for

@@ -393,21 +393,13 @@ def _rename_no_overwrite(spark, jvm, fs, src, dst) -> str:
     nesting check, which detects-and-repairs the lost race instead of
     preventing it."""
     try:
-        fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            fs.getUri(), spark._jsc.hadoopConfiguration())
-    except Exception:
-        fctx = None
-    if fctx is not None:
-        ren = jvm.org.apache.hadoop.fs.Options.Rename
-        opts = spark.sparkContext._gateway.new_array(ren, 1)
-        opts[0] = ren.NONE
-        try:
-            fctx.rename(src, dst, opts)
-        except Exception as ex:
-            kind = _classify_rename_exc(ex)
-            if kind is None:
-                raise
-            return kind
+        done = _fctx_rename_none(spark, jvm, fs, src, dst)
+    except Exception as ex:
+        kind = _classify_rename_exc(ex)
+        if kind is None:
+            raise
+        return kind
+    if done:
         return "ok"
     if not fs.rename(src, dst):
         # FileSystem.rename's false is ambiguous — disambiguate so a
@@ -421,6 +413,24 @@ def _rename_no_overwrite(spark, jvm, fs, src, dst) -> str:
     return "ok"
 
 
+def _fctx_rename_none(spark, jvm, fs, src, dst) -> bool:
+    """The shared atomic-rename primitive: FileContext.rename with
+    Rename.NONE. True on success; False when the scheme has no
+    AbstractFileSystem binding (caller falls back to FileSystem
+    semantics with its own policy); rename failures propagate for the
+    caller to classify."""
+    try:
+        fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration())
+    except Exception:
+        return False
+    ren = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(ren, 1)
+    opts[0] = ren.NONE
+    fctx.rename(src, dst, opts)
+    return True
+
+
 def _restore_debris(spark, jvm, fs, debris, dst) -> bool:
     """Move a stolen committed snapshot back to its live ``v=N`` path;
     True on success. NEVER destroys the debris — _rename_no_overwrite
@@ -429,19 +439,10 @@ def _restore_debris(spark, jvm, fs, debris, dst) -> bool:
     nested dir would be the only copy of an acknowledged commit. Any
     failure leaves the debris untouched for the next vacuum run."""
     try:
-        fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            fs.getUri(), spark._jsc.hadoopConfiguration())
+        if _fctx_rename_none(spark, jvm, fs, debris, dst):
+            return True
     except Exception:
-        fctx = None
-    if fctx is not None:
-        ren = jvm.org.apache.hadoop.fs.Options.Rename
-        opts = spark.sparkContext._gateway.new_array(ren, 1)
-        opts[0] = ren.NONE
-        try:
-            fctx.rename(debris, dst, opts)
-        except Exception:
-            return False
-        return True
+        return False
     if fs.exists(dst):
         return False
     if not fs.rename(debris, dst):
@@ -752,34 +753,43 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
                     and int(mi.group(1)) <= max_committed):
                 fs.delete(st.getPath(), True)
             # a crashed partial moved aside by a later committer
-            # (_write_committed's rename-aside): dead on arrival, but
-            # the same staleness guard covers the instant between a
-            # mistaken grab of a committed dir and its rename-back.
-            # A dead-* dir CONTAINING _SUCCESS is a stolen commit
-            # whose grabber crashed before the rename-back: RESTORE
-            # it — but only when its version sits ABOVE the current
-            # tip. A genuinely stolen-and-never-restored commit is
-            # always above max committed (a later writer would have
-            # re-assigned and committed the same number otherwise);
-            # debris at/below the tip is a superseded duplicate or a
-            # previously REAPED old snapshot, and restoring those
-            # would resurrect data below the keep window.
+            # (_write_committed's rename-aside). Policy by content:
+            # - NO _SUCCESS inside: a genuinely dead crashed partial —
+            #   reap once stale (the guard covers the instant between
+            #   a mistaken grab of a committed dir and its rename-
+            #   back).
+            # - _SUCCESS inside: a COMMITTED snapshot a grabbing
+            #   writer stole and then crashed before restoring.
+            #   RESTORE it when its version sits above the current tip
+            #   (a stolen-and-never-reissued commit) or when a kept
+            #   manifest still references its partition dirs (the
+            #   steal broke carried-forward reads; restore repairs
+            #   them). Anything else is ambiguous between a
+            #   superseded duplicate and an old reaped snapshot —
+            #   restoring could resurrect data below the keep window,
+            #   deleting could destroy the only standalone copy of an
+            #   acknowledged commit — so committed debris is NEVER
+            #   deleted: it stays, invisible to readers, for manual
+            #   adjudication (these need a multi-writer race plus a
+            #   crash inside a millisecond window; they do not
+            #   accumulate in practice).
             elif (md := re.fullmatch(r"v=(\d+)\.dead-[0-9a-f]+",
                                      name)):
                 vd = int(md.group(1))
                 has_success = fs.exists(
                     jvm.org.apache.hadoop.fs.Path(st.getPath(),
                                                   "_SUCCESS"))
-                if (has_success and vd not in restored
+                if not has_success:
+                    if stale:
+                        fs.delete(st.getPath(), True)
+                elif (vd not in restored
                         and (max_committed is None
-                             or vd > max_committed)):
+                             or vd > max_committed or vd in live)):
                     if _restore_debris(
                             spark, jvm, fs, st.getPath(),
                             jvm.org.apache.hadoop.fs.Path(
                                 os.path.join(path, f"v={vd}"))):
                         restored.add(vd)
-                elif stale:
-                    fs.delete(st.getPath(), True)
             # a crashed writer's partition-name scratch: reap only
             # when stale — a LIVE writer's marker exists for
             # milliseconds between write and inline delete

@@ -453,8 +453,10 @@ class Slice:
         # below the declaration, so never no-op on it — move the data.
         # shuffle=False remains a SHRINK-only optimization (coalesce
         # cannot raise a partition count): a growth request always
-        # repartitions, same as the undeclared-top branch.
-        if nshard < declared and not shuffle:
+        # repartitions, same as the undeclared-top branch. Equality
+        # counts as shrink — runtime never EXCEEDS the declaration,
+        # so coalesce(declared) is a free cap, not a missed grow.
+        if nshard <= declared and not shuffle:
             return self._with(self.df.coalesce(nshard))
         return self._with(self.df.repartition(nshard))
 

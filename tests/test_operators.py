@@ -2076,6 +2076,9 @@ def test_epoch_order_is_deterministic_permutation(spark, tables):
     produces a different order of the same rows."""
     from bigslice_spark.operators.sampling import epoch_order
     docs = tables["documents"].select("doc_id", "lang")
+    # contract: rows gain ONLY pos — no internal column leaks
+    assert epoch_order(docs, seed=7, epoch=1).columns \
+        == ["doc_id", "lang", "pos"]
     a = {r["doc_id"]: r["pos"]
          for r in epoch_order(docs, seed=7, epoch=1).collect()}
     n = len(a)
@@ -2461,23 +2464,30 @@ def test_vacuum_restores_stolen_commit_from_dead_debris(spark,
             for r in U.read_latest(spark, path).collect()}
     assert rows == {(1, "a"), (2, "b")}
     # superseded duplicate: committed v=2 exists AND stale debris with
-    # _SUCCESS for the same version -> reaped, live table untouched
+    # _SUCCESS for the same version — committed debris is NEVER
+    # deleted (ambiguous with a reaped-history dir) and never restored
+    # over the live version; it stays for manual adjudication
     os.makedirs(os.path.join(path, "v=2.dead-0dd999", ))
     open(os.path.join(path, "v=2.dead-0dd999", "_SUCCESS"),
          "w").write("")
     os.utime(os.path.join(path, "v=2.dead-0dd999"), (old, old))
     U.vacuum(spark, path, keep_last=2)
-    assert not os.path.exists(os.path.join(path, "v=2.dead-0dd999"))
+    assert os.path.exists(os.path.join(path, "v=2.dead-0dd999"))
     assert os.path.exists(os.path.join(path, "v=2", "_SUCCESS"))
+    rows2 = {(r["k"], r["val"])
+             for r in U.read_latest(spark, path).collect()}
+    assert rows2 == rows                   # live table untouched
 
 
 def test_vacuum_never_resurrects_reaped_versions(spark, tmp_path):
     """Dead-* debris at/below the committed tip must never be
-    restored, even with _SUCCESS inside: that shape is a superseded
-    duplicate or a snapshot an earlier vacuum legitimately reaped —
-    restoring it would resurrect data below the keep window. Only
-    debris ABOVE the tip (a stolen commit no later writer re-issued)
-    is restored."""
+    RESTORED, even with _SUCCESS inside: that shape is ambiguous
+    between a superseded duplicate and a snapshot an earlier vacuum
+    legitimately reaped, and restoring would resurrect data below the
+    keep window. It is also never DELETED (it may be the only
+    standalone copy of an acknowledged commit) — it just stays,
+    invisible to readers. Only debris ABOVE the tip (a stolen commit
+    no later writer re-issued) is restored."""
     import os
     from bigslice_spark.operators import upsert as U
     path = str(tmp_path / "tbl")
@@ -2492,8 +2502,9 @@ def test_vacuum_never_resurrects_reaped_versions(spark, tmp_path):
     os.utime(os.path.join(path, "v=1.dead-01d001"), (old, old))
     U.vacuum(spark, path, keep_last=2)            # reaps v=1 itself
     names = set(os.listdir(path))
-    assert "v=1.dead-01d001" not in names          # reaped, not moved
-    assert U._versions(spark, path) == [2, 3]      # v=1 stayed dead
+    assert "v=1.dead-01d001" in names              # kept, not restored
+    assert "v=1" not in names                      # v=1 stayed dead
+    assert U._versions(spark, path) == [2, 3]
 
 
 def test_media_decoders_roundtrip():
