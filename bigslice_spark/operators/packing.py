@@ -47,7 +47,15 @@ def global_prefix_sum(df: DataFrame, order_cols: list[str],
     of ``weight`` (a Column; ``F.lit(1)`` yields 0-based positions) in
     ``order_cols`` total order — the two-level scan from the module
     docstring, shared by sequence packing and sampling.epoch_order.
-    Internal columns never leak into the output."""
+    Internal columns never leak into the output; a caller column that
+    COLLIDES with one (or with ``out_col``) raises instead of being
+    silently clobbered and dropped."""
+    taken = {"__w", "__pid", "__loc", "__poff", out_col}
+    clash = sorted(taken.intersection(df.columns))
+    if clash:
+        raise ValueError(
+            f"global_prefix_sum reserves column name(s) {clash}; "
+            f"rename them on the input (or pick another out_col)")
     meta = (df.repartitionByRange(*[F.col(c) for c in order_cols])
             .withColumn("__w", weight)
             .withColumn("__pid", F.spark_partition_id()))

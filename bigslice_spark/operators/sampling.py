@@ -273,6 +273,9 @@ def epoch_order(df: DataFrame, seed: int = 0, epoch: int = 0,
     the output: positions follow the total (priority, id) order
     wherever the boundaries land."""
     from .packing import global_prefix_sum
+    if "__pri" in df.columns:
+        raise ValueError("epoch_order reserves column name '__pri'; "
+                         "rename it on the input")
     pri = F.md5(F.concat_ws("\x1f", F.lit(str(int(seed))),
                             F.lit(str(int(epoch))),
                             F.col(id_col).cast("string")))

@@ -424,11 +424,19 @@ class Slice:
     def reshard(self, nshard: int, shuffle: bool = True) -> "Slice":
         """bigslice.Reshard (reference reshard.go:15-45): change shard
         count. Always shuffles by default, like the reference
-        (reshard.go:28-30). ``shuffle=False`` opts into coalesce when
-        shrinking — no shuffle, but it FUSES the upstream stage into
-        nshard tasks, collapsing its parallelism (an expensive upstream
-        then runs nshard-wide) — an optimization to opt into knowingly,
-        not a default."""
+        (reshard.go:28-30), and then the result has EXACTLY nshard
+        shards. ``shuffle=False`` is a BEST-EFFORT CAP, not an exact
+        count: "don't move data" and "guarantee n shards" are mutually
+        exclusive (coalesce can only lower a count, and whether the
+        runtime count already sits at/below ``nshard`` is AQE's
+        decision, not the plan's), so the shuffle-free result has AT
+        MOST nshard shards — possibly fewer. It also FUSES the
+        upstream stage into the surviving tasks, collapsing its
+        parallelism (an expensive upstream then runs nshard-wide) —
+        an optimization to opt into knowingly, not a default. A
+        growth request (nshard above the declared/actual count)
+        always shuffles regardless, since no shuffle-free mechanism
+        can raise a partition count."""
         # The no-op short-circuit must compare against a count that
         # will HOLD at runtime. Declared counts from aggregates/joins
         # don't qualify — AQE legally coalesces them below the

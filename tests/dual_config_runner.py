@@ -49,9 +49,10 @@ BATTERY = [
     # round-5 operators — the partition-pruned merge's manifest
     # carry-forward, LPA's synchronous arg-max rounds, and the CSV
     # corrupt-record capture must be partition- and transport-invariant
-    # (heavy_hitters_approx is deliberately absent: its counter VALUES
-    # are partition-dependent by design; only its bounds are invariant,
-    # which the property test covers)
+    # (heavy_hitters_approx joined the battery in round 7, when its
+    # entry switched to guarantee-as-data booleans over the exact
+    # heavy set — invariant by the sketch guarantee even though the
+    # raw counter VALUES remain partition-dependent by design)
     "upsert_partitioned", "lpa_communities", "source_csv_malformed",
     "compact_partitioned", "ewma_value", "event_gaps",
     "equidepth_histogram", "ngram_containment", "lm_quality",

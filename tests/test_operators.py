@@ -2507,6 +2507,37 @@ def test_vacuum_never_resurrects_reaped_versions(spark, tmp_path):
     assert U._versions(spark, path) == [2, 3]
 
 
+def test_vacuum_restores_live_referenced_stolen_partition_version(
+        spark, tmp_path):
+    """The carried-forward repair: on a PARTITIONED table, a stolen
+    physical version AT/BELOW the tip is restored when a kept
+    manifest still references its partition dirs — the steal broke
+    every carried-forward read of the newer snapshot, and vacuum puts
+    the data back."""
+    import os
+    import pytest as _pt
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k long, val string, p string")
+    U.upsert(spark, path, base, ["k"], partition_by=["p"])   # v=1
+    # touch only partition p=x: v=2's manifest CARRIES p=y from v=1
+    upd = spark.createDataFrame([(1, "A", "x")],
+                                "k long, val string, p string")
+    U.upsert(spark, path, upd, ["k"], partition_by=["p"])    # v=2
+    # steal v=1 (referenced by v=2's carried map) into dead debris
+    os.rename(os.path.join(path, "v=1"),
+              os.path.join(path, "v=1.dead-5701e0"))
+    with _pt.raises(Exception):
+        U.read_latest(spark, path).collect()   # carried refs broken
+    U.vacuum(spark, path, keep_last=2)
+    assert os.path.exists(os.path.join(path, "v=1", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(path, "v=1.dead-5701e0"))
+    rows = {(r["k"], r["val"], r["p"])
+            for r in U.read_latest(spark, path).collect()}
+    assert rows == {(1, "A", "x"), (2, "b", "y")}   # repaired
+
+
 def test_media_decoders_roundtrip():
     """Pure-Python PPM/BMP/WAV codecs: builder → decoder round-trips
     bytes exactly, including BMP row padding (width not a multiple of
