@@ -4,10 +4,11 @@ Images/audio/video are opaque `binary` columns with a typed metadata
 struct. The Spark-side plumbing — schema, batching, partition-size
 control, Arrow UDF signatures — is real and tested. DECODE is real for
 the codec-library-free formats — PPM (P6), BMP (24-bit uncompressed),
-PNG (8-bit gray/RGB/RGBA via stdlib zlib + scanline unfiltering), WAV
+PNG (8-bit gray/RGB/RGBA via stdlib zlib + scanline unfiltering),
+baseline JPEG (SOF0/SOF1 Huffman sequential, operators/jpeg.py), WAV
 (PCM16) — parsed pure-Python/numpy in `extract_features(fake=False)`;
-formats that genuinely need codec libraries (JPEG, MP4, ...) raise
-NotImplementedError, and `fake=True` substitutes a deterministic
+formats that genuinely need codec libraries (MP4, progressive JPEG)
+raise NotImplementedError, and `fake=True` substitutes a deterministic
 byte-histogram so any pipeline shape stays exercisable end-to-end.
 
 At 100TB: binary payloads dominate partition size, so operators here
@@ -272,10 +273,14 @@ def _ppm_tokens(b: bytes, n: int) -> tuple[list[int], int]:
 
 
 def decode_image(blob: bytes) -> tuple[int, int, bytes]:
-    """PPM(P6)/BMP(24bpp)/PNG(8-bit) → (width, height, RGB raster)."""
+    """PPM(P6)/BMP(24bpp)/PNG(8-bit)/JPEG(baseline) → (width, height,
+    RGB raster)."""
     import numpy as np
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(blob)
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(blob)
     if blob[:2] == b"P6":
         (w, h, maxval), off = _ppm_tokens(blob, 3)
         if maxval != 255:
@@ -348,7 +353,7 @@ def extract_features(df: DataFrame, fake: bool = True,
     out_schema = "id long, n_bytes long, feat array<double>"
 
     def real_feat(blob: bytes) -> list[float]:
-        if (blob[:2] in (b"P6", b"BM")
+        if (blob[:2] in (b"P6", b"BM", b"\xff\xd8")
                 or blob[:8] == b"\x89PNG\r\n\x1a\n"):
             w, h, px = decode_image(blob)
             n = float(w * h)
@@ -364,8 +369,9 @@ def extract_features(df: DataFrame, fake: bool = True,
             # not surface as a bogus "not a RIFF/WAVE" complaint
             raise NotImplementedError(
                 f"unsupported media format (magic {blob[:8]!r}); "
-                f"supported: PPM/BMP/PNG/WAV — JPEG/MP4 need codec "
-                f"libraries this container lacks")
+                f"supported: PPM/BMP/PNG/JPEG(baseline)/WAV — MP4 and "
+                f"progressive JPEG need codec libraries this container "
+                f"lacks")
         rate, ch, data = decode_wav(blob)
         n = float(len(data))
         mean = int(data.sum(dtype=np.int64)) / n if n else 0.0

@@ -5586,3 +5586,123 @@ def multimodal_decode_q(spark, sf_dir):
     return out.select(
         F.col("id").alias("doc_id"),
         *[F.col("feat")[j].alias(f"f{j}") for j in range(8)])
+
+
+_JPEG_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             (3 * doc_id) % 256 AS r0, (5 * doc_id) % 256 AS g0,
+             (7 * doc_id) % 256 AS b0,
+             1 + doc_id % 4 AS nx, 1 + (doc_id // 2) % 2 AS ny
+      FROM documents
+    ), ycc AS (
+      SELECT *,
+        FLOOR(0.299e0 * r0 + 0.587e0 * g0 + 0.114e0 * b0 + 0.5e0) AS y,
+        FLOOR(128e0 - 0.168736e0 * r0 - 0.331264e0 * g0 + 0.5e0 * b0
+              + 0.5e0) AS cb,
+        FLOOR(128e0 + 0.5e0 * r0 - 0.418688e0 * g0 - 0.081312e0 * b0
+              + 0.5e0) AS cr
+      FROM base
+    ), rgb AS (
+      SELECT *,
+        LEAST(255e0, GREATEST(0e0,
+            FLOOR(y + 1.402e0 * (cr - 128e0) + 0.5e0))) AS r2,
+        LEAST(255e0, GREATEST(0e0,
+            FLOOR(y - 0.344136e0 * (cb - 128e0)
+                  - 0.714136e0 * (cr - 128e0) + 0.5e0))) AS g2,
+        LEAST(255e0, GREATEST(0e0,
+            FLOOR(y + 1.772e0 * (cb - 128e0) + 0.5e0))) AS b2
+      FROM ycc
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 8 * nx ELSE 16 END AS INT)
+        AS width,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 8 * ny ELSE 16 END AS INT)
+        AS height,
+      CASE WHEN doc_id % 2 = 0
+           THEN CAST(64 * list_sum(list_transform(range(0, nx * ny),
+                    b -> (3 * doc_id + 41 * b) % 256)) AS BIGINT)
+                / CAST(64 * nx * ny AS BIGINT)
+           ELSE r2 END AS mean_r,
+      CAST(CASE WHEN doc_id % 2 = 0
+           THEN list_sum(list_transform(range(0, nx * ny),
+                    b -> (b + 1) * ((3 * doc_id + 41 * b) % 256)))
+           ELSE CAST(r2 AS BIGINT) + 1000 * CAST(g2 AS BIGINT)
+                + 1000000 * CAST(b2 AS BIGINT) END AS BIGINT) AS checksum,
+      TRUE AS uniform
+    FROM rgb
+"""
+
+
+@query("multimodal_jpeg", _JPEG_SQL)
+def multimodal_jpeg_q(spark, sf_dir):
+    """Baseline-JPEG decode end-to-end (operators/jpeg.py make_jpeg /
+    decode_jpeg via the production decode_image dispatch): even
+    doc_ids become block-constant GRAYSCALE JPEGs (1-4 blocks wide,
+    1-2 high, restart markers every 2 MCUs when doc_id%4==2) whose
+    quality-100 round-trip is bit-exact by construction — constant
+    8x8 blocks quantize losslessly through all-ones tables; odd
+    doc_ids become constant-COLOR 16x16 JPEGs alternating 4:2:0 and
+    4:4:4 chroma subsampling, exact through the JFIF floor(x+.5)
+    color round-trip the oracle recomputes in SQL (0.299e0-style
+    literals force DOUBLE so both engines run the identical IEEE
+    expression). `checksum` pins every decoded block value to its
+    raster POSITION (a block-order or DC-predictor bug breaks it),
+    `uniform` pins per-pixel constancy (any Huffman/dequant/IDCT/
+    restart slip makes some block non-constant), and mean_r is the
+    exact integer-sum mean. Fixture generation is bounded (<=1 KiB
+    per row) inside the same Arrow batch as the decode."""
+    import numpy as np
+    import pandas as pd
+    from .operators.jpeg import make_jpeg
+    from .operators.multimodal import decode_image
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    nx, ny = 1 + d % 4, 1 + (d // 2) % 2
+                    a = np.zeros((ny * 8, nx * 8), np.uint8)
+                    for b in range(nx * ny):
+                        r, c = divmod(b, nx)
+                        a[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = \
+                            (3 * d + 41 * b) % 256
+                    px = np.repeat(a[:, :, None], 3, axis=2).tobytes()
+                    blob = make_jpeg(
+                        nx * 8, ny * 8, px, quality=100, grayscale=True,
+                        restart_interval=2 if d % 4 == 2 else 0)
+                else:
+                    px = bytes(((3 * d) % 256, (5 * d) % 256,
+                                (7 * d) % 256)) * 256
+                    blob = make_jpeg(
+                        16, 16, px, quality=100,
+                        subsampling="4:2:0" if d % 4 == 1 else "4:4:4")
+                w, h, out = decode_image(blob)
+                arr = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+                red = arr[:, :, 0].astype(np.int64)
+                mean_r = int(red.sum()) / (w * h)
+                if d % 2 == 0:
+                    blks = (red.reshape(h // 8, 8, w // 8, 8)
+                            .transpose(0, 2, 1, 3).reshape(-1, 64))
+                    uniform = bool(
+                        (arr[:, :, 0] == arr[:, :, 1]).all()
+                        and (arr[:, :, 0] == arr[:, :, 2]).all()
+                        and (blks.min(1) == blks.max(1)).all())
+                    checksum = int(((np.arange(len(blks)) + 1)
+                                    * blks[:, 0]).sum())
+                else:
+                    uniform = bool((arr == arr[0, 0]).all())
+                    checksum = (int(arr[0, 0, 0])
+                                + 1000 * int(arr[0, 0, 1])
+                                + 1000000 * int(arr[0, 0, 2]))
+                rows.append((d, w, h, mean_r, checksum, uniform))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "mean_r", "checksum",
+                "uniform"])
+
+    return t["documents"].select("doc_id").mapInPandas(
+        gen, schema="doc_id long, width int, height int, mean_r double, "
+                    "checksum long, uniform boolean")
