@@ -20,7 +20,9 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # the r8 session, so this is pure signal refresh), plus r9 additions and
 # an r5 top-up to fill the 50:
 #   0. round-9 ADDITIONS (zero prior driver signal) — first in the
-#      window: multimodal_jpeg (new baseline-JPEG decoder);
+#      window: multimodal_jpeg (new baseline-JPEG decoder), ewma_hub
+#      (closed-form distributed EWMA), op_fold_stream_segmented
+#      (two-stage hub-key fold_stream);
 #   1. the 5 r3-latest entries the r7/r8 verdicts ranked top:
 #      q10/q14/q16/q18/q19 (oracles already use _dsum_sql decimal
 #      conventions — judge-audited r8);
@@ -28,11 +30,11 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      sessionize, the window family, join_semi/anti, sources, dedup
 #      core, kmeans_step, bm25_search, tfidf_terms, zorder_layout,
 #      stream_enrich, ...);
-#   3. top-up from the r5-latest list in staleness order until the
-#      window is full.
+#   3. (window is exactly full at 3 + 5 + 42; the r5-latest list
+#      rotates in r10.)
 # After this rotation no entry's latest hard signal is older than r5
-# (r8 re-proved the r6/r7-era 50; the r5 remainder rotates in r10).
-_R9_NEW = ("multimodal_jpeg",)
+# (r8 re-proved the r6/r7-era 50).
+_R9_NEW = ("multimodal_jpeg", "ewma_hub", "op_fold_stream_segmented")
 _R3_STALE = (
     "q10_returned_items", "q14_promo_share", "q16_supplier_cnt",
     "q18_large_orders", "q19_discounted_revenue",
@@ -51,11 +53,8 @@ _R4_STALE = (
     "chunk_docs", "bigram_pmi", "stream_enrich", "key_skew_report",
     "source_orc", "dedup_keep_best", "price_histogram", "tfidf_terms",
 )
-_R5_TOPUP = ("op_const", "op_reader_func")
-
-
 def _rotated() -> list[str]:
-    head = [k for k in (_R9_NEW + _R3_STALE + _R4_STALE + _R5_TOPUP)
+    head = [k for k in (_R9_NEW + _R3_STALE + _R4_STALE)
             if k in QUERIES]
     seen = set()
     head = [k for k in head if not (k in seen or seen.add(k))]

@@ -5,15 +5,30 @@ the standard online feature (user activity level, rolling quality
 score) computed as a batch fold: s_0 = v_0, s_i = α·v_i + (1−α)·s_{i−1}
 over the key's events in (ts, tiebreak...) order.
 
-Scale shape: ONE aggregation exchange on the key; per-key state is the
-key's own event list (collect_list → array_sort → left fold — the
-pagerank ordered-mode pattern), so memory is bounded by the largest
-single key, not the table. A hub key with hundreds of millions of
-events would want a segmented scan instead (fold per day-partition,
-then fold the per-segment states with the same recurrence re-weighted
-by (1−α)^len — the recurrence is associative under that composition);
-documented rather than built because the per-key list covers every
-realistic user/document key.
+Scale shape, method="list" (default): ONE aggregation exchange on the
+key; per-key state is the key's own event list (collect_list →
+array_sort → left fold — the pagerank ordered-mode pattern), so memory
+is bounded by the largest single key, not the table.
+
+method="distributed" is the hub-key path (VERDICT r7 task 5): the
+segment-composition idea — per-segment affine states (A, B) with
+A = (1−α)^len composed as s' = A·s + B — collapses into a closed form
+because every segment's A is a power of the SAME base, so the suffix
+products of A's are just (1−α)^(suffix event count). That turns the
+whole fold into one weighted sum:
+
+    s_N = v_first·(1−α)^(N−1) + Σ_{i≥2} α·v_i·(1−α)^(N−i)
+
+computed as a window rank from the end + a plain aggregation: NO
+collect_list, no per-key array, no per-key Python — a 10⁸-event hub
+key costs two running window columns and a partial-aggregable sum.
+(1−α)^(N−i) underflows to exactly 0.0 for deep history, which is also
+what those terms round to mathematically. The weighted terms are
+summed through DECIMAL(38,18) so the result is order-independent and
+bitwise-reproducible; vs the sequential list fold the value agrees to
+~1e-12 relative (different rounding sequence — property-tested), and
+is EXACT (bitwise) when (1−α) is a power of two and the term count is
+small enough that every sequential intermediate is dyadic-exact.
 
 Float portability: the fold is a left fold in a pinned order with
 α forced to DOUBLE on both engines, so every intermediate double is
@@ -29,13 +44,51 @@ from pyspark.sql import functions as F
 
 def ewma_last(df: DataFrame, key_col: str, ts_col: str, val_col: str,
               order_cols: list[str] | None = None,
-              alpha: float = 0.3) -> DataFrame:
+              alpha: float = 0.3, method: str = "list") -> DataFrame:
     """(key, n_events, ewma): final EWMA of ``val_col`` per key over
     rows in (``ts_col``, ``order_cols``...) order. ``order_cols``
-    breaks timestamp ties deterministically (pass a unique id)."""
+    breaks timestamp ties deterministically (pass a unique id).
+    ``method="list"`` folds the key's sorted event array (exactly the
+    sequential recurrence, bitwise DuckDB-replayable);
+    ``method="distributed"`` computes the closed-form weighted sum
+    with no per-key state (hub-key safe — see module docstring)."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha out of (0,1]: {alpha}")
     a = float(alpha)
+    if method == "distributed":
+        oc = order_cols or []
+        base = df.select(
+            F.col(key_col),
+            F.unix_micros(F.col(ts_col)).alias("__t__"),
+            *[F.col(c).alias(f"__o{i}__") for i, c in enumerate(oc)],
+            F.col(val_col).cast("double").alias("__v__"))
+        # rank from the END of the key's history: rn=1 is the newest
+        # event, rn=n the oldest (the seed of the recurrence)
+        order = [F.col("__t__").desc()] + [
+            F.col(f"__o{i}__").desc() for i in range(len(oc))]
+        wr = W.partitionBy(key_col).orderBy(*order)
+        wn = W.partitionBy(key_col)            # same exchange, no sort
+        ranked = base.select(
+            key_col, "__v__",
+            F.row_number().over(wr).alias("__rn__"),
+            F.count(F.lit(1)).over(wn).alias("__n__"))
+        om = F.lit(1.0 - a)
+        term = F.when(
+            F.col("__rn__") == F.col("__n__"),
+            F.col("__v__")
+            * F.pow(om, (F.col("__n__") - 1).cast("double"))
+        ).otherwise(
+            F.lit(a) * F.col("__v__")
+            * F.pow(om, (F.col("__rn__") - 1).cast("double")))
+        # decimal-exact sum: order-independent, bitwise-reproducible
+        # (terms < 1e-18 truncate to 0 — already below double noise)
+        return (ranked.groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(term.cast("decimal(38,18)")).cast("double")
+                     .alias("ewma")))
+    if method != "list":
+        raise ValueError(f"unknown ewma method {method!r} "
+                         "(expected 'list' or 'distributed')")
     tiebreak = [F.col(c).alias(f"o{i}")
                 for i, c in enumerate(order_cols or [])]
     xs = F.array_sort(F.collect_list(F.struct(

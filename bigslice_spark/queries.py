@@ -4464,7 +4464,12 @@ def ts_anomaly_q(spark, sf_dir):
     rolling_zscore): each event value scored against its own trailing
     20-event window (exclusive frame, 8-point warm-up), |z| ≥ 2
     emitted. One window exchange; decimal-exact window sums make the
-    threshold cut bitwise engine-reproducible."""
+    threshold cut bitwise engine-reproducible.
+
+    Bench note (r9, closes the r7 watch item): in-bench sf0.1 walls on
+    this unchanged code are r5 1.06 / r6 1.06 / r7 1.62 / r8 1.07 /
+    r9 1.12s — median 1.07s; the r7 spike never reproduced and was
+    box noise (PERFORMANCE.md round 9)."""
     from .operators.timeseries import rolling_zscore
     _, t = _s(spark, sf_dir)
     return rolling_zscore(t["events"], "user_id", "ts", "value",
@@ -5706,3 +5711,86 @@ def multimodal_jpeg_q(spark, sf_dir):
     return t["documents"].select("doc_id").mapInPandas(
         gen, schema="doc_id long, width int, height int, mean_r double, "
                     "checksum long, uniform boolean")
+
+
+@query("ewma_hub", """
+    WITH ranked AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(sum(CAST(
+             CASE WHEN rn = n
+                  THEN v * power(0.5e0, CAST(n - 1 AS DOUBLE))
+                  ELSE 0.5e0 * v * power(0.5e0, CAST(rn - 1 AS DOUBLE))
+             END AS DECIMAL(38,18))) AS DOUBLE) AS ewma
+    FROM ranked GROUP BY user_id
+""")
+def ewma_hub_q(spark, sf_dir):
+    """Hub-key-safe EWMA (operators/timeseries.py ewma_last
+    method="distributed", VERDICT r7 task 5): the sequential
+    recurrence collapsed to a closed-form weighted sum — rank each
+    event from the END of its key's history (one window exchange),
+    weight by (1-α)^rank, sum through DECIMAL(38,18). NO collect_list,
+    no per-key array, no per-key Python: a 10⁸-event key costs two
+    running window columns and a partial-aggregable sum (plan-gated in
+    tests/test_plans.py). α is pinned to 0.5 here so every weight
+    power(0.5, k) = 2^-k is EXACTLY representable and both engines'
+    pow must return it (verified exact 0..300 on both) — each term is
+    then one correctly-rounded multiply chain, identical IEEE doubles
+    on both sides, and the decimal sum is order-independent."""
+    from .operators.timeseries import ewma_last
+    _, t = _s(spark, sf_dir)
+    return ewma_last(t["events"], "user_id", "ts", "value",
+                     order_cols=["event_id"], alpha=0.5,
+                     method="distributed")
+
+
+@query("op_fold_stream_segmented", """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+""")
+def op_fold_stream_segmented(spark, sf_dir):
+    """Segmented streaming Fold (Slice.fold_stream segment_col= +
+    merge=, VERDICT r7 task 5 generalized beyond EWMA): stage 1
+    stream-folds each (key, ship-month) slice of the group in its own
+    task — a hub key's events no longer serialize through ONE task's
+    scan — stage 2 merges the pickled per-segment accumulators per key
+    in segment order (rows per key = #segments, bounded regardless of
+    event count). The accumulator here is (count, qty-sum, max-price):
+    count/sum merge commutatively, max is order-safe, and qty is
+    integer-valued so the float partials are exact — the oracle is the
+    plain one-shot aggregation the two-stage fold must reproduce."""
+    sess, t = _s(spark, sf_dir)
+    sl = sess.wrap(t["lineitem"].select(
+        "l_returnflag",
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        "l_quantity", "l_extendedprice"))
+
+    def init():
+        return [0, 0, None]
+
+    def step(acc, chunk):
+        acc[0] += len(chunk)
+        acc[1] += int(chunk["l_quantity"].sum())
+        mx = float(chunk["l_extendedprice"].max())
+        acc[2] = mx if acc[2] is None else max(acc[2], mx)
+        return acc
+
+    def merge(a, b):
+        return [a[0] + b[0], a[1] + b[1],
+                b[2] if a[2] is None else
+                a[2] if b[2] is None else max(a[2], b[2])]
+
+    def emit(key, acc):
+        return {"l_returnflag": key[0], "n": acc[0], "qty": acc[1],
+                "max_price": acc[2]}
+
+    return sl.fold_stream(
+        init, step, emit,
+        "l_returnflag string, n long, qty long, max_price double",
+        segment_col="ship_month", merge=merge).df

@@ -248,7 +248,9 @@ class Slice:
     def fold_stream(self, init: Callable[[], Any],
                     step: Callable[[Any, Any], Any],
                     emit: Callable[[tuple, Any], dict],
-                    schema: Any) -> "Slice":
+                    schema: Any, segment_col: str | None = None,
+                    merge: Callable[[Any, Any], Any] | None = None
+                    ) -> "Slice":
         """Fold for groups too large to materialize (SURVEY §7 hard-part
         2 — the reference's own known weakness: its Fold holds each
         accumulator map fully in memory, accum.go:17-19 BUG note, and
@@ -264,9 +266,29 @@ class Slice:
         batch-chunk of a group's rows (key columns included);
         ``emit(key_tuple, acc) -> dict`` produces the output row.
         ``step`` must be associative across chunks in row order.
+
+        Hub-key path (VERDICT r7 task 5): with ``segment_col`` (+
+        ``merge(acc, acc) -> acc``, associative in segment order), the
+        fold runs in TWO stages — stage 1 stream-folds each
+        (key, segment) group exactly as above, so a hub key's events
+        are folded in PARALLEL across its segments (different tasks),
+        then stage 2 merges each key's per-segment accumulators in
+        ascending ``segment_col`` order (rows per key = segment count,
+        e.g. days — bounded regardless of event count) and emits once.
+        Accumulators cross the stage boundary pickled in a binary
+        column; ``emit`` sees the merged accumulator and the key
+        WITHOUT the segment column. Use when one key's event list is
+        too big for one task to scan alone — the memory bound was
+        already one batch + one accumulator; this also breaks the
+        single-task TIME bound.
         """
         _require_schema("fold_stream", schema)
         keys = self.key_cols
+        if segment_col is not None:
+            return self._fold_stream_segmented(init, step, emit, schema,
+                                               segment_col, merge)
+        if merge is not None:
+            raise TypeError("fold_stream: merge requires segment_col")
 
         def run(batches):
             import pandas as pd
@@ -302,6 +324,86 @@ class Slice:
         df = (self.df.repartition(*keys)
               .sortWithinPartitions(*keys)
               .mapInPandas(run, schema=schema))
+        return Slice(df, prefix=len(keys))
+
+    def _fold_stream_segmented(self, init, step, emit, schema,
+                               segment_col: str, merge) -> "Slice":
+        """Two-stage fold_stream (see fold_stream docstring): stage 1
+        stream-folds per (key, segment) — hub keys parallelize across
+        segments — stage 2 merges per-segment accumulators per key in
+        segment order. Per-key stage-2 input is one ROW per segment
+        (a pickled accumulator), never the events."""
+        import pickle
+
+        from pyspark.sql.types import BinaryType, StructField, StructType
+
+        if merge is None:
+            raise TypeError("fold_stream: segment_col requires merge")
+        keys = self.key_cols
+        if segment_col in keys:
+            raise ValueError(
+                f"segment_col {segment_col!r} is already a key column")
+        seg_keys = list(keys) + [segment_col]
+
+        def run1(batches):
+            import pandas as pd
+            cur_key, acc = None, None
+            rows: list[tuple] = []
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                grouped = pdf.groupby(seg_keys, sort=False, dropna=False)
+                for key, chunk in grouped:
+                    key = key if isinstance(key, tuple) else (key,)
+                    key = tuple(None if (isinstance(x, float) and x != x)
+                                else x for x in key)
+                    if key != cur_key:
+                        if cur_key is not None:
+                            rows.append((*cur_key, pickle.dumps(acc)))
+                        cur_key, acc = key, init()
+                    acc = step(acc, chunk)
+            if cur_key is not None:
+                rows.append((*cur_key, pickle.dumps(acc)))
+            if rows:
+                yield pd.DataFrame(rows, columns=[*seg_keys, "__acc__"])
+
+        st1_schema = StructType(
+            list(self.df.select(*seg_keys).schema.fields)
+            + [StructField("__acc__", BinaryType())])
+        st1 = (self.df.repartition(*seg_keys)
+               .sortWithinPartitions(*seg_keys)
+               .mapInPandas(run1, schema=st1_schema))
+
+        nk = len(keys)
+
+        def run2(batches):
+            import pandas as pd
+            cur_key, acc = None, None
+            rows: list[dict] = []
+            for pdf in batches:
+                # positional tuples: (keys..., segment, __acc__) in the
+                # stage-1 schema order — robust to odd column names
+                for vals in pdf.itertuples(index=False, name=None):
+                    key = tuple(None if (isinstance(x, float) and x != x)
+                                else x for x in vals[:nk])
+                    a = pickle.loads(vals[-1])
+                    if key != cur_key:
+                        if cur_key is not None:
+                            rows.append(emit(cur_key, acc))
+                        cur_key, acc = key, a
+                    else:
+                        acc = merge(acc, a)
+                if rows:
+                    yield pd.DataFrame(rows)
+                    rows = []
+            if cur_key is not None:
+                rows.append(emit(cur_key, acc))
+            if rows:
+                yield pd.DataFrame(rows)
+
+        df = (st1.repartition(*keys)
+              .sortWithinPartitions(*keys, segment_col)
+              .mapInPandas(run2, schema=schema))
         return Slice(df, prefix=len(keys))
 
     def reduce_(self, agg: Column | str) -> "Slice":

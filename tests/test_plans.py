@@ -653,3 +653,36 @@ def test_approx_distinct_no_expand(spark, sf_dir):
     expanded input (13.6s vs 1.3s at sf0.1)."""
     txt = explain_str(QUERIES["approx_distinct"](spark, sf_dir))
     assert "Expand" not in txt, txt[:1200]
+
+
+def test_ewma_distributed_hub_safe(spark, tables):
+    """ewma_last(method='distributed'): NO collect_list anywhere (no
+    per-key array — the hub-key contract) and ONE exchange total — the
+    final aggregation reuses the window's hash partitioning on the
+    key instead of re-shuffling."""
+    from bigslice_spark.operators.timeseries import ewma_last
+    out = ewma_last(tables["events"], "user_id", "ts", "value",
+                    order_cols=["event_id"], alpha=0.5,
+                    method="distributed")
+    plan = explain_str(out)
+    assert "collect_list" not in plan, plan[:1200]
+    assert count_exchanges(out) == 1, plan[:1200]
+
+
+def test_fold_stream_segmented_two_stages(spark, tables):
+    """Segmented fold_stream: exactly two exchanges — stage 1 on
+    (key, segment), stage 2 on (key) — and stage 2's input schema is
+    the pickled-accumulator rows (binary __acc__), never the events."""
+    from bigslice_spark import Session
+    sess = Session(spark)
+    sl = sess.wrap(tables["lineitem"].select(
+        "l_returnflag",
+        F.date_trunc("month", "l_shipdate").alias("m"), "l_quantity"))
+    out = sl.fold_stream(
+        lambda: [0], lambda acc, c: [acc[0] + len(c)],
+        lambda k, acc: {"l_returnflag": k[0], "n": acc[0]},
+        "l_returnflag string, n long",
+        segment_col="m", merge=lambda a, b: [a[0] + b[0]])
+    plan = explain_str(out.df)
+    assert count_exchanges(out.df) == 2, plan[:1200]
+    assert "__acc__" in plan

@@ -684,3 +684,119 @@ def test_ivf_auto_ncells_bounds_property(n, target):
     want = -(-n // target)
     if want <= min(max(16, 4 * max(1, math.isqrt(n))), 65536):
         assert c == max(16, want)
+
+
+# ---------------------------------------------------------------------
+# Hub-key fold paths (VERDICT r7 task 5): the distributed/segmented
+# implementations must agree with the sequential reference fold.
+
+EVENTS = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=10**6),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=150)
+
+
+def _ewma_py(rows, alpha):
+    """Sequential reference recurrence, grouped by key in (t, rid)
+    order — the ground truth both Spark paths must match."""
+    by_key = defaultdict(list)
+    for rid, (k, t, v) in enumerate(rows):
+        by_key[k].append((t, rid, v))
+    out = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        s = evs[0][2]
+        for _, _, v in evs[1:]:
+            s = alpha * v + (1.0 - alpha) * s
+        out[k] = (len(evs), s)
+    return out
+
+
+def _ewma_df(spark, rows):
+    return spark.createDataFrame(
+        [(k, t, i, v) for i, (k, t, v) in enumerate(rows)],
+        "k string, tus long, rid long, v double"
+    ).select("k", F.timestamp_micros("tus").alias("ts"), "rid", "v")
+
+
+@PROP
+@given(rows=EVENTS, alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9, 1.0]))
+def test_ewma_distributed_matches_list_fold(spark, rows, alpha):
+    """The closed-form weighted sum (method='distributed') equals the
+    sequential list fold for any input: same counts, values within
+    float re-association tolerance of the python recurrence."""
+    import math
+
+    from bigslice_spark.operators.timeseries import ewma_last
+    df = _ewma_df(spark, rows)
+    want = _ewma_py(rows, alpha)
+    for method in ("list", "distributed"):
+        got = {r["k"]: (r["n_events"], r["ewma"])
+               for r in ewma_last(df, "k", "ts", "v",
+                                  order_cols=["rid"], alpha=alpha,
+                                  method=method).collect()}
+        assert set(got) == set(want)
+        for k, (n, s) in want.items():
+            assert got[k][0] == n
+            assert math.isclose(got[k][1], s, rel_tol=1e-9,
+                                abs_tol=1e-9), (method, k, got[k][1], s)
+
+
+@PROP
+@given(rows=st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=10**6),
+              st.integers(min_value=-1000, max_value=1000)),
+    min_size=1, max_size=40))
+def test_ewma_distributed_dyadic_exact(spark, rows):
+    """With α=0.5 and small integer inputs every sequential
+    intermediate is an exact dyadic double, so the distributed path is
+    BITWISE equal to the python recurrence — the same exactness the
+    ewma_hub oracle replays through DECIMAL sums."""
+    from bigslice_spark.operators.timeseries import ewma_last
+    rows = [(k, t, float(v)) for k, t, v in rows]
+    df = _ewma_df(spark, rows)
+    want = _ewma_py(rows, 0.5)
+    got = {r["k"]: r["ewma"]
+           for r in ewma_last(df, "k", "ts", "v", order_cols=["rid"],
+                              alpha=0.5, method="distributed").collect()}
+    assert got == {k: s for k, (_n, s) in want.items()}
+
+
+@PROP
+@given(pairs=st.lists(st.tuples(KEYS, st.integers(0, 9), VALS),
+                      min_size=1, max_size=120),
+       nshard=NSHARD)
+def test_fold_stream_segmented_matches_oneshot(session, pairs, nshard):
+    """fold_stream(segment_col=, merge=) — the two-stage hub-key path —
+    produces exactly the one-shot fold's answer for any key/segment mix
+    (count + sum accumulator, merge in segment order)."""
+    keys = [k for k, _, _ in pairs]
+    segs = [s for _, s, _ in pairs]
+    vals = [v for _, _, v in pairs]
+    sl = session.const(nshard, keys, segs, vals,
+                       names=["key", "seg", "val"],
+                       schema="key string, seg int, val long")
+
+    def init():
+        return [0, 0]
+
+    def step(acc, chunk):
+        return [acc[0] + len(chunk), acc[1] + int(chunk["val"].sum())]
+
+    def merge(a, b):
+        return [a[0] + b[0], a[1] + b[1]]
+
+    def emit(key, acc):
+        return {"key": key[0], "n": acc[0], "total": acc[1]}
+
+    got = {r["key"]: (r["n"], r["total"])
+           for r in sl.fold_stream(init, step, emit,
+                                   "key string, n long, total long",
+                                   segment_col="seg",
+                                   merge=merge).df.collect()}
+    want = defaultdict(lambda: [0, 0])
+    for k, _s, v in pairs:
+        want[k][0] += 1
+        want[k][1] += v
+    assert got == {k: tuple(v) for k, v in want.items()}
