@@ -128,8 +128,33 @@ def main() -> None:
         return simhash_pairs(t["documents"], max_hamming=8,
                              portable=False)
 
+    # semantic_dedup's registry entry pins k=8 cells so its DuckDB
+    # oracle (an 8x64 unrolled argmin) can replay the assignment — fine
+    # for the sf0.01 correctness gate, quadratic at scale: with k fixed,
+    # per-cell pair counts grow as (N/k)^2 (measured 62x wall at 10x
+    # rows, the sf1.0 sweep's one superlinear query). The bench measures
+    # the PRODUCTION sizing the operator documents (k ~ N/256, the
+    # similarity_ivf auto-cell rule): per-cell size stays ~constant, so
+    # pair volume grows ~linearly with N. Assignment auto-routes to the
+    # broadcast-join path past the ~1500-term codegen cliff.
+    def _semantic_fast(spark, sf_dir):
+        from bigslice_spark.operators.clustering import (kmeans_assign,
+                                                         seed_centroids)
+        from bigslice_spark.operators.dedup import semantic_dedup
+        from bigslice_spark.operators.similarity import _auto_ncells
+        from bigslice_spark.session import load_tables
+        t = load_tables(spark, sf_dir)
+        emb = t["embeddings"]
+        k = _auto_ncells(emb.count(), 256)
+        cents = seed_centroids(k, 64)
+        # auto assignment: join path past the 512-term codegen limit
+        assigned = kmeans_assign(emb, cents).select("vec_id", "cell")
+        return semantic_dedup(emb.join(assigned, on="vec_id"), cents,
+                              threshold=0.35, cell_col="cell")
+
     overrides = {"dedup_minhash": _minhash_fast,
-                 "dedup_simhash": _simhash_fast}
+                 "dedup_simhash": _simhash_fast,
+                 "semantic_dedup": _semantic_fast}
 
     times: dict[str, float] = {}
     for name in headline:

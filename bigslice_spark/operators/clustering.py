@@ -50,11 +50,14 @@ def _argmin_expr(centroids: list[list[float]],
     return F.expr("array_min(array(" + ", ".join(entries) + "))")
 
 
-# Above ~1500 unrolled multiply-add terms (k·dim) the single argmin
-# expression overflows the JVM's 64 KB generated-method limit and the
-# whole stage silently falls back to interpreted eval — the join path
-# below has no such cliff.
-_CODEGEN_TERM_LIMIT = 1500
+# Above this many unrolled multiply-add terms (k·dim) the single
+# argmin expression overflows the JVM's 64 KB generated-method limit
+# and the whole stage silently falls back to interpreted eval — the
+# join path below has no such cliff. Was ~1500; re-measured on Spark
+# 4.1 (r9): a 16x64 = 1024-term argmin HARD-FAILS Janino ("Code grows
+# beyond 64 KB") and runs interpreted, while the registry's 8x64 = 512
+# compiles — so the proven-safe bound is 512.
+_CODEGEN_TERM_LIMIT = 512
 
 
 def kmeans_assign(df: DataFrame, centroids: list[list[float]],
@@ -75,7 +78,9 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
       partial aggregation collapses the k candidate rows map-side, so
       the only exchange is n 1-row groups. No codegen cliff at any k.
 
-    ``auto`` picks unrolled while k·dim ≤ ~1500, else join.
+    ``auto`` picks unrolled while k·dim ≤ 512, else join
+    (_CODEGEN_TERM_LIMIT — a 1024-term argmin fails Janino outright,
+    measured r9).
     """
     k, dim = len(centroids), len(centroids[0])
     if method == "auto":

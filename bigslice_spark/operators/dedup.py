@@ -778,9 +778,19 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
             .filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine",
                         _dot_wide("v_a", "v_b", dim)
-                        / (F.col("n_a") * F.col("n_b")))
-            .filter(F.col("cosine") >= threshold))
-    dropped = cand.select(F.col("id_b").alias("id")).distinct()
+                        / (F.col("n_a") * F.col("n_b"))))
+    # drop rule as an AGGREGATE, not a row filter: `max(cosine) >= t`
+    # ≡ `∃ pair >= t` (same doubles, same verdict), but a row filter
+    # here gets pushed INTO the sort-merge join condition, where the
+    # per-pair cosine is evaluated inside the (non-codegen) join inner
+    # loop — measured 62x superlinear wall at the sf1.0 sweep. The
+    # aggregate keeps the join condition to the cheap id inequality
+    # and partial-aggregates the pairs map-side; it also subsumes the
+    # old distinct() (same exchange, one pass).
+    dropped = (cand.groupBy(F.col("id_b").alias("id"))
+               .agg(F.max("cosine").alias("__mx__"))
+               .filter(F.col("__mx__") >= threshold)
+               .select("id"))
     return (v.select("id", "cell")
             .join(dropped, on="id", how="left_anti")
             .select(F.col("id").alias(id_col), "cell"))

@@ -34,12 +34,27 @@ def _as_double_vec(col) -> "F.Column":
 
 
 def _dot_wide(a: str, b: str, dim: int) -> "F.Column":
-    # one F.expr parse instead of ~2*dim chained Column ops: building
-    # wide expressions operator-by-operator costs one py4j round trip
-    # EACH (measured ~8s of pure driver time for the 6-plane LSH plan);
-    # the SQL string parses JVM-side in one call and yields the same
-    # left-associative tree — same codegen, same bitwise doubles.
-    return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)))
+    # Index-ordered dot product as ONE array fold (one F.expr parse —
+    # building expressions operator-by-operator costs a py4j round trip
+    # each, measured ~8s of driver time for the 6-plane LSH plan).
+    #
+    # Why a fold and not the unrolled "a[0]*b[0] + ..." string this
+    # used to be: Spark 4.1 whole-stage codegen silently bails on the
+    # wide chained expression and the stage runs INTERPRETED — measured
+    # on this box at dim=64: 17.3s vs 4.8s for this fold over 6.4M rows
+    # x 32 threads, with a 36x per-row cliff between 32 and 64 unrolled
+    # terms (0.35µs -> 12.8µs/row). The fold loops inside ArrayData
+    # with no per-term expression-tree overhead and has no width cliff.
+    #
+    # Bitwise: same left-associative sum, seeded 0.0 — (0.0 + t) == t
+    # for every double except -0.0 (normalized to +0.0, equal-comparing
+    # and only reachable when every partial sum is a signed zero), so
+    # values still match the unrolled sums the DuckDB oracles replay.
+    # `dim` stays in the signature: callers use it to size the probe
+    # side and the oracles' unrolled SQL.
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
@@ -193,9 +208,10 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     ncells nor centers is given).
 
     ``assign_method``: ``unrolled`` inlines the per-cell distances as
-    one codegen expression — fastest, but beyond ~1500 multiply-add
-    terms (ncells·dim) the JVM's 64 KB method limit silently drops
-    the stage to interpreted eval; ``join`` broadcasts the centroid
+    one codegen expression — fastest, but beyond ~512 multiply-add
+    terms (ncells·dim; clustering._CODEGEN_TERM_LIMIT, re-measured r9)
+    the JVM's 64 KB method limit drops the stage to interpreted eval
+    or fails Janino outright; ``join`` broadcasts the centroid
     table and takes min(struct(d, cell)) per vector (map-side partial
     agg — no cliff at any ncells) with a small window on the query
     side for the nprobe probe list. ``auto`` switches at the cliff.

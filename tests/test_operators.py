@@ -2714,7 +2714,7 @@ def test_ivf_accepts_precomputed_centers(spark, tables):
 
 
 def test_ivf_join_assignment_matches_unrolled_bitwise(spark, tables):
-    """Past the ~1500-term codegen cliff ivf_topk must route
+    """Past the 512-term codegen cliff ivf_topk must route
     assignment through the broadcast-join path (auto), and the two
     strategies must agree on every (qid, nid, cosine, rank) — the
     join path computes the identical left-associative float sums."""
@@ -2724,7 +2724,7 @@ def test_ivf_join_assignment_matches_unrolled_bitwise(spark, tables):
     from bigslice_spark.operators.similarity import ivf_topk
     emb = tables["embeddings"]
     qs = emb.filter(F.col("vec_id") < 3)
-    cents = seed_centroids(24, 64)          # 24*64 > 1500: past cliff
+    cents = seed_centroids(24, 64)          # 24*64 > 512: past cliff
     assert 24 * 64 > _CODEGEN_TERM_LIMIT
     un = ivf_topk(emb, qs, k=5, nprobe=3, dim=64, centers=cents,
                   assign_method="unrolled")
@@ -2733,14 +2733,16 @@ def test_ivf_join_assignment_matches_unrolled_bitwise(spark, tables):
     au = ivf_topk(emb, qs, k=5, nprobe=3, dim=64, centers=cents)
     rows = lambda d: sorted(map(tuple, d.collect()))
     assert rows(un) == rows(jo) == rows(au)
-    # plan gate: auto past the cliff carries the fold-based centroid
-    # join, never the unrolled mega-expression that silently falls
-    # back to interpreted eval
+    # plan gate: auto past the cliff must NOT carry the unrolled
+    # argmin mega-expression (array_min over inline distances — it
+    # fails Janino / falls back to interpreted eval at this width);
+    # at 8*64 = 512 = the limit, auto still inlines it. (zip_with is
+    # no longer a discriminator: _dot_wide is itself a zip_with fold.)
     from bigslice_spark.plans import explain_str
-    assert "zip_with" in explain_str(au).lower()
+    assert "array_min" not in explain_str(au).lower()
     small = ivf_topk(emb, qs, k=5, nprobe=3, dim=64,
                      centers=seed_centroids(8, 64))
-    assert "zip_with" not in explain_str(small).lower()
+    assert "array_min" in explain_str(small).lower()
 
 
 def test_ivf_auto_ncells_rule():
@@ -2876,3 +2878,48 @@ def test_rename_no_overwrite_outcomes(spark, tmp_path):
     assert out in ("missing-src", "exists")  # AbstractFS raises FNF;
     # a FileSystem fallback reports the occupied dst first — either
     # way the caller cannot mistake it for success
+
+
+def test_vacuum_ambiguous_debris_escape_hatch(spark, tmp_path):
+    """reap_ambiguous_debris_older_than (r7 verdict watch item): the
+    age-gated reap of committed debris vacuum otherwise keeps forever.
+    Default-off keeps everything; with the hatch on, only debris OLDER
+    than the given age goes; younger ambiguous debris stays; restorable
+    debris is still RESTORED first (never reaped); the live table is
+    untouched throughout."""
+    import os
+    import pytest as _pt
+    from bigslice_spark.operators import upsert as U
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, val string")
+    for _ in range(3):
+        U.upsert(spark, path, df, ["k"])          # v=1..3
+    day = 86400.0
+    old = (U._now_ms() - 3 * day * 1000) / 1000.0
+    for name, ts in (("v=1.dead-aaaa01", old), ("v=2.dead-bbbb02", None)):
+        os.makedirs(os.path.join(path, name))
+        open(os.path.join(path, name, "_SUCCESS"), "w").write("")
+        if ts is not None:
+            os.utime(os.path.join(path, name), (ts, ts))
+    # a stolen tip commit as OLD debris: restorable, must never reap
+    os.rename(os.path.join(path, "v=3"),
+              os.path.join(path, "v=3.dead-cccc03"))
+    os.utime(os.path.join(path, "v=3.dead-cccc03"), (old, old))
+    # default off: restore the tip, keep both ambiguous dirs
+    U.vacuum(spark, path, keep_last=3)
+    names = set(os.listdir(path))
+    assert os.path.exists(os.path.join(path, "v=3", "_SUCCESS"))
+    assert {"v=1.dead-aaaa01", "v=2.dead-bbbb02"} <= names
+    # hatch on, 1-day age: the 3-day-old ambiguous dir goes, the
+    # fresh one stays, the restored tip is untouched
+    U.vacuum(spark, path, keep_last=3,
+             reap_ambiguous_debris_older_than=day)
+    names = set(os.listdir(path))
+    assert "v=1.dead-aaaa01" not in names
+    assert "v=2.dead-bbbb02" in names
+    assert os.path.exists(os.path.join(path, "v=3", "_SUCCESS"))
+    rows = {(r["k"], r["val"])
+            for r in U.read_latest(spark, path).collect()}
+    assert rows == {(1, "a")}
+    with _pt.raises(ValueError, match="positive"):
+        U.vacuum(spark, path, reap_ambiguous_debris_older_than=0)
