@@ -706,7 +706,9 @@ def snapshot_stats(spark: SparkSession, path: str,
               "n_bytes long")
 
 
-def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
+def vacuum(spark: SparkSession, path: str, keep_last: int = 2,
+           reap_ambiguous_debris_older_than: float | None = None
+           ) -> list[int]:
     """Drop all but the newest ``keep_last`` committed snapshots, plus
     uncommitted partials BELOW the max committed version (a dir above
     it may be an in-flight writer's — left alone). Returns committed
@@ -716,9 +718,28 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
     time-travelable) but referenced partition data stays until no kept
     manifest points at it. Readers of a dropped version fail fast on
     the missing ``_SUCCESS`` rather than reading half a table.
-    Single-writer assumption as for ``upsert``."""
+    Single-writer assumption as for ``upsert``.
+
+    ``reap_ambiguous_debris_older_than`` (seconds) — ESCAPE HATCH,
+    default off: committed debris (a ``v=N.dead-*`` dir containing a
+    ``_SUCCESS``) that vacuum can neither restore nor prove superseded
+    is normally kept FOREVER for manual adjudication, because deleting
+    it could destroy the only standalone copy of an acknowledged
+    commit. On a crash-prone table that policy is an unbounded disk
+    leak (r7 verdict watch item); setting this reaps such debris once
+    its filesystem mtime is older than the given age. CHOOSE THE AGE
+    SO ADJUDICATION HAS PROVABLY HAPPENED (e.g. several days, beyond
+    any writer's lifetime and your incident-review window) — a reaped
+    dir is unrecoverable, and if it WAS the only copy of a stolen
+    commit, that version's history is gone. Restorable debris is
+    always restored first; the hatch never races a live writer (age
+    gates it) and never touches uncommitted debris' existing rules."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if (reap_ambiguous_debris_older_than is not None
+            and reap_ambiguous_debris_older_than <= 0):
+        raise ValueError(
+            "reap_ambiguous_debris_older_than must be positive seconds")
     jvm, fs, jroot = _jfs(spark, path)
     committed = _versions(spark, path)
     keep = set(committed[-keep_last:])
@@ -790,6 +811,13 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> list[int]:
                             jvm.org.apache.hadoop.fs.Path(
                                 os.path.join(path, f"v={vd}"))):
                         restored.add(vd)
+                elif (reap_ambiguous_debris_older_than is not None
+                        and st.getModificationTime() < _now_ms()
+                        - int(reap_ambiguous_debris_older_than * 1000)):
+                    # the explicit escape hatch (see docstring): the
+                    # operator asserted adjudication is over for debris
+                    # this old — reap the otherwise-kept-forever dir
+                    fs.delete(st.getPath(), True)
             # a crashed writer's partition-name scratch: reap only
             # when stale — a LIVE writer's marker exists for
             # milliseconds between write and inline delete
