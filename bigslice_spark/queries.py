@@ -3694,20 +3694,27 @@ def stream_join(spark, sf_dir):
     micro-batch over the finite source == the batch interval join."""
     from .streaming import (run_to_completion, stream_events,
                             stream_stream_join)
-    ev = stream_events(spark, sf_dir)
-    p = ev.filter(F.col("event_type") == "purchase")
-    v = ev.filter(F.col("event_type") == "view")
-    joined = stream_stream_join(p, v, on="user_id", bound="1 hour")
-    out = joined.select(
-        F.col("l.event_id").alias("p_id"),
-        F.col("r.event_id").alias("v_id"),
-        F.unix_micros(F.col("l.ts")).alias("p_us"),
-        F.unix_micros(F.col("r.ts")).alias("v_us"))
-    # 8 state partitions: stores are pinned by the checkpoint and
-    # sized to state volume (see run_to_completion) — 32 near-empty
-    # stores at this volume is pure per-batch snapshot overhead
-    return run_to_completion(out, "bs_stream_join",
-                             output_mode="append", state_partitions=8)
+
+    # builder form: the stream is constructed on an isolated
+    # newSession() clone, so the 8-state-partition pin (stores are
+    # checkpoint-pinned and sized to state volume — 32 near-empty
+    # stores at this volume is pure per-batch snapshot overhead)
+    # lives on the clone's conf only and can never race concurrent
+    # planning on the caller's session (r7 verdict task 7)
+    def build(s):
+        ev = stream_events(s, sf_dir)
+        p = ev.filter(F.col("event_type") == "purchase")
+        v = ev.filter(F.col("event_type") == "view")
+        joined = stream_stream_join(p, v, on="user_id", bound="1 hour")
+        return joined.select(
+            F.col("l.event_id").alias("p_id"),
+            F.col("r.event_id").alias("v_id"),
+            F.unix_micros(F.col("l.ts")).alias("p_us"),
+            F.unix_micros(F.col("r.ts")).alias("v_us"))
+
+    return run_to_completion(build, "bs_stream_join",
+                             output_mode="append", state_partitions=8,
+                             spark=spark)
 
 
 @query("stream_join_outer", """
@@ -3737,17 +3744,23 @@ def stream_join_outer_q(spark, sf_dir):
     the same integer threshold expression on each side."""
     from .streaming import (run_to_completion, stream_events,
                             stream_stream_join)
-    ev = stream_events(spark, sf_dir)
-    p = ev.filter(F.col("event_type") == "purchase")
-    v = ev.filter(F.col("event_type") == "view")
-    joined = stream_stream_join(p, v, on="user_id", bound="1 hour",
-                                how="left_outer")
-    out = joined.select(
-        F.col("l.event_id").alias("p_id"),
-        F.col("r.event_id").alias("v_id"),
-        F.unix_micros(F.col("l.ts")).alias("p_us"))
-    res = run_to_completion(out, "bs_stream_join_outer",
-                            output_mode="append", state_partitions=8)
+
+    def build(s):
+        # isolated-clone builder: see stream_join for why the
+        # state-partition pin must not touch the caller's session
+        ev = stream_events(s, sf_dir)
+        p = ev.filter(F.col("event_type") == "purchase")
+        v = ev.filter(F.col("event_type") == "view")
+        joined = stream_stream_join(p, v, on="user_id", bound="1 hour",
+                                    how="left_outer")
+        return joined.select(
+            F.col("l.event_id").alias("p_id"),
+            F.col("r.event_id").alias("v_id"),
+            F.unix_micros(F.col("l.ts")).alias("p_us"))
+
+    res = run_to_completion(build, "bs_stream_join_outer",
+                            output_mode="append", state_partitions=8,
+                            spark=spark)
     _, t = _s(spark, sf_dir)
     thr = (t["events"]
            .filter(F.col("event_type").isin("purchase", "view"))

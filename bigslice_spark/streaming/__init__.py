@@ -121,11 +121,26 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
                     "n_events"))
 
 
-def run_to_completion(agg: DataFrame, name: str,
+# runtime SQL confs a builder-isolated clone must inherit from its
+# parent: newSession() starts from the SparkContext's build-time conf,
+# NOT the parent's runtime conf, and these four change query RESULTS
+# or source decoding if they diverge
+_ISOLATE_INHERIT = ("spark.sql.session.timeZone",
+                    "spark.sql.legacy.parquet.nanosAsLong",
+                    "spark.sql.shuffle.partitions",
+                    "spark.sql.adaptive.enabled")
+
+
+def run_to_completion(agg, name: str,
                       output_mode: str = "complete",
-                      state_partitions: int | None = None) -> DataFrame:
+                      state_partitions: int | None = None,
+                      spark: "SparkSession | None" = None) -> DataFrame:
     """Drive a streaming aggregation over its (finite) source through the
     memory sink; returns the final result as a batch DataFrame.
+
+    ``agg`` is either a built streaming DataFrame (same-session mode)
+    or a BUILDER ``callable(SparkSession) -> streaming DataFrame``
+    (isolated mode — pass the parent via ``spark=``).
 
     ``state_partitions``: shuffle-partition count for THIS query. For
     stateful streaming, partitions == state-store instances and the
@@ -134,27 +149,53 @@ def run_to_completion(agg: DataFrame, name: str,
     state volume, not to the session's batch default — each store
     costs per-micro-batch snapshot/commit I/O, so hundreds of
     near-empty stores is pure overhead, while too few caps the
-    parallelism of a 100 TB-scale join state. Scoped here: the conf
-    is set for the query's lifetime and restored after (results are
-    partitioning-invariant — the dual-config battery proves it).
+    parallelism of a 100 TB-scale join state.
 
-    CONCURRENCY CONTRACT: ``spark.sql.shuffle.partitions`` is a
-    session-level conf read at each micro-batch's planning, and a
-    streaming DataFrame cannot be rebound to a ``newSession()`` clone
-    after construction — so while this call is in flight, no other
-    query (stream or batch) may be PLANNED on the same SparkSession,
-    or the two race on the conf and an interleaved restore can leave
-    the session at the wrong partition count. The helper is
-    synchronous (blocks to completion), which makes the contract
-    automatic for single-threaded callers; multi-threaded drivers
-    that need concurrent streams must build each stream on its own
-    ``spark.newSession()`` from the start."""
-    spark = agg.sparkSession
+    ISOLATION (r7 verdict task 7): ``spark.sql.shuffle.partitions``
+    is a session-level conf read at each micro-batch's planning, and
+    a streaming DataFrame cannot be rebound to a ``newSession()``
+    clone after construction — so pinning ``state_partitions`` on a
+    pre-built frame's session races any concurrent planning on that
+    session. The builder form removes the hazard: the stream (and
+    everything it reads) is CONSTRUCTED on a fresh ``newSession()``
+    clone, the pin lives on the clone's conf only, the parent session
+    is never mutated, and the final result comes back as a
+    parent-session batch frame (the memory sink is driver-resident
+    either way, so the copy adds nothing). The clone inherits the
+    result-affecting runtime confs (_ISOLATE_INHERIT) from the
+    parent. With a pre-built frame and ``state_partitions`` set, the
+    old single-query contract still applies: no other query may be
+    PLANNED on that session while this call is in flight."""
+    if callable(agg):
+        if spark is None:
+            raise TypeError("run_to_completion: builder form requires "
+                            "the parent session via spark=")
+        iso = spark.newSession()
+        for k in _ISOLATE_INHERIT:
+            try:
+                iso.conf.set(k, spark.conf.get(k))
+            except Exception:
+                pass  # conf unset on the parent: keep the clone default
+        if state_partitions is not None:
+            iso.conf.set("spark.sql.shuffle.partitions",
+                         str(state_partitions))
+        df = agg(iso)
+        q = (df.writeStream.outputMode(output_mode)
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        result = iso.table(name)
+        # bounded by construction: the memory sink already holds the
+        # full result in the driver
+        return spark.createDataFrame(result.collect(), result.schema)
+    src = agg.sparkSession
     key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    if state_partitions is not None:
-        spark.conf.set(key, str(state_partitions))
+    prev = src.conf.get(key)
     try:
+        if state_partitions is not None:
+            src.conf.set(key, str(state_partitions))
         q = (agg.writeStream.outputMode(output_mode)
              .format("memory").queryName(name).start())
         try:
@@ -162,8 +203,9 @@ def run_to_completion(agg: DataFrame, name: str,
         finally:
             q.stop()
     finally:
-        spark.conf.set(key, prev)
-    return spark.table(name)
+        if state_partitions is not None:
+            src.conf.set(key, prev)
+    return src.table(name)
 
 
 def stream_to_parquet(df: DataFrame, path: str, checkpoint: str,

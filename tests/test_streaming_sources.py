@@ -237,3 +237,47 @@ def test_stream_dedup_against_empty_stream(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"), name="bss_admit_empty")
     assert out.count() == 0
     assert "doc_id" in out.columns and "text" in out.columns
+
+
+def test_isolated_stream_never_mutates_parent_conf(spark, sf_dir):
+    """Builder-form run_to_completion (r7 verdict task 7): the
+    stream_join entry pins 8 state partitions, but the pin lives on an
+    isolated newSession() clone — while the stream is in flight, batch
+    queries plan CONCURRENTLY on the parent session, the parent's
+    shuffle-partition conf never changes, and the stream still returns
+    its (parent-session) result."""
+    import threading
+
+    import pyspark.sql.functions as F
+    from bigslice_spark.queries import QUERIES
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    res: dict = {}
+
+    def run_stream():
+        try:
+            res["df"] = QUERIES["stream_join"](spark, sf_dir)
+        except Exception as e:        # surface in the main thread
+            res["err"] = e
+
+    th = threading.Thread(target=run_stream)
+    th.start()
+    conf_ok, batch_ok, iters = True, True, 0
+    while th.is_alive() or iters == 0:   # at least one concurrent probe
+        conf_ok &= spark.conf.get(key) == before
+        n = (spark.range(1000)
+             .groupBy((F.col("id") % 7).alias("k")).count().count())
+        batch_ok &= n == 7
+        iters += 1
+        if iters > 500:
+            break
+    th.join()
+    assert "err" not in res, res.get("err")
+    assert conf_ok, "parent shuffle-partition conf changed mid-stream"
+    assert batch_ok
+    assert spark.conf.get(key) == before
+    # the returned frame is usable on the PARENT session (joinable
+    # with parent frames — the cross-session copy happened)
+    assert res["df"].sparkSession is spark
+    assert res["df"].count() >= 0
