@@ -114,14 +114,18 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 
 def _bucket_expr(vec: str, planes: list[list[float]]) -> "F.Column":
-    """Sign-bit bucket id from a fixed hyperplane family, as wide codegen
-    sums: bit_i = (Σ_j v[j] * p_i[j]) > 0. Built as ONE F.expr parse
-    (driver-latency, see _dot_wide); bits are disjoint so summing the
-    CASEs equals OR-ing them."""
+    """Sign-bit bucket id from a fixed hyperplane family: bit_i =
+    (Σ_j v[j] * p_i[j]) > 0. Each projection is one array fold against
+    the literal plane (same left-assoc sums as the old unrolled
+    strings, bitwise-equal, none of the wide-expression interpretation
+    cliff — see _dot_wide), all in ONE F.expr parse (driver-latency);
+    bits are disjoint so summing the CASEs equals OR-ing them."""
     terms = []
     for i, p in enumerate(planes):
-        proj = " + ".join(f"{vec}[{j}] * ({p[j]!r})"
-                          for j in range(len(p)))
+        proj = ("aggregate(zip_with(" + vec + ", array("
+                + ", ".join(repr(c) for c in p)
+                + "), (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+                "(acc, t) -> acc + t)")
         terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << i} ELSE 0 END)")
     return F.expr(" + ".join(terms))
 
