@@ -1439,8 +1439,9 @@ def dedup_components(spark, sf_dir):
 
 def _embed_pairs_oracle(dim: int = 64, threshold: float = 0.4) -> str:
     """SQL replay of embedding_cosine_pairs: same-label pairs, cosine in
-    the exact left-associative expression order _dot_wide codegens →
-    bitwise-identical doubles → an exact threshold filter."""
+    the exact left-associative order _dot_wide's array fold evaluates
+    (0.0-seeded fold == unrolled sum, bitwise) → identical doubles →
+    an exact threshold filter."""
     dot = " + ".join(
         f"CAST(a.embedding[{i+1}] AS DOUBLE) * CAST(b.embedding[{i+1}] "
         f"AS DOUBLE)" for i in range(dim))
@@ -1615,9 +1616,9 @@ def _cosine_oracle(dim: int = 64) -> str:
 
 @query("similarity_topk", _cosine_oracle())
 def similarity_topk(spark, sf_dir):
-    """Brute-force cosine top-k; the wide codegen dot product evaluates in
-    the same order as the oracle SQL → bitwise-identical cosines
-    (operators/similarity.py)."""
+    """Brute-force cosine top-k; the array-fold dot product evaluates
+    in the same left-assoc order as the oracle's unrolled SQL sums →
+    bitwise-identical cosines (operators/similarity.py _dot_wide)."""
     from .operators.similarity import brute_force_topk
     _, t = _s(spark, sf_dir)
     emb = t["embeddings"]
@@ -1683,7 +1684,8 @@ def similarity_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (bucketed equi-join + exact rerank).
     The hyperplane family is deterministic (seeded LCG), so the whole
     path — bucketing, multiprobe, rerank — is replayed exactly by the
-    SQL oracle; cosines are bitwise-identical (wide codegen sums)."""
+    SQL oracle; cosines are bitwise-identical (the array-fold sums
+    evaluate in the oracle's unrolled left-assoc order)."""
     from .operators.similarity import lsh_topk
     _, t = _s(spark, sf_dir)
     emb = t["embeddings"]
