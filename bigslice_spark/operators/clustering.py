@@ -50,14 +50,18 @@ def _argmin_expr(centroids: list[list[float]],
     return F.expr("array_min(array(" + ", ".join(entries) + "))")
 
 
-# Above this many unrolled multiply-add terms (k·dim) the single
-# argmin expression overflows the JVM's 64 KB generated-method limit
-# and the whole stage silently falls back to interpreted eval — the
-# join path below has no such cliff. Was ~1500; re-measured on Spark
-# 4.1 (r9): a 16x64 = 1024-term argmin HARD-FAILS Janino ("Code grows
-# beyond 64 KB") and runs interpreted, while the registry's 8x64 = 512
-# compiles — so the proven-safe bound is 512.
-_CODEGEN_TERM_LIMIT = 512
+# Above this many unrolled multiply-add terms (k·dim) the inline
+# argmin/dot expressions stop being the fast path — the join path
+# below has no such cliff. Re-measured on Spark 4.1 (r9), three data
+# points: a 16x64 = 1024-term argmin HARD-FAILS Janino ("Code grows
+# beyond 64 KB"); a 512-term argmin compiles but executes SLOWER than
+# the broadcast-join fold (9.6s vs 5.9s warm over 2M rows); and the
+# plain unrolled dot shows a 36x per-row cost cliff between 32 and 64
+# terms (whole-stage codegen silently gives up). 32 is the largest
+# width measured codegen-fast, so `auto` only inlines genuinely tiny
+# k·dim and otherwise takes the fold-based join (bitwise-identical
+# results either way — test-pinned).
+_CODEGEN_TERM_LIMIT = 32
 
 
 def kmeans_assign(df: DataFrame, centroids: list[list[float]],
@@ -78,9 +82,9 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
       partial aggregation collapses the k candidate rows map-side, so
       the only exchange is n 1-row groups. No codegen cliff at any k.
 
-    ``auto`` picks unrolled while k·dim ≤ 512, else join
-    (_CODEGEN_TERM_LIMIT — a 1024-term argmin fails Janino outright,
-    measured r9).
+    ``auto`` picks unrolled only while k·dim ≤ 32 (_CODEGEN_TERM_LIMIT
+    — measured r9: 512 terms compiles but runs 1.6x slower than the
+    join, 1024 fails Janino outright).
     """
     k, dim = len(centroids), len(centroids[0])
     if method == "auto":

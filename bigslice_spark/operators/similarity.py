@@ -212,10 +212,10 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     ncells nor centers is given).
 
     ``assign_method``: ``unrolled`` inlines the per-cell distances as
-    one codegen expression — fastest, but beyond ~512 multiply-add
-    terms (ncells·dim; clustering._CODEGEN_TERM_LIMIT, re-measured r9)
-    the JVM's 64 KB method limit drops the stage to interpreted eval
-    or fails Janino outright; ``join`` broadcasts the centroid
+    one codegen expression — fastest only for tiny ncells·dim (≤ 32;
+    clustering._CODEGEN_TERM_LIMIT, re-measured r9: wider inline
+    expressions run interpreted or fail Janino); ``join`` broadcasts
+    the centroid
     table and takes min(struct(d, cell)) per vector (map-side partial
     agg — no cliff at any ncells) with a small window on the query
     side for the nprobe probe list. ``auto`` switches at the cliff.

@@ -2724,7 +2724,7 @@ def test_ivf_join_assignment_matches_unrolled_bitwise(spark, tables):
     from bigslice_spark.operators.similarity import ivf_topk
     emb = tables["embeddings"]
     qs = emb.filter(F.col("vec_id") < 3)
-    cents = seed_centroids(24, 64)          # 24*64 > 512: past cliff
+    cents = seed_centroids(24, 64)          # 24*64 >> 32: past cliff
     assert 24 * 64 > _CODEGEN_TERM_LIMIT
     un = ivf_topk(emb, qs, k=5, nprobe=3, dim=64, centers=cents,
                   assign_method="unrolled")
@@ -2733,16 +2733,21 @@ def test_ivf_join_assignment_matches_unrolled_bitwise(spark, tables):
     au = ivf_topk(emb, qs, k=5, nprobe=3, dim=64, centers=cents)
     rows = lambda d: sorted(map(tuple, d.collect()))
     assert rows(un) == rows(jo) == rows(au)
-    # plan gate: auto past the cliff must NOT carry the unrolled
-    # argmin mega-expression (array_min over inline distances — it
-    # fails Janino / falls back to interpreted eval at this width);
-    # at 8*64 = 512 = the limit, auto still inlines it. (zip_with is
-    # no longer a discriminator: _dot_wide is itself a zip_with fold.)
+    # plan gate: at dim 64 NO cell count fits under the 32-term inline
+    # limit, so auto must never carry the unrolled argmin
+    # mega-expression (array_min over inline distances — measured
+    # interpreted/Janino-failing at these widths); only an explicit
+    # assign_method='unrolled' does. (zip_with is no longer a
+    # discriminator: _dot_wide is itself a zip_with fold.)
     from bigslice_spark.plans import explain_str
     assert "array_min" not in explain_str(au).lower()
     small = ivf_topk(emb, qs, k=5, nprobe=3, dim=64,
                      centers=seed_centroids(8, 64))
-    assert "array_min" in explain_str(small).lower()
+    assert "array_min" not in explain_str(small).lower()
+    forced = ivf_topk(emb, qs, k=5, nprobe=3, dim=64,
+                      centers=seed_centroids(8, 64),
+                      assign_method="unrolled")
+    assert "array_min" in explain_str(forced).lower()
 
 
 def test_ivf_auto_ncells_rule():
