@@ -1,23 +1,33 @@
-"""Baseline-sequential JPEG (ITU-T T.81) codec, stdlib + numpy only.
+"""JPEG (ITU-T T.81) codec, stdlib + numpy only — baseline AND
+progressive.
 
 Fills the one first-class multimodal gap the round-7/8 verdicts ranked:
 web-image training pipelines are dominated by JPEG payloads, and this
-container ships no codec library. Scope is the interchange subset that
-covers essentially every camera/web baseline JPEG:
+container ships no codec library. Scope is the Huffman interchange
+subset that covers essentially every camera/web JPEG:
 
-- decode: baseline DCT (SOF0) and extended-sequential (SOF1) Huffman
-  scans, 8-bit samples, 1 or 3 components, any sampling factors up to
-  4x4 (4:4:4 / 4:2:2 / 4:2:0 included), interleaved single-scan files,
-  restart markers (DRI/RSTn), stuffed bytes, multi-table DQT/DHT
-  segments, APPn/COM skip. Progressive (SOF2) and the other
-  SOF3..SOF15 processes raise NotImplementedError honestly; corrupt
-  streams raise ValueError (never decode noise).
+- decode: baseline DCT (SOF0), extended-sequential (SOF1) and
+  PROGRESSIVE (SOF2) Huffman processes — multi-scan files, spectral
+  selection, successive approximation (DC/AC first + refinement
+  scans, EOB runs with interleaved correction bits, T.81 G.1.2),
+  8-bit samples, 1 or 3 components, sampling factors up to 4x4
+  (4:4:4 / 4:2:2 / 4:2:0 included), non-interleaved sequential scans,
+  restart markers (DRI/RSTn) in any scan kind, stuffed bytes,
+  multi-table and mid-file DQT/DHT segments, APPn/COM skip. The
+  remaining processes (lossless SOF3, hierarchical, arithmetic
+  coding, 12-bit) raise NotImplementedError honestly; corrupt streams
+  raise ValueError (never decode noise).
 - encode (`make_jpeg`): fixtures/tests need a deterministic builder,
   so the encoder is complete too — Annex-K quantization tables scaled
-  by the libjpeg quality formula, per-image canonical Huffman tables
+  by the libjpeg quality formula, per-scan canonical Huffman tables
   built with the T.81 K.2 two-pass procedure (so DHT always matches
   the entropy stream by construction), optional 4:2:0/4:2:2 chroma
-  subsampling, grayscale mode, restart intervals.
+  subsampling, grayscale mode, restart intervals, and
+  ``progressive=True`` emitting a libjpeg-style successive-
+  approximation scan script. Progressive re-encodes the SAME
+  quantized coefficients, so decode(progressive) ==
+  decode(baseline) byte-for-byte — the property test that pins the
+  whole G.1.2 machinery.
 
 Exactness contract (what the DuckDB oracle relies on): all
 float→integer sample rounding is ``floor(x + 0.5)`` — NOT Python's
@@ -271,18 +281,31 @@ _SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 def make_jpeg(width: int, height: int, pixels: bytes, *,
               quality: int = 100, subsampling: str = "4:4:4",
-              grayscale: bool = False, restart_interval: int = 0) -> bytes:
-    """Baseline JFIF JPEG from a width*height*3 RGB raster.
+              grayscale: bool = False, restart_interval: int = 0,
+              progressive: bool = False) -> bytes:
+    """Baseline or PROGRESSIVE JFIF JPEG from a width*height*3 RGB
+    raster.
 
     ``grayscale=True`` emits a 1-component scan of the Y channel (for
     r=g=b inputs this is bit-exact: the JFIF luma weights sum to 1).
     ``subsampling`` applies to the chroma planes of color output.
-    ``restart_interval`` > 0 inserts RSTn markers every that many MCUs.
-    Deterministic: identical inputs yield identical bytes."""
+    ``restart_interval`` > 0 inserts RSTn markers every that many MCUs
+    (baseline only). ``progressive=True`` emits SOF2 with a libjpeg-
+    style scan script — DC first at Al=1, per-component AC bands 1-5
+    and 6-63 at Al=1, then DC and AC refinement scans to Al=0 — so
+    every successive-approximation code path is exercised; the
+    quantized coefficients are IDENTICAL to the baseline encoding
+    (progressive is a bit-plane reordering, not a different
+    approximation), so decode(progressive) == decode(baseline)
+    byte-for-byte. Deterministic: identical inputs yield identical
+    bytes."""
     if len(pixels) != width * height * 3:
         raise ValueError("pixels must be width*height*3 RGB bytes")
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is not supported with "
+                         "progressive=True")
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling {subsampling!r} not in "
                          f"{sorted(_SUBSAMPLING)}")
@@ -319,6 +342,10 @@ def make_jpeg(width: int, height: int, pixels: bytes, *,
         q = (qy if tq == 0 else qc).astype(np.float64)
         coef = (np.sign(f) * np.floor(np.abs(f) / q + 0.5)).astype(np.int64)
         comp_blocks.append(coef[:, _ZZ_ROWS, _ZZ_COLS])   # zigzag (n,64)
+
+    if progressive:
+        return _encode_progressive(width, height, comps, comp_blocks,
+                                   qy, qc, mcus_x, mcus_y, hmax, vmax)
 
     def mcu_units():
         """Yield (comp_idx, zigzag 64-vector) in interleaved scan order."""
@@ -427,6 +454,221 @@ def make_jpeg(width: int, height: int, pixels: bytes, *,
     return bytes(bw.out)
 
 
+def _encode_progressive(width: int, height: int, comps: list,
+                        comp_blocks: list, qy, qc,
+                        mcus_x: int, mcus_y: int,
+                        hmax: int, vmax: int) -> bytes:
+    """Progressive (SOF2) emission of the already-quantized
+    coefficients: a fixed libjpeg-style scan script with one level of
+    successive approximation. Each scan gets freshly-built optimal
+    Huffman tables (DHT precedes its SOS). The entropy algorithms are
+    the T.81 G.1.2 procedures; see _decode_scan for the matching
+    decoder side."""
+    ncomp = len(comps)
+
+    def cdiv(a, b):
+        return -(-a // b)
+
+    pw = [mcus_x * hs for (_c, hs, _v, _t, _p) in comps]
+    bwg = [cdiv(cdiv(width * hs, hmax), 8)
+           for (_c, hs, _v, _t, _p) in comps]
+    bhg = [cdiv(cdiv(height * vs, vmax), 8)
+           for (_c, _h, vs, _t, _p) in comps]
+
+    def dc_units():
+        """(ci, zigzag block) in interleaved MCU order (all comps)."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_cid, hs, vs, _tq, _p) in enumerate(comps):
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            yield ci, comp_blocks[ci][
+                                (my * vs + dy) * pw[ci] + (mx * hs + dx)]
+
+    def dc_first_ops(al):
+        ops, preds = [], [0] * ncomp
+        for ci, z in dc_units():
+            v = int(z[0]) >> al            # arithmetic shift (T.81 A.4)
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            ops.append(("s", 0 if ci == 0 else 1, s))
+            if s:
+                ops.append(("b", diff if diff >= 0
+                            else diff + (1 << s) - 1, s))
+        return ops
+
+    def dc_refine_ops(al):
+        return [("b", (int(z[0]) >> al) & 1, 1) for _ci, z in dc_units()]
+
+    def ac_first_ops(ci, ss, se, al):
+        ops = []
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("s", 0, r << 4))
+                if r:
+                    ops.append(("b", eobrun - (1 << r), r))
+                eobrun = 0
+
+        for by in range(bhg[ci]):
+            for bx in range(bwg[ci]):
+                z = comp_blocks[ci][by * pw[ci] + bx]
+                # AC point transform truncates the MAGNITUDE (T.81 A.4)
+                tv = [(abs(int(z[k])) >> al)
+                      * (1 if int(z[k]) >= 0 else -1)
+                      for k in range(ss, se + 1)]
+                nz = [i for i, t in enumerate(tv) if t]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    t = tv[i]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ops.append(("s", 0, 0xF0))
+                        run -= 16
+                    s = abs(t).bit_length()
+                    ops.append(("s", 0, (run << 4) | s))
+                    ops.append(("b", t if t > 0
+                                else t + (1 << s) - 1, s))
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun = 1
+        flush_eob()
+        return ops
+
+    def ac_refine_ops(ci, ss, se, al):
+        """Encoder side of T.81 G.1.2.3 (mirrors _decode_scan's
+        ac_refine): newly-significant coefficients coded with run
+        lengths over zero-HISTORY positions; already-nonzero positions
+        contribute correction bits appended after the next emitted
+        symbol; trailing content folds into a deferred EOB run whose
+        bits flush with the EOBn symbol."""
+        ops = []
+        eobrun = 0
+        br_run: list[int] = []     # correction bits of the EOB run
+
+        def flush_eob():
+            nonlocal eobrun, br_run
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("s", 0, r << 4))
+                if r:
+                    ops.append(("b", eobrun - (1 << r), r))
+                ops.extend(("b", bit, 1) for bit in br_run)
+                br_run = []
+                eobrun = 0
+
+        for by in range(bhg[ci]):
+            for bx in range(bwg[ci]):
+                z = comp_blocks[ci][by * pw[ci] + bx]
+                absv = [abs(int(z[k])) >> al for k in range(ss, se + 1)]
+                eob_idx = max((i for i, t in enumerate(absv) if t == 1),
+                              default=-1)
+                run, br = 0, []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob_idx:
+                        flush_eob()
+                        ops.append(("s", 0, 0xF0))
+                        run -= 16
+                        ops.extend(("b", bit, 1) for bit in br)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    flush_eob()
+                    ops.append(("s", 0, (run << 4) | 1))
+                    ops.append(("b", 1 if int(z[ss + i]) >= 0 else 0, 1))
+                    ops.extend(("b", bit, 1) for bit in br)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    br_run.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return ops
+
+    # headers: SOI, APP0, DQT, SOF2 — DHTs are per-scan
+    bw = _BitWriter()
+    bw.out += bytes((0xFF, 0xD8))
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    bw.out += bytes((0xFF, 0xE0)) + struct.pack(">H", 2 + len(app0)) + app0
+    tabs = ((0, qy),) if ncomp == 1 else ((0, qy), (1, qc))
+    for tq, qt in tabs:
+        zz = qt[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+        bw.out += (bytes((0xFF, 0xDB)) + struct.pack(">H", 2 + 1 + 64)
+                   + bytes((tq,)) + zz)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for (cid, hs, vs, tq, _p) in comps:
+        sof += bytes((cid, (hs << 4) | vs, tq))
+    bw.out += bytes((0xFF, 0xC2)) + struct.pack(">H", 2 + len(sof)) + sof
+
+    script: list[tuple] = [("dc_first", None, 0, 0, 0, 1)]
+    for ci in range(ncomp):
+        script += [("ac_first", ci, 1, 5, 0, 1),
+                   ("ac_first", ci, 6, 63, 0, 1)]
+    script.append(("dc_refine", None, 0, 0, 1, 0))
+    for ci in range(ncomp):
+        script += [("ac_refine", ci, 1, 5, 1, 0),
+                   ("ac_refine", ci, 6, 63, 1, 0)]
+
+    for (kind, ci, ss, se, ah, al) in script:
+        if kind == "dc_first":
+            ops = dc_first_ops(al)
+        elif kind == "dc_refine":
+            ops = dc_refine_ops(al)
+        elif kind == "ac_first":
+            ops = ac_first_ops(ci, ss, se, al)
+        else:
+            ops = ac_refine_ops(ci, ss, se, al)
+        tc = 0 if kind.startswith("dc") else 1
+        freqs: dict[int, dict[int, int]] = {}
+        for op in ops:
+            if op[0] == "s":
+                freqs.setdefault(op[1], {})
+                freqs[op[1]][op[2]] = freqs[op[1]].get(op[2], 0) + 1
+        enc: dict[int, dict] = {}
+        for tid in sorted(freqs):
+            bits, vals = _huff_sizes(freqs[tid])
+            body = bytes(((tc << 4) | tid,)) + bytes(bits) + bytes(vals)
+            bw.out += (bytes((0xFF, 0xC4))
+                       + struct.pack(">H", 2 + len(body)) + body)
+            enc[tid] = _huff_codes(bits, vals)
+        if kind.startswith("dc"):
+            sos = bytes((ncomp,))
+            for ci2, (cid, *_rest) in enumerate(comps):
+                tid = 0 if ci2 == 0 else 1
+                sos += bytes((cid, tid << 4))     # Td=tid, Ta=0
+        else:
+            sos = bytes((1, comps[ci][0], 0x00))  # Td=0, Ta=0
+        sos += bytes((ss, se, (ah << 4) | al))
+        bw.out += bytes((0xFF, 0xDA)) + struct.pack(">H", 2 + len(sos)) + sos
+        for op in ops:
+            if op[0] == "s":
+                code, ln = enc[op[1]][op[2]]
+                bw.write(code, ln)
+            else:
+                bw.write(op[1], op[2])
+        bw.align()
+    bw.out += bytes((0xFF, 0xD9))                                 # EOI
+    return bytes(bw.out)
+
+
 # ---------------------------------------------------------------------
 # Decoder
 
@@ -487,28 +729,259 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+class _Frame:
+    """Geometry shared by every scan of one image."""
+
+    def __init__(self, w: int, h: int, comps: list, progressive: bool):
+        if len(comps) == 1:
+            # single-component images are non-interleaved: MCU = one
+            # data unit and the declared sampling factors do not shape
+            # the scan (T.81 A.2.3) — normalize to 1x1
+            comps[0][1] = comps[0][2] = 1
+        self.w, self.h = w, h
+        self.comps = comps
+        self.progressive = progressive
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        for cid, hs, vs, _tq in comps:
+            if hs < 1 or vs < 1 or hs > 4 or vs > 4:
+                raise ValueError(f"bad sampling factors {hs}x{vs}")
+        # padded (MCU-aligned) block grid — interleaved scans cover it
+        self.pw = [self.mcus_x * hs for _c, hs, _v, _t in comps]
+        self.ph = [self.mcus_y * vs for _c, _h, vs, _t in comps]
+        # actual block grid — NON-interleaved scans cover only this
+        # (ceil(component resolution / 8), T.81 A.2.2)
+        def ceil_div(a, b):
+            return -(-a // b)
+        self.bw = [ceil_div(ceil_div(w * hs, self.hmax), 8)
+                   for _c, hs, _v, _t in comps]
+        self.bh = [ceil_div(ceil_div(h * vs, self.vmax), 8)
+                   for _c, _h, vs, _t in comps]
+        self.coefs = [np.zeros((self.ph[ci] * self.pw[ci], 64), np.int64)
+                      for ci in range(len(comps))]
+
+
+def _decode_scan(blob: bytes, pos: int, seg: bytes, fr: _Frame,
+                 huff: dict, dri: int) -> int:
+    """Decode one entropy-coded scan starting at byte ``pos``; update
+    fr.coefs in place; return the byte offset of the next marker.
+    Handles baseline full-band scans (interleaved or single-component)
+    and all four progressive scan kinds (DC/AC x first/refinement),
+    with restart markers in any of them."""
+    ns = seg[0]
+    cid_index = {c[0]: ci for ci, c in enumerate(fr.comps)}
+    scomps = []
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        if cs not in cid_index:
+            raise ValueError(f"scan references unknown component {cs}")
+        scomps.append((cid_index[cs], tt >> 4, tt & 15))
+    ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if not fr.progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("spectral selection in a sequential JPEG")
+    if fr.progressive and ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > se or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+
+    br = _BitReader(blob, pos)
+    preds = [0] * len(fr.comps)
+    eobrun = 0
+    n_unit = 0
+
+    def tab(tc: int, th: int) -> dict:
+        t = huff.get((tc, th))
+        if t is None:
+            raise ValueError("scan references missing DHT")
+        return t
+
+    def check_restart():
+        nonlocal preds, eobrun, n_unit
+        if dri and n_unit and n_unit % dri == 0:
+            br.restart((n_unit // dri - 1) % 8)
+            preds = [0] * len(fr.comps)
+            eobrun = 0
+        n_unit += 1
+
+    def dc_first(z, ci, dctab):
+        s = br.huffman(dctab)
+        if s > 11:
+            raise ValueError("bad DC category")
+        preds[ci] += _extend(br.bits(s), s) if s else 0
+        z[0] = preds[ci] << al
+
+    def dc_refine(z):
+        if br.bits(1):
+            z[0] |= 1 << al
+
+    def full_band(z, ci, dctab, actab):
+        dc_first(z, ci, dctab)
+        k = 1
+        while k < 64:
+            rs = br.huffman(actab)
+            run, s = rs >> 4, rs & 15
+            if s == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                break                          # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient overrun")
+            z[k] = _extend(br.bits(s), s)
+            k += 1
+
+    def ac_first(z, actab):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.huffman(actab)
+            run, s = rs >> 4, rs & 15
+            if s == 0:
+                if run != 15:
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += br.bits(run)
+                    return
+                k += 16
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC coefficient overrun")
+            z[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def ac_refine(z, actab):
+        """T.81 G.1.2.3 successive-approximation AC refinement."""
+        nonlocal eobrun
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k_):
+            c = int(z[k_])
+            if br.bits(1) and (c & p1) == 0:
+                z[k_] = c + (p1 if c >= 0 else m1)
+
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.huffman(actab)
+                run, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if run != 15:              # EOBn
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += br.bits(run)
+                        break
+                    # ZRL: skip 16 zero-history positions (correcting
+                    # any nonzero-history positions passed over)
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "bad refinement magnitude category")
+                    val = p1 if br.bits(1) else m1
+                while k <= se:
+                    if z[k] != 0:
+                        correct(k)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError("AC refinement overrun")
+                    z[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if z[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+
+    interleaved = ns > 1 or (not fr.progressive
+                             and ns == len(fr.comps))
+    if interleaved:
+        # MCU order over the padded grid (baseline full-band, or a
+        # progressive DC scan with several components)
+        for my in range(fr.mcus_y):
+            for mx in range(fr.mcus_x):
+                check_restart()
+                for (ci, td, ta) in scomps:
+                    _cid, hs, vs, _tq = fr.comps[ci]
+                    bwidth = fr.pw[ci]
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            z = fr.coefs[ci][(my * vs + dy) * bwidth
+                                             + (mx * hs + dx)]
+                            if not fr.progressive:
+                                full_band(z, ci, tab(0, td), tab(1, ta))
+                            elif ss == 0 and ah == 0:
+                                dc_first(z, ci, tab(0, td))
+                            elif ss == 0:
+                                dc_refine(z)
+                            else:
+                                raise ValueError(
+                                    "interleaved progressive AC scan")
+    else:
+        # single-component scan: raster over the ACTUAL block grid
+        ci, td, ta = scomps[0]
+        bw, bh, pw = fr.bw[ci], fr.bh[ci], fr.pw[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                check_restart()
+                z = fr.coefs[ci][by * pw + bx]
+                if not fr.progressive:
+                    full_band(z, ci, tab(0, td), tab(1, ta))
+                elif ss == 0 and ah == 0:
+                    dc_first(z, ci, tab(0, td))
+                elif ss == 0:
+                    dc_refine(z)
+                elif ah == 0:
+                    ac_first(z, tab(1, ta))
+                else:
+                    ac_refine(z, tab(1, ta))
+    return br.i
+
+
 def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
-    """Baseline/extended-sequential Huffman JPEG -> (width, height,
-    RGB raster bytes). Grayscale output is replicated to RGB (same
-    contract as the PNG path). Raises NotImplementedError for
-    progressive/lossless/arithmetic processes, ValueError for corrupt
-    or truncated streams."""
+    """Baseline (SOF0), extended-sequential (SOF1) and PROGRESSIVE
+    (SOF2) Huffman JPEG -> (width, height, RGB raster bytes) —
+    multi-scan, spectral selection, successive approximation, restart
+    markers, mid-file DHT/DRI redefinition. Grayscale output is
+    replicated to RGB (same contract as the PNG path). Raises
+    NotImplementedError for lossless/hierarchical/arithmetic
+    processes, ValueError for corrupt or truncated streams."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple, dict] = {}
-    frame = None
+    fr: _Frame | None = None
     dri = 0
+    nscans = 0
     i = 2
     while True:
-        if i + 4 > len(blob):
-            raise ValueError("truncated JPEG (no SOS)")
+        if i + 2 > len(blob):
+            raise ValueError("truncated JPEG (no EOI)")
         if blob[i] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {i}")
         m = blob[i + 1]
         if m == 0xFF:                      # fill byte
             i += 1
             continue
+        if m == 0xD9:                      # EOI
+            if nscans == 0:
+                raise ValueError("JPEG EOI before any scan")
+            break
+        if i + 4 > len(blob):
+            raise ValueError("truncated JPEG segment header")
         ln, = struct.unpack_from(">H", blob, i + 2)
         seg = blob[i + 4:i + 2 + ln]
         if len(seg) != ln - 2:
@@ -534,7 +1007,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                 vals = list(seg[j + 17:j + 17 + nv])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 j += 17 + nv
-        elif m in (0xC0, 0xC1):            # SOF0/1: Huffman sequential
+        elif m in (0xC0, 0xC1, 0xC2):      # SOF0/1 sequential, 2 prog.
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -545,90 +1018,30 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append([cid, hv >> 4, hv & 15, tq])
-            frame = (w, h, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            fr = _Frame(w, h, comps, progressive=(m == 0xC2))
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = {0xC2: "progressive"}.get(m, f"SOF{m - 0xC0}")
             raise NotImplementedError(
-                f"{kind} JPEG unsupported (baseline sequential only)")
+                f"SOF{m - 0xC0} JPEG process unsupported (baseline/"
+                f"extended-sequential/progressive Huffman only)")
         elif m == 0xDD:                    # DRI
             dri, = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:                    # SOS -> entropy follows
-            if frame is None:
+            if fr is None:
                 raise ValueError("JPEG SOS before SOF")
-            ns = seg[0]
-            w, h, comps = frame
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) JPEG unsupported")
-            sel = {}
-            for c in range(ns):
-                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cs] = (tt >> 4, tt & 15)
-            i = i + 2 + ln
-            break
-        elif m == 0xD9:
-            raise ValueError("JPEG EOI before any scan")
-        # APPn / COM / others: skip
+            i = _decode_scan(blob, i + 2 + ln, seg, fr, huff, dri)
+            nscans += 1
+            continue
+        # APPn / COM / DNL / others: skip
         i += 2 + ln
 
-    if len(comps) == 1:
-        # single-component scans are non-interleaved: MCU = one data
-        # unit and the declared sampling factors do not shape the scan
-        # (T.81 A.2.3) — normalize to 1x1
-        comps[0][1] = comps[0][2] = 1
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+    w, h, comps = fr.w, fr.h, fr.comps
+    mcus_x, mcus_y, hmax, vmax = fr.mcus_x, fr.mcus_y, fr.hmax, fr.vmax
+    coefs = fr.coefs
     for cid, hs, vs, tq in comps:
-        if hs < 1 or vs < 1 or hs > 4 or vs > 4:
-            raise ValueError(f"bad sampling factors {hs}x{vs}")
         if tq not in qt:
             raise ValueError(f"component {cid} references missing "
                              f"quant table {tq}")
-
-    br = _BitReader(blob, i)
-    coefs = [np.zeros((mcus_y * vs * mcus_x * hs, 64), np.int64)
-             for _cid, hs, vs, _tq in comps]
-    preds = [0] * len(comps)
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if dri and n_mcu and n_mcu % dri == 0:
-                br.restart((n_mcu // dri - 1) % 8)
-                preds = [0] * len(comps)
-            n_mcu += 1
-            for ci, (cid, hs, vs, _tq) in enumerate(comps):
-                td, ta = sel[cid]
-                dctab = huff.get((0, td))
-                actab = huff.get((1, ta))
-                if dctab is None or actab is None:
-                    raise ValueError("scan references missing DHT")
-                bwidth = mcus_x * hs
-                for dy in range(vs):
-                    for dx in range(hs):
-                        z = coefs[ci][(my * vs + dy) * bwidth
-                                      + (mx * hs + dx)]
-                        s = br.huffman(dctab)
-                        if s > 11:
-                            raise ValueError("bad DC category")
-                        preds[ci] += _extend(br.bits(s), s) if s else 0
-                        z[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.huffman(actab)
-                            run, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if run == 15:
-                                    k += 16
-                                    continue
-                                break                  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC coefficient overrun")
-                            z[k] = _extend(br.bits(s), s)
-                            k += 1
 
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):

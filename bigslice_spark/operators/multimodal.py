@@ -5,11 +5,12 @@ struct. The Spark-side plumbing — schema, batching, partition-size
 control, Arrow UDF signatures — is real and tested. DECODE is real for
 the codec-library-free formats — PPM (P6), BMP (24-bit uncompressed),
 PNG (8-bit gray/RGB/RGBA via stdlib zlib + scanline unfiltering),
-baseline JPEG (SOF0/SOF1 Huffman sequential, operators/jpeg.py), WAV
-(PCM16) — parsed pure-Python/numpy in `extract_features(fake=False)`;
-formats that genuinely need codec libraries (MP4, progressive JPEG)
-raise NotImplementedError, and `fake=True` substitutes a deterministic
-byte-histogram so any pipeline shape stays exercisable end-to-end.
+JPEG (baseline SOF0/SOF1 AND progressive SOF2 Huffman,
+operators/jpeg.py), WAV (PCM16) — parsed pure-Python/numpy in
+`extract_features(fake=False)`; formats that genuinely need codec
+libraries (MP4, ...) raise NotImplementedError, and `fake=True`
+substitutes a deterministic byte-histogram so any pipeline shape
+stays exercisable end-to-end.
 
 At 100TB: binary payloads dominate partition size, so operators here
 repartition by byte budget (`target_partition_mb`) before any Arrow
@@ -273,8 +274,8 @@ def _ppm_tokens(b: bytes, n: int) -> tuple[list[int], int]:
 
 
 def decode_image(blob: bytes) -> tuple[int, int, bytes]:
-    """PPM(P6)/BMP(24bpp)/PNG(8-bit)/JPEG(baseline) → (width, height,
-    RGB raster)."""
+    """PPM(P6)/BMP(24bpp)/PNG(8-bit)/JPEG(baseline+progressive) →
+    (width, height, RGB raster)."""
     import numpy as np
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(blob)
@@ -369,8 +370,8 @@ def extract_features(df: DataFrame, fake: bool = True,
             # not surface as a bogus "not a RIFF/WAVE" complaint
             raise NotImplementedError(
                 f"unsupported media format (magic {blob[:8]!r}); "
-                f"supported: PPM/BMP/PNG/JPEG(baseline)/WAV — MP4 and "
-                f"progressive JPEG need codec libraries this container "
+                f"supported: PPM/BMP/PNG/JPEG(baseline+progressive)/"
+                f"WAV — MP4 etc. need codec libraries this container "
                 f"lacks")
         rate, ch, data = decode_wav(blob)
         n = float(len(data))

@@ -5656,17 +5656,19 @@ _JPEG_SQL = """
 
 @query("multimodal_jpeg", _JPEG_SQL)
 def multimodal_jpeg_q(spark, sf_dir):
-    """Baseline-JPEG decode end-to-end (operators/jpeg.py make_jpeg /
+    """JPEG decode end-to-end (operators/jpeg.py make_jpeg /
     decode_jpeg via the production decode_image dispatch): even
     doc_ids become block-constant GRAYSCALE JPEGs (1-4 blocks wide,
-    1-2 high, restart markers every 2 MCUs when doc_id%4==2) whose
-    quality-100 round-trip is bit-exact by construction — constant
-    8x8 blocks quantize losslessly through all-ones tables; odd
-    doc_ids become constant-COLOR 16x16 JPEGs alternating 4:2:0 and
-    4:4:4 chroma subsampling, exact through the JFIF floor(x+.5)
-    color round-trip the oracle recomputes in SQL (0.299e0-style
-    literals force DOUBLE so both engines run the identical IEEE
-    expression). `checksum` pins every decoded block value to its
+    1-2 high; restart markers every 2 MCUs when doc_id%4==2;
+    PROGRESSIVE SOF2 when doc_id%8==4) whose quality-100 round-trip
+    is bit-exact by construction — constant 8x8 blocks quantize
+    losslessly through all-ones tables, and progressive re-encodes
+    the identical coefficients; odd doc_ids become constant-COLOR
+    16x16 JPEGs alternating 4:2:0 and 4:4:4 chroma subsampling
+    (PROGRESSIVE when doc_id%8>=5), exact through the JFIF
+    floor(x+.5) color round-trip the oracle recomputes in SQL
+    (0.299e0-style literals force DOUBLE so both engines run the
+    identical IEEE expression). `checksum` pins every decoded block value to its
     raster POSITION (a block-order or DC-predictor bug breaks it),
     `uniform` pins per-pixel constancy (any Huffman/dequant/IDCT/
     restart slip makes some block non-constant), and mean_r is the
@@ -5691,15 +5693,22 @@ def multimodal_jpeg_q(spark, sf_dir):
                         a[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = \
                             (3 * d + 41 * b) % 256
                     px = np.repeat(a[:, :, None], 3, axis=2).tobytes()
+                    # d%8==4: PROGRESSIVE grayscale (multi-block: DC
+                    # refine + AC band scans over real block rasters);
+                    # d%4==2: restart markers (baseline only)
                     blob = make_jpeg(
                         nx * 8, ny * 8, px, quality=100, grayscale=True,
-                        restart_interval=2 if d % 4 == 2 else 0)
+                        restart_interval=2 if d % 4 == 2 else 0,
+                        progressive=(d % 8 == 4))
                 else:
                     px = bytes(((3 * d) % 256, (5 * d) % 256,
                                 (7 * d) % 256)) * 256
+                    # d%8>=5: PROGRESSIVE color (interleaved DC scan +
+                    # per-component AC scans, subsampled chroma grids)
                     blob = make_jpeg(
                         16, 16, px, quality=100,
-                        subsampling="4:2:0" if d % 4 == 1 else "4:4:4")
+                        subsampling="4:2:0" if d % 4 == 1 else "4:4:4",
+                        progressive=(d % 8 >= 5))
                 w, h, out = decode_image(blob)
                 arr = np.frombuffer(out, np.uint8).reshape(h, w, 3)
                 red = arr[:, :, 0].astype(np.int64)

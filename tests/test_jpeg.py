@@ -140,13 +140,13 @@ def test_pinned_fixture_md5():
 
 
 def test_marker_hygiene_and_raises():
-    """Progressive (SOF2) and 12-bit raise NotImplementedError with
-    the honest reason; corrupt/truncated streams raise ValueError —
-    never a silent wrong decode."""
+    """Lossless (SOF3) and 12-bit raise NotImplementedError with the
+    honest reason; corrupt/truncated streams raise ValueError — never
+    a silent wrong decode."""
     sof = struct.pack(">H", 11) + b"\x08" + struct.pack(">HHB", 8, 8, 1) \
         + b"\x01\x11\x00"
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(b"\xff\xd8\xff\xc2" + sof)
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(b"\xff\xd8\xff\xc3" + sof)
     sof12 = struct.pack(">H", 11) + b"\x0c" + struct.pack(">HHB", 8, 8, 1) \
         + b"\x01\x11\x00"
     with pytest.raises(NotImplementedError, match="12-bit"):
@@ -158,6 +158,55 @@ def test_marker_hygiene_and_raises():
     good = make_jpeg(8, 8, bytes(8 * 8 * 3), quality=100, grayscale=True)
     with pytest.raises(ValueError):
         decode_jpeg(good[:len(good) // 2])
+    with pytest.raises(ValueError, match="restart_interval"):
+        make_jpeg(8, 8, bytes(8 * 8 * 3), progressive=True,
+                  restart_interval=2)
+
+
+@PROP
+@given(w=st.integers(1, 48), h=st.integers(1, 48),
+       seed=st.integers(0, 2**31),
+       sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+       quality=st.sampled_from([50, 75, 92, 100]),
+       gray=st.booleans())
+def test_progressive_equals_baseline(w, h, seed, sub, quality, gray):
+    """THE progressive invariant: SOF2 is a bit-plane reordering of
+    the same quantized coefficients, so decode(progressive) must be
+    BYTE-IDENTICAL to decode(baseline) for any content, size,
+    subsampling and quality — this exercises DC first/refine, AC
+    first/refine, EOB runs with deferred correction bits, ZRL-in-
+    refinement, and per-scan Huffman tables against each other."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if gray:
+        px[:, :, 1] = px[:, :, 0]
+        px[:, :, 2] = px[:, :, 0]
+    pb = px.tobytes()
+    base = make_jpeg(w, h, pb, quality=quality, subsampling=sub,
+                     grayscale=gray)
+    prog = make_jpeg(w, h, pb, quality=quality, subsampling=sub,
+                     grayscale=gray, progressive=True)
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in base[:20]
+    assert decode_jpeg(prog) == decode_jpeg(base)
+
+
+def test_progressive_long_eob_runs():
+    """A mostly-flat image at low quality drives long EOB runs (and
+    their deferred refinement correction bits) through both codec
+    sides; block-constant content also round-trips exactly at q100."""
+    w, h = 64, 64
+    flat = np.full((h, w, 3), 128, np.uint8)
+    flat[0, 0] = (255, 0, 0)                    # one busy corner
+    pb = flat.tobytes()
+    for q in (30, 100):
+        assert decode_jpeg(make_jpeg(w, h, pb, quality=q,
+                                     progressive=True)) \
+            == decode_jpeg(make_jpeg(w, h, pb, quality=q))
+    v = bytes([77]) * (16 * 16 * 3)
+    w2, h2, out = decode_jpeg(make_jpeg(16, 16, v, quality=100,
+                                        grayscale=True,
+                                        progressive=True))
+    assert (w2, h2, out) == (16, 16, v)
 
 
 def test_unknown_segments_skipped():
