@@ -6,11 +6,12 @@ control, Arrow UDF signatures — is real and tested. DECODE is real for
 the codec-library-free formats — PPM (P6), BMP (24-bit uncompressed),
 PNG (8-bit gray/RGB/RGBA via stdlib zlib + scanline unfiltering),
 JPEG (baseline SOF0/SOF1 AND progressive SOF2 Huffman,
-operators/jpeg.py), WAV (PCM16) — parsed pure-Python/numpy in
-`extract_features(fake=False)`; formats that genuinely need codec
-libraries (MP4, ...) raise NotImplementedError, and `fake=True`
-substitutes a deterministic byte-histogram so any pipeline shape
-stays exercisable end-to-end.
+operators/jpeg.py), GIF (87a/89a incl. animation — operators/gif.py;
+frame_sample(fake=False) samples REAL composited frames), WAV (PCM16)
+— parsed pure-Python/numpy in `extract_features(fake=False)`; formats
+that genuinely need codec libraries (MP4, ...) raise
+NotImplementedError, and `fake=True` substitutes a deterministic
+byte-histogram so any pipeline shape stays exercisable end-to-end.
 
 At 100TB: binary payloads dominate partition size, so operators here
 repartition by byte budget (`target_partition_mb`) before any Arrow
@@ -274,14 +275,17 @@ def _ppm_tokens(b: bytes, n: int) -> tuple[list[int], int]:
 
 
 def decode_image(blob: bytes) -> tuple[int, int, bytes]:
-    """PPM(P6)/BMP(24bpp)/PNG(8-bit)/JPEG(baseline+progressive) →
-    (width, height, RGB raster)."""
+    """PPM(P6)/BMP(24bpp)/PNG(8-bit)/JPEG(baseline+progressive)/GIF →
+    (width, height, RGB raster; GIF: first frame)."""
     import numpy as np
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(blob)
     if blob[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+        return decode_gif(blob)
     if blob[:2] == b"P6":
         (w, h, maxval), off = _ppm_tokens(blob, 3)
         if maxval != 255:
@@ -355,6 +359,7 @@ def extract_features(df: DataFrame, fake: bool = True,
 
     def real_feat(blob: bytes) -> list[float]:
         if (blob[:2] in (b"P6", b"BM", b"\xff\xd8")
+                or blob[:6] in (b"GIF87a", b"GIF89a")
                 or blob[:8] == b"\x89PNG\r\n\x1a\n"):
             w, h, px = decode_image(blob)
             n = float(w * h)
@@ -406,21 +411,38 @@ def extract_features(df: DataFrame, fake: bool = True,
 
 def frame_sample(df: DataFrame, every_n: int = 10,
                  fake: bool = True) -> DataFrame:
-    """Video frame sampling stub: emits (id, frame_idx, frame binary).
-    Fake mode slices the payload into `n_frames` fake frames."""
-    if not fake:
-        raise NotImplementedError(
-            "video decode requires libs not in this container")
+    """Frame sampling: emits (id, frame_idx, frame binary), every
+    ``every_n``-th frame.
+
+    ``fake=False`` REALLY decodes animated GIFs (operators/gif.py):
+    each sampled frame is the composited width*height*3 RGB raster at
+    that frame index; a still image (any decode_image format) yields
+    its single frame 0. Container video (MP4/WebM) needs codec
+    libraries this environment lacks and raises. ``fake=True`` keeps
+    the deterministic byte-slice stub for shape-only pipelines."""
     import pandas as pd
 
     def sample(batches):
         for pdf in batches:
             rows = []
             for rid, blob in zip(pdf["id"], pdf["media"]):
-                blob = blob or b""
-                n = max(1, len(blob) // 64)
-                for i in range(0, n, every_n):
-                    rows.append((int(rid), i, blob[i * 64:(i + 1) * 64]))
+                blob = bytes(blob or b"")
+                if fake:
+                    n = max(1, len(blob) // 64)
+                    for i in range(0, n, every_n):
+                        rows.append((int(rid), i,
+                                     blob[i * 64:(i + 1) * 64]))
+                    continue
+                if blob[:6] in (b"GIF87a", b"GIF89a"):
+                    from .gif import decode_gif_frames
+                    _w, _h, frames = decode_gif_frames(blob)
+                elif len(blob) == 0:
+                    continue                     # missing blob: no rows
+                else:
+                    _w, _h, raster = decode_image(blob)
+                    frames = [raster]
+                for i in range(0, len(frames), every_n):
+                    rows.append((int(rid), i, frames[i]))
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame"])
 
     return df.mapInPandas(sample, schema="id long, frame_idx int, "

@@ -5818,3 +5818,81 @@ def op_fold_stream_segmented(spark, sf_dir):
         init, step, emit,
         "l_returnflag string, n long, qty long, max_price double",
         segment_col="ship_month", merge=merge).df
+
+
+_GIF_SQL = """
+    WITH f AS (
+      SELECT doc_id, 1 + doc_id % 3 AS nf FROM documents),
+    sums AS (
+      SELECT doc_id, nf,
+        list_transform(range(0, nf), fi ->
+          list_sum(list_transform(range(0, 128), p ->
+            (17 * doc_id + 11 * ((doc_id + fi + 2 * (p // 16)
+                                  + p % 16) % 4)) % 256))) AS rsum,
+        list_transform(range(0, nf), fi ->
+          list_sum(list_transform(range(0, 128), p ->
+            (p + 1) * ((17 * doc_id + 11 * ((doc_id + fi
+                + 2 * (p // 16) + p % 16) % 4)) % 256)))) AS psum
+      FROM f)
+    SELECT doc_id, 16 AS width, 8 AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(list_sum(rsum) AS BIGINT)
+             / CAST(128 * nf AS BIGINT) AS mean_r,
+           CAST(list_sum(list_transform(range(0, nf),
+                fi -> (fi + 1) * psum[fi + 1])) AS BIGINT) AS checksum
+    FROM sums
+"""
+
+
+@query("multimodal_gif", _GIF_SQL)
+def multimodal_gif_q(spark, sf_dir):
+    """Animated-GIF decode end-to-end (operators/gif.py make_gif /
+    decode_gif_frames via the production multimodal path): each doc_id
+    becomes a 16x8 GIF of 1-3 frames over a 4-color doc_id-derived
+    palette (interlaced when doc_id is even), all from pure integer
+    formulas. GIF is LOSSLESS, so the decoded red channel equals the
+    formula EXACTLY; `checksum` pins every pixel of every frame to its
+    raster-and-frame POSITION (Σ_f (f+1)·Σ_p (p+1)·red — any LZW,
+    palette, interlace-reorder, or frame-order slip breaks it), and
+    mean_r is the exact integer-sum mean over all frames. Exercises
+    LZW variable-width coding, the four-pass interlace, multi-frame
+    composition, and the NETSCAPE looping extension skip."""
+    import numpy as np
+    import pandas as pd
+    from .operators.gif import decode_gif_frames, make_gif
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 1 + d % 3
+                lut = np.array(
+                    [[(17 * d + 11 * j) % 256, (23 * d + 5 * j) % 256,
+                      (29 * d + 7 * j) % 256] for j in range(4)],
+                    np.uint8)
+                frames = []
+                for fi in range(nf):
+                    r = np.arange(8)[:, None]
+                    c = np.arange(16)[None, :]
+                    a = (d + fi + 2 * r + c) % 4
+                    frames.append(lut[a].tobytes())
+                blob = make_gif(16, 8, frames,
+                                interlace=(d % 2 == 0))
+                w, h, dec = decode_gif_frames(blob)
+                reds = [np.frombuffer(fr, np.uint8)[0::3].astype(np.int64)
+                        for fr in dec]
+                total = sum(int(rr.sum()) for rr in reds)
+                mean_r = total / (w * h * len(dec))
+                checksum = sum(
+                    (fi + 1) * int(((np.arange(w * h) + 1) * rr).sum())
+                    for fi, rr in enumerate(reds))
+                rows.append((d, w, h, len(dec), mean_r, checksum))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_frames", "mean_r",
+                "checksum"])
+
+    return t["documents"].select("doc_id").mapInPandas(
+        gen, schema="doc_id long, width int, height int, "
+                    "n_frames int, mean_r double, checksum long")

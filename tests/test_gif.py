@@ -1,0 +1,151 @@
+"""GIF codec (operators/gif.py): lossless round-trips (the format's
+own guarantee), LZW dictionary growth/reset, interlace, animation,
+and decoder handling of hand-crafted features the encoder does not
+emit (frame offsets, local palettes, transparency, disposal)."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from bigslice_spark.operators.gif import (_lzw_decode, _lzw_encode,
+                                          decode_gif, decode_gif_frames,
+                                          make_gif)
+
+PROP = settings(max_examples=25, deadline=None,
+                suppress_health_check=[HealthCheck.too_slow])
+
+
+@PROP
+@given(mcs=st.integers(2, 8), n=st.integers(0, 3000),
+       seed=st.integers(0, 2**31))
+def test_lzw_roundtrip(mcs, n, seed):
+    rng = np.random.default_rng(seed)
+    data = bytes(rng.integers(0, 1 << mcs, n, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+
+
+def test_lzw_dictionary_reset():
+    """> 4096 dictionary entries forces the clear-and-rebuild path on
+    both sides (and the decoder's deferred-clear guard)."""
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 256, 120_000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+
+@PROP
+@given(w=st.integers(1, 40), h=st.integers(1, 40),
+       ncolors=st.integers(1, 12), seed=st.integers(0, 2**31),
+       interlace=st.booleans(), nframes=st.integers(1, 4))
+def test_gif_lossless_roundtrip(w, h, ncolors, seed, interlace,
+                                nframes):
+    """GIF is lossless: encode/decode returns the exact input rasters
+    for any size, palette, interlacing, and frame count."""
+    rng = np.random.default_rng(seed)
+    lut = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    frames = [lut[rng.integers(0, ncolors, (h, w))].tobytes()
+              for _ in range(nframes)]
+    blob = make_gif(w, h, frames, interlace=interlace)
+    assert decode_gif_frames(blob) == (w, h, frames)
+    assert decode_gif(blob) == (w, h, frames[0])
+
+
+def test_gif_palette_limit_and_256():
+    a = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    px = np.stack([a, 255 - a, a // 2], axis=2).tobytes()
+    assert decode_gif(make_gif(16, 16, [px])) == (16, 16, px)
+    over = np.zeros((289, 3), np.uint8)
+    over[:, 0] = np.arange(289) % 256
+    over[:, 1] = np.arange(289) // 256
+    with pytest.raises(ValueError, match="256"):
+        make_gif(17, 17, [over.tobytes()])
+
+
+def _chunked(data: bytes) -> bytes:
+    out = bytearray()
+    for p in range(0, len(data), 255):
+        c = data[p:p + 255]
+        out += bytes((len(c),)) + c
+    return bytes(out) + b"\x00"
+
+
+def test_gif_offsets_local_palette_transparency_disposal():
+    """Hand-crafted GIF using features the encoder never writes: a
+    second frame with a 1x1 sub-rectangle at an offset, its own LOCAL
+    palette, a transparent index that must leave the underlying pixel
+    visible, and disposal=2 (restore background) on frame 2 so frame 3
+    composites over the restored canvas."""
+    # screen 2x2, global palette: red, green (depth 1)
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0) \
+        + bytes([255, 0, 0, 0, 255, 0])
+    # frame 1: full 2x2, indices [0,1,1,0] (red,green,green,red)
+    f1 = b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00" \
+        + b"\x02" + _chunked(_lzw_encode(bytes([0, 1, 1, 0]), 2))
+    # frame 2: 1x1 at offset (1,1), LOCAL palette [blue, white],
+    # disposal=2, transparent index 1; pixel = index 0 (blue)
+    gce2 = b"\x21\xf9\x04" + bytes(((2 << 2) | 1,)) \
+        + struct.pack("<H", 0) + b"\x01\x00"
+    f2 = b"\x2c" + struct.pack("<HHHH", 1, 1, 1, 1) \
+        + bytes((0x80,)) + bytes([0, 0, 255, 255, 255, 255]) \
+        + b"\x02" + _chunked(_lzw_encode(bytes([0]), 2))
+    # frame 3: 1x1 at offset (0,1), TRANSPARENT pixel (index 1) —
+    # must change nothing
+    gce3 = b"\x21\xf9\x04" + bytes((1,)) + struct.pack("<H", 0) \
+        + b"\x01\x00"
+    f3 = b"\x2c" + struct.pack("<HHHH", 0, 1, 1, 1) \
+        + bytes((0x80,)) + bytes([0, 0, 255, 255, 255, 255]) \
+        + b"\x02" + _chunked(_lzw_encode(bytes([1]), 2))
+    blob = hdr + f1 + gce2 + f2 + gce3 + f3 + b"\x3b"
+    w, h, frames = decode_gif_frames(blob)
+    assert (w, h) == (2, 2)
+    red, green, blue = (255, 0, 0), (0, 255, 0), (0, 0, 255)
+
+    def px(fr, x, y):
+        p = (y * 2 + x) * 3
+        return tuple(fr[p:p + 3])
+    assert px(frames[0], 0, 0) == red and px(frames[0], 1, 0) == green
+    # frame 2: blue painted at (1,1) over frame 1's content
+    assert px(frames[1], 1, 1) == blue
+    assert px(frames[1], 0, 0) == red
+    # frame 3: disposal=2 restored the canvas (background red — index
+    # 0) under frame 2's rect before compositing, and the transparent
+    # pixel changes nothing at (0,1)
+    assert px(frames[2], 1, 1) == red      # restored background
+    assert px(frames[2], 0, 1) == px(frames[1], 0, 1)
+
+
+def test_gif_raises():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG....")
+    with pytest.raises(ValueError, match="at least one"):
+        make_gif(2, 2, [])
+    with pytest.raises(ValueError, match="width\\*height"):
+        make_gif(2, 2, [b"xx"])
+
+
+def test_decode_image_dispatch_and_frame_sample(spark):
+    """Production plumbing: decode_image routes GIF (first frame);
+    frame_sample(fake=False) emits REAL composited frames for
+    animated GIFs, a single frame for still images, and nothing for
+    missing blobs."""
+    from bigslice_spark.operators.multimodal import (decode_image,
+                                                     frame_sample,
+                                                     make_ppm,
+                                                     pack_media)
+    lut = np.array([[9, 9, 9], [200, 100, 50]], np.uint8)
+    rng = np.random.default_rng(3)
+    frames = [lut[rng.integers(0, 2, (4, 4))].tobytes()
+              for _ in range(5)]
+    gif = make_gif(4, 4, frames)
+    assert decode_image(gif) == (4, 4, frames[0])
+    ppm = make_ppm(2, 1, bytes([1, 2, 3, 4, 5, 6]))
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(ppm)), (3, None)],
+        "id long, payload binary")
+    out = frame_sample(pack_media(df, "payload", "id"), every_n=2,
+                       fake=False).collect()
+    got = {(r["id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    assert got[(1, 2)] == frames[2]
+    assert got[(2, 0)] == bytes([1, 2, 3, 4, 5, 6])
