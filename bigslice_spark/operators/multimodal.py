@@ -173,12 +173,15 @@ def make_png(width: int, height: int, pixels: bytes,
 def _png_decode(blob: bytes) -> tuple[int, int, bytes]:
     """PNG → (width, height, RGB raster): stdlib zlib inflate +
     scanline unfiltering (all five filter types) + channel extract.
-    Supports 8-bit color types 0 (gray, replicated to RGB), 2 (RGB)
-    and 6 (RGBA, alpha dropped), non-interlaced; per-chunk CRCs are
-    verified so corruption fails loudly rather than decoding noise."""
+    Supports color types 0 (gray, replicated to RGB; depths
+    1/2/4/8), 2 (RGB), 6 (RGBA, alpha dropped) and 3 (PLTE palette;
+    depths 1/2/4/8 — the common web icon/sprite encoding),
+    non-interlaced; per-chunk CRCs are verified so corruption fails
+    loudly rather than decoding noise."""
     import zlib
     import numpy as np
     i, w, h, ctype, idat = 8, None, None, None, bytearray()
+    depth, plte = 8, None
     while i + 8 <= len(blob):
         ln, = struct.unpack_from(">I", blob, i)
         tag = blob[i + 4:i + 8]
@@ -191,12 +194,22 @@ def _png_decode(blob: bytes) -> tuple[int, int, bytes]:
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data)
-            if depth != 8 or ctype not in (0, 2, 6):
+            if ctype in (2, 6):
+                ok = depth == 8
+            elif ctype in (0, 3):
+                ok = depth in (1, 2, 4, 8)
+            else:
+                ok = False
+            if not ok:
                 raise ValueError(
                     f"unsupported PNG depth={depth} color={ctype}")
             if comp or filt or inter:
                 raise ValueError("unsupported PNG compression/"
                                  "filter method or interlacing")
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -204,8 +217,12 @@ def _png_decode(blob: bytes) -> tuple[int, int, bytes]:
         i += 12 + ln
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
-    bpp = {0: 1, 2: 3, 6: 4}[ctype]
-    stride = w * bpp
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    # filter unit is ONE BYTE for sub-byte depths (PNG 3.0 §7.3)
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype] if depth == 8 else 1
+    stride = (w * {0: 1, 3: 1}[ctype] * depth + 7) // 8 \
+        if depth < 8 else w * {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
@@ -235,12 +252,31 @@ def _png_decode(blob: bytes) -> tuple[int, int, bytes]:
                 row[i2] = (int(line[i2]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG scanline filter {ft}")
-    px = out.reshape(h, w, bpp)
-    if ctype == 0:
+    if depth < 8:
+        # unpack MSB-first sub-byte samples, then drop row padding
+        bits = np.unpackbits(out, axis=1)
+        n = 8 // depth
+        vals = np.zeros((h, bits.shape[1] // depth), np.uint8)
+        for b in range(depth):
+            vals |= bits[:, b::depth] << (depth - 1 - b)
+        vals = vals[:, :w]
+        if ctype == 0:      # scale gray to full range (255/(2^d-1))
+            vals = (vals.astype(np.uint16) * 255
+                    // ((1 << depth) - 1)).astype(np.uint8)
+        out = vals
+        px = out[:, :, None]
+    else:
+        px = out.reshape(h, w, bpp)
+    if ctype == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[idx]
+    elif ctype == 0:
         px = np.repeat(px, 3, axis=2)
     elif ctype == 6:
         px = px[:, :, :3]
-    return int(w), int(h), px.tobytes()
+    return int(w), int(h), np.ascontiguousarray(px).tobytes()
 
 
 def make_wav(sample_rate: int, samples: list[int],

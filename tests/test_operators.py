@@ -2602,8 +2602,55 @@ def test_png_codec_roundtrip():
     blob[40] ^= 0xFF
     with _pt.raises(ValueError, match="CRC"):
         _png_decode(bytes(blob))
-    with _pt.raises(ValueError, match="unsupported"):
-        _png_decode(build(3, 1, gray, 4, 4))   # palette: no PLTE sup.
+    with _pt.raises(ValueError, match="PLTE"):
+        _png_decode(build(3, 1, gray, 4, 4))   # palette without PLTE
+
+
+def test_png_palette_and_low_depth(spark):
+    """Palette PNGs (color type 3 — the common web icon/sprite form)
+    at depths 1/4/8 decode through the PLTE lookup exactly, sub-byte
+    grayscale (depths 1/2/4) scales to the full 0-255 range, and an
+    index past the palette fails loudly."""
+    import struct
+    import zlib
+    import pytest as _pt
+    from bigslice_spark.operators.multimodal import (_png_chunk,
+                                                     _png_decode)
+
+    def build(w, h, ctype, depth, rows, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in rows)
+        out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte)
+        return (out + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    def pack4(vals):
+        out = bytearray()
+        for i in range(0, len(vals), 2):
+            out.append((vals[i] << 4)
+                       | (vals[i + 1] if i + 1 < len(vals) else 0))
+        return bytes(out)
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    rows = [bytes([0, 1, 2, 3, 2]), bytes([3, 3, 0, 1, 0])]
+    exp = b"".join(plte[i * 3:i * 3 + 3] for r in rows for i in r)
+    assert _png_decode(build(5, 2, 3, 8, rows, plte)) == (5, 2, exp)
+    rows4 = [pack4([0, 1, 2, 3, 2]), pack4([3, 3, 0, 1, 0])]
+    assert _png_decode(build(5, 2, 3, 4, rows4, plte)) == (5, 2, exp)
+    plte2 = bytes([10, 20, 30, 200, 210, 220])
+    vals = [0, 1, 1, 0, 1, 0, 0, 1, 1, 1]
+    packed = bytes([int("".join(map(str, vals[:8])), 2),
+                    (vals[8] << 7) | (vals[9] << 6)])
+    exp1 = b"".join(plte2[v * 3:v * 3 + 3] for v in vals)
+    assert _png_decode(build(10, 1, 3, 1, [packed], plte2)) \
+        == (10, 1, exp1)
+    g = pack4([0, 15, 8, 3, 12])
+    expg = b"".join(bytes([v * 17] * 3) for v in [0, 15, 8, 3, 12])
+    assert _png_decode(build(5, 1, 0, 4, [g])) == (5, 1, expg)
+    with _pt.raises(ValueError, match="index"):
+        _png_decode(build(2, 1, 3, 8, [bytes([0, 9])], plte))
 
 
 def test_extract_features_real_decode(spark):
