@@ -116,8 +116,85 @@ def main():
         lambda a: minhash_lsh_pairs(docs[a], threshold=0.5))
     run("bm25", lambda a: bm25_score(
         docs[a], ["fast", "key", "order"], k=20))
+    hub_key_fold_stress(spark)
     ivf_cell_scaling(spark, t)
     hot_bucket_stress(spark)
+
+
+def hub_key_fold_stress(spark):
+    """The r9 hub-key question: what happens when ONE key owns most of
+    the events? Plant a single hub user holding 100k·amp events beside
+    100k cold users (1 event each) and measure the two EWMA paths:
+
+    - method='list' collects the hub key's whole event list into one
+      aggregation buffer and folds it in one task — per-key memory and
+      TIME grow linearly with the hub;
+    - method='distributed' (closed-form weighted sum) never builds a
+      per-key array: the hub's events flow through ordinary window +
+      partial-agg machinery.
+
+    Ditto fold_stream vs fold_stream(segment_col=): the plain stream
+    fold is memory-bounded but single-task per key; the segmented fold
+    splits the hub across its segments' tasks.
+    """
+    import time
+
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.timeseries import ewma_last
+    from bigslice_spark.session import Session
+
+    for amp in AMPS:
+        hub_n = 100_000 * amp
+        hub = spark.range(hub_n).select(
+            F.lit(0).alias("user_id"),
+            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+            F.col("id").alias("event_id"),
+            (F.col("id") % 997).cast("double").alias("value"),
+            (F.col("id") % 64).alias("seg"))
+        cold = spark.range(100_000).select(
+            (F.col("id") + 1).alias("user_id"),
+            F.timestamp_micros(F.col("id")).alias("ts"),
+            F.col("id").alias("event_id"),
+            F.lit(1.0).alias("value"),
+            F.lit(0).cast("long").alias("seg"))
+        ev = hub.unionByName(cold).localCheckpoint()
+        for method in ("list", "distributed"):
+            t0 = time.time()
+            out = ewma_last(ev, "user_id", "ts", "value",
+                            order_cols=["event_id"], alpha=0.5,
+                            method=method)
+            # noop sink: a bare count() lets Catalyst prune the ewma
+            # fold away entirely (the sweep.py forcing protocol)
+            out.write.mode("overwrite").format("noop").save()
+            wall = round(time.time() - t0, 2)
+            print(json.dumps({"op": f"ewma_hub_{method}", "amp": amp,
+                              "hub_rows": hub_n, "keys": out.count(),
+                              "sec": wall}), flush=True)
+        sl = Session(spark).wrap(ev.select("user_id", "seg", "value"))
+
+        def init():
+            return [0, 0.0]
+
+        def step(acc, chunk):
+            return [acc[0] + len(chunk),
+                    acc[1] + float(chunk["value"].sum())]
+
+        def merge(a, b):
+            return [a[0] + b[0], a[1] + b[1]]
+
+        def emit(key, acc):
+            return {"user_id": key[0], "n": acc[0], "total": acc[1]}
+
+        schema = "user_id long, n long, total double"
+        for name, kw in (("plain", {}),
+                         ("segmented", {"segment_col": "seg",
+                                        "merge": merge})):
+            t0 = time.time()
+            n = sl.fold_stream(init, step, emit, schema, **kw).df.count()
+            print(json.dumps({"op": f"fold_stream_{name}", "amp": amp,
+                              "hub_rows": hub_n, "keys": n,
+                              "sec": round(time.time() - t0, 2)}),
+                  flush=True)
 
 
 def ivf_cell_scaling(spark, t):
