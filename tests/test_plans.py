@@ -356,10 +356,22 @@ def test_random_projection_zero_exchanges(spark, tables):
 
 
 def test_kmeans_assign_zero_exchanges(spark, tables):
+    """auto at 8x64 = 512 terms routes the broadcast-join fold (the
+    measured-faster plan past the r9-corrected 32-term inline limit):
+    centroids arrive by BROADCAST, the per-vector argmin is a map-side
+    partial aggregate, and the only shuffle is n 1-row groups; the
+    explicitly-inlined path stays shuffle-AND-join-free."""
     from bigslice_spark.operators.clustering import (kmeans_assign,
                                                      seed_centroids)
-    df = kmeans_assign(tables["embeddings"], seed_centroids(8, 64))
-    assert count_exchanges(df) == 0  # literal centroids: no join at all
+    auto = kmeans_assign(tables["embeddings"], seed_centroids(8, 64))
+    plan = explain_str(auto)
+    assert "BroadcastExchange" in plan
+    assert count_exchanges(auto) == 1, plan[:1200]
+    assert_partial_aggregation(auto)
+    inline = kmeans_assign(tables["embeddings"], seed_centroids(8, 64),
+                           method="unrolled")
+    assert count_exchanges(inline) == 0
+    assert "Join" not in explain_str(inline)
 
 
 def test_bm25_scalars_broadcast_and_bounded_exchanges(spark, sf_dir):
@@ -533,15 +545,25 @@ def test_semantic_dedup_no_cartesian_and_salted_cells(spark, sf_dir):
 
 
 def test_kmeans_means_is_projection_plus_single_agg(spark, tables):
-    """The per-iteration Lloyd cost: zero joins, one k-row exchange."""
+    """The per-iteration Lloyd cost, both assignment strategies: the
+    explicit inline path is zero joins + one k-row exchange; auto (at
+    8x64 = 512 terms, past the r9-corrected 32-term inline limit)
+    takes the broadcast-join fold — no extra DATA shuffle beyond the
+    assignment join-back, never a data-scale exchange."""
     from bigslice_spark.operators.clustering import (kmeans_means,
                                                      seed_centroids)
-    df = kmeans_means(tables["embeddings"], seed_centroids(8, 64))
-    n = count_exchanges(df)
+    inline = kmeans_means(tables["embeddings"], seed_centroids(8, 64),
+                          method="unrolled")
+    n = count_exchanges(inline)
     assert n == 1, f"expected exactly 1 shuffle, plan has {n}"
-    txt = explain_str(df)
-    assert "Join" not in txt, "assignment must be inline, not a join"
-    assert_partial_aggregation(df)
+    txt = explain_str(inline)
+    assert "Join" not in txt, "inline assignment must not join"
+    assert_partial_aggregation(inline)
+    auto = kmeans_means(tables["embeddings"], seed_centroids(8, 64))
+    plan = explain_str(auto)
+    assert "BroadcastExchange" in plan, plan[:1200]
+    assert count_exchanges(auto) <= 3, plan[:1200]
+    assert_partial_aggregation(auto)
 
 
 def test_gopher_rules_zero_exchanges(spark, sf_dir):
