@@ -44,16 +44,30 @@ from pyspark.sql import functions as F
 
 def ewma_last(df: DataFrame, key_col: str, ts_col: str, val_col: str,
               order_cols: list[str] | None = None,
-              alpha: float = 0.3, method: str = "list") -> DataFrame:
+              alpha: float = 0.3, method: str = "list",
+              segment_s: int | None = None) -> DataFrame:
     """(key, n_events, ewma): final EWMA of ``val_col`` per key over
     rows in (``ts_col``, ``order_cols``...) order. ``order_cols``
     breaks timestamp ties deterministically (pass a unique id).
     ``method="list"`` folds the key's sorted event array (exactly the
     sequential recurrence, bitwise DuckDB-replayable);
     ``method="distributed"`` computes the closed-form weighted sum
-    with no per-key state (hub-key safe — see module docstring)."""
+    with no per-key state (hub-key safe — see module docstring).
+
+    ``segment_s`` (distributed only): two-level rank — events rank
+    within (key, ``segment_s``-second time bucket) and the bucket
+    relation (rows per key = bucket count) contributes each bucket's
+    later-event count, so even the rank SORT parallelizes across a
+    hub key's buckets instead of one task sorting its whole history
+    (measured: the residual single-task sort costs ~40s at a
+    25.6M-event key — PERFORMANCE.md hub curves). Ranks are identical
+    by construction (buckets partition the time axis monotonically;
+    ties share a bucket), so results are bitwise-unchanged; price is
+    one extra small exchange for the bucket relation."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha out of (0,1]: {alpha}")
+    if segment_s is not None and method != "distributed":
+        raise ValueError("segment_s requires method='distributed'")
     a = float(alpha)
     if method == "distributed":
         oc = order_cols or []
@@ -66,12 +80,37 @@ def ewma_last(df: DataFrame, key_col: str, ts_col: str, val_col: str,
         # event, rn=n the oldest (the seed of the recurrence)
         order = [F.col("__t__").desc()] + [
             F.col(f"__o{i}__").desc() for i in range(len(oc))]
-        wr = W.partitionBy(key_col).orderBy(*order)
-        wn = W.partitionBy(key_col)            # same exchange, no sort
-        ranked = base.select(
-            key_col, "__v__",
-            F.row_number().over(wr).alias("__rn__"),
-            F.count(F.lit(1)).over(wn).alias("__n__"))
+        if segment_s is None:
+            wr = W.partitionBy(key_col).orderBy(*order)
+            wn = W.partitionBy(key_col)        # same exchange, no sort
+            ranked = base.select(
+                key_col, "__v__",
+                F.row_number().over(wr).alias("__rn__"),
+                F.count(F.lit(1)).over(wn).alias("__n__"))
+        else:
+            seg = F.expr(f"__t__ div {int(segment_s) * 1_000_000}")
+            base = base.withColumn("__seg__", seg)
+            wr = W.partitionBy(key_col, "__seg__").orderBy(*order)
+            within = base.select(
+                key_col, "__seg__", "__v__",
+                F.row_number().over(wr).alias("__rs__"))
+            # bucket relation: per (key, bucket) counts + each
+            # bucket's later-event count and the key total — rows per
+            # key = bucket count, a tiny window
+            wlater = (W.partitionBy(key_col)
+                      .orderBy(F.col("__seg__").desc())
+                      .rowsBetween(W.unboundedPreceding, -1))
+            wall_ = W.partitionBy(key_col)
+            segrel = (base.groupBy(key_col, "__seg__")
+                      .agg(F.count(F.lit(1)).alias("__cnt__"))
+                      .select(key_col, "__seg__",
+                              F.coalesce(F.sum("__cnt__").over(wlater),
+                                         F.lit(0)).alias("__later__"),
+                              F.sum("__cnt__").over(wall_).alias("__n__")))
+            ranked = (within.join(segrel, on=[key_col, "__seg__"])
+                      .select(key_col, "__v__",
+                              (F.col("__later__") + F.col("__rs__"))
+                              .alias("__rn__"), "__n__"))
         om = F.lit(1.0 - a)
         term = F.when(
             F.col("__rn__") == F.col("__n__"),

@@ -756,11 +756,13 @@ def test_ewma_distributed_dyadic_exact(spark, rows):
     from bigslice_spark.operators.timeseries import ewma_last
     rows = [(k, t, float(v)) for k, t, v in rows]
     df = _ewma_df(spark, rows)
-    want = _ewma_py(rows, 0.5)
-    got = {r["k"]: r["ewma"]
-           for r in ewma_last(df, "k", "ts", "v", order_cols=["rid"],
-                              alpha=0.5, method="distributed").collect()}
-    assert got == {k: s for k, (_n, s) in want.items()}
+    want = {k: s for k, (_n, s) in _ewma_py(rows, 0.5).items()}
+    for kw in ({}, {"segment_s": 1}, {"segment_s": 3600}):
+        got = {r["k"]: r["ewma"]
+               for r in ewma_last(df, "k", "ts", "v",
+                                  order_cols=["rid"], alpha=0.5,
+                                  method="distributed", **kw).collect()}
+        assert got == want, kw
 
 
 @PROP
