@@ -82,6 +82,13 @@ BATTERY = [
     # guarantee-as-data booleans are now invariant by construction
     # even though the raw counter values are not
     "epoch_shuffle", "heavy_hitters_approx",
+    # round-9 — the JPEG/GIF codecs ride mapInPandas (Arrow batching
+    # and partition count must not change decoded bytes); ewma_hub's
+    # decimal-summed closed form and the two-stage segmented fold must
+    # be partitioning-invariant (the whole point of a distributed
+    # fold: local[1] serializes it, local[32] spreads it)
+    "multimodal_jpeg", "multimodal_gif", "ewma_hub",
+    "op_fold_stream_segmented",
 ]
 
 
