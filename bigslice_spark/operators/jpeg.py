@@ -184,11 +184,22 @@ def _huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple]:
     return codes
 
 
-def _huff_decode_table(bits: list[int],
-                       huffval: list[int]) -> dict[tuple, int]:
-    """(length, code) -> symbol, inverse of the canonical assignment."""
-    return {(ln, code): sym
-            for sym, (code, ln) in _huff_codes(bits, huffval).items()}
+def _huff_decode_table(bits: list[int], huffval: list[int]):
+    """Two-level decode table: ``lut`` maps the next 8 bits straight
+    to (symbol, code length) for every code of <= 8 bits (one list
+    index per symbol instead of one Python iteration per BIT — the
+    decoder hot path); ``long`` maps (length, code) for the rare 9-16
+    bit codes, reached by the bitwise walk fallback."""
+    lut: list[tuple | None] = [None] * 256
+    longc: dict[tuple, int] = {}
+    for sym, (code, ln) in _huff_codes(bits, huffval).items():
+        if ln <= 8:
+            base = code << (8 - ln)
+            for k in range(1 << (8 - ln)):
+                lut[base | k] = (sym, ln)
+        else:
+            longc[(ln, code)] = sym
+    return lut, longc
 
 
 def _category(v: int) -> int:
@@ -674,44 +685,75 @@ def _encode_progressive(width: int, height: int, comps: list,
 
 
 class _BitReader:
-    """MSB-first bit source over entropy-coded data: un-stuffs FF 00,
-    surfaces any real marker as a loud error (a well-formed scan only
-    hits markers at restart boundaries, which `restart` consumes)."""
+    """MSB-first bit source over entropy-coded data: un-stuffs FF 00
+    and never advances past a real marker (a well-formed scan only
+    hits markers at restart boundaries, which `restart` consumes).
+
+    Performance shape (the decode hot path): ``acc`` is masked down to
+    ``n`` live bits on every consume — an unmasked accumulator grows
+    into a multi-megabit Python int over a long scan and every shift
+    goes quadratic — and Huffman symbols resolve through an 8-bit
+    prefix LUT (one list index for the overwhelmingly common short
+    codes) instead of a Python iteration per bit. Peeking the 8-bit
+    prefix may need bits past the scan's end; those are buffered as
+    VIRTUAL 1-padding (``nv`` counts them) that a peek may see but a
+    consume must never eat — consuming virtual bits means the stream
+    was truncated mid-symbol."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.d = data
         self.i = pos
         self.acc = 0
         self.n = 0
+        self.nv = 0             # trailing virtual (pad) bits in acc
 
     def _fill(self) -> None:
-        if self.i >= len(self.d):
-            raise ValueError("truncated JPEG entropy data")
-        b = self.d[self.i]
-        if b == 0xFF:
-            nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else None
-            if nxt != 0x00:
-                raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02X} inside "
-                    f"entropy-coded data" if nxt is not None
-                    else "truncated JPEG entropy data")
-            self.i += 2
-        else:
-            self.i += 1
-        self.acc = (self.acc << 8) | b
+        """Buffer one more byte: real data (un-stuffing FF 00) when
+        available, else a virtual 0xFF pad byte at end/marker."""
+        if self.i < len(self.d):
+            b = self.d[self.i]
+            if b != 0xFF:
+                self.i += 1
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+                return
+            if self.i + 1 < len(self.d) and self.d[self.i + 1] == 0x00:
+                self.i += 2
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
+        self.acc = (self.acc << 8) | 0xFF
         self.n += 8
+        self.nv += 8
 
     def bits(self, k: int) -> int:
         while self.n < k:
             self._fill()
+        if k > self.n - self.nv:
+            raise ValueError("truncated JPEG entropy data (or marker "
+                             "inside a symbol)")
         self.n -= k
-        return (self.acc >> self.n) & ((1 << k) - 1)
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
 
-    def huffman(self, table: dict[tuple, int]) -> int:
-        code = 0
-        for ln in range(1, 17):
+    def huffman(self, table) -> int:
+        lut, longc = table
+        while self.n < 8:
+            self._fill()
+        hit = lut[(self.acc >> (self.n - 8)) & 0xFF]
+        if hit is not None:
+            sym, ln = hit
+            if ln > self.n - self.nv:
+                raise ValueError("truncated JPEG entropy data (or "
+                                 "marker inside a symbol)")
+            self.n -= ln
+            self.acc &= (1 << self.n) - 1
+            return sym
+        code = self.bits(8)
+        for ln in range(9, 17):
             code = (code << 1) | self.bits(1)
-            sym = table.get((ln, code))
+            sym = longc.get((ln, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")
@@ -719,6 +761,7 @@ class _BitReader:
     def restart(self, m: int) -> None:
         self.acc = 0
         self.n = 0
+        self.nv = 0
         if not (self.i + 1 < len(self.d) and self.d[self.i] == 0xFF
                 and self.d[self.i + 1] == 0xD0 + m):
             raise ValueError(f"expected restart marker RST{m}")
