@@ -133,6 +133,12 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# decode-side decompression-bomb guards (mirrors jpeg.MAX_PIXELS): a
+# hostile header must not allocate executor-scale canvases or an
+# unbounded frame list before any pixel data is read
+MAX_PIXELS = 1 << 26
+MAX_FRAMES = 4096
+
 
 def _interlace_order(height: int) -> list[int]:
     rows = []
@@ -212,10 +218,23 @@ def make_gif(width: int, height: int, frames: list[bytes], *,
 def decode_gif_frames(blob: bytes) -> tuple[int, int, list[bytes]]:
     """GIF -> (width, height, [RGB raster per frame]) with frames
     composited onto the logical screen (offsets, transparency,
-    disposal 0/1/2 honored)."""
+    disposal 0/1/2 honored). Corrupt/truncated/hostile input raises
+    ValueError only (fuzz-tested; MAX_PIXELS / MAX_FRAMES bound every
+    allocation a header can demand)."""
+    try:
+        return _decode_gif_frames(blob)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt GIF stream: {e}") from e
+
+
+def _decode_gif_frames(blob: bytes) -> tuple[int, int, list[bytes]]:
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError(
+            f"GIF dimensions {w}x{h} outside the decode limit "
+            f"({MAX_PIXELS} px) — corrupt header or decompression bomb")
     i = 13
     gpal = None
     if flags & 0x80:
@@ -269,6 +288,12 @@ def decode_gif_frames(blob: bytes) -> tuple[int, int, list[bytes]]:
             i += sz
             if sz == 0:
                 break
+        if fw * fh > MAX_PIXELS:
+            raise ValueError("GIF frame larger than the decode limit")
+        if len(frames) >= MAX_FRAMES:
+            raise ValueError(
+                f"GIF with more than {MAX_FRAMES} frames — refusing "
+                f"an unbounded frame list")
         idx = _lzw_decode(bytes(comp), mcs)
         if len(idx) < fw * fh:
             raise ValueError("GIF frame pixel data underrun")

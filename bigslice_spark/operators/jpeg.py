@@ -206,6 +206,13 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+# Decode-side decompression-bomb guard: a corrupt/hostile header
+# claiming 65535x65535 would otherwise allocate ~34 GB of coefficient
+# arrays before a single entropy byte is read. 2^26 px ≈ an 8K x 8K
+# frame — far above any training-corpus image, far below executor OOM.
+MAX_PIXELS = 1 << 26
+
+
 class _BitWriter:
     """MSB-first bit sink with JPEG byte stuffing (FF -> FF 00)."""
 
@@ -776,6 +783,11 @@ class _Frame:
     """Geometry shared by every scan of one image."""
 
     def __init__(self, w: int, h: int, comps: list, progressive: bool):
+        if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+            raise ValueError(
+                f"JPEG dimensions {w}x{h} outside the decode limit "
+                f"({MAX_PIXELS} px) — corrupt header or decompression "
+                f"bomb")
         if len(comps) == 1:
             # single-component images are non-interleaved: MCU = one
             # data unit and the declared sampling factors do not shape
@@ -1001,7 +1013,17 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     markers, mid-file DHT/DRI redefinition. Grayscale output is
     replicated to RGB (same contract as the PNG path). Raises
     NotImplementedError for lossless/hierarchical/arithmetic
-    processes, ValueError for corrupt or truncated streams."""
+    processes, ValueError for corrupt/truncated/hostile streams
+    (incl. the MAX_PIXELS decompression-bomb guard) — fuzz-tested so
+    byte corruption can only surface as one of those two, never as a
+    stray IndexError or a runaway allocation."""
+    try:
+        return _decode_jpeg(blob)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {e}") from e
+
+
+def _decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}

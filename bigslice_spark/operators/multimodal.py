@@ -177,7 +177,16 @@ def _png_decode(blob: bytes) -> tuple[int, int, bytes]:
     1/2/4/8), 2 (RGB), 6 (RGBA, alpha dropped) and 3 (PLTE palette;
     depths 1/2/4/8 — the common web icon/sprite encoding),
     non-interlaced; per-chunk CRCs are verified so corruption fails
-    loudly rather than decoding noise."""
+    loudly rather than decoding noise, the pixel count is capped at
+    2^26 and the inflate is length-bounded (decompression bombs fail
+    before allocating), and any corruption surfaces as ValueError."""
+    try:
+        return _png_decode_impl(blob)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+
+
+def _png_decode_impl(blob: bytes) -> tuple[int, int, bytes]:
     import zlib
     import numpy as np
     i, w, h, ctype, idat = 8, None, None, None, bytearray()
@@ -219,11 +228,24 @@ def _png_decode(blob: bytes) -> tuple[int, int, bytes]:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if w <= 0 or h <= 0 or w * h > (1 << 26):
+        raise ValueError(
+            f"PNG dimensions {w}x{h} outside the decode limit "
+            f"(2^26 px) — corrupt header or decompression bomb")
     # filter unit is ONE BYTE for sub-byte depths (PNG 3.0 §7.3)
     bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype] if depth == 8 else 1
     stride = (w * {0: 1, 3: 1}[ctype] * depth + 7) // 8 \
         if depth < 8 else w * {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate: never materialize more than the header-implied
+    # pixel bytes + 1 (a zlib bomb inside a small-w/h PNG would
+    # otherwise expand arbitrarily before the length check below)
+    want = h * (stride + 1)
+    z = zlib.decompressobj()
+    raw = z.decompress(bytes(idat), want + 1)
+    if len(raw) > want or (len(raw) == want
+                           and (z.unconsumed_tail or z.decompress(b"", 1))):
+        raise ValueError("PNG pixel data overrun (compressed stream "
+                         "larger than the header-implied size)")
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((h, stride), np.uint8)
@@ -348,7 +370,15 @@ def decode_image(blob: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_wav(blob: bytes) -> tuple[int, int, "object"]:
-    """WAV PCM16 → (sample_rate, n_channels, int16 numpy samples)."""
+    """WAV PCM16 → (sample_rate, n_channels, int16 numpy samples);
+    corruption surfaces as ValueError only."""
+    try:
+        return _decode_wav_impl(blob)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt WAV stream: {e}") from e
+
+
+def _decode_wav_impl(blob: bytes) -> tuple[int, int, "object"]:
     import numpy as np
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
