@@ -1,4 +1,4 @@
-"""GIF87a/GIF89a codec, pure stdlib — the third web-image format
+"""GIF87a/GIF89a codec, stdlib + numpy — the third web-image format
 (after PNG and JPEG) a training-data ingest pipeline meets, and the
 first ANIMATED one: multi-frame GIFs give frame_sample real frames to
 sample instead of its fake byte-slices.
@@ -81,7 +81,13 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decode(data: bytes, min_code_size: int,
+                max_out: int | None = None) -> bytes:
+    """``max_out`` caps the decoded length: with a full 4096-entry
+    table each 12-bit code can emit a ~4 KB entry (~2700x
+    amplification), so an uncapped decode is a decompression bomb no
+    header check can prevent — callers pass the frame's pixel count
+    and decoding simply stops there."""
     clear = 1 << min_code_size
     eoi = clear + 1
     pos = 0          # bit position
@@ -123,6 +129,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
             raise ValueError("GIF LZW: code out of range")
         out += entry
         prev = entry
+        if max_out is not None and len(out) >= max_out:
+            return bytes(out[:max_out])
         if len(table) == (1 << width) and width < 12:
             width += 1
     return bytes(out)
@@ -235,17 +243,18 @@ def _decode_gif_frames(blob: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(
             f"GIF dimensions {w}x{h} outside the decode limit "
             f"({MAX_PIXELS} px) — corrupt header or decompression bomb")
+    import numpy as np
     i = 13
     gpal = None
     if flags & 0x80:
         n = 2 << (flags & 7)
         gpal = blob[i:i + 3 * n]
         i += 3 * n
-    canvas = bytearray(w * h * 3)
+    bgc = np.zeros(3, np.uint8)
     if gpal and bg * 3 + 3 <= len(gpal):
-        bgc = gpal[bg * 3:bg * 3 + 3]
-        for p in range(0, len(canvas), 3):
-            canvas[p:p + 3] = bgc
+        bgc = np.frombuffer(gpal, np.uint8, 3, bg * 3)
+    canvas = np.empty((h, w, 3), np.uint8)
+    canvas[:] = bgc
     frames: list[bytes] = []
     transparent: int | None = None
     disposal = 0
@@ -294,7 +303,7 @@ def _decode_gif_frames(blob: bytes) -> tuple[int, int, list[bytes]]:
             raise ValueError(
                 f"GIF with more than {MAX_FRAMES} frames — refusing "
                 f"an unbounded frame list")
-        idx = _lzw_decode(bytes(comp), mcs)
+        idx = _lzw_decode(bytes(comp), mcs, max_out=fw * fh)
         if len(idx) < fw * fh:
             raise ValueError("GIF frame pixel data underrun")
         if fflags & 0x40:                      # interlaced
@@ -303,25 +312,35 @@ def _decode_gif_frames(blob: bytes) -> tuple[int, int, list[bytes]]:
                 de[dst_r * fw:(dst_r + 1) * fw] = \
                     idx[src_r * fw:(src_r + 1) * fw]
             idx = bytes(de)
-        saved = bytes(canvas) if disposal == 2 else None
-        for r in range(fh):
-            cy = fy + r
-            if cy >= h:
-                break
-            for c in range(fw):
-                cx = fx + c
-                if cx >= w:
-                    continue
-                v = idx[r * fw + c]
-                if transparent is not None and v == transparent:
-                    continue
-                if v * 3 + 3 > len(pal):
+        # vectorized composite of the frame's visible rectangle (the
+        # per-pixel Python loop this replaces cost seconds per frame
+        # near the pixel cap); the transparent index is legally
+        # allowed to lie OUTSIDE the palette, so range-check only the
+        # opaque indices
+        pal_arr = np.frombuffer(pal, np.uint8)[
+            :len(pal) - len(pal) % 3].reshape(-1, 3)
+        idx_arr = np.frombuffer(idx, np.uint8, fw * fh).reshape(fh, fw)
+        vis_h = max(0, min(fh, h - fy))
+        vis_w = max(0, min(fw, w - fx))
+        if vis_h and vis_w:
+            sub = idx_arr[:vis_h, :vis_w]
+            region = canvas[fy:fy + vis_h, fx:fx + vis_w]
+            if transparent is None:
+                if int(sub.max(initial=0)) >= len(pal_arr):
                     raise ValueError("GIF index outside color table")
-                p = (cy * w + cx) * 3
-                canvas[p:p + 3] = pal[v * 3:v * 3 + 3]
-        frames.append(bytes(canvas))
-        if disposal == 2 and saved is not None:
-            canvas = bytearray(saved)
+                region[:] = pal_arr[sub]
+            else:
+                m = sub != transparent
+                vals = sub[m]
+                if vals.size and int(vals.max()) >= len(pal_arr):
+                    raise ValueError("GIF index outside color table")
+                region[m] = pal_arr[vals]
+        frames.append(canvas.tobytes())
+        if disposal == 2:
+            # restore-to-BACKGROUND (GIF89a): the frame's rect resets
+            # to the background color — NOT to the prior content
+            # (that is disposal 3, restore-to-previous)
+            canvas[fy:fy + vis_h, fx:fx + vis_w] = bgc
         transparent = None
         disposal = 0
     if not frames:

@@ -769,6 +769,10 @@ class _BitReader:
         self.acc = 0
         self.n = 0
         self.nv = 0
+        # T.81 B.1.1.2: any marker may be preceded by fill bytes (FF)
+        while (self.i + 1 < len(self.d) and self.d[self.i] == 0xFF
+               and self.d[self.i + 1] == 0xFF):
+            self.i += 1
         if not (self.i + 1 < len(self.d) and self.d[self.i] == 0xFF
                 and self.d[self.i + 1] == 0xD0 + m):
             raise ValueError(f"expected restart marker RST{m}")
@@ -796,13 +800,15 @@ class _Frame:
         self.w, self.h = w, h
         self.comps = comps
         self.progressive = progressive
+        # validate BEFORE any arithmetic: all-zero sampling factors in
+        # a hostile SOF would otherwise divide by zero below
+        for cid, hs, vs, _tq in comps:
+            if hs < 1 or vs < 1 or hs > 4 or vs > 4:
+                raise ValueError(f"bad sampling factors {hs}x{vs}")
         self.hmax = max(c[1] for c in comps)
         self.vmax = max(c[2] for c in comps)
         self.mcus_x = -(-w // (8 * self.hmax))
         self.mcus_y = -(-h // (8 * self.vmax))
-        for cid, hs, vs, _tq in comps:
-            if hs < 1 or vs < 1 or hs > 4 or vs > 4:
-                raise ValueError(f"bad sampling factors {hs}x{vs}")
         # padded (MCU-aligned) block grid — interleaved scans cover it
         self.pw = [self.mcus_x * hs for _c, hs, _v, _t in comps]
         self.ph = [self.mcus_y * vs for _c, _h, vs, _t in comps]

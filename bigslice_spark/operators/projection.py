@@ -60,18 +60,16 @@ def random_projection(df: DataFrame, out_dim: int = 8,
                .otherwise(F.expr(
                    f"raise_error('random_projection: ragged {vec_col} "
                    f"(size != {dim})')")))
+    from .similarity import _fold_dot_literal
     v = df.select(F.col(id_col), checked.alias("__v__"))
     # each projection as ONE array fold against the literal plane —
     # the same left-associative sum (0.0 + t == t) the unrolled string
     # produced, verified bitwise-equal, but with none of the wide-
     # expression interpretation cliff (see similarity._dot_wide:
-    # measured 13.1s unrolled vs 4.8s fold at dim=64 over 2M rows)
+    # measured 13.1s unrolled vs 4.8s fold at dim=64 over 2M rows);
+    # the fold string itself is the SHARED _fold_dot_literal template
     projs = [
-        F.expr(
-            "aggregate(zip_with(__v__, array("
-            + ", ".join(repr(c) for c in p)
-            + "), (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
-            "(acc, t) -> acc + t)").alias(f"r{i}")
+        F.expr(_fold_dot_literal("__v__", p)).alias(f"r{i}")
         for i, p in enumerate(planes)]
     return v.select(id_col, *projs)
 

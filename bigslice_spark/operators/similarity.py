@@ -57,6 +57,18 @@ def _dot_wide(a: str, b: str, dim: int) -> "F.Column":
         f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
 
 
+def _fold_dot_literal(vec: str, coeffs) -> str:
+    """The SAME fold template as _dot_wide, against a LITERAL
+    coefficient array — the ONE definition of the exactness-critical
+    SQL string (the DuckDB oracles replay its left-associative
+    0.0-seeded sums bitwise), shared by random_projection and the LSH
+    plane projections so the two can never drift apart."""
+    return ("aggregate(zip_with(" + vec + ", array("
+            + ", ".join(repr(float(c)) for c in coeffs)
+            + "), (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+            "(acc, t) -> acc + t)")
+
+
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(vec_col).first()
     if row is None or row[0] is None:
@@ -122,10 +134,7 @@ def _bucket_expr(vec: str, planes: list[list[float]]) -> "F.Column":
     bits are disjoint so summing the CASEs equals OR-ing them."""
     terms = []
     for i, p in enumerate(planes):
-        proj = ("aggregate(zip_with(" + vec + ", array("
-                + ", ".join(repr(c) for c in p)
-                + "), (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
-                "(acc, t) -> acc + t)")
+        proj = _fold_dot_literal(vec, p)
         terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << i} ELSE 0 END)")
     return F.expr(" + ".join(terms))
 

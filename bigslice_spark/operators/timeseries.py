@@ -120,10 +120,21 @@ def ewma_last(df: DataFrame, key_col: str, ts_col: str, val_col: str,
             F.lit(a) * F.col("__v__")
             * F.pow(om, (F.col("__rn__") - 1).cast("double")))
         # decimal-exact sum: order-independent, bitwise-reproducible
-        # (terms < 1e-18 truncate to 0 — already below double noise)
+        # (terms < 1e-18 truncate to 0 — already below double noise).
+        # DOMAIN GUARD: decimal(38,18) cannot represent |term| >= 1e20
+        # or non-finite values. try_cast nulls such terms (a plain
+        # cast would kill the whole job under ANSI, and silently DROP
+        # the term with ANSI off); whenever a present value lost its
+        # term the key's ewma comes back NaN — loud and per-key,
+        # matching the list path's NaN propagation for NaN inputs.
+        # Finite inputs past 1e20 are outside this method's domain;
+        # use method='list' there.
+        dterm = term.try_cast("decimal(38,18)")
         return (ranked.groupBy(key_col)
                 .agg(F.count(F.lit(1)).alias("n_events"),
-                     F.sum(term.cast("decimal(38,18)")).cast("double")
+                     F.when(F.count("__v__") != F.count(dterm),
+                            F.lit(float("nan")))
+                     .otherwise(F.sum(dterm).cast("double"))
                      .alias("ewma")))
     if method != "list":
         raise ValueError(f"unknown ewma method {method!r} "

@@ -108,11 +108,67 @@ def test_gif_offsets_local_palette_transparency_disposal():
     # frame 2: blue painted at (1,1) over frame 1's content
     assert px(frames[1], 1, 1) == blue
     assert px(frames[1], 0, 0) == red
-    # frame 3: disposal=2 restored the canvas (background red — index
-    # 0) under frame 2's rect before compositing, and the transparent
-    # pixel changes nothing at (0,1)
+    # frame 3: disposal=2 restored frame 2's rect to the BACKGROUND
+    # color before compositing, and the transparent pixel changes
+    # nothing at (0,1)
     assert px(frames[2], 1, 1) == red      # restored background
     assert px(frames[2], 0, 1) == px(frames[1], 0, 1)
+
+
+def test_gif_disposal2_restores_background_not_previous():
+    """Disposal 2 must reset the frame's rect to the BACKGROUND color
+    — not to the previous frame's content (that is disposal 3). Here
+    the background (green, index 1) differs from what frame 1 painted
+    (red everywhere), so the two semantics are distinguishable: after
+    frame 2's disposal-2 rect at (1,1), frame 3 must show GREEN there,
+    not frame 1's red."""
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 1, 0) \
+        + bytes([255, 0, 0, 0, 255, 0])            # bg = index 1 green
+    f1 = b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00" \
+        + b"\x02" + _chunked(_lzw_encode(bytes([0, 0, 0, 0]), 2))
+    gce2 = b"\x21\xf9\x04" + bytes(((2 << 2),)) \
+        + struct.pack("<H", 0) + b"\x00\x00"       # disposal=2
+    f2 = b"\x2c" + struct.pack("<HHHH", 1, 1, 1, 1) + b"\x00" \
+        + b"\x02" + _chunked(_lzw_encode(bytes([0]), 2))
+    gce3 = b"\x21\xf9\x04" + bytes((1,)) + struct.pack("<H", 0) \
+        + b"\x00\x00"                              # transparent idx 0
+    f3 = b"\x2c" + struct.pack("<HHHH", 1, 1, 1, 1) + b"\x00" \
+        + b"\x02" + _chunked(_lzw_encode(bytes([0]), 2))
+    blob = hdr + f1 + gce2 + f2 + gce3 + f3 + b"\x3b"
+    _w, _h, frames = decode_gif_frames(blob)
+    red, green = (255, 0, 0), (0, 255, 0)
+
+    def px(fr, x, y):
+        p = (y * 2 + x) * 3
+        return tuple(fr[p:p + 3])
+    assert px(frames[0], 1, 1) == red          # frame 1 painted red
+    assert px(frames[1], 1, 1) == red          # frame 2 painted red
+    # frame 3's pixel is TRANSPARENT, so it shows whatever disposal 2
+    # left behind — the background green, NOT frame 1's red
+    assert px(frames[2], 1, 1) == green
+
+
+def test_gif_lzw_output_is_bounded():
+    """A crafted stream whose LZW expansion exceeds the declared frame
+    size must not materialize the excess (the ~2700x amplification
+    decompression bomb): decode stops at the frame's pixel count."""
+    from bigslice_spark.operators.gif import _lzw_decode
+    # a stream that legitimately expands far beyond 4 bytes
+    big = _lzw_encode(bytes([0, 1, 2, 3] * 50_000), 2)
+    out = _lzw_decode(big, 2, max_out=16)
+    assert len(out) == 16
+    # end-to-end: a 2x2 frame carrying that stream decodes (first 4
+    # indices) without materializing 200 KB
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0) \
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    # palette flag says 2 colors (depth 1) but indices go to 3 — use
+    # depth 2 table instead
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0) \
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    f = b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00" \
+        + b"\x02" + _chunked(big)
+    w, h, frames = decode_gif_frames(hdr + f + b"\x3b")
+    assert (w, h) == (2, 2) and len(frames[0]) == 12
 
 
 def test_gif_raises():

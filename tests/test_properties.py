@@ -802,3 +802,23 @@ def test_fold_stream_segmented_matches_oneshot(session, pairs, nshard):
         want[k][0] += 1
         want[k][1] += v
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_ewma_distributed_domain_guard(spark):
+    """Out-of-domain inputs fail LOUDLY per key, never silently: a NaN
+    value yields NaN (matching the list path's propagation), a finite
+    value past decimal(38,18)'s range yields NaN instead of silently
+    dropping its term from the weighted sum, and well-behaved keys in
+    the same frame are unaffected."""
+    import math
+
+    from bigslice_spark.operators.timeseries import ewma_last
+    df = _ewma_df(spark, [("a", 1, 2.0), ("a", 2, float("nan")),
+                          ("b", 1, 1e21), ("b", 2, 3.0),
+                          ("c", 1, 5.0), ("c", 2, 7.0)])
+    got = {r["k"]: r["ewma"]
+           for r in ewma_last(df, "k", "ts", "v", order_cols=["rid"],
+                              alpha=0.5,
+                              method="distributed").collect()}
+    assert math.isnan(got["a"]) and math.isnan(got["b"])
+    assert got["c"] == 6.0
