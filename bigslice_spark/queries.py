@@ -5896,3 +5896,71 @@ def multimodal_gif_q(spark, sf_dir):
     return t["documents"].select("doc_id").mapInPandas(
         gen, schema="doc_id long, width int, height int, "
                     "n_frames int, mean_r double, checksum long")
+
+
+_URL_SQL = """
+    WITH b AS (
+      SELECT doc_id, doc_id % 100 AS dd,
+             (doc_id % 100) % 23 AS k, (doc_id % 100) % 50 AS x
+      FROM documents)
+    SELECT doc_id,
+      (CASE WHEN dd % 2 = 0 THEN 'https' ELSE 'http' END)
+      || '://'
+      || (CASE WHEN dd % 3 = 0 THEN 'www.site' || k || '.co.uk'
+               WHEN dd % 3 = 1 THEN 'www.site' || k || '.com'
+               ELSE 'site' || k || '.de' END)
+      || (CASE WHEN dd % 4 = 1 THEN ':443'
+               WHEN dd % 4 = 2 THEN ':8080' ELSE '' END)
+      || (CASE WHEN dd % 5 = 0 THEN '/' ELSE '/p/q' || x END)
+      || (CASE WHEN dd % 5 IN (0, 1) THEN '?x=' || x ELSE '' END)
+        AS url_norm,
+      CASE WHEN dd % 3 = 0 THEN 'site' || k || '.co.uk'
+           WHEN dd % 3 = 1 THEN 'site' || k || '.com'
+           ELSE 'site' || k || '.de' END AS domain,
+      doc_id % 100 = doc_id AS keep
+    FROM b
+"""
+
+
+@query("url_normalize", _URL_SQL)
+def url_normalize_q(spark, sf_dir):
+    """URL canonicalization + URL-level dedup verdicts (operators/
+    web.py url_normalize / registrable_domain / url_dedup_keys — the
+    standard web-corpus pre-dedup stage): each doc_id derives a messy
+    URL (mixed-case scheme and host, default and non-default ports,
+    empty paths, tracking parameters among real ones, fragments) with
+    doc_ids ≡ mod 100 sharing a page, and the REAL operator chain
+    must produce exactly the canonical form, registrable domain
+    (co.uk-style second-level handling included), and lowest-id keep
+    flag the oracle recomputes from the generating formula. Any slip
+    in scheme/host lowering, default-port logic, tracking-param
+    filtering, fragment dropping, or the md5-keyed dedup breaks the
+    hash match. Zero-shuffle projection + one 16-byte-hash window."""
+    from .operators.web import url_dedup_keys
+    _, t = _s(spark, sf_dir)
+    dd = F.col("doc_id") % 100
+    k = (dd % 23).cast("string")
+    x = (dd % 50).cast("string")
+    scheme = F.when(dd % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("HtTp"))
+    host = (F.when(dd % 3 == 0,
+                   F.concat(F.lit("WWW.Site"), k, F.lit(".CO.UK")))
+            .when(dd % 3 == 1,
+                  F.concat(F.lit("www.site"), k, F.lit(".com")))
+            .otherwise(F.concat(F.lit("Site"), k, F.lit(".DE"))))
+    port = (F.when(dd % 4 <= 1, F.lit(":443"))
+            .when(dd % 4 == 2, F.lit(":8080")).otherwise(F.lit("")))
+    path = (F.when(dd % 5 == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("/p/q"), x)))
+    qry = (F.when(dd % 5 == 0,
+                  F.concat(F.lit("?utm_source=a&x="), x,
+                           F.lit("&gclid=b")))
+           .when(dd % 5 == 1, F.concat(F.lit("?x="), x))
+           .when(dd % 5 == 2, F.lit("?utm_campaign=z"))
+           .otherwise(F.lit("")))
+    frag = F.when(dd % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
+    docs = t["documents"].select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, qry, frag)
+        .alias("url"))
+    return url_dedup_keys(docs).select("doc_id", "url_norm", "domain",
+                                       "keep")

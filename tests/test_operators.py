@@ -2975,3 +2975,50 @@ def test_vacuum_ambiguous_debris_escape_hatch(spark, tmp_path):
     assert rows == {(1, "a")}
     with _pt.raises(ValueError, match="positive"):
         U.vacuum(spark, path, reap_ambiguous_debris_older_than=0)
+
+
+def test_url_tools(spark):
+    """URL normalization edge cases: userinfo dropped, default ports
+    (http 80 / https 443) stripped while non-default survive, empty
+    path -> '/', tracking params removed with the OTHER params' order
+    preserved, fragment dropped, tracking-only query -> no '?';
+    registrable_domain handles co.uk-style suffixes, bare 2-label
+    hosts, and IPv4 passthrough; url_dedup_keys keeps the lowest id
+    per canonical URL."""
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.web import (registrable_domain,
+                                              url_dedup_keys,
+                                              url_normalize)
+    cases = [
+        (1, "http://user:pw@Host.COM:80/a#frag", "http://host.com/a"),
+        (2, "HTTPS://EXAMPLE.org:443/", "https://example.org/"),
+        (3, "https://example.org:8443/x?b=2&utm_source=s&a=1",
+         "https://example.org:8443/x?b=2&a=1"),
+        (4, "http://site.de", "http://site.de/"),
+        (5, "http://site.de/?utm_campaign=z&fbclid=f", "http://site.de/"),
+        (6, "http://HostB.com/a", "http://hostb.com/a"),
+        (7, "http://hostb.com/a", "http://hostb.com/a"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: r["url_norm"]
+           for r in url_normalize(df).collect()}
+    for i, _u, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    doms = spark.createDataFrame(
+        [("www.example.co.uk",), ("sub.a.example.com",), ("site.de",),
+         ("192.168.10.1",), ("localhost",), ("a.gov.uk",)],
+        "h string").select(registrable_domain("h").alias("d")).collect()
+    assert [r["d"] for r in doms] == [
+        "example.co.uk", "example.com", "site.de", "192.168.10.1",
+        "localhost", "a.gov.uk"]
+    # dedup: 6/7 normalize identically (case), and 5 collapses onto 4
+    # (tracking-only query vs bare) -> lowest id keeps in both groups
+    keep = {r["doc_id"]: r["keep"]
+            for r in url_dedup_keys(df).collect()}
+    assert keep[6] is True and keep[7] is False
+    assert keep[4] is True and keep[5] is False
+    assert all(keep[i] for i in (1, 2, 3))
+    # scale shape: normalization is a zero-shuffle projection
+    from bigslice_spark.plans import count_exchanges
+    assert count_exchanges(url_normalize(df)) == 0
