@@ -31,9 +31,10 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      core, kmeans_step, bm25_search, tfidf_terms, zorder_layout,
 #      stream_enrich, ...);
 #   3. (window is exactly full at 3 + 5 + 42; the r5-latest list and
-#      the round's FOURTH addition — multimodal_gif, added after the
-#      window sealed at 50 and kept out so no r3/r4-stale entry loses
-#      its slot — rotate in at r10, multimodal_gif first.)
+#      the additions landed after the window sealed at 50 —
+#      multimodal_gif and url_normalize, kept out so no r3/r4-stale
+#      entry loses its slot — rotate in at r10, the two new entries
+#      first.)
 # After this rotation no entry's latest hard signal is older than r5
 # (r8 re-proved the r6/r7-era 50).
 _R9_NEW = ("multimodal_jpeg", "ewma_hub", "op_fold_stream_segmented")
