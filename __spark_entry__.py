@@ -30,14 +30,15 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      sessionize, the window family, join_semi/anti, sources, dedup
 #      core, kmeans_step, bm25_search, tfidf_terms, zorder_layout,
 #      stream_enrich, ...);
-#   3. (window is exactly full at 3 + 5 + 42; the r5-latest list and
-#      the additions landed after the window sealed at 50 —
-#      multimodal_gif and url_normalize, kept out so no r3/r4-stale
-#      entry loses its slot — rotate in at r10, the two new entries
-#      first.)
+#   3. (the window seals at 50: 4 + 5 + 41 — adding multimodal_mp4
+#      to the front pushed the last r4 entry, tfidf_terms, to
+#      position 51; it is judge-r8 verified, lowest cost to defer.
+#      Still queued for r10, new-first: multimodal_gif,
+#      url_normalize, tfidf_terms.)
 # After this rotation no entry's latest hard signal is older than r5
 # (r8 re-proved the r6/r7-era 50).
-_R9_NEW = ("multimodal_jpeg", "ewma_hub", "op_fold_stream_segmented")
+_R9_NEW = ("multimodal_jpeg", "multimodal_mp4", "ewma_hub",
+           "op_fold_stream_segmented")
 _R3_STALE = (
     "q10_returned_items", "q14_promo_share", "q16_supplier_cnt",
     "q18_large_orders", "q19_discounted_revenue",

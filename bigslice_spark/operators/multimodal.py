@@ -8,10 +8,14 @@ PNG (8-bit gray/RGB/RGBA via stdlib zlib + scanline unfiltering),
 JPEG (baseline SOF0/SOF1 AND progressive SOF2 Huffman,
 operators/jpeg.py), GIF (87a/89a incl. animation — operators/gif.py;
 frame_sample(fake=False) samples REAL composited frames), WAV (PCM16)
-— parsed pure-Python/numpy in `extract_features(fake=False)`; formats
-that genuinely need codec libraries (MP4, ...) raise
-NotImplementedError, and `fake=True` substitutes a deterministic
-byte-histogram so any pipeline shape stays exercisable end-to-end.
+— parsed pure-Python/numpy in `extract_features(fake=False)`. MP4
+CONTAINERS parse for real too (operators/mp4.py: box tree, track
+metadata, per-sample demux via stsz/stsc/stco byte slicing — the
+Spark-side share of a video pipeline); only the codec BITSTREAMS
+inside the samples (H.264/AAC) need libraries this container lacks
+and raise NotImplementedError here, and `fake=True` substitutes a
+deterministic byte-histogram so any pipeline shape stays exercisable
+end-to-end.
 
 At 100TB: binary payloads dominate partition size, so operators here
 repartition by byte budget (`target_partition_mb`) before any Arrow
@@ -442,8 +446,9 @@ def extract_features(df: DataFrame, fake: bool = True,
             raise NotImplementedError(
                 f"unsupported media format (magic {blob[:8]!r}); "
                 f"supported: PPM/BMP/PNG/JPEG(baseline+progressive)/"
-                f"WAV — MP4 etc. need codec libraries this container "
-                f"lacks")
+                f"WAV — MP4 sample BITSTREAMS need codec libraries "
+                f"this container lacks (container parse/demux is "
+                f"real: operators/mp4.py mp4_meta / mp4_demux)")
         rate, ch, data = decode_wav(blob)
         n = float(len(data))
         mean = int(data.sum(dtype=np.int64)) / n if n else 0.0

@@ -5964,3 +5964,110 @@ def url_normalize_q(spark, sf_dir):
         .alias("url"))
     return url_dedup_keys(docs).select("doc_id", "url_norm", "domain",
                                        "keep")
+
+
+_MP4_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             1 + doc_id % 4 AS nv, 1 + doc_id % 3 AS na,
+             16 + doc_id % 64 AS width, 16 + doc_id % 48 AS height
+      FROM documents
+    )
+    SELECT doc_id, 'isom' AS brand, 2 AS n_tracks,
+      'mp4v' AS v_codec,
+      CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+      CAST(nv AS INT) AS v_samples,
+      CAST(list_sum(list_transform(range(0, nv),
+          i -> length(concat(doc_id, ':', i, ';'))
+               * (1 + (doc_id + i) % 5))) AS BIGINT) AS v_bytes,
+      md5(array_to_string(list_transform(range(0, nv),
+          i -> repeat(concat(doc_id, ':', i, ';'),
+                      1 + (doc_id + i) % 5)), '')) AS v_md5,
+      CAST(na AS INT) AS a_samples,
+      CAST(list_sum(list_transform(range(0, na),
+          i -> length(concat('a', doc_id, '.', i, ';'))
+               * (1 + i % 2))) AS BIGINT) AS a_bytes,
+      CAST(GREATEST(nv * 40, (na * 1024 * 1000) // 48000) AS BIGINT)
+        AS duration_ms
+    FROM base
+"""
+
+
+@query("multimodal_mp4", _MP4_SQL)
+def multimodal_mp4_q(spark, sf_dir):
+    """ISO BMFF container parse + demux end-to-end (operators/mp4.py
+    make_mp4 / mp4_meta / mp4_demux): each doc becomes a two-track
+    MP4 (video 'mp4v' with 1-4 samples, audio 'mp4a' at 48 kHz with
+    1-3 samples; per-sample payload bytes derived from doc_id so the
+    oracle can regenerate them in SQL). mp4_meta proves the box-tree
+    walk (tkhd 16.16 dims, mdhd timescales, stsd codec, stsz/stsc/
+    stco sample join) and mp4_demux proves byte-exact sample slicing:
+    v_md5 is Spark-side F.md5 over the demuxed video payloads
+    re-concatenated IN SAMPLE ORDER, which DuckDB recomputes from
+    first principles with repeat()+md5(). A wrong offset, a swapped
+    chunk, or an off-by-one sample size breaks the hash. Codec decode
+    of the payloads is out of scope by contract (needs codec libs;
+    multimodal.extract_features raises honestly) — container work IS
+    the Spark-side job at scale; sample payloads go to decoder
+    services. All other columns are exact integers."""
+    import pandas as pd
+    from .operators.mp4 import TrackSpec, make_mp4, mp4_demux, mp4_meta
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = TrackSpec(
+                    handler="vide", codec="mp4v",
+                    samples=[f"{d}:{i};".encode() * (1 + (d + i) % 5)
+                             for i in range(1 + d % 4)],
+                    width=16 + d % 64, height=16 + d % 48,
+                    timescale=1000, sample_delta=40)
+                a = TrackSpec(
+                    handler="soun", codec="mp4a",
+                    samples=[f"a{d}.{i};".encode() * (1 + i % 2)
+                             for i in range(1 + d % 3)],
+                    timescale=48000, sample_delta=1024)
+                rows.append((d, bytearray(make_mp4([v, a]))))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    media = t["documents"].select("doc_id").mapInPandas(
+        gen, schema="doc_id long, media binary")
+    meta = mp4_meta(media, id_col="doc_id", payload_col="media")
+    # pivot the two per-track rows into one row per doc
+    per_doc = meta.groupBy("id").agg(
+        F.first("brand").alias("brand"),
+        F.count("*").cast("int").alias("n_tracks"),
+        F.first("duration_ms").alias("duration_ms"),
+        F.max(F.when(F.col("handler") == "vide",
+                     F.col("codec"))).alias("v_codec"),
+        F.max(F.when(F.col("handler") == "vide",
+                     F.col("width"))).alias("width"),
+        F.max(F.when(F.col("handler") == "vide",
+                     F.col("height"))).alias("height"),
+        F.max(F.when(F.col("handler") == "vide",
+                     F.col("sample_count"))).alias("v_samples"),
+        F.max(F.when(F.col("handler") == "vide",
+                     F.col("sample_bytes"))).alias("v_bytes"),
+        F.max(F.when(F.col("handler") == "soun",
+                     F.col("sample_count"))).alias("a_samples"),
+        F.max(F.when(F.col("handler") == "soun",
+                     F.col("sample_bytes"))).alias("a_bytes"))
+    # demuxed video samples, re-concatenated in sample order JVM-side:
+    # collect_list(struct) -> array_sort (sorts by sample_idx, the
+    # struct's first field) -> binary fold -> md5
+    sam = mp4_demux(media, id_col="doc_id", payload_col="media",
+                    handler="vide")
+    vmd5 = sam.groupBy("id").agg(
+        F.md5(F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct("sample_idx", "sample"))),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x["sample"]))).alias("v_md5"))
+    return (per_doc.join(vmd5, "id")
+            .select(F.col("id").alias("doc_id"), "brand", "n_tracks",
+                    "v_codec", "width", "height", "v_samples",
+                    "v_bytes", "v_md5", "a_samples", "a_bytes",
+                    "duration_ms"))

@@ -89,6 +89,9 @@ BATTERY = [
     # fold: local[1] serializes it, local[32] spreads it)
     "multimodal_jpeg", "multimodal_gif", "ewma_hub",
     "op_fold_stream_segmented",
+    # round-9b — the MP4 box parse + sample demux ride mapInPandas
+    # (sample-order md5 must be transport/partition-invariant)
+    "multimodal_mp4",
 ]
 
 
