@@ -30,14 +30,17 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      sessionize, the window family, join_semi/anti, sources, dedup
 #      core, kmeans_step, bm25_search, tfidf_terms, zorder_layout,
 #      stream_enrich, ...);
-#   3. (the window seals at 50: 4 + 5 + 41 — adding multimodal_mp4
-#      to the front pushed the last r4 entry, tfidf_terms, to
-#      position 51; it is judge-r8 verified, lowest cost to defer.
-#      Still queued for r10, new-first: multimodal_gif,
-#      url_normalize, tfidf_terms.)
+#   3. (the window seals at 50: 7 + 5 + 38 — the round-9b additions
+#      multimodal_mp4/source_warc/html_extract/web_pipeline took the
+#      front, pushing the last four r4 entries (source_orc,
+#      dedup_keep_best, price_histogram, tfidf_terms — all judge-r8
+#      verified, lowest cost to defer) past position 50. Still queued
+#      for r10, new-first: multimodal_gif, url_normalize, source_orc,
+#      dedup_keep_best, price_histogram, tfidf_terms.)
 # After this rotation no entry's latest hard signal is older than r5
 # (r8 re-proved the r6/r7-era 50).
-_R9_NEW = ("multimodal_jpeg", "multimodal_mp4", "ewma_hub",
+_R9_NEW = ("multimodal_jpeg", "multimodal_mp4", "source_warc",
+           "html_extract", "web_pipeline", "ewma_hub",
            "op_fold_stream_segmented")
 _R3_STALE = (
     "q10_returned_items", "q14_promo_share", "q16_supplier_cnt",

@@ -6071,3 +6071,170 @@ def multimodal_mp4_q(spark, sf_dir):
                     "v_codec", "width", "height", "v_samples",
                     "v_bytes", "v_md5", "a_samples", "a_bytes",
                     "duration_ms"))
+
+
+@query("source_warc", """
+    SELECT doc_id, 'response' AS warc_type,
+           200 AS http_status,
+           'text/plain; charset=utf-8' AS http_content_type,
+           text, CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+""")
+def source_warc_q(spark, sf_dir):
+    """WARC source/sink round-trip (sources/warc.py — the Common
+    Crawl ingest shape): every document becomes an HTTP 'response'
+    record (status line + Content-Type/Content-Length head + utf-8
+    body, assembled JVM-side with encode/concat), warc_sink writes
+    one per-record-gzip .warc.gz per partition, warc_reader parses
+    the framing back and splits the HTTP head off the payload. The
+    oracle checks losslessness against the parquet original —
+    doc_id recovered from WARC-Target-URI, text from the response
+    BODY (so a framing slip, a Content-Length off-by-one, or a head/
+    body split bug surfaces as a text/byte-count mismatch). The sink
+    summary is one row per partition (metadata-scale collect)."""
+    import tempfile
+
+    from .sources.warc import warc_reader, warc_sink
+    _, t = _s(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="bss_warc_")
+    body = F.encode(F.col("text"), "UTF-8")
+    head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+              "charset=utf-8\r\nContent-Length: "),
+        F.octet_length(body).cast("string"), F.lit("\r\n\r\n"))
+    docs = t["documents"].select(
+        F.concat(F.lit("https://corpus.test/doc/"),
+                 F.col("doc_id").cast("string")).alias("target_uri"),
+        F.concat(F.encode(head, "UTF-8"), body).alias("payload"))
+    warc_sink(docs, d, warc_type="response",
+              content_type="application/http; msgtype=response") \
+        .collect()                       # one row per partition
+    back = warc_reader(spark, d, glob="*.warc.gz")
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "warc_type", "http_status", "http_content_type",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.octet_length("payload").cast("long").alias("n_bytes"))
+
+
+@query("html_extract", """
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           'Doc ' || doc_id || chr(10) || text || chr(10)
+               || '& <tag> ' || chr(233) AS main_text,
+           2 AS n_links, 4 AS n_blocks,
+           CAST(length('Doc ' || doc_id) + length(text) + 24
+                AS BIGINT) AS text_len
+    FROM documents
+""")
+def html_extract_q(spark, sf_dir):
+    """HTML -> text extraction (operators/html.py): each document is
+    wrapped JVM-side into a full page — head with <title> and a
+    <script> that must NOT leak into the text, an <h1>, the document
+    body in a <p>, a constant entity block (&amp;/&lt;/&#233; prove
+    entity decoding), a nav <div> of links, and an HTML comment.
+    html_extract parses it back: `title` from the head, `main_text`
+    with the nav dropped by link density ('Home | About' is 9/12
+    anchor chars > 0.5) while `text_len` measures the FULL text
+    including it (so both the keep and drop paths are pinned), plus
+    exact link/block counts. The oracle reassembles the expected
+    extraction from the parquet original (document text is
+    single-spaced ASCII, so whitespace collapse is identity and the
+    body round-trips exactly)."""
+    from .operators.html import html_extract
+    _, t = _s(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), ids,
+        F.lit("</title><script>var t='<p>leak</p>';</script></head>"
+              "<body><h1>Doc "), ids,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>&amp; &lt;tag&gt; &#233;</p>"
+              "<div><a href='/'>Home</a> | <a href='/a'>About</a>"
+              "</div><!-- <p>ignored</p> --></body></html>"))
+    docs = t["documents"].select("doc_id", page.alias("html"))
+    out = html_extract(docs)
+    return out.select(
+        "doc_id", "title", "main_text", "n_links", "n_blocks",
+        F.length("text").cast("long").alias("text_len"))
+
+
+@query("web_pipeline", """
+    SELECT doc_id, 'corpus.test' AS domain,
+           'Doc ' || doc_id AS title,
+           CAST(array_length(str_split(text, ' ')) + 5 AS INT)
+               AS n_tokens,
+           CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS dup_count,
+           md5('Doc ' || doc_id || chr(10) || text || chr(10)
+               || '& <tag> ' || chr(233)) AS body_md5
+    FROM documents
+""")
+def web_pipeline_q(spark, sf_dir):
+    """The end-to-end web-corpus ingest chain, every stage the real
+    operator: documents are rendered as full HTML pages inside HTTP
+    responses, written as per-record-gzip WARC by warc_sink (docs
+    with doc_id%10==0 are crawled TWICE — the duplicate the pipeline
+    must collapse), read back by warc_reader (HTTP head split),
+    extracted by html_extract (script/comment dropped, entities
+    decoded, nav removed by link density), URI reduced to its
+    registrable domain (operators/web.py), token-counted, and
+    exact-deduped on the main text's md5 (operators/dedup.py
+    exact_dedup: digest-keyed groupBy — 100 TB of text shuffles as
+    16-byte hashes). Survivor = min doc_id per digest; dup_count
+    proves the duplicated crawls collapsed. The oracle reassembles
+    every stage's contribution from the parquet originals."""
+    import tempfile
+
+    from .operators.dedup import exact_dedup
+    from .operators.html import html_extract
+    from .operators.web import registrable_domain
+    from .sources.warc import warc_reader, warc_sink
+    _, t = _s(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="bss_webpipe_")
+
+    ids = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), ids,
+        F.lit("</title><script>var t='<p>leak</p>';</script></head>"
+              "<body><h1>Doc "), ids,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>&amp; &lt;tag&gt; &#233;</p>"
+              "<div><a href='/'>Home</a> | <a href='/a'>About</a>"
+              "</div><!-- <p>ignored</p> --></body></html>"))
+    docs = t["documents"].select("doc_id", page.alias("html"))
+    crawl = docs.unionAll(docs.where(F.col("doc_id") % 10 == 0))
+    body = F.encode(F.col("html"), "UTF-8")
+    head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+              "charset=utf-8\r\nContent-Length: "),
+        F.octet_length(body).cast("string"), F.lit("\r\n\r\n"))
+    warc_sink(
+        crawl.select(
+            F.concat(F.lit("https://corpus.test/doc/"),
+                     F.col("doc_id").cast("string")).alias("target_uri"),
+            F.concat(F.encode(head, "UTF-8"), body).alias("payload")),
+        d, warc_type="response",
+        content_type="application/http; msgtype=response").collect()
+
+    recs = warc_reader(spark, d, glob="*.warc.gz").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.parse_url(F.col("target_uri"), F.lit("HOST")).alias("host"),
+        F.decode(F.col("payload"), "UTF-8").alias("html"))
+    ext = html_extract(recs.select("doc_id", "html")) \
+        .join(recs.select("doc_id", "host").dropDuplicates(["doc_id"]),
+              "doc_id")
+    enriched = ext.select(
+        "doc_id", "title",
+        registrable_domain("host").alias("domain"),
+        F.col("main_text"),
+        F.size(F.split("main_text", r"\s+")).alias("n_tokens"),
+        F.md5(F.encode(F.col("main_text"), "UTF-8")).alias("body_md5"))
+    kept = exact_dedup(enriched, text_col="main_text",
+                       id_col="doc_id") \
+        .withColumnRenamed("n_copies", "dup_count")
+    return (kept.join(enriched.dropDuplicates(["doc_id"]), "doc_id")
+            .select("doc_id", "domain", "title", "n_tokens",
+                    "dup_count", "body_md5"))
