@@ -35,8 +35,9 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      front, pushing the last four r4 entries (source_orc,
 #      dedup_keep_best, price_histogram, tfidf_terms — all judge-r8
 #      verified, lowest cost to defer) past position 50. Still queued
-#      for r10, new-first: multimodal_gif, url_normalize, source_orc,
-#      dedup_keep_best, price_histogram, tfidf_terms.)
+#      for r10, new-first: dup_spans, strip_dup_spans, multimodal_gif,
+#      url_normalize, source_orc, dedup_keep_best, price_histogram,
+#      tfidf_terms.)
 # After this rotation no entry's latest hard signal is older than r5
 # (r8 re-proved the r6/r7-era 50).
 _R9_NEW = ("multimodal_jpeg", "multimodal_mp4", "source_warc",

@@ -6238,3 +6238,102 @@ def web_pipeline_q(spark, sf_dir):
     return (kept.join(enriched.dropDuplicates(["doc_id"]), "doc_id")
             .select("doc_id", "domain", "title", "n_tokens",
                     "dup_count", "body_md5"))
+
+
+_DUP_SPAN_CORPUS_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' the quick brown fox jumps over the lazy'
+                   || ' dog again and again'
+              ELSE text END AS text
+  FROM documents),
+tk AS (SELECT doc_id,
+              list_filter(string_split_regex(text, '\s+'),
+                          t -> t <> '') AS t
+       FROM corpus),
+pos AS (SELECT doc_id, len(t) AS n, t,
+               unnest(generate_series(1, len(t))) AS p
+        FROM tk WHERE len(t) > 0),
+starts AS (SELECT doc_id, p, array_to_string(t[p:p+7], ' ') AS wt
+           FROM pos WHERE p <= n - 7),
+dupw AS (SELECT wt FROM starts GROUP BY wt HAVING count(*) >= 2),
+flags AS (SELECT doc_id, p, 1 AS is_dup FROM starts
+          WHERE wt IN (SELECT wt FROM dupw)),
+ann AS (SELECT pos.doc_id, pos.p, pos.n, pos.t[pos.p] AS tok,
+               COALESCE(f.is_dup, 0) AS is_dup
+        FROM pos LEFT JOIN flags f
+          ON f.doc_id = pos.doc_id AND f.p = pos.p),
+cov AS (SELECT doc_id, p, n, tok, is_dup,
+               MAX(is_dup) OVER (PARTITION BY doc_id ORDER BY p
+                   RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        FROM ann)
+"""
+
+
+def _dup_span_corpus(spark, sf_dir):
+    """documents with a 12-token boilerplate suffix injected on every
+    doc_id % 5 == 0 row — guaranteed cross-document repeated spans on
+    top of whatever organic duplicates the corpus already has."""
+    _, t = _s(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" the quick brown fox jumps over the "
+                              "lazy dog again and again")))
+        .otherwise(F.col("text")).alias("text"))
+
+
+@query("dup_spans", _DUP_SPAN_CORPUS_SQL + """,
+isl AS (SELECT doc_id, p, n, is_dup, covered,
+               CASE WHEN covered = 1 AND COALESCE(LAG(covered) OVER
+                    (PARTITION BY doc_id ORDER BY p), 0) = 0
+                    THEN 1 ELSE 0 END AS ss
+        FROM cov)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_windows,
+       CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+       CAST(SUM(ss) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(covered) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS dup_frac
+FROM isl GROUP BY doc_id
+""")
+def dup_spans_q(spark, sf_dir):
+    """Substring-level duplicate detection (operators/spans.py — the
+    distributed reformulation of Lee et al.'s ExactSubstr dedup): the
+    repeated spans of each document, found as the union of 8-token
+    windows occurring >= 2 times corpus-wide. The corpus is documents
+    with a known 12-token boilerplate injected on doc_id % 5 == 0 rows
+    (guaranteed cross-doc repeats); the testdata's organic full-doc
+    duplicates light up too. The oracle replays the whole algorithm in
+    SQL — windowing, corpus-wide counts, range-frame coverage, island
+    merge — grouping windows by text where Spark groups by xxhash64
+    (identical counts; the output exposes no hash). Scale shape: after
+    tokenization only 8-16 byte rows shuffle; window counts are
+    map-side combined so hot boilerplate never lands on one task."""
+    from .operators.spans import dup_span_report
+    return dup_span_report(_dup_span_corpus(spark, sf_dir), w=8)
+
+
+@query("strip_dup_spans", _DUP_SPAN_CORPUS_SQL + """
+SELECT doc_id,
+       COALESCE(array_to_string(list_filter(
+           list(CASE WHEN covered = 0 THEN tok END ORDER BY p),
+           x -> x IS NOT NULL), ' '), '') AS clean_text,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(covered) AS BIGINT) AS dup_tokens
+FROM cov GROUP BY doc_id
+""")
+def strip_dup_spans_q(spark, sf_dir):
+    """Repeated-span REMOVAL (operators/spans.py strip_dup_spans):
+    same detection pipeline as dup_spans, then each document's tokens
+    outside all repeated windows are re-joined in original order —
+    the 'keep the unique remainder' transform an LLM training
+    pipeline applies after span detection. Fully-duplicated documents
+    come back as clean_text = ''. Oracle: same SQL replay, final
+    aggregation an order-preserving filtered list; both engines emit
+    byte-identical clean_text because tokenization is the shared
+    whitespace convention."""
+    from .operators.spans import strip_dup_spans
+    return strip_dup_spans(_dup_span_corpus(spark, sf_dir), w=8)
