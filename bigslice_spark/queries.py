@@ -6337,3 +6337,53 @@ def strip_dup_spans_q(spark, sf_dir):
     whitespace convention."""
     from .operators.spans import strip_dup_spans
     return strip_dup_spans(_dup_span_corpus(spark, sf_dir), w=8)
+
+
+@query("charset_decode", """
+    SELECT doc_id,
+      CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'ascii'
+           WHEN 2 THEN 'iso-8859-1' WHEN 3 THEN 'windows-1252'
+           ELSE 'utf-16le' END AS charset,
+      CASE doc_id % 5 WHEN 0 THEN text || ' café'
+           WHEN 1 THEN text
+           WHEN 2 THEN text || ' café'
+           WHEN 3 THEN text || ' price €9'
+           ELSE text || ' café' END AS text,
+      CAST(CASE doc_id % 5 WHEN 0 THEN strlen(text) + 6
+           WHEN 1 THEN strlen(text)
+           WHEN 2 THEN strlen(text) + 5
+           WHEN 3 THEN strlen(text) + 9
+           ELSE 2 * strlen(text) + 12 END AS BIGINT) AS n_bytes
+    FROM documents
+""")
+def charset_decode_q(spark, sf_dir):
+    """Byte-level charset detection + decoding (operators/charset.py),
+    the ingest step between a WARC payload and html_extract. Each
+    document is re-encoded JVM-side into one of five wire forms by
+    doc_id: plain ASCII, UTF-8 with a multibyte suffix, ISO-8859-1
+    (high bytes only in A0-FF), windows-1252 (a raw 0x80 Euro — the
+    C1-range tell), and BOM'd UTF-16LE. decode_auto must label each
+    from the BYTES alone and decode it back; the oracle reconstructs
+    the expected label, decoded text, and exact on-wire byte count
+    from the parquet original (so a wrong encode, a BOM slip, or a
+    mislabel shows as text or n_bytes mismatch). Every probe and all
+    hot-path decodes are whole-stage-codegen expressions — no Python
+    touches payload bytes (tests/test_charset.py pins the plan)."""
+    from .operators.charset import decode_auto
+    _, t = _s(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    txt = F.col("text")
+    cafe = F.concat(txt, F.lit(" café"))
+    payload = (
+        F.when(m == 0, F.encode(cafe, "UTF-8"))
+        .when(m == 1, F.encode(txt, "UTF-8"))
+        .when(m == 2, F.encode(cafe, "ISO-8859-1"))
+        .when(m == 3, F.concat(
+            F.encode(F.concat(txt, F.lit(" price ")), "UTF-8"),
+            F.lit(b"\x809")))
+        .otherwise(F.concat(F.lit(b"\xff\xfe"),
+                            F.encode(cafe, "UTF-16LE"))))
+    docs = t["documents"].select("doc_id", payload.alias("payload"))
+    return decode_auto(docs).select(
+        "doc_id", "charset", "text",
+        F.octet_length("payload").cast("long").alias("n_bytes"))
