@@ -68,3 +68,45 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
         train, eval_df, text_col, id_col, ngram_w, min_shared,
         broadcast_eval).select(F.col("train_id").alias(id_col)).distinct()
     return train.join(flagged, on=id_col, how="left_anti")
+
+
+def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               ngram_w: int = 8, min_shared: int = 1,
+                               fpp: float = 0.01) -> DataFrame:
+    """contamination_report for eval sets TOO BIG TO BROADCAST.
+
+    Same output, different physical plan: the distinct eval shingles
+    become a Bloom filter (operators/bloom.py — built distributed,
+    ~120 MB per 100M keys at 1% fpp), the train corpus's shingles are
+    probe-filtered in one Arrow-batched pass (only 8-byte hashes cross
+    into Python, never text), and the surviving ~fpp fraction joins
+    the real eval shingles for the exact (train_id, eval_id) counts.
+    Bloom rejects are definitive (no false negatives), so the result
+    is EXACTLY contamination_report's. The corpus still never
+    shuffles; the verify join moves ~fpp of its shingles."""
+    from .bloom import bloom_build, bloom_probe
+    from .dedup import _shingle_rows
+    tr = _shingle_rows(train, text_col, id_col, w=ngram_w,
+                       distinct=True).toDF("train_id", "tok")
+    ev = _shingle_rows(eval_df, text_col, id_col, w=ngram_w,
+                       distinct=True).toDF("eval_id", "tok")
+    bloom = bloom_build(ev, "tok", fpp=fpp)
+    cand = (bloom_probe(tr, "tok", bloom)
+            .filter(F.col("__bloom_maybe")).drop("__bloom_maybe"))
+    return (cand.join(ev, on="tok")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
+def decontaminate_bloom(train: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ngram_w: int = 8, min_shared: int = 1,
+                        fpp: float = 0.01) -> DataFrame:
+    """decontaminate() for beyond-broadcast eval sets; exact result."""
+    flagged = contamination_report_bloom(
+        train, eval_df, text_col, id_col, ngram_w, min_shared,
+        fpp).select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(flagged, on=id_col, how="left_anti")

@@ -6387,3 +6387,43 @@ def charset_decode_q(spark, sf_dir):
     return decode_auto(docs).select(
         "doc_id", "charset", "text",
         F.octet_length("payload").cast("long").alias("n_bytes"))
+
+
+@query("decontaminate_bloom", """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM base),
+    toks AS (SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM sh),
+    tr AS (SELECT doc_id AS train_id, tok FROM toks WHERE doc_id % 17 <> 0),
+    ev AS (SELECT doc_id AS eval_id, tok FROM toks WHERE doc_id % 17 = 0)
+    SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (tok)
+    GROUP BY train_id, eval_id
+    HAVING count(*) >= 2
+""")
+def decontaminate_bloom_q(spark, sf_dir):
+    """The decontamination report computed through the BLOOM path
+    (operators/bloom.py + contamination_report_bloom): for eval sets
+    too large to broadcast-join, the distinct eval shingles become a
+    distributed-built Bloom filter (groupBy(word).agg(bit_or) — raw
+    keys never reach the driver), the train corpus is probe-filtered
+    in one Arrow pass where only 8-byte hashes cross into Python, and
+    the surviving ~fpp fraction is verified with a real join. Bloom
+    rejects are definitive, so the oracle is the SAME SQL as the
+    broadcast-path `decontaminate` entry — identical output proves
+    the filter layer changes the plan, not the answer."""
+    from .operators.decontam import contamination_report_bloom
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    tr = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_report_bloom(tr, ev, ngram_w=3, min_shared=2,
+                                      fpp=0.01)
