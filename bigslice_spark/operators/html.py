@@ -147,3 +147,97 @@ def html_extract(df: DataFrame, html_col: str = "html",
     return df.mapInPandas(
         run, schema=f"{id_col} long, title string, text string, "
                     f"main_text string, n_links int, n_blocks int")
+
+
+class _LinkCollector(HTMLParser):
+    """Collect (href, anchor_text) pairs. Browser model: anchors do
+    not nest — a new <a> implicitly closes the previous one."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list = []
+        self._skip_depth = 0
+        self._href = None
+        self._anchor: list = []
+
+    def _close_anchor(self) -> None:
+        if self._href is not None:
+            text = " ".join("".join(self._anchor).split())
+            self.links.append((self._href, text))
+        self._href, self._anchor = None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP:
+            self._skip_depth += 1
+        elif tag == "a":
+            self._close_anchor()
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href is not None:
+                self._href = href.strip()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "a":
+            self._close_anchor()
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and self._href is not None:
+            self._anchor.append(data)
+
+
+def extract_links(html: str, base: str | None = None) -> list:
+    """[(resolved_href, raw_href, anchor_text)] for one page.
+    ``base`` resolves relative hrefs (urljoin semantics: scheme-
+    relative, root-relative, ../ traversal); without a base, resolved
+    == raw. Tolerant: never raises on malformed markup."""
+    from urllib.parse import urljoin
+    lc = _LinkCollector()
+    try:
+        lc.feed(html)
+        lc.close()
+    except Exception:
+        pass
+    lc._close_anchor()
+    out = []
+    for href, anchor in lc.links:
+        if base:
+            try:
+                resolved = urljoin(base, href)
+            except ValueError:
+                resolved = href
+        else:
+            resolved = href
+        out.append((resolved, href, anchor))
+    return out
+
+
+def html_links(df: DataFrame, html_col: str = "html",
+               id_col: str = "doc_id",
+               base_col: str | None = None) -> DataFrame:
+    """The outlink edge list: one row per <a href> per page —
+    (id, href, raw_href, anchor) — the feed for the engine's link
+    graph ops (operators/graph.py pagerank/components run directly
+    on the (src, dst) projection after registrable_domain or
+    url_normalize). Same Arrow-batched zero-shuffle shape as
+    html_extract; relative hrefs resolve against ``base_col`` when
+    given (urljoin). Pages with no links contribute no rows."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            bases = (pdf[base_col] if base_col is not None
+                     else [None] * len(pdf))
+            for rid, h, b in zip(pdf[id_col], pdf[html_col], bases):
+                links = extract_links(
+                    h if isinstance(h, str) else "",
+                    b if isinstance(b, str) else None)
+                for resolved, raw, anchor in links:
+                    out.append((rid, resolved, raw, anchor))
+            yield pd.DataFrame(out, columns=[
+                id_col, "href", "raw_href", "anchor"])
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, href string, raw_href string, "
+                    f"anchor string")

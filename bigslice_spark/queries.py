@@ -6427,3 +6427,53 @@ def decontaminate_bloom_q(spark, sf_dir):
     tr = docs.filter(F.col("doc_id") % 17 != 0)
     return contamination_report_bloom(tr, ev, ngram_w=3, min_shared=2,
                                       fpp=0.01)
+
+
+@query("html_links", """
+    SELECT doc_id, 'https://corpus.test/shared/nav' AS href,
+           'Nav' AS anchor, 'corpus.test' AS dst_domain
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'https://site' || (doc_id % 7) || '.example/page/' || doc_id,
+           'Site ' || (doc_id % 7),
+           'site' || (doc_id % 7) || '.example'
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'https://corpus.test/p/' || (doc_id + 1),
+           'Next', 'corpus.test'
+    FROM documents
+""")
+def html_links_q(spark, sf_dir):
+    """Outlink extraction (operators/html.py html_links) — the edge
+    list that feeds the link-graph operators (pagerank, components in
+    operators/graph.py). Pages are built JVM-side with three known
+    links each: a root-relative nav link, an absolute cross-site
+    link, and a ../-traversal relative link; html_links must find all
+    three in order, resolve them against the page URL (urljoin
+    semantics), and the query reduces each target to its registrable
+    domain (operators/web.py) — the typical graph-node key. The
+    oracle reconstructs every resolved URL and domain from doc_id
+    alone, so a resolution slip (base handling, ../ collapse,
+    scheme-relative) surfaces as a value mismatch."""
+    from .operators.html import html_links
+    from .operators.web import registrable_domain
+    _, t = _s(spark, sf_dir)
+    ids = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><body><div><a href='/shared/nav'>Nav</a></div>"
+              "<p>see <a href=\"https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/page/"), ids, F.lit("\">Site "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</a> and <a href='../p/"),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit("'>Next</a></p></body></html>"))
+    docs = t["documents"].select(
+        "doc_id", page.alias("html"),
+        F.concat(F.lit("https://corpus.test/doc/"), ids).alias("base"))
+    links = html_links(docs, base_col="base")
+    return links.select(
+        "doc_id", "href", "anchor",
+        registrable_domain(
+            F.parse_url(F.col("href"), F.lit("HOST"))).alias("dst_domain"))

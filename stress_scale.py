@@ -116,6 +116,21 @@ def main():
         lambda a: minhash_lsh_pairs(docs[a], threshold=0.5))
     run("bm25", lambda a: bm25_score(
         docs[a], ["fast", "key", "order"], k=20))
+    # r9c: substring-span dedup — the vowel-rotated replicas share no
+    # shingles across replicas, so window-count growth tracks input
+    # (candidate generation), not the all-dup output corner
+    from bigslice_spark.operators.spans import dup_span_report
+    run("dup_spans", lambda a: dup_span_report(docs[a], w=8))
+    # r9c: bloom decontamination — eval side FIXED (the %17 split of
+    # the 1x corpus), train side grows; measures the probe-pass scan
+    from bigslice_spark.operators.decontam import (
+        contamination_report_bloom)
+    ev_fixed = docs[1].filter(F.col("doc_id") % 17 == 0) \
+        .localCheckpoint()
+    run("decontam_bloom",
+        lambda a: contamination_report_bloom(
+            docs[a].filter(F.col("doc_id") % 17 != 0), ev_fixed,
+            ngram_w=3, min_shared=2, fpp=0.01))
     hub_key_fold_stress(spark)
     ivf_cell_scaling(spark, t)
     hot_bucket_stress(spark)

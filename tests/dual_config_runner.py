@@ -92,6 +92,14 @@ BATTERY = [
     # round-9b — the MP4 box parse + sample demux ride mapInPandas
     # (sample-order md5 must be transport/partition-invariant)
     "multimodal_mp4",
+    # round-9c — WARC writes one file per partition (local[1] vs [32]
+    # changes the file layout but must not change the parsed records);
+    # web_pipeline chains sink -> reader -> extract -> dedup across
+    # partition boundaries; dup_spans' window counts and bloom's
+    # distributed bit_or build + Arrow probe must be
+    # partitioning/transport-invariant
+    "source_warc", "html_extract", "web_pipeline", "dup_spans",
+    "strip_dup_spans", "charset_decode", "decontaminate_bloom",
 ]
 
 

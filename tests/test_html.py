@@ -81,3 +81,46 @@ def test_spark_html_extract(spark):
     assert got[0]["text"] == "T\nbody zero"
     assert got[1]["main_text"] == "" and got[1]["n_links"] == 1
     assert got[2]["text"] == "" and got[2]["n_blocks"] == 0
+
+
+def test_html_links_extracts_resolves_and_orders(spark):
+    from bigslice_spark.operators.html import html_links
+    page = ("<html><body>"
+            "<a href='/abs'>Root Rel</a>"
+            "<a href='rel/page'>Doc Rel</a>"
+            "<a href='../up'>Up</a>"
+            "<a href='https://other.example/x'>Abs</a>"
+            "<a href='//cdn.example/y'>Scheme Rel</a>"
+            "<script><a href='/no'>skipped</a></script>"
+            "<a href='/empty'></a>"
+            "text <a>no href</a></body></html>")
+    df = spark.createDataFrame(
+        [(7, page, "https://corpus.test/doc/sub/7")],
+        "doc_id long, html string, base string")
+    rows = html_links(df, base_col="base").collect()
+    got = [(r["href"], r["raw_href"], r["anchor"]) for r in rows]
+    assert got == [
+        ("https://corpus.test/abs", "/abs", "Root Rel"),
+        ("https://corpus.test/doc/sub/rel/page", "rel/page", "Doc Rel"),
+        ("https://corpus.test/doc/up", "../up", "Up"),
+        ("https://other.example/x", "https://other.example/x", "Abs"),
+        ("https://cdn.example/y", "//cdn.example/y", "Scheme Rel"),
+        ("https://corpus.test/empty", "/empty", ""),
+    ]
+
+
+def test_html_links_no_base_and_nested_anchor(spark):
+    from bigslice_spark.operators.html import html_links
+    page = "<a href='/a'>one <a href='/b'>two</a></a>"
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    rows = html_links(df).collect()
+    got = [(r["href"], r["anchor"]) for r in rows]
+    # browser model: second <a> implicitly closes the first
+    assert got == [("/a", "one"), ("/b", "two")]
+
+
+def test_html_links_empty_and_null_pages(spark):
+    from bigslice_spark.operators.html import html_links
+    df = spark.createDataFrame(
+        [(1, None), (2, "no links here")], "doc_id long, html string")
+    assert html_links(df).count() == 0
