@@ -412,3 +412,51 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         F.col(id_col), nw.alias("n_words"),
         *[c.alias(name) for name, c in rules.items()],
         passes.alias("passes"))
+
+
+# --- text normalization (r9c) -------------------------------------
+# The web-ingest cleanup between charset decode / HTML extraction and
+# every downstream text op: kill invisible codepoints, unify the
+# unicode space/quote/dash zoo onto ASCII, drop C0 controls, collapse
+# whitespace runs. Every stage is a codegen expression (translate /
+# regexp_replace / replace) — no Python touches corpus text — and
+# each has an exact DuckDB replay (same translate tables, same RE2-
+# compatible character classes) so the registry oracle replays the
+# whole normalizer.
+
+# removed outright: zero-widths, soft hyphen, BOM/word-joiner, LRM/RLM
+_ZERO_WIDTH_RE = "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}" \
+    "\\x{00AD}\\x{200E}\\x{200F}]"
+# C0 controls except \t \n, plus DEL
+_CTRL_RE = "[\\x{0000}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}]"
+# unicode horizontal spaces -> ASCII space
+_SPACES_SRC = ("\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005"
+               "\u2006\u2007\u2008\u2009\u200a\u202f\u205f\u3000")
+# curly quotes/dashes -> ASCII
+_PUNCT_SRC = ("\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f"
+              "\u2013\u2014\u2015\u2212")
+_PUNCT_DST = "''''" + '""""' + "----"
+
+
+def clean_text(col: Column | str) -> Column:
+    """Normalized text: invisibles removed, unicode spaces/quotes/
+    dashes ASCII-fied, ellipsis expanded, controls stripped,
+    horizontal whitespace runs collapsed to one space, 3+ newlines to
+    2, trimmed. Pure codegen; exact SQL replay in the text_clean
+    oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _ZERO_WIDTH_RE, "")
+    c = F.translate(c, _SPACES_SRC, " " * len(_SPACES_SRC))
+    c = F.translate(c, _PUNCT_SRC, _PUNCT_DST)
+    c = F.replace(c, F.lit("…"), F.lit("..."))
+    c = F.regexp_replace(c, _CTRL_RE, "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return F.trim(c)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "clean_text") -> DataFrame:
+    """Append the normalized text column — zero-shuffle projection."""
+    return df.withColumn(out_col, clean_text(text_col))

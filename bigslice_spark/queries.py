@@ -6477,3 +6477,32 @@ def html_links_q(spark, sf_dir):
         "doc_id", "href", "anchor",
         registrable_domain(
             F.parse_url(F.col("href"), F.lit("HOST"))).alias("dst_domain"))
+
+
+@query("text_clean", """
+    SELECT doc_id,
+           text || ' "curly" - dash... nb sp xzw tab end' AS clean_text,
+           CAST(strlen(text) + 36 AS BIGINT) AS n_chars
+    FROM documents
+""")
+def text_clean_q(spark, sf_dir):
+    """Unicode text normalization (operators/text.py clean_text) —
+    the cleanup between charset decode / HTML extraction and every
+    downstream text op. Each document gets a constant suffix of
+    unicode mess appended JVM-side (curly quotes, em dash, ellipsis,
+    NBSP run, zero-width space, bell control, tab run, exotic
+    spaces); clean_text must remove the invisibles, ASCII-fy the
+    quote/dash/space zoo, expand the ellipsis, strip the control,
+    and collapse the runs. The oracle is HAND-COMPUTED (not a
+    replay): the expected normalized string is written literally
+    from the rules, so a normalizer bug cannot hide by breaking
+    both sides identically. Zero-shuffle codegen projection
+    (plan-gated in tests/test_operators.py)."""
+    from .operators.text import clean_text
+    _, t = _s(spark, sf_dir)
+    mess = (" \u201ccurly\u201d \u2014 dash\u2026 nb\u00a0\u00a0sp"
+            " x\u200bzw tab\t\t\u2003end\u0007")
+    dirty = F.concat(F.col("text"), F.lit(mess))
+    return t["documents"].select(
+        "doc_id", clean_text(dirty).alias("clean_text"),
+        F.length(clean_text(dirty)).cast("long").alias("n_chars"))

@@ -3022,3 +3022,33 @@ def test_url_tools(spark):
     # scale shape: normalization is a zero-shuffle projection
     from bigslice_spark.plans import count_exchanges
     assert count_exchanges(url_normalize(df)) == 0
+
+
+def test_clean_text_normalizes_unicode_zoo(spark):
+    from bigslice_spark.operators.text import normalize_text
+    dirty = ("\u201cQuoted\u201d \u2018s\u2019 \u2014 dash\u2026"
+             " a\u00a0\u00a0b x\u200bzw ctl\u0007done\t\ttabs"
+             "\n\n\n\npara\u2009\u2003end ")
+    df = spark.createDataFrame([(1, dirty)], "id long, text string")
+    got = normalize_text(df).collect()[0]["clean_text"]
+    assert got == ('"Quoted" \'s\' - dash... a b xzw ctldone tabs'
+                   "\n\npara end")
+
+
+def test_clean_text_is_identity_on_clean_ascii(spark):
+    from bigslice_spark.operators.text import normalize_text
+    df = spark.createDataFrame(
+        [(1, "already clean single spaced text")],
+        "id long, text string")
+    got = normalize_text(df).collect()[0]["clean_text"]
+    assert got == "already clean single spaced text"
+
+
+def test_clean_text_plan_is_pure_projection(spark):
+    from bigslice_spark.operators.text import normalize_text
+    from bigslice_spark.plans import count_exchanges, explain_str
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    out = normalize_text(df)
+    assert count_exchanges(out) == 0
+    plan = explain_str(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
