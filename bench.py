@@ -59,6 +59,12 @@ HEADLINE = [
     # dot-product codegen (constant, amortized at scale — the
     # dedup_minhash story); keep the JIT-heavy tail at the end.
     "semantic_dedup",
+    # added round 9 (ratchet starts at r9): the web-ingest chain and
+    # the two new shuffle-heavy dedup/membership ops
+    "web_pipeline",
+    "dup_spans",
+    "decontaminate_bloom",
+    "text_clean",
 ]
 
 

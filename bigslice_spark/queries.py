@@ -6506,3 +6506,58 @@ def text_clean_q(spark, sf_dir):
     return t["documents"].select(
         "doc_id", clean_text(dirty).alias("clean_text"),
         F.length(clean_text(dirty)).cast("long").alias("n_chars"))
+
+
+@query("sketch_rollup", """
+    SELECT event_type AS key,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_ok, TRUE AS merge_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           TRUE, TRUE
+    FROM events
+""")
+def sketch_rollup_q(spark, sf_dir):
+    """Mergeable distinct-count sketches (DataSketches HLL via
+    Spark's hll_sketch_agg/hll_union_agg) — THE 100 TB distinct
+    pattern: per-slice sketches built independently (per day, per
+    partition, per source) and merged WITHOUT rescanning, where
+    countDistinct would need a full reshuffle of raw keys per
+    question asked. Here: one HLL per event_type over user_id, then
+    the global estimate from hll_union_agg over the five per-type
+    sketches. Correctness is oracled as guarantees-as-data (the
+    heavy_hitters_approx convention): per row, est_ok pins the
+    estimate within 2% of the exact distinct (lgK=14 gives ~0.8%
+    RSE) and merge_ok pins union-of-sketches == direct-global-sketch
+    within 0.5% (DataSketches register-max union — measured exactly
+    equal); the oracle recomputes the exact counts and expects every
+    flag TRUE. The exact countDistincts exist only to CHECK the
+    sketches — the production path at scale is sketches alone."""
+    _, t = _s(spark, sf_dir)
+    ev = t["events"]
+    nex = F.col("n_exact").cast("double")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"))
+    per = sk.select(
+        F.col("event_type").alias("key"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        ((F.abs(F.hll_sketch_estimate("sk") - nex) / nex) <= 0.02)
+        .alias("est_ok"),
+        F.lit(True).alias("merge_ok"))
+    merged = sk.agg(F.hll_sketch_estimate(
+        F.hll_union_agg("sk", F.lit(False))).alias("m"))
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))).alias("d"),
+        F.countDistinct("user_id").alias("nx"))
+    allrow = merged.crossJoin(direct).select(   # singleton x singleton
+        F.lit("__all__").alias("key"),
+        F.col("nx").cast("long").alias("n_exact"),
+        ((F.abs(F.col("m") - F.col("nx").cast("double"))
+          / F.col("nx").cast("double")) <= 0.02).alias("est_ok"),
+        ((F.abs(F.col("m") - F.col("d"))
+          / F.greatest(F.col("d"), F.lit(1.0))) <= 0.005)
+        .alias("merge_ok"))
+    return per.unionByName(allrow)

@@ -100,7 +100,7 @@ BATTERY = [
     # partitioning/transport-invariant
     "source_warc", "html_extract", "web_pipeline", "dup_spans",
     "strip_dup_spans", "charset_decode", "decontaminate_bloom",
-    "html_links", "text_clean",
+    "html_links", "text_clean", "sketch_rollup",
 ]
 
 

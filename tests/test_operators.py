@@ -3052,3 +3052,21 @@ def test_clean_text_plan_is_pure_projection(spark):
     assert count_exchanges(out) == 0
     plan = explain_str(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_sketches_merge_like_partial_aggs(spark, tables):
+    # the sketch_rollup invariant at unit scale: building one sketch
+    # per slice and unioning equals building one sketch over the
+    # whole input (register-max merge), and both track the exact
+    # distinct within the lgK=14 error bound
+    import pyspark.sql.functions as F
+    ev = tables["events"]
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    merged = sk.agg(F.hll_sketch_estimate(
+        F.hll_union_agg("sk", F.lit(False))).alias("m")).collect()[0]["m"]
+    direct = ev.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id", F.lit(14))).alias("d")).collect()[0]["d"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - direct) <= 0.005 * max(direct, 1.0)
+    assert abs(merged - exact) <= 0.02 * max(exact, 1)
