@@ -6561,3 +6561,110 @@ def sketch_rollup_q(spark, sf_dir):
           / F.greatest(F.col("d"), F.lit(1.0))) <= 0.005)
         .alias("merge_ok"))
     return per.unionByName(allrow)
+
+
+@query("corpus_overlap", """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           TRUE AS est_ok
+    FROM d a JOIN d b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+""")
+def corpus_overlap_q(spark, sf_dir):
+    """Set-intersection sketches (DataSketches Theta via
+    theta_sketch_agg/theta_intersection) — the corpus-overlap
+    question ('how many users/documents do slices A and B share?')
+    answered from per-slice sketches WITHOUT a raw-key join: at
+    100 TB the exact pairwise overlap of N corpus slices needs N^2
+    distinct-joins over raw keys, while theta sketches are built once
+    per slice and intersect pairwise as tiny binary blobs. Oracled as
+    guarantees-as-data: n_overlap is the EXACT pairwise overlap (the
+    oracle recomputes it relationally) and est_ok pins the sketch
+    estimate within 5% of it (exact in sparse mode at these sizes).
+    The pairwise crossJoin is sketch-table x sketch-table — 5x5
+    rows, never data-scale."""
+    _, t = _s(spark, sf_dir)
+    ev = t["events"]
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk"))
+    a, b = sk.alias("a"), sk.alias("b")
+    est = (a.crossJoin(b)                       # 5x5 sketch rows
+           .filter(F.col("a.event_type") < F.col("b.event_type"))
+           .select(F.col("a.event_type").alias("type_a"),
+                   F.col("b.event_type").alias("type_b"),
+                   F.theta_sketch_estimate(
+                       F.theta_intersection(F.col("a.sk"),
+                                            F.col("b.sk"))).alias("est")))
+    d = ev.select("event_type", "user_id").distinct()
+    exact = (d.alias("x").join(d.alias("y"), "user_id")
+             .filter(F.col("x.event_type") < F.col("y.event_type"))
+             .groupBy(F.col("x.event_type").alias("type_a"),
+                      F.col("y.event_type").alias("type_b"))
+             .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (exact.join(est, ["type_a", "type_b"])
+            .select("type_a", "type_b",
+                    F.col("n_overlap").cast("long").alias("n_overlap"),
+                    (F.abs(F.col("est")
+                           - F.col("n_overlap").cast("double"))
+                     <= 0.05 * F.col("n_overlap").cast("double"))
+                    .alias("est_ok")))
+
+
+@query("quantile_sketch", """
+    SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE), TRUE, TRUE),
+                          (CAST(0.9 AS DOUBLE), TRUE, TRUE),
+                          (CAST(0.99 AS DOUBLE), TRUE, TRUE))
+        AS t(p, merged_rank_ok, direct_rank_ok)
+""")
+def quantile_sketch_q(spark, sf_dir):
+    """Mergeable quantile sketches (DataSketches KLL via
+    kll_sketch_agg_double / the two-arg kll_sketch_merge_double) --
+    the scale pattern for percentiles over data too big to sort:
+    per-slice sketches merge associatively, so daily sketches answer
+    any later quantile question without rescanning. Here the events
+    table is split into two halves by event_id parity, each half gets
+    its own KLL over `value`, the halves MERGE, and the merged
+    sketch's p50/p90/p99 are checked against the EXACT empirical rank
+    (count(value <= q)/n, computed relationally): guarantees-as-data,
+    the oracle expects every rank within 5% of its target (KLL k=200
+    is ~1.3% single-sketch). direct_rank_ok runs the same check on a
+    sketch built over the whole table, pinning that merging two
+    halves loses nothing beyond the documented bound. (The quantile
+    rank argument must be a foldable literal, hence one column per
+    percentile rather than an exploded rank column.)"""
+    PS = (0.5, 0.9, 0.99)
+    _, t = _s(spark, sf_dir)
+    ev = t["events"].select(
+        (F.col("event_id") % 2).alias("half"),
+        F.col("value").cast("double").alias("v"))
+    halves = ev.groupBy("half").agg(
+        F.kll_sketch_agg_double("v").alias("k"))
+    h0 = halves.filter(F.col("half") == 0).select(
+        F.col("k").alias("k0"))
+    h1 = halves.filter(F.col("half") == 1).select(
+        F.col("k").alias("k1"))
+    merged = h0.crossJoin(h1).select(      # singleton x singleton
+        F.kll_sketch_merge_double("k0", "k1").alias("km"))
+    direct = ev.agg(F.kll_sketch_agg_double("v").alias("kd"))
+    q = merged.crossJoin(direct).select(
+        *[F.kll_sketch_get_quantile_double("km", F.lit(p))
+          .alias(f"qm{i}") for i, p in enumerate(PS)],
+        *[F.kll_sketch_get_quantile_double("kd", F.lit(p))
+          .alias(f"qd{i}") for i, p in enumerate(PS)])
+    agg = ev.crossJoin(F.broadcast(q)).agg(   # scalar row broadcast
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[F.sum((F.col("v") <= F.col(f"qm{i}")).cast("long"))
+          .cast("double").alias(f"cm{i}") for i in range(len(PS))],
+        *[F.sum((F.col("v") <= F.col(f"qd{i}")).cast("long"))
+          .cast("double").alias(f"cd{i}") for i in range(len(PS))])
+    rows = agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(p).alias("p"),
+            (F.abs(F.col(f"cm{i}") / F.col("n") - F.lit(p)) <= 0.05)
+            .alias("merged_rank_ok"),
+            (F.abs(F.col(f"cd{i}") / F.col("n") - F.lit(p)) <= 0.05)
+            .alias("direct_rank_ok"))
+        for i, p in enumerate(PS)])).alias("s"))
+    return rows.select("s.*")

@@ -94,12 +94,23 @@ def main():
             # scan). The noop sink fully evaluates every column JVM-side
             # with zero sink cost. Row count is reported from a separate
             # untimed pass — metadata only, not part of the measurement.
-            t0 = time.time()
-            df.write.mode("overwrite").format("noop").save()
-            wall = round(time.time() - t0, 2)
+            #
+            # MEDIAN-OF-3 after recording the cold run (r9c): a single
+            # shot conflates the one-time JVM warmup with scaling — at
+            # 16x the first evaluation of a window-heavy plan measured
+            # 104s cold vs 3.9s warm on identical plans (tiered-JIT +
+            # heap growth, paid once per executor JVM in production).
+            # "sec" (the scaling curve) is the warm median; "cold_sec"
+            # keeps the warmup visible instead of hiding it.
+            walls = []
+            for _ in range(4):
+                t0 = time.time()
+                df.write.mode("overwrite").format("noop").save()
+                walls.append(round(time.time() - t0, 2))
             n = df.count()
             print(json.dumps({"op": name, "amp": amp, "rows": n,
-                              "sec": wall}), flush=True)
+                              "sec": sorted(walls[1:])[1],
+                              "cold_sec": walls[0]}), flush=True)
 
     docs = {a: amplify_docs(t["documents"], a).localCheckpoint()
             for a in AMPS}

@@ -100,7 +100,8 @@ BATTERY = [
     # partitioning/transport-invariant
     "source_warc", "html_extract", "web_pipeline", "dup_spans",
     "strip_dup_spans", "charset_decode", "decontaminate_bloom",
-    "html_links", "text_clean", "sketch_rollup",
+    "html_links", "text_clean", "sketch_rollup", "corpus_overlap",
+    "quantile_sketch",
 ]
 
 
