@@ -140,8 +140,17 @@ def bloom_probe(df: DataFrame, col: str, bloom: Bloom,
                     & np.uint64(1)).astype(bool)
         return pd.Series(out)
 
+    # asNondeterministic PINS the Arrow node where it is written. The
+    # probe is pure, but left deterministic Catalyst pushes the
+    # probe-filter below upstream aggregates/projections — measured on
+    # the decontamination pipeline: the UDF lands inside the shingle
+    # window stage, evaluates TWICE (pushed filter + original column),
+    # and the python runner's row queue buffers the WIDE pre-projection
+    # rows (full document text per token row): 46s vs 3s at 16x sf0.1.
+    # Callers only ever filter on the probe's own output, so pinning
+    # it after the narrow projection is always the right plan.
     h1, h2 = _hash_cols(F.col(col))
-    return df.withColumn(out_col, _probe(h1, h2))
+    return df.withColumn(out_col, _probe.asNondeterministic()(h1, h2))
 
 
 def bloom_semi_join(big: DataFrame, small: DataFrame, on: str,

@@ -95,7 +95,13 @@ def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
     bloom = bloom_build(ev, "tok", fpp=fpp)
     cand = (bloom_probe(tr, "tok", bloom)
             .filter(F.col("__bloom_maybe")).drop("__bloom_maybe"))
-    return (cand.join(ev, on="tok")
+    # Pin the verify join: Catalyst sizes the python-filtered cand side
+    # as tiny and tries to BROADCAST it — but candidates are fpp*corpus
+    # + true hits, never broadcastable at scale (and the whole premise
+    # here is that even ev is too big to broadcast). shuffle_hash on ev
+    # builds the per-partition hash table from the genuinely smaller
+    # side with no sort of either side.
+    return (cand.join(ev.hint("shuffle_hash"), on="tok")
             .groupBy("train_id", "eval_id")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= min_shared))
