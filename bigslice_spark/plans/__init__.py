@@ -139,6 +139,14 @@ def plan_report(df: DataFrame) -> dict:
     - n_python: ArrowEvalPython/BatchEvalPython/MapInPandas nodes —
       Python in the plan; fine over vocab-scale relations, a red flag
       directly over a corpus-scale scan;
+    - duplicated_python_udf: the SAME python UDF name appears in more
+      than one eval node — the classic symptom of Catalyst pushing a
+      filter on a DETERMINISTIC pandas-UDF column below the aggregate
+      or projection it was written above, evaluating the UDF twice
+      and queueing the (possibly wide) upstream rows through the
+      python runner's rejoin buffer. Fix: udf.asNondeterministic()
+      pins the node where written (the r9c bloom_probe finding:
+      81s -> 5s-equivalent at 16x);
     - pushed_scans: (read_schema, pushed_filters) per parquet scan.
 
     The same predicates the tests/test_plans.py gates assert, exposed
@@ -159,8 +167,20 @@ def plan_report(df: DataFrame) -> dict:
         "n_python": sum(tree.count(m) for m in
                         ("ArrowEvalPython", "BatchEvalPython",
                          "MapInPandas", "FlatMapGroupsInPandas")),
+        "duplicated_python_udf": _duplicated_python_udf(tree),
         "pushed_scans": scans_with_pushed_filters(df),
     }
+
+
+def _duplicated_python_udf(tree: str) -> bool:
+    """True when one python UDF name is evaluated by more than one
+    Arrow/Batch eval node (the determinism-pushdown symptom)."""
+    import re
+    names: list = []
+    for ln in tree.splitlines():
+        if "ArrowEvalPython" in ln or "BatchEvalPython" in ln:
+            names.extend(re.findall(r"\[(\w+)\(", ln))
+    return len(names) != len(set(names))
 
 
 def _tree(df: DataFrame) -> str:

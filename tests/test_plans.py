@@ -708,3 +708,40 @@ def test_fold_stream_segmented_two_stages(spark, tables):
     plan = explain_str(out.df)
     assert count_exchanges(out.df) == 2, plan[:1200]
     assert "__acc__" in plan
+
+
+def test_bloom_probe_single_python_eval(spark, tables):
+    # the r9c pushdown finding: a deterministic pandas UDF whose
+    # output is filtered gets pushed below the distinct and evaluated
+    # twice; bloom_probe pins its UDF (asNondeterministic) so exactly
+    # ONE Arrow node plans, above the narrow projection
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.bloom import bloom_build, bloom_probe
+    from bigslice_spark.operators.dedup import _shingle_rows
+    from bigslice_spark.plans import plan_report
+    tr = _shingle_rows(tables["documents"], "text", "doc_id",
+                       w=3, distinct=True).toDF("train_id", "tok")
+    bl = bloom_build(tr.limit(100), "tok")
+    rep = plan_report(bloom_probe(tr, "tok", bl)
+                      .filter(F.col("__bloom_maybe")))
+    assert rep["n_python"] == 1
+    assert not rep["duplicated_python_udf"]
+
+
+def test_plan_report_flags_duplicated_python_udf(spark, tables):
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+    from bigslice_spark.operators.dedup import _shingle_rows
+    from bigslice_spark.plans import plan_report
+
+    @pandas_udf("boolean")
+    def det(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        return h1 > h2
+
+    tr = _shingle_rows(tables["documents"], "text", "doc_id",
+                       w=3, distinct=True).toDF("train_id", "tok")
+    bad = tr.withColumn(
+        "m", det(F.xxhash64("tok"), F.xxhash64("tok", F.lit(1)))) \
+        .filter("m")
+    assert plan_report(bad)["duplicated_python_udf"]
