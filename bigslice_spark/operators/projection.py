@@ -119,3 +119,36 @@ def write_range_sorted(df: DataFrame, path: str, cols: list[str],
     (df.repartitionByRange(n_files, *[F.col(c) for c in cols])
        .sortWithinPartitions(*cols)
        .write.mode("overwrite").parquet(path))
+
+
+def write_bucketed(df, path: str, table: str, bucket_cols,
+                   n_buckets: int = 8, sort_cols=None,
+                   mode: str = "overwrite"):
+    """Write ``df`` as a BUCKETED external table and return it.
+
+    Bucketing is the co-located-join layout: both sides of a
+    recurring join written with the same bucket count on the join
+    key read back pre-partitioned, so the join plans with ZERO
+    exchanges of either table — at 100 TB that deletes the two
+    biggest shuffles a fact-fact join would otherwise pay, every
+    time the tables are joined, for one layout cost at write time.
+    (Spark only honors bucketing through the catalog, hence
+    saveAsTable with an explicit external ``path``; the in-memory
+    catalog is enough, no Hive metastore needed.)
+
+    ``sort_cols`` (defaults to the bucket columns) additionally
+    sorts within buckets, letting the sort-merge join skip its
+    per-partition sort. Reference: bigslice has no persistent
+    layout control at all (shard placement is runtime-only,
+    exec/bigmachine.go); this is Spark-native surface."""
+    bucket_cols = ([bucket_cols] if isinstance(bucket_cols, str)
+                   else list(bucket_cols))
+    sort_cols = (bucket_cols if sort_cols is None
+                 else ([sort_cols] if isinstance(sort_cols, str)
+                       else list(sort_cols)))
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (df.write.mode(mode).option("path", path)
+       .bucketBy(n_buckets, *bucket_cols).sortBy(*sort_cols)
+       .saveAsTable(table))
+    return spark.table(table)

@@ -6668,3 +6668,39 @@ def quantile_sketch_q(spark, sf_dir):
             .alias("direct_rank_ok"))
         for i, p in enumerate(PS)])).alias("s"))
     return rows.select("s.*")
+
+
+@query("bucketed_join", f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {_dsum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+""")
+def bucketed_join_q(spark, sf_dir):
+    """Bucketed co-located join (operators/projection.py
+    write_bucketed): lineitem and orders are laid out as bucketed
+    external tables on the join key (same bucket count, bucket-sorted)
+    and joined straight from the layout — the join itself plans with
+    ZERO Exchange of either table (gated in tests/test_plans.py; the
+    only exchange left is the final 5-row priority aggregate). At
+    100 TB this is THE recurring-fact-join answer: one layout cost at
+    write time deletes both shuffle legs from every subsequent join.
+    The oracle replays the same join relationally from the raw
+    parquet, so the bucketed write must be lossless too."""
+    import tempfile
+
+    from .operators.projection import write_bucketed
+    _, t = _s(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="bss_bkt_")
+    suffix = d.rsplit("_", 1)[-1]
+    li = write_bucketed(t["lineitem"].select("l_orderkey",
+                                             "l_extendedprice"),
+                        f"{d}/li", f"bkt_li_{suffix}", "l_orderkey")
+    o = write_bucketed(t["orders"].select("o_orderkey",
+                                          "o_orderpriority"),
+                       f"{d}/o", f"bkt_o_{suffix}", "o_orderkey")
+    j = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 dsum("l_extendedprice").alias("revenue")))

@@ -745,3 +745,32 @@ def test_plan_report_flags_duplicated_python_udf(spark, tables):
         "m", det(F.xxhash64("tok"), F.xxhash64("tok", F.lit(1)))) \
         .filter("m")
     assert plan_report(bad)["duplicated_python_udf"]
+
+
+def test_bucketed_join_has_no_table_exchanges(spark, sf_dir):
+    # the co-located-join guarantee: both bucketed tables read back
+    # pre-partitioned on the join key; the ONLY exchange in the plan
+    # is the final tiny group-by, never either table
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.projection import write_bucketed
+    from bigslice_spark.plans import explain_str
+    from bigslice_spark.session import load_tables
+    t = load_tables(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="bkt_gate_")
+    sfx = d.rsplit("_", 1)[-1]
+    li = write_bucketed(t["lineitem"].select("l_orderkey",
+                                             "l_extendedprice"),
+                        f"{d}/li", f"gate_li_{sfx}", "l_orderkey")
+    o = write_bucketed(t["orders"].select("o_orderkey",
+                                          "o_orderpriority"),
+                       f"{d}/o", f"gate_o_{sfx}", "o_orderkey")
+    j = (li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+         .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
+    txt = explain_str(j)
+    from bigslice_spark.plans import count_exchanges
+    # exactly one exchange, and it is the agg key, not a join key
+    assert count_exchanges(j) == 1, txt[:1500]
+    first = txt[txt.find("Exchange"):txt.find("Exchange") + 120]
+    assert "orderkey" not in first, first
