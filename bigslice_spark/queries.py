@@ -6704,3 +6704,48 @@ def bucketed_join_q(spark, sf_dir):
     return (j.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
                  dsum("l_extendedprice").alias("revenue")))
+
+
+@query("stream_warc", """
+    SELECT doc_id, 'response' AS warc_type,
+           200 AS http_status, text,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+""")
+def stream_warc_q(spark, sf_dir):
+    """STREAMING WARC ingest (sources/warc.py warc_stream_reader):
+    the same crawl files the batch source_warc entry round-trips,
+    consumed incrementally through readStream(binaryFile) — the
+    landing-directory pattern where new .warc.gz files appear as a
+    crawl runs and each is parsed exactly once (checkpoint-tracked).
+    Parsing is the shared Arrow stage with the batch reader, so this
+    entry pins batch/stream parity: the oracle is the same
+    losslessness check as source_warc (doc_id from the target URI,
+    text from the HTTP response body). Stateless stream — no
+    watermark, append mode."""
+    import tempfile
+
+    from .sources.warc import warc_sink, warc_stream_reader
+    from .streaming import run_to_completion
+    _, t = _s(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="bss_warcstream_")
+    body = F.encode(F.col("text"), "UTF-8")
+    head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+              "charset=utf-8\r\nContent-Length: "),
+        F.octet_length(body).cast("string"), F.lit("\r\n\r\n"))
+    docs = t["documents"].select(
+        F.concat(F.lit("https://corpus.test/doc/"),
+                 F.col("doc_id").cast("string")).alias("target_uri"),
+        F.concat(F.encode(head, "UTF-8"), body).alias("payload"))
+    warc_sink(docs, d, warc_type="response",
+              content_type="application/http; msgtype=response") \
+        .collect()
+    recs = warc_stream_reader(spark, d, glob="*.warc.gz").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "warc_type", "http_status",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.octet_length("payload").cast("long").alias("n_bytes"))
+    return run_to_completion(recs, "bs_stream_warc",
+                             output_mode="append")

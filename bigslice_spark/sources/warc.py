@@ -205,29 +205,55 @@ def warc_reader(spark: SparkSession, path: str,
     if glob:
         r = r.option("pathGlobFilter", glob)
     raw = r.load(path)
+    return raw.select("path", "content").mapInPandas(_parse_batches,
+                                                     schema=WARC_SCHEMA)
 
-    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                for headers, payload in parse_warc(bytes(content)):
-                    wtype = headers.get("WARC-Type", "")
-                    status = hct = None
-                    if wtype == "response":
-                        status, hct, payload = \
-                            split_http_payload(payload)
-                    rows.append((
-                        fpath, wtype, headers.get("WARC-Record-ID"),
-                        headers.get("WARC-Date"),
-                        headers.get("WARC-Target-URI"),
-                        headers.get("Content-Type"), status, hct,
-                        payload))
-            yield pd.DataFrame(rows, columns=[
-                "file", "warc_type", "record_id", "warc_date",
-                "target_uri", "content_type", "http_status",
-                "http_content_type", "payload"])
 
-    return raw.select("path", "content").mapInPandas(parse,
+def _parse_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """(path, content) batches -> parsed WARC record rows (the shared
+    Arrow stage behind warc_reader and warc_stream_reader)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for fpath, content in zip(pdf["path"], pdf["content"]):
+            for headers, payload in parse_warc(bytes(content)):
+                wtype = headers.get("WARC-Type", "")
+                status = hct = None
+                if wtype == "response":
+                    status, hct, payload = \
+                        split_http_payload(payload)
+                rows.append((
+                    fpath, wtype, headers.get("WARC-Record-ID"),
+                    headers.get("WARC-Date"),
+                    headers.get("WARC-Target-URI"),
+                    headers.get("Content-Type"), status, hct,
+                    payload))
+        yield pd.DataFrame(rows, columns=[
+            "file", "warc_type", "record_id", "warc_date",
+            "target_uri", "content_type", "http_status",
+            "http_content_type", "payload"])
+
+
+def warc_stream_reader(spark: SparkSession, path: str,
+                       glob: str | None = None) -> DataFrame:
+    """STREAMING WARC ingest: readStream over a landing directory of
+    .warc.gz files -> the same parsed record rows as warc_reader,
+    incrementally as crawl files arrive. The binaryFile source tracks
+    processed files in the checkpoint, so each WARC is parsed exactly
+    once; parsing is the same shared Arrow stage as the batch reader
+    (one file per row in, records out — stateless, so any trigger
+    cadence works and no watermark is needed until an aggregation is
+    stacked on top)."""
+    # streaming file sources demand an explicit schema; binaryFile's
+    # is fixed by the format
+    r = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    raw = r.load(path)
+    return raw.select("path", "content").mapInPandas(_parse_batches,
                                                      schema=WARC_SCHEMA)
 
 

@@ -101,7 +101,7 @@ BATTERY = [
     "source_warc", "html_extract", "web_pipeline", "dup_spans",
     "strip_dup_spans", "charset_decode", "decontaminate_bloom",
     "html_links", "text_clean", "sketch_rollup", "corpus_overlap",
-    "quantile_sketch", "bucketed_join",
+    "quantile_sketch", "bucketed_join", "stream_warc",
 ]
 
 

@@ -137,3 +137,38 @@ def test_spark_reader_splits_http(spark, tmp_path):
     assert bytes(resp["payload"]).decode() == "<p>pagé</p>"
     # request records keep their raw block (no response-head split)
     assert bytes(out["request"]["payload"]).startswith(b"GET /")
+
+
+def test_warc_stream_reader_matches_batch(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigslice_spark.sources.warc import (warc_reader, warc_sink,
+                                             warc_stream_reader)
+    from bigslice_spark.streaming import run_to_completion
+
+    d = tempfile.mkdtemp(prefix="warc_stream_")
+    body = F.encode(F.concat(F.lit("doc "), F.col("id")), "UTF-8")
+    head = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+              "Content-Length: "),
+        F.octet_length(body).cast("string"), F.lit("\r\n\r\n"))
+    docs = spark.range(40).select(
+        F.concat(F.lit("https://x.test/"), F.col("id"))
+        .alias("target_uri"),
+        F.concat(F.encode(head, "UTF-8"), body).alias("payload"))
+    warc_sink(docs, d, warc_type="response",
+              content_type="application/http; msgtype=response") \
+        .collect()
+    batch = {r["target_uri"]: bytes(r["payload"])
+             for r in warc_reader(spark, d, glob="*.warc.gz").collect()}
+    stream = warc_stream_reader(spark, d, glob="*.warc.gz") \
+        .select("target_uri", "payload", "http_status")
+    got = run_to_completion(stream, "t_warc_stream",
+                            output_mode="append")
+    rows = got.collect()
+    assert len(rows) == 40 == len(batch)
+    for r in rows:
+        assert bytes(r["payload"]) == batch[r["target_uri"]]
+        assert r["http_status"] == 200
