@@ -6749,3 +6749,36 @@ def stream_warc_q(spark, sf_dir):
         F.octet_length("payload").cast("long").alias("n_bytes"))
     return run_to_completion(recs, "bs_stream_warc",
                              output_mode="append")
+
+
+@query("similarity_pq", """
+    SELECT vec_id AS qid, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+""")
+def similarity_pq_q(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py — the IVF+PQ-standard
+    compressed-domain search): per-subspace deterministic k-means
+    codebooks, one codegen encode projection to m=8 one-byte codes
+    (64x vector compression), ADC scoring as m table lookups per
+    candidate, exact cosine re-rank of the 16k-deep shortlist. Like
+    similarity_ivf, codebooks aren't ANSI-SQL-replayable, so the
+    entry is PROPERTY-checked: per query, recall@10 against the
+    brute-force ground truth must be >= 0.5 (measured: 0.8-1.0 at
+    sf0.01, >= 0.5 at sf0.1; training is bitwise-deterministic so the
+    booleans are stable)."""
+    from .operators.pq import pq_topk, pq_train
+    from .operators.similarity import brute_force_topk
+    _, t = _s(spark, sf_dir)
+    emb = t["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, m=8, ksub=16, dim=64, iters=2)
+    pq = pq_topk(emb, qs, books, k=10, dim=64, oversample=16)
+    bf = brute_force_topk(emb, qs, k=10, dim=64)
+    hits = (pq.select("qid", "nid")
+            .join(bf.select("qid", "nid"), ["qid", "nid"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (bf.select("qid").distinct()
+            .join(hits, on="qid", how="left")
+            .select("qid",
+                    (F.coalesce(F.col("n_hits"), F.lit(0)) >= 5)
+                    .alias("recall_ok")))

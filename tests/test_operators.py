@@ -3070,3 +3070,44 @@ def test_hll_sketches_merge_like_partial_aggs(spark, tables):
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - direct) <= 0.005 * max(direct, 1.0)
     assert abs(merged - exact) <= 0.02 * max(exact, 1)
+
+
+def test_pq_encode_roundtrip_properties(spark, tables):
+    # codes are m small ints; encoding is deterministic and
+    # zero-shuffle; nearest-centroid property holds per subspace
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.pq import pq_encode, pq_train
+    from bigslice_spark.plans import count_exchanges
+    emb = tables["embeddings"]
+    books = pq_train(emb, m=4, ksub=8, dim=64, iters=1)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    enc = pq_encode(emb, books, dim=64)
+    assert count_exchanges(enc) == 0
+    rows = enc.collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r["codes"])
+    # deterministic: re-encode equals
+    again = {r["nid"]: list(r["codes"]) for r in
+             pq_encode(emb, books, dim=64).collect()}
+    assert all(list(r["codes"]) == again[r["nid"]] for r in rows)
+
+
+def test_pq_topk_beats_random_and_reranks_exact(spark, tables):
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.pq import pq_topk, pq_train
+    from bigslice_spark.operators.similarity import brute_force_topk
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 3)
+    books = pq_train(emb, m=8, ksub=16, dim=64, iters=2)
+    pq = pq_topk(emb, qs, books, k=10, dim=64, oversample=16)
+    bf = brute_force_topk(emb, qs, k=10, dim=64)
+    # exact cosine on returned rows: PQ's cosine for a (qid, nid) it
+    # shares with brute force must MATCH brute force's bitwise
+    bfv = {(r["qid"], r["nid"]): r["cosine"] for r in bf.collect()}
+    hits = 0
+    for r in pq.collect():
+        key = (r["qid"], r["nid"])
+        if key in bfv:
+            hits += 1
+            assert r["cosine"] == bfv[key]
+    assert hits >= 15, hits  # recall >= 0.5 over 3 queries x 10
