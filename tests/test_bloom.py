@@ -84,3 +84,14 @@ def test_probe_sends_only_hashes_to_python(spark):
     arrow = [ln for ln in plan.splitlines() if "ArrowEvalPython" in ln
              or "xxhash64" in ln.lower()]
     assert any("xxhash64" in ln.lower() for ln in arrow), plan[:800]
+
+
+def test_empty_build_side(spark):
+    # an empty filter set: probe is all-False (all-zero bits), so the
+    # semi join is empty and the anti join passes everything through
+    from pyspark.sql import functions as F
+    big = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    small = big.filter(F.lit(False))
+    assert bloom_semi_join(big, small, "k").count() == 0
+    assert bloom_anti_join(big, small, "k").count() == 100
