@@ -822,3 +822,92 @@ def test_ewma_distributed_domain_guard(spark):
                               method="distributed").collect()}
     assert math.isnan(got["a"]) and math.isnan(got["b"])
     assert got["c"] == 6.0
+
+
+# ---- round-9c properties: text normalization, charset, dup spans ----
+
+TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2100),
+    max_size=120)
+
+
+@PROP
+@given(texts=st.lists(TEXTS, min_size=1, max_size=12))
+def test_clean_text_idempotent(spark, texts):
+    """clean(clean(x)) == clean(x): the normalizer is a projection
+    onto its own fixed-point set, for arbitrary unicode input."""
+    from bigslice_spark.operators.text import normalize_text
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    once = normalize_text(df).select(
+        "id", F.col("clean_text").alias("text"))
+    twice = {r["id"]: r["clean_text"]
+             for r in normalize_text(once).collect()}
+    for r in normalize_text(df).collect():
+        assert twice[r["id"]] == r["clean_text"], repr(r["clean_text"])
+
+
+ASCII_TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=0, max_size=80)
+
+
+@PROP
+@given(texts=st.lists(ASCII_TEXTS, min_size=1, max_size=8),
+       charset=st.sampled_from(["utf-8", "utf-16-le-bom", "latin-1"]))
+def test_charset_decode_roundtrips_random_ascii(spark, texts, charset):
+    """encode(text) -> decode_auto == text for every detectable wire
+    form (ASCII payloads are representable in all of them; a non-ascii
+    marker byte forces the intended class where needed)."""
+    from bigslice_spark.operators.charset import decode_auto
+    rows = []
+    for i, t in enumerate(texts):
+        if charset == "utf-8":
+            want = t + "\u00e9"            # force multibyte
+            payload = want.encode("utf-8")
+        elif charset == "utf-16-le-bom":
+            want = t
+            payload = b"\xff\xfe" + t.encode("utf-16-le")
+        else:
+            want = t + "\u00e9"            # high byte, invalid utf-8
+            payload = want.encode("latin-1")
+        rows.append((i, payload, want))
+    df = spark.createDataFrame([(i, p) for i, p, _ in rows],
+                               "id long, payload binary")
+    got = {r["id"]: r["text"] for r in decode_auto(df).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (charset, i, repr(want), repr(got[i]))
+
+
+WORDS = st.sampled_from(["a", "b", "c", "d", "boiler", "plate", "x"])
+DOCS = st.lists(st.lists(WORDS, min_size=0, max_size=14), min_size=1,
+                max_size=8)
+
+
+@PROP
+@given(docs=DOCS)
+def test_dup_span_invariants(spark, docs):
+    """For any corpus and w=3: 0 <= dup_tokens <= n_tokens; spans and
+    windows are consistent; and strip_dup_spans keeps EXACTLY the
+    uncovered tokens (clean token count == n_tokens - dup_tokens)."""
+    from bigslice_spark.operators.spans import (dup_span_report,
+                                                strip_dup_spans)
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in dup_span_report(df, w=3).collect()}
+    stripped = {r["doc_id"]: r for r in strip_dup_spans(df, w=3).collect()}
+    for i, d in enumerate(docs):
+        if not d:
+            assert i not in rep
+            continue
+        r = rep[i]
+        assert r["n_tokens"] == len(d)
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+        assert (r["n_dup_spans"] == 0) == (r["dup_tokens"] == 0)
+        if r["n_dup_windows"]:
+            # every flagged window covers w tokens before merging
+            assert r["dup_tokens"] >= 3
+        s = stripped[i]
+        clean_n = len([t for t in s["clean_text"].split(" ") if t])
+        assert clean_n == r["n_tokens"] - r["dup_tokens"]
+        assert s["dup_tokens"] == r["dup_tokens"]
