@@ -65,3 +65,17 @@ def test_serving_table_example():
     n0 = lines["v1"].split(": ")[1].split()[0]
     assert lines["vacuum"].endswith(f"latest reads {int(n0) - 1}") or \
         lines["vacuum"].endswith(f"latest reads {n0}")
+
+
+def test_web_ingest_runs_and_reports():
+    out = _run("examples/web_ingest.py")
+    # the duplicate crawls (every ~tenth page twice) must collapse:
+    # survivors < warc records, and decontam can only shrink further
+    import re
+    m = re.search(r"\{[^}]*'after_decontam': (\d+)[^}]*"
+                  r"'after_dedup': (\d+)[^}]*"
+                  r"'warc_records': (\d+)[^}]*\}", out)
+    assert m, out[-1500:]
+    decon, dedup, recs = map(int, m.groups())
+    assert recs > dedup >= decon > 0
+    assert "corpus.test" in out
