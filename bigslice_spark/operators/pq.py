@@ -56,20 +56,28 @@ def pq_train(df: DataFrame, m: int = 8, ksub: int = 16,
     L2-normalized corpus. Returns [m][ksub][dim/m] floats. One
     kmeans_train per subspace — m small deterministic Lloyd loops,
     each a scan + ksub-row shuffle per iteration."""
+    from concurrent.futures import ThreadPoolExecutor
+
     dim = dim or _dim_of(df, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     unit = _normed(df, vec_col, id_col, dim)
-    books = []
-    for j in range(m):
+
+    def _train(j: int):
         sub = unit.select(F.col("nid").alias(id_col),
                           F.slice("v", j * dsub + 1, dsub)
                           .alias("sub"))
-        books.append(kmeans_train(sub, k=ksub, dim=dsub, iters=iters,
-                                  vec_col="sub", id_col=id_col,
-                                  seed=seed + j))
-    return books
+        return kmeans_train(sub, k=ksub, dim=dsub, iters=iters,
+                            vec_col="sub", id_col=id_col,
+                            seed=seed + j)
+
+    # the m subspace trainings are independent; run them as CONCURRENT
+    # Spark jobs (driver threads) instead of m*iters sequential
+    # collect-rounds — results are bitwise-unchanged (kmeans_train is
+    # deterministic regardless of scheduling), wall drops ~m-fold
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        return list(ex.map(_train, range(m)))
 
 
 def _code_expr(j: int, dsub: int, ksub: int, book) -> F.Column:
