@@ -38,7 +38,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      for r10, new-first: dup_spans, strip_dup_spans, charset_decode,
 #      decontaminate_bloom, html_links, text_clean, sketch_rollup,
 #      corpus_overlap, quantile_sketch, bucketed_join, stream_warc,
-#      similarity_pq, multimodal_gif,
+#      similarity_pq, multimodal_resize, multimodal_gif,
 #      url_normalize, source_orc, dedup_keep_best, price_histogram,
 #      tfidf_terms.)
 # After this rotation no entry's latest hard signal is older than r5

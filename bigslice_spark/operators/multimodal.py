@@ -518,3 +518,55 @@ def frame_sample(df: DataFrame, every_n: int = 10,
 
     return df.mapInPandas(sample, schema="id long, frame_idx int, "
                                          "frame binary")
+
+
+def resize_rgb(raster: bytes, w: int, h: int, out_w: int,
+               out_h: int) -> bytes:
+    """Deterministic RGB resize with exactly-specified arithmetic so
+    results are engine/partitioning-independent and SQL-replayable:
+
+    - integer-factor DOWNSCALE (w%out_w == 0 and h%out_h == 0): box
+      mean, floor((sum of the fx*fy source box) / (fx*fy)) — exact
+      integer arithmetic, no float rounding ambiguity;
+    - anything else: nearest neighbor with src = (i*in) // out — the
+      same floor-index map everywhere.
+
+    The standard training-pipeline shrink (224->thumbnail etc.) is the
+    box path; nearest covers ratio changes and upscales."""
+    import numpy as np
+    a = np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize target must be positive")
+    if w % out_w == 0 and h % out_h == 0:
+        fy, fx = h // out_h, w // out_w
+        b = a.reshape(out_h, fy, out_w, fx, 3).astype(np.uint32)
+        out = (b.sum(axis=(1, 3)) // (fx * fy)).astype(np.uint8)
+    else:
+        ys = (np.arange(out_h) * h) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        out = a[ys][:, xs]
+    return out.tobytes()
+
+
+def resize_images(df: "DataFrame", out_w: int, out_h: int,
+                  blob_col: str = "media",
+                  id_col: str = "doc_id") -> "DataFrame":
+    """decode + resize in one Arrow pass: (id, width, height, raster)
+    where raster is the out_w x out_h x 3 RGB bytes. Same mapInPandas
+    shape as extract_features; undecodable payloads raise (the
+    hostile-input contract of the codecs applies)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                w, h, px = decode_image(bytes(blob))
+                rows.append((rid, out_w, out_h,
+                             resize_rgb(px, w, h, out_w, out_h)))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "width", "height", "raster"])
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, width int, height int, "
+                    f"raster binary")

@@ -6782,3 +6782,76 @@ def similarity_pq_q(spark, sf_dir):
             .select("qid",
                     (F.coalesce(F.col("n_hits"), F.lit(0)) >= 5)
                     .alias("recall_ok")))
+
+
+@query("multimodal_resize", """
+    WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    box AS (
+      SELECT doc_id,
+             list_transform(range(48), j ->
+               ((doc_id*7 + ((2*(j//12)*8   + 2*((j//3)%4))  *3 + j%3)) % 256
+              + (doc_id*7 + ((2*(j//12)*8   + 2*((j//3)%4)+1)*3 + j%3)) % 256
+              + (doc_id*7 + (((2*(j//12)+1)*8 + 2*((j//3)%4))  *3 + j%3)) % 256
+              + (doc_id*7 + (((2*(j//12)+1)*8 + 2*((j//3)%4)+1)*3 + j%3)) % 256
+               ) // 4) AS px
+      FROM img),
+    nn AS (
+      SELECT doc_id,
+             list_transform(range(27), j ->
+               (doc_id*7 + ((((j//9)*8//3)*8 + ((j//3)%3)*8//3)*3
+                            + j%3)) % 256) AS px
+      FROM img)
+    SELECT b.doc_id,
+           CAST(list_sum(b.px) AS BIGINT) AS box_sum,
+           CAST(list_sum(list_transform(range(48),
+                j -> (j+1) * b.px[j+1])) AS BIGINT) AS box_wsum,
+           CAST(list_sum(n.px) AS BIGINT) AS nn_sum,
+           CAST(list_sum(list_transform(range(27),
+                j -> (j+1) * n.px[j+1])) AS BIGINT) AS nn_wsum
+    FROM box b JOIN nn n USING (doc_id)
+""")
+def multimodal_resize_q(spark, sf_dir):
+    """Deterministic image RESIZE (operators/multimodal.py
+    resize_rgb/resize_images — the missing decode/feature/RESIZE/
+    frame-sample quartet member): even doc_ids become 8x8 PPMs from
+    the doc_id pixel formula, the production mapInPandas path decodes
+    and resizes each to 4x4 (exact integer box mean — the training-
+    thumbnail path) and 3x3 (floor-index nearest neighbor), and the
+    query folds each output raster into order-sensitive checksums
+    JVM-side (hex -> conv per byte, position-weighted sums). The
+    oracle recomputes every resized pixel from the closed-form
+    formula WITHOUT touching bytes — a box-sum slip, an index-map
+    off-by-one, or a channel swap breaks the weighted hash."""
+    import pandas as pd
+    from .operators.multimodal import make_ppm, resize_images
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = bytes((d * 7 + i) % 256 for i in range(192))
+                rows.append((d, make_ppm(8, 8, px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    imgs = (t["documents"].filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id")
+            .mapInPandas(gen, schema="doc_id long, media binary"))
+
+    def _sums(resized, n, prefix):
+        hexc = F.hex(F.col("raster"))
+        bs = [F.conv(F.substring(hexc, 2 * j + 1, 2), 16, 10)
+              .cast("long") for j in range(n)]
+        total = bs[0]
+        wtotal = bs[0]
+        for j in range(1, n):
+            total = total + bs[j]
+            wtotal = wtotal + bs[j] * F.lit(j + 1)
+        return resized.select(
+            "doc_id", total.alias(f"{prefix}_sum"),
+            wtotal.alias(f"{prefix}_wsum"))
+
+    box = _sums(resize_images(imgs, 4, 4), 48, "box")
+    nn = _sums(resize_images(imgs, 3, 3), 27, "nn")
+    return box.join(nn, "doc_id")

@@ -102,7 +102,7 @@ BATTERY = [
     "strip_dup_spans", "charset_decode", "decontaminate_bloom",
     "html_links", "text_clean", "sketch_rollup", "corpus_overlap",
     "quantile_sketch", "bucketed_join", "stream_warc",
-    "similarity_pq",
+    "similarity_pq", "multimodal_resize",
 ]
 
 

@@ -3111,3 +3111,45 @@ def test_pq_topk_beats_random_and_reranks_exact(spark, tables):
             hits += 1
             assert r["cosine"] == bfv[key]
     assert hits >= 15, hits  # recall >= 0.5 over 3 queries x 10
+
+
+def test_resize_rgb_box_and_nearest_exact():
+    import numpy as np
+    from bigslice_spark.operators.multimodal import resize_rgb
+    # 4x4 -> 2x2 box mean, hand-checked
+    a = np.arange(4 * 4 * 3, dtype=np.uint8)
+    out = np.frombuffer(resize_rgb(a.tobytes(), 4, 4, 2, 2), np.uint8)
+    g = a.reshape(4, 4, 3)
+    want = []
+    for y in (0, 2):
+        for x in (0, 2):
+            for c in range(3):
+                s = int(g[y, x, c]) + int(g[y, x+1, c]) \
+                    + int(g[y+1, x, c]) + int(g[y+1, x+1, c])
+                want.append(s // 4)
+    assert out.tolist() == want
+    # 4x4 -> 3x3 nearest: index map (i*4)//3 = 0,1,2
+    out3 = np.frombuffer(resize_rgb(a.tobytes(), 4, 4, 3, 3),
+                         np.uint8).reshape(3, 3, 3)
+    for y in range(3):
+        for x in range(3):
+            assert (out3[y, x] == g[(y*4)//3, (x*4)//3]).all()
+    # identity
+    assert resize_rgb(a.tobytes(), 4, 4, 4, 4) == a.tobytes()
+    # upscale nearest duplicates rows/cols
+    up = np.frombuffer(resize_rgb(a.tobytes(), 4, 4, 8, 8),
+                       np.uint8).reshape(8, 8, 3)
+    assert (up[0, 0] == g[0, 0]).all() and (up[1, 1] == g[0, 0]).all()
+
+
+def test_resize_images_end_to_end(spark):
+    import numpy as np
+    from bigslice_spark.operators.multimodal import make_ppm, resize_images
+    px = bytes(range(192))                       # 8x8x3
+    df = spark.createDataFrame([(1, make_ppm(8, 8, px))],
+                               "doc_id long, media binary")
+    r = resize_images(df, 4, 4).collect()[0]
+    a = np.frombuffer(px, np.uint8).reshape(8, 8, 3).astype(int)
+    want = (a.reshape(4, 2, 4, 2, 3).sum(axis=(1, 3)) // 4) \
+        .astype(np.uint8).tobytes()
+    assert bytes(r["raster"]) == want and r["width"] == 4
