@@ -15,57 +15,47 @@ from bigslice_spark.queries import ORACLE, QUERIES
 
 # The driver's correctness harness samples the FIRST 50 registry entries
 # in registration order; rotate so every entry accumulates a hard driver
-# signal across rounds. Round-9 window = the complete 47-entry stale set
-# (latest driver artifact r3 or r4; all 47 judge-replayed hash-MATCH in
-# the r8 session, so this is pure signal refresh), plus r9 additions and
-# an r5 top-up to fill the 50:
-#   0. round-9 ADDITIONS (zero prior driver signal) — first in the
-#      window: multimodal_jpeg (new baseline-JPEG decoder), ewma_hub
-#      (closed-form distributed EWMA), op_fold_stream_segmented
-#      (two-stage hub-key fold_stream);
-#   1. the 5 r3-latest entries the r7/r8 verdicts ranked top:
-#      q10/q14/q16/q18/q19 (oracles already use _dsum_sql decimal
-#      conventions — judge-audited r8);
-#   2. the 42 r4-latest entries (TPC-H q7-q22 remainder, word_count,
-#      sessionize, the window family, join_semi/anti, sources, dedup
-#      core, kmeans_step, bm25_search, tfidf_terms, zorder_layout,
-#      stream_enrich, ...);
-#   3. (the window seals at 50: 7 + 5 + 38 — the round-9b additions
-#      multimodal_mp4/source_warc/html_extract/web_pipeline took the
-#      front, pushing the last four r4 entries (source_orc,
-#      dedup_keep_best, price_histogram, tfidf_terms — all judge-r8
-#      verified, lowest cost to defer) past position 50. Still queued
-#      for r10, new-first: dup_spans, strip_dup_spans, charset_decode,
+# signal across rounds. Round-10 window (VERDICT r9 "Next round" #1):
+#   0. round-10 ADDITIONS (zero prior signal, front of the window):
+#      multimodal_mjpeg (MJPEG-in-MP4 real frame decode via the r9
+#      JPEG codec);
+#   1. the 15 entries with NO driver artifact yet (landed r9 after the
+#      final window sealed; all judge-verified green in the r9 session's
+#      full-oracle CI): dup_spans, strip_dup_spans, charset_decode,
 #      decontaminate_bloom, html_links, text_clean, sketch_rollup,
 #      corpus_overlap, quantile_sketch, bucketed_join, stream_warc,
-#      similarity_pq, multimodal_resize, multimodal_gif,
-#      url_normalize, source_orc, dedup_keep_best, price_histogram,
-#      tfidf_terms.)
-# After this rotation no entry's latest hard signal is older than r5
-# (r8 re-proved the r6/r7-era 50).
-_R9_NEW = ("multimodal_jpeg", "multimodal_mp4", "source_warc",
-           "html_extract", "web_pipeline", "ewma_hub",
-           "op_fold_stream_segmented")
-_R3_STALE = (
-    "q10_returned_items", "q14_promo_share", "q16_supplier_cnt",
-    "q18_large_orders", "q19_discounted_revenue",
+#      similarity_pq, multimodal_resize, multimodal_gif, url_normalize;
+#   2. the 4 r4-stale entries: source_orc, dedup_keep_best,
+#      price_histogram, tfidf_terms;
+#   3. top-up from the 35-entry r5 cohort, registration order, to seal
+#      the 50 (the last 5 — winsorize_values, item_jaccard,
+#      event_transitions, lateral_topn, forward_fill — stay at their r5
+#      signal and head the r11 queue).
+# After this rotation every registry entry has a driver artifact and
+# none is older than r5.
+_R10_NEW = ("multimodal_mjpeg",)
+_NO_SIGNAL = (
+    "dup_spans", "strip_dup_spans", "charset_decode",
+    "decontaminate_bloom", "html_links", "text_clean", "sketch_rollup",
+    "corpus_overlap", "quantile_sketch", "bucketed_join", "stream_warc",
+    "similarity_pq", "multimodal_resize", "multimodal_gif",
+    "url_normalize",
 )
-_R4_STALE = (
-    "window_range_frame", "word_count", "join_semi", "join_anti",
-    "window_rank", "window_running", "topk_orders", "events_hourly",
-    "sessionize", "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "scan_reader_lines", "sql_passthrough", "scalar_functions",
-    "range_join", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q12_late_lines",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q17_small_quantity", "q20_part_promotion", "q21_waiting_suppliers",
-    "q22_idle_customers", "json_props", "bm25_search", "kmeans_step",
-    "funnel_steps", "mix_weights", "source_jsonl", "zorder_layout",
-    "chunk_docs", "bigram_pmi", "stream_enrich", "key_skew_report",
-    "source_orc", "dedup_keep_best", "price_histogram", "tfidf_terms",
+_R4_STALE = ("source_orc", "dedup_keep_best", "price_histogram",
+             "tfidf_terms")
+_R5_STALE = (
+    "op_const", "op_reader_func", "op_writer_func", "op_map",
+    "source_csv_malformed", "edit_distance_pairs", "ngram_containment",
+    "equidepth_histogram", "lpa_communities", "random_projection",
+    "lm_quality", "event_gaps", "ewma_value", "heavy_hitters",
+    "sample_per_key", "time_rollup", "ts_anomaly", "kmeans_train",
+    "semantic_dedup", "gopher_rules", "date_spine_gapfill",
+    "data_checks", "mixture_sample", "retention_cohorts",
+    "ts_pattern_search", "key_percentiles", "common_paths",
+    "moments_agg", "table_profile", "multimodal_frames",
 )
 def _rotated() -> list[str]:
-    head = [k for k in (_R9_NEW + _R3_STALE + _R4_STALE)
+    head = [k for k in (_R10_NEW + _NO_SIGNAL + _R4_STALE + _R5_STALE)
             if k in QUERIES]
     seen = set()
     head = [k for k in head if not (k in seen or seen.add(k))]
