@@ -40,7 +40,7 @@ the public API.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -71,6 +71,23 @@ class Bloom:
     m: int                    # bits, power of two
     k: int                    # probes
     n_items: int
+    # one SparkContext.broadcast per Bloom INSTANCE, created lazily on
+    # first probe and reused after — repeated probes in a long-lived
+    # session must not accumulate up-to-GiB-scale broadcasts on the
+    # driver and executors.
+    _bc: object = field(default=None, repr=False, compare=False)
+
+    def broadcast_for(self, sc) -> object:
+        """The (cached) broadcast of ``words`` on this context."""
+        if self._bc is None:
+            self._bc = sc.broadcast(self.words)
+        return self._bc
+
+    def unpersist(self) -> None:
+        """Release the cached broadcast from driver and executors."""
+        if self._bc is not None:
+            self._bc.unpersist()
+            self._bc = None
 
 
 def bloom_params(n_items: int, fpp: float = 0.01,
@@ -121,7 +138,7 @@ def bloom_probe(df: DataFrame, col: str, bloom: Bloom,
     False is definitive (no false negatives); True is 'verify me'.
     Only the two hash columns of ``col`` enter the Arrow batch."""
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(bloom.words)
+    bc = bloom.broadcast_for(sc)
     k, m = bloom.k, bloom.m
     rots = _ROTS[:k]
     mask = np.uint64(m - 1)

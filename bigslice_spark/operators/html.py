@@ -144,8 +144,9 @@ def html_extract(df: DataFrame, html_col: str = "html",
                 id_col, "title", "text", "main_text", "n_links",
                 "n_blocks"])
 
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
-        run, schema=f"{id_col} long, title string, text string, "
+        run, schema=f"{id_col} {id_ddl}, title string, text string, "
                     f"main_text string, n_links int, n_blocks int")
 
 
@@ -238,6 +239,7 @@ def html_links(df: DataFrame, html_col: str = "html",
             yield pd.DataFrame(out, columns=[
                 id_col, "href", "raw_href", "anchor"])
 
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
-        run, schema=f"{id_col} long, href string, raw_href string, "
-                    f"anchor string")
+        run, schema=f"{id_col} {id_ddl}, href string, "
+                    f"raw_href string, anchor string")

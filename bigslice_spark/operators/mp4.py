@@ -89,6 +89,14 @@ def _need(buf: bytes, s: int, n: int, what: str) -> None:
         raise ValueError(f"truncated {what}")
 
 
+def _need_in(s: int, n: int, be: int, what: str) -> None:
+    """Field read [s, s+n) must stay inside the enclosing box body
+    ending at ``be`` — checking against len(buf) alone would let a
+    truncated box inside a larger blob read its sibling's bytes."""
+    if s + n > be:
+        raise ValueError(f"truncated {what}")
+
+
 # ---------------------------------------------------------------------
 # Parsed model
 
@@ -126,7 +134,7 @@ class Mp4File:
 def _parse_stsd(buf: bytes, s: int, e: int) -> tuple:
     """codec fourcc + (width, height) from the first sample entry."""
     _v, _f, p = _fullbox(buf, s, e)
-    _need(buf, p, 4, "stsd")
+    _need_in(p, 4, e, "stsd")
     count = struct.unpack_from(">I", buf, p)[0]
     if count == 0:
         return "", 0, 0
@@ -151,28 +159,28 @@ def _parse_sample_table(buf: bytes, s: int, e: int) -> list:
     for cc, bs, be in _walk_boxes(buf, s, e):
         if cc == b"stsz":
             _v, _f, p = _fullbox(buf, bs, be)
-            _need(buf, p, 8, "stsz")
+            _need_in(p, 8, be, "stsz")
             uniform, n = struct.unpack_from(">II", buf, p)
             if uniform:
                 sizes = [uniform] * n
             else:
-                _need(buf, p + 8, 4 * n, "stsz table")
+                _need_in(p + 8, 4 * n, be, "stsz table")
                 sizes = list(struct.unpack_from(f">{n}I", buf, p + 8))
         elif cc == b"stsc":
             _v, _f, p = _fullbox(buf, bs, be)
-            _need(buf, p, 4, "stsc")
+            _need_in(p, 4, be, "stsc")
             n = struct.unpack_from(">I", buf, p)[0]
-            _need(buf, p + 4, 12 * n, "stsc table")
+            _need_in(p + 4, 12 * n, be, "stsc table")
             for i in range(n):
                 fc, spc, _desc = struct.unpack_from(
                     ">III", buf, p + 4 + 12 * i)
                 stsc.append((fc, spc))
         elif cc in (b"stco", b"co64"):
             _v, _f, p = _fullbox(buf, bs, be)
-            _need(buf, p, 4, cc.decode())
+            _need_in(p, 4, be, cc.decode())
             n = struct.unpack_from(">I", buf, p)[0]
             w = 8 if cc == b"co64" else 4
-            _need(buf, p + 4, w * n, f"{cc.decode()} table")
+            _need_in(p + 4, w * n, be, f"{cc.decode()} table")
             fmt = f">{n}Q" if cc == b"co64" else f">{n}I"
             offsets = list(struct.unpack_from(fmt, buf, p + 4))
     if not sizes:
@@ -192,7 +200,10 @@ def _parse_sample_table(buf: bytes, s: int, e: int) -> list:
             off = offsets[ci]
             for _ in range(spc):
                 if si >= len(sizes):
-                    break
+                    raise ValueError(
+                        f"sample tables inconsistent: chunk map "
+                        f"places more samples than stsz's "
+                        f"{len(sizes)}")
                 sz = sizes[si]
                 if off + sz > len(buf):
                     raise ValueError(
@@ -218,7 +229,7 @@ def parse_mp4(blob: bytes) -> Mp4File:
     saw_ftyp = saw_moov = False
     for cc, s, e in _walk_boxes(blob, 0, len(blob)):
         if cc == b"ftyp":
-            _need(blob, s, 4, "ftyp")
+            _need_in(s, 4, e, "ftyp")
             brand = blob[s:s + 4].decode("latin-1")
             saw_ftyp = True
         elif cc == b"moov":
@@ -227,11 +238,11 @@ def parse_mp4(blob: bytes) -> Mp4File:
                 if mcc == b"mvhd":
                     v, _f, p = _fullbox(blob, ms, me)
                     if v == 1:
-                        _need(blob, p, 28, "mvhd v1")
+                        _need_in(p, 28, me, "mvhd v1")
                         mv_ts = struct.unpack_from(">I", blob, p + 16)[0]
                         mv_dur = struct.unpack_from(">Q", blob, p + 20)[0]
                     else:
-                        _need(blob, p, 20, "mvhd v0")
+                        _need_in(p, 16, me, "mvhd v0")
                         mv_ts, mv_dur = struct.unpack_from(
                             ">II", blob, p + 8)
                 elif mcc == b"trak":
@@ -250,12 +261,15 @@ def _parse_trak(blob: bytes, s: int, e: int) -> Mp4Track:
     for cc, bs, be in _walk_boxes(blob, s, e):
         if cc == b"tkhd":
             v, _f, p = _fullbox(blob, bs, be)
+            # width/height are the LAST 8 body bytes (v1 at +84..92,
+            # v0 at +72..80) — the check must cover them, against the
+            # box's own end, not len(blob).
             if v == 1:
-                _need(blob, p, 88, "tkhd v1")
+                _need_in(p, 92, be, "tkhd v1")
                 tid = struct.unpack_from(">I", blob, p + 16)[0]
                 wh = p + 84
             else:
-                _need(blob, p, 76, "tkhd v0")
+                _need_in(p, 80, be, "tkhd v0")
                 tid = struct.unpack_from(">I", blob, p + 8)[0]
                 wh = p + 72
             w1616, h1616 = struct.unpack_from(">II", blob, wh)
@@ -265,15 +279,15 @@ def _parse_trak(blob: bytes, s: int, e: int) -> Mp4Track:
                 if mcc == b"mdhd":
                     v, _f, p = _fullbox(blob, ms, me)
                     if v == 1:
-                        _need(blob, p, 28, "mdhd v1")
+                        _need_in(p, 28, me, "mdhd v1")
                         ts = struct.unpack_from(">I", blob, p + 16)[0]
                         dur = struct.unpack_from(">Q", blob, p + 20)[0]
                     else:
-                        _need(blob, p, 20, "mdhd v0")
+                        _need_in(p, 16, me, "mdhd v0")
                         ts, dur = struct.unpack_from(">II", blob, p + 8)
                 elif mcc == b"hdlr":
                     _v, _f, p = _fullbox(blob, ms, me)
-                    _need(blob, p, 8, "hdlr")
+                    _need_in(p, 8, me, "hdlr")
                     handler = blob[p + 4:p + 8].decode("latin-1")
                 elif mcc == b"minf":
                     st_s, st_e = _first(blob, ms, me, (b"stbl",))

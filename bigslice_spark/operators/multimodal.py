@@ -567,6 +567,7 @@ def resize_images(df: "DataFrame", out_w: int, out_h: int,
             yield pd.DataFrame(rows, columns=[
                 id_col, "width", "height", "raster"])
 
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
-        run, schema=f"{id_col} long, width int, height int, "
+        run, schema=f"{id_col} {id_ddl}, width int, height int, "
                     f"raster binary")

@@ -70,6 +70,16 @@ def main() -> None:
     recs = warc_reader(sess.spark, crawl_dir, glob="*.warc.gz")
     scope.counter("warc_records").incr(recs.count())
 
+    # 1.5 collapse re-crawls: two fetches of the SAME target_uri share
+    # doc_id, and letting both enter the span stage would mark every
+    # window of the page as corpus-repeated — strip_dup_spans would
+    # blank BOTH copies and the length>0 filter would drop the page
+    # entirely instead of keeping one survivor. One record per URI
+    # before any content stage; exact_dedup below still collapses
+    # DISTINCT urls that carry identical content.
+    recs = recs.dropDuplicates(["target_uri"])
+    scope.counter("unique_pages").incr(recs.count())
+
     # 2. charset from the BYTES (headers lie on real crawls)
     decoded = decode_auto(recs.select(
         "target_uri", "payload"), bin_col="payload", text_col="html")

@@ -95,3 +95,24 @@ def test_empty_build_side(spark):
     small = big.filter(F.lit(False))
     assert bloom_semi_join(big, small, "k").count() == 0
     assert bloom_anti_join(big, small, "k").count() == 100
+
+
+def test_probe_reuses_one_broadcast_per_instance(spark):
+    from pyspark.sql import functions as F
+    from bigslice_spark.operators.bloom import bloom_build, bloom_probe
+    keys = spark.range(64).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    bloom = bloom_build(keys, "k", fpp=0.01)
+    assert bloom._bc is None
+    a = bloom_probe(keys, "k", bloom)
+    bc1 = bloom._bc
+    b = bloom_probe(keys, "k", bloom)
+    assert bloom._bc is bc1            # second probe reused it
+    assert a.filter("__bloom_maybe").count() == 64
+    assert b.filter("__bloom_maybe").count() == 64
+    bloom.unpersist()
+    assert bloom._bc is None
+    # probing again after unpersist re-broadcasts transparently
+    c = bloom_probe(keys, "k", bloom)
+    assert bloom._bc is not None and bloom._bc is not bc1
+    assert c.filter("__bloom_maybe").count() == 64

@@ -124,3 +124,16 @@ def test_html_links_empty_and_null_pages(spark):
     df = spark.createDataFrame(
         [(1, None), (2, "no links here")], "doc_id long, html string")
     assert html_links(df).count() == 0
+
+
+def test_html_extract_and_links_string_id(spark):
+    """id column type is derived from the input schema — a string
+    doc id must not hit an Arrow long/string mismatch."""
+    from bigslice_spark.operators.html import html_links
+    df = spark.createDataFrame(
+        [("u1", "<html><body><p>hello world</p>"
+          "<a href='/x'>x</a></body></html>")], "doc_id string, html string")
+    ext = html_extract(df).collect()
+    assert ext[0]["doc_id"] == "u1" and "hello world" in ext[0]["text"]
+    links = html_links(df).collect()
+    assert [(r["doc_id"], r["raw_href"]) for r in links] == [("u1", "/x")]

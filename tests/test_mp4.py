@@ -208,6 +208,33 @@ def test_stsz_stsc_mismatch_raises():
         parse_mp4(bytes(blob))
 
 
+def test_chunk_map_overcapacity_raises():
+    """A chunk map placing MORE samples than stsz declares is corrupt
+    and must raise — not silently stop at stsz's count."""
+    blob = bytearray(make_mp4([_video([b"ab", b"cd", b"ef"])]))
+    j = bytes(blob).find(b"stsc")
+    struct.pack_into(">III", blob, j + 12, 1, 5, 1)    # 5 > 3 sizes
+    with pytest.raises(ValueError, match="inconsistent"):
+        parse_mp4(bytes(blob))
+
+
+def test_truncated_tkhd_in_larger_blob_raises():
+    """A tkhd whose body ends before the width/height fields must
+    raise ValueError instead of reading the sibling box's bytes (or
+    struct.error at EOF) — field reads are checked against the BOX
+    end, not the blob end."""
+    short_tkhd = _mk_full(b"tkhd", struct.pack(">II", 0, 0),
+                          struct.pack(">I", 9))        # 12-byte body
+    sibling = _mk_box(b"free", b"\xff" * 96)           # bytes beyond
+    trak = _mk_box(b"trak", short_tkhd, sibling)
+    mvhd = _mk_full(b"mvhd", struct.pack(">II", 0, 0),
+                    struct.pack(">II", 1000, 5), b"\x00" * 80)
+    moov = _mk_box(b"moov", mvhd, trak)
+    ftyp = _mk_box(b"ftyp", b"isom", struct.pack(">I", 0), b"isom")
+    with pytest.raises(ValueError, match="truncated tkhd"):
+        parse_mp4(ftyp + moov)
+
+
 def test_spark_meta_and_demux(spark):
     import hashlib
     rows = []

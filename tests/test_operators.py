@@ -3153,3 +3153,8 @@ def test_resize_images_end_to_end(spark):
     want = (a.reshape(4, 2, 4, 2, 3).sum(axis=(1, 3)) // 4) \
         .astype(np.uint8).tobytes()
     assert bytes(r["raster"]) == want and r["width"] == 4
+    # id type derives from the input schema: a string id round-trips
+    sdf = spark.createDataFrame([("img-1", make_ppm(8, 8, px))],
+                                "doc_id string, media binary")
+    sr = resize_images(sdf, 4, 4).collect()[0]
+    assert sr["doc_id"] == "img-1" and bytes(sr["raster"]) == want
