@@ -33,10 +33,21 @@ similarity surface beside brute-force/LSH/IVF (similarity.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .clustering import kmeans_train
+
+def _seq_dot(a, b) -> float:
+    """Left-associative 0.0-seeded dot product — the driver-side twin
+    of the _fold_dot_literal/_dot_wide fold, same IEEE result."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+from .clustering import seed_centroids
 from .similarity import (_as_double_vec, _dim_of, _dot_wide,
                          _fold_dot_literal, _prep, _rerank)
 
@@ -51,33 +62,82 @@ def _normed(df: DataFrame, vec_col: str, id_col: str,
 def pq_train(df: DataFrame, m: int = 8, ksub: int = 16,
              vec_col: str = "embedding", id_col: str = "vec_id",
              dim: int | None = None, iters: int = 4,
-             seed: int = 7) -> list:
+             seed: int = 7, scale: int = 12,
+             sample_mod: int | None = None) -> list:
     """Train m per-subspace codebooks of ksub centroids each over the
-    L2-normalized corpus. Returns [m][ksub][dim/m] floats. One
-    kmeans_train per subspace — m small deterministic Lloyd loops,
-    each a scan + ksub-row shuffle per iteration."""
-    from concurrent.futures import ThreadPoolExecutor
+    L2-normalized corpus. Returns [m][ksub][dim/m] floats.
 
+    All m subspaces train JOINTLY: each Lloyd iteration is ONE job —
+    explode every vector into its m (subspace, subvector) rows once
+    (cached across iterations), broadcast-join the m*ksub current
+    centroids, argmin per (vector, subspace), then a single
+    (subspace, cell) aggregation with decimal-exact means. Per
+    iteration at any scale: one pass over the cached rows + one
+    compact shuffle + a m*ksub-row collect — versus m separate
+    kmeans_train loops (m*iters jobs), bitwise-identical codebooks
+    (same seeded per-subspace init, same fold distances, same
+    (d, cell) tie-break, same exact-decimal means; empty cells keep
+    their previous centroid). Parity is test-pinned against the
+    per-subspace clustering.kmeans_train path.
+
+    ``sample_mod`` is the 100 TB knob: train on the deterministic
+    hash-sample xxhash64(id) % sample_mod == 0 of the corpus instead
+    of all of it — codebook quality needs thousands of vectors per
+    subspace, not billions, and the sample keeps the cached training
+    rows bounded. Encoding/search always cover the full corpus."""
     dim = dim or _dim_of(df, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    unit = _normed(df, vec_col, id_col, dim)
-
-    def _train(j: int):
-        sub = unit.select(F.col("nid").alias(id_col),
-                          F.slice("v", j * dsub + 1, dsub)
-                          .alias("sub"))
-        return kmeans_train(sub, k=ksub, dim=dsub, iters=iters,
-                            vec_col="sub", id_col=id_col,
-                            seed=seed + j)
-
-    # the m subspace trainings are independent; run them as CONCURRENT
-    # Spark jobs (driver threads) instead of m*iters sequential
-    # collect-rounds — results are bitwise-unchanged (kmeans_train is
-    # deterministic regardless of scheduling), wall drops ~m-fold
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        return list(ex.map(_train, range(m)))
+    spark = df.sparkSession
+    src = df
+    if sample_mod and sample_mod > 1:
+        src = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), sample_mod) == 0)
+    unit = _normed(src, vec_col, id_col, dim)
+    sub_structs = [F.struct(F.lit(j).alias("j"),
+                            F.slice("v", j * dsub + 1, dsub)
+                            .alias("sub")) for j in range(m)]
+    rows = (unit.select(
+        "nid", F.explode(F.array(*sub_structs)).alias("s"))
+        .select("nid", "s.j", "s.sub"))
+    if iters > 1:          # a single round reads the rows once anyway
+        rows = rows.persist()
+    try:
+        books = [seed_centroids(ksub, dsub, seed=seed + j)
+                 for j in range(m)]
+        d = F.aggregate(
+            F.zip_with("sub", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, t: acc + t)
+        # min(struct(d, cell, sub)): 'sub' is constant within the
+        # (vector, subspace) group, so the tie-break is still (d, cell)
+        # — carried only so the winning subvector feeds the mean.
+        best = F.min(F.struct(F.col("__d").alias("d"), F.col("cell"),
+                              F.col("sub").alias("sub")))
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for t in range(dsub):
+            aggs.append(
+                (F.sum(F.col("b.sub")[t].cast(f"decimal(38,{scale})"))
+                 .cast("double") / F.count(F.lit(1))).alias(f"m{t}"))
+        for _ in range(iters):
+            cents = spark.createDataFrame(
+                [(j, c, books[j][c]) for j in range(m)
+                 for c in range(ksub)],
+                "j int, cell int, c array<double>")
+            upd = (rows.join(F.broadcast(cents), "j")
+                   .withColumn("__d", d)
+                   .groupBy("nid", "j")
+                   .agg(best.alias("b"))
+                   .groupBy("j", F.col("b.cell").alias("cell"))
+                   .agg(*aggs))
+            got = {(r["j"], r["cell"]): r for r in upd.collect()}
+            books = [[[got[(j, c)][f"m{t}"] for t in range(dsub)]
+                      if (j, c) in got else books[j][c]
+                      for c in range(ksub)] for j in range(m)]
+        return books
+    finally:
+        if iters > 1:
+            rows.unpersist()
 
 
 def _code_expr(j: int, dsub: int, ksub: int, book) -> F.Column:
@@ -96,17 +156,75 @@ def _code_expr(j: int, dsub: int, ksub: int, book) -> F.Column:
 
 def pq_encode(df: DataFrame, codebooks: list,
               vec_col: str = "embedding", id_col: str = "vec_id",
-              dim: int | None = None) -> DataFrame:
-    """(nid, codes array<int>) — one zero-shuffle codegen projection;
-    vectors are L2-normalized before encoding (cosine regime)."""
+              dim: int | None = None,
+              method: str = "auto") -> DataFrame:
+    """(nid, codes array<int>) — vectors are L2-normalized before
+    encoding (cosine regime). Two physical strategies (same ANN
+    contract; code ids may differ at float-tie margins):
+
+    - ``unrolled``: one zero-shuffle codegen projection — m least()
+      argmins over ksub (distance, code) structs. Fastest per row,
+      but the generated expression carries m*ksub*dsub multiply-add
+      terms: past the measured codegen cliff (clustering.py
+      _CODEGEN_TERM_LIMIT notes) Janino compile time dominates and
+      eventually hard-fails, and every NEW plan containing the
+      expression pays seconds of re-analysis — measured 3.3s of the
+      registry entry's wall at m=8, ksub=16.
+    - ``join``: broadcast the m*ksub centroids onto exploded
+      (vector, subspace, subvector) rows, min(struct(d, code)) per
+      (vector, subspace), re-assemble the code array with an
+      array_sort over the m collected (subspace, code) pairs. Two
+      compact exchanges (n*m rows of ~16 bytes + n m-entry groups),
+      tiny expressions, no compile cliff at any m*ksub.
+
+    ``auto`` unrolls only while m*ksub*dsub stays within the codegen
+    limit — with the default PQ shapes that means the join path."""
+    from .clustering import _CODEGEN_TERM_LIMIT
+
     dim = dim or _dim_of(df, vec_col)
     m = len(codebooks)
     dsub = dim // m
     ksub = len(codebooks[0])
+    if method == "auto":
+        method = ("unrolled" if m * ksub * dsub <= _CODEGEN_TERM_LIMIT
+                  else "join")
     unit = _normed(df, vec_col, id_col, dim)
-    codes = F.array(*[_code_expr(j, dsub, ksub, codebooks[j])
-                      for j in range(m)])
-    return unit.select("nid", codes.alias("codes"))
+    if method == "unrolled":
+        codes = F.array(*[_code_expr(j, dsub, ksub, codebooks[j])
+                          for j in range(m)])
+        return unit.select("nid", codes.alias("codes"))
+    if method != "join":
+        raise ValueError(f"unknown method: {method}")
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(j, c, [float(x) for x in codebooks[j][c]],
+          float(sum(x * x for x in codebooks[j][c])))
+         for j in range(m) for c in range(ksub)],
+        "j int, cell int, c array<double>, c_norm double")
+    sub_structs = [F.struct(F.lit(j).alias("j"),
+                            F.slice("v", j * dsub + 1, dsub)
+                            .alias("sub")) for j in range(m)]
+    rows = (unit.select(
+        "nid", F.explode(F.array(*sub_structs)).alias("s"))
+        .select("nid", "s.j", "s.sub"))
+    # same argmin objective as _code_expr: ||c||^2 - 2<x_j, c>
+    d = F.col("c_norm") - F.lit(2.0) * F.aggregate(
+        F.zip_with("sub", "c", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, t: acc + t)
+    # ONE exchange: the m per-subspace argmins are m conditional min
+    # aggregates of the same grouped pass (min ignores the rows of
+    # the other subspaces via when()); partial aggregation collapses
+    # the n*m*ksub joined rows to n rows map-side.
+    aggs = [F.min(F.when(F.col("j") == j,
+                         F.struct(F.col("__d").alias("d"),
+                                  F.col("cell")))).alias(f"__b{j}")
+            for j in range(m)]
+    return (rows.join(F.broadcast(cents), "j")
+            .withColumn("__d", d)
+            .groupBy("nid").agg(*aggs)
+            .select("nid", F.array(*[F.col(f"__b{j}.cell")
+                                     for j in range(m)])
+                    .alias("codes")))
 
 
 def pq_topk(df: DataFrame, queries: DataFrame, codebooks: list,
@@ -126,17 +244,26 @@ def pq_topk(df: DataFrame, queries: DataFrame, codebooks: list,
     ksub = len(codebooks[0])
     spark = df.sparkSession
 
-    qrows = _normed(queries, vec_col, id_col, dim).collect()
-    if not qrows:
+    # queries are metadata-scale by contract: collect them raw and
+    # normalize driver-side (index-ordered sums, same arithmetic as
+    # _normed) — one fewer Spark plan to analyze/compile per call.
+    qraw = queries.select(
+        F.col(id_col).alias("nid"),
+        _as_double_vec(F.col(vec_col)).alias("v")).collect()
+    tabs = []
+    for r in qraw:
+        qv = list(r["v"])
+        nrm = math.sqrt(_seq_dot(qv, qv))
+        if nrm <= 0:
+            continue
+        qv = [x / nrm for x in qv]
+        tab = [_seq_dot(qv[j * dsub:(j + 1) * dsub], cent)
+               for j in range(m) for cent in codebooks[j]]
+        tabs.append((r["nid"], tab))
+    if not tabs:
         return _rerank(
             df.sparkSession.createDataFrame(
                 [], "qid long, nid long, cosine double"), k)
-    tabs = []
-    for r in qrows:
-        qv = list(r["v"])
-        tab = [sum(qv[j * dsub + t] * cent[t] for t in range(dsub))
-               for j in range(m) for cent in codebooks[j]]
-        tabs.append((r["nid"], tab))
     qdf = spark.createDataFrame(tabs, "qid long, tab array<double>")
 
     encoded = pq_encode(df, codebooks, vec_col, id_col, dim)
@@ -154,12 +281,15 @@ def pq_topk(df: DataFrame, queries: DataFrame, codebooks: list,
     cand = (shortlist.withColumn("r", F.row_number().over(wq))
             .filter(F.col("r") <= oversample * k)
             .select("qid", "nid"))
-    # exact re-rank of the shortlist against raw vectors
+    # exact re-rank of the shortlist against raw vectors; the
+    # shortlist (queries x oversample*k rows) broadcasts so the
+    # corpus side never shuffles for it
     corpus = _prep(df, vec_col, id_col, dim)
     qs = _prep(queries, vec_col, id_col, dim) \
         .select(F.col("nid").alias("qid"), F.col("v").alias("qv"),
                 F.col("nrm").alias("qnrm"))
-    scored = (cand.join(corpus, "nid").join(F.broadcast(qs), "qid")
+    scored = (corpus.join(F.broadcast(cand), "nid")
+              .join(F.broadcast(qs), "qid")
               .withColumn("cosine", _dot_wide("v", "qv", dim)
                           / (F.col("nrm") * F.col("qnrm"))))
     return _rerank(scored, k)

@@ -3073,23 +3073,57 @@ def test_hll_sketches_merge_like_partial_aggs(spark, tables):
 
 
 def test_pq_encode_roundtrip_properties(spark, tables):
-    # codes are m small ints; encoding is deterministic and
-    # zero-shuffle; nearest-centroid property holds per subspace
+    # codes are m small ints; the unrolled strategy is zero-shuffle,
+    # the join strategy exactly one fused exchange; both yield the
+    # SAME codes (same argmin objective, same (d, cell) tie-break)
     import pyspark.sql.functions as F
     from bigslice_spark.operators.pq import pq_encode, pq_train
     from bigslice_spark.plans import count_exchanges
     emb = tables["embeddings"]
     books = pq_train(emb, m=4, ksub=8, dim=64, iters=1)
     assert len(books) == 4 and all(len(b) == 8 for b in books)
-    enc = pq_encode(emb, books, dim=64)
-    assert count_exchanges(enc) == 0
+    enc = pq_encode(emb, books, dim=64, method="join")
+    assert count_exchanges(enc) == 1
+    unrolled = pq_encode(emb, books, dim=64, method="unrolled")
+    assert count_exchanges(unrolled) == 0
     rows = enc.collect()
     assert all(len(r["codes"]) == 4 for r in rows)
     assert all(0 <= c < 8 for r in rows for c in r["codes"])
-    # deterministic: re-encode equals
-    again = {r["nid"]: list(r["codes"]) for r in
-             pq_encode(emb, books, dim=64).collect()}
+    # deterministic and method-independent: unrolled codes equal
+    again = {r["nid"]: list(r["codes"]) for r in unrolled.collect()}
     assert all(list(r["codes"]) == again[r["nid"]] for r in rows)
+
+
+def test_pq_joint_train_matches_per_subspace_kmeans(spark, tables):
+    # the joint one-job-per-iteration trainer is bitwise-identical to
+    # m independent clustering.kmeans_train loops over the sliced
+    # subvectors (same seeded init, fold distances, decimal means)
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.clustering import kmeans_train
+    from bigslice_spark.operators.pq import _normed, pq_train
+    emb = tables["embeddings"]
+    books = pq_train(emb, m=4, ksub=8, dim=64, iters=2)
+    unit = _normed(emb, "embedding", "vec_id", 64)
+    for j in range(4):
+        sub = unit.select(F.col("nid").alias("vec_id"),
+                          F.slice("v", j * 16 + 1, 16).alias("sub"))
+        ref = kmeans_train(sub, k=8, dim=16, iters=2, vec_col="sub",
+                           id_col="vec_id", seed=7 + j)
+        assert books[j] == ref, f"subspace {j} diverged"
+
+
+def test_pq_train_sample_mod_is_deterministic_subset(spark, tables):
+    # sample_mod trains on the xxhash64 % mod == 0 slice — the same
+    # codebooks as training on that pre-filtered corpus directly
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.pq import pq_train
+    emb = tables["embeddings"]
+    sampled = pq_train(emb, m=4, ksub=8, dim=64, iters=1,
+                       sample_mod=2)
+    manual = pq_train(
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), 2) == 0),
+        m=4, ksub=8, dim=64, iters=1)
+    assert sampled == manual
 
 
 def test_pq_topk_beats_random_and_reranks_exact(spark, tables):
