@@ -11,9 +11,11 @@ frame_sample(fake=False) samples REAL composited frames), WAV (PCM16)
 — parsed pure-Python/numpy in `extract_features(fake=False)`. MP4
 CONTAINERS parse for real too (operators/mp4.py: box tree, track
 metadata, per-sample demux via stsz/stsc/stco byte slicing — the
-Spark-side share of a video pipeline); only the codec BITSTREAMS
-inside the samples (H.264/AAC) need libraries this container lacks
-and raise NotImplementedError here, and `fake=True` substitutes a
+Spark-side share of a video pipeline), and MJPEG-in-MP4 video decodes
+END-TO-END (demuxed samples are standalone JPEGs the jpeg.py codec
+turns into RGB rasters — frame_sample(fake=False)); only the
+compressed-bitstream codecs (H.264/AAC) need libraries this container
+lacks and raise NotImplementedError here, and `fake=True` substitutes a
 deterministic byte-histogram so any pipeline shape stays exercisable
 end-to-end.
 
@@ -485,13 +487,21 @@ def frame_sample(df: DataFrame, every_n: int = 10,
     """Frame sampling: emits (id, frame_idx, frame binary), every
     ``every_n``-th frame.
 
-    ``fake=False`` REALLY decodes animated GIFs (operators/gif.py):
+    ``fake=False`` REALLY decodes animated GIFs (operators/gif.py) —
     each sampled frame is the composited width*height*3 RGB raster at
-    that frame index; a still image (any decode_image format) yields
-    its single frame 0. Container video (MP4/WebM) needs codec
-    libraries this environment lacks and raises. ``fake=True`` keeps
-    the deterministic byte-slice stub for shape-only pipelines."""
+    that frame index — and MJPEG-in-MP4 video: an ISO BMFF container
+    whose video track's sample entries are JPEG ('jpeg'/'mjpa'/'mjpg'
+    fourcc) demuxes through the sample tables (operators/mp4.py) and
+    each sampled sample decodes as a standalone JPEG
+    (operators/jpeg.py) to its RGB raster — one real video container
+    format end-to-end. A still image (any decode_image format) yields
+    its single frame 0. Compressed-bitstream codecs (H.264/AAC)
+    still need libraries this environment lacks and raise.
+    ``fake=True`` keeps the deterministic byte-slice stub for
+    shape-only pipelines."""
     import pandas as pd
+
+    _MJPEG = ("jpeg", "mjpa", "mjpg", "MJPG")
 
     def sample(batches):
         for pdf in batches:
@@ -507,6 +517,26 @@ def frame_sample(df: DataFrame, every_n: int = 10,
                 if blob[:6] in (b"GIF87a", b"GIF89a"):
                     from .gif import decode_gif_frames
                     _w, _h, frames = decode_gif_frames(blob)
+                elif blob[4:8] == b"ftyp":
+                    from .jpeg import decode_jpeg
+                    from .mp4 import demux_samples, parse_mp4
+                    m = parse_mp4(blob)
+                    vid = [t for t in m.tracks if t.handler == "vide"]
+                    if not vid:
+                        continue                 # no video: no frames
+                    if vid[0].codec not in _MJPEG:
+                        raise NotImplementedError(
+                            f"video codec {vid[0].codec!r} needs "
+                            f"libraries this container lacks; only "
+                            f"MJPEG tracks decode (container demux "
+                            f"itself is real: operators/mp4.py)")
+                    samples = demux_samples(blob, vid[0])
+                    # unlike GIF composition, MJPEG samples decode
+                    # independently — only the sampled ones pay
+                    for i in range(0, len(samples), every_n):
+                        rows.append((int(rid), i,
+                                     decode_jpeg(samples[i])[2]))
+                    continue
                 elif len(blob) == 0:
                     continue                     # missing blob: no rows
                 else:

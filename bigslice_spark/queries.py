@@ -6861,3 +6861,101 @@ def multimodal_resize_q(spark, sf_dir):
     box = _sums(resize_images(imgs, 4, 4), 48, "box")
     nn = _sums(resize_images(imgs, 3, 3), 27, "nn")
     return box.join(nn, "doc_id")
+
+
+_MJPEG_SQL = """
+    WITH base AS (
+      SELECT doc_id, 1 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id % 2 = 0
+    ), fr AS (
+      SELECT doc_id, unnest(range(0, nf, 2)) AS fi FROM base
+    ), c AS (
+      SELECT doc_id, fi,
+             (3 * doc_id + 11 * fi) % 256 AS r0,
+             (5 * doc_id + 17 * fi) % 256 AS g0,
+             (7 * doc_id + 23 * fi) % 256 AS b0
+      FROM fr
+    ), ycc AS (
+      SELECT *,
+        FLOOR(0.299e0 * r0 + 0.587e0 * g0 + 0.114e0 * b0 + 0.5e0) AS y,
+        FLOOR(128e0 - 0.168736e0 * r0 - 0.331264e0 * g0 + 0.5e0 * b0
+              + 0.5e0) AS cb,
+        FLOOR(128e0 + 0.5e0 * r0 - 0.418688e0 * g0 - 0.081312e0 * b0
+              + 0.5e0) AS cr
+      FROM c
+    ), rgb AS (
+      SELECT *,
+        LEAST(255e0, GREATEST(0e0,
+            FLOOR(y + 1.402e0 * (cr - 128e0) + 0.5e0))) AS r2,
+        LEAST(255e0, GREATEST(0e0,
+            FLOOR(y - 0.344136e0 * (cb - 128e0)
+                  - 0.714136e0 * (cr - 128e0) + 0.5e0))) AS g2,
+        LEAST(255e0, GREATEST(0e0,
+            FLOOR(y + 1.772e0 * (cb - 128e0) + 0.5e0))) AS b2
+      FROM ycc
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      CAST(768 AS BIGINT) AS n_bytes,
+      md5(repeat(lpad(hex(CAST(r2 AS INT)), 2, '0')
+                 || lpad(hex(CAST(g2 AS INT)), 2, '0')
+                 || lpad(hex(CAST(b2 AS INT)), 2, '0'), 256))
+        AS frame_md5
+    FROM rgb
+"""
+
+
+@query("multimodal_mjpeg", _MJPEG_SQL)
+def multimodal_mjpeg_q(spark, sf_dir):
+    """MJPEG-in-MP4 REAL video frame decode end-to-end — the one
+    video container format whose samples this engine can turn into
+    pixels without external codec libraries: ISO BMFF demux
+    (operators/mp4.py stsz/stsc/stco byte slicing) feeds each video
+    sample to the T.81 JPEG decoder (operators/jpeg.py) inside
+    frame_sample(fake=False)'s Arrow batch (operators/multimodal.py).
+
+    Fixture: each even doc becomes an MP4 with one 'jpeg'-fourcc
+    video track of 1-5 constant-color 16x16 quality-100 JPEG frames
+    (4:2:0 and 4:4:4 alternating by doc — constant planes subsample
+    exactly), frame colors derived from (doc_id, frame_idx) so the
+    oracle regenerates them in SQL. every_n=2 sampling exercises the
+    sample-index arithmetic. frame_md5 is Spark-side md5(hex(frame))
+    over the DECODED 16*16*3 raster; DuckDB rebuilds the identical
+    hex string from the JFIF floor(x+.5) color round-trip (the same
+    pinned arithmetic as multimodal_jpeg) and repeat()+md5()s it —
+    a wrong sample offset, frame order slip, Huffman/IDCT error, or
+    channel swap breaks the hash. H.264/AAC stay honest raises
+    (multimodal.py frame_sample)."""
+    import pandas as pd
+    from .operators.jpeg import make_jpeg
+    from .operators.mp4 import TrackSpec, make_mp4
+    from .operators.multimodal import frame_sample
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                frames = []
+                for i in range(1 + d % 5):
+                    px = bytes(((3 * d + 11 * i) % 256,
+                                (5 * d + 17 * i) % 256,
+                                (7 * d + 23 * i) % 256)) * 256
+                    frames.append(make_jpeg(
+                        16, 16, px, quality=100,
+                        subsampling="4:2:0" if d % 4 == 0
+                        else "4:4:4"))
+                v = TrackSpec(handler="vide", codec="jpeg",
+                              samples=frames, width=16, height=16,
+                              timescale=1000, sample_delta=40)
+                rows.append((d, bytearray(make_mp4([v]))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 2 == 0)
+             .select(F.col("doc_id").alias("id"))
+             .mapInPandas(gen, schema="id long, media binary"))
+    out = frame_sample(media, every_n=2, fake=False)
+    return out.select(
+        F.col("id").alias("doc_id"), "frame_idx",
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+        F.md5(F.hex(F.col("frame"))).alias("frame_md5"))

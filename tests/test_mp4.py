@@ -269,3 +269,51 @@ def test_spark_meta_and_demux(spark):
     # demux output feeds hashing/dedup directly — exactness check
     h = hashlib.md5(got[(3, 1)]).hexdigest()
     assert h == hashlib.md5(b"3:1;" * 2).hexdigest()
+
+
+def test_frame_sample_mjpeg_real_decode(spark):
+    """MJPEG-in-MP4: frame_sample(fake=False) demuxes the video track
+    and decodes each sampled sample as a standalone JPEG."""
+    import numpy as np
+    from bigslice_spark.operators.jpeg import make_jpeg
+    from bigslice_spark.operators.multimodal import frame_sample
+    frames = []
+    colors = []
+    for i in range(5):
+        rgb = ((10 + 40 * i) % 256, (200 - 30 * i) % 256, 77)
+        colors.append(rgb)
+        frames.append(make_jpeg(16, 16, bytes(rgb) * 256,
+                                quality=100, subsampling="4:4:4"))
+    blob = make_mp4([TrackSpec(handler="vide", codec="jpeg",
+                               samples=frames, width=16, height=16)])
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "id long, media binary")
+    rows = {r["frame_idx"]: bytes(r["frame"])
+            for r in frame_sample(df, every_n=2, fake=False).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    for i in (0, 2, 4):
+        a = np.frombuffer(rows[i], np.uint8).reshape(16, 16, 3)
+        assert (a == a[0, 0]).all()
+        # constant color survives the JFIF round trip within ±1/clamp
+        assert all(abs(int(a[0, 0][c]) - colors[i][c]) <= 2
+                   for c in range(3))
+
+
+def test_frame_sample_non_mjpeg_codec_raises(spark):
+    from bigslice_spark.operators.multimodal import frame_sample
+    blob = make_mp4([TrackSpec(handler="vide", codec="avc1",
+                               samples=[b"h264-bitstream"],
+                               width=16, height=16)])
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "id long, media binary")
+    with pytest.raises(Exception, match="avc1"):
+        frame_sample(df, fake=False).collect()
+
+
+def test_frame_sample_audio_only_mp4_no_rows(spark):
+    from bigslice_spark.operators.multimodal import frame_sample
+    blob = make_mp4([TrackSpec(handler="soun", codec="mp4a",
+                               samples=[b"aac"], timescale=48000)])
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "id long, media binary")
+    assert frame_sample(df, fake=False).count() == 0
