@@ -40,20 +40,27 @@ def _scheme(url: Column) -> Column:
                                     1))
 
 
+def _wstrim(url: Column) -> Column:
+    """Strip surrounding whitespace INCLUDING tabs/newlines — F.trim
+    removes only spaces, and a crawl URL wrapped in '\\t' would
+    otherwise reach parse_url unparseable (found by fuzzing)."""
+    return F.regexp_replace(url, r"^\s+|\s+$", "")
+
+
 def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Append scheme/host/port/path/query columns (lowercased scheme
     and host; port NULL when absent; path defaulted to '/')."""
     u = F.col(url_col)
-    auth = F.parse_url(u, F.lit("AUTHORITY"))
+    auth = F.try_parse_url(u, F.lit("AUTHORITY"))
     port = F.regexp_extract(auth, r":(\d+)$", 1)
-    path = F.parse_url(u, F.lit("PATH"))
+    path = F.try_parse_url(u, F.lit("PATH"))
     return df.withColumns({
         "scheme": _scheme(u),
-        "host": F.lower(F.parse_url(u, F.lit("HOST"))),
+        "host": F.lower(F.try_parse_url(u, F.lit("HOST"))),
         "port": F.when(port != "", port.cast("int")),
         "path": F.when((path == "") | path.isNull(), F.lit("/"))
                  .otherwise(path),
-        "query": F.parse_url(u, F.lit("QUERY")),
+        "query": F.try_parse_url(u, F.lit("QUERY")),
     })
 
 
@@ -90,20 +97,25 @@ def url_normalize(df: DataFrame, url_col: str = "url",
     from the query (other parameters keep their original order —
     reordering would merge URLs whose servers may treat order as
     significant). Same-page variants collapse to one string, the key
-    for URL-level dedup."""
-    u = F.trim(F.col(url_col))
+    for URL-level dedup. Unparseable URLs (and URLs wrapped in
+    whitespace beyond plain spaces — tabs/newlines happen in real
+    crawl manifests) normalize to NULL instead of raising: ANSI
+    parse_url throws on invalid input, so every probe here is
+    try_parse_url."""
+    u = _wstrim(F.col(url_col))
     scheme = _scheme(u)
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
-    auth = F.parse_url(u, F.lit("AUTHORITY"))
-    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    auth = F.try_parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(F.coalesce(auth, F.lit("")),
+                            r":(\d+)$", 1)
     default = ((scheme == "http") & (port == "80")) | \
               ((scheme == "https") & (port == "443"))
     port_part = F.when((port == "") | default, F.lit("")) \
         .otherwise(F.concat(F.lit(":"), port))
-    path = F.parse_url(u, F.lit("PATH"))
+    path = F.try_parse_url(u, F.lit("PATH"))
     path = F.when((path == "") | path.isNull(), F.lit("/")) \
         .otherwise(path)
-    query = F.parse_url(u, F.lit("QUERY"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
     kept = F.filter(
         F.split(F.coalesce(query, F.lit("")), "&"),
         lambda p: (p != "") & ~F.split(p, "=")[0]
@@ -112,7 +124,12 @@ def url_normalize(df: DataFrame, url_col: str = "url",
                    F.concat(F.lit("?"), F.array_join(kept, "&"))) \
         .otherwise(F.lit(""))
     norm = F.concat(scheme, F.lit("://"), host, port_part, path, qpart)
-    return df.withColumn(out_col, norm)
+    # an unparseable URL (try_parse_url -> NULL host) normalizes to
+    # NULL, not to a "scheme://" fragment that could merge with a
+    # real page's key downstream
+    return df.withColumn(
+        out_col, F.when(host.isNull() | (host == ""), F.lit(None))
+        .otherwise(norm))
 
 
 def url_dedup_keys(df: DataFrame, url_col: str = "url",
@@ -124,8 +141,8 @@ def url_dedup_keys(df: DataFrame, url_col: str = "url",
     never the URL text (the span_dedup ownership pattern)."""
     n = url_normalize(df, url_col).select(
         F.col(id_col), F.col("url_norm"),
-        registrable_domain(F.lower(F.parse_url(F.trim(F.col(url_col)),
-                                               F.lit("HOST"))))
+        registrable_domain(F.lower(F.try_parse_url(
+            _wstrim(F.col(url_col)), F.lit("HOST"))))
         .alias("domain"),
         F.md5(F.col("url_norm")).alias("__h__"))
     from pyspark.sql import Window as W

@@ -911,3 +911,208 @@ def test_dup_span_invariants(spark, docs):
         clean_n = len([t for t in s["clean_text"].split(" ") if t])
         assert clean_n == r["n_tokens"] - r["dup_tokens"]
         assert s["dup_tokens"] == r["dup_tokens"]
+
+
+# --------------------------------------------------------------------
+# url_normalize / charset_decode fuzzing (r9 verdict task 7): both are
+# codegen string transforms whose registry oracles replay hand-built
+# fixtures — these suites drive them with generated inputs against
+# pure-Python references of their documented rules, 200 examples each
+# (every example batches several inputs through one Spark collect).
+
+URL_PROP = settings(max_examples=200, deadline=None,
+                    suppress_health_check=list(HealthCheck))
+
+_SCHEME = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp",
+                           "FTP"])
+# labels start with a letter: Java's URI parser (behind parse_url)
+# treats an all-numeric last label as a malformed IPv4 and returns
+# NULL host for e.g. "http://0.0" — out of scope for this suite
+_LABEL = st.tuples(
+    st.sampled_from("abcDEF"),
+    st.text(alphabet="abcdefgHIJKLmnop0123456789", max_size=5)
+).map(lambda t: t[0] + t[1])
+_HOSTG = st.lists(_LABEL, min_size=1, max_size=4).map(".".join)
+_PCT = st.integers(0, 255).map(lambda b: "%%%02X" % b)
+_SAFE = st.text(alphabet="abcXYZ019._~-", min_size=0, max_size=5)
+_SEG = st.lists(st.one_of(_SAFE, _PCT), min_size=0,
+                max_size=3).map("".join)
+_PATHG = st.one_of(
+    st.just(""),
+    st.lists(_SEG, min_size=1, max_size=3).map(
+        lambda segs: "/" + "/".join(segs)))
+_PORTG = st.sampled_from(["", "80", "443", "8080", "65535"])
+_QKEY = st.one_of(
+    st.sampled_from(["utm_source", "utm_campaign", "gclid", "fbclid",
+                     "UTM_SOURCE", "Gclid"]),   # case-sensitive match
+    st.text(alphabet="abcxyz_09", min_size=1, max_size=6))
+_QVAL = st.lists(st.one_of(_SAFE, _PCT), min_size=0,
+                 max_size=2).map("".join)
+_QTOK = st.one_of(
+    st.just(""),                                 # the '&&' case
+    _QKEY,                                       # flag param, no '='
+    st.tuples(_QKEY, _QVAL).map(lambda kv: f"{kv[0]}={kv[1]}"))
+_QG = st.lists(_QTOK, min_size=0, max_size=4)
+_USERG = st.sampled_from(["", "u@", "user:pw@"])
+_FRAGG = st.sampled_from(["", "#top", "#a%20b"])
+_WSG = st.sampled_from(["", " ", "  \t"])
+
+_URLCASE = st.tuples(_SCHEME, _USERG, _HOSTG, _PORTG, _PATHG, _QG,
+                     _FRAGG, _WSG)
+
+
+def _expected_norm(scheme, host, port, path, qtoks):
+    from bigslice_spark.operators.web import DEFAULT_TRACKING_PARAMS
+    s, h = scheme.lower(), host.lower()
+    default = (s == "http" and port == "80") or \
+              (s == "https" and port == "443")
+    pp = "" if (port == "" or default) else ":" + port
+    pa = path if path else "/"
+    kept = [t for t in qtoks
+            if t != "" and t.split("=")[0] not in
+            set(DEFAULT_TRACKING_PARAMS)]
+    q = "?" + "&".join(kept) if kept else ""
+    return f"{s}://{h}{pp}{pa}{q}"
+
+
+@URL_PROP
+@given(cases=st.lists(_URLCASE, min_size=1, max_size=6))
+def test_url_normalize_matches_reference(spark, cases):
+    from bigslice_spark.operators.web import url_normalize
+    rows, want = [], []
+    for i, (sch, user, host, port, path, qtoks, frag, ws) in \
+            enumerate(cases):
+        url = (f"{ws}{sch}://{user}{host}"
+               + (f":{port}" if port else "") + path
+               + ("?" + "&".join(qtoks) if qtoks else "")
+               + frag + ws)
+        rows.append((i, url))
+        want.append(_expected_norm(sch, host, port, path, qtoks))
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {r["i"]: r["url_norm"]
+           for r in url_normalize(df).collect()}
+    for i, w in enumerate(want):
+        assert got[i] == w, (cases[i], got[i], w)
+
+
+# --- charset detection/decoding vs a pure-Python rule reference ---
+
+def _ref_charset(b: bytes) -> str:
+    if b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        if len(b) % 2:
+            return "utf-16-corrupt"
+        return "utf-16le" if b[:2] == b"\xff\xfe" else "utf-16be"
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    try:
+        b.decode("utf-8")
+        return "ascii" if all(c < 0x80 for c in b) else "utf-8"
+    except UnicodeDecodeError:
+        if any(0x80 <= c <= 0x9F for c in b):
+            return "windows-1252"
+        return "iso-8859-1"
+
+
+def _cp1252_table():
+    t = {}
+    for x in range(0x80, 0xA0):
+        try:
+            t[chr(x)] = bytes([x]).decode("cp1252")
+        except UnicodeDecodeError:
+            pass                        # 81 8D 8F 90 9D pass through
+    return t
+
+
+_CPT = _cp1252_table()
+
+
+def _ref_decode(b: bytes, label: str):
+    if label in ("ascii", "utf-8"):
+        return b.decode("utf-8")
+    if label == "utf-8-sig":
+        return b[3:].decode("utf-8")    # callers gate on validity
+    if label == "windows-1252":
+        return "".join(_CPT.get(ch, ch) for ch in b.decode("latin-1"))
+    if label == "iso-8859-1":
+        return b.decode("latin-1")
+    if label in ("utf-16le", "utf-16be"):
+        return b.decode("utf-16")       # BOM-aware, like Java UTF-16
+    return None                          # utf-16-corrupt
+
+
+def _valid_u8(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def _decode_comparable(b: bytes, label: str) -> bool:
+    # arbitrary bytes after a BOM can be malformed in ways whose
+    # replacement/REPORT semantics differ by engine — the reference
+    # compares decode only where the documented contract is total
+    if label in ("ascii", "utf-8", "windows-1252", "iso-8859-1",
+                 "utf-16-corrupt"):
+        return True
+    if label == "utf-8-sig":
+        return _valid_u8(b[3:])
+    return False                         # BOM'd utf-16: structured gen
+
+
+@URL_PROP
+@given(blobs=st.lists(st.binary(max_size=24), min_size=1, max_size=8))
+def test_charset_detect_arbitrary_bytes(spark, blobs):
+    from bigslice_spark.operators.charset import decode_auto
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)],
+        "i long, payload binary")
+    got = {r["i"]: (r["charset"], r["text"])
+           for r in decode_auto(df, utf16=False).collect()}
+    for i, b in enumerate(blobs):
+        label = _ref_charset(b)
+        assert got[i][0] == label, (b, got[i][0], label)
+        if _decode_comparable(b, label) and label != "utf-16-corrupt":
+            assert got[i][1] == _ref_decode(b, label), (b, label)
+        if label == "utf-16-corrupt":
+            assert got[i][1] is None
+
+
+_TEXTG = st.text(alphabet=st.characters(
+    blacklist_categories=("Cs",)), min_size=0, max_size=16)
+
+
+@URL_PROP
+@given(cases=st.lists(
+    st.tuples(_TEXTG, st.sampled_from(
+        ["utf-8", "utf-8-sig", "utf-16le-bom", "utf-16be-bom",
+         "latin-1", "cp1252"])),
+    min_size=1, max_size=6))
+def test_charset_decode_structured_roundtrip(spark, cases):
+    """Encode real text in each charset (BOMs where the rules need
+    them) and check the engine's label and decoded text against the
+    pure-Python reference of the SAME bytes."""
+    from bigslice_spark.operators.charset import decode_auto
+    rows = []
+    for i, (text, enc) in enumerate(cases):
+        if enc == "utf-8":
+            b = text.encode("utf-8")
+        elif enc == "utf-8-sig":
+            b = b"\xef\xbb\xbf" + text.encode("utf-8")
+        elif enc == "utf-16le-bom":
+            b = b"\xff\xfe" + text.encode("utf-16-le")
+        elif enc == "utf-16be-bom":
+            b = b"\xfe\xff" + text.encode("utf-16-be")
+        elif enc == "latin-1":
+            b = text.encode("latin-1", errors="ignore")
+        else:
+            b = text.encode("cp1252", errors="ignore")
+        rows.append((i, bytearray(b)))
+    df = spark.createDataFrame(rows, "i long, payload binary")
+    got = {r["i"]: (r["charset"], r["text"])
+           for r in decode_auto(df, utf16=True).collect()}
+    for i, _ in enumerate(cases):
+        b = bytes(rows[i][1])
+        label = _ref_charset(b)
+        assert got[i][0] == label, (b, got[i][0], label)
+        assert got[i][1] == _ref_decode(b, label), (b, label)
