@@ -103,6 +103,10 @@ BATTERY = [
     "html_links", "text_clean", "sketch_rollup", "corpus_overlap",
     "quantile_sketch", "bucketed_join", "stream_warc",
     "similarity_pq", "multimodal_resize",
+    # round-10 — MJPEG-in-MP4 decode: fixture generation, demux, and
+    # per-sample JPEG decode all run inside Arrow batches whose
+    # boundaries shift with partitioning/transport
+    "multimodal_mjpeg",
 ]
 
 
