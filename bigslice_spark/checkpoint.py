@@ -28,8 +28,16 @@ disk-backed, so the reliable path is the faithful one on clusters.
 from __future__ import annotations
 
 import re
+import threading
+import weakref
 
 from pyspark.sql import DataFrame
+
+# df -> (SparkContext, [rdd ids persisted by its materialize call]).
+# Weak keys: an un-released materialized frame falls back to the
+# GC -> py4j -> ContextCleaner path, exactly as before release existed.
+_TRACKED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_TRACK_LOCK = threading.Lock()
 
 
 def _single_jvm(master: str) -> bool:
@@ -51,7 +59,25 @@ def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
         master = spark.conf.get("spark.master", "local")
         reliable = not _single_jvm(master)
     if not reliable:
-        return df.localCheckpoint()
+        # Track the persisted-RDD ids this checkpoint creates so
+        # release() can free superseded rounds of an iterative loop
+        # promptly: localCheckpoint blocks otherwise live until the
+        # Python handle is GC'd and the ContextCleaner notices —
+        # measured as multi-x inflation of late queries in a
+        # long-lived JVM (PERFORMANCE.md round 10). The before/after
+        # diff is guarded by a lock against OTHER materialize calls,
+        # but a concurrent job persisting RDDs at the same instant
+        # can still be misattributed — loops that release() are
+        # driver-sequential by construction.
+        jsc = spark.sparkContext._jsc
+        with _TRACK_LOCK:
+            before = {int(i) for i in
+                      jsc.getPersistentRDDs().keySet().toArray()}
+            out = df.localCheckpoint()
+            after = {int(i) for i in
+                     jsc.getPersistentRDDs().keySet().toArray()}
+            _TRACKED[out] = (spark.sparkContext, sorted(after - before))
+        return out
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         master = spark.conf.get("spark.master", "local")
@@ -67,3 +93,29 @@ def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
                 "checkpoint dir: call spark.sparkContext.setCheckpointDir"
                 "('hdfs://... or s3a://...') first")
     return df.checkpoint()
+
+
+def release(df: DataFrame) -> bool:
+    """Free the executor blocks a previous ``materialize`` persisted
+    for ``df`` (localCheckpoint path only; reliable checkpoints are
+    files under the checkpoint dir and are left for the caller's
+    retention policy). Safe to call on any DataFrame — returns False
+    when there is nothing tracked to free.
+
+    Use in iterative loops: after round N+1 is materialized (eager),
+    round N's blocks are dead weight — releasing them keeps a k-round
+    loop's storage footprint at one round instead of k, which is the
+    difference between a flat and a degrading long-lived JVM. Never
+    release the round you are about to return to the caller."""
+    with _TRACK_LOCK:
+        sc, ids = _TRACKED.pop(df, (None, ()))
+    if sc is None or not ids:
+        return False
+    m = sc._jsc.getPersistentRDDs()
+    freed = False
+    for i in ids:
+        r = m.get(i)
+        if r is not None:
+            r.unpersist(False)
+            freed = True
+    return freed

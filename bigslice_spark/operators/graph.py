@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..checkpoint import materialize
+from ..checkpoint import materialize, release
 
 
 def connected_components(edges: DataFrame, src: str = "src",
@@ -60,6 +60,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         lab = lab.unionByName(extra)
     lab = materialize(lab, reliable)
 
+    prev_mat = lab            # superseded rounds release() their blocks
     for _ in range(max_iter):
         # candidate labels: own label + the label of every neighbor.
         # The own-label row carries own=true so the aggregation below
@@ -80,8 +81,11 @@ def connected_components(edges: DataFrame, src: str = "src",
                 F.min(F.when(F.col("own"), F.col("cand")))
                 .alias("__old__")),
             reliable)
+        release(prev_mat)     # eager materialize above consumed it
+        prev_mat = new
         lab = new.select("node", "label")
         if new.filter(F.col("label") != F.col("__old__")).isEmpty():
+            release(sym)
             return lab.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"did not converge in {max_iter} iterations")
 
@@ -128,6 +132,7 @@ def label_propagation(edges: DataFrame, src: str = "src",
     sym = materialize(sym.distinct(), reliable)
     lab = (sym.select("u").distinct()
            .select(F.col("u").alias("node"), F.col("u").alias("label")))
+    prev_mat = None           # superseded rounds release() their blocks
     for it in range(iters):
         # broadcast_labels: ship the |nodes|-row label relation to the
         # executors instead of exchanging the edge list every round —
@@ -163,9 +168,13 @@ def label_propagation(edges: DataFrame, src: str = "src",
             reliable)
         done = (it == iters - 1) or new.filter(
             F.col("label") != F.col("__old__")).isEmpty()
+        if prev_mat is not None:
+            release(prev_mat)  # eager materialize above consumed it
+        prev_mat = new
         lab = new.select("node", "label")
         if done:
             break
+    release(sym)
     return lab
 
 
@@ -209,6 +218,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     base = (F.lit(1.0) - F.lit(float(damping))) / F.lit(float(n))
     rank = nodes.select("node", (F.lit(1.0) / F.lit(float(n)))
                         .alias("r"))
+    prev_mat = None           # superseded rounds release() their blocks
     for _ in range(iters):
         # broadcast_ranks: the label_propagation knob — ship the
         # |nodes|-row rank relation per round when it fits a broadcast
@@ -236,6 +246,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      * F.coalesce(F.col("in_sum"), F.lit(0.0)))
                     .alias("r")),
             reliable)
+        if prev_mat is not None:
+            release(prev_mat)  # eager materialize above consumed it
+        prev_mat = rank
+    # the final rank is lineage-free; the loop inputs are dead weight
+    for aux in (e, nodes, deg):
+        release(aux)
     return rank.select("node", F.col("r").alias("rank"))
 
 
@@ -330,11 +346,15 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
 
     if iters is not None:
         for _ in range(iters):
-            cur = peel(cur)
+            nxt = peel(cur)
+            release(cur)       # eager materialize inside peel
+            cur = nxt
     else:
         n = cur.count()
         while n:
-            cur = peel(cur)
+            nxt = peel(cur)
+            release(cur)       # eager materialize inside peel
+            cur = nxt
             m = cur.count()
             if m == n:
                 break
