@@ -2383,6 +2383,41 @@ def test_cc_jobs_bounded_per_round(spark):
     assert len(new_jobs) <= 30, len(new_jobs)
 
 
+def test_release_frees_superseded_checkpoint_blocks(spark):
+    """materialize()'s localCheckpoint path tracks the RDD ids it
+    persists; release() unpersists exactly those and is idempotent.
+    End-to-end: a converging CC run releases every superseded round,
+    so it finishes holding O(1) persisted RDDs, not O(rounds) — the
+    difference between a flat and a degrading long-lived JVM on
+    iterative workloads (lpa at sf1: 75.1s -> 32.4s)."""
+    from bigslice_spark.checkpoint import materialize, release
+
+    jsc = spark.sparkContext._jsc
+
+    def persisted():
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    base = persisted()
+    df = materialize(spark.range(100).selectExpr("id", "id * 2 AS y"))
+    assert persisted() - base, "localCheckpoint should persist blocks"
+    assert release(df) is True
+    assert not (persisted() - base), "release must unpersist them all"
+    assert release(df) is False, "second release is a tracked no-op"
+    # untracked frames (never materialized) are a safe no-op too
+    assert release(spark.range(3)) is False
+
+    from bigslice_spark.operators.graph import connected_components
+    e = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                              "src long, dst long")
+    before = persisted()
+    out = connected_components(e, max_iter=15)
+    assert out.count() == 11
+    leftover = persisted() - before
+    # only the final round's blocks (the returned frame's backing) may
+    # survive; 11 rounds of a path graph would leak ~12 without release
+    assert len(leftover) <= 3, leftover
+
+
 def test_upsert_concurrent_writer_fails_fast(spark, tmp_path):
     """Atomic rename commit: when two writers race on the same v=N,
     exactly one publishes; the loser raises ConcurrentWriteError, its
