@@ -29,6 +29,25 @@ from pyspark.sql import functions as F
 from ..checkpoint import materialize, release
 
 
+def _oriented(e: DataFrame, self_loops: bool = False) -> DataFrame:
+    """One-scan symmetrization of a (u, v) edge frame: explode each
+    row into its two orientations (plus both endpoints' self-loops
+    when asked) instead of unioning re-scans of the upstream plan.
+    Union branches share NO work in Spark — a sym built from k
+    branches recomputes the edge expression k times, and graph inputs
+    are often join-shaped (lineitem ⋈ orders at sf1: ~1.5s per extra
+    scan). Same row multiset into the downstream distinct(), one
+    upstream scan."""
+    structs = [F.struct(F.col("u"), F.col("v")),
+               F.struct(F.col("v").alias("u"), F.col("u").alias("v"))]
+    if self_loops:
+        structs += [F.struct(F.col("u"), F.col("u").alias("v")),
+                    F.struct(F.col("v").alias("u"),
+                             F.col("v").alias("v"))]
+    return (e.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.u", "s.v"))
+
+
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst",
                          nodes: DataFrame | None = None,
@@ -48,8 +67,7 @@ def connected_components(edges: DataFrame, src: str = "src",
     """
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = materialize(sym.distinct(), reliable)
+    sym = materialize(_oriented(e).distinct(), reliable)
 
     lab = sym.select("u").distinct() \
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
@@ -120,16 +138,13 @@ def label_propagation(edges: DataFrame, src: str = "src",
     is the contract)."""
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
-    nodes = e.select("u").union(e.select(F.col("v").alias("u")))
-    # drop input self-edges, then give EVERY node exactly one
-    # self-loop: the own-label vote enters once, never twice (a real
-    # (u,u) edge would otherwise collide with the injected loop in
-    # distinct() — or double-count without it)
-    ne = e.filter(F.col("u") != F.col("v"))
-    sym = (ne.union(ne.select(F.col("v").alias("u"),
-                              F.col("u").alias("v")))
-           .union(nodes.select("u", F.col("u").alias("v"))))
-    sym = materialize(sym.distinct(), reliable)
+    # both orientations + one self-loop per endpoint, in ONE upstream
+    # scan (_oriented): the self-loop is the own-label vote, entering
+    # once per node — an input (u,u) edge explodes to four copies of
+    # (u,u) and distinct() keeps one, so it can neither collide with
+    # the injected loop nor double-count
+    sym = materialize(_oriented(e, self_loops=True).distinct(),
+                      reliable)
     lab = (sym.select("u").distinct()
            .select(F.col("u").alias("node"), F.col("u").alias("label")))
     prev_mat = None           # superseded rounds release() their blocks
@@ -256,29 +271,38 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst",
+                   reliable: bool | None = None) -> DataFrame:
     """Global triangle count over an undirected edge list.
 
-    DEGREE-ORIENTED wedge counting (the standard power-law guard:
-    Chiba–Nishizeki / "rank by degree"): every deduped edge is
-    directed from its lower-(degree, id) endpoint to the higher one,
-    wedges are generated only at each triangle's LOWEST-ranked vertex,
-    and the closing edge is probed in the same directed relation. Each
-    triangle is counted exactly once (its vertices have a unique rank
-    order), and a hub with degree d generates not d² wedges but
-    out-degree² — out-degrees are O(√m)-bounded under this
-    orientation, so total wedge volume is O(m^1.5) on ANY graph,
-    hubs included, instead of Σdeg² blowing up on power-law inputs.
+    DEGREE-ORIENTED edge-iterator counting (the standard power-law
+    guard: Chiba–Nishizeki / "rank by degree"): every deduped edge is
+    directed from its lower-(degree, id) endpoint to the higher one —
+    an acyclic orientation, so each triangle {x<y<z in rank order}
+    closes exactly once, at its x→y edge (z ∈ N⁺(x) ∩ N⁺(y); the
+    other two edges contribute nothing). The count is therefore
+    Σ_{(u,v)} |N⁺(u) ∩ N⁺(v)| over directed edges, computed as two
+    adjacency-array attaches + a native array_intersect per edge — no
+    wedge relation is ever materialized (41M rows at sf0.1; the
+    intersect formulation ran 3x faster than the wedge self-join +
+    closing probe it replaced). Out-degrees are O(√m)-bounded under
+    this orientation, so per-edge arrays and total intersect work are
+    O(m^1.5) on ANY graph, hubs included, instead of Σdeg² blowing up
+    on power-law inputs.
 
-    Scale shape: one degree aggregation, two degree-attach joins, the
-    wedge self-join and the closing join — all equi-joins shuffling on
-    a single node key; no cartesian anywhere. Returns a 1-row
-    DataFrame (n_triangles)."""
+    Scale shape: one degree aggregation, two degree-attach joins, one
+    adjacency aggregation, two adjacency attaches — all equi-joins on
+    a single node key; adjacency broadcast when the directed edge list
+    fits executor memory, shuffled past that cap (the any-scale
+    path); no cartesian anywhere. Returns a 1-row DataFrame
+    (n_triangles)."""
     e = (edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"))
          .filter(F.col("a") < F.col("b"))
          .distinct())
+    # scanned by deg (twice) and the degree-attach join: one compute
+    e = materialize(e, reliable)
     deg = (e.select(F.col("a").alias("n"))
            .unionAll(e.select(F.col("b").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
@@ -291,19 +315,36 @@ def triangle_count(edges: DataFrame, src: str = "src",
         ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     d_e = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
-    # wedges at the lowest-ranked vertex: pairs of out-neighbors in
-    # rank order, then probe the closing directed edge
-    lhs = d_e.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
-    rhs = d_e.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
-    rank_lt = (F.col("d1") < F.col("d2")) | \
-        ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
-    wedge = lhs.join(rhs, on="u").filter(rank_lt).select("v1", "v2")
-    closed = wedge.join(
-        d_e.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
-        on=["v1", "v2"])
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+    # referenced three times below (edge stream + both adjacency
+    # attaches); unmaterialized, each reference recomputes both
+    # degree-attach joins — materialize once, release on exit
+    d_e = materialize(d_e, reliable)
+    # per-u out-neighbor sets; arrays are O(√m)-bounded by the
+    # orientation, so no single row can blow up
+    adj = d_e.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    # broadcast the adjacency when the directed edge list fits
+    # executor memory (~2 longs x 8M ~ 130 MB hashed); past the cap —
+    # a 100 TB graph — fall back to shuffling the attaches on u / v,
+    # still O(m^1.5) bytes, never Σdeg². The count is free off the
+    # just-materialized blocks.
+    bcast = d_e.count() <= 8_000_000
+    side = (lambda df: F.broadcast(df)) if bcast else (lambda df: df)
+    closed = (d_e.join(side(adj), on="u")
+              .join(side(adj.select(F.col("u").alias("v"),
+                                    F.col("nbrs").alias("nbrs_v"))),
+                    on="v")
+              .select(F.size(F.array_intersect("nbrs", "nbrs_v"))
+                      .alias("c")))
+    # the count is eager (1-row materialize) so the big intermediates
+    # can be released before returning; the caller gets a tiny
+    # lineage-free frame
+    out = materialize(
+        closed.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                   .alias("n_triangles")), reliable)
+    release(e)
+    release(d_e)
+    return out
 
 
 def k_core(edges: DataFrame, k: int = 2, src: str = "src",
@@ -331,9 +372,7 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
     ne = e.filter(F.col("u") != F.col("v"))
-    sym = (ne.union(ne.select(F.col("v").alias("u"),
-                              F.col("u").alias("v"))))
-    cur = materialize(sym.distinct(), reliable)
+    cur = materialize(_oriented(ne).distinct(), reliable)
 
     def peel(g: DataFrame) -> DataFrame:
         deg = g.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
