@@ -175,6 +175,15 @@ def main() -> None:
         except Exception as ex:  # a failing query must not kill the bench
             times[name] = -1.0
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
+        # Untimed hygiene between queries: free the finished query's
+        # materialized intermediates instead of leaving them to Python
+        # GC + the ContextCleaner. A real long-lived pipeline does the
+        # same through the public checkpoint.release_all() — without
+        # it, late-list queries absorb the whole sequence's block
+        # pressure (PERFORMANCE.md round 10: lpa_communities 93.6s
+        # in-sequence vs 32.4s standalone at sf1 before release()).
+        from bigslice_spark.checkpoint import release_all
+        release_all(spark)
 
     total = round(sum(v for v in times.values() if v > 0), 3)
     print(json.dumps({

@@ -119,3 +119,32 @@ def release(df: DataFrame) -> bool:
             r.unpersist(False)
             freed = True
     return freed
+
+
+def release_all(spark=None) -> int:
+    """Free the blocks of EVERY tracked materialized frame (optionally
+    only those belonging to ``spark``'s context) and return how many
+    RDDs were unpersisted.
+
+    This is the between-queries hygiene hook for long-lived sessions:
+    a pipeline that runs query after query in one JVM accumulates each
+    query's materialized intermediates until Python GC + the JVM
+    ContextCleaner happen to notice — measured as multi-× inflation of
+    late queries in a 39-query sequence (PERFORMANCE.md round 10).
+    Call it only at a point where no returned DataFrame will be
+    re-collected: a released frame's lineage is truncated, so a later
+    action on one raises instead of silently recomputing."""
+    with _TRACK_LOCK:
+        items = [(df, sc_ids) for df, sc_ids in _TRACKED.items()
+                 if spark is None or sc_ids[0] is spark.sparkContext]
+        for df, _ in items:
+            del _TRACKED[df]
+    n = 0
+    for _, (sc, ids) in items:
+        m = sc._jsc.getPersistentRDDs()
+        for i in ids:
+            r = m.get(i)
+            if r is not None:
+                r.unpersist(False)
+                n += 1
+    return n

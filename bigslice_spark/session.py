@@ -316,6 +316,17 @@ class Session:
         ctx-cancellation of an invocation's tasks)."""
         self.spark.sparkContext.cancelJobGroup(name)
 
+    def release_materialized(self) -> int:
+        """Free the executor blocks of every intermediate this
+        session's operators materialized (checkpoint.release_all):
+        the between-queries hygiene call for long-lived drivers
+        running query after query in one JVM. Only call at a point
+        where no previously returned DataFrame will be re-collected —
+        released frames have truncated lineage and cannot recompute.
+        Returns the number of RDDs unpersisted."""
+        from .checkpoint import release_all
+        return release_all(self.spark)
+
 
 _TABLE_CACHE: dict[tuple, dict[str, "DataFrame"]] = {}
 

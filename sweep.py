@@ -61,6 +61,10 @@ def main() -> None:
             entries[name] = round(time.time() - t0, 3)
         except Exception as ex:
             failed[name] = str(ex)[:200]
+        # untimed between-entries hygiene (see bench.py): free the
+        # finished entry's materialized intermediates promptly
+        from bigslice_spark.checkpoint import release_all
+        release_all(spark)
         print(json.dumps({"entry": name,
                           "sec": entries.get(name),
                           "err": failed.get(name)}), file=sys.stderr,

@@ -2406,6 +2406,15 @@ def test_release_frees_superseded_checkpoint_blocks(spark):
     # untracked frames (never materialized) are a safe no-op too
     assert release(spark.range(3)) is False
 
+    # release_all: the between-queries hook frees every tracked frame
+    from bigslice_spark.checkpoint import release_all
+    a = materialize(spark.range(10).selectExpr("id AS a"))
+    b = materialize(spark.range(10).selectExpr("id AS b"))
+    assert release_all(spark) >= 2
+    assert not (persisted() - base)
+    assert release(a) is False and release(b) is False
+    assert release_all(spark) == 0
+
     from bigslice_spark.operators.graph import connected_components
     e = spark.createDataFrame([(i, i + 1) for i in range(10)],
                               "src long, dst long")
