@@ -144,8 +144,8 @@ def main() -> None:
     # pair volume grows ~linearly with N. Assignment auto-routes to the
     # broadcast-join path past the ~1500-term codegen cliff.
     def _semantic_fast(spark, sf_dir):
-        from bigslice_spark.operators.clustering import (kmeans_assign,
-                                                         seed_centroids)
+        from bigslice_spark.operators.clustering import (
+            kmeans_assign_ivf, seed_centroids)
         from bigslice_spark.operators.dedup import semantic_dedup
         from bigslice_spark.operators.similarity import _auto_ncells
         from bigslice_spark.session import load_tables
@@ -153,8 +153,12 @@ def main() -> None:
         emb = t["embeddings"]
         k = _auto_ncells(emb.count(), 256)
         cents = seed_centroids(k, 64)
-        # auto assignment: join path past the 512-term codegen limit
-        assigned = kmeans_assign(emb, cents).select("vec_id", "cell")
+        # two-level IVF assignment (O(√k) per vector) — flat assign
+        # is O(k) and quadratic under the k ~ N/cell_target sizing;
+        # cell contents differ slightly from exact assign (standard
+        # IVF approximation), the dedup semantics don't
+        assigned = (kmeans_assign_ivf(emb, cents)
+                    .select("vec_id", "cell"))
         return semantic_dedup(emb.join(assigned, on="vec_id"), cents,
                               threshold=0.35, cell_col="cell")
 

@@ -115,6 +115,98 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
                     F.col("__best.d").alias("dist")))
 
 
+def coarse_membership(centroids: list[list[float]],
+                      coarse: list[list[float]]) -> list[int]:
+    """Group index of each centroid: argmin squared-L2 to the coarse
+    seeds, ties toward the lower group id. Pure driver-side arithmetic
+    over k × k_coarse floats — metadata-scale, deterministic, and
+    replayed identically when an oracle builder calls it to inline the
+    membership as literals."""
+    def d2(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+    return [min(range(len(coarse)),
+                key=lambda c: (d2(cent, coarse[c]), c))
+            for cent in centroids]
+
+
+def kmeans_assign_ivf(df: DataFrame, centroids: list[list[float]],
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      nprobe: int = 2,
+                      coarse: list[list[float]] | None = None,
+                      k_coarse: int | None = None,
+                      coarse_seed: int = 101) -> DataFrame:
+    """Two-level (IVF-style) nearest-centroid assignment → (id, cell,
+    dist): each vector finds its ``nprobe`` nearest COARSE groups
+    (~√k data-independent seeds), then argmins over only those
+    groups' member centroids.
+
+    This is the hierarchical-assignment scale path kmeans_assign's
+    join strategy cannot provide: flat assignment is O(k) per vector,
+    and with the IVF sizing k ~ N/cell_target that makes index build
+    O(N²/cell_target) — the quadratic cliff _auto_ncells documents.
+    Here per-vector work is O(√k + nprobe·k/√k) = O(√k): at sf1.0
+    (600k vectors, k=2344) candidate rows drop 1.4B → 58M.
+
+    APPROXIMATE by contract: the true nearest centroid is found iff it
+    belongs to one of the probed groups (the standard IVF guarantee).
+    Everything is deterministic — seeded coarse cells, left-assoc
+    distance folds, (d, id) tie-breaks at both levels — so a fixed
+    (centroids, coarse, nprobe) replays bitwise in SQL. Vectors whose
+    probed groups are all empty of members are dropped (possible only
+    when k_coarse is absurdly oversized for k).
+
+    Scale shape: one narrow projection computing the k_coarse struct
+    array + native array_sort (no shuffle), explode to nprobe rows,
+    one broadcast join on the group id (k·(dim+2) doubles), and the
+    same map-side min(struct(d, cell)) collapse kmeans_assign uses —
+    the only exchange is n 1-row groups."""
+    k, dim = len(centroids), len(centroids[0])
+    if coarse is None:
+        if k_coarse is None:
+            import math
+            k_coarse = max(2, math.isqrt(k))
+        coarse = seed_centroids(k_coarse, dim, seed=coarse_seed)
+    member = coarse_membership(centroids, coarse)
+    spark = df.sparkSession
+    v = df.select(F.col(id_col),
+                  F.transform(F.col(vec_col),
+                              lambda x: x.cast("double")).alias("__v__"))
+    # stage 1: struct(d, g) per coarse seed; array_sort orders by the
+    # struct fields (d, then g) — the tie-break — and slice keeps the
+    # nprobe nearest groups
+    def _d_to(c: list[float]):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with("__v__", arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, t: acc + t)
+    cds = F.array(*[F.struct(_d_to(c).alias("d"),
+                             F.lit(g).alias("g"))
+                    for g, c in enumerate(coarse)])
+    pv = (v.select(id_col, "__v__",
+                   F.explode(F.slice(F.array_sort(cds), 1, nprobe))
+                   .alias("__p__"))
+          .select(id_col, "__v__", F.col("__p__.g").alias("g")))
+    # stage 2: candidates = member centroids of the probed groups
+    cents = spark.createDataFrame(
+        [(ci, member[ci], c) for ci, c in enumerate(centroids)],
+        "cell int, g int, c array<double>")
+    d = F.aggregate(
+        F.zip_with("__v__", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, t: acc + t)
+    best = F.min(F.struct(F.col("__d").alias("d"), "cell"))
+    return (pv.join(F.broadcast(cents), on="g")
+            .withColumn("__d", d)
+            .groupBy(id_col)
+            .agg(best.alias("__best"))
+            .select(id_col,
+                    F.col("__best.cell").cast("int").alias("cell"),
+                    F.col("__best.d").alias("dist")))
+
+
 def kmeans_update(df: DataFrame, centroids: list[list[float]],
                   vec_col: str = "embedding",
                   id_col: str = "vec_id",

@@ -229,7 +229,12 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     agg — no cliff at any ncells) with a small window on the query
     side for the nprobe probe list. ``auto`` switches at the cliff.
     Both compute the identical left-associative float sums, so
-    results are bitwise-identical either way."""
+    results are bitwise-identical either way. ``hierarchical`` keeps
+    the join path's query side but assigns the CORPUS through
+    clustering.kmeans_assign_ivf — O(√ncells) per vector instead of
+    O(ncells), the opt-in for index builds where auto-sized ncells
+    makes flat assignment the O(N^1.5) bottleneck; cell contents may
+    differ slightly from the exact argmin (IVF approximation)."""
     dim = dim or _dim_of(df, vec_col)
     n_corpus = None
     if ncells is None:
@@ -305,14 +310,25 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
               .withColumn("cell", F.explode(
                   F.transform("cells", lambda s: s["cell"])))
               .drop("cells"))
-    elif assign_method == "join":
+    elif assign_method in ("join", "hierarchical"):
         # corpus: broadcast-join argmin (map-side partial agg — the
         # only exchange hashes nid, never the 16-value cell id);
         # queries: same broadcast with a per-qid window for the
-        # nprobe-nearest cells — query sets are small by contract
-        cells = kmeans_assign(df, centers, vec_col, id_col,
-                              method="join") \
-            .select(F.col(id_col).alias("nid"), "cell")
+        # nprobe-nearest cells — query sets are small by contract.
+        # ``hierarchical`` swaps the corpus side for the two-level
+        # kmeans_assign_ivf (O(√ncells) per vector instead of
+        # O(ncells)) — the index-build scale knob for corpora whose
+        # auto-sized ncells runs into the O(N^1.5) flat-assign cost;
+        # cell contents shift slightly (standard IVF approximation),
+        # recall still comes from nprobe
+        if assign_method == "hierarchical":
+            from .clustering import kmeans_assign_ivf
+            cells = kmeans_assign_ivf(df, centers, vec_col, id_col) \
+                .select(F.col(id_col).alias("nid"), "cell")
+        else:
+            cells = kmeans_assign(df, centers, vec_col, id_col,
+                                  method="join") \
+                .select(F.col(id_col).alias("nid"), "cell")
         assigned = corpus.join(cells, on="nid")
         spark = df.sparkSession
         cents = spark.createDataFrame(

@@ -3553,6 +3553,67 @@ def kmeans_step(spark, sf_dir):
     return kmeans_update(t["embeddings"], seed_centroids(8, 64))
 
 
+def _kmeans_ivf_oracle(k: int = 16, dim: int = 64, k_coarse: int = 4,
+                       nprobe: int = 2) -> str:
+    """SQL replay of clustering.kmeans_assign_ivf's two argmin levels:
+    coarse distances as one UNION ALL branch per coarse seed +
+    row_number (d, g) keeping nprobe groups, then candidate distances
+    only against each probed group's member centroids (the membership
+    is driver-side metadata, inlined here as the per-branch join
+    filter), final argmin via row_number (d, cell)."""
+    from .operators.clustering import coarse_membership, seed_centroids
+    cents = seed_centroids(k, dim)
+    coarse = seed_centroids(k_coarse, dim, seed=101)
+    member = coarse_membership(cents, coarse)
+
+    def dist(c, col):
+        return " + ".join(
+            f"(CAST({col}[{j+1}] AS DOUBLE) - ({c[j]!r}))"
+            f" * (CAST({col}[{j+1}] AS DOUBLE) - ({c[j]!r}))"
+            for j in range(dim))
+
+    cd = " UNION ALL ".join(
+        f"SELECT vec_id, {g} AS g, ({dist(c, 'embedding')}) AS d"
+        " FROM embeddings"
+        for g, c in enumerate(coarse))
+    cand = " UNION ALL ".join(
+        f"SELECT e.vec_id, {ci} AS cell,"
+        f" ({dist(c, 'e.embedding')}) AS d"
+        " FROM embeddings e JOIN probe p"
+        f" ON p.vec_id = e.vec_id AND p.g = {member[ci]}"
+        for ci, c in enumerate(cents))
+    return f"""
+    WITH cd AS ({cd}),
+    probe AS (
+      SELECT vec_id, g FROM (
+        SELECT vec_id, g,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, g) AS rn
+        FROM cd) WHERE rn <= {nprobe}),
+    cand AS ({cand})
+    SELECT vec_id, CAST(cell AS INT) AS cell, d AS dist FROM (
+      SELECT vec_id, cell, d,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cell) AS rn
+      FROM cand) WHERE rn = 1
+    """
+
+
+@query("kmeans_assign_ivf", _kmeans_ivf_oracle())
+def kmeans_assign_ivf_q(spark, sf_dir):
+    """Two-level IVF assignment (operators/clustering.py
+    kmeans_assign_ivf): nprobe=2 of 4 coarse groups over 16 literal
+    centroids. Flat assignment is O(k) per vector — quadratic index
+    build under the IVF sizing k ~ N/cell_target; the hierarchy cuts
+    it to O(√k) per vector (sf1.0: candidate rows 1.4B → 58M). Both
+    argmin levels are deterministic (left-assoc folds, (d, id)
+    tie-breaks), so the unrolled two-stage SQL replays bitwise."""
+    from .operators.clustering import kmeans_assign_ivf, seed_centroids
+    _, t = _s(spark, sf_dir)
+    return kmeans_assign_ivf(t["embeddings"], seed_centroids(16, 64),
+                             nprobe=2, k_coarse=4)
+
+
 @query("funnel_steps", """
     WITH ev AS (
       SELECT user_id AS u, event_type AS et, epoch_us(ts) AS us

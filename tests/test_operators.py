@@ -1927,6 +1927,57 @@ def test_kmeans_assign_join_path_matches_unrolled_bitwise(spark, tables):
     assert a == b  # cells AND exact doubles
 
 
+def test_kmeans_assign_ivf_exact_when_probing_all_groups(spark, tables):
+    """nprobe == k_coarse probes every group, so the two-level
+    assignment degenerates to the exact flat argmin — cells AND dist
+    doubles must match kmeans_assign bitwise (same left-assoc folds,
+    same tie-breaks). The real speedup case (nprobe < k_coarse) is
+    oracle-gated by the kmeans_assign_ivf registry entry."""
+    from bigslice_spark.operators.clustering import (kmeans_assign,
+                                                     kmeans_assign_ivf,
+                                                     seed_centroids)
+    emb = tables["embeddings"]
+    cents = seed_centroids(16, 64)
+    flat = {r["vec_id"]: (r["cell"], r["dist"]) for r in
+            kmeans_assign(emb, cents, method="join").collect()}
+    ivf = {r["vec_id"]: (r["cell"], r["dist"]) for r in
+           kmeans_assign_ivf(emb, cents, nprobe=4,
+                             k_coarse=4).collect()}
+    assert flat == ivf
+
+
+def test_coarse_membership_deterministic_tiebreak():
+    from bigslice_spark.operators.clustering import coarse_membership
+    # equidistant centroid -> lower group id wins
+    assert coarse_membership([[0.0, 0.0]],
+                             [[1.0, 0.0], [-1.0, 0.0]]) == [0]
+    assert coarse_membership([[0.6, 0.0], [-0.6, 0.0]],
+                             [[1.0, 0.0], [-1.0, 0.0]]) == [0, 1]
+
+
+def test_ivf_topk_hierarchical_assign(spark, tables):
+    """The hierarchical corpus-assign path returns well-formed top-k
+    with high overlap against the exact join path (cells shift only
+    for vectors whose nearest centroid is outside the probed groups)."""
+    from bigslice_spark.operators.clustering import seed_centroids
+    from bigslice_spark.operators.similarity import ivf_topk
+    emb = tables["embeddings"]
+    qs = emb.limit(5)
+    cents = seed_centroids(16, 64)
+    a = ivf_topk(emb, qs, k=5, centers=cents, nprobe=4,
+                 assign_method="join")
+    b = ivf_topk(emb, qs, k=5, centers=cents, nprobe=4,
+                 assign_method="hierarchical")
+    pa = {(r["qid"], r["nid"]) for r in a.collect()}
+    pb = {(r["qid"], r["nid"]) for r in b.collect()}
+    # both paths fill the top-k (pair counts may differ by a few when
+    # a corpus vector lands in a different cell)
+    assert pa and pb and abs(len(pa) - len(pb)) <= len(pa) // 2
+    # ≥50% candidate overlap at this tiny scale is the sanity floor;
+    # exactness is NOT the contract (IVF approximation)
+    assert len(pa & pb) >= int(0.5 * min(len(pa), len(pb)))
+
+
 def test_kmeans_train_reduces_cost_and_is_layout_stable(spark, tables):
     from bigslice_spark.operators.clustering import (kmeans_assign,
                                                      kmeans_train,
