@@ -127,6 +127,12 @@ def main() -> None:
                    F.sum(token_count("text")).alias("tokens")))
     report.show(truncate=False)
     print({k: v for k, v in sorted(scope.snapshot().items())})
+    # every frame above has had its final action; a long-lived driver
+    # would free the journey's materialized intermediates here before
+    # the next corpus snapshot (README design rule 7). Released frames
+    # cannot be re-collected — which is why this sits AFTER the last
+    # action, never between stages that still share lazy lineage.
+    sess.release_materialized()
 
 
 if __name__ == "__main__":
