@@ -18,9 +18,10 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # signal across rounds. Round-10 window (VERDICT r9 "Next round" #1):
 #   0. round-10 ADDITIONS (zero prior signal, front of the window):
 #      multimodal_mjpeg (MJPEG-in-MP4 real frame decode via the r9
-#      JPEG codec) and kmeans_assign_ivf (two-level IVF assignment —
-#      its head slot pushes the last r5 top-up, multimodal_frames,
-#      past the 50-entry window to the r11 queue);
+#      JPEG codec), kmeans_assign_ivf (two-level IVF assignment) and
+#      ngram_novelty (per-doc novelty vs a reference corpus) — their
+#      head slots push the last two r5 top-ups, multimodal_frames and
+#      table_profile, past the 50-entry window to the r11 queue;
 #   1. the 15 entries with NO driver artifact yet (landed r9 after the
 #      final window sealed; all judge-verified green in the r9 session's
 #      full-oracle CI): dup_spans, strip_dup_spans, charset_decode,
@@ -35,7 +36,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      signal and head the r11 queue).
 # After this rotation every registry entry has a driver artifact and
 # none is older than r5.
-_R10_NEW = ("multimodal_mjpeg", "kmeans_assign_ivf")
+_R10_NEW = ("multimodal_mjpeg", "kmeans_assign_ivf", "ngram_novelty")
 _NO_SIGNAL = (
     "dup_spans", "strip_dup_spans", "charset_decode",
     "decontaminate_bloom", "html_links", "text_clean", "sketch_rollup",

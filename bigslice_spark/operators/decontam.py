@@ -116,3 +116,48 @@ def decontaminate_bloom(train: DataFrame, eval_df: DataFrame,
         train, eval_df, text_col, id_col, ngram_w, min_shared,
         fpp).select(F.col("train_id").alias(id_col)).distinct()
     return train.join(flagged, on=id_col, how="left_anti")
+
+
+def ngram_novelty(df: DataFrame, reference: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ngram_w: int = 5,
+                  broadcast_reference: bool = True) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    a document's DISTINCT word ``ngram_w``-grams that do NOT occur
+    anywhere in ``reference`` — the standard curation signal for
+    prioritizing fresh data over boilerplate already represented in a
+    training mix (and the inverse of a memorization-risk score).
+
+    Returns ``(id_col, total_grams, novel_grams, novelty)`` with
+    ``novelty = novel_grams / total_grams`` as a double (per-row
+    division of two exact counts — bitwise-identical across engines).
+
+    100 TB shape, same asymmetry as :func:`contamination_report`: the
+    corpus is shingled and scanned ONCE; the distinct reference grams
+    join in via a map-side broadcast hash join (left outer, so unseen
+    grams survive as nulls), then one narrow per-doc aggregation that
+    clusters on the shingle window's own partitioning. The corpus never
+    shuffles on gram text. ``broadcast_reference=False`` degrades to a
+    shuffle join for beyond-broadcast references. NOTE: a Bloom-filter
+    reference is deliberately NOT offered here — Bloom false positives
+    would mark genuinely novel grams as seen and silently UNDERCOUNT
+    novelty, unlike decontaminate_bloom where the exact verify join
+    repairs them.
+    """
+    doc_grams = _shingle_rows(df, text_col, id_col, w=ngram_w,
+                              distinct=True)
+    ref_grams = (_shingle_rows(reference, text_col, id_col, w=ngram_w,
+                               distinct=True)
+                 .select("tok").distinct()
+                 .withColumn("__seen", F.lit(1)))
+    if broadcast_reference:
+        ref_grams = F.broadcast(ref_grams)
+    joined = doc_grams.join(ref_grams, on="tok", how="left")
+    novel = F.sum(F.when(F.col("__seen").isNull(), 1)
+                  .otherwise(0)).alias("novel_grams")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("total_grams"), novel)
+            .select(id_col, "total_grams", "novel_grams",
+                    (F.col("novel_grams").cast("double")
+                     / F.col("total_grams").cast("double"))
+                    .alias("novelty")))

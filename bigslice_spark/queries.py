@@ -7020,3 +7020,48 @@ def multimodal_mjpeg_q(spark, sf_dir):
         F.col("id").alias("doc_id"), "frame_idx",
         F.octet_length("frame").cast("long").alias("n_bytes"),
         F.md5(F.hex(F.col("frame"))).alias("frame_md5"))
+
+
+@query("ngram_novelty", """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 5 THEN
+               list_transform(generate_series(1, len(tk) - 4),
+                   i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2],
+                                  tk[i+3], tk[i+4]))
+             ELSE [concat_ws(' ', tk)] END AS sl
+      FROM base),
+    toks AS (SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM sh),
+    ref AS (SELECT DISTINCT tok FROM toks WHERE doc_id % 10 = 0),
+    scored AS (
+      SELECT t.doc_id, t.tok, r.tok IS NOT NULL AS seen
+      FROM (SELECT * FROM toks WHERE doc_id % 10 <> 0) t
+      LEFT JOIN ref r USING (tok))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT)
+               AS novel_grams,
+           CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+    FROM scored GROUP BY doc_id
+""")
+def ngram_novelty_q(spark, sf_dir):
+    """Per-document n-gram novelty against a reference corpus
+    (operators/decontam.py ngram_novelty): the fraction of each
+    candidate document's distinct word 5-grams absent from the
+    reference split (doc_id % 10) — the curation signal for weighting
+    fresh data over already-represented boilerplate. The 100 TB shape
+    mirrors decontamination's asymmetry: one shingle scan of the
+    candidate corpus, broadcast left join against the distinct
+    reference grams, one narrow per-doc count agg; novelty is a
+    per-row division of two exact counts (bitwise-stable)."""
+    from .operators.decontam import ngram_novelty
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_novelty(cand, ref, ngram_w=5)
