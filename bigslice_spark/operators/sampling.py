@@ -282,3 +282,39 @@ def epoch_order(df: DataFrame, seed: int = 0, epoch: int = 0,
     out = global_prefix_sum(df.withColumn("__pri", pri),
                             ["__pri", id_col], F.lit(1), "pos")
     return out.drop("__pri")
+
+
+def leakage_safe_split(df: DataFrame, dup_pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       fractions: Sequence[tuple[str, float]] = (
+                           ("train", 0.98), ("val", 0.01),
+                           ("test", 0.01)),
+                       portable: bool = False) -> DataFrame:
+    """hash_split with a DUPLICATE-CLUSTER atom: near-duplicate
+    documents must never straddle train/test (a test doc whose
+    near-copy sits in train is leaked, and a row-level random or
+    hash split WILL separate dup pairs). ``dup_pairs`` is any
+    (id_a, id_b) near-dup pair relation (minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_pairs, ...); pairs are closed into
+    clusters (operators/graph.py connected_components, min-label) and
+    the whole cluster is bucketed by its representative — singletons
+    by their own id. Appends ``split_group`` (the atom's id) and
+    ``split``.
+
+    100 TB shape: the dup-pair graph is SPARSE (dedup-rate × corpus),
+    so components iterate over the pair relation only, never the
+    corpus; the corpus then takes ONE join against the (node,
+    component) map — members of non-trivial clusters, a small fraction
+    of the corpus — and the split itself is a pure codegen projection.
+    """
+    from .graph import connected_components
+    comp = connected_components(
+        dup_pairs.selectExpr("id_a AS src", "id_b AS dst"))
+    keyed = (df.join(comp.withColumnRenamed("node", id_col),
+                     on=id_col, how="left")
+             .withColumn("split_group",
+                         F.coalesce("component", F.col(id_col))
+                         .cast("long"))
+             .drop("component"))
+    return hash_split(keyed, id_col="split_group", fractions=fractions,
+                      portable=portable)

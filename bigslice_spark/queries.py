@@ -7065,3 +7065,82 @@ def ngram_novelty_q(spark, sf_dir):
     ref = docs.filter(F.col("doc_id") % 10 == 0)
     cand = docs.filter(F.col("doc_id") % 10 != 0)
     return ngram_novelty(cand, ref, ngram_w=5)
+
+
+@query("leakage_split", """
+    WITH RECURSIVE pairs AS (
+      -- same pair generation as the dedup_components oracle
+      SELECT id_a, id_b FROM (
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 3 THEN
+                   list_transform(generate_series(1, len(tk) - 2),
+                       i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+                 ELSE [concat_ws(' ', tk)] END AS sl
+          FROM base),
+        toks AS (SELECT doc_id, unnest(list_distinct(sl)) AS tok FROM sh),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                  FROM toks GROUP BY doc_id),
+        ndocs AS (SELECT count(*) AS n FROM documents),
+        hot AS (SELECT tok FROM toks GROUP BY tok
+                HAVING count(*) > (SELECT CAST(floor(0.3 * n) AS BIGINT)
+                                   FROM ndocs)),
+        cold AS (SELECT doc_id, tok FROM toks
+                 WHERE tok NOT IN (SELECT tok FROM hot)),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM cold a JOIN cold b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE)
+              / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8)
+    ),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node),
+    comp AS (SELECT node, CAST(min(label) AS BIGINT) AS component
+             FROM reach GROUP BY node),
+    grp AS (SELECT d.doc_id,
+                   CAST(coalesce(c.component, d.doc_id) AS BIGINT)
+                       AS split_group
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    b AS (SELECT doc_id, split_group,
+                 ('0x' || substr(md5(CAST(split_group AS VARCHAR)),
+                                 1, 15))::BIGINT % 10000 AS bucket
+          FROM grp)
+    SELECT doc_id, split_group,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+""")
+def leakage_split_q(spark, sf_dir):
+    """Duplicate-cluster-atomic train/val/test split (operators/
+    sampling.py leakage_safe_split): near-dup pairs (exact-Jaccard
+    generator, same parameters as dedup_components) close into
+    clusters via min-label components, and each whole cluster — or a
+    singleton doc — is hash-bucketed into one split, so a test
+    document can never have a near-copy in train. PORTABLE bucket mode
+    (md5-derived, same trick as op_hash_split) lets the oracle replay
+    pair generation, the recursive-CTE closure, AND the bucket
+    arithmetic end-to-end."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.sampling import leakage_safe_split
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_df_ratio=0.3,
+                                shingle_w=3)
+    return leakage_safe_split(
+        docs, pairs, fractions=(("train", 0.9), ("val", 0.05),
+                                ("test", 0.05)),
+        portable=True).select("doc_id", "split_group", "split")

@@ -502,6 +502,31 @@ def test_hash_split_stable_under_repartition(spark, tables):
     assert train / n > 0.9  # 98% requested; tiny corpus → loose bound
 
 
+def test_leakage_safe_split_cluster_atomic(spark):
+    """The guarantee: every near-dup pair lands in ONE split — including
+    transitively (a~b, b~c ⇒ a,c same split even if (a,c) is not a
+    pair) — while untouched singletons split independently by their own
+    id. A plain per-id hash_split violates this by construction (ids in
+    one cluster hash independently), which is the operator's reason to
+    exist."""
+    from bigslice_spark.operators.sampling import leakage_safe_split
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string")
+    # chain 0~1, 1~2 (one 3-cluster) + pair 10~11 + singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs,
+                             fractions=(("train", 0.5), ("test", 0.5)))
+    m = {r["doc_id"]: (r["split_group"], r["split"])
+         for r in out.collect()}
+    assert len(m) == 200
+    assert m[0] == m[1] == m[2] and m[0][0] == 0
+    assert m[10] == m[11] and m[10][0] == 10
+    # singletons keep their own id as the atom and both splits occur
+    assert m[42][0] == 42
+    assert {s for _, s in m.values()} == {"train", "test"}
+
+
 def test_hash_split_bad_fractions(spark, tables):
     from bigslice_spark.operators.sampling import hash_split
     with pytest.raises(ValueError, match="fractions"):
