@@ -19,11 +19,12 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #   0. round-10 ADDITIONS (zero prior signal, front of the window):
 #      multimodal_mjpeg (MJPEG-in-MP4 real frame decode via the r9
 #      JPEG codec), kmeans_assign_ivf (two-level IVF assignment) and
-#      ngram_novelty (per-doc novelty vs a reference corpus) and
-#      leakage_split (dup-cluster-atomic train/val/test) — their head
-#      slots push the last three r5 top-ups (moments_agg,
-#      table_profile, multimodal_frames) past the 50-entry window to
-#      the r11 queue;
+#      ngram_novelty (per-doc novelty vs a reference corpus),
+#      leakage_split (dup-cluster-atomic train/val/test) and
+#      audio_spectral (fixed-point DFT band energy over decoded WAV)
+#      — their head slots push the last four r5 top-ups (common_paths,
+#      moments_agg, table_profile, multimodal_frames) past the
+#      50-entry window to the r11 queue;
 #   1. the 15 entries with NO driver artifact yet (landed r9 after the
 #      final window sealed; all judge-verified green in the r9 session's
 #      full-oracle CI): dup_spans, strip_dup_spans, charset_decode,
@@ -39,7 +40,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # After this rotation every registry entry has a driver artifact and
 # none is older than r5.
 _R10_NEW = ("multimodal_mjpeg", "kmeans_assign_ivf", "ngram_novelty",
-            "leakage_split")
+            "leakage_split", "audio_spectral")
 _NO_SIGNAL = (
     "dup_spans", "strip_dup_spans", "charset_decode",
     "decontaminate_bloom", "html_links", "text_clean", "sketch_rollup",

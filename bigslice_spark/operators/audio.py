@@ -1,0 +1,161 @@
+"""Audio spectral analysis over decoded PCM — the silence / tone /
+bandwidth detector primitive of an audio-corpus pipeline (e.g. "drop
+clips whose speech band carries no energy").
+
+FIXED-POINT basis, deliberately: the cos/sin tables are quantized to
+integers (``round(cos·2^shift)``, classic DSP practice), so every
+projection is a sum of EXACT int64 products — bitwise-identical in
+Spark, ANSI SQL, and numpy, with no float-summation order or
+double→decimal cast to adjudicate (DuckDB's double→DECIMAL(38,18)
+conversion rounds through int128 scaling and is NOT the exact binary
+expansion, so the repo's usual decimal-cast-sum trick cannot pin a
+trig product across engines; integer products can). Magnitudes:
+|pcm| < 2^15, |basis| ≤ 2^shift, frame ≤ 2^12 samples keeps every
+partial sum under 2^(15+shift+12) — well inside int64 AND exact in
+float64 (< 2^53), which is what makes the numpy path bit-equal too.
+
+Two physical paths, one bit-identical result:
+
+- ``vectorized=False`` (exact/declarative): posexplode the samples,
+  look the basis up in literal arrays, integer-sum per (id, frame) —
+  everything inside whole-stage codegen; the oracle-paired path.
+  Scale notes: the explode is pipelined (no materialized sample rows);
+  the only exchange is the per-(id, frame) partial-aggregated
+  projections — samples reduce ``frame_len``-fold map-side.
+- ``vectorized=True`` (throughput): one Arrow-batched mapInPandas
+  pass, numpy matmul of each frame against the same integer basis —
+  the 100 TB path (samples never become rows, nothing exchanges).
+  Exact-int float64 arithmetic keeps it bit-equal to the other path
+  (pytest-gated equality, not tolerance).
+
+Reference: no analog in bigslice (grep: no audio/DSP operator); part
+of the multimodal pipeline surface this engine adds (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_SHIFT = 20  # basis quantization: round(cos·2^20)
+
+
+def dft_basis(frame_len: int, k: int) -> tuple[list[int], list[int]]:
+    """Quantized cos/sin basis row for bin ``k`` of an N-point DFT:
+    ``round(cos(2πkn/N)·2^Q_SHIFT)`` (and ``-sin``), as plain ints.
+    Both execution paths AND the SQL oracles are built from THESE
+    values, so every engine multiplies by identical integers."""
+    w = 2.0 * math.pi * k / frame_len
+    s = 1 << Q_SHIFT
+    return ([round(math.cos(w * n) * s) for n in range(frame_len)],
+            [round(-math.sin(w * n) * s) for n in range(frame_len)])
+
+
+def band_energy(df: DataFrame, samples_col: str = "samples",
+                id_col: str = "id", frame_len: int = 64,
+                bins: Sequence[int] = (1, 3, 7),
+                vectorized: bool = False) -> DataFrame:
+    """Per-frame spectral energy at the requested DFT ``bins``:
+    ``e{k} = ((Σ x·cos)² + (Σ x·sin)²)·2^(-2·Q_SHIFT)`` over
+    non-overlapping ``frame_len``-sample frames of an integer PCM
+    array column. Returns ``(id_col, frame, e{k}...)``; a trailing
+    partial frame is aggregated over the samples it has (both paths
+    agree). ``frame_len`` ≤ 4096 keeps the integer sums exact."""
+    if not bins:
+        raise ValueError("need at least one DFT bin")
+    if frame_len > 4096:
+        raise ValueError("frame_len > 4096 can overflow the exact "
+                         "int64/float64 projection sums")
+    if vectorized:
+        return _band_energy_np(df, samples_col, id_col, frame_len, bins)
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(samples_col).alias("__pos", "__x"))
+    t = t.select(
+        id_col,
+        F.expr(f"__pos DIV {frame_len}").cast("long").alias("frame"),
+        (F.pmod("__pos", F.lit(frame_len)).cast("int") + 1).alias("__i"),
+        F.col("__x").cast("long").alias("__x"))
+    aggs = []
+    for k in bins:
+        cos_t, sin_t = dft_basis(frame_len, k)
+        c = F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in cos_t]),
+            F.col("__i"))
+        s = F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in sin_t]),
+            F.col("__i"))
+        aggs += [F.sum(F.col("__x") * c).alias(f"__c{k}"),
+                 F.sum(F.col("__x") * s).alias(f"__s{k}")]
+    g = t.groupBy(id_col, "frame").agg(*aggs)
+    scale = F.lit(2.0 ** (-2 * Q_SHIFT))
+    out = [F.col(id_col), F.col("frame")]
+    for k in bins:
+        cs = F.col(f"__c{k}").cast("double")
+        ss = F.col(f"__s{k}").cast("double")
+        out.append(((cs * cs + ss * ss) * scale).alias(f"e{k}"))
+    return g.select(*out)
+
+
+def _band_energy_np(df: DataFrame, samples_col: str, id_col: str,
+                    frame_len: int, bins: Sequence[int]) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    # (2·len(bins), frame_len) integer basis as float64: products and
+    # partial sums stay integer-valued < 2^53, so the matmul is EXACT
+    # and the result is bit-equal to the declarative path
+    basis = np.array(
+        [row for k in bins for row in dft_basis(frame_len, k)],
+        dtype=np.float64)
+    scale = 2.0 ** (-2 * Q_SHIFT)
+    names = [f"e{k}" for k in bins]
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, frame long, "
+              + ", ".join(f"{n} double" for n in names))
+
+    def proj(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for rid, arr in zip(pdf[id_col], pdf[samples_col]):
+                x = np.asarray(arr, dtype=np.float64)
+                for f0 in range(0, len(x), frame_len):
+                    fr = x[f0:f0 + frame_len]
+                    p = basis[:, :len(fr)] @ fr
+                    cs, ss = p[0::2], p[1::2]
+                    # same op order as the declarative path:
+                    # (cs·cs + ss·ss)·scale
+                    e = (cs * cs + ss * ss) * scale
+                    rows.append((rid, f0 // frame_len, *e))
+            yield pd.DataFrame(rows,
+                               columns=[id_col, "frame", *names])
+
+    return df.select(id_col, samples_col).mapInPandas(proj, schema)
+
+
+def wav_samples(df: DataFrame, media_col: str = "media",
+                id_col: str = "id") -> DataFrame:
+    """WAV PCM16 blobs → ``(id_col, rate, samples array<int>)`` via one
+    Arrow-batched mapInPandas pass (operators/multimodal.py decode_wav
+    does the chunk walk; corruption raises there). Channels are
+    interleaved as stored — callers slice per channel if they need to."""
+    import pandas as pd
+
+    from .multimodal import decode_wav
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, rate long, samples array<int>"
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                rate, _ch, data = decode_wav(bytes(blob))
+                rows.append((rid, rate, data.astype("int32").tolist()))
+            yield pd.DataFrame(rows,
+                               columns=[id_col, "rate", "samples"])
+
+    return df.select(id_col, media_col).mapInPandas(dec, schema)

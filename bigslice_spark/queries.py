@@ -7144,3 +7144,79 @@ def leakage_split_q(spark, sf_dir):
         docs, pairs, fractions=(("train", 0.9), ("val", 0.05),
                                 ("test", 0.05)),
         portable=True).select("doc_id", "split_group", "split")
+
+
+def _audio_spectral_oracle(frame_len: int = 64,
+                           bins: tuple = (1, 3, 7)) -> str:
+    """SQL replay of audio_spectral: regenerate the PCM analytically
+    from doc_id (the Spark side proves the WAV encode→decode round
+    trip on the same samples), then project each frame onto the SAME
+    quantized-integer cos/sin basis the operator uses — every product
+    and sum is exact int64, so the replay is bitwise with no float
+    summation order or double→decimal cast to adjudicate."""
+    from .operators.audio import Q_SHIFT, dft_basis
+    scale = repr(2.0 ** (-2 * Q_SHIFT))
+    sums, outs = [], []
+    for k in bins:
+        cos_t, sin_t = dft_basis(frame_len, k)
+        cl = "[" + ", ".join(str(v) for v in cos_t) + "]"
+        sl = "[" + ", ".join(str(v) for v in sin_t) + "]"
+        sums.append(f"CAST(sum(x * ({cl}[i])) AS BIGINT) AS c{k}")
+        sums.append(f"CAST(sum(x * ({sl}[i])) AS BIGINT) AS s{k}")
+        outs.append(f"(CAST(c{k} AS DOUBLE) * CAST(c{k} AS DOUBLE)"
+                    f" + CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE))"
+                    f" * {scale} AS e{k}")
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+    p AS (SELECT unnest(range(0, 256)) AS pos),
+    s AS (SELECT doc_id, pos,
+                 ((doc_id * 31 + 17 * pos * pos + pos) % 4001)
+                      - 2000 AS x
+          FROM d, p),
+    f AS (SELECT doc_id, pos // {frame_len} AS frame,
+                 CAST(pos % {frame_len} AS INT) + 1 AS i, x
+          FROM s),
+    g AS (SELECT doc_id, frame,
+                 {', '.join(sums)}
+          FROM f GROUP BY doc_id, frame)
+    SELECT doc_id, frame, {', '.join(outs)} FROM g
+    """
+
+
+@query("audio_spectral", _audio_spectral_oracle())
+def audio_spectral_q(spark, sf_dir):
+    """Windowed-DFT band energy over decoded WAV PCM (operators/
+    audio.py band_energy, exact expression path): per 64-sample frame,
+    the energy at DFT bins 1/3/7 — the silence / tone / bandwidth
+    detector primitive of an audio pipeline. WAV blobs are synthesized
+    per doc (operators/multimodal.py make_wav) from a closed-form
+    int16 signal, really encoded and really decoded back
+    (wav_samples), so the oracle — which regenerates the samples
+    analytically and replays the projection from the SAME
+    quantized-integer basis with exact int64 sums — also proves the
+    codec round trip. The vectorized numpy path
+    (band_energy(vectorized=True), the 100 TB throughput shape) is
+    pytest-gated BIT-EQUAL to this one."""
+    import pandas as pd
+
+    from .operators.audio import band_energy, wav_samples
+    from .operators.multimodal import make_wav
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                samples = [((d * 31 + 17 * n * n + n) % 4001) - 2000
+                           for n in range(256)]
+                rows.append((d, bytearray(make_wav(8000, samples))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 4 == 0)
+             .select(F.col("doc_id").alias("id"))
+             .mapInPandas(gen, schema="id long, media binary"))
+    dec = wav_samples(media)
+    return (band_energy(dec, frame_len=64, bins=(1, 3, 7))
+            .select(F.col("id").alias("doc_id"), "frame",
+                    "e1", "e3", "e7"))

@@ -1,0 +1,76 @@
+"""Audio spectral analysis (operators/audio.py): fixed-point DFT band
+energy — path equivalence, codec round trip, frame edge cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigslice_spark.operators.audio import (Q_SHIFT, band_energy,
+                                            dft_basis, wav_samples)
+
+
+def _tone(freq_bin: int, n: int, frame_len: int = 64,
+          amp: int = 1000) -> list[int]:
+    return [round(amp * math.cos(2 * math.pi * freq_bin * i / frame_len))
+            for i in range(n)]
+
+
+def test_band_energy_paths_bit_equal(spark):
+    """The vectorized numpy path must be BIT-equal to the declarative
+    path: the quantized-integer basis keeps every product and partial
+    sum integer-valued below 2^53, so float64 matmul is exact — no
+    tolerance needed. Includes a trailing partial frame (200 % 64)."""
+    rows = [(1, _tone(3, 200)), (2, _tone(7, 200, amp=500)),
+            (3, [0] * 64), (4, [((i * i * 13 + 7) % 3001) - 1500
+                                for i in range(128)])]
+    df = spark.createDataFrame(rows, "id long, samples array<int>")
+    a = band_energy(df, frame_len=64, bins=(1, 3, 7)).collect()
+    b = band_energy(df, frame_len=64, bins=(1, 3, 7),
+                    vectorized=True).collect()
+    ka = {(r["id"], r["frame"]): (r["e1"], r["e3"], r["e7"]) for r in a}
+    kb = {(r["id"], r["frame"]): (r["e1"], r["e3"], r["e7"]) for r in b}
+    assert ka == kb  # exact ==, not approx
+    # physics: a bin-3 tone puts (much) more energy in e3 than e1/e7,
+    # and silence is exactly zero
+    e = ka[(1, 0)]
+    assert e[1] > 100 * max(e[0], e[2])
+    assert ka[(3, 0)] == (0.0, 0.0, 0.0)
+
+
+def test_band_energy_energy_scale(spark):
+    """Parseval sanity on a full-scale bin-k tone: the DFT projection
+    of amp·cos(2πkn/N) has |c| ≈ amp·N/2·2^Q_SHIFT, so the scaled
+    energy ≈ (amp·N/2)² — the quantization error bound is tiny."""
+    df = spark.createDataFrame([(1, _tone(5, 64, amp=2000))],
+                               "id long, samples array<int>")
+    e5 = band_energy(df, bins=(5,)).collect()[0]["e5"]
+    expect = (2000 * 32) ** 2
+    assert abs(e5 - expect) / expect < 1e-3
+    assert Q_SHIFT == 20  # docstring magnitude analysis pins this
+
+
+def test_band_energy_validation(spark):
+    df = spark.createDataFrame([(1, [0])], "id long, samples array<int>")
+    with pytest.raises(ValueError, match="bin"):
+        band_energy(df, bins=())
+    with pytest.raises(ValueError, match="overflow"):
+        band_energy(df, frame_len=8192)
+
+
+def test_wav_samples_roundtrip(spark):
+    """make_wav → wav_samples is the identity on int16 PCM, and the
+    decoded arrays feed band_energy unchanged."""
+    from bigslice_spark.operators.multimodal import make_wav
+    pcm = _tone(3, 96)
+    df = spark.createDataFrame([(7, bytearray(make_wav(16000, pcm)))],
+                               "id long, media binary")
+    out = wav_samples(df).collect()[0]
+    assert out["rate"] == 16000 and out["samples"] == pcm
+
+
+def test_dft_basis_quantization():
+    cos_t, sin_t = dft_basis(64, 1)
+    assert len(cos_t) == len(sin_t) == 64
+    assert cos_t[0] == 1 << Q_SHIFT and sin_t[0] == 0
+    assert max(abs(v) for v in cos_t + sin_t) <= 1 << Q_SHIFT
