@@ -65,6 +65,11 @@ HEADLINE = [
     "dup_spans",
     "decontaminate_bloom",
     "text_clean",
+    # added round 10 (ratchet starts at r10): the new curation trio —
+    # novelty scoring, the cluster-atomic split, and audio DFT
+    "ngram_novelty",
+    "leakage_split",
+    "audio_spectral",
 ]
 
 
