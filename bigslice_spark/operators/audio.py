@@ -121,6 +121,8 @@ def _band_energy_np(df: DataFrame, samples_col: str, id_col: str,
         for pdf in batches:
             rows = []
             for rid, arr in zip(pdf[id_col], pdf[samples_col]):
+                if arr is None:  # posexplode yields no rows for NULL
+                    continue     # arrays; the paths must agree
                 x = np.asarray(arr, dtype=np.float64)
                 for f0 in range(0, len(x), frame_len):
                     fr = x[f0:f0 + frame_len]
@@ -153,6 +155,10 @@ def wav_samples(df: DataFrame, media_col: str = "media",
         for pdf in batches:
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                if blob is None:
+                    raise ValueError(
+                        f"NULL media blob for {id_col}={rid!r}: "
+                        "filter missing rows before wav_samples")
                 rate, _ch, data = decode_wav(bytes(blob))
                 rows.append((rid, rate, data.astype("int32").tolist()))
             yield pd.DataFrame(rows,

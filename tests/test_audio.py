@@ -58,6 +58,18 @@ def test_band_energy_validation(spark):
         band_energy(df, frame_len=8192)
 
 
+def test_band_energy_null_and_empty_arrays_agree(spark):
+    """NULL / empty sample arrays produce no frames on BOTH paths
+    (posexplode semantics); they must not crash the numpy path."""
+    df = spark.createDataFrame(
+        [(1, None), (2, []), (3, _tone(1, 64))],
+        "id long, samples array<int>")
+    a = sorted(r["id"] for r in band_energy(df, bins=(1,)).collect())
+    b = sorted(r["id"] for r in
+               band_energy(df, bins=(1,), vectorized=True).collect())
+    assert a == b == [3]
+
+
 def test_wav_samples_roundtrip(spark):
     """make_wav → wav_samples is the identity on int16 PCM, and the
     decoded arrays feed band_energy unchanged."""
