@@ -83,6 +83,22 @@ def main() -> None:
 
     # 5. near-dup pairs (un-capped banded LSH) → clusters → keep minima
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
+
+    # 5a. leakage-safe split FIRST, while the pair relation still
+    #     exists: the whole dup cluster is one split atom, so a test
+    #     doc can never have a near-copy in train — splitting after
+    #     dedup would lose the pairs that prove isolation. Training
+    #     continues on the train split; val/test are set aside.
+    from bigslice_spark.operators.sampling import leakage_safe_split
+    split = leakage_safe_split(
+        docs, pairs, fractions=(("train", 0.96), ("val", 0.02),
+                                ("test", 0.02)))
+    for r in split.groupBy("split").count().orderBy("split").collect():
+        print(f"split\t{r['split']}\t{r['count']}")
+    docs = split.filter(F.col("split") == "train") \
+        .drop("split", "split_group")
+    scope.counter("after_split_train").incr(docs.count())
+
     comp = connected_components(pairs, src="id_a", dst="id_b")
     losers = comp.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias("doc_id"))
@@ -106,6 +122,19 @@ def main() -> None:
     train = docs.filter(F.col("doc_id") % 97 != 0)
     docs = decontaminate(train, eval_df, ngram_w=3, min_shared=2)
     scope.counter("after_decontam").incr(docs.count())
+
+    # 6b. novelty vs the previous training snapshot (synthesized here
+    #     as a doc_id slice): the per-doc fraction of 5-grams the last
+    #     run never saw — reported per source so the mixing step can
+    #     up-weight fresh feeds (no filtering; a report, like mix)
+    from bigslice_spark.operators.decontam import ngram_novelty
+    prev_snapshot = docs.filter(F.col("doc_id") % 3 == 0)
+    nov = (ngram_novelty(docs, prev_snapshot, ngram_w=5)
+           .join(docs.select("doc_id", "source"), on="doc_id")
+           .groupBy("source")
+           .agg(F.avg("novelty").alias("novelty")))
+    for r in nov.orderBy("source").collect():
+        print(f"novelty\t{r['source']}\t{r['novelty']:.3f}")
 
     # 7. cap every source at a quota (deterministic stratified sample)
     docs = stratified_sample(docs, "source", 50)

@@ -26,7 +26,13 @@ def test_llm_pipeline_example():
     budget = [l for l in out.splitlines() if "\t" in l]
     stages = [l for l in out.splitlines() if l.startswith("# ")]
     assert budget, out
-    assert len(stages) == 12
+    assert len(stages) == 13
+    # the r10 curation additions report without filtering the funnel
+    splits = [l for l in out.splitlines() if l.startswith("split\t")]
+    assert {l.split("\t")[1] for l in splits} == {"train", "val", "test"}
+    novelty = [l for l in out.splitlines() if l.startswith("novelty\t")]
+    assert novelty and all(0 <= float(l.split("\t")[2]) <= 1
+                           for l in novelty)
     # survivor counts (all but the trailing chunk- and sequence-count
     # stages, which may exceed the doc funnel) are monotonically
     # non-increasing through the funnel
