@@ -7146,14 +7146,14 @@ def leakage_split_q(spark, sf_dir):
         portable=True).select("doc_id", "split_group", "split")
 
 
-def _audio_spectral_oracle(frame_len: int = 64,
-                           bins: tuple = (1, 3, 7)) -> str:
-    """SQL replay of audio_spectral: regenerate the PCM analytically
-    from doc_id (the Spark side proves the WAV encode→decode round
-    trip on the same samples), then project each frame onto the SAME
-    quantized-integer cos/sin basis the operator uses — every product
-    and sum is exact int64, so the replay is bitwise with no float
-    summation order or double→decimal cast to adjudicate."""
+def _audio_oracle(pred: str, n_samples: int, x_expr: str,
+                  frame_len: int = 64, bins: tuple = (1, 3, 7)) -> str:
+    """SQL replay of the audio entries: regenerate the PCM analytically
+    from doc_id (the Spark side proves the container encode→decode
+    round trip on the same samples), then project each frame onto the
+    SAME quantized-integer cos/sin basis the operator uses — every
+    product and sum is exact int64, so the replay is bitwise with no
+    float summation order or double→decimal cast to adjudicate."""
     from .operators.audio import Q_SHIFT, dft_basis
     scale = repr(2.0 ** (-2 * Q_SHIFT))
     sums, outs = [], []
@@ -7167,11 +7167,9 @@ def _audio_spectral_oracle(frame_len: int = 64,
                     f" + CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE))"
                     f" * {scale} AS e{k}")
     return f"""
-    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
-    p AS (SELECT unnest(range(0, 256)) AS pos),
-    s AS (SELECT doc_id, pos,
-                 ((doc_id * 31 + 17 * pos * pos + pos) % 4001)
-                      - 2000 AS x
+    WITH d AS (SELECT doc_id FROM documents WHERE {pred}),
+    p AS (SELECT unnest(range(0, {n_samples})) AS pos),
+    s AS (SELECT doc_id, pos, {x_expr} AS x
           FROM d, p),
     f AS (SELECT doc_id, pos // {frame_len} AS frame,
                  CAST(pos % {frame_len} AS INT) + 1 AS i, x
@@ -7181,6 +7179,14 @@ def _audio_spectral_oracle(frame_len: int = 64,
           FROM f GROUP BY doc_id, frame)
     SELECT doc_id, frame, {', '.join(outs)} FROM g
     """
+
+
+def _audio_spectral_oracle(frame_len: int = 64,
+                           bins: tuple = (1, 3, 7)) -> str:
+    return _audio_oracle(
+        "doc_id % 4 = 0", 256,
+        "((doc_id * 31 + 17 * pos * pos + pos) % 4001) - 2000",
+        frame_len, bins)
 
 
 @query("audio_spectral", _audio_spectral_oracle())
@@ -7220,3 +7226,49 @@ def audio_spectral_q(spark, sf_dir):
     return (band_energy(dec, frame_len=64, bins=(1, 3, 7))
             .select(F.col("id").alias("doc_id"), "frame",
                     "e1", "e3", "e7"))
+
+
+@query("audio_mp4_pcm", _audio_oracle(
+    "doc_id % 4 = 1", 192,
+    "((doc_id * 29 + 13 * pos * pos + 3 * pos) % 3001) - 1500",
+    bins=(2, 5)))
+def audio_mp4_pcm_q(spark, sf_dir):
+    """Raw-PCM16 audio decoded END-TO-END from a real ISO-BMFF
+    container (operators/audio.py mp4_pcm — the audio analog of the
+    MJPEG-in-MP4 video path): a closed-form int16 signal is muxed into
+    an MP4 'soun' track with 'twos' (big-endian PCM) sample entries in
+    three mdat chunks (operators/mp4.py make_mp4), demuxed back
+    through the real stsz/stsc/stco sample tables, byte-decoded to
+    samples, and analyzed with band_energy — so the oracle, which
+    regenerates the samples analytically and replays the
+    quantized-integer DFT bitwise, proves mux, demux, PCM decode, and
+    the spectral projection in one value-hash."""
+    import pandas as pd
+
+    from .operators.audio import band_energy, mp4_pcm
+    from .operators.mp4 import TrackSpec, make_mp4
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                pcm = [((d * 29 + 13 * n * n + 3 * n) % 3001) - 1500
+                       for n in range(192)]
+                chunks = [struct.pack(">64h", *pcm[i:i + 64])
+                          for i in range(0, 192, 64)]
+                a = TrackSpec(handler="soun", codec="twos",
+                              samples=chunks, timescale=8000,
+                              sample_delta=64)
+                rows.append((d, bytearray(make_mp4([a]))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 4 == 1)
+             .select(F.col("doc_id").alias("id"))
+             .mapInPandas(gen, schema="id long, media binary"))
+    dec = mp4_pcm(media)
+    return (band_energy(dec, frame_len=64, bins=(2, 5))
+            .select(F.col("id").alias("doc_id"), "frame", "e2", "e5"))

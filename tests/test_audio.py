@@ -86,3 +86,41 @@ def test_dft_basis_quantization():
     assert len(cos_t) == len(sin_t) == 64
     assert cos_t[0] == 1 << Q_SHIFT and sin_t[0] == 0
     assert max(abs(v) for v in cos_t + sin_t) <= 1 << Q_SHIFT
+
+
+def test_mp4_pcm_roundtrip_and_contract(spark):
+    """'twos'/'sowt' PCM16 round-trips byte-exactly through the MP4
+    sample tables; video-only containers yield no rows; compressed
+    audio raises honestly."""
+    import struct
+
+    import pytest
+
+    from bigslice_spark.operators.audio import mp4_pcm
+    from bigslice_spark.operators.mp4 import TrackSpec, make_mp4
+
+    pcm = _tone(2, 128, amp=1200)
+    be = [struct.pack(">64h", *pcm[i:i + 64]) for i in (0, 64)]
+    le = [struct.pack("<64h", *pcm[i:i + 64]) for i in (0, 64)]
+    vid = TrackSpec(handler="vide", codec="mp4v", samples=[b"\x00" * 9],
+                    width=16, height=16)
+    rows = [
+        (1, bytearray(make_mp4(
+            [vid, TrackSpec(handler="soun", codec="twos", samples=be,
+                            timescale=8000, sample_delta=64)]))),
+        (2, bytearray(make_mp4(
+            [TrackSpec(handler="soun", codec="sowt", samples=le,
+                       timescale=8000, sample_delta=64)]))),
+        (3, bytearray(make_mp4([vid]))),           # no audio: no rows
+    ]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    got = {r["id"]: r["samples"] for r in mp4_pcm(df).collect()}
+    assert got == {1: pcm, 2: pcm}                 # both endiannesses
+
+    aac = spark.createDataFrame(
+        [(9, bytearray(make_mp4(
+            [TrackSpec(handler="soun", codec="mp4a",
+                       samples=[b"\x01\x02"])])))],
+        "id long, media binary")
+    with pytest.raises(Exception, match="mp4a"):
+        mp4_pcm(aac).collect()
