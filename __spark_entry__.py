@@ -22,9 +22,10 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      ngram_novelty (per-doc novelty vs a reference corpus),
 #      leakage_split (dup-cluster-atomic train/val/test) and
 #      audio_spectral (fixed-point DFT band energy over decoded WAV)
-#      and audio_mp4_pcm (raw-PCM16 decoded end-to-end from ISO-BMFF)
-#      — their head slots push the last five r5 top-ups
-#      (key_percentiles, common_paths, moments_agg, table_profile,
+#      audio_mp4_pcm (raw-PCM16 decoded end-to-end from ISO-BMFF) and
+#      audio_segments (silence-split segmentation) — their head slots
+#      push the last six r5 top-ups (ts_pattern_search,
+#      key_percentiles, common_paths, moments_agg, table_profile,
 #      multimodal_frames) past the 50-entry window to the r11 queue;
 #   1. the 15 entries with NO driver artifact yet (landed r9 after the
 #      final window sealed; all judge-verified green in the r9 session's
@@ -41,7 +42,8 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # After this rotation every registry entry has a driver artifact and
 # none is older than r5.
 _R10_NEW = ("multimodal_mjpeg", "kmeans_assign_ivf", "ngram_novelty",
-            "leakage_split", "audio_spectral", "audio_mp4_pcm")
+            "leakage_split", "audio_spectral", "audio_mp4_pcm",
+            "audio_segments")
 _NO_SIGNAL = (
     "dup_spans", "strip_dup_spans", "charset_decode",
     "decontaminate_bloom", "html_links", "text_clean", "sketch_rollup",

@@ -221,3 +221,35 @@ def mp4_pcm(df: DataFrame, media_col: str = "media",
                                columns=[id_col, "track_id", "samples"])
 
     return df.select(id_col, media_col).mapInPandas(dec, schema)
+
+
+def active_segments(df: DataFrame, samples_col: str = "samples",
+                    id_col: str = "id", frame_len: int = 64,
+                    bins: Sequence[int] = (1, 3, 7),
+                    threshold: float = 1.0,
+                    vectorized: bool = False) -> DataFrame:
+    """Silence-split segmentation: frames whose total band energy
+    (sum over ``bins``) reaches ``threshold`` are ACTIVE; maximal runs
+    of consecutive active frames become segments —
+    ``(id_col, start_frame, end_frame, n_frames)``. This is the
+    trim-silence / voice-activity primitive: segment boundaries feed
+    clip extraction, and dropping ids with no output rows drops
+    all-silent clips. Classic gaps-and-islands: the only exchange
+    beyond band_energy's is the per-id frame window (frames are
+    ~samples/frame_len — thousands per clip, never corpus-scale), and
+    the island key is ``frame - row_number()`` so no self-join."""
+    from pyspark.sql import Window as W
+    e = band_energy(df, samples_col, id_col, frame_len, bins,
+                    vectorized)
+    total = None
+    for k in bins:
+        total = F.col(f"e{k}") if total is None else total + F.col(f"e{k}")
+    act = e.filter(total >= threshold).select(id_col, "frame")
+    w = W.partitionBy(id_col).orderBy("frame")
+    isl = act.withColumn(
+        "__grp", F.col("frame") - F.row_number().over(w))
+    return (isl.groupBy(id_col, "__grp")
+            .agg(F.min("frame").alias("start_frame"),
+                 F.max("frame").alias("end_frame"),
+                 F.count(F.lit(1)).alias("n_frames"))
+            .drop("__grp"))

@@ -7272,3 +7272,54 @@ def audio_mp4_pcm_q(spark, sf_dir):
     dec = mp4_pcm(media)
     return (band_energy(dec, frame_len=64, bins=(2, 5))
             .select(F.col("id").alias("doc_id"), "frame", "e2", "e5"))
+
+
+@query("audio_segments", f"""
+    WITH eng AS ({_audio_oracle(
+        "doc_id % 4 = 2", 256,
+        "CASE WHEN ((pos // 64) + doc_id) % 3 = 0 THEN 0 "
+        "ELSE ((doc_id * 37 + 19 * pos * pos + 5 * pos) % 4001) - 2000 "
+        "END",
+        bins=(2, 5))}),
+    act AS (SELECT doc_id, frame FROM eng WHERE e2 + e5 >= 1.0),
+    isl AS (SELECT doc_id, frame,
+                   frame - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY frame) AS grp
+            FROM act)
+    SELECT doc_id, CAST(min(frame) AS BIGINT) AS start_frame,
+           CAST(max(frame) AS BIGINT) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM isl GROUP BY doc_id, grp
+""")
+def audio_segments_q(spark, sf_dir):
+    """Silence-split audio segmentation (operators/audio.py
+    active_segments): per-frame fixed-point band energy → threshold →
+    gaps-and-islands merge of consecutive active frames. The synthetic
+    clips embed silent frames at doc-dependent positions
+    ((frame + doc_id) % 3), so segments split differently across the
+    corpus and an off-by-one in the island merge shifts values. The
+    oracle replays energies (exact int64 DFT), the threshold, and the
+    row_number island key end-to-end."""
+    import pandas as pd
+
+    from .operators.audio import active_segments
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                rows.append((d, [
+                    0 if ((n // 64) + d) % 3 == 0
+                    else ((d * 37 + 19 * n * n + 5 * n) % 4001) - 2000
+                    for n in range(256)]))
+            yield pd.DataFrame(rows, columns=["id", "samples"])
+
+    clips = (t["documents"].filter(F.col("doc_id") % 4 == 2)
+             .select(F.col("doc_id").alias("id"))
+             .mapInPandas(gen, schema="id long, samples array<int>"))
+    return (active_segments(clips, frame_len=64, bins=(2, 5),
+                            threshold=1.0)
+            .select(F.col("id").alias("doc_id"), "start_frame",
+                    "end_frame", "n_frames"))

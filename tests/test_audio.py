@@ -124,3 +124,20 @@ def test_mp4_pcm_roundtrip_and_contract(spark):
         "id long, media binary")
     with pytest.raises(Exception, match="mp4a"):
         mp4_pcm(aac).collect()
+
+
+def test_active_segments_islands(spark):
+    """Consecutive active frames merge into maximal segments; silent
+    frames split them; all-silent clips yield no rows; both band_energy
+    paths produce identical segments."""
+    from bigslice_spark.operators.audio import active_segments
+    tone, silence = _tone(3, 64), [0] * 64
+    rows = [(1, tone + silence + tone + tone),   # [0-0], [2-3]
+            (2, silence + silence),              # no rows
+            (3, tone * 3)]                       # [0-2]
+    df = spark.createDataFrame(rows, "id long, samples array<int>")
+    for vec in (False, True):
+        got = {(r["id"], r["start_frame"], r["end_frame"]): r["n_frames"]
+               for r in active_segments(df, bins=(3,),
+                                        vectorized=vec).collect()}
+        assert got == {(1, 0, 0): 1, (1, 2, 3): 2, (3, 0, 2): 3}, vec
