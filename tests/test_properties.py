@@ -1116,3 +1116,118 @@ def test_charset_decode_structured_roundtrip(spark, cases):
         label = _ref_charset(b)
         assert got[i][0] == label, (b, got[i][0], label)
         assert got[i][1] == _ref_decode(b, label), (b, label)
+
+
+# ---- round 10: audio DFT, leakage split, novelty ----------------------
+
+_PCM = st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=0, max_size=200)
+
+
+@PROP
+@given(clips=st.lists(_PCM, min_size=1, max_size=4),
+       frame_len=st.sampled_from([8, 16, 64]),
+       bins=st.sets(st.integers(min_value=0, max_value=7),
+                    min_size=1, max_size=3))
+def test_band_energy_matches_python_dft(spark, clips, frame_len, bins):
+    """Both band_energy paths equal a pure-Python integer DFT over
+    random int16 PCM, any frame length, any bin set — including empty
+    clips and trailing partial frames. Equality is exact (fixed-point
+    construction), not approximate."""
+    from bigslice_spark.operators.audio import (Q_SHIFT, band_energy,
+                                                dft_basis)
+    bins = sorted(bins)
+    rows = [(i, c) for i, c in enumerate(clips)]
+    df = spark.createDataFrame(rows, "id long, samples array<int>")
+
+    want = {}
+    for i, c in rows:
+        for f0 in range(0, len(c), frame_len):
+            fr = c[f0:f0 + frame_len]
+            es = []
+            for k in bins:
+                cos_t, sin_t = dft_basis(frame_len, k)
+                cs = float(sum(x * w for x, w in zip(fr, cos_t)))
+                ss = float(sum(x * w for x, w in zip(fr, sin_t)))
+                es.append((cs * cs + ss * ss) * 2.0 ** (-2 * Q_SHIFT))
+            want[(i, f0 // frame_len)] = tuple(es)
+
+    for vec in (False, True):
+        got = {(r["id"], r["frame"]): tuple(r[f"e{k}"] for k in bins)
+               for r in band_energy(df, frame_len=frame_len,
+                                    bins=bins,
+                                    vectorized=vec).collect()}
+        assert got == want, ("vectorized" if vec else "declarative")
+
+
+@PROP
+@given(n_docs=st.integers(min_value=2, max_value=40),
+       edges=st.lists(st.tuples(st.integers(0, 39), st.integers(0, 39)),
+                      max_size=25),
+       seed_frac=st.sampled_from([(("train", 0.5), ("test", 0.5)),
+                                  (("train", 0.9), ("val", 0.05),
+                                   ("test", 0.05))]))
+def test_leakage_split_never_straddles(spark, n_docs, edges, seed_frac):
+    """THE invariant: for any random pair graph, two docs connected by
+    any path share a split; every doc appears exactly once."""
+    from bigslice_spark.operators.sampling import leakage_safe_split
+    edges = [(a, b) for a, b in edges
+             if a != b and a < n_docs and b < n_docs]
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n_docs)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        pairs = pairs.filter("id_a <> id_a")  # empty pair relation
+    out = leakage_safe_split(docs, pairs, fractions=seed_frac)
+    m = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(m) == n_docs
+    # union-find ground truth
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for a, b in edges:
+        assert m[a] == m[b]
+    for i in range(n_docs):
+        assert m[i] == m[find(i)]
+
+
+@PROP
+@given(texts=st.lists(st.text(
+    alphabet=st.sampled_from("ab xyz"), min_size=0, max_size=40),
+    min_size=2, max_size=12),
+    w=st.sampled_from([1, 2, 3]))
+def test_ngram_novelty_matches_python(spark, texts, w):
+    """Novelty equals the set-arithmetic ground truth for random
+    corpora: per doc, |grams \\ ref| / |grams|, with short-doc
+    whole-text fallback and 0 ≤ novelty ≤ 1 always."""
+    from bigslice_spark.operators.decontam import ngram_novelty
+
+    def grams(t):
+        tk = [x for x in t.split() if x]
+        if len(tk) >= w:
+            return {" ".join(tk[i:i + w]) for i in range(len(tk) - w + 1)}
+        return {" ".join(tk)}
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.filter(F.col("doc_id") % 2 == 0)
+    cand = df.filter(F.col("doc_id") % 2 == 1)
+    ref_grams = set().union(*(grams(t) for i, t in rows if i % 2 == 0))
+    got = {r["doc_id"]: (r["total_grams"], r["novel_grams"], r["novelty"])
+           for r in ngram_novelty(cand, ref, ngram_w=w).collect()}
+    for i, t in rows:
+        if i % 2 == 0:
+            continue
+        g = grams(t)
+        novel = len(g - ref_grams)
+        assert got[i] == (len(g), novel, novel / len(g))
+        assert 0.0 <= got[i][2] <= 1.0
