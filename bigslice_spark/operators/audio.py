@@ -16,17 +16,23 @@ float64 (< 2^53), which is what makes the numpy path bit-equal too.
 
 Two physical paths, one bit-identical result:
 
-- ``vectorized=False`` (exact/declarative): posexplode the samples,
-  look the basis up in literal arrays, integer-sum per (id, frame) —
-  everything inside whole-stage codegen; the oracle-paired path.
-  Scale notes: the explode is pipelined (no materialized sample rows);
-  the only exchange is the per-(id, frame) partial-aggregated
-  projections — samples reduce ``frame_len``-fold map-side.
-- ``vectorized=True`` (throughput): one Arrow-batched mapInPandas
-  pass, numpy matmul of each frame against the same integer basis —
-  the 100 TB path (samples never become rows, nothing exchanges).
-  Exact-int float64 arithmetic keeps it bit-equal to the other path
-  (pytest-gated equality, not tolerance).
+- ``vectorized=False`` (declarative — the SCALE path): posexplode the
+  samples, look the basis up in literal arrays, integer-sum per
+  (id, frame) — everything inside whole-stage codegen; the
+  oracle-paired path. The explode is pipelined (no materialized
+  sample rows); the only exchange is the per-(id, frame)
+  partial-aggregated projections — samples reduce ``frame_len``-fold
+  map-side, and the PCM bytes never leave the JVM. Measured
+  (PERFORMANCE.md §audio-paths): near-flat 1.1→1.6s from 2.5M→164M
+  samples on local[32].
+- ``vectorized=True``: one Arrow-batched mapInPandas pass, numpy
+  matmul of each frame against the same integer basis. Wins below
+  ~10⁵ clips (no explode floor: 0.4s vs 1.2s), but the Arrow copy of
+  every sample array INTO Python becomes the bottleneck at scale —
+  5.6s vs codegen's 1.6s at 164M samples — so it is the small-batch
+  path, not the 100 TB one. Exact-int float64 arithmetic keeps it
+  bit-equal to the declarative path (pytest-gated equality, not
+  tolerance).
 
 Reference: no analog in bigslice (grep: no audio/DSP operator); part
 of the multimodal pipeline surface this engine adds (SURVEY §2.4).

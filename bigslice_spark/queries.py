@@ -7200,9 +7200,10 @@ def audio_spectral_q(spark, sf_dir):
     (wav_samples), so the oracle — which regenerates the samples
     analytically and replays the projection from the SAME
     quantized-integer basis with exact int64 sums — also proves the
-    codec round trip. The vectorized numpy path
-    (band_energy(vectorized=True), the 100 TB throughput shape) is
-    pytest-gated BIT-EQUAL to this one."""
+    codec round trip. This declarative path is also the measured
+    SCALE path (PERFORMANCE.md §audio-paths: PCM never leaves the
+    JVM); the numpy path (band_energy(vectorized=True)) is
+    pytest-gated BIT-EQUAL to it."""
     import pandas as pd
 
     from .operators.audio import band_energy, wav_samples

@@ -143,8 +143,46 @@ def main():
             docs[a].filter(F.col("doc_id") % 17 != 0), ev_fixed,
             ngram_w=3, min_shared=2, fpp=0.01))
     hub_key_fold_stress(spark)
+    audio_path_stress(spark)
     ivf_cell_scaling(spark, t)
     hot_bucket_stress(spark)
+
+
+def audio_path_stress(spark):
+    """band_energy's two bit-equal paths at growing clip counts: the
+    declarative path explodes samples into codegen rows (one exchange,
+    frame_len-fold map-side combine); the vectorized path matmuls
+    inside Arrow batches (no exchange). The question a 100 TB audio
+    corpus asks: does the declarative path's explode stay linear, and
+    where the numpy path's Arrow-copy cost crosses it (measured:
+    numpy wins 3x below ~10^5 clips, codegen wins 3.5x at 320k —
+    PERFORMANCE.md §audio-paths)."""
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.audio import band_energy
+
+    n_samples, bins = 512, (1, 3, 7)
+    for n_clips in (5_000, 20_000, 80_000, 320_000):
+        clips = (spark.range(n_clips)
+                 .select(F.col("id"),
+                         F.transform(
+                             F.sequence(F.lit(0), F.lit(n_samples - 1)),
+                             lambda n: ((F.col("id") * 31 + 17 * n * n
+                                         + n) % 4001 - 2000)
+                             .cast("int")).alias("samples"))
+                 .localCheckpoint())
+        for vec in (False, True):
+            walls = []
+            for _ in range(4):
+                t0 = time.time()
+                band_energy(clips, frame_len=64, bins=bins,
+                            vectorized=vec) \
+                    .write.mode("overwrite").format("noop").save()
+                walls.append(round(time.time() - t0, 2))
+            print(json.dumps({
+                "op": "band_energy_" + ("numpy" if vec else "codegen"),
+                "clips": n_clips, "samples_per_clip": n_samples,
+                "sec": sorted(walls[1:])[1], "cold_sec": walls[0]}),
+                flush=True)
 
 
 def hub_key_fold_stress(spark):
