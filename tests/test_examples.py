@@ -85,3 +85,19 @@ def test_web_ingest_runs_and_reports():
     decon, dedup, recs = map(int, m.groups())
     assert recs > dedup >= decon > 0
     assert "corpus.test" in out
+
+
+def test_media_tour_example():
+    out = _run("examples/media_tour.py")
+    lines = {}
+    for l in out.splitlines():
+        if "\t" in l:
+            lines.setdefault(l.split("\t")[0], []).append(l)
+    assert len(lines.get("corpus", [])) == 9          # all nine formats
+    dec = lines["decode"][0]
+    assert "images 68" in dec and "audio 13" in dec
+    fr = {l.split("\t")[1]: int(l.split("\t")[2]) for l in lines["frames"]}
+    assert fr == {"gif": 39, "mp4_mjpeg": 26}         # 3 and 2 per blob
+    assert lines["resize"][0].startswith("resize\t42 rasters")
+    audio = lines["audio"][0]
+    assert "26 clips" in audio and "26 segments" in audio
