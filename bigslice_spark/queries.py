@@ -7324,3 +7324,33 @@ def audio_segments_q(spark, sf_dir):
                             threshold=1.0)
             .select(F.col("id").alias("doc_id"), "start_frame",
                     "end_frame", "n_frames"))
+
+
+@query("bloom_join", """
+    SELECT l_orderkey, l_partkey,
+           CASE WHEN l_partkey IN (SELECT p_partkey FROM part
+                                   WHERE p_size > 40)
+                THEN 'in' ELSE 'out' END AS verdict
+    FROM lineitem
+""")
+def bloom_join_q(spark, sf_dir):
+    """The general beyond-broadcast membership joins (operators/
+    bloom.py bloom_semi_join / bloom_anti_join) as first-class
+    entries: the big side is pre-filtered by a distributed-built
+    Bloom filter (8-byte hashes cross into Python, never keys) and
+    only the ~fpp surviving fraction pays a real verify join — EXACT
+    by construction (rejects are definitive). The query tags every
+    big-side row with its membership verdict and unions semi + anti,
+    so the oracle's plain IN/NOT-IN partition of the table catches a
+    false negative (row missing from 'in') AND a false positive
+    leak (row missing from 'out') in one value-hash."""
+    from .operators.bloom import bloom_anti_join, bloom_semi_join
+    _, t = _s(spark, sf_dir)
+    big = t["lineitem"].select("l_orderkey", "l_partkey")
+    keys = (t["part"].filter(F.col("p_size") > 40)
+            .select(F.col("p_partkey").alias("l_partkey")))
+    semi = bloom_semi_join(big, keys, on="l_partkey") \
+        .withColumn("verdict", F.lit("in"))
+    anti = bloom_anti_join(big, keys, on="l_partkey") \
+        .withColumn("verdict", F.lit("out"))
+    return semi.unionByName(anti)
