@@ -69,7 +69,11 @@ def band_energy(df: DataFrame, samples_col: str = "samples",
     non-overlapping ``frame_len``-sample frames of an integer PCM
     array column. Returns ``(id_col, frame, e{k}...)``; a trailing
     partial frame is aggregated over the samples it has (both paths
-    agree). ``frame_len`` ≤ 4096 keeps the integer sums exact."""
+    agree). ``frame_len`` ≤ 4096 keeps the integer sums exact FOR
+    int16-RANGE samples (the PCM the decoders produce — see the module
+    docstring's magnitude analysis); feeding full-int32 values would
+    overflow the exactness bound silently, so rescale wider PCM before
+    analysis."""
     if not bins:
         raise ValueError("need at least one DFT bin")
     if frame_len > 4096:
