@@ -171,21 +171,41 @@ def bloom_probe(df: DataFrame, col: str, bloom: Bloom,
 
 
 def bloom_semi_join(big: DataFrame, small: DataFrame, on: str,
-                    fpp: float = 0.01, **kw) -> DataFrame:
+                    fpp: float = 0.01, bloom: Bloom | None = None,
+                    **kw) -> DataFrame:
     """EXACT left-semi join; the bloom only pre-filters the big side
-    so the verify join sees the small surviving fraction."""
-    bloom = bloom_build(small, on, fpp, **kw)
+    so the verify join sees the small surviving fraction. Pass a
+    prebuilt ``bloom`` (bloom_build) to share one filter — and its
+    executor broadcast — across several joins against the same small
+    side (e.g. a semi + anti pair partitioning one relation)."""
+    if bloom is None:
+        bloom = bloom_build(small, on, fpp, **kw)
     cand = (bloom_probe(big, on, bloom)
             .filter(F.col("__bloom_maybe")).drop("__bloom_maybe"))
     return cand.join(small.select(on).distinct(), on, "semi")
 
 
 def bloom_anti_join(big: DataFrame, small: DataFrame, on: str,
-                    fpp: float = 0.01, **kw) -> DataFrame:
+                    fpp: float = 0.01, bloom: Bloom | None = None,
+                    **kw) -> DataFrame:
     """EXACT left-anti join: bloom rejects pass straight through (no
     false negatives); bloom accepts are re-checked with a real anti
-    join on the surviving fraction only."""
-    bloom = bloom_build(small, on, fpp, **kw)
+    join on the surviving fraction only. ``bloom`` as in
+    bloom_semi_join.
+
+    Plan shape, deliberate: the union's two arms each contain the
+    probe subtree, so the BIG side is scanned and probed twice
+    (plan_report flags it as duplicated_python_udf — here it is the
+    accepted cost, not the r9c pushdown bug: the probe is pinned
+    after a narrow projection in both arms). The alternatives lose at
+    scale: materializing the probed relation writes+reads the whole
+    big side once each (≥ the second scan, plus storage), and folding
+    both arms into one outer join either shuffles the full big side
+    or funnels every bloom-reject through a NULL join key — one
+    straggler partition. Two pushdown-pruned scans of a columnar
+    source are the cheapest exact formulation."""
+    if bloom is None:
+        bloom = bloom_build(small, on, fpp, **kw)
     probed = bloom_probe(big, on, bloom)
     sure_out = probed.filter(~F.col("__bloom_maybe")) \
         .drop("__bloom_maybe")

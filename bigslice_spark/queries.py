@@ -7344,13 +7344,18 @@ def bloom_join_q(spark, sf_dir):
     so the oracle's plain IN/NOT-IN partition of the table catches a
     false negative (row missing from 'in') AND a false positive
     leak (row missing from 'out') in one value-hash."""
-    from .operators.bloom import bloom_anti_join, bloom_semi_join
+    from .operators.bloom import (bloom_anti_join, bloom_build,
+                                  bloom_semi_join)
     _, t = _s(spark, sf_dir)
     big = t["lineitem"].select("l_orderkey", "l_partkey")
     keys = (t["part"].filter(F.col("p_size") > 40)
             .select(F.col("p_partkey").alias("l_partkey")))
-    semi = bloom_semi_join(big, keys, on="l_partkey") \
+    # ONE filter build + broadcast shared by both joins (the bloom=
+    # reuse API); the anti join's double probe scan is the documented
+    # exact-anti trade-off (bloom_anti_join docstring)
+    bloom = bloom_build(keys, "l_partkey")
+    semi = bloom_semi_join(big, keys, on="l_partkey", bloom=bloom) \
         .withColumn("verdict", F.lit("in"))
-    anti = bloom_anti_join(big, keys, on="l_partkey") \
+    anti = bloom_anti_join(big, keys, on="l_partkey", bloom=bloom) \
         .withColumn("verdict", F.lit("out"))
     return semi.unionByName(anti)

@@ -258,6 +258,29 @@ def test_decontaminate_corpus_never_shuffles(spark, sf_dir, tables):
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
 
 
+def test_bloom_join_probe_counts(spark, tables):
+    """The bloom membership joins' python footprint is pinned: semi
+    probes the big side ONCE; anti's two union arms each probe (the
+    DOCUMENTED two-scan exact-anti trade-off, bloom_anti_join
+    docstring — two pushdown-pruned scans beat materializing the big
+    side or a NULL-key outer join). A third eval in either join means
+    the r9c pushdown bug is back."""
+    from bigslice_spark.operators.bloom import (bloom_anti_join,
+                                                bloom_build,
+                                                bloom_semi_join)
+    from bigslice_spark.plans import plan_report
+    big = tables["lineitem"].select("l_orderkey", "l_partkey")
+    keys = (tables["part"].filter(F.col("p_size") > 40)
+            .select(F.col("p_partkey").alias("l_partkey")))
+    bloom = bloom_build(keys, "l_partkey")
+    semi = plan_report(bloom_semi_join(big, keys, on="l_partkey",
+                                       bloom=bloom))
+    assert semi["n_python"] == 1 and not semi["duplicated_python_udf"]
+    anti = plan_report(bloom_anti_join(big, keys, on="l_partkey",
+                                       bloom=bloom))
+    assert anti["n_python"] == 2  # one per union arm, never more
+
+
 def test_ngram_novelty_corpus_never_shuffles_on_grams(spark, tables):
     """Novelty scoring at 100 TB: the candidate corpus's shingles meet
     the reference grams via a broadcast LEFT join (map-side, no corpus
