@@ -187,12 +187,15 @@ def mp4_pcm(df: DataFrame, media_col: str = "media",
     big-endian / 'sowt' little-endian fourcc) demux through the real
     sample tables (operators/mp4.py) and concatenate, in sample-table
     order, into one int16 stream per track — the audio analog of the
-    MJPEG-in-MP4 video path (multimodal.py frame_sample): one real
-    audio format decodes from a real container end-to-end, feeding
-    band_energy/wav-free pipelines directly. Compressed bitstreams
-    (mp4a/AAC, ...) raise honestly, matching the repo's codec
-    contract; containers with no audio track yield no rows. Channels
-    are interleaved as stored (same contract as wav_samples)."""
+    MJPEG-in-MP4 video path (multimodal.py frame_sample): real audio
+    formats decode from a real container end-to-end, feeding
+    band_energy/wav-free pipelines directly. 'ima4' tracks (IMA ADPCM
+    — a real COMPRESSED codec, 4:1) decode through operators/adpcm.py,
+    one 34-byte packet per container sample. Other compressed
+    bitstreams (mp4a/AAC, ...) raise honestly, matching the repo's
+    codec contract; containers with no audio track yield no rows.
+    Channels are interleaved as stored (same contract as
+    wav_samples)."""
     import numpy as np
     import pandas as pd
 
@@ -212,13 +215,19 @@ def mp4_pcm(df: DataFrame, media_col: str = "media",
                 for t in m.tracks:
                     if t.handler != "soun":
                         continue
+                    if t.codec == "ima4":
+                        from .adpcm import decode_ima4
+                        rows.append((rid, t.track_id, decode_ima4(
+                            demux_samples(blob, t))))
+                        continue
                     dt = _PCM_CODECS.get(t.codec)
                     if dt is None:
                         raise NotImplementedError(
                             f"audio codec {t.codec!r} needs libraries "
                             f"this container lacks; only raw PCM16 "
-                            f"('twos'/'sowt') decodes (container "
-                            f"demux itself is real: operators/mp4.py)")
+                            f"('twos'/'sowt') and IMA ADPCM ('ima4') "
+                            f"decode (container demux itself is real: "
+                            f"operators/mp4.py)")
                     pcm = b"".join(demux_samples(blob, t))
                     if len(pcm) % 2:
                         raise ValueError(

@@ -7359,3 +7359,106 @@ def bloom_join_q(spark, sf_dir):
     anti = bloom_anti_join(big, keys, on="l_partkey", bloom=bloom) \
         .withColumn("verdict", F.lit("out"))
     return semi.unionByName(anti)
+
+
+def _adpcm_oracle() -> str:
+    """Recursive-CTE replay of the ENTIRE IMA-ADPCM chain
+    (operators/adpcm.py): the quantizer, the shift-based
+    reconstruction, int16/index clamps, and the packet-boundary
+    9-bit predictor truncation — all exact integer arithmetic, so
+    the oracle recomputes the operator's decoded samples bit-for-bit
+    from the analytic input signal alone (no codec bytes cross into
+    SQL)."""
+    from .operators.adpcm import INDEX_TABLE, STEP_TABLE
+    steps = ", ".join(str(v) for v in STEP_TABLE)
+    idxs = ", ".join(str(v) for v in INDEX_TABLE)
+    return f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+    rec(doc_id, pos, pred, idx) AS (
+      SELECT doc_id, -1, 0, 0 FROM d
+      UNION ALL
+      SELECT doc_id, np,
+             GREATEST(-32768, LEAST(32767,
+                 p0 + CASE WHEN x < p0 THEN -diff ELSE diff END)),
+             GREATEST(0, LEAST(88, i0 + ([{idxs}])[low3 + 1]))
+      FROM (
+        SELECT doc_id, np, p0, i0, x,
+               (stp // 8) + CASE WHEN b4 THEN stp ELSE 0 END
+                          + CASE WHEN b2 THEN stp // 2 ELSE 0 END
+                          + CASE WHEN b1 THEN stp // 4 ELSE 0 END
+                   AS diff,
+               4 * CAST(b4 AS INT) + 2 * CAST(b2 AS INT)
+                   + CAST(b1 AS INT) AS low3
+        FROM (
+          SELECT *, (m2 >= stp // 4) AS b1 FROM (
+            SELECT *, (m1 >= stp // 2) AS b2,
+                   m1 - CASE WHEN m1 >= stp // 2 THEN stp // 2
+                        ELSE 0 END AS m2
+            FROM (
+              SELECT *, (mag >= stp) AS b4,
+                     mag - CASE WHEN mag >= stp THEN stp ELSE 0 END
+                         AS m1
+              FROM (
+                SELECT doc_id, np, p0, i0, x,
+                       ([{steps}])[i0 + 1] AS stp,
+                       abs(x - p0) AS mag
+                FROM (
+                  SELECT doc_id, pos + 1 AS np,
+                         CASE WHEN (pos + 1) % 64 = 0
+                              THEN pred & -128 ELSE pred END AS p0,
+                         idx AS i0,
+                         ((doc_id * 41 + 23 * (pos+1) * (pos+1)
+                           + 7 * (pos+1)) % 4001) - 2000 AS x
+                  FROM rec WHERE pos < 255))))))
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+           CAST(sum(pred * (pos + 1)) AS BIGINT) AS checksum
+    FROM rec WHERE pos >= 0 GROUP BY doc_id
+    """
+
+
+@query("audio_adpcm", _adpcm_oracle())
+def audio_adpcm_q(spark, sf_dir):
+    """A real COMPRESSED audio codec end-to-end: IMA ADPCM
+    (operators/adpcm.py, QuickTime 'ima4' packets, 4:1) — the analytic
+    int16 signal is encoded to 34-byte packets, muxed as an MP4 'soun'
+    track (one packet per container sample), demuxed back through the
+    real sample tables, and DECODED (operators/audio.py mp4_pcm); the
+    position-weighted checksum pins every reconstructed sample to its
+    position. The oracle replays encoder AND decoder as a recursive
+    CTE over exact integer arithmetic — a single wrong step-table
+    entry, clamp, or packet-boundary truncation diverges the state
+    recurrence and breaks the hash."""
+    import pandas as pd
+
+    from .operators.adpcm import encode_ima4
+    from .operators.audio import mp4_pcm
+    from .operators.mp4 import TrackSpec, make_mp4
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                pcm = [((d * 41 + 23 * n * n + 7 * n) % 4001) - 2000
+                       for n in range(256)]
+                a = TrackSpec(handler="soun", codec="ima4",
+                              samples=encode_ima4(pcm), timescale=8000,
+                              sample_delta=64)
+                rows.append((d, bytearray(make_mp4([a]))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 4 == 3)
+             .select(F.col("doc_id").alias("id"))
+             .mapInPandas(gen, schema="id long, media binary"))
+    dec = mp4_pcm(media)
+    s = dec.select(F.col("id").alias("doc_id"),
+                   F.posexplode("samples").alias("pos", "s"))
+    return (s.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.sum(F.abs("s")).alias("sum_abs"),
+                 F.sum(F.col("s") * (F.col("pos") + 1))
+                 .alias("checksum")))

@@ -141,3 +141,51 @@ def test_active_segments_islands(spark):
                for r in active_segments(df, bins=(3,),
                                         vectorized=vec).collect()}
         assert got == {(1, 0, 0): 1, (1, 2, 3): 2, (3, 0, 2): 3}, vec
+
+
+def test_adpcm_codec_contracts():
+    """Pure-codec invariants: packet shape, per-packet decode
+    independence (header state is sufficient), slope-tracking error
+    bound on a smooth signal, silence exactness, corruption raises."""
+    import math as _m
+
+    import pytest
+
+    from bigslice_spark.operators.adpcm import (PACKET_BYTES,
+                                                decode_ima4,
+                                                encode_ima4)
+    smooth = [round(8000 * _m.sin(2 * _m.pi * i / 128))
+              for i in range(256)]
+    pk = encode_ima4(smooth)
+    assert len(pk) == 4 and all(len(p) == PACKET_BYTES for p in pk)
+    dec = decode_ima4(pk)
+    # packets decode independently to the same stream (the header IS
+    # the state — the encoder's boundary truncation guarantees it)
+    per_packet = [v for p in pk for v in decode_ima4([p])]
+    assert per_packet == dec
+    # ADPCM tracks a smooth signal closely after the first step-table
+    # ramp-up; max step is bounded by the table
+    errs = [abs(a - b) for a, b in zip(smooth[16:], dec[16:])]
+    assert max(errs) < 2000 and sum(errs) / len(errs) < 300
+    assert decode_ima4(encode_ima4([0] * 64)) == [0] * 64
+    with pytest.raises(ValueError, match="34"):
+        decode_ima4([b"\x00" * 10])
+    with pytest.raises(ValueError, match="index"):
+        decode_ima4([b"\x00\x7f" + b"\x00" * 32])
+
+
+def test_mp4_ima4_decodes_through_container(spark):
+    """'ima4' MP4 audio tracks decode end-to-end via mp4_pcm and the
+    result equals the pure-codec decode of the same packets."""
+    from bigslice_spark.operators.adpcm import decode_ima4, encode_ima4
+    from bigslice_spark.operators.audio import mp4_pcm
+    from bigslice_spark.operators.mp4 import TrackSpec, make_mp4
+    pcm = [((11 * n * n + 5 * n) % 3001) - 1500 for n in range(128)]
+    pk = encode_ima4(pcm)
+    blob = make_mp4([TrackSpec(handler="soun", codec="ima4",
+                               samples=pk, timescale=8000,
+                               sample_delta=64)])
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "id long, media binary")
+    got = mp4_pcm(df).collect()[0]["samples"]
+    assert got == decode_ima4(pk)
