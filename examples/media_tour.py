@@ -38,7 +38,7 @@ from bigslice_spark.operators.multimodal import (extract_features,
                                                  resize_images)
 
 FORMATS = ("ppm", "bmp", "png", "jpeg", "jpeg_prog", "gif",
-           "wav", "mp4_mjpeg", "mp4_pcm")
+           "wav", "mp4_mjpeg", "mp4_pcm", "mp4_ima4")
 
 
 def _pixels(d: int, w: int = 16, h: int = 16, phase: int = 0) -> bytes:
@@ -82,6 +82,11 @@ def _blob(d: int, fmt: str) -> bytes:
         return make_mp4([TrackSpec(handler="soun", codec="twos",
                                    samples=chunks, timescale=8000,
                                    sample_delta=64)])
+    if fmt == "mp4_ima4":  # COMPRESSED audio (IMA ADPCM, 4:1)
+        from bigslice_spark.operators.adpcm import encode_ima4
+        return make_mp4([TrackSpec(handler="soun", codec="ima4",
+                                   samples=encode_ima4(_pcm(d)),
+                                   timescale=8000, sample_delta=64)])
     raise ValueError(fmt)
 
 
@@ -143,7 +148,8 @@ def main() -> None:
     #    relation, then fixed-point DFT band energy + segmentation
     wav = wav_samples(media.filter(F.col("fmt") == "wav")
                       .select("id", "media")).select("id", "samples")
-    pcm = mp4_pcm(media.filter(F.col("fmt") == "mp4_pcm")
+    pcm = mp4_pcm(media.filter(F.col("fmt").isin("mp4_pcm",
+                                                 "mp4_ima4"))
                   .select("id", "media")).select("id", "samples")
     clips = wav.unionByName(pcm)
     eng = band_energy(clips, frame_len=64, bins=(1, 3, 7))

@@ -93,11 +93,12 @@ def test_media_tour_example():
     for l in out.splitlines():
         if "\t" in l:
             lines.setdefault(l.split("\t")[0], []).append(l)
-    assert len(lines.get("corpus", [])) == 9          # all nine formats
+    assert len(lines.get("corpus", [])) == 10         # all ten formats
     dec = lines["decode"][0]
-    assert "images 68" in dec and "audio 13" in dec
+    assert "images 60" in dec and "audio 12" in dec
     fr = {l.split("\t")[1]: int(l.split("\t")[2]) for l in lines["frames"]}
-    assert fr == {"gif": 39, "mp4_mjpeg": 26}         # 3 and 2 per blob
-    assert lines["resize"][0].startswith("resize\t42 rasters")
+    assert fr == {"gif": 36, "mp4_mjpeg": 24}         # 3 and 2 per blob
+    assert lines["resize"][0].startswith("resize\t36 rasters")
     audio = lines["audio"][0]
-    assert "26 clips" in audio and "26 segments" in audio
+    # wav + raw-PCM-MP4 + COMPRESSED ADPCM-MP4 converge on one relation
+    assert "36 clips" in audio and "36 segments" in audio
