@@ -26,10 +26,12 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      audio_segments (silence-split segmentation), bloom_join
 #      (first-class exact bloom semi/anti membership joins) and
 #      audio_adpcm (IMA-ADPCM compressed audio end-to-end, recursive-
-#      CTE codec oracle) — their head slots push the last eight r5
-#      top-ups (mixture_sample, retention_cohorts, ts_pattern_search,
-#      key_percentiles, common_paths, moments_agg, table_profile,
-#      multimodal_frames) past the 50-entry window to the r11 queue;
+#      CTE codec oracle) and audio_g711 (ITU mu-law/A-law telephony
+#      decode, table-literal oracle) — their head slots push the last
+#      nine r5 top-ups (data_checks, mixture_sample, retention_cohorts,
+#      ts_pattern_search, key_percentiles, common_paths, moments_agg,
+#      table_profile, multimodal_frames) past the 50-entry window to
+#      the r11 queue;
 #   1. the 15 entries with NO driver artifact yet (landed r9 after the
 #      final window sealed; all judge-verified green in the r9 session's
 #      full-oracle CI): dup_spans, strip_dup_spans, charset_decode,
@@ -46,7 +48,8 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # none is older than r5.
 _R10_NEW = ("multimodal_mjpeg", "kmeans_assign_ivf", "ngram_novelty",
             "leakage_split", "audio_spectral", "audio_mp4_pcm",
-            "audio_segments", "bloom_join", "audio_adpcm")
+            "audio_segments", "bloom_join", "audio_adpcm",
+            "audio_g711")
 _NO_SIGNAL = (
     "dup_spans", "strip_dup_spans", "charset_decode",
     "decontaminate_bloom", "html_links", "text_clean", "sketch_rollup",

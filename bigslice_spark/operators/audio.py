@@ -220,14 +220,23 @@ def mp4_pcm(df: DataFrame, media_col: str = "media",
                         rows.append((rid, t.track_id, decode_ima4(
                             demux_samples(blob, t))))
                         continue
+                    if t.codec in ("ulaw", "alaw"):  # G.711 log PCM
+                        table = np.asarray(
+                            G711_ULAW if t.codec == "ulaw"
+                            else G711_ALAW, dtype=np.int32)
+                        codes = np.frombuffer(
+                            b"".join(demux_samples(blob, t)), np.uint8)
+                        rows.append((rid, t.track_id,
+                                     table[codes].tolist()))
+                        continue
                     dt = _PCM_CODECS.get(t.codec)
                     if dt is None:
                         raise NotImplementedError(
                             f"audio codec {t.codec!r} needs libraries "
-                            f"this container lacks; only raw PCM16 "
-                            f"('twos'/'sowt') and IMA ADPCM ('ima4') "
-                            f"decode (container demux itself is real: "
-                            f"operators/mp4.py)")
+                            f"this container lacks; raw PCM16 "
+                            f"('twos'/'sowt'), IMA ADPCM ('ima4') and "
+                            f"G.711 ('ulaw'/'alaw') decode (container "
+                            f"demux itself is real: operators/mp4.py)")
                     pcm = b"".join(demux_samples(blob, t))
                     if len(pcm) % 2:
                         raise ValueError(
@@ -272,3 +281,32 @@ def active_segments(df: DataFrame, samples_col: str = "samples",
                  F.max("frame").alias("end_frame"),
                  F.count(F.lit(1)).alias("n_frames"))
             .drop("__grp"))
+
+
+def _g711_tables() -> tuple[list[int], list[int]]:
+    """G.711 expansion tables from the spec formulas (ITU-T G.711):
+    256 code bytes → int16 linear PCM. mu-law codes are stored
+    complemented; A-law codes are XOR-masked with 0x55. Built once at
+    import; the ``audio_g711`` oracle embeds THESE values as SQL
+    literals, so both engines expand identical tables."""
+    ulaw = []
+    for code in range(256):
+        u = ~code & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        s = (((mant << 3) + 0x84) << exp) - 0x84
+        ulaw.append(-s if u & 0x80 else s)
+    alaw = []
+    for code in range(256):
+        a = code ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        t = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) \
+            << (exp - 1)
+        # A-law sign convention is INVERTED vs mu-law: a set sign bit
+        # (after the 0x55 mask) encodes a POSITIVE sample (ITU G.711)
+        alaw.append(t if a & 0x80 else -t)
+    return ulaw, alaw
+
+
+G711_ULAW, G711_ALAW = _g711_tables()

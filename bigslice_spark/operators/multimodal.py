@@ -319,6 +319,21 @@ def make_wav(sample_rate: int, samples: list[int],
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+def make_wav_g711(sample_rate: int, codes: bytes,
+                  law: str = "u", n_channels: int = 1) -> bytes:
+    """WAV carrying G.711 log-PCM codes: fmt 7 (mu-law, ``law='u'``)
+    or fmt 6 (A-law, ``law='a'``), 8 bits per code — the telephony
+    corpus container decode_wav expands through operators/audio.py's
+    G711 tables."""
+    fmt_code = 7 if law == "u" else 6
+    byte_rate = sample_rate * n_channels
+    fmt = struct.pack("<HHIIHH", fmt_code, n_channels, sample_rate,
+                      byte_rate, n_channels, 8)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(codes))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(codes)) + codes)
+
+
 def _ppm_tokens(b: bytes, n: int) -> tuple[list[int], int]:
     """First ``n`` whitespace-separated integer tokens after the magic,
     honoring ``#`` comments; returns (tokens, offset past them)."""
@@ -388,22 +403,34 @@ def _decode_wav_impl(blob: bytes) -> tuple[int, int, "object"]:
     import numpy as np
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    i, rate, ch, bits, data = 12, None, None, None, None
+    i, rate, ch, fmt_code, span = 12, None, None, None, None
     while i + 8 <= len(blob):
         cid = blob[i:i + 4]
         sz, = struct.unpack_from("<I", blob, i + 4)
         if cid == b"fmt ":
             fmt_code, ch, rate = struct.unpack_from("<HHI", blob, i + 8)
             bits, = struct.unpack_from("<H", blob, i + 22)
-            if fmt_code != 1 or bits != 16:
+            # fmt 1: int16 linear PCM; fmt 6/7: G.711 A-law/mu-law
+            # (8-bit log PCM, telephony corpora — operators/audio.py
+            # holds the 256-entry expansion tables)
+            if not ((fmt_code == 1 and bits == 16)
+                    or (fmt_code in (6, 7) and bits == 8)):
                 raise ValueError(
                     f"unsupported WAV fmt={fmt_code} bits={bits}")
         elif cid == b"data":
-            data = np.frombuffer(blob, np.int16, sz // 2, i + 8)
+            span = (i + 8, sz)   # decode after fmt is known (chunk
+            # order is not guaranteed by the container)
         i += 8 + sz + (sz & 1)
-    if rate is None or data is None:
+    if rate is None or span is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return rate, ch, data
+    off, sz = span
+    if fmt_code == 1:
+        return rate, ch, np.frombuffer(blob, np.int16, sz // 2, off)
+    from .audio import G711_ALAW, G711_ULAW
+    table = np.asarray(G711_ULAW if fmt_code == 7 else G711_ALAW,
+                       dtype=np.int16)
+    codes = np.frombuffer(blob, np.uint8, sz, off)
+    return rate, ch, table[codes]
 
 
 def extract_features(df: DataFrame, fake: bool = True,

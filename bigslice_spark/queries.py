@@ -7462,3 +7462,70 @@ def audio_adpcm_q(spark, sf_dir):
                  F.sum(F.abs("s")).alias("sum_abs"),
                  F.sum(F.col("s") * (F.col("pos") + 1))
                  .alias("checksum")))
+
+
+def _g711_oracle() -> str:
+    """Table-literal replay: the oracle regenerates the code bytes
+    analytically and expands them through the SAME 256-entry G.711
+    tables the decoder uses (operators/audio.py builds them from the
+    ITU formulas at import) — a single wrong table entry or sign
+    convention shifts the position-pinned checksum."""
+    from .operators.audio import G711_ALAW, G711_ULAW
+    u = ", ".join(str(v) for v in G711_ULAW)
+    a = ", ".join(str(v) for v in G711_ALAW)
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    p AS (SELECT unnest(range(0, 200)) AS pos),
+    c AS (SELECT doc_id, pos,
+                 (doc_id * 13 + 7 * pos + pos * pos) % 256 AS code
+          FROM d, p),
+    s AS (SELECT doc_id, pos,
+                 CASE WHEN doc_id % 10 = 0 THEN ([{u}])[code + 1]
+                      ELSE ([{a}])[code + 1] END AS v
+          FROM c)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v * (pos + 1)) AS BIGINT) AS checksum
+    FROM s GROUP BY doc_id
+    """
+
+
+@query("audio_g711", _g711_oracle())
+def audio_g711_q(spark, sf_dir):
+    """G.711 log-PCM decode end-to-end (ITU G.711 — the telephony
+    codec; operators/audio.py G711 tables via operators/multimodal.py
+    decode_wav fmt 6/7): analytic code bytes are containerized as
+    real mu-law (doc_id % 10 == 0) and A-law WAV files
+    (make_wav_g711), decoded back through wav_samples, and
+    position-checksummed. The oracle expands the same bytes through
+    the same table literals — covering the RIFF fmt-6/7 parse, the
+    complement/XOR masking, segment expansion, and the INVERTED
+    A-law sign convention in one value-hash."""
+    import pandas as pd
+
+    from .operators.audio import wav_samples
+    from .operators.multimodal import make_wav_g711
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                codes = bytes((d * 13 + 7 * n + n * n) % 256
+                              for n in range(200))
+                rows.append((d, bytearray(make_wav_g711(
+                    8000, codes, law="u" if d % 10 == 0 else "a"))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 5 == 0)
+             .select(F.col("doc_id").alias("id"))
+             .mapInPandas(gen, schema="id long, media binary"))
+    s = wav_samples(media).select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("samples").alias("pos", "s"))
+    return (s.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.sum(F.abs("s")).alias("sum_abs"),
+                 F.sum(F.col("s") * (F.col("pos") + 1))
+                 .alias("checksum")))

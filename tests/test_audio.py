@@ -189,3 +189,44 @@ def test_mp4_ima4_decodes_through_container(spark):
                                "id long, media binary")
     got = mp4_pcm(df).collect()[0]["samples"]
     assert got == decode_ima4(pk)
+
+
+def test_g711_tables_and_wav_decode(spark):
+    """ITU anchors (mu-law 0xFF/0x7F → 0, ±32124 extremes; A-law ±8
+    quietest with the INVERTED sign convention, ±32256 extremes),
+    perfect odd symmetry, and the WAV fmt-6/7 container round trip."""
+    from bigslice_spark.operators.audio import (G711_ALAW, G711_ULAW,
+                                                wav_samples)
+    from bigslice_spark.operators.multimodal import make_wav_g711
+    assert G711_ULAW[0xFF] == 0 and G711_ULAW[0x7F] == 0
+    assert (max(G711_ULAW), min(G711_ULAW)) == (32124, -32124)
+    assert (max(G711_ALAW), min(G711_ALAW)) == (32256, -32256)
+    assert G711_ALAW[0xD5] == 8 and G711_ALAW[0x55] == -8
+    assert all(G711_ULAW[c] == -G711_ULAW[c ^ 0x80] for c in range(256))
+    assert all(G711_ALAW[c] == -G711_ALAW[c ^ 0x80] for c in range(256))
+
+    codes = bytes(range(256))
+    df = spark.createDataFrame(
+        [(1, bytearray(make_wav_g711(8000, codes, "u"))),
+         (2, bytearray(make_wav_g711(8000, codes, "a")))],
+        "id long, media binary")
+    got = {r["id"]: r["samples"] for r in wav_samples(df).collect()}
+    assert got[1] == list(G711_ULAW) and got[2] == list(G711_ALAW)
+
+
+def test_mp4_g711_decodes_through_container(spark):
+    """'ulaw'/'alaw' MP4 audio tracks expand through the same tables."""
+    from bigslice_spark.operators.audio import (G711_ULAW, G711_ALAW,
+                                                mp4_pcm)
+    from bigslice_spark.operators.mp4 import TrackSpec, make_mp4
+    codes = bytes((7 * n + 3) % 256 for n in range(128))
+    rows = [(1, "ulaw", G711_ULAW), (2, "alaw", G711_ALAW)]
+    df = spark.createDataFrame(
+        [(i, bytearray(make_mp4([TrackSpec(
+            handler="soun", codec=c,
+            samples=[codes[:64], codes[64:]], timescale=8000,
+            sample_delta=64)]))) for i, c, _ in rows],
+        "id long, media binary")
+    got = {r["id"]: r["samples"] for r in mp4_pcm(df).collect()}
+    for i, _c, table in rows:
+        assert got[i] == [table[b] for b in codes]
