@@ -59,24 +59,28 @@ def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
         master = spark.conf.get("spark.master", "local")
         reliable = not _single_jvm(master)
     if not reliable:
-        # Track the persisted-RDD ids this checkpoint creates so
+        # Track the persisted-RDD id this checkpoint creates so
         # release() can free superseded rounds of an iterative loop
         # promptly: localCheckpoint blocks otherwise live until the
         # Python handle is GC'd and the ContextCleaner notices —
         # measured as multi-x inflation of late queries in a
-        # long-lived JVM (PERFORMANCE.md round 10). The before/after
-        # diff is guarded by a lock against OTHER materialize calls,
-        # but a concurrent job persisting RDDs at the same instant
-        # can still be misattributed — loops that release() are
-        # driver-sequential by construction.
-        jsc = spark.sparkContext._jsc
+        # long-lived JVM (PERFORMANCE.md round 10). Attribution is
+        # DIRECT: Dataset.localCheckpoint returns a LogicalRDD
+        # wrapping exactly the RDD it persisted, so we read its id
+        # off the analyzed plan — no getPersistentRDDs diff, no lock
+        # held across the eager job, and a concurrent persist can
+        # never be misattributed. The lock now only guards the
+        # _TRACKED dict itself.
+        out = df.localCheckpoint()
+        try:
+            ids = [int(out._jdf.queryExecution().analyzed().rdd().id())]
+        except Exception:
+            # plan shape changed in a future Spark: fall back to
+            # tracking nothing (GC + ContextCleaner path, the
+            # behavior before release() existed) rather than guess
+            ids = []
         with _TRACK_LOCK:
-            before = {int(i) for i in
-                      jsc.getPersistentRDDs().keySet().toArray()}
-            out = df.localCheckpoint()
-            after = {int(i) for i in
-                     jsc.getPersistentRDDs().keySet().toArray()}
-            _TRACKED[out] = (spark.sparkContext, sorted(after - before))
+            _TRACKED[out] = (spark.sparkContext, ids)
         return out
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:

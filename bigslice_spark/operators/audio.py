@@ -69,7 +69,12 @@ def band_energy(df: DataFrame, samples_col: str = "samples",
     non-overlapping ``frame_len``-sample frames of an integer PCM
     array column. Returns ``(id_col, frame, e{k}...)``; a trailing
     partial frame is aggregated over the samples it has (both paths
-    agree). ``frame_len`` ≤ 4096 keeps the integer sums exact FOR
+    agree). ``id_col`` must be UNIQUE per input row: the declarative
+    path aggregates by (id, frame), so two rows sharing an id would
+    have their same-numbered frames summed together, while the
+    vectorized path emits frames per ROW — bit-equality holds only
+    under the unique-id contract (pre-aggregate or disambiguate ids
+    first, e.g. ``(id, track_id)`` for multi-track mp4_pcm output). ``frame_len`` ≤ 4096 keeps the integer sums exact FOR
     int16-RANGE samples (the PCM the decoders produce — see the module
     docstring's magnitude analysis); feeding full-int32 values would
     overflow the exactness bound silently, so rescale wider PCM before

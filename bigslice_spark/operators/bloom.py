@@ -74,19 +74,22 @@ class Bloom:
     # one SparkContext.broadcast per Bloom INSTANCE, created lazily on
     # first probe and reused after — repeated probes in a long-lived
     # session must not accumulate up-to-GiB-scale broadcasts on the
-    # driver and executors.
+    # driver and executors. Keyed on the context: reusing a Bloom
+    # after a session restart must rebuild, not hand back a dead (or
+    # foreign-context) broadcast.
     _bc: object = field(default=None, repr=False, compare=False)
 
     def broadcast_for(self, sc) -> object:
-        """The (cached) broadcast of ``words`` on this context."""
-        if self._bc is None:
-            self._bc = sc.broadcast(self.words)
-        return self._bc
+        """The (cached) broadcast of ``words`` on context ``sc``;
+        rebuilt when the context changed since the last probe."""
+        if self._bc is None or self._bc[0] is not sc:
+            self._bc = (sc, sc.broadcast(self.words))
+        return self._bc[1]
 
     def unpersist(self) -> None:
         """Release the cached broadcast from driver and executors."""
         if self._bc is not None:
-            self._bc.unpersist()
+            self._bc[1].unpersist()
             self._bc = None
 
 

@@ -189,7 +189,9 @@ def label_propagation(edges: DataFrame, src: str = "src",
         lab = new.select("node", "label")
         if done:
             break
-    release(sym)
+    # with iters=0 `lab` still derives from `sym` (see pagerank note)
+    if prev_mat is not None:
+        release(sym)
     return lab
 
 
@@ -264,9 +266,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if prev_mat is not None:
             release(prev_mat)  # eager materialize above consumed it
         prev_mat = rank
-    # the final rank is lineage-free; the loop inputs are dead weight
-    for aux in (e, nodes, deg):
-        release(aux)
+    # the final rank is lineage-free ONLY when the loop materialized
+    # at least one round; with iters=0 it still derives from `nodes`,
+    # whose blocks must then survive (localCheckpoint truncates
+    # lineage, so a released input fails instead of recomputing)
+    if prev_mat is not None:
+        for aux in (e, nodes, deg):
+            release(aux)
     return rank.select("node", F.col("r").alias("rank"))
 
 

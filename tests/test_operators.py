@@ -2503,6 +2503,61 @@ def test_release_frees_superseded_checkpoint_blocks(spark):
     assert len(leftover) <= 3, leftover
 
 
+def test_materialize_attribution_is_direct(spark):
+    """materialize() reads the persisted-RDD id straight off the
+    LogicalRDD the localCheckpoint returned — a concurrently persisted
+    unrelated frame can never be misattributed (and later killed by
+    release); ADVICE r10 checkpoint.py:71."""
+    from bigslice_spark.checkpoint import _TRACKED, materialize, release
+
+    bystander = spark.range(50).selectExpr("id AS z").cache()
+    bystander.count()
+    out = materialize(spark.range(20).selectExpr("id", "id + 1 AS w"))
+    _, ids = _TRACKED[out]
+    direct = int(out._jdf.queryExecution().analyzed().rdd().id())
+    assert ids == [direct]
+    release(out)
+    # the bystander's cache survives the release untouched
+    assert bystander.storageLevel.useMemory
+    bystander.unpersist()
+
+
+def test_iterative_graph_ops_zero_iters_collectable(spark):
+    """iters=0 returns a frame still DERIVING from the materialized
+    loop inputs; the input blocks must not be released out from under
+    it (localCheckpoint truncates lineage, so a released input fails
+    instead of recomputing); ADVICE r10 graph.py:266."""
+    from bigslice_spark.operators.graph import (label_propagation,
+                                                pagerank)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    r = {row["node"]: row["rank"]
+         for row in pagerank(e, iters=0).collect()}
+    assert set(r) == {1, 2, 3}
+    assert all(abs(v - 1.0 / 3.0) < 1e-12 for v in r.values())
+    lab = {row["node"]: row["label"]
+           for row in label_propagation(e, iters=0).collect()}
+    assert lab == {1: 1, 2: 2, 3: 3}
+
+
+def test_bloom_broadcast_rekeys_on_context_change(spark):
+    """Bloom.broadcast_for caches per (context, broadcast): a Bloom
+    reused after a session restart rebuilds instead of returning a
+    dead/foreign broadcast; ADVICE r10 bloom.py:80."""
+    from bigslice_spark.operators.bloom import bloom_build
+    keys = spark.range(100).selectExpr("id AS k")
+    bloom = bloom_build(keys, "k")
+    sc = spark.sparkContext
+    bc1 = bloom.broadcast_for(sc)
+    assert bloom.broadcast_for(sc) is bc1  # same context: cached
+    stale = object()
+    bloom._bc = (stale, bc1)               # simulate a dead context
+    bc2 = bloom.broadcast_for(sc)
+    assert bc2 is not bc1 or bloom._bc[0] is sc
+    assert bloom._bc[0] is sc
+    bloom.unpersist()
+    assert bloom._bc is None
+
+
 def test_upsert_concurrent_writer_fails_fast(spark, tmp_path):
     """Atomic rename commit: when two writers race on the same v=N,
     exactly one publishes; the loser raises ConcurrentWriteError, its

