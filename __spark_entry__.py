@@ -15,63 +15,52 @@ from bigslice_spark.queries import ORACLE, QUERIES
 
 # The driver's correctness harness samples the FIRST 50 registry entries
 # in registration order; rotate so every entry accumulates a hard driver
-# signal across rounds. Round-10 window (VERDICT r9 "Next round" #1):
-#   0. round-10 ADDITIONS (zero prior signal, front of the window):
-#      multimodal_mjpeg (MJPEG-in-MP4 real frame decode via the r9
-#      JPEG codec), kmeans_assign_ivf (two-level IVF assignment) and
-#      ngram_novelty (per-doc novelty vs a reference corpus),
-#      leakage_split (dup-cluster-atomic train/val/test) and
-#      audio_spectral (fixed-point DFT band energy over decoded WAV)
-#      audio_mp4_pcm (raw-PCM16 decoded end-to-end from ISO-BMFF),
-#      audio_segments (silence-split segmentation), bloom_join
-#      (first-class exact bloom semi/anti membership joins) and
-#      audio_adpcm (IMA-ADPCM compressed audio end-to-end, recursive-
-#      CTE codec oracle) and audio_g711 (ITU mu-law/A-law telephony
-#      decode, table-literal oracle) — their head slots push the last
-#      nine r5 top-ups (data_checks, mixture_sample, retention_cohorts,
-#      ts_pattern_search, key_percentiles, common_paths, moments_agg,
-#      table_profile, multimodal_frames) past the 50-entry window to
-#      the r11 queue;
-#   1. the 15 entries with NO driver artifact yet (landed r9 after the
-#      final window sealed; all judge-verified green in the r9 session's
-#      full-oracle CI): dup_spans, strip_dup_spans, charset_decode,
-#      decontaminate_bloom, html_links, text_clean, sketch_rollup,
-#      corpus_overlap, quantile_sketch, bucketed_join, stream_warc,
-#      similarity_pq, multimodal_resize, multimodal_gif, url_normalize;
-#   2. the 4 r4-stale entries: source_orc, dedup_keep_best,
-#      price_histogram, tfidf_terms;
-#   3. top-up from the 35-entry r5 cohort, registration order, to seal
-#      the 50 (the last 5 — winsorize_values, item_jaccard,
-#      event_transitions, lateral_topn, forward_fill — stay at their r5
-#      signal and head the r11 queue).
-# After this rotation every registry entry has a driver artifact and
-# none is older than r5.
-_R10_NEW = ("multimodal_mjpeg", "kmeans_assign_ivf", "ngram_novelty",
-            "leakage_split", "audio_spectral", "audio_mp4_pcm",
-            "audio_segments", "bloom_join", "audio_adpcm",
-            "audio_g711")
-_NO_SIGNAL = (
-    "dup_spans", "strip_dup_spans", "charset_decode",
-    "decontaminate_bloom", "html_links", "text_clean", "sketch_rollup",
-    "corpus_overlap", "quantile_sketch", "bucketed_join", "stream_warc",
-    "similarity_pq", "multimodal_resize", "multimodal_gif",
-    "url_normalize",
-)
-_R4_STALE = ("source_orc", "dedup_keep_best", "price_histogram",
-             "tfidf_terms")
+# signal across rounds. Round-11 window (VERDICT r10 "Next round" #1,
+# and the committed MIGRATION.md rotation schedule):
+#   0. the round-11 ADDITION (zero prior signal, front of the window):
+#      audio_flac (FLAC lossless decode end-to-end — stereo, LPC +
+#      fixed predictors, wasted bits, CRC-8/16 + stream-MD5 verified;
+#      lossless, so the oracle regenerates the analytic signal with no
+#      codec replay);
+#   1. the 14 entries whose latest driver artifact is r5 — the oldest
+#      signal in the registry (all green in the r10 judge's full
+#      oracle CI; this is pure signal refresh): data_checks,
+#      mixture_sample, retention_cohorts, ts_pattern_search,
+#      key_percentiles, common_paths, moments_agg, table_profile,
+#      multimodal_frames, winsorize_values, item_jaccard,
+#      event_transitions, lateral_topn, forward_fill;
+#   2. top-up with the OLDEST-r6 cohort in registration order (35 of
+#      the 48) to seal the 50. The 13 r6 leftovers (asof_join,
+#      asof_join_forward, triangle_count, upsert_merge,
+#      schema_evolution, upsert_partitioned, compact_partitioned,
+#      snapshot_diff, stream_upsert, range_sorted_layout,
+#      scd2_intervals, stream_dedup_against, asof_tolerance) head the
+#      r12 queue per MIGRATION.md §rotation-schedule.
+# After this rotation the staleness floor moves from r5 to r6 and
+# every registry entry has a ≤5-round-old driver artifact.
+_R11_NEW = ("audio_flac",)
 _R5_STALE = (
-    "op_const", "op_reader_func", "op_writer_func", "op_map",
-    "source_csv_malformed", "edit_distance_pairs", "ngram_containment",
-    "equidepth_histogram", "lpa_communities", "random_projection",
-    "lm_quality", "event_gaps", "ewma_value", "heavy_hitters",
-    "sample_per_key", "time_rollup", "ts_anomaly", "kmeans_train",
-    "semantic_dedup", "gopher_rules", "date_spine_gapfill",
     "data_checks", "mixture_sample", "retention_cohorts",
     "ts_pattern_search", "key_percentiles", "common_paths",
     "moments_agg", "table_profile", "multimodal_frames",
+    "winsorize_values", "item_jaccard", "event_transitions",
+    "lateral_topn", "forward_fill",
+)
+_R6_OLDEST = (
+    "op_map_pandas", "op_filter", "op_flatmap", "op_fold",
+    "op_fold_custom", "op_fold_stream", "op_reduce",
+    "op_flatmap_pandas", "op_cogroup_apply", "op_cogroup",
+    "op_reshuffle", "op_repartition", "op_repartition_custom",
+    "op_cache_partial", "op_reshard", "op_head", "op_prefixed",
+    "op_cache", "op_scan", "source_tar", "source_csv",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "join_broadcast", "set_ops", "rollup_agg", "cube_agg",
+    "distinct_pairs", "agg_stats", "percentile_quantity",
+    "approx_distinct", "pivot_status", "grouping_sets",
+    "dedup_components",
 )
 def _rotated() -> list[str]:
-    head = [k for k in (_R10_NEW + _NO_SIGNAL + _R4_STALE + _R5_STALE)
+    head = [k for k in (_R11_NEW + _R5_STALE + _R6_OLDEST)
             if k in QUERIES]
     seen = set()
     head = [k for k in head if not (k in seen or seen.add(k))]

@@ -182,6 +182,40 @@ def wav_samples(df: DataFrame, media_col: str = "media",
     return df.select(id_col, media_col).mapInPandas(dec, schema)
 
 
+def flac_samples(df: DataFrame, media_col: str = "media",
+                 id_col: str = "id",
+                 verify_md5: bool = True) -> DataFrame:
+    """FLAC blobs → ``(id_col, rate, channels, samples array<int>)``
+    via one Arrow-batched mapInPandas pass (operators/flac.py
+    decode_flac does the frame walk; every frame's CRC-8/16 is checked
+    and ``verify_md5`` additionally pins the whole decoded stream to
+    STREAMINFO's MD5 signature — corruption raises there). Samples are
+    interleaved as stored, the wav_samples contract."""
+    import pandas as pd
+
+    from .flac import decode_flac
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, rate long, channels int, "
+              f"samples array<int>")
+
+    def dec(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                if blob is None:
+                    raise ValueError(
+                        f"NULL media blob for {id_col}={rid!r}: "
+                        "filter missing rows before flac_samples")
+                rate, ch, data = decode_flac(bytes(blob),
+                                             verify_md5=verify_md5)
+                rows.append((rid, rate, ch, data.tolist()))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "rate", "channels", "samples"])
+
+    return df.select(id_col, media_col).mapInPandas(dec, schema)
+
+
 _PCM_CODECS = {"twos": ">i2", "sowt": "<i2"}  # QuickTime raw PCM16
 
 

@@ -7529,3 +7529,77 @@ def audio_g711_q(spark, sf_dir):
                  F.sum(F.abs("s")).alias("sum_abs"),
                  F.sum(F.col("s") * (F.col("pos") + 1))
                  .alias("checksum")))
+
+
+def _flac_oracle() -> str:
+    """LOSSLESS means no codec replay at all: decode_flac must return
+    the analytic input bit-for-bit (CRC-8/16 per frame plus the
+    STREAMINFO stream-MD5 are verified on the Spark side), so the
+    oracle just regenerates the interleaved stereo signal and
+    checksums it — any encoder/decoder defect anywhere (bit I/O,
+    prediction, Rice partitions, stereo decorrelation, wasted bits)
+    breaks the hash."""
+    return """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 1),
+    p AS (SELECT unnest(range(0, 400)) AS pos),
+    s AS (SELECT doc_id, pos,
+                 (CASE WHEN pos % 2 = 0
+                       THEN ((doc_id * 43 + 29 * (pos // 2) * (pos // 2)
+                              + 11 * (pos // 2)) % 4001) - 2000
+                       ELSE ((doc_id * 47 + 31 * (pos // 2) * (pos // 2)
+                              + 13 * (pos // 2)) % 3001) - 1500 END)
+                 * (CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 1 END) AS v
+          FROM d, p)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v * (pos + 1)) AS BIGINT) AS checksum
+    FROM s GROUP BY doc_id
+    """
+
+
+@query("audio_flac", _flac_oracle())
+def audio_flac_q(spark, sf_dir):
+    """FLAC decode end-to-end (operators/flac.py — the lossless audio
+    workhorse of speech corpora, completing the codec matrix next to
+    PCM16/ADPCM/G.711): an analytic STEREO int16 signal is really
+    encoded (fixed + quantized-LPC predictors by doc parity, per-frame
+    stereo-mode search, wasted-bits docs via the x4 scaling, a short
+    last block) and really decoded back through flac_samples with
+    frame CRCs and the stream MD5 verified. Lossless, so the oracle
+    needs no codec replay: it regenerates the signal analytically and
+    position-checksums it — the whole encode -> container -> decode
+    chain must be bit-exact for the hash to match."""
+    import pandas as pd
+
+    from .operators.audio import flac_samples
+    from .operators.flac import encode_flac
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                k = 4 if d % 3 == 0 else 1
+                inter = []
+                for n in range(200):
+                    inter.append(k * (((d * 43 + 29 * n * n + 11 * n)
+                                       % 4001) - 2000))
+                    inter.append(k * (((d * 47 + 31 * n * n + 13 * n)
+                                       % 3001) - 1500))
+                rows.append((d, bytearray(encode_flac(
+                    inter, 8000, channels=2, block_size=64,
+                    lpc_order=8 if d % 2 == 0 else None))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 5 == 1)
+             .select(F.col("doc_id").alias("id"))
+             .mapInPandas(gen, schema="id long, media binary"))
+    s = flac_samples(media).select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("samples").alias("pos", "s"))
+    return (s.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.sum(F.abs("s")).alias("sum_abs"),
+                 F.sum(F.col("s") * (F.col("pos") + 1))
+                 .alias("checksum")))

@@ -1231,3 +1231,175 @@ def test_ngram_novelty_matches_python(spark, texts, w):
         novel = len(g - ref_grams)
         assert got[i] == (len(g), novel, novel / len(g))
         assert 0.0 <= got[i][2] <= 1.0
+
+
+# --------------------------------------------------------------------
+# Audio codec fuzzing (r10 verdict task 4): ADPCM/G.711/FLAC are
+# exactly-specified integer machines — drive them with generated PCM
+# against independently-written references of the public specs, the
+# url_normalize/charset pattern. Pure Python per example (no Spark
+# job), so 200+ examples stay cheap.
+
+import pytest
+
+AUDIO_PROP = settings(max_examples=200, deadline=None,
+                      suppress_health_check=list(HealthCheck))
+
+PCM16 = st.integers(min_value=-32768, max_value=32767)
+
+
+def _ref_ima4_decode(packets):
+    """Independent IMA-ADPCM reference decoder, written directly from
+    the IMA recommendation (header = 9-bit predictor + 7-bit index,
+    low nibble first; shift-based diff; int16/index clamps)."""
+    from bigslice_spark.operators.adpcm import INDEX_TABLE, STEP_TABLE
+    out = []
+    for pk in packets:
+        h = int.from_bytes(pk[:2], "big")
+        idx = h & 0x7F
+        pred = h & 0xFF80
+        if pred >= 0x8000:
+            pred -= 0x10000
+        for b in pk[2:]:
+            for nib in (b & 0x0F, b >> 4):
+                step = STEP_TABLE[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + INDEX_TABLE[nib & 7]))
+                out.append(pred)
+    return out
+
+
+@AUDIO_PROP
+@given(pcm=st.lists(PCM16, min_size=0, max_size=384))
+def test_adpcm_encode_decode_matches_reference(pcm):
+    from bigslice_spark.operators.adpcm import decode_ima4, encode_ima4
+    packets = encode_ima4(pcm)
+    got = decode_ima4(packets)
+    assert got == _ref_ima4_decode(packets)
+    # zero-padded to whole packets; every sample in int16 range
+    assert len(got) == len(pcm) + (-len(pcm)) % 64
+    assert all(-32768 <= v <= 32767 for v in got)
+    # packet independence: each packet decodes alone to the same PCM
+    assert [v for pk in packets for v in decode_ima4([pk])] == got
+    # encoder tracks the signal: reconstruction error is bounded by
+    # the largest quantizer step (coarse but format-guaranteed)
+    for x, y in zip(pcm, got):
+        assert abs(x - y) <= 32767 + 7
+
+
+@AUDIO_PROP
+@given(pcm=st.lists(PCM16, min_size=1, max_size=384),
+       flip=st.data())
+def test_adpcm_corrupt_packets_raise(pcm, flip):
+    from bigslice_spark.operators.adpcm import decode_ima4, encode_ima4
+    packets = encode_ima4(pcm)
+    i = flip.draw(st.integers(0, len(packets) - 1))
+    # wrong length raises
+    with pytest.raises(ValueError, match="34"):
+        decode_ima4(packets[:i] + [packets[i][:-1]] + packets[i + 1:])
+    # step index past the table raises
+    bad = bytearray(packets[i])
+    bad[1] |= 0x7F
+    if bad[1] & 0x7F > 88:
+        with pytest.raises(ValueError, match="step index"):
+            decode_ima4(packets[:i] + [bytes(bad)] + packets[i + 1:])
+
+
+def _ref_g711(code: int, law: str) -> int:
+    """Independent G.711 expansion written from the ITU formulas."""
+    if law == "u":
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 7
+        mant = u & 0xF
+        v = ((mant << 3) + 0x84 << exp) - 0x84
+        return -v if sign else v
+    a = code ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    v = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return v if sign else -v                 # A-law sign is inverted
+
+
+@AUDIO_PROP
+@given(codes=st.binary(min_size=0, max_size=300),
+       law=st.sampled_from(["u", "a"]))
+def test_g711_wav_decode_matches_reference(codes, law):
+    from bigslice_spark.operators.multimodal import (decode_wav,
+                                                     make_wav_g711)
+    blob = make_wav_g711(8000, codes, law=law)
+    rate, ch, data = decode_wav(bytes(blob))
+    assert (rate, ch) == (8000, 1)
+    assert data.tolist() == [_ref_g711(c, law) for c in codes]
+
+
+def test_g711_table_symmetries():
+    """Spec identities over all 256 codes: flipping the transmitted
+    sign bit negates the sample in BOTH laws (mu stores complemented,
+    A stores XOR-0x55 with the inverted sign convention)."""
+    from bigslice_spark.operators.audio import G711_ALAW, G711_ULAW
+    for c in range(256):
+        assert G711_ULAW[c ^ 0x80] == -G711_ULAW[c]
+        assert G711_ALAW[c ^ 0x80] == -G711_ALAW[c]
+        assert G711_ULAW[c] == _ref_g711(c, "u")
+        assert G711_ALAW[c] == _ref_g711(c, "a")
+    # spec extremes: mu-law ±32124, A-law ±32256
+    assert max(G711_ULAW) == 32124 and min(G711_ULAW) == -32124
+    assert max(G711_ALAW) == 32256 and min(G711_ALAW) == -32256
+
+
+@AUDIO_PROP
+@given(raw=st.lists(PCM16, min_size=0, max_size=300),
+       channels=st.sampled_from([1, 2]),
+       block=st.sampled_from([16, 64, 192, 256]),
+       lpc=st.sampled_from([None, 2, 8]),
+       shift=st.integers(min_value=0, max_value=3),
+       smooth=st.booleans())
+def test_flac_roundtrip_fuzz(raw, channels, block, lpc, shift, smooth):
+    """encode→decode is the identity for ANY int16 input — noisy,
+    smoothed (the predictable regime fixed/LPC actually compress), or
+    scaled to force wasted-bits extraction — at every block size,
+    channel count, and predictor config; stream MD5 verified."""
+    from bigslice_spark.operators.flac import decode_flac, encode_flac
+    if smooth:
+        acc, xs = 0, []
+        for v in raw:
+            acc = max(-32768, min(32767, acc + (v >> 8)))
+            xs.append(acc)
+    else:
+        xs = list(raw)
+    xs = [(v >> shift) << shift for v in xs]
+    xs = xs[:len(xs) - len(xs) % channels]
+    blob = encode_flac(xs, 16000, channels=channels, block_size=block,
+                       lpc_order=lpc)
+    rate, ch, dec = decode_flac(blob)
+    assert (rate, ch) == (16000, channels)
+    assert dec.tolist() == xs
+
+
+@AUDIO_PROP
+@given(raw=st.lists(PCM16, min_size=40, max_size=200),
+       flip=st.data())
+def test_flac_any_frame_bitflip_detected(raw, flip):
+    """Every bit of every frame is covered by CRC-8 (header), CRC-16
+    (whole frame incl. padding) or the stream MD5 — a single flipped
+    bit anywhere past the metadata must raise, never return wrong
+    samples silently."""
+    from bigslice_spark.operators.flac import decode_flac, encode_flac
+    blob = encode_flac(raw, 8000, block_size=64)
+    frames_start = 42                        # fLaC + header + STREAMINFO
+    i = flip.draw(st.integers(frames_start, len(blob) - 1))
+    bit = flip.draw(st.integers(0, 7))
+    bad = bytearray(blob)
+    bad[i] ^= 1 << bit
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
