@@ -70,17 +70,34 @@ HEADLINE = [
     "ngram_novelty",
     "leakage_split",
     "audio_spectral",
+    # added round 11 (ratchet starts at r11): the two r10 additions
+    # with data-scale inputs that had no sf1 scaling record (VERDICT
+    # r10 task 7), plus the FLAC codec entry
+    "bloom_join",
+    "kmeans_assign_ivf",
+    "audio_flac",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # A/B knob (PERFORMANCE.md protocol): run only the first N headline
-    # entries in this JVM — used to isolate list-position/JVM-pressure
-    # effects from real plan regressions. Unset = full list (the driver).
+    # A/B knobs (PERFORMANCE.md protocol): SPARK_GRAFT_BENCH_N runs
+    # only the first N headline entries in this JVM (isolates
+    # list-position/JVM-pressure effects from real plan regressions);
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c runs exactly the named entries —
+    # the fresh-JVM-per-query sf1 protocol (VERDICT r10 task 2) drives
+    # one subprocess per query through it. Unset = full list (the
+    # driver).
     n_only = os.environ.get("SPARK_GRAFT_BENCH_N")
-    headline = HEADLINE[:int(n_only)] if n_only else HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        headline = [q for q in HEADLINE if q in set(wanted)] or wanted
+    elif n_only:
+        headline = HEADLINE[:int(n_only)]
+    else:
+        headline = HEADLINE
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 

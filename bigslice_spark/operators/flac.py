@@ -219,37 +219,41 @@ def _predict(x: list[int], i: int, coefs: list[int], shift: int) -> int:
     return s >> shift                       # arithmetic shift (spec)
 
 
-def _rice_bits(residual: list[int], param: int) -> int:
-    bits = 0
-    for r in residual:
-        u = (r << 1) if r >= 0 else ((-r) << 1) - 1
-        bits += (u >> param) + 1 + param
-    return bits
+def _zigzag(residual: list[int]) -> list[int]:
+    return [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in residual]
 
 
-def _best_rice_param(residual: list[int], max_param: int) -> tuple[int, int]:
-    """(param, bits) minimizing the Rice size over the full parameter
-    range; deterministic (first minimum wins)."""
-    best_p, best_bits = 0, _rice_bits(residual, 0)
+def _best_rice_param(u: list[int], max_param: int) -> tuple[int, int]:
+    """(param, bits) minimizing the Rice size of pre-zigzagged values.
+    bits(p) = n·(p+1) + Σ(u>>p) is discretely CONVEX in p (the
+    successive differences n - Σ⌈(u>>p)/2⌉ are non-decreasing), so the
+    first non-improving step is the global minimum — exact, without
+    scanning the whole range."""
+    n = len(u)
+    best_p, best_bits = 0, n + sum(u)
     for p in range(1, max_param + 1):
-        b = _rice_bits(residual, p)
-        if b < best_bits:
-            best_p, best_bits = p, b
+        b = n * (p + 1) + sum(v >> p for v in u)
+        if b >= best_bits:
+            break
+        best_p, best_bits = p, b
     return best_p, best_bits
 
 
-def _plan_residual(residual: list[int], block_size: int, order: int,
-                   pbits: int, max_param: int):
+def _plan_residual(residual: list[int], u: list[int], block_size: int,
+                   order: int, pbits: int, max_param: int):
     """Cheapest partitioned-Rice plan for one coding method: search
     partition orders (block size must split evenly and the first
     partition must keep ≥1 sample); per-partition parameter search
-    with raw-escape fallback. Returns (bits, po, plan)."""
+    with raw-escape fallback. ``u`` is the pre-zigzagged residual.
+    Returns (bits, po, plan, capped) — capped notes any partition that
+    hit the method's parameter cap or escaped (the only cases RICE2's
+    wider parameters could improve on)."""
     best = None
     for po in range(0, 5):
         nparts = 1 << po
         if block_size % nparts or (block_size >> po) <= order:
             continue
-        plan, bits = [], 2 + 4
+        plan, bits, capped = [], 2 + 4, False
         for i in range(nparts):
             # residual[] starts at sample `order`; partition i covers
             # stream samples [i*(bs>>po), (i+1)*(bs>>po)) — the first
@@ -257,17 +261,19 @@ def _plan_residual(residual: list[int], block_size: int, order: int,
             n = (block_size >> po) - (order if i == 0 else 0)
             start = (block_size >> po) * i - (order if i else 0)
             part = residual[start:start + n]
-            p, rb = _best_rice_param(part, max_param)
+            p, rb = _best_rice_param(u[start:start + n], max_param)
             raw = max((abs(v) for v in part), default=0)
             raw_bits = raw.bit_length() + 1 if raw else 0
             if 5 + raw_bits * n < rb:       # escape cheaper
                 plan.append(("esc", raw_bits, part))
                 bits += pbits + 5 + raw_bits * n
+                capped = True
             else:
                 plan.append(("rice", p, part))
                 bits += pbits + rb
+                capped = capped or p == max_param
         if best is None or bits < best[0]:
-            best = (bits, po, plan)
+            best = (bits, po, plan, capped)
     return best
 
 
@@ -276,11 +282,16 @@ def _write_residual(w: _BitWriter, residual: list[int], block_size: int,
     """Partitioned Rice residual; method 0 (4-bit parameters) vs
     method 1 (RICE2, 5-bit — what wide residuals such as 17-bit side
     channels need) decided by measured cost, like the subframe-type
-    search."""
-    plans = [(0, 4, 0xF, _plan_residual(residual, block_size, order,
-                                        4, 14)),
-             (1, 5, 0x1F, _plan_residual(residual, block_size, order,
-                                         5, 30))]
+    search. The RICE2 plan is only computed when the RICE plan hit its
+    parameter cap or escaped somewhere — everywhere else RICE2 is the
+    same plan one bit per parameter dearer, so the comparison is
+    decided without the second search."""
+    u = _zigzag(residual)
+    p0 = _plan_residual(residual, u, block_size, order, 4, 14)
+    plans = [(0, 4, 0xF, p0[:3])]
+    if p0[3]:
+        p1 = _plan_residual(residual, u, block_size, order, 5, 30)
+        plans.append((1, 5, 0x1F, p1[:3]))
     method, pbits, escape, (_, po, plan) = min(
         plans, key=lambda m: (m[3][0], m[0]))
     w.write(method, 2)

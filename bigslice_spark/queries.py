@@ -7592,8 +7592,13 @@ def audio_flac_q(spark, sf_dir):
                     lpc_order=8 if d % 2 == 0 else None))))
             yield pd.DataFrame(rows, columns=["id", "media"])
 
+    # the id projection is 8 bytes/row — repartitioning it to full
+    # core fan-out is ~free and is what parallelizes the per-doc
+    # encode+decode CPU (the parquet scan alone yields a handful of
+    # partitions at small SF; at 100 TB the scan already fans out)
     media = (t["documents"].filter(F.col("doc_id") % 5 == 1)
              .select(F.col("doc_id").alias("id"))
+             .repartition(spark.sparkContext.defaultParallelism)
              .mapInPandas(gen, schema="id long, media binary"))
     s = flac_samples(media).select(
         F.col("id").alias("doc_id"),
