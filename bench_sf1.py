@@ -1,0 +1,93 @@
+"""Fresh-JVM-per-query sf1 bench (VERDICT r10 task 2).
+
+The r10 sf1 artifact was recorded as one 42-query in-sequence JVM run;
+its tail queries absorbed the whole sequence's JVM pressure
+(ts_anomaly 12.6s in-sequence vs 4.47s fresh — PERFORMANCE.md r10
+close), so as recorded it could not serve as a per-query scaling
+ratchet. This harness runs EVERY headline query in its own subprocess
+JVM via bench.py's SPARK_GRAFT_BENCH_ONLY knob: each number is a
+fresh-JVM measurement, reproducible within box noise by construction,
+at the cost of paying JVM+Python-worker warmup per query (bench.py's
+untimed warmup runs in each subprocess, so warmup cost stays OUT of
+the recorded times).
+
+Run:  python bench_sf1.py [sf_dir] [out.json]
+defaults: /tmp/spark_graft_sf1.0, BENCH_sf1_r11.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(name: str, sf_dir: str, cpus: str, mem: str) -> float:
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=cpus,
+               SPARK_GRAFT_DRIVER_MEM=mem,
+               SPARK_GRAFT_BENCH_ONLY=name)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1800)
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)["queries"].get(name, -1.0)
+    print(f"bench_sf1: {name} produced no result:\n{proc.stderr[-2000:]}",
+          file=sys.stderr)
+    return -1.0
+
+
+def main() -> None:
+    from bench import HEADLINE
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1.0"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1_r11.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    times: dict[str, float] = {}
+    t0 = time.time()
+    for i, name in enumerate(HEADLINE):
+        t = run_one(name, sf_dir, cpus, mem)
+        times[name] = t
+        print(f"[{i + 1}/{len(HEADLINE)}] {name}: {t}s "
+              f"(elapsed {time.time() - t0:.0f}s)", flush=True)
+    total = round(sum(v for v in times.values() if v > 0), 3)
+    doc = {
+        "round": 11,
+        "sf": 1.0,
+        "cpus": int(cpus),
+        "driver_mem": mem,
+        "protocol": ("fresh JVM per query (bench.py subprocess with "
+                     "SPARK_GRAFT_BENCH_ONLY=<name>); bench.py's "
+                     "untimed warmup runs per subprocess, so no query "
+                     "absorbs another's JVM pressure — every number "
+                     "reproduces standalone by construction "
+                     "(VERDICT r10 task 2)"),
+        "data": ("make_sf1.py: FK-consistent 10x amplification of "
+                 "/root/testdata/sf0.1 (lineitem 6,000,000 rows; "
+                 "document text vowel-rotated and embeddings "
+                 "coordinate-rotated per replica so dedup/ANN measure "
+                 "candidate generation, not an all-dup corner)"),
+        "bench_sf1": {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": 1.0,
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"metric": "sf1_fresh_jvm_total", "value": total,
+                      "unit": "sec", "n": len(times)}))
+
+
+if __name__ == "__main__":
+    main()

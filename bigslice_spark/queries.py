@@ -6271,13 +6271,19 @@ def web_pipeline_q(spark, sf_dir):
         F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; "
               "charset=utf-8\r\nContent-Length: "),
         F.octet_length(body).cast("string"), F.lit("\r\n\r\n"))
+    # num_files: the recrawl union otherwise yields skewed sink
+    # partitions (full-corpus branch + 10% dup branch -> 10x file-size
+    # spread) and the file count caps read parallelism (README §6);
+    # one balanced file per core fixes both (sf1 stage profile:
+    # PERFORMANCE.md r11 §web_pipeline)
     warc_sink(
         crawl.select(
             F.concat(F.lit("https://corpus.test/doc/"),
                      F.col("doc_id").cast("string")).alias("target_uri"),
             F.concat(F.encode(head, "UTF-8"), body).alias("payload")),
         d, warc_type="response",
-        content_type="application/http; msgtype=response").collect()
+        content_type="application/http; msgtype=response",
+        num_files=spark.sparkContext.defaultParallelism).collect()
 
     recs = warc_reader(spark, d, glob="*.warc.gz").select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)

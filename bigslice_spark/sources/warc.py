@@ -261,18 +261,33 @@ def warc_sink(df: DataFrame, path: str, uri_col: str = "target_uri",
               payload_col: str = "payload",
               warc_type: str = "resource",
               content_type: str = "application/octet-stream",
-              date: str = "2026-01-01T00:00:00Z") -> DataFrame:
+              date: str = "2026-01-01T00:00:00Z",
+              num_files: int | None = None) -> DataFrame:
     """DataFrame → one .warc.gz per input partition under ``path``
     (per-record gzip members, pinned mtime — deterministic bytes for
     a fixed row order). Returns a summary frame (file, n_records);
     trigger it (count/collect — it is one row per partition) to run
     the write. Record ids are <urn:uuid:{uri}> — stable, content-
     derived, no wall clock anywhere (100 TB reruns must be
-    idempotent)."""
+    idempotent).
+
+    ``num_files`` repartitions before writing. The file count IS the
+    crawl's later read parallelism (README §6: gzip is not
+    block-splittable, so warc_reader runs one file per task), and a
+    sink fed by a union/filter inherits SKEWED partitions (measured at
+    sf1: 8x3MB + 8x0.3MB files from web_pipeline's recrawl union —
+    half the cores idle through the tail). Pass at least the cluster's
+    core count for small crawls; at real scale aim for ~0.5-1 GiB per
+    file and MORE files than cores (Common Crawl's ~64k-file layout).
+    Default None keeps the input partitioning (callers that already
+    sized their partitions must not pay a second shuffle)."""
     import os
 
     import pandas as pd
     from pyspark import TaskContext
+
+    if num_files is not None:
+        df = df.repartition(num_files)
 
     def write(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         pid = TaskContext.get().partitionId()
