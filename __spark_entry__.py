@@ -17,11 +17,13 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # in registration order; rotate so every entry accumulates a hard driver
 # signal across rounds. Round-11 window (VERDICT r10 "Next round" #1,
 # and the committed MIGRATION.md rotation schedule):
-#   0. the round-11 ADDITION (zero prior signal, front of the window):
-#      audio_flac (FLAC lossless decode end-to-end — stereo, LPC +
-#      fixed predictors, wasted bits, CRC-8/16 + stream-MD5 verified;
-#      lossless, so the oracle regenerates the analytic signal with no
-#      codec replay);
+#   0. the round-11 ADDITIONS (zero prior signal, front of the
+#      window): audio_flac (FLAC lossless decode end-to-end — stereo,
+#      LPC + fixed predictors, wasted bits, CRC-8/16 + stream-MD5
+#      verified; lossless, so the oracle regenerates the analytic
+#      signal with no codec replay) and audio_resample (fixed-point
+#      polyphase L/M sample-rate conversion, pure codegen,
+#      floor-shift-exact oracle);
 #   1. the 14 entries whose latest driver artifact is r5 — the oldest
 #      signal in the registry (all green in the r10 judge's full
 #      oracle CI; this is pure signal refresh): data_checks,
@@ -29,16 +31,16 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      key_percentiles, common_paths, moments_agg, table_profile,
 #      multimodal_frames, winsorize_values, item_jaccard,
 #      event_transitions, lateral_topn, forward_fill;
-#   2. top-up with the OLDEST-r6 cohort in registration order (35 of
-#      the 48) to seal the 50. The 13 r6 leftovers (asof_join,
-#      asof_join_forward, triangle_count, upsert_merge,
+#   2. top-up with the OLDEST-r6 cohort in registration order (34 of
+#      the 48) to seal the 50. The 14 r6 leftovers (dedup_components,
+#      asof_join, asof_join_forward, triangle_count, upsert_merge,
 #      schema_evolution, upsert_partitioned, compact_partitioned,
 #      snapshot_diff, stream_upsert, range_sorted_layout,
 #      scd2_intervals, stream_dedup_against, asof_tolerance) head the
 #      r12 queue per MIGRATION.md §rotation-schedule.
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
-_R11_NEW = ("audio_flac",)
+_R11_NEW = ("audio_flac", "audio_resample")
 _R5_STALE = (
     "data_checks", "mixture_sample", "retention_cohorts",
     "ts_pattern_search", "key_percentiles", "common_paths",
@@ -57,7 +59,6 @@ _R6_OLDEST = (
     "join_broadcast", "set_ops", "rollup_agg", "cube_agg",
     "distinct_pairs", "agg_stats", "percentile_quantity",
     "approx_distinct", "pivot_status", "grouping_sets",
-    "dedup_components",
 )
 def _rotated() -> list[str]:
     head = [k for k in (_R11_NEW + _R5_STALE + _R6_OLDEST)

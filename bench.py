@@ -76,6 +76,7 @@ HEADLINE = [
     "bloom_join",
     "kmeans_assign_ivf",
     "audio_flac",
+    "audio_resample",
 ]
 
 

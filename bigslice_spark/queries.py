@@ -7614,3 +7614,67 @@ def audio_flac_q(spark, sf_dir):
                  F.sum(F.abs("s")).alias("sum_abs"),
                  F.sum(F.col("s") * (F.col("pos") + 1))
                  .alias("checksum")))
+
+
+def _resample_oracle() -> str:
+    """Exact replay: regenerate the input analytically, convolve with
+    the SAME quantized integer taps (literal array), floor-shift the
+    exact int64 accumulator (floor(acc/2^Q) — float64 division by a
+    power of two is exact, so the floor matches Spark's arithmetic
+    shiftright bit-for-bit), and position-checksum."""
+    from .operators.resample import Q_SHIFT, polyphase_taps
+    taps = polyphase_taps(2, 3, 8)
+    tl = "[" + ", ".join(str(v) for v in taps) + "]"
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+    m AS (SELECT unnest(range(0, 160)) AS m),
+    j AS (SELECT unnest(range(0, 8)) AS j),
+    c AS (SELECT doc_id, m, j,
+                 (m * 3) // 2 - j AS i,
+                 (j * 2 + (m * 3) % 2) AS tap_ix
+          FROM d, m, j),
+    s AS (SELECT doc_id, m,
+                 CASE WHEN i BETWEEN 0 AND 239
+                      THEN (((doc_id * 53 + 17 * i * i + 7 * i) % 4001)
+                            - 2000)
+                           * list_extract({tl}, tap_ix + 1)
+                      ELSE 0 END AS contrib
+          FROM c),
+    a AS (SELECT doc_id, m,
+                 CAST(floor(CAST(sum(contrib) AS DOUBLE)
+                            / {1 << Q_SHIFT}) AS BIGINT) AS y
+          FROM s GROUP BY doc_id, m)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(y)) AS BIGINT) AS sum_abs,
+           CAST(sum(y * (m + 1)) AS BIGINT) AS checksum
+    FROM a GROUP BY doc_id
+    """
+
+
+@query("audio_resample", _resample_oracle())
+def audio_resample_q(spark, sf_dir):
+    """Rational sample-rate conversion (operators/resample.py — the
+    24 kHz→16 kHz standardization primitive, here L/M = 2/3):
+    fixed-point polyphase FIR over an analytic int16 signal built
+    ENTIRELY in codegen (sequence+transform — no Python anywhere in
+    the plan), integer tap lookups, one (id, m) aggregation, an
+    arithmetic-shift renormalization. The oracle replays the same
+    quantized taps and the same floor semantics, so every output
+    sample is bit-pinned; 240 inputs → 160 outputs per doc."""
+    from .operators.resample import resample
+    _, t = _s(spark, sf_dir)
+    idx = F.sequence(F.lit(0), F.lit(239))
+    clips = (t["documents"].filter(F.col("doc_id") % 4 == 2)
+             .select(F.col("doc_id").alias("id"),
+                     F.transform(
+                         idx,
+                         lambda i: ((F.col("doc_id") * 53
+                                     + 17 * i * i + 7 * i) % 4001
+                                    - 2000).cast("int"))
+                     .alias("samples")))
+    out = resample(clips, 2, 3)
+    return (out.groupBy(F.col("id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.sum(F.abs("y")).alias("sum_abs"),
+                 F.sum(F.col("y") * (F.col("m") + 1))
+                 .alias("checksum")))
