@@ -81,3 +81,23 @@ def test_resample_plan_is_codegen(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_resample_fuzz_vs_definition(spark):
+    """Randomized batch (Hypothesis-free — one Spark job checks many
+    clips, the dual-path pattern): random lengths/values per clip,
+    both physical paths must equal the literal definition exactly."""
+    rng = random.Random(91)
+    for l_up, m_down in ((2, 3), (4, 3), (1, 3), (7, 2)):
+        rows = [(d, [rng.randint(-32768, 32767)
+                     for _ in range(rng.randint(0, 150))])
+                for d in range(12)]
+        df = spark.createDataFrame(rows, "id long, samples array<int>")
+        want = {(d, m): y for d, x in rows
+                for m, y in enumerate(_ref(x, l_up, m_down))}
+        got = {(r["id"], r["m"]): r["y"]
+               for r in resample(df, l_up, m_down).collect()}
+        gotv = {(r["id"], r["m"]): r["y"]
+                for r in resample(df, l_up, m_down,
+                                  vectorized=True).collect()}
+        assert got == want and gotv == want, (l_up, m_down)
