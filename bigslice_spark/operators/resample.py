@@ -98,24 +98,34 @@ def resample(df: DataFrame, l_up: int, m_down: int,
         return _resample_np(df, l_up, m_down, samples_col, id_col,
                             taps, k, q_shift)
     tap_arr = F.array(*[F.lit(v).cast("long") for v in taps])
+    # __n rides along on every exploded row (8 bytes against already
+    # tiny rows) so the n_out bound is a pre-aggregation FILTER, not a
+    # post-aggregation join: at corpus scale NEITHER join side is
+    # broadcastable (the aggregated output is data-scale, the per-clip
+    # n_out relation is |clips|-scale), and the filter also drops the
+    # zero-padded tail contributions before they shuffle
     s = df.select(
         F.col(id_col),
+        F.size(samples_col).cast("long").alias("__n"),
         F.posexplode(samples_col).alias("__i", "__x"))
     # each (input i, tap j) pair feeds outputs m with
     # (m·M) div L == i + j; that is m in [ceil(sL/M), floor((sL+L-1)/M)]
     # for s = i + j — an empty range when L < M skips a phase
     s = s.select(
-        id_col, "__x",
+        id_col, "__n", "__x",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"),
         F.col("__i"))
     sL = (F.col("__i") + F.col("__j")).cast("long") * l_up
     lo = F.floor((sL + (m_down - 1)) / m_down).cast("long")
     hi = F.floor((sL + (l_up - 1)) / m_down).cast("long")
     s = s.select(
-        id_col, "__x", "__j", sL.alias("__sL"),
+        id_col, "__n", "__x", "__j", sL.alias("__sL"),
         F.explode(F.when(lo <= hi, F.sequence(lo, hi))
                   .otherwise(F.array().cast("array<long>")))
         .alias("m"))
+    # definition stops at n_out = ceil(n·L/M); contributions past it
+    # come only from the zero-padded tail taps of the last inputs
+    s = s.filter(F.col("m") * m_down < F.col("__n") * l_up)
     contrib = s.select(
         id_col, "m",
         (F.col("__x").cast("long")
@@ -123,20 +133,10 @@ def resample(df: DataFrame, l_up: int, m_down: int,
                         (F.col("__j") * l_up
                          + (F.col("m") * m_down - F.col("__sL")))
                         .cast("int") + 1)).alias("__c"))
-    # n_out bound: contributions past ceil(n·L/M)-1 come only from the
-    # zero-padded tail taps of the last inputs — the definition stops
-    # at n_out, so both paths (and the oracle) filter identically
-    n_out = df.select(
-        F.col(id_col),
-        F.ceil(F.size(samples_col).cast("long") * l_up / m_down)
-        .cast("long").alias("__n_out"))
-    out = (contrib.groupBy(id_col, "m")
-           .agg(F.sum("__c").alias("__acc"))
-           .join(n_out, on=id_col)
-           .filter(F.col("m") < F.col("__n_out"))
-           .select(id_col, "m",
-                   F.shiftright(F.col("__acc"), q_shift).alias("y")))
-    return out
+    return (contrib.groupBy(id_col, "m")
+            .agg(F.sum("__c").alias("__acc"))
+            .select(id_col, "m",
+                    F.shiftright(F.col("__acc"), q_shift).alias("y")))
 
 
 def _resample_np(df: DataFrame, l_up: int, m_down: int,

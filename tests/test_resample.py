@@ -81,6 +81,10 @@ def test_resample_plan_is_codegen(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+    # the n_out bound is a pre-aggregation filter, never a join: at
+    # corpus scale neither join side would be broadcastable
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
 
 
 def test_resample_fuzz_vs_definition(spark):
