@@ -351,6 +351,63 @@ def bigram_pmi(df: DataFrame, text_col: str = "text",
             .orderBy(F.desc("pmi"), "w1", "w2").limit(k))
 
 
+_CODE_SYMBOLS = "{};=()<>[]"
+_CODE_KEYWORDS = ("def", "return", "import", "function", "var",
+                  "const", "class", "void", "int", "public", "static",
+                  "fn", "let", "#include", "struct", "elif", "lambda",
+                  "=>", "});")
+
+
+def code_detect(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Code-vs-prose detection — the corpus-routing step every mixed
+    crawl needs (code goes to the code pipeline, prose to the text
+    one; misrouted code poisons n-gram/stopword quality filters and
+    misrouted prose dilutes code training data). Three cheap
+    signals, each surfaced as its own flag plus the verdict
+    (the gopher_rules pattern):
+
+    - symbol density: ≥3% of characters in ``{};=()<>[]``;
+    - structural indentation: ≥20% of non-empty lines start with
+      4 spaces or a tab;
+    - keyword evidence: ≥2 tokens from a small cross-language
+      keyword lexicon (def/return/function/const/...).
+
+    ``is_code`` = symbols AND (indent OR keywords) — symbol density
+    alone misfires on math/tables, indentation alone on poetry, so
+    the verdict requires corroboration. Every ratio is an INTEGER
+    cross-multiplication (100·n_sym ≥ 3·n_chars), no float
+    thresholds — engine-exact, and the whole battery is one codegen
+    projection: zero shuffles at any corpus size."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    # count symbol occurrences by per-char length diff (replay-exact
+    # in any SQL engine as a replace() chain)
+    n_sym = None
+    for ch in _CODE_SYMBOLS:
+        c = (F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+             ).cast("long")
+        n_sym = c if n_sym is None else n_sym + c
+    lines = F.filter(F.split(t, "\n"), lambda l: l != "")
+    n_lines = F.size(lines).cast("long")
+    n_indent = F.size(F.filter(
+        lines, lambda l: l.startswith("    ") | l.startswith("\t"))) \
+        .cast("long")
+    toks = tokens(t)
+    n_kw = F.size(F.filter(
+        toks, lambda w: w.isin(*_CODE_KEYWORDS))).cast("long")
+    r_sym = 100 * n_sym >= 3 * n_chars
+    r_indent = 5 * n_indent >= n_lines
+    r_kw = n_kw >= 2
+    return df.select(
+        F.col(id_col), n_chars.alias("n_chars"),
+        n_sym.alias("n_sym"), n_indent.alias("n_indent"),
+        n_kw.alias("n_kw"),
+        r_sym.alias("r_symbols"), r_indent.alias("r_indent"),
+        r_kw.alias("r_keywords"),
+        (r_sym & (r_indent | r_kw)).alias("is_code"))
+
+
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                      "with")
 

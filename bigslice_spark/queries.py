@@ -7678,3 +7678,77 @@ def audio_resample_q(spark, sf_dir):
                  F.sum(F.abs("y")).alias("sum_abs"),
                  F.sum(F.col("y") * (F.col("m") + 1))
                  .alias("checksum")))
+
+
+def _code_detect_oracle() -> str:
+    """Full replay: same synthetic code docs (every 7th), same
+    replace-chain symbol counts, same line/token splits, same integer
+    cross-multiplied thresholds — flags AND counts hash together."""
+    from .operators.text import _CODE_KEYWORDS, _CODE_SYMBOLS
+    sym_chain = " + ".join(
+        f"(length(text) - length(replace(text, '{c}', '')))"
+        for c in _CODE_SYMBOLS)
+    kw = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               'def f(x):' || chr(10) || '    return x * '
+               || CAST(doc_id AS VARCHAR) || ' + 1;' || chr(10)
+               || 'class C:' || chr(10) || '    var = ['
+               || CAST(doc_id AS VARCHAR) || '];' || chr(10)
+               || 'const y = (x <= 2);'
+             ELSE text END AS text
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST({sym_chain} AS BIGINT) AS n_sym,
+             list_filter(string_split(text, chr(10)),
+                         l -> l <> '') AS lines,
+             list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '') AS toks
+      FROM corpus),
+    agg AS (
+      SELECT doc_id, n_chars, n_sym,
+             CAST(len(list_filter(lines,
+                 l -> l LIKE '    %' OR l LIKE chr(9) || '%'))
+                 AS BIGINT) AS n_indent,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(toks, t -> t IN ({kw})))
+                 AS BIGINT) AS n_kw
+      FROM feat)
+    SELECT doc_id, n_chars, n_sym, n_indent, n_kw,
+           100 * n_sym >= 3 * n_chars AS r_symbols,
+           5 * n_indent >= n_lines AS r_indent,
+           n_kw >= 2 AS r_keywords,
+           (100 * n_sym >= 3 * n_chars)
+           AND (5 * n_indent >= n_lines OR n_kw >= 2) AS is_code
+    FROM agg
+    """
+
+
+@query("code_detect", _code_detect_oracle())
+def code_detect_q(spark, sf_dir):
+    """Code-vs-prose routing (operators/text.py code_detect — the
+    corpus splitter a mixed crawl runs before its text and code
+    pipelines diverge): symbol density + structural indentation +
+    cross-language keyword evidence, each an integer
+    cross-multiplication flag, verdict = symbols AND (indent OR
+    keywords). Every 7th doc is rewritten (in codegen) as a small
+    parameterized code snippet, so the corpus genuinely mixes and the
+    verdict column discriminates; the oracle replays the synthesis,
+    every count, and every threshold."""
+    from .operators.text import code_detect
+    _, t = _s(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    snippet = F.concat(
+        F.lit("def f(x):\n    return x * "), ds,
+        F.lit(" + 1;\nclass C:\n    var = ["), ds,
+        F.lit("];\nconst y = (x <= 2);"))
+    corpus = t["documents"].select(
+        "doc_id",
+        F.when(d % 7 == 0, snippet).otherwise(F.col("text"))
+        .alias("text"))
+    return code_detect(corpus)

@@ -3367,3 +3367,33 @@ def test_resize_images_end_to_end(spark):
                                 "doc_id string, media binary")
     sr = resize_images(sdf, 4, 4).collect()[0]
     assert sr["doc_id"] == "img-1" and bytes(sr["raster"]) == want
+
+
+def test_code_detect_discriminates(spark):
+    """code_detect (operators/text.py): real code trips the verdict,
+    prose does not, and single-signal lookalikes (math-symbol prose,
+    indented poetry) are rejected for lack of corroboration."""
+    from bigslice_spark.operators.text import code_detect
+    docs = [
+        (1, "def add(a, b):\n    return a + b\n\n"
+            "class Greeter:\n    def hi(self):\n"
+            "        print('hi');\n        x = [1, 2];\n"),
+        (2, "const greet = (name) => {\n    let msg = name;\n"
+            "    return msg;\n};\n"),
+        (3, "The quick brown fox jumps over the lazy dog. It was a "
+            "bright cold day in April and the clocks were striking "
+            "thirteen across the town."),
+        # math-heavy prose: symbols without structure or keywords
+        (4, "x = y = z = (1) = [2] = {3} <> ok " * 5),
+        # poetry: indentation without symbol density
+        (5, "    roses are red\n    violets are blue\n"
+            "    sugar is sweet\n    and so are you\n"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in code_detect(df).collect()}
+    assert out[1]["is_code"] and out[2]["is_code"]
+    assert not out[3]["is_code"]
+    assert out[4]["r_symbols"] and not out[4]["is_code"]
+    assert out[5]["r_indent"] and not out[5]["is_code"]
+    # counts are exact, not heuristic: verify one by hand
+    assert out[3]["n_sym"] == 0 and out[3]["n_kw"] == 0

@@ -105,3 +105,4 @@ def test_resample_fuzz_vs_definition(spark):
                 for r in resample(df, l_up, m_down,
                                   vectorized=True).collect()}
         assert got == want and gotv == want, (l_up, m_down)
+
