@@ -182,6 +182,74 @@ def wav_samples(df: DataFrame, media_col: str = "media",
     return df.select(id_col, media_col).mapInPandas(dec, schema)
 
 
+MEL_W_SHIFT = 10  # filterbank weight quantization: round(w·2^10)
+
+
+def mel_weights(frame_len: int = 64, n_mels: int = 4,
+                sample_rate: int = 8000) -> list[dict[int, int]]:
+    """Quantized triangular mel filterbank over the DFT bins of an
+    N-point frame: ``n_mels`` filters with centers equally spaced on
+    the mel scale (m = 2595·log10(1 + f/700)) between 0 Hz and
+    Nyquist, each returned as {bin: round(weight·2^MEL_W_SHIFT)}.
+    Deterministic pure-Python floats — the operator AND the SQL
+    oracle embed THESE integers, so both engines weight identical
+    values."""
+    def mel(f: float) -> float:
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m: float) -> float:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    nyq = sample_rate / 2.0
+    edges = [imel(mel(nyq) * i / (n_mels + 1))
+             for i in range(n_mels + 2)]
+    scale = 1 << MEL_W_SHIFT
+    out = []
+    for i in range(1, n_mels + 1):
+        lo, c, hi = edges[i - 1], edges[i], edges[i + 1]
+        w = {}
+        for k in range(1, frame_len // 2 + 1):
+            f = k * sample_rate / frame_len
+            if lo < f < hi:
+                tri = (f - lo) / (c - lo) if f <= c else \
+                    (hi - f) / (hi - c)
+                q = round(tri * scale)
+                if q:
+                    w[k] = q
+        out.append(w)
+    return out
+
+
+def mel_energy(df: DataFrame, samples_col: str = "samples",
+               id_col: str = "id", frame_len: int = 64,
+               n_mels: int = 4, sample_rate: int = 8000) -> DataFrame:
+    """Per-frame mel-filterbank energies — THE acoustic-model input
+    feature (log-mel spectrogram, sans log): band_energy's exact
+    integer DFT projections for every bin a filter touches, combined
+    as ``mel_i = Σ_k w_ik·e_k·2^-MEL_W_SHIFT`` with quantized integer
+    weights in FIXED ascending-bin order, so the double arithmetic is
+    deterministic and replayable (the audio_spectral discipline
+    extended one stage). Returns ``(id_col, frame, mel_0..)``. Same
+    unique-id contract and frame_len ≤ 4096 bound as band_energy; the
+    only exchange is band_energy's per-(id, frame) partial-aggregated
+    projection sums."""
+    ws = mel_weights(frame_len, n_mels, sample_rate)
+    bins = sorted({k for w in ws for k in w})
+    if not bins:
+        raise ValueError("mel_energy: filterbank has no bins — raise "
+                         "frame_len or lower n_mels")
+    e = band_energy(df, samples_col, id_col, frame_len, bins)
+    out = [F.col(id_col), F.col("frame")]
+    shift = F.lit(2.0 ** (-MEL_W_SHIFT))
+    for i, w in enumerate(ws):
+        acc = None
+        for k in sorted(w):                 # fixed combine order
+            term = F.col(f"e{k}") * F.lit(float(w[k]))
+            acc = term if acc is None else acc + term
+        out.append((acc * shift).alias(f"mel_{i}"))
+    return e.select(*out)
+
+
 def flac_samples(df: DataFrame, media_col: str = "media",
                  id_col: str = "id",
                  verify_md5: bool = True) -> DataFrame:

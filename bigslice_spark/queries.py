@@ -7752,3 +7752,53 @@ def code_detect_q(spark, sf_dir):
         F.when(d % 7 == 0, snippet).otherwise(F.col("text"))
         .alias("text"))
     return code_detect(corpus)
+
+
+def _mel_oracle() -> str:
+    """Replay mel on top of the exact-integer DFT replay: the inner
+    CTE is the audio_spectral oracle over every bin any filter
+    touches; the outer SELECT combines the e_k doubles with the SAME
+    quantized integer weights in the SAME ascending-bin left-to-right
+    order, so every double op is IEEE-identical to the operator's."""
+    from .operators.audio import MEL_W_SHIFT, mel_weights
+    ws = mel_weights(64, 4, 8000)
+    bins = tuple(sorted({k for w in ws for k in w}))
+    shift = repr(2.0 ** (-MEL_W_SHIFT))
+    mels = []
+    for i, w in enumerate(ws):
+        terms = " + ".join(
+            f"e{k} * CAST({w[k]} AS DOUBLE)" for k in sorted(w))
+        mels.append(f"({terms}) * {shift} AS mel_{i}")
+    inner = _audio_oracle(
+        "doc_id % 3 = 1", 192,
+        "((doc_id * 59 + 23 * pos * pos + 9 * pos) % 4001) - 2000",
+        64, bins)
+    return f"""
+    WITH eng AS ({inner})
+    SELECT doc_id, frame, {', '.join(mels)} FROM eng
+    """
+
+
+@query("audio_mel", _mel_oracle())
+def audio_mel_q(spark, sf_dir):
+    """Mel-filterbank energies (operators/audio.py mel_energy — the
+    acoustic-model input feature, completing the audio family's ASR
+    story: decode → resample → frame → mel): triangular filters with
+    quantized integer weights over band_energy's exact-integer DFT
+    projections, combined in fixed ascending-bin order so the double
+    arithmetic replays IEEE-identically in SQL. The signal is built
+    in pure codegen (sequence+transform); 64 frames x 4 mels per
+    doc, value-hashed per frame."""
+    from .operators.audio import mel_energy
+    _, t = _s(spark, sf_dir)
+    idx = F.sequence(F.lit(0), F.lit(191))
+    clips = (t["documents"].filter(F.col("doc_id") % 3 == 1)
+             .select(F.col("doc_id").alias("id"),
+                     F.transform(
+                         idx,
+                         lambda i: ((F.col("doc_id") * 59
+                                     + 23 * i * i + 9 * i) % 4001
+                                    - 2000).cast("int"))
+                     .alias("samples")))
+    out = mel_energy(clips, frame_len=64, n_mels=4, sample_rate=8000)
+    return out.withColumnRenamed("id", "doc_id")

@@ -230,3 +230,32 @@ def test_mp4_g711_decodes_through_container(spark):
     got = {r["id"]: r["samples"] for r in mp4_pcm(df).collect()}
     for i, _c, table in rows:
         assert got[i] == [table[b] for b in codes]
+
+
+def test_mel_energy_filterbank_selectivity(spark):
+    """A pure tone at filter i's center bin lands its energy in
+    mel_i: each mel output must dominate when (and only when) the
+    tone sits in its passband; weights quantize deterministically."""
+    from bigslice_spark.operators.audio import mel_energy, mel_weights
+    ws = mel_weights(64, 4, 8000)
+    # center bin of each filter = its max-weight bin
+    centers = [max(w, key=w.get) for w in ws]
+    assert centers == sorted(centers)         # mel centers ascend
+    rows = [(i, _tone(k, 64)) for i, k in enumerate(centers)]
+    df = spark.createDataFrame(rows, "id long, samples array<int>")
+    out = {r["id"]: [r[f"mel_{j}"] for j in range(4)]
+           for r in mel_energy(df, frame_len=64, n_mels=4).collect()}
+    for i in range(4):
+        got = out[i]
+        assert max(range(4), key=lambda j: got[j]) == i, (i, got)
+
+
+def test_mel_energy_validation_and_weights():
+    from bigslice_spark.operators.audio import MEL_W_SHIFT, mel_weights
+    ws = mel_weights(64, 4, 8000)
+    scale = 1 << MEL_W_SHIFT
+    for w in ws:
+        assert w, "every filter must touch at least one bin"
+        assert all(0 < q <= scale for q in w.values())
+    # filters tile the spectrum: every bin 1..31 is touched
+    assert sorted({k for w in ws for k in w}) == list(range(1, 32))
