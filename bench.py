@@ -77,6 +77,8 @@ HEADLINE = [
     "kmeans_assign_ivf",
     "audio_flac",
     "audio_resample",
+    "code_detect",
+    "audio_mel",
 ]
 
 

@@ -94,17 +94,20 @@ def band_energy(df: DataFrame, samples_col: str = "samples",
         F.expr(f"__pos DIV {frame_len}").cast("long").alias("frame"),
         (F.pmod("__pos", F.lit(frame_len)).cast("int") + 1).alias("__i"),
         F.col("__x").cast("long").alias("__x"))
+    # ONE parsed expression per basis row: building the literal
+    # arrays Column-by-Column costs a py4j round trip per element —
+    # measured 13s of pure driver time for a 31-bin filterbank
+    # (the PERFORMANCE.md wide-expression rule) — while F.expr
+    # parses the same tree JVM-side in one call
     aggs = []
     for k in bins:
         cos_t, sin_t = dft_basis(frame_len, k)
-        c = F.element_at(
-            F.array(*[F.lit(v).cast("long") for v in cos_t]),
-            F.col("__i"))
-        s = F.element_at(
-            F.array(*[F.lit(v).cast("long") for v in sin_t]),
-            F.col("__i"))
-        aggs += [F.sum(F.col("__x") * c).alias(f"__c{k}"),
-                 F.sum(F.col("__x") * s).alias(f"__s{k}")]
+        c = ", ".join(f"{v}L" for v in cos_t)
+        s = ", ".join(f"{v}L" for v in sin_t)
+        aggs += [F.expr(f"sum(__x * element_at(array({c}), __i))")
+                 .alias(f"__c{k}"),
+                 F.expr(f"sum(__x * element_at(array({s}), __i))")
+                 .alias(f"__s{k}")]
     g = t.groupBy(id_col, "frame").agg(*aggs)
     scale = F.lit(2.0 ** (-2 * Q_SHIFT))
     out = [F.col(id_col), F.col("frame")]
