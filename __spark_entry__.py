@@ -24,9 +24,12 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      signal with no codec replay), audio_resample (fixed-point
 #      polyphase L/M sample-rate conversion, pure codegen,
 #      floor-shift-exact oracle), code_detect (code-vs-prose corpus
-#      routing, integer-threshold flags, full-synthesis oracle) and
+#      routing, integer-threshold flags, full-synthesis oracle),
 #      audio_mel (mel-filterbank energies over the exact-integer DFT
-#      — the ASR feature, IEEE-order-pinned oracle);
+#      — the ASR feature, IEEE-order-pinned oracle) and
+#      audio_pipeline (decode->resample->mel, the whole audio ETL in
+#      one value-hash: the oracle composes the resample replay into
+#      the mel replay);
 #   1. the 14 entries whose latest driver artifact is r5 — the oldest
 #      signal in the registry (all green in the r10 judge's full
 #      oracle CI; this is pure signal refresh): data_checks,
@@ -34,9 +37,9 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      key_percentiles, common_paths, moments_agg, table_profile,
 #      multimodal_frames, winsorize_values, item_jaccard,
 #      event_transitions, lateral_topn, forward_fill;
-#   2. top-up with the OLDEST-r6 cohort in registration order (32 of
-#      the 48) to seal the 50. The 16 r6 leftovers (pivot_status,
-#      grouping_sets, dedup_components, asof_join, asof_join_forward,
+#   2. top-up with the OLDEST-r6 cohort in registration order (31 of
+#      the 48) to seal the 50. The 17 r6 leftovers (approx_distinct,
+#      pivot_status, grouping_sets, dedup_components, asof_join, asof_join_forward,
 #      triangle_count, upsert_merge, schema_evolution,
 #      upsert_partitioned, compact_partitioned, snapshot_diff,
 #      stream_upsert, range_sorted_layout, scd2_intervals,
@@ -45,7 +48,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
 _R11_NEW = ("audio_flac", "audio_resample", "code_detect",
-            "audio_mel")
+            "audio_mel", "audio_pipeline")
 _R5_STALE = (
     "data_checks", "mixture_sample", "retention_cohorts",
     "ts_pattern_search", "key_percentiles", "common_paths",
@@ -63,7 +66,6 @@ _R6_OLDEST = (
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "join_broadcast", "set_ops", "rollup_agg", "cube_agg",
     "distinct_pairs", "agg_stats", "percentile_quantity",
-    "approx_distinct",
 )
 def _rotated() -> list[str]:
     head = [k for k in (_R11_NEW + _R5_STALE + _R6_OLDEST)

@@ -79,6 +79,7 @@ HEADLINE = [
     "audio_resample",
     "code_detect",
     "audio_mel",
+    "audio_pipeline",
 ]
 
 

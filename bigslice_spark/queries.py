@@ -7802,3 +7802,113 @@ def audio_mel_q(spark, sf_dir):
                      .alias("samples")))
     out = mel_energy(clips, frame_len=64, n_mels=4, sample_rate=8000)
     return out.withColumnRenamed("id", "doc_id")
+
+
+def _audio_pipeline_oracle() -> str:
+    """Composes the resample replay INTO the mel replay: the resample
+    CTE reproduces every intermediate sample y (exact int64 convolution
+    + floor shift), then the mel CTE frames THOSE values and replays
+    the exact-integer DFT + IEEE-order filterbank — one value-hash over
+    the whole decode->resample->mel chain (the WAV codec round trip is
+    proven on the Spark side; PCM16 is lossless, so the oracle starts
+    from the analytic signal)."""
+    from .operators.audio import (MEL_W_SHIFT, Q_SHIFT as DFT_Q,
+                                  dft_basis, mel_weights)
+    from .operators.resample import Q_SHIFT as RS_Q, polyphase_taps
+    taps = polyphase_taps(2, 3, 8)
+    tl = "[" + ", ".join(str(v) for v in taps) + "]"
+    ws = mel_weights(64, 4, 8000)
+    bins = sorted({k for w in ws for k in w})
+    scale = repr(2.0 ** (-2 * DFT_Q))
+    sums, outs = [], []
+    for k in bins:
+        cos_t, sin_t = dft_basis(64, k)
+        cl = ", ".join(str(v) for v in cos_t)
+        sl = ", ".join(str(v) for v in sin_t)
+        sums.append(f"CAST(sum(y * list_extract([{cl}], i)) AS BIGINT)"
+                    f" AS c{k}")
+        sums.append(f"CAST(sum(y * list_extract([{sl}], i)) AS BIGINT)"
+                    f" AS s{k}")
+        outs.append(
+            f"(CAST(c{k} AS DOUBLE) * CAST(c{k} AS DOUBLE)"
+            f" + CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE))"
+            f" * {scale} AS e{k}")
+    mels = []
+    shift = repr(2.0 ** (-MEL_W_SHIFT))
+    for i, w in enumerate(ws):
+        terms = " + ".join(
+            f"e{k} * CAST({w[k]} AS DOUBLE)" for k in sorted(w))
+        mels.append(f"({terms}) * {shift} AS mel_{i}")
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+    m AS (SELECT unnest(range(0, 128)) AS m),
+    j AS (SELECT unnest(range(0, 8)) AS j),
+    c AS (SELECT doc_id, m, j,
+                 (m * 3) // 2 - j AS i,
+                 (j * 2 + (m * 3) % 2) AS tap_ix
+          FROM d, m, j),
+    s AS (SELECT doc_id, m,
+                 CASE WHEN i BETWEEN 0 AND 191
+                      THEN (((doc_id * 61 + 19 * i * i + 5 * i) % 4001)
+                            - 2000)
+                           * list_extract({tl}, tap_ix + 1)
+                      ELSE 0 END AS contrib
+          FROM c),
+    a AS (SELECT doc_id, m,
+                 CAST(floor(CAST(sum(contrib) AS DOUBLE)
+                            / {1 << RS_Q}) AS BIGINT) AS y
+          FROM s GROUP BY doc_id, m),
+    f AS (SELECT doc_id, m // 64 AS frame,
+                 CAST(m % 64 AS INT) + 1 AS i, y
+          FROM a),
+    g AS (SELECT doc_id, frame, {', '.join(sums)}
+          FROM f GROUP BY doc_id, frame),
+    e AS (SELECT doc_id, frame, {', '.join(outs)} FROM g)
+    SELECT doc_id, frame, {', '.join(mels)} FROM e
+    """
+
+
+@query("audio_pipeline", _audio_pipeline_oracle())
+def audio_pipeline_q(spark, sf_dir):
+    """The COMPLETE audio ETL chain in one value-hash — what a speech
+    corpus actually runs: analytic int16 PCM is really containerized
+    as WAV (make_wav), really decoded back (wav_samples), polyphase-
+    RESAMPLED 2/3 (operators/resample.py, exact fixed-point), and
+    reduced to MEL-FILTERBANK features (mel_energy, exact-integer DFT
+    + IEEE-order-pinned combination). 192 samples -> 128 resampled ->
+    2 frames x 4 mels per doc. The oracle replays resample AND mel
+    analytically; any defect anywhere in the chain — codec, filter
+    taps, floor semantics, basis quantization, combine order — breaks
+    the hash."""
+    import pandas as pd
+
+    from .operators.audio import mel_energy, wav_samples
+    from .operators.multimodal import make_wav
+    from .operators.resample import resample
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["id"]:
+                d = int(d)
+                pcm = [((d * 61 + 19 * n * n + 5 * n) % 4001) - 2000
+                       for n in range(192)]
+                rows.append((d, bytearray(make_wav(24000, pcm))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 3 == 2)
+             .select(F.col("doc_id").alias("id"))
+             .repartition(spark.sparkContext.defaultParallelism)
+             .mapInPandas(gen, schema="id long, media binary"))
+    pcm = wav_samples(media)
+    rs = resample(pcm, 2, 3)
+    # per-clip re-assembly: 128 ordered samples per doc — bounded by
+    # clip length, never corpus-scale (the band_energy array contract)
+    clips = (rs.groupBy("id")
+             .agg(F.array_sort(F.collect_list(F.struct("m", "y")))
+                  .alias("__s"))
+             .select("id", F.expr("transform(__s, x -> CAST(x.y AS INT))")
+                     .alias("samples")))
+    out = mel_energy(clips, frame_len=64, n_mels=4, sample_rate=8000)
+    return out.withColumnRenamed("id", "doc_id")
