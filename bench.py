@@ -96,8 +96,15 @@ def main() -> None:
     n_only = os.environ.get("SPARK_GRAFT_BENCH_N")
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
-        wanted = [q.strip() for q in only.split(",") if q.strip()]
-        headline = [q for q in HEADLINE if q in set(wanted)] or wanted
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            # a typo must not silently drop a ratchet entry from the
+            # recorded artifact
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: "
+                f"{sorted(unknown)}")
+        headline = [q for q in HEADLINE if q in wanted]
     elif n_only:
         headline = HEADLINE[:int(n_only)]
     else:

@@ -264,7 +264,10 @@ def _plan_residual(residual: list[int], u: list[int], block_size: int,
             p, rb = _best_rice_param(u[start:start + n], max_param)
             raw = max((abs(v) for v in part), default=0)
             raw_bits = raw.bit_length() + 1 if raw else 0
-            if 5 + raw_bits * n < rb:       # escape cheaper
+            # the escape's bit-count field is 5 bits: raw_bits > 31
+            # (noisy 32-bit PCM residuals) cannot escape — Rice must
+            # carry it, never a silently truncated field
+            if raw_bits <= 31 and 5 + raw_bits * n < rb:
                 plan.append(("esc", raw_bits, part))
                 bits += pbits + 5 + raw_bits * n
                 capped = True

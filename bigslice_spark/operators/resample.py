@@ -97,7 +97,12 @@ def resample(df: DataFrame, l_up: int, m_down: int,
     if vectorized:
         return _resample_np(df, l_up, m_down, samples_col, id_col,
                             taps, k, q_shift)
-    tap_arr = F.array(*[F.lit(v).cast("long") for v in taps])
+    # ONE parsed expression for the tap table: k·L literals built
+    # Column-by-Column cost a py4j round trip each (1280 for a
+    # 44.1k→48k L=160 filter — the band_energy/PERFORMANCE.md
+    # wide-expression rule); F.expr parses the same tree JVM-side
+    tap_arr = F.expr(
+        "array(" + ", ".join(f"{v}L" for v in taps) + ")")
     # __n rides along on every exploded row (8 bytes against already
     # tiny rows) so the n_out bound is a pre-aggregation FILTER, not a
     # post-aggregation join: at corpus scale NEITHER join side is

@@ -396,8 +396,11 @@ def code_detect(df: DataFrame, text_col: str = "text",
     toks = tokens(t)
     n_kw = F.size(F.filter(
         toks, lambda w: w.isin(*_CODE_KEYWORDS))).cast("long")
-    r_sym = 100 * n_sym >= 3 * n_chars
-    r_indent = 5 * n_indent >= n_lines
+    # empty text degenerates both ratios to 0 >= 0: an empty doc is
+    # NOT code (it has no symbols and no structure), so the density
+    # flags additionally require a non-empty denominator
+    r_sym = (n_chars > 0) & (100 * n_sym >= 3 * n_chars)
+    r_indent = (n_lines > 0) & (5 * n_indent >= n_lines)
     r_kw = n_kw >= 2
     return df.select(
         F.col(id_col), n_chars.alias("n_chars"),

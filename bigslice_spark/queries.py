@@ -7152,6 +7152,30 @@ def leakage_split_q(spark, sf_dir):
         portable=True).select("doc_id", "split_group", "split")
 
 
+def _dft_sql_parts(frame_len: int, bins: tuple,
+                   x_col: str = "x") -> tuple[list, list]:
+    """The shared DFT-replay fragments (used by the band-energy, mel,
+    and full-pipeline oracles — ONE source of truth for the basis
+    literals and the energy expression order): per-bin exact-int64
+    projection sums over (frame, i, x_col), and the e{k} double
+    energies in the operator's exact expression order."""
+    from .operators.audio import Q_SHIFT, dft_basis
+    scale = repr(2.0 ** (-2 * Q_SHIFT))
+    sums, outs = [], []
+    for k in bins:
+        cos_t, sin_t = dft_basis(frame_len, k)
+        cl = ", ".join(str(v) for v in cos_t)
+        sl = ", ".join(str(v) for v in sin_t)
+        sums.append(f"CAST(sum({x_col} * list_extract([{cl}], i)) "
+                    f"AS BIGINT) AS c{k}")
+        sums.append(f"CAST(sum({x_col} * list_extract([{sl}], i)) "
+                    f"AS BIGINT) AS s{k}")
+        outs.append(f"(CAST(c{k} AS DOUBLE) * CAST(c{k} AS DOUBLE)"
+                    f" + CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE))"
+                    f" * {scale} AS e{k}")
+    return sums, outs
+
+
 def _audio_oracle(pred: str, n_samples: int, x_expr: str,
                   frame_len: int = 64, bins: tuple = (1, 3, 7)) -> str:
     """SQL replay of the audio entries: regenerate the PCM analytically
@@ -7160,18 +7184,7 @@ def _audio_oracle(pred: str, n_samples: int, x_expr: str,
     SAME quantized-integer cos/sin basis the operator uses — every
     product and sum is exact int64, so the replay is bitwise with no
     float summation order or double→decimal cast to adjudicate."""
-    from .operators.audio import Q_SHIFT, dft_basis
-    scale = repr(2.0 ** (-2 * Q_SHIFT))
-    sums, outs = [], []
-    for k in bins:
-        cos_t, sin_t = dft_basis(frame_len, k)
-        cl = "[" + ", ".join(str(v) for v in cos_t) + "]"
-        sl = "[" + ", ".join(str(v) for v in sin_t) + "]"
-        sums.append(f"CAST(sum(x * ({cl}[i])) AS BIGINT) AS c{k}")
-        sums.append(f"CAST(sum(x * ({sl}[i])) AS BIGINT) AS s{k}")
-        outs.append(f"(CAST(c{k} AS DOUBLE) * CAST(c{k} AS DOUBLE)"
-                    f" + CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE))"
-                    f" * {scale} AS e{k}")
+    sums, outs = _dft_sql_parts(frame_len, bins)
     return f"""
     WITH d AS (SELECT doc_id FROM documents WHERE {pred}),
     p AS (SELECT unnest(range(0, {n_samples})) AS pos),
@@ -7616,34 +7629,46 @@ def audio_flac_q(spark, sf_dir):
                  .alias("checksum")))
 
 
-def _resample_oracle() -> str:
-    """Exact replay: regenerate the input analytically, convolve with
-    the SAME quantized integer taps (literal array), floor-shift the
-    exact int64 accumulator (floor(acc/2^Q) — float64 division by a
-    power of two is exact, so the floor matches Spark's arithmetic
-    shiftright bit-for-bit), and position-checksum."""
+def _resample_cte(pred: str, n_in: int, n_out: int, x_expr: str,
+                  l_up: int = 2, m_down: int = 3, k: int = 8) -> str:
+    """The shared polyphase-replay CTE chain (used by the resample
+    and full-pipeline oracles — ONE source of truth for the tap
+    literals and the floor semantics): ends with ``a(doc_id, m, y)``,
+    the exact resampled samples. floor(acc/2^Q) over float64 is exact
+    for a power-of-two divisor, so it matches Spark's arithmetic
+    shiftright bit-for-bit; ``x_expr`` regenerates the input sample
+    at index ``i``."""
     from .operators.resample import Q_SHIFT, polyphase_taps
-    taps = polyphase_taps(2, 3, 8)
+    taps = polyphase_taps(l_up, m_down, k)
     tl = "[" + ", ".join(str(v) for v in taps) + "]"
     return f"""
-    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
-    m AS (SELECT unnest(range(0, 160)) AS m),
-    j AS (SELECT unnest(range(0, 8)) AS j),
+    d AS (SELECT doc_id FROM documents WHERE {pred}),
+    m AS (SELECT unnest(range(0, {n_out})) AS m),
+    j AS (SELECT unnest(range(0, {k})) AS j),
     c AS (SELECT doc_id, m, j,
-                 (m * 3) // 2 - j AS i,
-                 (j * 2 + (m * 3) % 2) AS tap_ix
+                 (m * {m_down}) // {l_up} - j AS i,
+                 (j * {l_up} + (m * {m_down}) % {l_up}) AS tap_ix
           FROM d, m, j),
     s AS (SELECT doc_id, m,
-                 CASE WHEN i BETWEEN 0 AND 239
-                      THEN (((doc_id * 53 + 17 * i * i + 7 * i) % 4001)
-                            - 2000)
+                 CASE WHEN i BETWEEN 0 AND {n_in - 1}
+                      THEN ({x_expr})
                            * list_extract({tl}, tap_ix + 1)
                       ELSE 0 END AS contrib
           FROM c),
     a AS (SELECT doc_id, m,
                  CAST(floor(CAST(sum(contrib) AS DOUBLE)
                             / {1 << Q_SHIFT}) AS BIGINT) AS y
-          FROM s GROUP BY doc_id, m)
+          FROM s GROUP BY doc_id, m)"""
+
+
+def _resample_oracle() -> str:
+    """Exact replay via the shared polyphase CTE (_resample_cte),
+    position-checksummed per doc."""
+    cte = _resample_cte(
+        "doc_id % 4 = 2", 240, 160,
+        "((doc_id * 53 + 17 * i * i + 7 * i) % 4001) - 2000")
+    return f"""
+    WITH {cte}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
            CAST(sum(abs(y)) AS BIGINT) AS sum_abs,
            CAST(sum(y * (m + 1)) AS BIGINT) AS checksum
@@ -7719,11 +7744,12 @@ def _code_detect_oracle() -> str:
                  AS BIGINT) AS n_kw
       FROM feat)
     SELECT doc_id, n_chars, n_sym, n_indent, n_kw,
-           100 * n_sym >= 3 * n_chars AS r_symbols,
-           5 * n_indent >= n_lines AS r_indent,
+           n_chars > 0 AND 100 * n_sym >= 3 * n_chars AS r_symbols,
+           n_lines > 0 AND 5 * n_indent >= n_lines AS r_indent,
            n_kw >= 2 AS r_keywords,
-           (100 * n_sym >= 3 * n_chars)
-           AND (5 * n_indent >= n_lines OR n_kw >= 2) AS is_code
+           (n_chars > 0 AND 100 * n_sym >= 3 * n_chars)
+           AND ((n_lines > 0 AND 5 * n_indent >= n_lines)
+                OR n_kw >= 2) AS is_code
     FROM agg
     """
 
@@ -7754,14 +7780,14 @@ def code_detect_q(spark, sf_dir):
     return code_detect(corpus)
 
 
-def _mel_oracle() -> str:
-    """Replay mel on top of the exact-integer DFT replay: the inner
-    CTE is the audio_spectral oracle over every bin any filter
-    touches; the outer SELECT combines the e_k doubles with the SAME
-    quantized integer weights in the SAME ascending-bin left-to-right
-    order, so every double op is IEEE-identical to the operator's."""
+def _mel_sql_parts(n_mels: int = 4, frame_len: int = 64,
+                   sample_rate: int = 8000) -> tuple[tuple, list]:
+    """The shared mel-combine fragments (used by the mel and
+    full-pipeline oracles — ONE source of truth for the quantized
+    weights and the ascending-bin combine order): (bins the filterbank
+    touches, mel_{i} SELECT expressions over e{k} columns)."""
     from .operators.audio import MEL_W_SHIFT, mel_weights
-    ws = mel_weights(64, 4, 8000)
+    ws = mel_weights(frame_len, n_mels, sample_rate)
     bins = tuple(sorted({k for w in ws for k in w}))
     shift = repr(2.0 ** (-MEL_W_SHIFT))
     mels = []
@@ -7769,6 +7795,16 @@ def _mel_oracle() -> str:
         terms = " + ".join(
             f"e{k} * CAST({w[k]} AS DOUBLE)" for k in sorted(w))
         mels.append(f"({terms}) * {shift} AS mel_{i}")
+    return bins, mels
+
+
+def _mel_oracle() -> str:
+    """Replay mel on top of the exact-integer DFT replay: the inner
+    CTE is the audio_spectral oracle over every bin any filter
+    touches; the outer SELECT combines the e_k doubles with the SAME
+    quantized integer weights in the SAME ascending-bin left-to-right
+    order, so every double op is IEEE-identical to the operator's."""
+    bins, mels = _mel_sql_parts()
     inner = _audio_oracle(
         "doc_id % 3 = 1", 192,
         "((doc_id * 59 + 23 * pos * pos + 9 * pos) % 4001) - 2000",
@@ -7812,52 +7848,13 @@ def _audio_pipeline_oracle() -> str:
     the whole decode->resample->mel chain (the WAV codec round trip is
     proven on the Spark side; PCM16 is lossless, so the oracle starts
     from the analytic signal)."""
-    from .operators.audio import (MEL_W_SHIFT, Q_SHIFT as DFT_Q,
-                                  dft_basis, mel_weights)
-    from .operators.resample import Q_SHIFT as RS_Q, polyphase_taps
-    taps = polyphase_taps(2, 3, 8)
-    tl = "[" + ", ".join(str(v) for v in taps) + "]"
-    ws = mel_weights(64, 4, 8000)
-    bins = sorted({k for w in ws for k in w})
-    scale = repr(2.0 ** (-2 * DFT_Q))
-    sums, outs = [], []
-    for k in bins:
-        cos_t, sin_t = dft_basis(64, k)
-        cl = ", ".join(str(v) for v in cos_t)
-        sl = ", ".join(str(v) for v in sin_t)
-        sums.append(f"CAST(sum(y * list_extract([{cl}], i)) AS BIGINT)"
-                    f" AS c{k}")
-        sums.append(f"CAST(sum(y * list_extract([{sl}], i)) AS BIGINT)"
-                    f" AS s{k}")
-        outs.append(
-            f"(CAST(c{k} AS DOUBLE) * CAST(c{k} AS DOUBLE)"
-            f" + CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE))"
-            f" * {scale} AS e{k}")
-    mels = []
-    shift = repr(2.0 ** (-MEL_W_SHIFT))
-    for i, w in enumerate(ws):
-        terms = " + ".join(
-            f"e{k} * CAST({w[k]} AS DOUBLE)" for k in sorted(w))
-        mels.append(f"({terms}) * {shift} AS mel_{i}")
+    bins, mels = _mel_sql_parts()
+    sums, outs = _dft_sql_parts(64, bins, x_col="y")
+    rs = _resample_cte(
+        "doc_id % 3 = 2", 192, 128,
+        "((doc_id * 61 + 19 * i * i + 5 * i) % 4001) - 2000")
     return f"""
-    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
-    m AS (SELECT unnest(range(0, 128)) AS m),
-    j AS (SELECT unnest(range(0, 8)) AS j),
-    c AS (SELECT doc_id, m, j,
-                 (m * 3) // 2 - j AS i,
-                 (j * 2 + (m * 3) % 2) AS tap_ix
-          FROM d, m, j),
-    s AS (SELECT doc_id, m,
-                 CASE WHEN i BETWEEN 0 AND 191
-                      THEN (((doc_id * 61 + 19 * i * i + 5 * i) % 4001)
-                            - 2000)
-                           * list_extract({tl}, tap_ix + 1)
-                      ELSE 0 END AS contrib
-          FROM c),
-    a AS (SELECT doc_id, m,
-                 CAST(floor(CAST(sum(contrib) AS DOUBLE)
-                            / {1 << RS_Q}) AS BIGINT) AS y
-          FROM s GROUP BY doc_id, m),
+    WITH {rs},
     f AS (SELECT doc_id, m // 64 AS frame,
                  CAST(m % 64 AS INT) + 1 AS i, y
           FROM a),

@@ -316,6 +316,24 @@ def test_flac_rice2_and_escape_partitions_decode():
         vals[:32] + [0] * 32
 
 
+def test_flac_32bit_noise_roundtrip():
+    """Noisy 32-bit PCM residuals have raw widths > 31 bits — the
+    escape partition's 5-bit count field cannot carry them, so the
+    encoder must fall back to Rice (r11 review finding: the truncated
+    field produced undecodable streams)."""
+    rng = random.Random(41)
+    exact = [5786367, 2106454194, -2085653202, 1155841727]
+    blob = encode_flac(exact, 8000, bps=32, block_size=4)
+    assert decode_flac(blob)[2].tolist() == exact
+    for n, bs in ((1, 64), (7, 4), (200, 64), (200, 192)):
+        x = [rng.randint(-(2 ** 31), 2 ** 31 - 1) for _ in range(n)]
+        blob = encode_flac(x, 8000, bps=32, block_size=bs)
+        assert decode_flac(blob)[2].tolist() == x, (n, bs)
+    x = [rng.randint(-(2 ** 23), 2 ** 23 - 1) for _ in range(150)]
+    blob = encode_flac(x, 8000, bps=24, block_size=64)
+    assert decode_flac(blob)[2].tolist() == x
+
+
 def test_flac_utf8_coded_numbers():
     for n in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x1FFFFF,
               0x3FFFFFF, 0x7FFFFFFF, (1 << 36) - 1):

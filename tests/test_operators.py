@@ -3388,6 +3388,10 @@ def test_code_detect_discriminates(spark):
         # poetry: indentation without symbol density
         (5, "    roses are red\n    violets are blue\n"
             "    sugar is sweet\n    and so are you\n"),
+        # empty / whitespace-only docs are NOT code (degenerate 0>=0
+        # ratios must not fire — r11 review finding)
+        (6, ""),
+        (7, "   \n\t\n"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r["doc_id"]: r for r in code_detect(df).collect()}
@@ -3395,5 +3399,8 @@ def test_code_detect_discriminates(spark):
     assert not out[3]["is_code"]
     assert out[4]["r_symbols"] and not out[4]["is_code"]
     assert out[5]["r_indent"] and not out[5]["is_code"]
+    assert not out[6]["is_code"] and not out[6]["r_symbols"]
+    assert not out[6]["r_indent"]
+    assert not out[7]["is_code"]          # no symbol density: no code
     # counts are exact, not heuristic: verify one by hand
     assert out[3]["n_sym"] == 0 and out[3]["n_kw"] == 0
