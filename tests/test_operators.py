@@ -3404,3 +3404,16 @@ def test_code_detect_discriminates(spark):
     assert not out[7]["is_code"]          # no symbol density: no code
     # counts are exact, not heuristic: verify one by hand
     assert out[3]["n_sym"] == 0 and out[3]["n_kw"] == 0
+
+
+def test_code_detect_plan_zero_shuffle(spark):
+    """code_detect is one codegen projection: no exchange, no Python
+    eval nodes at any corpus size."""
+    from bigslice_spark.operators.text import code_detect
+    df = spark.createDataFrame([(1, "def f():\n    return 1")],
+                               "doc_id long, text string")
+    plan = code_detect(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
