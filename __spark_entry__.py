@@ -26,10 +26,11 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      floor-shift-exact oracle), code_detect (code-vs-prose corpus
 #      routing, integer-threshold flags, full-synthesis oracle),
 #      audio_mel (mel-filterbank energies over the exact-integer DFT
-#      — the ASR feature, IEEE-order-pinned oracle) and
-#      audio_pipeline (decode->resample->mel, the whole audio ETL in
-#      one value-hash: the oracle composes the resample replay into
-#      the mel replay);
+#      — the ASR feature, IEEE-order-pinned oracle), audio_pipeline
+#      (decode->resample->mel, the whole audio ETL in one value-hash:
+#      the oracle composes the resample replay into the mel replay)
+#      and robots_filter (RFC 9309 robots.txt crawl gating,
+#      declarative parse + longest-match, intent oracle);
 #   1. the 14 entries whose latest driver artifact is r5 — the oldest
 #      signal in the registry (all green in the r10 judge's full
 #      oracle CI; this is pure signal refresh): data_checks,
@@ -37,9 +38,9 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      key_percentiles, common_paths, moments_agg, table_profile,
 #      multimodal_frames, winsorize_values, item_jaccard,
 #      event_transitions, lateral_topn, forward_fill;
-#   2. top-up with the OLDEST-r6 cohort in registration order (31 of
-#      the 48) to seal the 50. The 17 r6 leftovers (approx_distinct,
-#      pivot_status, grouping_sets, dedup_components, asof_join, asof_join_forward,
+#   2. top-up with the OLDEST-r6 cohort in registration order (30 of
+#      the 48) to seal the 50. The 18 r6 leftovers (percentile_quantity,
+#      approx_distinct, pivot_status, grouping_sets, dedup_components, asof_join, asof_join_forward,
 #      triangle_count, upsert_merge, schema_evolution,
 #      upsert_partitioned, compact_partitioned, snapshot_diff,
 #      stream_upsert, range_sorted_layout, scd2_intervals,
@@ -48,7 +49,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
 _R11_NEW = ("audio_flac", "audio_resample", "code_detect",
-            "audio_mel", "audio_pipeline")
+            "audio_mel", "audio_pipeline", "robots_filter")
 _R5_STALE = (
     "data_checks", "mixture_sample", "retention_cohorts",
     "ts_pattern_search", "key_percentiles", "common_paths",
@@ -65,7 +66,7 @@ _R6_OLDEST = (
     "op_cache", "op_scan", "source_tar", "source_csv",
     "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
     "join_broadcast", "set_ops", "rollup_agg", "cube_agg",
-    "distinct_pairs", "agg_stats", "percentile_quantity",
+    "distinct_pairs", "agg_stats",
 )
 def _rotated() -> list[str]:
     head = [k for k in (_R11_NEW + _R5_STALE + _R6_OLDEST)

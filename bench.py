@@ -80,6 +80,7 @@ HEADLINE = [
     "code_detect",
     "audio_mel",
     "audio_pipeline",
+    "robots_filter",
 ]
 
 

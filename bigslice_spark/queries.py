@@ -7909,3 +7909,127 @@ def audio_pipeline_q(spark, sf_dir):
                      .alias("samples")))
     out = mel_energy(clips, frame_len=64, n_mels=4, sample_rate=8000)
     return out.withColumnRenamed("id", "doc_id")
+
+
+def _robots_oracle() -> str:
+    """INTENT-based replay, deliberately not a parse re-run: the
+    fixture's robots text is synthesized from the host index's parity,
+    so the oracle states the rule set each parity INTENDED to write (a
+    Spark parse bug — group stacking, comment handling, most-specific
+    selection — surfaces as intent divergence), translates patterns
+    with python re.escape (independent of the operator's
+    regexp_replace chains), and replays longest-match / allow-ties /
+    absent-allows in SQL over DuckDB's RE2."""
+    import re as _re
+
+    def rx(pat: str) -> str:
+        # DuckDB standard string literals do NOT process backslash
+        # escapes — embed the regex verbatim (only '' would need
+        # doubling, and robots patterns here contain no quotes)
+        r = "^" + _re.escape(pat).replace(r"\*", ".*")
+        if r.endswith(r"\$"):
+            r = r[:-2] + "$"
+        return r
+
+    # what the generator writes per host parity, for agent 'graftbot':
+    # even hosts carry an exact graftbot group (so the '*' group is
+    # ignored); odd hosts carry only the '*' group
+    even = [(False, "/private/"), (True, "/private/pub$"),
+            (False, "/tmp*.log")]
+    odd = [(False, "/area*"), (True, "/area*/open")]
+    rows = []
+    for par, ruleset in ((0, even), (1, odd)):
+        for allow, pat in ruleset:
+            rows.append(f"({par}, {str(allow).upper()}, '{pat}', "
+                        f"'{rx(pat)}', {len(pat)})")
+    return f"""
+    WITH rules(par, allow, pattern, pat_re, pat_len) AS (
+      VALUES {', '.join(rows)}),
+    u AS (SELECT doc_id,
+                 'h' || CAST(doc_id % 10 AS VARCHAR) || '.test' AS host,
+                 (doc_id % 10) % 2 AS par,
+                 unnest(['/private/doc' || CAST(doc_id AS VARCHAR),
+                         '/private/pub',
+                         '/private/pub' || CAST(doc_id AS VARCHAR),
+                         '/tmp' || CAST(doc_id AS VARCHAR) || '.log',
+                         '/area' || CAST(doc_id % 10 AS VARCHAR)
+                             || '/x' || CAST(doc_id AS VARCHAR),
+                         '/area' || CAST(doc_id % 10 AS VARCHAR)
+                             || '/open/' || CAST(doc_id AS VARCHAR),
+                         '/free/' || CAST(doc_id AS VARCHAR)]) AS path
+          FROM documents),
+    urls AS (SELECT doc_id, host,
+                    'https://' || host || path AS url, par, path
+             FROM u),
+    j AS (SELECT urls.*, r.allow, r.pattern, r.pat_len,
+                 regexp_matches(urls.path, r.pat_re) AS hit
+          FROM urls LEFT JOIN rules r ON r.par = urls.par),
+    best AS (SELECT url, host,
+                    arg_max(CAST(allow AS INT),
+                            pat_len * 2 + CAST(allow AS INT))
+                        FILTER (WHERE hit) AS win_allow,
+                    arg_max(pattern,
+                            pat_len * 2 + CAST(allow AS INT))
+                        FILTER (WHERE hit) AS win_pattern
+             FROM j GROUP BY url, host)
+    SELECT url, host,
+           COALESCE(win_allow = 1, TRUE) AS allowed,
+           win_pattern AS matched_pattern
+    FROM best
+    """
+
+
+@query("robots_filter", _robots_oracle())
+def robots_filter_q(spark, sf_dir):
+    """robots.txt crawl gating end-to-end (operators/robots.py — RFC
+    9309): per-host robots FILES are synthesized in codegen with the
+    parse hazards a real file has (comments, stacked User-agent
+    lines, an orphan rule before any group, unknown fields, case
+    variation, '*' wildcards, '$' anchors), parsed declaratively
+    (window-function group assembly), reduced to the most-specific
+    agent group, and matched longest-pattern-wins against every URL.
+    Even hosts carry an exact graftbot group (the '*' group must be
+    ignored); odd hosts only the '*' group. The oracle replays the
+    INTENDED rule set per parity with an independent regex
+    translation — parse, selection, translation, and match semantics
+    all hash-gated."""
+    from .operators.robots import robots_filter
+    _, t = _s(spark, sf_dir)
+    d = F.col("doc_id")
+    n = (d % 10).cast("string")
+    host = F.concat(F.lit("h"), n, F.lit(".test"))
+    exact_group = F.concat(
+        F.lit("Disallow: /orphan   # ignored: before any group\n"
+              "# policy file\n"
+              "User-agent: graftbot\n"
+              "User-Agent: legacybot\n"
+              "Disallow: /private/\n"
+              "Allow: /private/pub$\n"
+              "Disallow: /tmp*.log\n"
+              "Crawl-delay: 5\n"))
+    n_host = F.concat(F.lit("h"), F.col("n").cast("string"),
+                      F.lit(".test"))
+    star_group = F.concat(
+        F.lit("User-agent: *\n"
+              "Disallow: /area*\n"
+              "Allow: /area*/open\n"
+              "Sitemap: https://"), n_host, F.lit("/map.xml\n"))
+    robots = (t["documents"].select((d % 10).alias("n")).distinct()
+              .select(
+                  n_host.alias("host"),
+                  F.when(F.col("n") % 2 == 0,
+                         F.concat(exact_group, star_group))
+                  .otherwise(star_group).alias("robots_txt")))
+    paths = F.array(
+        F.concat(F.lit("/private/doc"), d.cast("string")),
+        F.lit("/private/pub"),
+        F.concat(F.lit("/private/pub"), d.cast("string")),
+        F.concat(F.lit("/tmp"), d.cast("string"), F.lit(".log")),
+        F.concat(F.lit("/area"), n, F.lit("/x"), d.cast("string")),
+        F.concat(F.lit("/area"), n, F.lit("/open/"), d.cast("string")),
+        F.concat(F.lit("/free/"), d.cast("string")))
+    urls = (t["documents"]
+            .select(host.alias("host"), F.explode(paths).alias("path"))
+            .select(F.concat(F.lit("https://"), F.col("host"),
+                             F.col("path")).alias("url"), "host"))
+    return robots_filter(urls, robots, "graftbot")
