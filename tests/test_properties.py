@@ -1289,10 +1289,11 @@ def test_adpcm_encode_decode_matches_reference(pcm):
     assert all(-32768 <= v <= 32767 for v in got)
     # packet independence: each packet decodes alone to the same PCM
     assert [v for pk in packets for v in decode_ima4([pk])] == got
-    # encoder tracks the signal: reconstruction error is bounded by
-    # the largest quantizer step (coarse but format-guaranteed)
-    for x, y in zip(pcm, got):
-        assert abs(x - y) <= 32767 + 7
+    # NO per-sample error bound: ADPCM is slew-limited, so after a
+    # full-scale jump the reconstruction legitimately lags by up to
+    # the whole int16 range for many samples (Hypothesis found
+    # [-248, 32731] exceeding a 1-step bound) — reference-decoder
+    # equality above IS the codec contract
 
 
 @AUDIO_PROP
