@@ -520,3 +520,82 @@ def normalize_text(df: DataFrame, text_col: str = "text",
                    out_col: str = "clean_text") -> DataFrame:
     """Append the normalized text column — zero-shuffle projection."""
     return df.withColumn(out_col, clean_text(text_col))
+
+
+# --- C4-style page cleaning (r11) ----------------------------------
+# The line-level retention + page-level rejection battery of C4
+# (Raffel et al. 2020 §2.2, public): keep only lines that read like
+# prose sentences, then reject pages that are too short or carry
+# boilerplate/placeholder/blocklist markers. Complements gopher_rules
+# (token-shape heuristics) with C4's line-structure heuristics; real
+# pipelines run both. Every test is codegen (no Python in the path)
+# and every rule is replayable in ANSI SQL.
+
+# Word-level blocklist (C4 uses the public "Dirty, Naughty" list; the
+# default here is a tiny stand-in — pass the full list in production).
+_C4_BLOCKLIST = ("nsfw", "porn", "xxx")
+
+
+def c4_filters(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_sentences: int = 3,
+               min_line_words: int = 5,
+               blocklist: tuple[str, ...] = _C4_BLOCKLIST) -> DataFrame:
+    """C4 page cleaning: per-line retention + page-level flags.
+
+    Line retention (a line survives iff ALL hold, after trim):
+      - non-empty and ends in terminal punctuation (. ! ? ");
+      - has >= ``min_line_words`` whitespace words;
+      - does not mention 'javascript' (case-insensitive).
+    Page flags (over the ORIGINAL page text unless noted):
+      - r_min_sentences: >= ``min_sentences`` sentence-final marks
+        (. ! ?) in the RETAINED text;
+      - r_no_lorem: no 'lorem ipsum' placeholder;
+      - r_no_brace: no '{' (code/templating markup);
+      - r_no_badwords: no whitespace-delimited word on ``blocklist``
+        (lowercased exact-token match).
+    ``passes`` is the conjunction. Returns one row per input row:
+    (id, n_lines, n_kept, n_sentences, kept_chars, flags..., passes,
+    kept_text) — a pure single-pass projection, zero shuffles at any
+    corpus size.
+    """
+    t = F.col(text_col)
+    lines = F.transform(F.split(t, "\n"), F.trim)
+    nonempty = F.filter(lines, lambda l: l != "")
+
+    def _line_ok(l: Column) -> Column:
+        terminal = (l.endswith(".") | l.endswith("!")
+                    | l.endswith("?") | l.endswith('"'))
+        return ((l != "") & terminal
+                & (F.size(tokens(l)) >= min_line_words)
+                & ~F.lower(l).contains("javascript"))
+
+    kept = F.filter(lines, _line_ok)
+    kept_text = F.array_join(kept, "\n")
+    n_sent = None
+    for m in (".", "!", "?"):
+        d = (F.length(kept_text)
+             - F.length(F.replace(kept_text, F.lit(m), F.lit(""))))
+        n_sent = d if n_sent is None else n_sent + d
+    n_sent = n_sent.cast("long")
+    toks_low = tokens(F.lower(t))
+    n_bad = F.size(F.filter(
+        F.array(*[F.lit(b) for b in blocklist]),
+        lambda b: F.array_contains(toks_low, b))).cast("long")
+    rules = {
+        "r_min_sentences": n_sent >= min_sentences,
+        "r_no_lorem": ~F.lower(t).contains("lorem ipsum"),
+        "r_no_brace": ~t.contains("{"),
+        "r_no_badwords": n_bad == 0,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        F.size(nonempty).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        F.length(kept_text).cast("long").alias("kept_chars"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"),
+        kept_text.alias("kept_text"))

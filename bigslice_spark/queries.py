@@ -8033,3 +8033,106 @@ def robots_filter_q(spark, sf_dir):
             .select(F.concat(F.lit("https://"), F.col("host"),
                              F.col("path")).alias("url"), "host"))
     return robots_filter(urls, robots, "graftbot")
+
+
+def _c4_oracle() -> str:
+    """Full replay: same synthetic page (kept line, short line,
+    unterminated line with lorem/brace injections, javascript line,
+    multi-sentence closer), same trim/retention predicate, same
+    replace-chain sentence counts, same token-level blocklist."""
+    from .operators.text import _C4_BLOCKLIST
+    bl = ", ".join(f"'{b}'" for b in _C4_BLOCKLIST)
+
+    def sent(expr: str) -> str:
+        return " + ".join(
+            f"(length({expr}) - length(replace({expr}, '{m}', '')))"
+            for m in (".", "!", "?"))
+
+    keep = ("l -> l <> '' AND (l LIKE '%.' OR l LIKE '%!' OR "
+            "l LIKE '%?' OR l LIKE '%\"') AND "
+            "len(list_filter(string_split_regex(l, '\\s+'), "
+            "w -> w <> '')) >= 5 AND lower(l) NOT LIKE '%javascript%'")
+    return f"""
+    WITH page AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               substr(text, 1, 50)
+                 || CASE WHEN doc_id % 17 = 0
+                    THEN ' nsfw and more words here.' ELSE '.' END,
+               'too short.',
+               substr(text, 51, 40)
+                 || CASE WHEN doc_id % 11 = 0
+                    THEN ' lorem ipsum' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0 THEN ' {{' ELSE '' END,
+               CASE WHEN doc_id % 5 = 0
+                 THEN 'Enable JavaScript to view this page now.' END,
+               CASE WHEN doc_id % 7 = 0
+                 THEN 'It works! Does it? Yes it does.' END
+             ) AS text
+      FROM documents),
+    feat AS (
+      SELECT doc_id, text,
+             list_transform(string_split(text, chr(10)),
+                            l -> trim(l)) AS ls
+      FROM page),
+    kept AS (
+      SELECT doc_id, text, ls,
+             array_to_string(list_filter(ls, {keep}), chr(10)) AS kt
+      FROM feat),
+    flag AS (
+      SELECT doc_id,
+             CAST(len(list_filter(ls, l -> l <> '')) AS BIGINT)
+               AS n_lines,
+             CAST(len(list_filter(ls, {keep})) AS BIGINT) AS n_kept,
+             CAST({sent('kt')} AS BIGINT) AS n_sentences,
+             CAST(length(kt) AS BIGINT) AS kept_chars,
+             CAST(len(list_filter([{bl}],
+                 b -> list_contains(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     w -> w <> ''), b))) AS BIGINT) AS n_bad,
+             lower(text) NOT LIKE '%lorem ipsum%' AS r_no_lorem,
+             text NOT LIKE '%{{%' AS r_no_brace,
+             kt AS kept_text
+      FROM kept)
+    SELECT doc_id, n_lines, n_kept, n_sentences, kept_chars,
+           n_sentences >= 3 AS r_min_sentences,
+           r_no_lorem, r_no_brace,
+           n_bad = 0 AS r_no_badwords,
+           n_sentences >= 3 AND r_no_lorem AND r_no_brace
+             AND n_bad = 0 AS passes,
+           kept_text
+    FROM flag
+    """
+
+
+@query("c4_filters", _c4_oracle())
+def c4_filters_q(spark, sf_dir):
+    """C4 page cleaning (operators/text.py c4_filters — Raffel et al.
+    2020 §2.2): line-level retention (terminal punctuation, >=5 words,
+    no 'javascript') plus page-level rejection (>=3 sentences kept, no
+    'lorem ipsum', no '{', no blocklist word). documents.text is
+    single-line word soup, so the entry synthesizes a structured page
+    per doc IN CODEGEN — one clean prose line, one too-short line, one
+    unterminated line (with lorem/brace injections on 11/13-strides),
+    a javascript boilerplate line on the 5-stride, and a 3-sentence
+    closer on the 7-stride — so every rule fires both ways across the
+    corpus. The oracle replays the synthesis and every rule. Pure
+    single-pass projection: zero shuffles at any corpus size."""
+    from .operators.text import c4_filters
+    _, t = _s(spark, sf_dir)
+    d = F.col("doc_id")
+    txt = F.col("text")
+    l1 = F.concat(
+        F.substring(txt, 1, 50),
+        F.when(d % 17 == 0, F.lit(" nsfw and more words here."))
+        .otherwise(F.lit(".")))
+    l3 = F.concat(
+        F.substring(txt, 51, 40),
+        F.when(d % 11 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(" {")).otherwise(F.lit("")))
+    l4 = F.when(d % 5 == 0,
+                F.lit("Enable JavaScript to view this page now."))
+    l5 = F.when(d % 7 == 0, F.lit("It works! Does it? Yes it does."))
+    page = F.concat_ws("\n", l1, F.lit("too short."), l3, l4, l5)
+    corpus = t["documents"].select("doc_id", page.alias("text"))
+    return c4_filters(corpus)

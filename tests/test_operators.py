@@ -3417,3 +3417,49 @@ def test_code_detect_plan_zero_shuffle(spark):
     assert "Exchange" not in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_c4_filters_rules_fire_both_ways(spark):
+    """c4_filters (operators/text.py): line retention keeps prose
+    sentences and drops short/unterminated/javascript lines; page
+    flags catch lorem/brace/blocklist; clean multi-sentence pages
+    pass."""
+    from bigslice_spark.operators.text import c4_filters
+    good = ("This is a perfectly normal prose sentence here.\n"
+            "Another full sentence follows the first one!\n"
+            "Does a third sentence complete the page?")
+    docs = [
+        (1, good),                                   # passes
+        (2, "one two three four.\nshort.\nno terminal punct here"),
+        (3, good + "\nlorem ipsum dolor sit amet today."),
+        (4, good + "\ntemplate { braces } in the page today."),
+        (5, good.replace("normal", "nsfw")),          # blocklist word
+        (6, "Please enable javascript to view this page now.\n" + good),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_filters(df).collect()}
+    assert out[1]["passes"] and out[1]["n_kept"] == 3
+    assert out[1]["n_sentences"] == 3
+    # doc 2: first line has only 4 words -> dropped; others dropped too
+    assert out[2]["n_kept"] == 0 and not out[2]["passes"]
+    assert not out[3]["r_no_lorem"] and not out[3]["passes"]
+    assert not out[4]["r_no_brace"] and not out[4]["passes"]
+    assert not out[5]["r_no_badwords"] and not out[5]["passes"]
+    # javascript line is dropped from kept_text but page still passes
+    assert out[6]["n_kept"] == 3 and out[6]["passes"]
+    assert "javascript" not in out[6]["kept_text"]
+    assert out[7]["n_kept"] == 0 and not out[7]["passes"]
+
+
+def test_c4_filters_plan_zero_shuffle(spark):
+    """c4_filters is one codegen projection: no exchange, no Python
+    eval nodes at any corpus size."""
+    from bigslice_spark.operators.text import c4_filters
+    df = spark.createDataFrame([(1, "A full sentence sits here.")],
+                               "doc_id long, text string")
+    plan = c4_filters(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
