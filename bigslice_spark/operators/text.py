@@ -559,7 +559,10 @@ def c4_filters(df: DataFrame, text_col: str = "text",
     corpus size.
     """
     t = F.col(text_col)
-    lines = F.transform(F.split(t, "\n"), F.trim)
+    # one-arg lambda on purpose: F.transform passes (element, index)
+    # to a 2-parameter callable, and F.trim(col, trim) is the
+    # two-parameter TRIM — passing F.trim directly trims index chars
+    lines = F.transform(F.split(t, "\n"), lambda l: F.trim(l))
     nonempty = F.filter(lines, lambda l: l != "")
 
     def _line_ok(l: Column) -> Column:
@@ -599,3 +602,37 @@ def c4_filters(df: DataFrame, text_col: str = "text",
         *[c.alias(name) for name, c in rules.items()],
         passes.alias("passes"),
         kept_text.alias("kept_text"))
+
+
+# --- sentence segmentation (r11) -----------------------------------
+# A sentence is a maximal run of non-terminal characters followed by a
+# run of terminal marks (.!?), or a trailing unterminated fragment
+# (\z, end-of-text — NOT $, which Java matches before a final newline
+# but RE2 does not; \z means end-of-text in both). Leftmost-first
+# alternation is identical in Java regex and RE2, so Spark and DuckDB
+# segment identically. Quotes/brackets after the terminal mark stay
+# with the NEXT sentence (documented simplification; abbreviation
+# handling is corpus-specific and belongs in a caller-supplied regex).
+SENTENCE_RE = r"[^.!?]+[.!?]+|[^.!?]+\z"
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    pattern: str = SENTENCE_RE) -> DataFrame:
+    """Flatmap each document into (id, sent_idx, sentence, n_chars,
+    n_words): segments under ``pattern`` (see SENTENCE_RE), trimmed,
+    empties dropped, 0-based index in document order. Pure codegen
+    (regexp_extract_all + posexplode) — a zero-shuffle generator; the
+    per-sentence relation feeds chunking, dedup-at-sentence-level and
+    sentence-quality filters."""
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern),
+                                 F.lit(0)), lambda s: F.trim(s)),
+        lambda s: s != "")
+    sent = F.col("sentence")
+    return (df.select(F.col(id_col),
+                      F.posexplode(sents).alias("sent_idx", "sentence"))
+            .select(id_col, "sent_idx", "sentence",
+                    F.length(sent).cast("long").alias("n_chars"),
+                    F.size(tokens(sent)).cast("long").alias("n_words")))

@@ -8136,3 +8136,57 @@ def c4_filters_q(spark, sf_dir):
     page = F.concat_ws("\n", l1, F.lit("too short."), l3, l4, l5)
     corpus = t["documents"].select("doc_id", page.alias("text"))
     return c4_filters(corpus)
+
+
+def _sentences_oracle() -> str:
+    """Full replay: same synthesized punctuation, same regex (RE2 and
+    Java agree on leftmost-first alternation and \\z), same trim/drop,
+    same 0-based enumeration via generate_series."""
+    from .operators.text import SENTENCE_RE
+    # DuckDB string literals keep backslashes verbatim — no doubling
+    pat = SENTENCE_RE.replace("'", "''")
+    return f"""
+    WITH page AS (
+      SELECT doc_id,
+             substr(text, 1, 60) || '. '
+             || substr(text, 61, 60) || '! Is this the end? '
+             || substr(text, 121, 40) AS text
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+                 regexp_extract_all(text, '{pat}'), s -> trim(s)),
+                 s -> s <> '') AS ss
+      FROM page),
+    idx AS (
+      SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i
+      FROM feat)
+    SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+           ss[i] AS sentence,
+           CAST(length(ss[i]) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split_regex(ss[i], '\\s+'),
+                w -> w <> '')) AS BIGINT) AS n_words
+    FROM idx
+    """
+
+
+@query("text_sentences", _sentences_oracle())
+def text_sentences_q(spark, sf_dir):
+    """Sentence segmentation (operators/text.py split_sentences): each
+    document flatmaps to its ordered sentences with per-sentence
+    char/word counts — the generator under sentence-level dedup,
+    chunking and quality filters. documents.text has no punctuation,
+    so the entry synthesizes it in codegen (two terminated sentences,
+    an interrogative, and a trailing unterminated fragment per doc);
+    the oracle replays the synthesis, the shared SENTENCE_RE, and the
+    enumeration. Zero-shuffle generate (regexp_extract_all +
+    posexplode)."""
+    from .operators.text import split_sentences
+    _, t = _s(spark, sf_dir)
+    txt = F.col("text")
+    page = F.concat(
+        F.substring(txt, 1, 60), F.lit(". "),
+        F.substring(txt, 61, 60), F.lit("! Is this the end? "),
+        F.substring(txt, 121, 40))
+    corpus = t["documents"].select("doc_id", page.alias("text"))
+    return split_sentences(corpus)

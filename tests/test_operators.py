@@ -3463,3 +3463,44 @@ def test_c4_filters_plan_zero_shuffle(spark):
     assert "Exchange" not in plan
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_split_sentences_trim_fragment_empty(spark):
+    """split_sentences (operators/text.py): trailing unterminated
+    fragments are kept, sentences are TRIMMED (regression: passing
+    F.trim to F.transform invokes two-parameter TRIM with the element
+    index as the trim set), punctuation-only remainders drop, and
+    empty docs yield no rows."""
+    from bigslice_spark.operators.text import split_sentences
+    docs = [
+        (1, "First one here.   Second one!   trailing fragment"),
+        (2, "Ends on punctuation. "),
+        (3, ""),
+        (4, "no punctuation at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {}
+    for r in split_sentences(df).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"], r["n_words"]))
+    for v in out.values():
+        v.sort()
+    assert out[1] == [(0, "First one here.", 3),
+                      (1, "Second one!", 2),
+                      (2, "trailing fragment", 2)]
+    assert out[2] == [(0, "Ends on punctuation.", 3)]
+    assert 3 not in out and out[4] == [(0, "no punctuation at all", 4)]
+
+
+def test_c4_filters_trims_line_whitespace(spark):
+    """Indented prose lines still count as retained sentences (the
+    same transform/trim regression, on the line path)."""
+    from bigslice_spark.operators.text import c4_filters
+    df = spark.createDataFrame(
+        [(1, "   An indented full prose sentence sits here.   \n"
+             "   A second indented sentence follows it now!   \n"
+             "   And a third one closes out the page.   ")],
+        "doc_id long, text string")
+    row = c4_filters(df).collect()[0]
+    assert row["n_kept"] == 3 and row["passes"]
+    assert row["kept_text"].startswith("An indented")
