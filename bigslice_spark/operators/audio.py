@@ -420,3 +420,47 @@ def _g711_tables() -> tuple[list[int], list[int]]:
 
 
 G711_ULAW, G711_ALAW = _g711_tables()
+
+
+MFCC_SHIFT = 20  # DCT-II basis quantization: round(cos·2^20)
+
+
+def dct_basis(n_in: int, j: int) -> list[int]:
+    """Quantized DCT-II basis row ``j`` over ``n_in`` inputs:
+    ``round(cos(πj(2i+1)/(2·n_in))·2^MFCC_SHIFT)`` as plain ints —
+    the mfcc operator AND its SQL oracle are built from THESE values
+    (same single-source-of-truth contract as dft_basis/mel_weights)."""
+    s = 1 << MFCC_SHIFT
+    return [round(math.cos(math.pi * j * (2 * i + 1) / (2 * n_in)) * s)
+            for i in range(n_in)]
+
+
+def mfcc(df: DataFrame, samples_col: str = "samples",
+         id_col: str = "id", frame_len: int = 64, n_mels: int = 4,
+         n_mfcc: int = 3, sample_rate: int = 8000) -> DataFrame:
+    """Mel-frequency cepstral coefficients — THE classic compact ASR
+    feature, completing the chain decode → resample → frame → mel →
+    log → DCT: ``mfcc_j = (Σ_i q_ji·ln(1 + mel_i))·2^-MFCC_SHIFT``
+    per frame, with the DCT-II basis quantized to integers
+    (dct_basis) and the log/multiply/add sequence emitted in FIXED
+    ascending-i order. mel_i are exact dyadic-rational doubles and
+    both engines feed ``ln`` the identical bit pattern, so the only
+    cross-engine wiggle is libm's ulp on ``ln`` — far inside the
+    oracle's float normalization (the lm_quality precedent). The
+    ``+1`` floor makes silent frames (mel=0) well-defined without a
+    clamp. Same unique-id contract and physical shape as mel_energy:
+    one partial-aggregated exchange, everything else codegen."""
+    m = mel_energy(df, samples_col, id_col, frame_len, n_mels,
+                   sample_rate)
+    logs = [F.log(F.col(f"mel_{i}") + F.lit(1.0))
+            for i in range(n_mels)]
+    scale = F.lit(2.0 ** (-MFCC_SHIFT))
+    out = [F.col(id_col), F.col("frame")]
+    for j in range(n_mfcc):
+        q = dct_basis(n_mels, j)
+        acc = None
+        for i in range(n_mels):          # fixed combine order
+            term = logs[i] * F.lit(float(q[i]))
+            acc = term if acc is None else acc + term
+        out.append((acc * scale).alias(f"mfcc_{j}"))
+    return m.select(*out)

@@ -8190,3 +8190,55 @@ def text_sentences_q(spark, sf_dir):
         F.substring(txt, 121, 40))
     corpus = t["documents"].select("doc_id", page.alias("text"))
     return split_sentences(corpus)
+
+
+def _mfcc_oracle() -> str:
+    """Replay log-DCT on top of the mel replay on top of the
+    exact-integer DFT replay: the mfcc_j expressions use the SAME
+    quantized DCT-II basis ints and the SAME fixed ascending-i
+    ln/multiply/add order as the operator, so every double op is
+    IEEE-identical and the only cross-engine wiggle is libm's ulp on
+    ln (inside the float normalization — the lm_quality precedent)."""
+    from .operators.audio import MFCC_SHIFT, dct_basis
+    bins, mels = _mel_sql_parts()
+    inner = _audio_oracle(
+        "doc_id % 4 = 1", 192,
+        "((doc_id * 67 + 29 * pos * pos + 11 * pos) % 4001) - 2000",
+        64, bins)
+    scale = repr(2.0 ** (-MFCC_SHIFT))
+    outs = []
+    for j in range(3):
+        q = dct_basis(4, j)
+        terms = " + ".join(
+            f"ln(mel_{i} + 1.0) * CAST({q[i]} AS DOUBLE)"
+            for i in range(4))
+        outs.append(f"({terms}) * {scale} AS mfcc_{j}")
+    return f"""
+    WITH eng AS ({inner}),
+    mel AS (SELECT doc_id, frame, {', '.join(mels)} FROM eng)
+    SELECT doc_id, frame, {', '.join(outs)} FROM mel
+    """
+
+
+@query("audio_mfcc", _mfcc_oracle())
+def audio_mfcc_q(spark, sf_dir):
+    """MFCCs (operators/audio.py mfcc): quantized-integer DCT-II over
+    log(1+mel) of the exact-integer mel filterbank — the compact
+    acoustic feature vector ASR models actually consume, closing the
+    feature chain decode → resample → mel → MFCC. Signal built in
+    pure codegen (sequence+transform); 3 frames x 3 coefficients per
+    doc, value-hashed per frame."""
+    from .operators.audio import mfcc
+    _, t = _s(spark, sf_dir)
+    idx = F.sequence(F.lit(0), F.lit(191))
+    clips = (t["documents"].filter(F.col("doc_id") % 4 == 1)
+             .select(F.col("doc_id").alias("id"),
+                     F.transform(
+                         idx,
+                         lambda i: ((F.col("doc_id") * 67
+                                     + 29 * i * i + 11 * i) % 4001
+                                    - 2000).cast("int"))
+                     .alias("samples")))
+    out = mfcc(clips, frame_len=64, n_mels=4, n_mfcc=3,
+               sample_rate=8000)
+    return out.withColumnRenamed("id", "doc_id")

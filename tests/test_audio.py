@@ -259,3 +259,50 @@ def test_mel_energy_validation_and_weights():
         assert all(0 < q <= scale for q in w.values())
     # filters tile the spectrum: every bin 1..31 is touched
     assert sorted({k for w in ws for k in w}) == list(range(1, 32))
+
+
+def test_mfcc_known_values_and_shape(spark):
+    """mfcc (operators/audio.py): coefficients equal the hand-computed
+    log-DCT of the mel energies, j=0 is the (scaled) sum of logs, and
+    silent frames yield all-zero coefficients... j=0 only — higher
+    coefficients of a constant log vector are ~0 by DCT orthogonality
+    but quantization leaves tiny residue, so pin them to the exact
+    expected expression instead."""
+    import math
+
+    from bigslice_spark.operators.audio import (MFCC_SHIFT, dct_basis,
+                                                mel_energy, mfcc)
+    pcm = [((3 * n * n + 7 * n) % 4001) - 2000 for n in range(128)]
+    df = spark.createDataFrame([(1, pcm), (2, [0] * 128)],
+                               "id long, samples array<int>")
+    mel = {(r["id"], r["frame"]): [r[f"mel_{i}"] for i in range(4)]
+           for r in mel_energy(df, frame_len=64, n_mels=4).collect()}
+    got = {(r["id"], r["frame"]): [r[f"mfcc_{j}"] for j in range(3)]
+           for r in mfcc(df, frame_len=64, n_mels=4, n_mfcc=3).collect()}
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    scale = 2.0 ** (-MFCC_SHIFT)
+    for key, mels in mel.items():
+        logs = [math.log(1.0 + m) for m in mels]
+        for j in range(3):
+            q = dct_basis(4, j)
+            acc = logs[0] * float(q[0])
+            for i in range(1, 4):
+                acc = acc + logs[i] * float(q[i])
+            assert got[key][j] == acc * scale, (key, j)
+    # silence: mel=0 -> ln(1)=0 -> every coefficient exactly 0
+    assert got[(2, 0)] == [0.0, 0.0, 0.0]
+
+
+def test_dct_basis_orthogonality():
+    """The quantized DCT rows stay near-orthogonal (sanity on the
+    basis builder): j=0 row is all 2^MFCC_SHIFT; distinct rows' dot
+    products are tiny relative to their norms."""
+    from bigslice_spark.operators.audio import MFCC_SHIFT, dct_basis
+    n = 8
+    rows = [dct_basis(n, j) for j in range(4)]
+    assert rows[0] == [1 << MFCC_SHIFT] * n
+    for a in range(4):
+        for b in range(a + 1, 4):
+            dot = sum(x * y for x, y in zip(rows[a], rows[b]))
+            norm = sum(x * x for x in rows[a])
+            assert abs(dot) < norm * 1e-4, (a, b)
