@@ -8242,3 +8242,52 @@ def audio_mfcc_q(spark, sf_dir):
     out = mfcc(clips, frame_len=64, n_mels=4, n_mfcc=3,
                sample_rate=8000)
     return out.withColumnRenamed("id", "doc_id")
+
+
+@query("source_zip", """
+    SELECT * FROM (VALUES
+        ('readme.txt', 26, 'stored', 'zip keeps this one stored' || chr(10)),
+        ('data/body.txt', 74, 'deflate',
+         repeat('deflate me ', 4) || 'deflate me'
+         || chr(10) || repeat('x', 19)),
+        ('data/tail.bin', 5, 'deflate', 'tail' || chr(10)))
+        t(name, size, method, body_text)
+""")
+def source_zip(spark, sf_dir):
+    """Zip-archive source (sources/zip_reader): central-directory walk
+    + stored/deflate inflation over Arrow batches, file-granular
+    parallelism (the tar/WARC contract). The fixture zip mixes a
+    ZIP_STORED member with two ZIP_DEFLATED members (one genuinely
+    compressible); the oracle states names, sizes, methods and bodies
+    verbatim, so a wrong inflate, a dropped member, or a misread
+    central directory all break the hash."""
+    import io
+    import os
+    import tempfile
+    import zipfile
+
+    from .sources import zip_reader
+    files = [
+        ("readme.txt", b"zip keeps this one stored\n", zipfile.ZIP_STORED),
+        ("data/body.txt",
+         b"deflate me " * 4 + b"deflate me\n" + b"x" * 19,
+         zipfile.ZIP_DEFLATED),
+        ("data/tail.bin", b"tail\n", zipfile.ZIP_DEFLATED),
+    ]
+    d = os.path.join(tempfile.gettempdir(), "bsq_zip_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "fixture.zip")
+    if not os.path.exists(p):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for name, body, method in files:
+                zf.writestr(zipfile.ZipInfo(name), body,
+                            compress_type=method)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, p)
+    df = zip_reader(spark, d)
+    return df.select("name", F.col("size").cast("int").alias("size"),
+                     "method",
+                     F.col("body").cast("string").alias("body_text"))

@@ -58,6 +58,52 @@ def tar_reader(spark: SparkSession, path: str) -> DataFrame:
                        "body binary")
 
 
+def zip_reader(spark: SparkSession, path: str) -> DataFrame:
+    """Zip entries: (archive string, name string, size long,
+    compressed long, method string, body binary).
+
+    binaryFile gives (path, content) per archive; a mapInPandas stage
+    walks the central directory and inflates each member (stored and
+    deflate methods, via stdlib zipfile/zlib). Archives parallelize
+    across partitions — the same file-granular contract as tar/WARC
+    (README §6). Unlike tar, zip's central directory would support
+    entry-range splitting WITHIN one archive on a range-readable
+    store; that variant needs a cluster filesystem with positioned
+    reads, so the single-task-per-archive path is the contract here
+    and oversized archives should be sharded at write time."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.zip").load(path)
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        methods = {zipfile.ZIP_STORED: "stored",
+                   zipfile.ZIP_DEFLATED: "deflate"}
+        for pdf in batches:
+            rows = []
+            for apath, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        rows.append((
+                            apath, info.filename, info.file_size,
+                            info.compress_size,
+                            methods.get(info.compress_type,
+                                        str(info.compress_type)),
+                            zf.read(info)))
+            yield pd.DataFrame(
+                rows, columns=["archive", "name", "size",
+                               "compressed", "method", "body"])
+
+    return raw.select("path", "content").mapInPandas(
+        unpack, schema="archive string, name string, size long, "
+                       "compressed long, method string, body binary")
+
+
 def binary_files(spark: SparkSession, path: str,
                  glob: str | None = None) -> DataFrame:
     """Opaque media/blob ingest: one row per file —

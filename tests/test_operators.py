@@ -3504,3 +3504,37 @@ def test_c4_filters_trims_line_whitespace(spark):
     row = c4_filters(df).collect()[0]
     assert row["n_kept"] == 3 and row["passes"]
     assert row["kept_text"].startswith("An indented")
+
+
+def test_zip_reader_multi_archive_and_corruption(spark, tmp_path):
+    """zip_reader (sources/__init__.py): entries from SEVERAL archives
+    in one directory land with their archive attribution, directories
+    are skipped, stored and deflated bodies inflate byte-exactly, and
+    a corrupt central directory raises instead of yielding rows."""
+    import zipfile
+
+    import pytest as _pytest
+
+    from bigslice_spark.sources import zip_reader
+    a = tmp_path / "one.zip"
+    with zipfile.ZipFile(a, "w") as zf:
+        zf.writestr("d/", "")
+        zf.writestr(zipfile.ZipInfo("d/x.bin"), b"\x00\x01\x02" * 100,
+                    compress_type=zipfile.ZIP_DEFLATED)
+    b = tmp_path / "two.zip"
+    with zipfile.ZipFile(b, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("y.txt"), b"hello",
+                    compress_type=zipfile.ZIP_STORED)
+    rows = {r["name"]: r for r in
+            zip_reader(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"d/x.bin", "y.txt"}
+    assert bytes(rows["d/x.bin"]["body"]) == b"\x00\x01\x02" * 100
+    assert rows["d/x.bin"]["method"] == "deflate"
+    assert rows["d/x.bin"]["compressed"] < rows["d/x.bin"]["size"]
+    assert rows["y.txt"]["method"] == "stored"
+    assert rows["y.txt"]["size"] == 5
+    # truncate archive two -> the task must fail loudly
+    raw = b.read_bytes()
+    b.write_bytes(raw[: len(raw) // 2])
+    with _pytest.raises(Exception):
+        zip_reader(spark, str(tmp_path)).collect()
