@@ -8291,3 +8291,23 @@ def source_zip(spark, sf_dir):
     return df.select("name", F.col("size").cast("int").alias("size"),
                      "method",
                      F.col("body").cast("string").alias("body_text"))
+
+
+@query("source_xml", """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def source_xml(spark, sf_dir):
+    """XML source (sources/read_xml — Spark 4's native XML reader):
+    nation is round-tripped through an XML write and read back with a
+    pinned schema; the oracle checks losslessness against the parquet
+    original (the source_csv contract, third format)."""
+    import tempfile
+
+    from .sources import read_xml
+    _, t = _s(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="bsq_xml_")
+    (t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+     .write.format("xml").option("rowTag", "nation")
+     .mode("overwrite").save(d))
+    return read_xml(spark, d, "nation",
+                    "n_nationkey int, n_name string, n_regionkey int")

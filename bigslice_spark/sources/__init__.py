@@ -157,6 +157,18 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str,
+             schema: str) -> DataFrame:
+    """XML source (Spark 4 native reader — spark-xml folded into core):
+    one row per ``row_tag`` element, schema ALWAYS pinned (XML is the
+    format where inferSchema hurts most: a sampling pass over 100 TB,
+    and element-vs-attribute ambiguity makes guesses unstable).
+    Splittable at file granularity; multi-GB single documents should
+    be sharded at write time like tar/zip archives."""
+    return (spark.read.format("xml").option("rowTag", row_tag)
+            .schema(schema).load(path))
+
+
 def read_orc(spark: SparkSession, path: str,
              schema: str | None = None) -> DataFrame:
     """ORC source (columnar alternative to parquet; Spark-native reader
