@@ -8311,3 +8311,50 @@ def source_xml(spark, sf_dir):
      .mode("overwrite").save(d))
     return read_xml(spark, d, "nation",
                     "n_nationkey int, n_name string, n_regionkey int")
+
+
+@query("pdf_extract", """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 6 = 3),
+    p0 AS (SELECT doc_id, 0 AS page,
+                  substr(text, 1, 40) || chr(10)
+                  || substr(text, 41, 40) AS text
+           FROM d),
+    p1 AS (SELECT doc_id, 1 AS page,
+                  'Page two of doc ' || CAST(doc_id AS VARCHAR)
+                  || '.' AS text
+           FROM d)
+    SELECT doc_id, page, text, CAST(length(text) AS BIGINT) AS n_chars
+    FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+""")
+def pdf_extract_q(spark, sf_dir):
+    """PDF text extraction (operators/pdf.py — the document-format leg
+    of the media tour): each doc's text is typeset into a REAL
+    two-page PDF 1.4 (make_pdf: object graph, xref table, trailer,
+    Tj text operators; every other doc's content streams FlateDecode-
+    compressed) and parsed back through the full chain — startxref →
+    xref → page-tree walk → stream inflate → BT..ET text ops. The
+    Spark side proves the build→parse round trip on real bytes; the
+    extraction is lossless, so the oracle regenerates the page text
+    analytically (the WAV/make_wav contract). One Arrow mapInPandas
+    pass per side, blobs never leave the executors."""
+    import pandas as pd
+
+    from .operators.pdf import make_pdf, pdf_pages
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["id"], pdf["text"]):
+                d = int(d)
+                pages = [[text[:40], text[40:80]],
+                         [f"Page two of doc {d}."]]
+                rows.append((d, bytearray(
+                    make_pdf(pages, compress=(d // 6) % 2 == 0))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 6 == 3)
+             .select(F.col("doc_id").alias("id"), "text")
+             .repartition(spark.sparkContext.defaultParallelism)
+             .mapInPandas(gen, schema="id long, media binary"))
+    return pdf_pages(media).withColumnRenamed("id", "doc_id")
