@@ -18,7 +18,15 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # signal across rounds. Round-11 window (VERDICT r10 "Next round" #1,
 # and the committed MIGRATION.md rotation schedule):
 #   0. the round-11 ADDITIONS (zero prior signal, front of the
-#      window): audio_flac (FLAC lossless decode end-to-end — stereo,
+#      window). Second build wave: audio_mfcc (quantized DCT-II over
+#      log-mel — the compact ASR feature), c4_filters (C4 line
+#      retention + page rejection, full-synthesis oracle),
+#      text_sentences (engine-exact sentence segmentation),
+#      source_zip (central-directory walk, stored+deflate),
+#      source_xml (Spark 4 native XML, pinned-schema round trip),
+#      pdf_extract (PDF 1.4 xref/object-graph/FlateDecode/Tj parser,
+#      build→parse round trip). First wave:
+#      audio_flac (FLAC lossless decode end-to-end — stereo,
 #      LPC + fixed predictors, wasted bits, CRC-8/16 + stream-MD5
 #      verified; lossless, so the oracle regenerates the analytic
 #      signal with no codec replay), audio_resample (fixed-point
@@ -38,8 +46,10 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      key_percentiles, common_paths, moments_agg, table_profile,
 #      multimodal_frames, winsorize_values, item_jaccard,
 #      event_transitions, lateral_topn, forward_fill;
-#   2. top-up with the OLDEST-r6 cohort in registration order (30 of
-#      the 48) to seal the 50. The 18 r6 leftovers (percentile_quantity,
+#   2. top-up with the OLDEST-r6 cohort in registration order (the
+#      _R6_OLDEST tuple below lists 30; with 12 round-11 additions the
+#      50-entry window reaches its first 24) to seal the 50. The r6
+#      leftovers (the tail of _R6_OLDEST plus percentile_quantity,
 #      approx_distinct, pivot_status, grouping_sets, dedup_components, asof_join, asof_join_forward,
 #      triangle_count, upsert_merge, schema_evolution,
 #      upsert_partitioned, compact_partitioned, snapshot_diff,
@@ -48,8 +58,15 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      MIGRATION.md §rotation-schedule.
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
-_R11_NEW = ("audio_flac", "audio_resample", "code_detect",
-            "audio_mel", "audio_pipeline", "robots_filter")
+_R11_NEW = (
+    # second build wave this round (also zero prior signal): MFCC
+    # features, C4 page cleaning, sentence segmentation, zip/XML
+    # sources, PDF text extraction
+    "audio_mfcc", "c4_filters", "text_sentences", "source_zip",
+    "source_xml", "pdf_extract",
+    # first wave
+    "audio_flac", "audio_resample", "code_detect",
+    "audio_mel", "audio_pipeline", "robots_filter")
 _R5_STALE = (
     "data_checks", "mixture_sample", "retention_cohorts",
     "ts_pattern_search", "key_percentiles", "common_paths",
