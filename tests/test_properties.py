@@ -1404,3 +1404,86 @@ def test_flac_any_frame_bitflip_detected(raw, flip):
     bad[i] ^= 1 << bit
     with pytest.raises(ValueError):
         decode_flac(bytes(bad))
+
+
+# --- Avro container codec (r11b) -----------------------------------
+# pure-Python codec machines: fuzz at the 200-example tier like
+# url/charset/audio (VERDICT r10 task 4 contract)
+
+CODEC_PROP = settings(max_examples=200, deadline=None,
+                      suppress_health_check=list(HealthCheck))
+
+
+def _avro_schema():
+    import json
+    return json.dumps({
+        "type": "record", "name": "fuzz", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": ["null", "double"]},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"}]})
+
+
+AVRO_ROW = st.tuples(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.text(max_size=24),
+    st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+    st.booleans(),
+    st.binary(max_size=16))
+
+
+@CODEC_PROP
+@given(rows=st.lists(AVRO_ROW, min_size=0, max_size=60),
+       codec=st.sampled_from(["null", "deflate"]),
+       block=st.integers(min_value=1, max_value=17))
+def test_avro_roundtrip_fuzz(rows, codec, block):
+    """make_avro -> read_avro_blob is identity for any row content,
+    codec, and block split (the FLAC-fuzz contract for the container
+    format)."""
+    from bigslice_spark.sources.avro import make_avro, read_avro_blob
+    blob = make_avro(_avro_schema(), rows, codec=codec,
+                     block_rows=block)
+    _, got = read_avro_blob(blob)
+    assert got == rows
+
+
+@CODEC_PROP
+@given(rows=st.lists(AVRO_ROW, min_size=1, max_size=20),
+       cut=st.integers(min_value=1, max_value=40))
+def test_avro_truncation_raises(rows, cut):
+    from bigslice_spark.sources.avro import make_avro, read_avro_blob
+    blob = make_avro(_avro_schema(), rows)
+    cut = min(cut, len(blob) - 5)
+    try:
+        _, got = read_avro_blob(blob[:-cut])
+        # only acceptable silent outcome: truncation fell exactly on a
+        # block boundary, dropping whole trailing blocks
+        assert got == rows[:len(got)]
+    except (ValueError, NotImplementedError):
+        pass
+
+
+# --- PDF text extraction (r11b) ------------------------------------
+
+PDF_LINE = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255,
+                           blacklist_characters="\x7f"),
+    max_size=40)
+
+
+@CODEC_PROP
+@given(pages=st.lists(st.lists(PDF_LINE, max_size=4), min_size=1,
+                      max_size=3),
+       compress=st.booleans())
+def test_pdf_roundtrip_fuzz(pages, compress):
+    """make_pdf -> extract_text reproduces every page's lines
+    (modulo the documented join: lines concatenate with newlines,
+    empty line lists give empty pages) for arbitrary latin-1 text —
+    escapes, parens, backslashes and all."""
+    from bigslice_spark.operators.pdf import (PdfDoc, extract_text,
+                                              make_pdf)
+    blob = make_pdf(pages, compress=compress)
+    got = [extract_text(c) for c in PdfDoc(blob).pages()]
+    want = ["\n".join(lines) if lines else "" for lines in pages]
+    assert got == want
