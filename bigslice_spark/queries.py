@@ -8396,3 +8396,54 @@ def source_avro(spark, sf_dir):
     return avro_reader(
         spark, d,
         "n_nationkey long, n_name string, n_regionkey long")
+
+
+@query("json_variant", """
+    WITH j AS (
+      SELECT doc_id, lang,
+             '{"id": ' || CAST(doc_id AS VARCHAR)
+             || ', "meta": {"lang": "' || lang || '", "n": '
+             || CAST(doc_id % 7 AS VARCHAR) || '}, "tags": ["t'
+             || CAST(doc_id % 3 AS VARCHAR) || '", "t'
+             || CAST(doc_id % 5 AS VARCHAR) || '"]}' AS js
+      FROM documents)
+    SELECT doc_id,
+           CAST(json_extract(js, '$.id') AS BIGINT) AS vid,
+           json_extract_string(js, '$.meta.lang') AS vlang,
+           CAST(json_extract(js, '$.meta.n') AS BIGINT) AS vn,
+           json_extract_string(js, '$.tags[1]') AS tag1,
+           CAST(NULL AS BIGINT) AS vmissing,
+           'OBJECT<id: BIGINT, meta: OBJECT<lang: STRING, n: BIGINT>, tags: ARRAY<STRING>>'
+             AS vschema
+    FROM j
+""")
+def json_variant_q(spark, sf_dir):
+    """Semi-structured ingest through Spark 4's VARIANT type: JSON is
+    parsed ONCE into the binary variant encoding (parse_json), then
+    typed paths are extracted with variant_get (nested object, array
+    index), absent paths null out via try_variant_get, and
+    schema_of_variant reports the inferred shape — the
+    schema-on-read pattern that replaces fragile per-query
+    from_json(schema) for heterogeneous event payloads, at
+    columnar-binary speed instead of re-tokenizing JSON per access.
+    The JSON is synthesized in codegen from documents columns; the
+    oracle replays the same extraction with DuckDB's JSON functions
+    (and pins the variant schema string, which is constant by
+    construction)."""
+    _, t = _s(spark, sf_dir)
+    d = F.col("doc_id")
+    js = F.concat(
+        F.lit('{"id": '), d.cast("string"),
+        F.lit(', "meta": {"lang": "'), F.col("lang"),
+        F.lit('", "n": '), (d % 7).cast("string"),
+        F.lit('}, "tags": ["t'), (d % 3).cast("string"),
+        F.lit('", "t'), (d % 5).cast("string"), F.lit('"]}'))
+    v = F.parse_json(js)
+    return t["documents"].select(
+        "doc_id",
+        F.variant_get(v, "$.id", "long").alias("vid"),
+        F.variant_get(v, "$.meta.lang", "string").alias("vlang"),
+        F.variant_get(v, "$.meta.n", "long").alias("vn"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag1"),
+        F.try_variant_get(v, "$.missing", "long").alias("vmissing"),
+        F.schema_of_variant(v).alias("vschema"))
