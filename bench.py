@@ -81,6 +81,14 @@ HEADLINE = [
     "audio_mel",
     "audio_pipeline",
     "robots_filter",
+    # added round 11 second wave (ratchet starts at r11): the filter
+    # battery addition, the sentence generator, the MFCC closer, the
+    # PDF document codec and the VARIANT semi-structured path
+    "c4_filters",
+    "text_sentences",
+    "audio_mfcc",
+    "pdf_extract",
+    "json_variant",
 ]
 
 

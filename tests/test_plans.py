@@ -822,3 +822,38 @@ def test_bucketed_join_has_no_table_exchanges(spark, sf_dir):
     assert count_exchanges(j) == 1, txt[:1500]
     first = txt[txt.find("Exchange"):txt.find("Exchange") + 120]
     assert "orderkey" not in first, first
+
+
+def test_text_sentences_zero_exchange(spark, sf_dir):
+    """Sentence segmentation is scan → codegen generate (posexplode)
+    → project: no shuffle, no Python eval at any corpus size."""
+    df = QUERIES["text_sentences"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    txt = explain_str(df)
+    assert "Generate" in txt, txt[:1200]
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in txt, txt[:1200]
+
+
+def test_json_variant_zero_exchange_no_python(spark, sf_dir):
+    """VARIANT parse + path extraction stays entirely JVM-side: one
+    scan, zero exchanges, no Python nodes."""
+    df = QUERIES["json_variant"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    txt = explain_str(df)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in txt, txt[:1200]
+
+
+def test_source_zip_avro_single_pass_no_shuffle(spark, sf_dir):
+    """Archive/container sources are binaryFile scan → ONE Arrow
+    decode stage — no exchange, blobs never shuffle."""
+    for name in ("source_zip", "source_avro"):
+        df = QUERIES[name](spark, sf_dir)
+        assert count_exchanges(df) == 0, name
+        txt = explain_str(df)
+        # exactly one Arrow decode stage and one binaryFile scan
+        # (formatted explain names each node once in the tree and
+        # once in the detail section)
+        assert txt.count("MapInPandas") == 2, (name, txt[:1200])
+        assert txt.count("Scan binaryFile") == 2, (name, txt[:1200])
