@@ -1,6 +1,7 @@
 """The 100TB training-data pipeline, end to end on this engine:
 
-  PII scrub → quality prefilter → classifier score filter →
+  PII scrub → quality prefilter → Gopher battery → code routing →
+  C4 page cleaning → bigram-LM perplexity cut → classifier score filter →
   exact dedup → cross-document line dedup → MinHash near-dup removal →
   near-dup CLUSTER report (connected components) → benchmark
   decontamination → stratified source quotas → per-language token
@@ -59,6 +60,46 @@ def main() -> None:
     docs = docs.join(g.filter(F.col("passes")).select("doc_id"),
                      on="doc_id", how="left_semi")
     scope.counter("after_gopher").incr(docs.count())
+
+    # 1c. code-vs-prose routing — the mixed-crawl splitter: code docs
+    #     branch to their own pipeline (here: just counted), prose
+    #     continues (zero-shuffle integer-threshold flags)
+    from bigslice_spark.operators.text import c4_filters, code_detect
+    routed = code_detect(docs)
+    n_code = routed.filter(F.col("is_code")).count()
+    print(f"routed\tcode\t{n_code}")
+    docs = docs.join(routed.filter(~F.col("is_code"))
+                     .select("doc_id"), on="doc_id", how="left_semi")
+    scope.counter("after_code_routing").incr(docs.count())
+
+    # 1d. C4 page cleaning — line retention + page rejection (this
+    #     corpus is single-line, so lines = 12-token spans for the
+    #     demo; pages keeping <3 sentences or carrying placeholders
+    #     drop). Gopher checks token SHAPE; C4 checks line STRUCTURE.
+    paged = docs.withColumn(
+        "text", F.regexp_replace(
+            F.regexp_replace("text", r"((?:\S+\s+){12})", "$1.\n"),
+            r"\.?$", "."))
+    c4 = c4_filters(paged, min_sentences=2, min_line_words=5)
+    docs = docs.join(c4.filter(F.col("passes")).select("doc_id"),
+                     on="doc_id", how="left_semi")
+    scope.counter("after_c4").incr(docs.count())
+
+    # 1e. statistical-LM quality: add-one bigram mean log-prob (the
+    #     CCNet/KenLM-perplexity analog) — drop the least
+    #     reference-like tail
+    from bigslice_spark.operators.lm import lm_quality
+    lm = lm_quality(docs)
+    cut = lm.approxQuantile("avg_logprob", [0.05], 0.01)[0]
+    docs = docs.join(lm.filter(F.col("avg_logprob") >= cut)
+                     .select("doc_id"), on="doc_id", how="left_semi")
+    # the battery is five chained semi-joins on top of the scrub —
+    # truncate the lineage here (localCheckpoint) so every downstream
+    # stage's analysis and recomputation starts from the battery's
+    # OUTPUT, not its plan (the checkpoint.materialize pattern the
+    # iterative operators use)
+    docs = docs.localCheckpoint()
+    scope.counter("after_lm_quality").incr(docs.count())
 
     # 2. model-based quality: hashed-feature linear scorer (broadcast
     #    model; stands in for a trained fasttext-style classifier)

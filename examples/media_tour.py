@@ -2,11 +2,12 @@
 runnable journey:
 
   synthesize a mixed-media corpus (PPM, BMP, PNG, JPEG baseline AND
-  progressive, animated GIF, WAV, MJPEG-in-MP4 video, raw-PCM-in-MP4
-  audio) → byte-budget repartition → container metadata → real decode
-  feature descriptors → frame sampling (GIF composition + MJPEG
-  decode) → deterministic resize → audio DFT band energy →
-  silence-split segmentation — with a per-format report at each stage.
+  progressive, animated GIF, WAV, FLAC, MJPEG-in-MP4 video,
+  raw-PCM-in-MP4 audio, two-page PDF documents) → byte-budget
+  repartition → container metadata → real decode feature descriptors →
+  frame sampling (GIF composition + MJPEG decode) → deterministic
+  resize → audio DFT band energy → silence-split segmentation →
+  PDF page-text extraction — with a per-format report at each stage.
 
 Every stage is one of the audited operators (the same compositions
 the multimodal_* / audio_* registry entries oracle-check); the decode
@@ -26,7 +27,8 @@ import pyspark.sql.functions as F
 
 from bigslice_spark import Session
 from bigslice_spark.operators.audio import (active_segments, band_energy,
-                                            mp4_pcm, wav_samples)
+                                            flac_samples, mp4_pcm,
+                                            wav_samples)
 from bigslice_spark.operators.gif import make_gif
 from bigslice_spark.operators.jpeg import make_jpeg
 from bigslice_spark.operators.mp4 import TrackSpec, make_mp4
@@ -38,7 +40,7 @@ from bigslice_spark.operators.multimodal import (extract_features,
                                                  resize_images)
 
 FORMATS = ("ppm", "bmp", "png", "jpeg", "jpeg_prog", "gif",
-           "wav", "mp4_mjpeg", "mp4_pcm", "mp4_ima4")
+           "wav", "mp4_mjpeg", "mp4_pcm", "mp4_ima4", "flac", "pdf")
 
 
 def _pixels(d: int, w: int = 16, h: int = 16, phase: int = 0) -> bytes:
@@ -82,6 +84,15 @@ def _blob(d: int, fmt: str) -> bytes:
         return make_mp4([TrackSpec(handler="soun", codec="twos",
                                    samples=chunks, timescale=8000,
                                    sample_delta=64)])
+    if fmt == "flac":  # LOSSLESS compressed audio
+        from bigslice_spark.operators.flac import encode_flac
+        return encode_flac(_pcm(d), sample_rate=8000)
+    if fmt == "pdf":  # two-page text document
+        from bigslice_spark.operators.pdf import make_pdf
+        return make_pdf([[f"Document {d} opens with a full line.",
+                          "A second line closes page one."],
+                         [f"Page two of document {d}."]],
+                        compress=d % 2 == 0)
     if fmt == "mp4_ima4":  # COMPRESSED audio (IMA ADPCM, 4:1)
         from bigslice_spark.operators.adpcm import encode_ima4
         return make_mp4([TrackSpec(handler="soun", codec="ima4",
@@ -122,7 +133,7 @@ def main() -> None:
     # 2. REAL decode feature descriptors (images + WAV; MP4 containers
     #    go through their own demux paths below)
     flat = media.filter(~F.col("fmt").startswith("mp4")) \
-        .filter(F.col("fmt") != "gif")
+        .filter(~F.col("fmt").isin("gif", "flac", "pdf"))
     feats = extract_features(flat.select("id", "media"), fake=False)
     n_img = feats.filter(F.element_at("feat", 1) == 1.0).count()
     n_aud = feats.filter(F.element_at("feat", 1) == 2.0).count()
@@ -151,13 +162,23 @@ def main() -> None:
     pcm = mp4_pcm(media.filter(F.col("fmt").isin("mp4_pcm",
                                                  "mp4_ima4"))
                   .select("id", "media")).select("id", "samples")
-    clips = wav.unionByName(pcm)
+    flac = flac_samples(media.filter(F.col("fmt") == "flac")
+                        .select("id", "media")).select("id", "samples")
+    clips = wav.unionByName(pcm).unionByName(flac)
     eng = band_energy(clips, frame_len=64, bins=(1, 3, 7))
     top = eng.agg(F.max("e3").alias("m")).first()["m"]
     segs = active_segments(clips, frame_len=64, bins=(1, 3, 7),
                            threshold=1.0)
     print(f"audio\t{clips.count()} clips\t{eng.count()} frames\t"
           f"{segs.count()} segments\tpeak_e3 {top:.1f}")
+
+    # 6. PDF page-text extraction (the document leg)
+    from bigslice_spark.operators.pdf import pdf_pages
+    pg = pdf_pages(media.filter(F.col("fmt") == "pdf")
+                   .select("id", "media"))
+    agg = pg.agg(F.count(F.lit(1)).alias("pages"),
+                 F.sum("n_chars").alias("chars")).first()
+    print(f"pdf\t{agg['pages']} pages\t{agg['chars']} chars")
 
     sess.release_materialized()
 

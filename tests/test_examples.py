@@ -26,7 +26,7 @@ def test_llm_pipeline_example():
     budget = [l for l in out.splitlines() if "\t" in l]
     stages = [l for l in out.splitlines() if l.startswith("# ")]
     assert budget, out
-    assert len(stages) == 13
+    assert len(stages) == 16   # +3: code routing, C4, LM quality
     # the r10 curation additions report without filtering the funnel
     splits = [l for l in out.splitlines() if l.startswith("split\t")]
     assert {l.split("\t")[1] for l in splits} == {"train", "val", "test"}
@@ -93,12 +93,14 @@ def test_media_tour_example():
     for l in out.splitlines():
         if "\t" in l:
             lines.setdefault(l.split("\t")[0], []).append(l)
-    assert len(lines.get("corpus", [])) == 10         # all ten formats
+    assert len(lines.get("corpus", [])) == 12         # all twelve formats
     dec = lines["decode"][0]
-    assert "images 60" in dec and "audio 12" in dec
+    assert "images 50" in dec and "audio 10" in dec
     fr = {l.split("\t")[1]: int(l.split("\t")[2]) for l in lines["frames"]}
-    assert fr == {"gif": 36, "mp4_mjpeg": 24}         # 3 and 2 per blob
-    assert lines["resize"][0].startswith("resize\t36 rasters")
+    assert fr == {"gif": 30, "mp4_mjpeg": 20}         # 3 and 2 per blob
+    assert lines["resize"][0].startswith("resize\t30 rasters")
     audio = lines["audio"][0]
-    # wav + raw-PCM-MP4 + COMPRESSED ADPCM-MP4 converge on one relation
-    assert "36 clips" in audio and "36 segments" in audio
+    # wav + raw-PCM-MP4 + ADPCM-MP4 + FLAC converge on one relation
+    assert "40 clips" in audio and "40 segments" in audio
+    pdf = lines["pdf"][0]                 # two pages per pdf doc
+    assert pdf.startswith("pdf\t20 pages")
