@@ -1,0 +1,218 @@
+"""Protocol Buffers wire format — clean-room reader/writer from the
+public encoding spec (protobuf.dev/programming-guides/encoding):
+varint keys ``(field_number << 3) | wire_type``, wire types 0 (varint),
+1 (64-bit LE), 2 (length-delimited), 5 (32-bit LE); zigzag for sint*;
+the standard "delimited" file framing (each message prefixed by its
+varint length — the java writeDelimitedTo convention).
+
+The caller declares the message schema as ``{field_number: (name,
+type)}`` with types ``int64 | sint64 | bool | string | bytes | double
+| float | fixed64 | fixed32`` — proto3 semantics: missing fields
+decode to the type's zero value, unknown field numbers are SKIPPED by
+wire type (the forward-compatibility contract), groups (wire types
+3/4) and nested/repeated declarations raise NotImplementedError by
+name. Truncated varints/payloads raise ValueError.
+
+Scale shape: ``protobuf_reader`` is binaryFile + one Arrow-batched
+mapInPandas pass, file-granular parallelism (the tar/zip/avro
+contract). Delimited framing is not self-synchronizing, so files
+shard at write time.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ZERO = {"int64": 0, "sint64": 0, "bool": False, "string": "",
+         "bytes": b"", "double": 0.0, "float": 0.0, "fixed64": 0,
+         "fixed32": 0}
+_WIRE = {"int64": 0, "sint64": 0, "bool": 0, "string": 2, "bytes": 2,
+         "double": 1, "float": 5, "fixed64": 1, "fixed32": 5}
+
+
+def _check_schema(schema: dict[int, tuple[str, str]]) -> None:
+    for num, (name, typ) in schema.items():
+        if typ not in _ZERO:
+            raise NotImplementedError(
+                f"protobuf: field {name!r} type {typ!r} (primitives "
+                f"only — nested/repeated messages not supported)")
+        if not 1 <= num <= 536870911:
+            raise ValueError(f"protobuf: bad field number {num}")
+
+
+def _write_varint(out: bytearray, u: int) -> None:
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    u = shift = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("protobuf: truncated varint")
+        b = buf[i]
+        i += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return u, i
+        shift += 7
+        if shift > 70:
+            raise ValueError("protobuf: varint longer than 64 bits")
+
+
+def encode_message(schema: dict[int, tuple[str, str]],
+                   values: dict[str, object]) -> bytes:
+    """One message; fields in ascending field-number order; fields at
+    their zero value are omitted (proto3 default elision)."""
+    _check_schema(schema)
+    out = bytearray()
+    for num in sorted(schema):
+        name, typ = schema[num]
+        v = values.get(name, _ZERO[typ])
+        if v == _ZERO[typ]:
+            continue
+        _write_varint(out, (num << 3) | _WIRE[typ])
+        if typ == "int64":
+            _write_varint(out, int(v) & 0xFFFFFFFFFFFFFFFF)
+        elif typ == "sint64":
+            _write_varint(out, ((int(v) << 1) ^ (int(v) >> 63))
+                          & 0xFFFFFFFFFFFFFFFF)
+        elif typ == "bool":
+            _write_varint(out, 1)
+        elif typ in ("string", "bytes"):
+            b = v.encode("utf-8") if typ == "string" else bytes(v)
+            _write_varint(out, len(b))
+            out += b
+        elif typ == "double":
+            out += struct.pack("<d", float(v))
+        elif typ == "float":
+            out += struct.pack("<f", float(v))
+        elif typ == "fixed64":
+            out += struct.pack("<Q", int(v))
+        elif typ == "fixed32":
+            out += struct.pack("<I", int(v))
+    return bytes(out)
+
+
+def decode_message(schema: dict[int, tuple[str, str]],
+                   buf: bytes) -> dict[str, object]:
+    """One message → {name: value}; missing fields get zero values,
+    unknown field numbers are skipped by wire type (proto3)."""
+    _check_schema(schema)
+    out = {name: _ZERO[typ] for name, typ in schema.values()}
+    i = 0
+    while i < len(buf):
+        key, i = _read_varint(buf, i)
+        num, wt = key >> 3, key & 7
+        if wt in (3, 4):
+            raise NotImplementedError("protobuf: group wire types")
+        field = schema.get(num)
+        if field is not None and _WIRE[field[1]] != wt:
+            raise ValueError(
+                f"protobuf: field {field[0]!r} declared "
+                f"{field[1]!r} but encoded with wire type {wt}")
+        if wt == 0:
+            u, i = _read_varint(buf, i)
+            if field:
+                name, typ = field
+                if typ == "sint64":
+                    out[name] = (u >> 1) ^ -(u & 1)
+                elif typ == "bool":
+                    out[name] = u != 0
+                else:                      # int64: two's complement
+                    out[name] = u - (1 << 64) if u >= 1 << 63 else u
+        elif wt == 1:
+            if i + 8 > len(buf):
+                raise ValueError("protobuf: truncated 64-bit field")
+            if field:
+                name, typ = field
+                out[name] = (struct.unpack_from("<d", buf, i)[0]
+                             if typ == "double"
+                             else struct.unpack_from("<Q", buf, i)[0])
+            i += 8
+        elif wt == 2:
+            n, i = _read_varint(buf, i)
+            if i + n > len(buf):
+                raise ValueError("protobuf: truncated length-delimited "
+                                 "field")
+            if field:
+                name, typ = field
+                raw = buf[i:i + n]
+                out[name] = (raw.decode("utf-8") if typ == "string"
+                             else bytes(raw))
+            i += n
+        elif wt == 5:
+            if i + 4 > len(buf):
+                raise ValueError("protobuf: truncated 32-bit field")
+            if field:
+                name, typ = field
+                out[name] = (struct.unpack_from("<f", buf, i)[0]
+                             if typ == "float"
+                             else struct.unpack_from("<I", buf, i)[0])
+            i += 4
+        else:
+            raise ValueError(f"protobuf: reserved wire type {wt}")
+    return out
+
+
+def make_delimited(schema: dict[int, tuple[str, str]],
+                   rows: list[dict[str, object]]) -> bytes:
+    """A delimited file: varint-length-prefixed messages."""
+    out = bytearray()
+    for values in rows:
+        msg = encode_message(schema, values)
+        _write_varint(out, len(msg))
+        out += msg
+    return bytes(out)
+
+
+def read_delimited(schema: dict[int, tuple[str, str]],
+                   blob: bytes) -> list[dict[str, object]]:
+    rows = []
+    i = 0
+    while i < len(blob):
+        n, i = _read_varint(blob, i)
+        if i + n > len(blob):
+            raise ValueError("protobuf: truncated delimited message")
+        rows.append(decode_message(schema, blob[i:i + n]))
+        i += n
+    return rows
+
+
+def protobuf_reader(spark: SparkSession, path: str,
+                    proto_schema: dict[int, tuple[str, str]],
+                    schema: str) -> DataFrame:
+    """Delimited-protobuf files under ``path`` as rows: the message
+    schema is declared by the caller (there is no embedded schema —
+    protobuf's contract), the Spark DDL is pinned, and output columns
+    follow the DDL order. File-granular parallelism."""
+    import pandas as pd
+
+    _check_schema(proto_schema)
+    raw = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.pb").load(path)
+    want = [c.strip().split()[0] for c in schema.split(",")]
+    declared = {name for name, _ in proto_schema.values()}
+    missing = [c for c in want if c not in declared]
+    if missing:
+        raise ValueError(f"protobuf: DDL columns {missing} not in the "
+                         f"declared message schema")
+
+    def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for msg in read_delimited(proto_schema, bytes(content)):
+                    rows.append(tuple(msg[c] for c in want))
+            yield pd.DataFrame(rows, columns=want)
+
+    return raw.select("content").mapInPandas(unpack, schema)

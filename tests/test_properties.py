@@ -1487,3 +1487,45 @@ def test_pdf_roundtrip_fuzz(pages, compress):
     got = [extract_text(c) for c in PdfDoc(blob).pages()]
     want = ["\n".join(lines) if lines else "" for lines in pages]
     assert got == want
+
+
+# --- Protobuf wire format (r11b) ------------------------------------
+
+PB_SCHEMA = {1: ("k", "int64"), 2: ("s", "string"),
+             3: ("d", "double"), 4: ("b", "bool"),
+             5: ("z", "sint64"), 6: ("raw", "bytes")}
+
+PB_ROW = st.fixed_dictionaries({
+    "k": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "s": st.text(max_size=24),
+    "d": st.floats(allow_nan=False, width=64),
+    "b": st.booleans(),
+    "z": st.integers(min_value=-(2**62), max_value=2**62),
+    "raw": st.binary(max_size=16)})
+
+
+@CODEC_PROP
+@given(rows=st.lists(PB_ROW, min_size=0, max_size=40))
+def test_protobuf_roundtrip_fuzz(rows):
+    """make_delimited -> read_delimited is identity (zero values round
+    trip through proto3 elision) for any field content."""
+    from bigslice_spark.sources.protobuf import (make_delimited,
+                                                 read_delimited)
+    blob = make_delimited(PB_SCHEMA, rows)
+    assert read_delimited(PB_SCHEMA, blob) == rows
+
+
+@CODEC_PROP
+@given(rows=st.lists(PB_ROW, min_size=1, max_size=10),
+       drop=st.sampled_from([1, 2, 5]))
+def test_protobuf_unknown_field_skipping_fuzz(rows, drop):
+    """Decoding with any field REMOVED from the schema yields the
+    remaining fields unchanged — forward compatibility under schema
+    evolution, for every wire type."""
+    from bigslice_spark.sources.protobuf import (make_delimited,
+                                                 read_delimited)
+    blob = make_delimited(PB_SCHEMA, rows)
+    narrow = {n: f for n, f in PB_SCHEMA.items() if n != drop}
+    got = read_delimited(narrow, blob)
+    keep = [name for _, (name, _) in sorted(narrow.items())]
+    assert got == [{k: r[k] for k in keep} for r in rows]
