@@ -8487,3 +8487,105 @@ def source_protobuf(spark, sf_dir):
     return protobuf_reader(
         spark, d, reader_schema,
         "n_nationkey long, n_name string, n_regionkey long")
+
+
+@query("source_tfrecord", """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def source_tfrecord(spark, sf_dir):
+    """TFRecord source (sources/tfrecord.py — the TF training-data
+    framing: uint64 length + masked-CRC32C checksums on header AND
+    payload, both VERIFIED on read; CRC32C pinned to the public
+    RFC 3720 test vectors): nation rows are serialized as protobuf
+    messages (sources/protobuf.py) inside REAL .tfrecord files and
+    read back through tfrecord framing → protobuf decode — the exact
+    composition a TF pipeline ships (Example protos in TFRecord),
+    with no TensorFlow dependency. Oracle checks losslessness against
+    the parquet original (sixth format)."""
+    import os
+    import tempfile
+
+    from .sources.protobuf import decode_message, make_delimited
+    from .sources.tfrecord import make_tfrecord, tfrecord_reader
+    _, t = _s(spark, sf_dir)
+    pb = {1: ("n_nationkey", "int64"), 2: ("n_name", "string"),
+          3: ("n_regionkey", "int64")}
+    rows = [{"n_nationkey": int(r[0]), "n_name": str(r[1]),
+             "n_regionkey": int(r[2])} for r in
+            t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+            .collect()]                    # 25 rows: metadata-scale
+    from .sources.protobuf import encode_message
+    d = tempfile.mkdtemp(prefix="bsq_tfr_")
+    half = len(rows) // 2
+    for fname, chunk in (("a.tfrecord", rows[:half]),
+                         ("b.tfrecord", rows[half:])):
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(make_tfrecord(
+                [encode_message(pb, r) for r in chunk]))
+    recs = tfrecord_reader(spark, d)
+
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            out = [decode_message(pb, bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                [(m["n_nationkey"], m["n_name"], m["n_regionkey"])
+                 for m in out],
+                columns=["n_nationkey", "n_name", "n_regionkey"])
+
+    return recs.mapInPandas(
+        dec, schema="n_nationkey long, n_name string, n_regionkey long")
+
+
+@query("source_webdataset", """
+    SELECT * FROM (VALUES
+        ('train/000', 2, 'cls,txt', 'sample zero text', 17),
+        ('train/001', 2, 'cls,txt', 'sample one text', 16),
+        ('train/002', 2, 'cls,txt', 'sample two text', 16))
+        t(key, n_parts, exts, txt, total_bytes)
+""")
+def source_webdataset(spark, sf_dir):
+    """WebDataset sample grouping (sources/webdataset_samples): tar
+    members named <key>.<ext> group into one row per training sample
+    with a parts map — the multimodal-shard convention (img.jpg +
+    img.json + img.cls per key). The fixture tar holds three samples
+    of (txt, cls) parts; the entry projects deterministic scalars from
+    the map (part count, sorted ext list, the txt payload, total
+    bytes) and the oracle states them verbatim."""
+    import io
+    import os
+    import tarfile
+    import tempfile
+
+    from .sources import webdataset_samples
+    files = []
+    for i, word in enumerate(("zero", "one", "two")):
+        files.append((f"train/{i:03d}.txt",
+                      f"sample {word} text".encode()))
+        files.append((f"train/{i:03d}.cls", b"7"))
+    d = os.path.join(tempfile.gettempdir(), "bsq_wds_fixture")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "shard0.tar")
+    if not os.path.exists(p):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, body in files:
+                info = tarfile.TarInfo(name=name)
+                info.size = len(body)
+                tf.addfile(info, io.BytesIO(body))
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, p)
+    s = webdataset_samples(spark, d)
+    parts = F.col("parts")
+    return s.select(
+        "key",
+        F.size(parts).cast("int").alias("n_parts"),
+        F.array_join(F.array_sort(F.map_keys(parts)), ",")
+        .alias("exts"),
+        F.element_at(parts, "txt").cast("string").alias("txt"),
+        F.aggregate(F.map_values(parts), F.lit(0),
+                    lambda a, b: a + F.octet_length(b)).cast("int")
+        .alias("total_bytes"))

@@ -104,6 +104,34 @@ def zip_reader(spark: SparkSession, path: str) -> DataFrame:
                        "compressed long, method string, body binary")
 
 
+def webdataset_samples(spark: SparkSession, path: str) -> DataFrame:
+    """WebDataset-convention samples from tar archives: members named
+    ``<key>.<ext>`` group into one row per training sample —
+    (archive, key, parts map<ext, binary>) — where key is the member
+    basename up to its FIRST dot and ext everything after (the public
+    webdataset convention: 0001.jpg + 0001.json + 0001.cls = one
+    sample). Grouping is a plain codegen groupBy over the tar rows;
+    directories in member names stay in the key (samples are unique
+    per path prefix). Multimodal training shards are exactly this
+    shape — pair the parts with the media decoders."""
+    entries = tar_reader(spark, path)
+    base = F.element_at(F.split(F.col("name"), "/"), -1)
+    dirp = F.expr("substring(name, 1, length(name) - length("
+                  "element_at(split(name, '/'), -1)))")
+    key = F.concat(dirp, F.substring_index(base, ".", 1))
+    ext = F.when(base.contains("."),
+                 F.expr("substring(element_at(split(name, '/'), -1), "
+                        "instr(element_at(split(name, '/'), -1), '.')"
+                        " + 1)")).otherwise(F.lit(""))
+    return (entries
+            .select("archive", key.alias("key"), ext.alias("ext"),
+                    "body")
+            .groupBy("archive", "key")
+            .agg(F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("ext", "body"))))
+                .alias("parts")))
+
+
 def binary_files(spark: SparkSession, path: str,
                  glob: str | None = None) -> DataFrame:
     """Opaque media/blob ingest: one row per file —

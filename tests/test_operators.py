@@ -3577,3 +3577,54 @@ def test_avro_reader_spark_and_contracts(spark, tmp_path):
     # bad magic
     with _pytest.raises(ValueError, match="bad magic"):
         read_avro_blob(b"PAR1" + b"\x00" * 32)
+
+
+def test_tfrecord_crc_vectors_and_spark(spark, tmp_path):
+    """tfrecord (sources/tfrecord.py): public CRC32C vectors hold,
+    multi-file reads land ordered per file, and a flipped payload bit
+    raises on read (the format's integrity contract)."""
+    import pytest as _pytest
+
+    from bigslice_spark.sources.tfrecord import (crc32c, make_tfrecord,
+                                                 tfrecord_reader)
+    assert crc32c(b"123456789") == 0xE3069283      # RFC 3720 vector
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA      # iSCSI zero block
+    (tmp_path / "a.tfrecord").write_bytes(
+        make_tfrecord([b"alpha", b"beta"]))
+    (tmp_path / "b.tfrecord").write_bytes(make_tfrecord([b"\x00\xff"]))
+    rows = sorted((r["record"], bytes(r["payload"]))
+                  for r in tfrecord_reader(spark, str(tmp_path))
+                  .collect())
+    assert rows == [(0, b"\x00\xff"), (0, b"alpha"), (1, b"beta")]
+    blob = bytearray(make_tfrecord([b"corrupt me"]))
+    blob[14] ^= 1
+    (tmp_path / "b.tfrecord").write_bytes(bytes(blob))
+    with _pytest.raises(Exception, match="CRC mismatch"):
+        tfrecord_reader(spark, str(tmp_path)).collect()
+
+
+def test_webdataset_grouping_semantics(spark, tmp_path):
+    """webdataset_samples (sources): key = basename to FIRST dot with
+    directory prefix kept; multi-dot exts survive whole; extensionless
+    members group under ext ''."""
+    import io
+    import tarfile
+
+    from bigslice_spark.sources import webdataset_samples
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, body in [("s/0001.jpg", b"IMG1"),
+                           ("s/0001.meta.json", b"{}"),
+                           ("t/0001.jpg", b"OTHERDIR"),
+                           ("noext", b"X")]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    (tmp_path / "w.tar").write_bytes(buf.getvalue())
+    rows = {r["key"]: {e: bytes(b) for e, b in r["parts"].items()}
+            for r in webdataset_samples(spark, str(tmp_path)).collect()}
+    assert rows == {
+        "s/0001": {"jpg": b"IMG1", "meta.json": b"{}"},
+        "t/0001": {"jpg": b"OTHERDIR"},
+        "noext": {"": b"X"},
+    }
