@@ -8589,3 +8589,113 @@ def source_webdataset(spark, sf_dir):
         F.aggregate(F.map_values(parts), F.lit(0),
                     lambda a, b: a + F.octet_length(b)).cast("int")
         .alias("total_bytes"))
+
+
+def _dhash_sql_cte(pred: str = "doc_id % 5 = 2") -> str:
+    """Shared replay of the dHash pipeline (used by both image-hash
+    oracles): closed-form 18x16 RGB pixels per doc (base pattern =
+    doc_id//10, per-doc perturbation column at x=8 scaled by
+    doc_id%10) → exact 2x2 integer box means per channel → integer
+    ITU-601 luma → gradient bits → signed 64-bit pack (bit 63 maps to
+    the sign contribution, keeping everything BIGINT)."""
+    return f"""
+    d AS (SELECT doc_id, doc_id // 10 AS base, doc_id % 10 AS dd
+          FROM documents WHERE {pred}),
+    px AS (SELECT doc_id,
+                  x.x AS x, y.y AS y,
+                  (base*53 + x.x*x.x*13 + y.y*29 + x.x*y.y*(base % 5)
+                   + CASE WHEN x.x = 8 THEN dd*53 ELSE 0 END) % 256
+                    AS r,
+                  (base*13 + x.x*29 + y.y*y.y*53) % 256 AS g,
+                  (base*29 + x.x*53 + y.y*13) % 256 AS bl
+           FROM d,
+                (SELECT unnest(range(0, 18)) AS x) x,
+                (SELECT unnest(range(0, 16)) AS y) y),
+    bx AS (SELECT doc_id, x // 2 AS cx, y // 2 AS cy,
+                  CAST(sum(r) AS BIGINT) // 4 AS mr,
+                  CAST(sum(g) AS BIGINT) // 4 AS mg,
+                  CAST(sum(bl) AS BIGINT) // 4 AS mb
+           FROM px GROUP BY doc_id, x // 2, y // 2),
+    lum AS (SELECT doc_id, cx, cy,
+                   (299*mr + 587*mg + 114*mb) // 1000 AS v
+            FROM bx),
+    bits AS (SELECT l.doc_id, l.cy*8 + l.cx AS pos,
+                    l.v < r.v AS bit
+             FROM lum l JOIN lum r
+               ON l.doc_id = r.doc_id AND l.cy = r.cy
+              AND r.cx = l.cx + 1
+             WHERE l.cx < 8),
+    hashes AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN NOT bit THEN 0
+                               WHEN pos = 63
+                               THEN -9223372036854775807 - 1
+                               ELSE (CAST(1 AS BIGINT) << pos)
+                               END) AS BIGINT) AS dhash
+               FROM bits GROUP BY doc_id)"""
+
+
+@query("image_dhash", f"""
+    WITH {_dhash_sql_cte()}
+    SELECT doc_id, dhash FROM hashes
+""")
+def image_dhash_q(spark, sf_dir):
+    """Perceptual image hashing (operators/imagehash.py image_dhash —
+    Krawetz dHash): every selected doc is rendered as a REAL 18x16
+    PPM (closed-form pixels: per-decade base pattern + per-doc
+    perturbation column), decoded, box-mean-shrunk to 9x8, integer-
+    luma'd and gradient-packed into the classic signed 64-bit dHash.
+    Every arithmetic step is exactly specified, so the oracle replays
+    pixels → box means → luma → bits → pack in pure SQL; a defect in
+    decode, resize, grayscale or packing breaks the hash column
+    itself."""
+    import pandas as pd
+
+    from .operators.imagehash import image_dhash
+    from .operators.multimodal import make_ppm
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                b, dd = did // 10, did % 10
+                out = bytearray()
+                for y in range(16):
+                    for x in range(18):
+                        r = (b*53 + x*x*13 + y*29 + x*y*(b % 5)
+                             + (dd*53 if x == 8 else 0)) % 256
+                        g = (b*13 + x*29 + y*y*53) % 256
+                        bl = (b*29 + x*53 + y*13) % 256
+                        out += bytes((r, g, bl))
+                rows.append((did, bytearray(make_ppm(18, 16,
+                                                     bytes(out)))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 5 == 2)
+             .select(F.col("doc_id").alias("id"))
+             .repartition(spark.sparkContext.defaultParallelism)
+             .mapInPandas(gen, schema="id long, media binary"))
+    return image_dhash(media).withColumnRenamed("id", "doc_id")
+
+
+@query("image_dedup_phash", f"""
+    WITH {_dhash_sql_cte()}
+    SELECT h1.doc_id AS a, h2.doc_id AS b,
+           CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INT) AS hamming
+    FROM hashes h1 JOIN hashes h2 ON h1.doc_id < h2.doc_id
+    WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 3
+""")
+def image_dedup_phash_q(spark, sf_dir):
+    """Image near-dup pairs (operators/imagehash.py dhash_pairs): the
+    dHashes band into 4 x 16-bit keys, a band-bucket self-join
+    generates candidates (COMPLETE for hamming <= 3 by pigeonhole —
+    no all-pairs join at any corpus size) and codegen popcount
+    verifies. The synthetic corpus makes same-decade images perturbed
+    copies (hamming <= 2) and cross-decade images far (>= 9), so the
+    pair set is exactly the within-decade cliques; the oracle checks
+    it with an explicit all-pairs hamming filter over the replayed
+    hashes — LSH recall vs ground truth, value-hashed."""
+    from .operators.imagehash import dhash_pairs
+    hashes = QUERIES["image_dhash"](spark, sf_dir)
+    return dhash_pairs(hashes, id_col="doc_id", max_hamming=3)

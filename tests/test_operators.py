@@ -3628,3 +3628,56 @@ def test_webdataset_grouping_semantics(spark, tmp_path):
         "t/0001": {"jpg": b"OTHERDIR"},
         "noext": {"": b"X"},
     }
+
+
+def test_image_dhash_invariance_and_pairs(spark):
+    """image_dhash (operators/imagehash.py): the hash is identical
+    across PPM/BMP/PNG encodings of the same pixels (decode
+    invariance), a small perturbation moves it only a few bits, a
+    different image is far, and dhash_pairs finds exactly the near
+    pair via the banded join."""
+    from bigslice_spark.operators.imagehash import (dhash_bytes,
+                                                    dhash_pairs,
+                                                    image_dhash)
+    from bigslice_spark.operators.multimodal import (make_bmp, make_png,
+                                                     make_ppm)
+
+    def pix(seed, delta=0):
+        out = bytearray()
+        for y in range(16):
+            for x in range(18):
+                r = (seed*53 + x*x*13 + y*29
+                     + (delta*53 if x == 8 else 0)) % 256
+                g = (seed*13 + x*29 + y*y*53) % 256
+                b = (seed*29 + x*53 + y*13) % 256
+                out += bytes((r, g, b))
+        return bytes(out)
+
+    base = pix(4)
+    h_ppm = dhash_bytes(make_ppm(18, 16, base))
+    assert h_ppm == dhash_bytes(make_bmp(18, 16, base))
+    assert h_ppm == dhash_bytes(make_png(18, 16, base))
+    near = dhash_bytes(make_ppm(18, 16, pix(4, delta=7)))
+    far = dhash_bytes(make_ppm(18, 16, pix(9)))
+    assert 0 <= bin(h_ppm ^ near).count("1") <= 3
+    assert bin(h_ppm ^ far).count("1") > 3
+    df = spark.createDataFrame(
+        [(1, bytearray(make_ppm(18, 16, base))),
+         (2, bytearray(make_ppm(18, 16, pix(4, delta=7)))),
+         (3, bytearray(make_ppm(18, 16, pix(9))))],
+        "id long, media binary")
+    hashes = image_dhash(df)
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in dhash_pairs(hashes).collect()}
+    assert set(got) == {(1, 2)}
+
+
+def test_dhash_pairs_plan_no_cartesian(spark):
+    """The pair stage must be a banded equi-join — no cartesian/BNL
+    node at any corpus size."""
+    from bigslice_spark.operators.imagehash import dhash_pairs
+    hashes = spark.createDataFrame(
+        [(1, 7), (2, 5)], "id long, dhash long")
+    plan = dhash_pairs(hashes)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
