@@ -65,7 +65,8 @@ _R11_NEW = (
     "audio_mfcc", "c4_filters", "text_sentences", "source_zip",
     "source_xml", "pdf_extract", "source_avro", "json_variant",
     "source_protobuf", "source_tfrecord", "source_webdataset",
-    "image_dhash", "image_dedup_phash",
+    "image_dhash", "image_dedup_phash", "audio_fingerprint",
+    "audio_dedup_fp",
     # first wave
     "audio_flac", "audio_resample", "code_detect",
     "audio_mel", "audio_pipeline", "robots_filter")

@@ -464,3 +464,52 @@ def mfcc(df: DataFrame, samples_col: str = "samples",
             acc = term if acc is None else acc + term
         out.append((acc * scale).alias(f"mfcc_{j}"))
     return m.select(*out)
+
+
+def spectral_fingerprint(df: DataFrame, samples_col: str = "samples",
+                         id_col: str = "id", frame_len: int = 64,
+                         bins: Sequence[int] = tuple(range(1, 9))
+                         ) -> DataFrame:
+    """64-bit spectral fingerprint per clip — the audio analog of the
+    image dHash (operators/imagehash.py), for audio-level near-dup
+    detection: over the first 9 frames, bit ``f*len(bins)+i`` is the
+    energy GRADIENT sign ``e_bins[i](f) < e_bins[i](f+1)`` (the
+    Haitsma-Kalker/Shazam-family sign-of-band-difference recipe, on
+    band_energy's exact-integer projections — so the whole fingerprint
+    replays in SQL bit-for-bit). 8 frame pairs x 8 bins pack into one
+    signed BIGINT; gradient signs survive level changes and mild
+    noise, so perturbed copies land within a few bits and
+    imagehash.dhash_pairs (hash_col='fp') does the banded pairing.
+
+    Contract: clips shorter than ``9*frame_len`` samples hash the
+    frames they have (missing comparisons contribute 0 bits) — clips
+    are per-row like band_energy, unique-id contract included. Pure
+    codegen: band_energy's one partial-aggregated exchange + one
+    window exchange on the 9-row-per-clip frame relation.
+    """
+    if len(bins) != 8:
+        raise ValueError("spectral_fingerprint packs 8 frame pairs x "
+                         "8 bins = 64 bits: pass exactly 8 bins")
+    from pyspark.sql import Window as W
+    e = band_energy(df, samples_col, id_col, frame_len, bins) \
+        .filter(F.col("frame") <= 8)
+    w = W.partitionBy(id_col).orderBy("frame")
+    cur = [F.col(f"e{k}") for k in bins]
+    nxt = [F.lead(f"e{k}").over(w).alias(f"__n{i}")
+           for i, k in enumerate(bins)]
+    t = (e.select(id_col, "frame", *cur, *nxt)
+         .filter(F.col("frame") <= 7)
+         .filter(F.col("__n0").isNotNull()))
+    contrib = None
+    for i, k in enumerate(bins):
+        bit = F.col(f"e{k}") < F.col(f"__n{i}")
+        # Java << wraps: shiftleft(1L, 63) IS Long.MIN_VALUE — the
+        # signed two's-complement pack, same as the SQL oracle's
+        # explicit CASE on bit 63
+        term = F.when(bit, F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(frame * 8 + {i} AS INT))")).otherwise(F.lit(0))
+        contrib = term if contrib is None else contrib + term
+    return (t.select(id_col, contrib.alias("__c"))
+            .groupBy(id_col)
+            .agg(F.sum("__c").cast("long").alias("fp")))

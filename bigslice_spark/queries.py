@@ -8699,3 +8699,93 @@ def image_dedup_phash_q(spark, sf_dir):
     from .operators.imagehash import dhash_pairs
     hashes = QUERIES["image_dhash"](spark, sf_dir)
     return dhash_pairs(hashes, id_col="doc_id", max_hamming=3)
+
+
+def _audio_fp_sql_cte(pred: str = "doc_id % 6 = 1") -> str:
+    """Shared replay of the spectral fingerprint (both audio-hash
+    oracles): closed-form 576-sample PCM per doc (base = doc_id//10,
+    per-doc perturbation on sample 5 of every frame scaled by
+    doc_id%10) → the exact-integer 8-bin DFT energies per frame →
+    frame-gradient sign bits → signed 64-bit pack."""
+    bins = tuple(range(1, 9))
+    sums, outs = _dft_sql_parts(64, bins)
+    x = ("((doc_id // 10) * 61 + 19*pos*pos + 5*pos) % 4001 - 2000 "
+         "+ CASE WHEN pos % 64 = 5 THEN (doc_id % 10) * 40 ELSE 0 END")
+    terms = []
+    for i in range(8):
+        k = bins[i]
+        shift = (f"CASE WHEN a.frame = 7 AND {i} = 7 "
+                 f"THEN -9223372036854775807 - 1 "
+                 f"ELSE CAST(1 AS BIGINT) << (a.frame * 8 + {i}) END")
+        terms.append(f"CASE WHEN a.e{k} < b.e{k} THEN {shift} "
+                     f"ELSE 0 END")
+    return f"""
+    d AS (SELECT doc_id FROM documents WHERE {pred}),
+    p AS (SELECT unnest(range(0, 576)) AS pos),
+    s AS (SELECT doc_id, pos, {x} AS x FROM d, p),
+    f AS (SELECT doc_id, pos // 64 AS frame,
+                 CAST(pos % 64 AS INT) + 1 AS i, x
+          FROM s),
+    g AS (SELECT doc_id, frame, {', '.join(sums)}
+          FROM f GROUP BY doc_id, frame),
+    e AS (SELECT doc_id, frame, {', '.join(outs)} FROM g),
+    fps AS (SELECT a.doc_id,
+                   CAST(sum({' + '.join(terms)}) AS BIGINT) AS fp
+            FROM e a JOIN e b
+              ON a.doc_id = b.doc_id AND b.frame = a.frame + 1
+            WHERE a.frame <= 7
+            GROUP BY a.doc_id)"""
+
+
+@query("audio_fingerprint", f"""
+    WITH {_audio_fp_sql_cte()}
+    SELECT doc_id, fp FROM fps
+""")
+def audio_fingerprint_q(spark, sf_dir):
+    """Spectral fingerprinting (operators/audio.py
+    spectral_fingerprint — the Haitsma-Kalker sign-of-band-gradient
+    recipe over the exact-integer DFT): 9 frames x 8 bins → 64
+    gradient-sign bits → one signed BIGINT per clip, entirely in
+    codegen (band_energy's partial-agg exchange + one window). The
+    clip corpus makes same-decade docs perturbed copies of one
+    signal; the oracle replays PCM → energies → gradient bits → pack
+    and hashes the fingerprint column itself."""
+    from .operators.audio import spectral_fingerprint
+    _, t = _s(spark, sf_dir)
+    d = F.col("doc_id")
+    idx = F.sequence(F.lit(0), F.lit(575))
+    clips = (t["documents"].filter(d % 6 == 1)
+             .select(d.alias("id"),
+                     F.transform(
+                         idx,
+                         lambda i: (((d / 10).cast("long") * 61
+                                     + 19 * i * i + 5 * i) % 4001
+                                    - 2000
+                                    + F.when(i % 64 == 5,
+                                             (d % 10) * 40)
+                                    .otherwise(F.lit(0))).cast("int"))
+                     .alias("samples")))
+    out = spectral_fingerprint(clips, frame_len=64)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+@query("audio_dedup_fp", f"""
+    WITH {_audio_fp_sql_cte()}
+    SELECT h1.doc_id AS a, h2.doc_id AS b,
+           CAST(bit_count(xor(h1.fp, h2.fp)) AS INT) AS hamming
+    FROM fps h1 JOIN fps h2 ON h1.doc_id < h2.doc_id
+    WHERE bit_count(xor(h1.fp, h2.fp)) <= 3
+""")
+def audio_dedup_fp_q(spark, sf_dir):
+    """Audio near-dup pairs: the spectral fingerprints reuse the SAME
+    banded hamming machinery as images (imagehash.dhash_pairs,
+    hash_col='fp' — complete for hamming <= 3 by pigeonhole, no
+    all-pairs join); perturbed same-decade clips pair up (measured
+    <= 3 bits apart), unrelated clips stay far (>= 9). The oracle is
+    the explicit all-pairs ground truth over the replayed
+    fingerprints — LSH recall, value-hashed (the image_dedup_phash
+    contract, audio edition)."""
+    from .operators.imagehash import dhash_pairs
+    fps = QUERIES["audio_fingerprint"](spark, sf_dir)
+    return dhash_pairs(fps, id_col="doc_id", hash_col="fp",
+                       max_hamming=3)

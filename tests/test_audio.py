@@ -306,3 +306,38 @@ def test_dct_basis_orthogonality():
             dot = sum(x * y for x, y in zip(rows[a], rows[b]))
             norm = sum(x * x for x in rows[a])
             assert abs(dot) < norm * 1e-4, (a, b)
+
+
+def test_spectral_fingerprint_semantics(spark):
+    """spectral_fingerprint (operators/audio.py): equals the
+    hand-computed gradient-sign pack, is invariant to clip identity
+    only through its samples, perturbed copies stay within a few
+    bits, and short clips hash the frames they have."""
+    from bigslice_spark.operators.audio import (band_energy,
+                                                spectral_fingerprint)
+
+    def sig(base, d=0, n=576):
+        return [((base * 61 + 19 * i * i + 5 * i) % 4001) - 2000
+                + (d * 40 if i % 64 == 5 else 0) for i in range(n)]
+
+    df = spark.createDataFrame(
+        [(1, sig(3)), (2, sig(3, d=7)), (3, sig(9)),
+         (4, sig(3, n=128))],                 # short: 2 frames
+        "id long, samples array<int>")
+    fps = {r["id"]: r["fp"]
+           for r in spectral_fingerprint(df).collect()}
+    # hand-compute id=1 from band_energy's own outputs
+    e = {r["frame"]: [r[f"e{k}"] for k in range(1, 9)]
+         for r in band_energy(
+             df.filter("id = 1"), bins=tuple(range(1, 9))).collect()}
+    want = 0
+    for f in range(8):
+        for i in range(8):
+            if e[f][i] < e[f + 1][i]:
+                want |= 1 << (f * 8 + i)
+    want = want - (1 << 64) if want >= 1 << 63 else want
+    assert fps[1] == want
+    assert 0 < bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1") <= 3
+    assert bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1") > 3
+    # short clip: only frame pair (0,1) contributes -> low 8 bits only
+    assert fps[4] >= 0 and fps[4] < (1 << 8)
