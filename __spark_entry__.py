@@ -66,7 +66,7 @@ _R11_NEW = (
     "source_xml", "pdf_extract", "source_avro", "json_variant",
     "source_protobuf", "source_tfrecord", "source_webdataset",
     "image_dhash", "image_dedup_phash", "audio_fingerprint",
-    "audio_dedup_fp",
+    "audio_dedup_fp", "video_dhash", "video_dedup",
     # first wave
     "audio_flac", "audio_resample", "code_detect",
     "audio_mel", "audio_pipeline", "robots_filter")

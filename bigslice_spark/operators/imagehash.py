@@ -41,10 +41,10 @@ from pyspark.sql import functions as F
 from .multimodal import decode_image, resize_rgb
 
 
-def dhash_bytes(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
-    """One image blob → signed 64-bit dHash (pure Python core, shared
-    by the operator and the tests)."""
-    w, h, raster = decode_image(blob)
+def dhash_raster(raster: bytes, w: int, h: int, hash_w: int = 8,
+                 hash_h: int = 8) -> int:
+    """One decoded w*h*3 RGB raster → signed 64-bit dHash (pure
+    Python core, shared by the image/video operators and the tests)."""
     small = resize_rgb(raster, w, h, hash_w + 1, hash_h)
     gray = []
     for i in range(0, len(small), 3):
@@ -57,6 +57,12 @@ def dhash_bytes(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
             if gray[row + x] < gray[row + x + 1]:
                 bits |= 1 << (y * hash_w + x)
     return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def dhash_bytes(blob: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
+    """One image blob → signed 64-bit dHash."""
+    w, h, raster = decode_image(blob)
+    return dhash_raster(raster, w, h, hash_w, hash_h)
 
 
 def image_dhash(df: DataFrame, media_col: str = "media",
@@ -118,3 +124,64 @@ def dhash_pairs(hashes: DataFrame, id_col: str = "id",
                 F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
             .distinct())
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def video_dhash(df: DataFrame, media_col: str = "media",
+                id_col: str = "id", width: int = 0, height: int = 0,
+                every_n: int = 1) -> DataFrame:
+    """(id_col, frame_idx, dhash): the perceptual hash of every
+    ``every_n``-th REAL decoded frame of each video blob (animated
+    GIF composition / MJPEG-in-MP4 demux+decode — multimodal.py
+    frame_sample fake=False). ``width``/``height`` are the frame
+    dimensions (frame_sample emits raw rasters; the corpus contract
+    is uniform frame geometry per call — mixed-geometry corpora
+    partition by geometry first). One Arrow pass for decode, plain
+    Python core per raster."""
+    import pandas as pd
+
+    from .multimodal import frame_sample
+    if width <= 0 or height <= 0:
+        raise ValueError("video_dhash needs the frame geometry "
+                         "(width/height of the decoded rasters)")
+    frames = frame_sample(
+        df.select(F.col(id_col).alias("id"), F.col(media_col)
+                  .alias("media")), every_n=every_n, fake=False)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def hsh(batches):
+        for pdf in batches:
+            rows = []
+            for rid, idx, raster in zip(pdf["id"], pdf["frame_idx"],
+                                        pdf["frame"]):
+                raster = bytes(raster)
+                if len(raster) != width * height * 3:
+                    raise ValueError(
+                        f"frame of {len(raster)} bytes does not match "
+                        f"the declared {width}x{height} geometry")
+                rows.append((rid, int(idx),
+                             dhash_raster(raster, width, height)))
+            yield pd.DataFrame(rows,
+                               columns=["id", "frame_idx", "dhash"])
+
+    out = frames.mapInPandas(
+        hsh, schema=f"id {id_type}, frame_idx int, dhash long")
+    return out.withColumnRenamed("id", id_col) if id_col != "id" else out
+
+
+def video_pairs(frame_hashes: DataFrame, id_col: str = "id",
+                min_shared: int = 3) -> DataFrame:
+    """Near-duplicate video pairs (a, b, shared_frames): clips whose
+    same-position frames hash EQUAL at >= ``min_shared`` positions —
+    re-encoded/trimmed-tail copies share almost every frame hash,
+    unrelated clips share none (measured 0 across the synthetic
+    corpus). Equi-join on (frame_idx, dhash) + count: no all-pairs
+    join, no Python."""
+    a = frame_hashes.select(F.col(id_col).alias("a"),
+                            "frame_idx", "dhash")
+    b = frame_hashes.select(F.col(id_col).alias("b"),
+                            "frame_idx", "dhash")
+    return (a.join(b, on=["frame_idx", "dhash"])
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("shared_frames"))
+            .filter(F.col("shared_frames") >= min_shared))

@@ -8789,3 +8789,118 @@ def audio_dedup_fp_q(spark, sf_dir):
     fps = QUERIES["audio_fingerprint"](spark, sf_dir)
     return dhash_pairs(fps, id_col="doc_id", hash_col="fp",
                        max_hamming=3)
+
+
+def _video_dhash_cte(pred: str = "doc_id % 7 = 3") -> str:
+    """Shared replay of the video-frame dHash pipeline (both video
+    oracles): closed-form 24-color palette rasters per (doc, frame) —
+    4 frames, base pattern = doc_id//10, frame-0 perturbation scaled
+    by doc_id%10 — → 2x2 integer box means → integer luma → gradient
+    bits → signed 64-bit pack per frame (GIF is lossless, so the
+    decoded rasters ARE the closed form)."""
+    return f"""
+    d AS (SELECT doc_id, doc_id // 10 AS base, doc_id % 10 AS dd
+          FROM documents WHERE {pred}),
+    fr AS (SELECT unnest(range(0, 4)) AS f),
+    px AS (SELECT doc_id, f, x.x AS x, y.y AS y,
+                  (x.x + 2*y.y + base*5 + f*11
+                   + CASE WHEN x.x = 8 AND f = 0
+                     THEN dd*3 ELSE 0 END) % 24 AS c
+           FROM d, fr,
+                (SELECT unnest(range(0, 18)) AS x) x,
+                (SELECT unnest(range(0, 16)) AS y) y),
+    rgb AS (SELECT doc_id, f, x, y,
+                   (c*37) % 256 AS r, (c*59 + 7) % 256 AS g,
+                   (c*83 + 13) % 256 AS bl
+            FROM px),
+    bx AS (SELECT doc_id, f, x // 2 AS cx, y // 2 AS cy,
+                  CAST(sum(r) AS BIGINT) // 4 AS mr,
+                  CAST(sum(g) AS BIGINT) // 4 AS mg,
+                  CAST(sum(bl) AS BIGINT) // 4 AS mb
+           FROM rgb GROUP BY doc_id, f, x // 2, y // 2),
+    lum AS (SELECT doc_id, f, cx, cy,
+                   (299*mr + 587*mg + 114*mb) // 1000 AS v
+            FROM bx),
+    bits AS (SELECT l.doc_id, l.f, l.cy*8 + l.cx AS pos,
+                    l.v < r.v AS bit
+             FROM lum l JOIN lum r
+               ON l.doc_id = r.doc_id AND l.f = r.f
+              AND l.cy = r.cy AND r.cx = l.cx + 1
+             WHERE l.cx < 8),
+    vhashes AS (SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                       CAST(sum(CASE WHEN NOT bit THEN 0
+                                WHEN pos = 63
+                                THEN -9223372036854775807 - 1
+                                ELSE (CAST(1 AS BIGINT) << pos)
+                                END) AS BIGINT) AS dhash
+                FROM bits GROUP BY doc_id, f)"""
+
+
+@query("video_dhash", f"""
+    WITH {_video_dhash_cte()}
+    SELECT doc_id, frame_idx, dhash FROM vhashes
+""")
+def video_dhash_q(spark, sf_dir):
+    """Per-frame video hashing (operators/imagehash.py video_dhash):
+    each doc becomes a REAL 4-frame animated GIF (24-color closed-form
+    rasters; GIF is lossless so decode returns the exact pixels),
+    frame_sample(fake=False) composites the frames and every raster
+    gets the 64-bit dHash. The oracle replays pixels → box means →
+    luma → pack per (doc, frame) — decode, composition, geometry and
+    hashing all gate one value-hash."""
+    import pandas as pd
+
+    from .operators.gif import make_gif
+    from .operators.imagehash import video_dhash
+    _, t = _s(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["id"]:
+                did = int(did)
+                base, dd = did // 10, did % 10
+                frames = []
+                for f in range(4):
+                    out = bytearray()
+                    for y in range(16):
+                        for x in range(18):
+                            c = (x + 2*y + base*5 + f*11
+                                 + (dd*3 if x == 8 and f == 0
+                                    else 0)) % 24
+                            out += bytes(((c*37) % 256,
+                                          (c*59 + 7) % 256,
+                                          (c*83 + 13) % 256))
+                    frames.append(bytes(out))
+                rows.append((did, bytearray(make_gif(18, 16, frames))))
+            yield pd.DataFrame(rows, columns=["id", "media"])
+
+    media = (t["documents"].filter(F.col("doc_id") % 7 == 3)
+             .select(F.col("doc_id").alias("id"))
+             .repartition(spark.sparkContext.defaultParallelism)
+             .mapInPandas(gen, schema="id long, media binary"))
+    return video_dhash(media, width=18, height=16) \
+        .withColumnRenamed("id", "doc_id")
+
+
+@query("video_dedup", f"""
+    WITH {_video_dhash_cte()}
+    SELECT h1.doc_id AS a, h2.doc_id AS b,
+           CAST(count(*) AS BIGINT) AS shared_frames
+    FROM vhashes h1 JOIN vhashes h2
+      ON h1.frame_idx = h2.frame_idx AND h1.dhash = h2.dhash
+     AND h1.doc_id < h2.doc_id
+    GROUP BY h1.doc_id, h2.doc_id
+    HAVING count(*) >= 3
+""")
+def video_dedup_q(spark, sf_dir):
+    """Video near-dup pairs (operators/imagehash.py video_pairs):
+    clips pair when >= 3 of their 4 same-position frame hashes match
+    exactly — same-decade clips share frames 1-3 by construction
+    (only frame 0 carries the per-doc perturbation), cross-decade
+    clips share none (measured 0). Equi-join on (frame_idx, dhash) +
+    count — no all-pairs join at any corpus size. The perceptual
+    dedup family now covers text, images, audio AND video."""
+    from .operators.imagehash import video_pairs
+    frames = QUERIES["video_dhash"](spark, sf_dir)
+    return video_pairs(frames, id_col="doc_id", min_shared=3)

