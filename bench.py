@@ -89,6 +89,12 @@ HEADLINE = [
     "audio_mfcc",
     "pdf_extract",
     "json_variant",
+    # the perceptual-dedup family (data-scale media synthesis +
+    # hash + pair join; the format-fixture sources are metadata-scale
+    # and stay out of the headline list)
+    "image_dedup_phash",
+    "audio_fingerprint",
+    "video_dedup",
 ]
 
 

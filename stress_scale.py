@@ -146,6 +146,42 @@ def main():
     audio_path_stress(spark)
     ivf_cell_scaling(spark, t)
     hot_bucket_stress(spark)
+    perceptual_pair_stress(spark)
+
+
+def perceptual_pair_stress(spark):
+    """dhash_pairs (the image/audio perceptual pairing) at growing
+    hash counts: the banded self-join's candidate volume is driven by
+    16-bit band collisions — at N hashes, ~4·N²/2^16 random
+    collisions — so the curve answers whether the pairing survives a
+    corpus where the HASH TABLE no longer fits a broadcast. Hashes
+    are synthetic xxhash64 values (uniform, worst-case collision
+    profile) with one planted near-dup per 1000 ids."""
+    import time as _t
+
+    import pyspark.sql.functions as F
+    from bigslice_spark.operators.imagehash import dhash_pairs
+
+    for n in (100_000, 400_000, 1_600_000):
+        base = spark.range(n).select(
+            F.col("id"), F.xxhash64(F.col("id")).alias("dhash"))
+        # planted copies: id -> id + n, hash differs in bit 3 only
+        dups = (spark.range(n // 1000)
+                .select((F.col("id") * 1000).alias("src"))
+                .join(base, F.col("src") == F.col("id"))
+                .select((F.col("id") + n).alias("id"),
+                        F.col("dhash").bitwiseXOR(F.lit(8))
+                        .alias("dhash")))
+        hashes = base.unionByName(dups).localCheckpoint()
+        walls = []
+        for _ in range(4):
+            t0 = _t.time()
+            dhash_pairs(hashes).write.mode("overwrite")                 .format("noop").save()
+            walls.append(round(_t.time() - t0, 2))
+        import json as _j
+        print(_j.dumps({"op": "dhash_pairs", "n_hashes": n + n // 1000,
+                        "sec": sorted(walls[1:])[1],
+                        "cold_sec": walls[0]}), flush=True)
 
 
 def audio_path_stress(spark):
