@@ -86,3 +86,87 @@ def demo_weights(spark, dim: int = 1024) -> DataFrame:
     return r.select("feature",
                     ((F.pmod(h, F.lit(2001)) - 1000) / F.lit(1024.0))
                     .alias("weight"))
+
+
+def eval_thresholds(df: DataFrame, score_col: str = "score",
+                    label_col: str = "label",
+                    thresholds: tuple = (0.3, 0.5, 0.7)) -> DataFrame:
+    """Classifier PR battery: one row per threshold with exact integer
+    confusion counts (predicted positive = score >= t) and
+    precision/recall/f1 derived from those ints — both engines divide
+    the same integers, so the doubles replay bitwise. ONE conditional
+    aggregation pass over the scores (no per-threshold scans): the
+    data_checks shape. Empty classes yield NULL ratios (0/0), never a
+    fake 0."""
+    s, y = F.col(score_col), F.col(label_col)
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = s >= F.lit(float(t))
+        aggs += [
+            F.sum((pred & (y == 1)).cast("long")).alias(f"tp{i}"),
+            F.sum((pred & (y == 0)).cast("long")).alias(f"fp{i}"),
+            F.sum((~pred & (y == 1)).cast("long")).alias(f"fn{i}"),
+            F.sum((~pred & (y == 0)).cast("long")).alias(f"tn{i}"),
+        ]
+    g = df.agg(*aggs)
+    rows = []
+    for i, t in enumerate(thresholds):
+        tp, fp = F.col(f"tp{i}"), F.col(f"fp{i}")
+        fn, tn = F.col(f"fn{i}"), F.col(f"tn{i}")
+        # explicit 0-denominator guards: ANSI mode (Spark 4 default)
+        # raises on x/0, and the contract is NULL for 0/0
+        prec = F.when(tp + fp > 0,
+                      tp.cast("double") / (tp + fp).cast("double"))
+        rec = F.when(tp + fn > 0,
+                     tp.cast("double") / (tp + fn).cast("double"))
+        f1 = F.when(2 * tp + fp + fn > 0,
+                    F.lit(2.0) * tp.cast("double")
+                    / (F.lit(2.0) * tp + fp + fn).cast("double"))
+        rows.append(F.struct(
+            F.lit(float(t)).alias("threshold"),
+            tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+            tn.alias("tn"), prec.alias("precision"),
+            rec.alias("recall"), f1.alias("f1")))
+    return (g.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))
+
+
+def exact_auc(df: DataFrame, score_col: str = "score",
+              label_col: str = "label") -> DataFrame:
+    """Exact ROC-AUC as an INTEGER rational via the tie-aware
+    Mann-Whitney statistic: with midranks over ascending score,
+    AUC = (Σ_pos midrank − n_pos(n_pos+1)/2) / (n_pos·n_neg).
+    Midranks are kept doubled (2·midrank = 2·rank + ties − 1, an
+    integer), so the returned ``auc_num``/``auc_den`` are exact int64
+    and ``auc`` is the one engine-identical division. One global rank
+    over DISTINCT scores (two-level: rank the distinct-score relation,
+    join back — never a single-partition window over the corpus) plus
+    one aggregation."""
+    from .packing import global_prefix_sum
+    s, y = F.col(score_col), F.col(label_col)
+    per_score = (df.groupBy(s.alias("__s"))
+                 .agg(F.count(F.lit(1)).alias("__cnt"),
+                      F.sum((y == 1).cast("long")).alias("__np")))
+    # running count of rows BEFORE each distinct score — the two-level
+    # distributed prefix sum (packing.py), never a single-partition
+    # window: the distinct-score relation is data-scale for
+    # continuous scores
+    ranked = global_prefix_sum(per_score, ["__s"], F.col("__cnt"),
+                               "__before")
+    # doubled midrank shared by every row of this score:
+    # 2*(first rank) + ties - 1 = 2*(__before+1) + __cnt - 1
+    dbl_mid = 2 * (F.col("__before") + 1) + F.col("__cnt") - 1
+    agg = ranked.agg(
+        F.sum(F.col("__np") * dbl_mid).alias("__2sum"),
+        F.sum("__np").alias("__npos"),
+        F.sum(F.col("__cnt") - F.col("__np")).alias("__nneg"))
+    np_, nn = F.col("__npos"), F.col("__nneg")
+    counted = agg.select(
+        np_.alias("n_pos"), nn.alias("n_neg"),
+        (F.col("__2sum") - np_ * (np_ + 1)).alias("auc_num"),
+        (2 * np_ * nn).alias("auc_den"))
+    return counted.select(
+        "n_pos", "n_neg", "auc_num", "auc_den",
+        F.when(F.col("auc_den") > 0,
+               F.col("auc_num").cast("double")
+               / F.col("auc_den").cast("double")).alias("auc"))

@@ -8904,3 +8904,101 @@ def video_dedup_q(spark, sf_dir):
     from .operators.imagehash import video_pairs
     frames = QUERIES["video_dhash"](spark, sf_dir)
     return video_pairs(frames, id_col="doc_id", min_shared=3)
+
+
+_EVAL_SCORED = """
+      SELECT doc_id,
+             CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0 AS score,
+             CASE WHEN (doc_id * 53) % 100
+                  < 40 + ((doc_id * 37) % 100) // 2
+                  THEN 1 ELSE 0 END AS label
+      FROM documents"""
+
+
+@query("classifier_eval", f"""
+    WITH scored AS ({_EVAL_SCORED}),
+    g AS (SELECT
+        CAST(sum(CASE WHEN score >= 0.3 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp0,
+        CAST(sum(CASE WHEN score >= 0.3 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp0,
+        CAST(sum(CASE WHEN score < 0.3 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn0,
+        CAST(sum(CASE WHEN score < 0.3 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn0,
+        CAST(sum(CASE WHEN score >= 0.5 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp1,
+        CAST(sum(CASE WHEN score >= 0.5 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp1,
+        CAST(sum(CASE WHEN score < 0.5 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn1,
+        CAST(sum(CASE WHEN score < 0.5 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn1,
+        CAST(sum(CASE WHEN score >= 0.7 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp2,
+        CAST(sum(CASE WHEN score >= 0.7 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp2,
+        CAST(sum(CASE WHEN score < 0.7 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn2,
+        CAST(sum(CASE WHEN score < 0.7 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn2
+      FROM scored),
+    rows_out AS (
+      SELECT CAST(0.3 AS DOUBLE) AS threshold, tp0 AS tp, fp0 AS fp,
+             fn0 AS fn, tn0 AS tn FROM g
+      UNION ALL
+      SELECT CAST(0.5 AS DOUBLE), tp1, fp1, fn1, tn1 FROM g
+      UNION ALL
+      SELECT CAST(0.7 AS DOUBLE), tp2, fp2, fn2, tn2 FROM g)
+    SELECT threshold, tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+           2.0 * CAST(tp AS DOUBLE)
+             / CAST(2 * tp + fp + fn AS DOUBLE) AS f1
+    FROM rows_out
+""")
+def classifier_eval_q(spark, sf_dir):
+    """Classifier PR battery (operators/classify.py eval_thresholds —
+    the eval loop every quality-classifier pipeline runs before
+    picking its filter cut): exact integer confusion counts at three
+    thresholds in ONE conditional-aggregation pass, with
+    precision/recall/f1 derived from the same integers on both
+    engines. Scores/labels are deterministic correlated expressions
+    over documents; the oracle replays counts and ratios verbatim."""
+    from .operators.classify import eval_thresholds
+    _, t = _s(spark, sf_dir)
+    d = F.col("doc_id")
+    scored = t["documents"].select(
+        (((d * 37) % 100).cast("double") / 100.0).alias("score"),
+        F.when((d * 53) % 100 < 40 + F.floor(((d * 37) % 100) / 2),
+               1).otherwise(0).alias("label"))
+    return eval_thresholds(scored, thresholds=(0.3, 0.5, 0.7))
+
+
+@query("classifier_auc", f"""
+    WITH scored AS ({_EVAL_SCORED}),
+    per AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(label) AS BIGINT) AS np
+            FROM scored GROUP BY score),
+    ranked AS (SELECT score, cnt, np,
+                      CAST(coalesce(sum(cnt) OVER
+                           (ORDER BY score ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                        AS before
+               FROM per),
+    agg AS (SELECT CAST(sum(np * (2 * (before + 1) + cnt - 1))
+                        AS BIGINT) AS s2,
+                   CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(cnt - np) AS BIGINT) AS n_neg
+            FROM ranked)
+    SELECT n_pos, n_neg,
+           s2 - n_pos * (n_pos + 1) AS auc_num,
+           2 * n_pos * n_neg AS auc_den,
+           CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM agg
+""")
+def classifier_auc_q(spark, sf_dir):
+    """Exact ROC-AUC (operators/classify.py exact_auc): the tie-aware
+    Mann-Whitney statistic over midranks, computed as an exact int64
+    rational (auc_num/auc_den) with the running rank from the
+    two-level distributed prefix sum (packing.global_prefix_sum) —
+    never a corpus-scale single-partition window. Validated against
+    all-pairs counting in tests; the oracle replays midranks and the
+    rational in SQL."""
+    from .operators.classify import exact_auc
+    _, t = _s(spark, sf_dir)
+    d = F.col("doc_id")
+    scored = t["documents"].select(
+        (((d * 37) % 100).cast("double") / 100.0).alias("score"),
+        F.when((d * 53) % 100 < 40 + F.floor(((d * 37) % 100) / 2),
+               1).otherwise(0).alias("label"))
+    return exact_auc(scored)

@@ -3718,3 +3718,44 @@ def test_video_dhash_and_pairs(spark):
     assert pairs == {(1, 2): 3}
     with _pytest.raises(Exception, match="geometry"):
         video_dhash(df, width=8, height=8).collect()
+
+
+def test_exact_auc_matches_pair_counting(spark):
+    """exact_auc (operators/classify.py): the midrank rational equals
+    all-pairs tie-aware counting (0.5 per tied pair), perfect and
+    inverted orderings hit 1.0/0.0, and the num/den ints divide to
+    the reported double exactly."""
+    import random
+
+    from bigslice_spark.operators.classify import exact_auc
+    random.seed(11)
+    rows = [(random.choice([0.1, 0.2, 0.5, 0.5, 0.8]),
+             random.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = exact_auc(df).collect()[0]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    ref = sum(1.0 if p > n else 0.5 if p == n else 0.0
+              for p in pos for n in neg) / (len(pos) * len(neg))
+    assert r["auc"] == r["auc_num"] / r["auc_den"] == ref
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)],
+        "score double, label int")
+    assert exact_auc(perfect).collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1), (0.9, 0)], "score double, label int")
+    assert exact_auc(inverted).collect()[0]["auc"] == 0.0
+
+
+def test_eval_thresholds_empty_class_nulls(spark):
+    """0/0 ratios surface as NULL, never a fake number."""
+    from bigslice_spark.operators.classify import eval_thresholds
+    df = spark.createDataFrame([(0.9, 1), (0.8, 1)],
+                               "score double, label int")
+    rows = {r["threshold"]: r
+            for r in eval_thresholds(df, thresholds=(0.5,)).collect()}
+    r = rows[0.5]
+    assert r["tp"] == 2 and r["fp"] == 0 and r["tn"] == 0
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+    high = eval_thresholds(df, thresholds=(0.95,)).collect()[0]
+    assert high["tp"] == 0 and high["precision"] is None
