@@ -67,7 +67,7 @@ _R11_NEW = (
     "source_protobuf", "source_tfrecord", "source_webdataset",
     "image_dhash", "image_dedup_phash", "audio_fingerprint",
     "audio_dedup_fp", "video_dhash", "video_dedup",
-    "classifier_eval", "classifier_auc",
+    "classifier_eval", "classifier_auc", "source_arrow_ipc",
     # first wave
     "audio_flac", "audio_resample", "code_detect",
     "audio_mel", "audio_pipeline", "robots_filter")

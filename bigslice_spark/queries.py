@@ -9002,3 +9002,45 @@ def classifier_auc_q(spark, sf_dir):
         F.when((d * 53) % 100 < 40 + F.floor(((d * 37) % 100) / 2),
                1).otherwise(0).alias("label"))
     return exact_auc(scored)
+
+
+@query("source_arrow_ipc", """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def source_arrow_ipc(spark, sf_dir):
+    """Arrow IPC / Feather-v2 source (sources/arrow_ipc_reader): the
+    Arrow-ecosystem interchange format (Feather, Polars, Ray) —
+    nation is written as REAL .arrow files (two files, multiple
+    record batches each) and read back through pyarrow's zero-copy
+    file reader with the DDL pinned and name-checked; the oracle
+    checks losslessness against the parquet original (seventh
+    format)."""
+    import io
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from .sources import arrow_ipc_reader
+    _, t = _s(spark, sf_dir)
+    rows = [(int(r[0]), str(r[1]), int(r[2])) for r in
+            t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+            .collect()]                    # 25 rows: metadata-scale
+    schema = pa.schema([("n_nationkey", pa.int64()),
+                        ("n_name", pa.string()),
+                        ("n_regionkey", pa.int64())])
+    d = tempfile.mkdtemp(prefix="bsq_arrow_")
+    half = len(rows) // 2
+    for fname, chunk in (("a.arrow", rows[:half]),
+                         ("b.arrow", rows[half:])):
+        buf = io.BytesIO()
+        with pa.ipc.new_file(buf, schema) as w:
+            for at in range(0, len(chunk), 7):   # multi-batch files
+                part = chunk[at:at + 7]
+                w.write_batch(pa.record_batch(
+                    [pa.array([r[i] for r in part])
+                     for i in range(3)], schema=schema))
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(buf.getvalue())
+    return arrow_ipc_reader(
+        spark, d, "n_nationkey long, n_name string, n_regionkey long")

@@ -185,6 +185,41 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def arrow_ipc_reader(spark: SparkSession, path: str,
+                     schema: str) -> DataFrame:
+    """Arrow IPC files (the Feather v2 on-disk format — record
+    batches + footer) under ``path`` as rows: pyarrow opens each blob
+    zero-copy, batches concatenate per file, and the PINNED Spark DDL
+    is checked by field name/order against the file schema. The
+    interchange format of the Arrow ecosystem (Feather, Polars, Ray
+    datasets); file-granular parallelism like the other container
+    sources. Streaming-IPC blobs (no footer) and schema drift raise."""
+    import io
+
+    import pyarrow as pa
+
+    raw = spark.read.format("binaryFile")         .option("pathGlobFilter", "*.arrow").load(path)
+    want = [c.strip().split()[0] for c in schema.split(",")]
+
+    def unpack(batches):
+        import pandas as pd
+        for pdf in batches:
+            frames = []
+            for apath, content in zip(pdf["path"], pdf["content"]):
+                rd = pa.ipc.open_file(io.BytesIO(bytes(content)))
+                tbl = rd.read_all()
+                names = [f.name for f in tbl.schema]
+                if names != want:
+                    raise ValueError(
+                        f"arrow_ipc: {apath} schema fields {names} "
+                        f"!= pinned {want}")
+                frames.append(tbl.to_pandas())
+            yield (pd.concat(frames) if frames
+                   else pd.DataFrame(columns=want))
+
+    return raw.select("path", "content").mapInPandas(unpack, schema)
+
+
 def read_xml(spark: SparkSession, path: str, row_tag: str,
              schema: str) -> DataFrame:
     """XML source (Spark 4 native reader — spark-xml folded into core):
