@@ -9044,3 +9044,184 @@ def source_arrow_ipc(spark, sf_dir):
             f.write(buf.getvalue())
     return arrow_ipc_reader(
         spark, d, "n_nationkey long, n_name string, n_regionkey long")
+
+
+_UNI_PAIRED = (r"SELECT doc_id, regexp_replace(text, "
+               r"'(\S+) (\S+)( |$)', '\1\2\3', 'g') AS text "
+               r"FROM documents")
+
+
+def _unigram_base_ctes(seed_top: int = 200, max_piece: int = 4,
+                       max_word_len: int = 16) -> str:
+    """corpus → wc (capped word counts) → seed (piece counts):
+    the shared head of both unigram oracles. Word-pairing is the
+    entries' codegen synthesis (compounds give the segmenter real
+    work on this single-word corpus)."""
+    return f"""
+    corpus AS ({_UNI_PAIRED}),
+    wc AS MATERIALIZED (
+      SELECT word, n FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                       '\\s+'),
+                                    t -> t <> '')) AS word
+          FROM corpus)
+        WHERE length(word) <= {max_word_len}
+        GROUP BY word HAVING count(*) >= 2)
+      ORDER BY n DESC, word LIMIT 65536),
+    subs AS (
+      SELECT substring(w.word, i.i, l.l) AS piece, w.n
+      FROM wc w,
+           (SELECT unnest(range(1, {max_word_len + 1})) AS i) i,
+           (SELECT unnest(range(1, {max_piece + 1})) AS l) l
+      WHERE i.i + l.l - 1 <= length(w.word)),
+    pc AS MATERIALIZED (
+      SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+      FROM subs GROUP BY piece),
+    seed AS MATERIALIZED (
+      SELECT piece, cnt FROM pc WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM pc WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {seed_top}))"""
+
+
+def _unigram_dp_ctes(words_rel: str, vocab_rel: str,
+                     max_piece: int = 4,
+                     max_word_len: int = 16) -> str:
+    """The Viterbi chain over ``words_rel`` (word, n) under
+    ``vocab_rel`` (piece, cnt): candidate splits join the vocabulary,
+    D{{j}} accumulates best (score, backpointer) per position with
+    the exact integer objective -(pieces<<40)+Σcnt and smallest-i
+    tiebreak, then sp{{k}} CTEs trace the path back emitting pieces —
+    ``segp`` = (word, n, piece) one row per used piece."""
+    big = 1 << 40
+    ctes = [f"""cand AS MATERIALIZED (
+      SELECT w.word, i.i - 1 AS i0, i.i + l.l - 1 AS j1, v.cnt
+      FROM {words_rel} w,
+           (SELECT unnest(range(1, {max_word_len + 1})) AS i) i,
+           (SELECT unnest(range(1, {max_piece + 1})) AS l) l
+      JOIN {vocab_rel} v
+        ON v.piece = substring(w.word, i.i, l.l)
+      WHERE i.i + l.l - 1 <= length(w.word))""",
+            f"""d0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT)
+                       AS best, 0 AS bi FROM {words_rel})""",
+            "dd0 AS (SELECT * FROM d0)"]
+    for j in range(1, max_word_len + 1):
+        ctes.append(f"""s{j} AS (
+      SELECT c.word, c.i0 AS i, p.best - {big} + c.cnt AS sc
+      FROM cand c JOIN dd{j - 1} p
+        ON p.word = c.word AND p.pos = c.i0
+      WHERE c.j1 = {j})""")
+        ctes.append(f"""d{j} AS (
+      SELECT word, {j} AS pos, sc AS best, i AS bi FROM (
+        SELECT word, i, sc,
+               row_number() OVER (PARTITION BY word
+                                  ORDER BY sc DESC, i ASC) AS rn
+        FROM s{j}) WHERE rn = 1)""")
+        ctes.append(f"""dd{j} AS MATERIALIZED (
+      SELECT * FROM dd{j - 1} UNION ALL SELECT * FROM d{j})""")
+    D = f"dd{max_word_len}"
+    ctes.append(f"""sp0 AS (SELECT word, n, length(word) AS j
+                            FROM {words_rel})""")
+    emits = []
+    for k in range(1, max_word_len + 1):
+        ctes.append(f"""e{k} AS MATERIALIZED (
+      SELECT c.word, c.n, d.bi, c.j
+      FROM sp{k - 1} c JOIN {D} d
+        ON d.word = c.word AND d.pos = c.j
+      WHERE c.j > 0)""")
+        ctes.append(f"""sp{k} AS (SELECT word, n, bi AS j
+                                  FROM e{k})""")
+        emits.append(f"SELECT word, n, substring(word, bi + 1, "
+                     f"j - bi) AS piece FROM e{k}")
+    ctes.append("segp AS MATERIALIZED (\n      "
+                + "\n      UNION ALL ".join(emits) + ")")
+    return ",\n    ".join(ctes)
+
+
+@query("unigram_vocab", f"""
+    WITH {_unigram_base_ctes()},
+    {_unigram_dp_ctes("wc", "seed")},
+    recount AS (
+      SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+      FROM segp GROUP BY piece),
+    kept AS (
+      SELECT piece, cnt FROM recount
+      WHERE length(piece) = 1 OR cnt >= 2),
+    chars AS (
+      SELECT DISTINCT substring(w.word, i.i, 1) AS piece
+      FROM wc w, (SELECT unnest(range(1, 17)) AS i) i
+      WHERE i.i <= length(w.word))
+    SELECT piece, cnt FROM kept
+    UNION ALL
+    SELECT c.piece, CAST(0 AS BIGINT) AS cnt FROM chars c
+    WHERE NOT EXISTS (SELECT 1 FROM kept k WHERE k.piece = c.piece)
+""")
+def unigram_vocab_q(spark, sf_dir):
+    """Unigram-tokenizer training (operators/unigram.py — the
+    SentencePiece-unigram family with the repo's exactly-specified
+    integer objective: Viterbi = fewest pieces, then highest summed
+    piece count, then longest-piece tiebreak, packed as one int64):
+    adjacent words pair into compounds in codegen (the segmenter gets
+    real splitting work), the seed vocabulary counts every substring
+    distributively, and ONE hard-EM round segments the capped word
+    table and recounts. The oracle replays the whole machine in SQL —
+    seed CTEs, the 16-position cumulative DP with the same integer
+    score and tiebreak, the traceback, and the M-step recount with
+    single-char coverage — so a defect anywhere in objective,
+    tiebreak or counting breaks the vocabulary hash itself (the
+    bpe_merges contract, unigram edition)."""
+    from .operators.unigram import train_unigram
+    _, t = _s(spark, sf_dir)
+    paired = t["documents"].select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+) (\S+)( |$)",
+                         "$1$2$3").alias("text"))
+    vocab_df, _counts = train_unigram(paired, iters=1, seed_top=200)
+    return vocab_df
+
+
+@query("unigram_tokens", f"""
+    WITH {_unigram_base_ctes()},
+    dw AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                                                     '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM corpus)
+      GROUP BY word),
+    {_unigram_dp_ctes("dw", "seed")},
+    per_word AS (
+      SELECT word, CAST(count(*) AS INT) AS n_tok
+      FROM segp GROUP BY word),
+    exploded AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '\\s+'),
+                                t -> t <> '')) AS word
+      FROM corpus)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(p.n_tok) AS BIGINT) AS n_tokens
+    FROM exploded e JOIN per_word p ON p.word = e.word
+    GROUP BY e.doc_id
+""")
+def unigram_tokens_q(spark, sf_dir):
+    """Corpus-scale unigram token counting (operators/unigram.py
+    unigram_token_counts — the bpe_token_counts shape: DISTINCT words
+    segment once, counts broadcast-join back, no Python over corpus
+    rows): per-doc word and token counts under the SEED vocabulary
+    (iters=0 — the encode machine isolated from EM). The oracle runs
+    the same DP over the distinct-word relation and joins the
+    per-word piece counts back through the corpus."""
+    from .operators.unigram import (train_unigram,
+                                    unigram_token_counts)
+    _, t = _s(spark, sf_dir)
+    paired = t["documents"].select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+) (\S+)( |$)",
+                         "$1$2$3").alias("text"))
+    _vocab_df, counts = train_unigram(paired, iters=0, seed_top=200)
+    return unigram_token_counts(paired, counts)

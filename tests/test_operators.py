@@ -3759,3 +3759,64 @@ def test_eval_thresholds_empty_class_nulls(spark):
     assert r["precision"] == 1.0 and r["recall"] == 1.0
     high = eval_thresholds(df, thresholds=(0.95,)).collect()[0]
     assert high["tp"] == 0 and high["precision"] is None
+
+
+def test_unigram_viterbi_objective_vs_bruteforce():
+    """viterbi_segment (operators/unigram.py): equals exhaustive
+    search under the exact integer objective (fewest pieces, then
+    max summed count, then longest-first/smallest-i) for every word
+    up to length 8 over a small vocab."""
+    from itertools import combinations
+
+    from bigslice_spark.operators.unigram import (_NPIECE_SHIFT,
+                                                  viterbi_segment)
+    vocab = {"ab": 5, "bc": 5, "abc": 3, "cd": 9, "abcd": 1,
+             "a": 0, "b": 0, "c": 0, "d": 0}
+
+    def brute(word):
+        n = len(word)
+        best = None
+        for k in range(n):             # k split points
+            for cuts in combinations(range(1, n), k):
+                pts = [0, *cuts, n]
+                pieces = [word[pts[i]:pts[i + 1]]
+                          for i in range(len(pts) - 1)]
+                if any(len(p) > 4 or (len(p) > 1 and p not in vocab)
+                       for p in pieces):
+                    continue
+                score = (-(len(pieces) << _NPIECE_SHIFT)
+                         + sum(vocab.get(p, 0) for p in pieces))
+                # tiebreak: longest-first == lexicographically
+                # LARGEST piece-length sequence
+                key = (score, tuple(len(p) for p in pieces))
+                if best is None or key > best[0]:
+                    best = (key, pieces)
+        return best[1]
+
+    for word in ("abcd", "abcdcd", "abcabc", "dddd", "abccd",
+                 "dcba", "abcdabcd"):
+        assert viterbi_segment(word, vocab) == brute(word), word
+
+
+def test_unigram_train_and_token_counts(spark):
+    """train_unigram: EM keeps coverage (every word still segments),
+    compounds split at real word boundaries, and token counts join
+    back exactly."""
+    from bigslice_spark.operators.unigram import (train_unigram,
+                                                  unigram_token_counts,
+                                                  viterbi_segment)
+    docs = [(i, "fast scan fastscan tablekey table key")
+            for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    _vocab, counts = train_unigram(df, iters=2, seed_top=50,
+                                   min_word_count=2)
+    assert viterbi_segment("fastscan", counts) == ["fast", "scan"]
+    # 'table' exceeds max_piece=4, so the best 2-piece split under
+    # the objective is tabl+ekey (fewest pieces dominates)
+    assert viterbi_segment("tablekey", counts) == ["tabl", "ekey"]
+    tc = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+          for r in unigram_token_counts(df, counts).collect()}
+    n_tok = sum(len(viterbi_segment(w, counts))
+                for w in "fast scan fastscan tablekey table key"
+                .split())
+    assert all(v == (6, n_tok) for v in tc.values())
