@@ -95,6 +95,10 @@ HEADLINE = [
     "image_dedup_phash",
     "audio_fingerprint",
     "video_dedup",
+    # the eval + tokenizer closers (both data-scale: corpus explode /
+    # distinct-score rank)
+    "classifier_auc",
+    "unigram_tokens",
 ]
 
 

@@ -857,3 +857,32 @@ def test_source_zip_avro_single_pass_no_shuffle(spark, sf_dir):
         # once in the detail section)
         assert txt.count("MapInPandas") == 2, (name, txt[:1200])
         assert txt.count("Scan binaryFile") == 2, (name, txt[:1200])
+
+
+def test_classifier_auc_no_corpus_scale_single_partition(spark, sf_dir):
+    """exact_auc must range-partition the distinct-score relation
+    (two-level prefix sum) — the only single-partition window allowed
+    is the #partitions-rows METADATA offsets step, which operates on
+    spark_partition_id aggregates, never corpus rows."""
+    df = QUERIES["classifier_auc"](spark, sf_dir)
+    txt = explain_str(df)
+    # (the range exchange sits inside the materialize() truncation —
+    # the epoch_order gate's situation): the only SinglePartition
+    # exchanges allowed are the ~#partitions METADATA offsets step
+    # and the 1-row global final aggregate — assert neither carries
+    # the row-level distinct-score column, and the offsets broadcast
+    # is present
+    import re
+    for m in re.finditer("SinglePartition", txt):
+        node = txt[txt.rfind("\n(", 0, m.start()):m.start()]
+        assert "__s#" not in node, node
+    assert txt.count("SinglePartition") <= 2, txt[:2000]
+    assert "BroadcastExchange" in txt, txt[:1500]
+
+
+def test_unigram_tokens_broadcast_join_back(spark, sf_dir):
+    """The corpus-scale encode joins per-word counts back via
+    BROADCAST — the corpus never shuffles for the join."""
+    df = QUERIES["unigram_tokens"](spark, sf_dir)
+    txt = explain_str(df)
+    assert "BroadcastHashJoin" in txt, txt[:1500]
