@@ -10,7 +10,8 @@ gopher's integer ratio cuts): the Viterbi objective is the integer
 lexicographic triple
 
     (fewest pieces,  then highest summed piece count,
-     then longest-first pieces)
+     then longest-FINAL piece — recursively, the lexicographically
+     largest reversed piece-length sequence)
 
 packed as one int64 score ``-(n_pieces << 40) + Σ count(piece)`` with
 ties broken toward the SMALLEST split point (= longest current
@@ -55,8 +56,10 @@ def viterbi_segment(word: str, counts: dict[str, int],
     """The exactly-specified DP: best[j] over split points i in
     [j-max_piece, j) with word[i:j] in ``counts`` (single chars are
     implicitly in-vocab with count 0 — coverage), maximizing
-    ``-(n_pieces << 40) + Σ cnt``; ties prefer the SMALLEST i
-    (longest final piece). Deterministic for any input."""
+    ``-(n_pieces << 40) + Σ cnt``; ties prefer the SMALLEST i at
+    every position — globally, the longest FINAL piece wins and the
+    rule recurses leftward (the lexicographically largest REVERSED
+    piece-length sequence). Deterministic for any input."""
     n = len(word)
     NEG = -(1 << 62)
     best = [NEG] * (n + 1)

@@ -3786,9 +3786,9 @@ def test_unigram_viterbi_objective_vs_bruteforce():
                     continue
                 score = (-(len(pieces) << _NPIECE_SHIFT)
                          + sum(vocab.get(p, 0) for p in pieces))
-                # tiebreak: longest-first == lexicographically
-                # LARGEST piece-length sequence
-                key = (score, tuple(len(p) for p in pieces))
+                # tiebreak: longest FINAL piece, recursively ==
+                # lexicographically largest REVERSED length sequence
+                key = (score, tuple(len(p) for p in reversed(pieces)))
                 if best is None or key > best[0]:
                     best = (key, pieces)
         return best[1]

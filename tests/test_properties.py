@@ -1529,3 +1529,40 @@ def test_protobuf_unknown_field_skipping_fuzz(rows, drop):
     got = read_delimited(narrow, blob)
     keep = [name for _, (name, _) in sorted(narrow.items())]
     assert got == [{k: r[k] for k in keep} for r in rows]
+
+
+# --- Unigram Viterbi (r11b) ----------------------------------------
+
+UNI_WORD = st.text(alphabet="abcd", min_size=1, max_size=10)
+UNI_VOCAB = st.dictionaries(
+    st.text(alphabet="abcd", min_size=2, max_size=4),
+    st.integers(min_value=0, max_value=1000), max_size=12)
+
+
+@CODEC_PROP
+@given(word=UNI_WORD, vocab=UNI_VOCAB)
+def test_unigram_viterbi_matches_bruteforce_fuzz(word, vocab):
+    """viterbi_segment == exhaustive search under the exact integer
+    objective for random words/vocabs (singles implicit at count 0;
+    ties prefer the longest FINAL piece, recursively — the
+    lexicographically-largest REVERSED piece-length sequence)."""
+    from itertools import combinations
+
+    from bigslice_spark.operators.unigram import (_NPIECE_SHIFT,
+                                                  viterbi_segment)
+    n = len(word)
+    best = None
+    for k in range(n):
+        for cuts in combinations(range(1, n), k):
+            pts = [0, *cuts, n]
+            pieces = [word[pts[i]:pts[i + 1]]
+                      for i in range(len(pts) - 1)]
+            if any(len(p) > 4 or (len(p) > 1 and p not in vocab)
+                   for p in pieces):
+                continue
+            score = (-(len(pieces) << _NPIECE_SHIFT)
+                     + sum(vocab.get(p, 0) for p in pieces))
+            key = (score, tuple(len(p) for p in reversed(pieces)))
+            if best is None or key > best[0]:
+                best = (key, pieces)
+    assert viterbi_segment(word, vocab) == best[1]
