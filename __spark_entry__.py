@@ -68,7 +68,7 @@ _R11_NEW = (
     "image_dhash", "image_dedup_phash", "audio_fingerprint",
     "audio_dedup_fp", "video_dhash", "video_dedup",
     "classifier_eval", "classifier_auc", "source_arrow_ipc",
-    "unigram_vocab", "unigram_tokens",
+    "unigram_vocab", "unigram_tokens", "stream_quality_filter",
     # first wave
     "audio_flac", "audio_resample", "code_detect",
     "audio_mel", "audio_pipeline", "robots_filter")

@@ -9225,3 +9225,60 @@ def unigram_tokens_q(spark, sf_dir):
                          "$1$2$3").alias("text"))
     _vocab_df, counts = train_unigram(paired, iters=0, seed_top=200)
     return unigram_token_counts(paired, counts)
+
+
+@query("stream_quality_filter", """
+    WITH page AS (
+      SELECT doc_id,
+             substr(text, 1, 50) || '.' || chr(10)
+             || 'It works! Does it? Yes it does.' AS text
+      FROM documents),
+    feat AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                 l -> l <> ''
+                 AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+                      OR l LIKE '%"')
+                 AND len(list_filter(string_split_regex(l, '\\s+'),
+                                     w -> w <> '')) >= 5
+                 AND lower(l) NOT LIKE '%javascript%') AS kl
+      FROM page),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(kl) AS BIGINT) AS n_kept,
+             CAST((length(array_to_string(kl, chr(10)))
+                   - length(replace(array_to_string(kl, chr(10)),
+                                    '.', '')))
+                  + (length(array_to_string(kl, chr(10)))
+                     - length(replace(array_to_string(kl, chr(10)),
+                                      '!', '')))
+                  + (length(array_to_string(kl, chr(10)))
+                     - length(replace(array_to_string(kl, chr(10)),
+                                      '?', ''))) AS BIGINT)
+               AS n_sentences
+      FROM feat)
+    SELECT doc_id, n_kept, n_sentences FROM scored
+    WHERE n_sentences >= 3
+""")
+def stream_quality_filter_q(spark, sf_dir):
+    """The C4 quality battery ON A STREAM (streaming ingest is where
+    corpus filters actually run in production): c4_filters is a pure
+    codegen projection, so it applies to a readStream DataFrame
+    unchanged — per-micro-batch filtering with zero state, the
+    embarrassingly-streaming class. Pages are synthesized in codegen
+    (one kept prose line + the 3-sentence closer; 4 total sentences
+    for docs whose first line survives); docs failing the
+    min-sentences cut drop inside the stream. One micro-batch over
+    the finite source == the batch filter, which the oracle replays."""
+    from .operators.text import c4_filters
+    from .streaming import run_to_completion, stream_documents
+    docs = stream_documents(spark, sf_dir)
+    page = F.concat(
+        F.substring(F.col("text"), 1, 50), F.lit(".\n"),
+        F.lit("It works! Does it? Yes it does."))
+    out = c4_filters(docs.select("doc_id", page.alias("text")))
+    keep = (out.filter(F.col("r_min_sentences"))
+            .select("doc_id", "n_kept", "n_sentences"))
+    return run_to_completion(keep, "bs_stream_quality",
+                             output_mode="append")
