@@ -35,9 +35,13 @@ Training (hard-EM, the Viterbi flavor):
   recount pieces from the segmentations (weighted by word frequency)
   and drop multi-char pieces under ``min_piece_count``.
 
-Encoding at corpus scale mirrors bpe.token_counts: DISTINCT words
-segment once (driver/vocab-scale), per-word token counts join back to
-the corpus — no Python over corpus rows.
+Encoding at corpus scale mirrors bpe_encode exactly: DISTINCT words
+stay IN THE CLUSTER and segment once through an Arrow-batched pandas
+UDF closing over the vocabulary counts, per-word token counts join
+back to the map-side-combined corpus relation — no Python over corpus
+rows and no driver collect of any corpus-derived relation (distinct
+whitespace tokens are Heaps'-law corpus-vocabulary scale: 10^8+ for a
+100 TB crawl, far past driver memory).
 
 Reference: no tokenizer exists in bigslice (SURVEY §2.4); public
 algorithm family: Kudo 2018 (arXiv:1804.10959), SentencePiece.
@@ -45,10 +49,31 @@ algorithm family: Kudo 2018 (arXiv:1804.10959), SentencePiece.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _NPIECE_SHIFT = 40  # score = -(n_pieces << 40) + sum_counts
+
+
+def _check_objective_headroom(counts: dict[str, int],
+                              max_word_len: int) -> None:
+    """The packed objective -(n_pieces << _NPIECE_SHIFT) + Σcnt keeps
+    its fewest-pieces-dominates invariant only while the largest
+    possible count sum per word stays below 1 << _NPIECE_SHIFT
+    (~1.1e12 at 40 bits). Piece counts aggregate corpus word
+    frequencies, so a trillion-token corpus would silently flip the
+    objective — identically in Python and the SQL replay, which is why
+    no oracle catches it. Guard explicitly at every entry point."""
+    if not counts:
+        return
+    worst = max(counts.values()) * max_word_len
+    if worst >= 1 << _NPIECE_SHIFT:
+        raise ValueError(
+            f"unigram: packed objective overflow — max piece count "
+            f"{max(counts.values())} x max_word_len {max_word_len} = "
+            f"{worst} >= 2^{_NPIECE_SHIFT}; rescale counts or widen "
+            f"_NPIECE_SHIFT")
 
 
 def viterbi_segment(word: str, counts: dict[str, int],
@@ -141,6 +166,7 @@ def train_unigram(df: DataFrame, text_col: str = "text",
     counts = {r["piece"]: int(r["cnt"]) for r in
               seed_pieces(df, text_col, min_word_count, vocab_cap,
                           seed_top, max_piece, max_word_len).collect()}
+    _check_objective_headroom(counts, max_word_len)
     for _ in range(iters):
         new: dict[str, int] = {}
         for word, n in wc_rows:
@@ -156,9 +182,28 @@ def train_unigram(df: DataFrame, text_col: str = "text",
         for word, _n in wc_rows:
             for ch in word:
                 counts.setdefault(ch, 0)
+        _check_objective_headroom(counts, max_word_len)
     out = spark.createDataFrame(
         sorted(counts.items()), "piece string, cnt long")
     return out, counts
+
+
+def _word_ntok_udf(counts: dict[str, int], max_piece: int,
+                   max_word_len: int):
+    """Arrow UDF segmenting ONE WORD per row (vocab-scale input only
+    — the bpe.py _word_tokens_udf shape). The ``counts`` dict ships in
+    the closure: pickled once per Python worker, shared across that
+    worker's Arrow batches. Out-of-vocab-length words count length
+    (char fallback), matching viterbi coverage semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_word_tokens(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: len(viterbi_segment(w, counts, max_piece))
+            if len(w) <= max_word_len else len(w))
+
+    return n_word_tokens
 
 
 def unigram_token_counts(df: DataFrame, counts: dict[str, int],
@@ -167,26 +212,30 @@ def unigram_token_counts(df: DataFrame, counts: dict[str, int],
                          max_piece: int = 4,
                          max_word_len: int = 16) -> DataFrame:
     """(id_col, n_words, n_tokens) under the trained vocabulary —
-    corpus-scale with NO Python over corpus rows: DISTINCT words
-    segment once on the driver (vocab-scale), per-word token counts
-    broadcast-join back to the exploded corpus and aggregate.
-    Out-of-vocab-length words count length (char fallback)."""
-    spark = df.sparkSession
-    words = (df.select(F.explode(F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: t != "")).alias("word"))
-             .distinct())
-    rows = [(r["word"],
-             len(viterbi_segment(r["word"], counts, max_piece))
-             if len(r["word"]) <= max_word_len else len(r["word"]))
-            for r in words.collect()]
-    per_word = spark.createDataFrame(rows, "word string, n_tok int")
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: t != "")).alias("word"))
-    return (exploded.join(F.broadcast(per_word), on="word")
+    corpus-scale with NO driver pass over any data-scale relation:
+    distinct words are VOCAB-scale by Heaps' law but still grow with
+    the corpus (10^8+ for a web-scale crawl), so they stay in the
+    cluster and segment through an Arrow-batched pandas UDF closing
+    over ``counts`` (the bpe_encode plan, bpe.py:131-170); per-word
+    token counts then join back to the map-side-combined (doc, word,
+    cnt) relation and aggregate. AQE broadcasts the encoded-words
+    side when it is small. Out-of-vocab-length words count length
+    (char fallback)."""
+    _check_objective_headroom(counts, max_word_len)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    doc_words = (df.select(F.col(id_col),
+                           F.explode(toks).alias("word"))
+                 .groupBy(id_col, "word")
+                 .agg(F.count(F.lit(1)).alias("__cnt__")))
+    per_word = (df.select(F.explode(toks).alias("word"))
+                .distinct()
+                .select("word",
+                        _word_ntok_udf(counts, max_piece,
+                                       max_word_len)(F.col("word"))
+                        .alias("n_tok")))
+    return (doc_words.join(per_word, on="word")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_words"),
-                 F.sum("n_tok").cast("long").alias("n_tokens")))
+            .agg(F.sum("__cnt__").cast("long").alias("n_words"),
+                 F.sum(F.col("__cnt__") * F.col("n_tok"))
+                 .cast("long").alias("n_tokens")))

@@ -880,9 +880,34 @@ def test_classifier_auc_no_corpus_scale_single_partition(spark, sf_dir):
     assert "BroadcastExchange" in txt, txt[:1500]
 
 
-def test_unigram_tokens_broadcast_join_back(spark, sf_dir):
-    """The corpus-scale encode joins per-word counts back via
-    BROADCAST — the corpus never shuffles for the join."""
+def test_unigram_tokens_no_python_over_corpus(spark, sf_dir):
+    """The corpus-scale unigram encode is the bpe_encode plan shape
+    (VERDICT r11 task 1): the ONLY Python node (ArrowEvalPython, the
+    per-distinct-word Viterbi) sits above an aggregate — every path
+    from it down to a parquet scan crosses a HashAggregate (the
+    distinct), so no Python executes per corpus row and NO
+    corpus-vocabulary relation is ever collected to the driver (the
+    plan has no LocalTableScan from a createDataFrame)."""
     df = QUERIES["unigram_tokens"](spark, sf_dir)
-    txt = explain_str(df)
-    assert "BroadcastHashJoin" in txt, txt[:1500]
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in tree, tree[:1500]
+    lines = tree.splitlines()
+
+    def indent(s):
+        return len(s) - len(s.lstrip(" :+-*("))
+
+    arrows = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    assert len(arrows) == 1, tree[:1500]
+    i = arrows[0]
+    base = indent(lines[i])
+    saw_agg = False
+    for l in lines[i + 1:]:
+        if indent(l) <= base and l.strip():
+            break  # left the ArrowEvalPython subtree
+        if "HashAggregate" in l or "SortAggregate" in l:
+            saw_agg = True
+        if "Scan parquet" in l:
+            assert saw_agg, \
+                "ArrowEvalPython reads a scan with no aggregate " \
+                "between them (Python over corpus rows):\n" + tree[:1500]
+    assert saw_agg, tree[:1500]
