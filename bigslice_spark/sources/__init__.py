@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ddl_field_names(spark: SparkSession, schema: str) -> list[str]:
+    """Field names of a Spark DDL schema in declaration order, parsed
+    by Spark's own DDL parser (StructType.fromDDL — needs the live
+    session, hence the parameter). The naive ``schema.split(",")``
+    this replaces broke on any type containing commas —
+    decimal(10,2), map<string,int>, struct<...> — failing legal
+    schemas with a bogus name-mismatch error."""
+    from pyspark.sql.types import StructType
+
+    assert spark is not None
+    return [f.name for f in StructType.fromDDL(schema).fields]
+
+
 def scan_reader(spark: SparkSession, path: str,
                 nshard: int | None = None) -> DataFrame:
     """Line source: (line string). Splittable, properly sharded."""
@@ -198,8 +211,9 @@ def arrow_ipc_reader(spark: SparkSession, path: str,
 
     import pyarrow as pa
 
-    raw = spark.read.format("binaryFile")         .option("pathGlobFilter", "*.arrow").load(path)
-    want = [c.strip().split()[0] for c in schema.split(",")]
+    raw = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", "*.arrow").load(path)
+    want = ddl_field_names(spark, schema)
 
     def unpack(batches):
         import pandas as pd

@@ -5,18 +5,30 @@ Wire format (spec §"Object Container Files" + "Binary Encoding"):
 magic ``Obj\\x01`` · file-metadata map (``avro.schema`` JSON,
 ``avro.codec``) · 16-byte sync marker · then blocks of
 ``count(varint) size(varint) payload sync`` where the payload is the
-concatenated binary rows, raw or ``deflate`` (RFC 1951, no zlib
-header). Row encoding: zigzag varints for int/long, little-endian
-IEEE float/double, length-prefixed bytes/utf8 strings, 1-byte
-booleans, zero-byte nulls, unions as branch-index varint + value,
-records as fields in schema order.
+concatenated binary rows, raw, ``deflate`` (RFC 1951, no zlib header)
+or ``snappy`` (raw snappy block + 4-byte big-endian CRC32 of the
+uncompressed data — the spec's snappy framing). Row encoding: zigzag
+varints for int/long, little-endian IEEE float/double, length-prefixed
+bytes/utf8 strings, 1-byte booleans, zero-byte nulls, unions as
+branch-index varint + value (the branch index is the POSITION in the
+union array — ``["null", T]`` and ``[T, "null"]`` both occur in the
+wild and are decoded per their declared order), arrays/maps as blocks
+of ``count(varint) items... 0`` (negative count = byte size follows,
+skipped), records as fields in schema order.
 
-Supported schema subset: a top-level record of primitive fields
-(null/boolean/int/long/float/double/bytes/string) and 2-branch
-``["null", P]`` unions. Arrays, maps, enums, fixed, nested records
-and other codecs (snappy/zstd) raise NotImplementedError by name —
-the repo's honest-raise codec contract. Truncated blocks and sync
-mismatches raise ValueError.
+Supported schema subset: records (top-level and nested), arrays,
+maps (string keys per the spec), 2-branch null unions in either
+order, and the primitives null/boolean/int/long/float/double/bytes/
+string. Enums, fixed, recursive type references, >2-branch unions and
+other codecs (zstd) raise NotImplementedError by name — the repo's
+honest-raise codec contract. Truncated blocks, sync mismatches and
+snappy CRC mismatches raise ValueError.
+
+The snappy codec is decoded by a clean-room pure-Python implementation
+of the public snappy block format (literal + copy1/2/4 elements,
+little-endian preamble varint); the writer emits literal-only streams
+(always legal snappy) so the fixture half stays simple while the
+decoder handles real compressor output.
 
 Scale shape: ``avro_reader`` is binaryFile + one Arrow-batched
 mapInPandas pass, file-granular parallelism (the tar/zip/WARC
@@ -29,7 +41,6 @@ never inferred from the first file.
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import zlib
@@ -41,6 +52,7 @@ MAGIC = b"Obj\x01"
 
 _PRIMITIVES = ("null", "boolean", "int", "long", "float", "double",
                "bytes", "string")
+_CODECS = ("null", "deflate", "snappy")
 
 
 # ------------------------------------------------------------- varints
@@ -80,43 +92,155 @@ def _read_long(buf: bytes, i: int) -> tuple[int, int]:
             raise ValueError("avro: varint longer than 64 bits")
 
 
+# ------------------------------------------------ snappy (block format)
+
+def _snappy_uvarint_read(buf: bytes, i: int) -> tuple[int, int]:
+    """Snappy's plain (non-zigzag) little-endian base-128 varint."""
+    u = shift = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("snappy: truncated preamble varint")
+        b = buf[i]
+        i += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return u, i
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: preamble varint too long")
+
+
+def snappy_decompress(buf: bytes) -> bytes:
+    """Clean-room decoder for the public snappy block format: preamble
+    = uncompressed length (plain varint), then tagged elements — tag
+    low 2 bits select literal (0) / copy with 1-, 2- or 4-byte offset
+    (1/2/3). Structural defects raise ValueError."""
+    want, i = _snappy_uvarint_read(buf, 0)
+    out = bytearray()
+    while i < len(buf):
+        tag = buf[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:                                  # literal
+            n = tag >> 2
+            if n >= 60:                                # 1-4 extra bytes
+                nb = n - 59
+                if i + nb > len(buf):
+                    raise ValueError("snappy: truncated literal length")
+                n = int.from_bytes(buf[i:i + nb], "little")
+                i += nb
+            n += 1
+            if i + n > len(buf):
+                raise ValueError("snappy: truncated literal body")
+            out += buf[i:i + n]
+            i += n
+            continue
+        if kind == 1:                                  # copy, 1-byte off
+            n = ((tag >> 2) & 0x7) + 4
+            if i >= len(buf):
+                raise ValueError("snappy: truncated copy offset")
+            off = ((tag >> 5) << 8) | buf[i]
+            i += 1
+        elif kind == 2:                                # copy, 2-byte off
+            n = (tag >> 2) + 1
+            if i + 2 > len(buf):
+                raise ValueError("snappy: truncated copy offset")
+            off = int.from_bytes(buf[i:i + 2], "little")
+            i += 2
+        else:                                          # copy, 4-byte off
+            n = (tag >> 2) + 1
+            if i + 4 > len(buf):
+                raise ValueError("snappy: truncated copy offset")
+            off = int.from_bytes(buf[i:i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        # copies may overlap forward (run-length style): byte-at-a-time
+        # semantics per the spec
+        for _ in range(n):
+            out.append(out[-off])
+    if len(out) != want:
+        raise ValueError(
+            f"snappy: decoded {len(out)} bytes, preamble said {want}")
+    return bytes(out)
+
+
+def snappy_compress(buf: bytes) -> bytes:
+    """Literal-only snappy (always a legal stream — the format does
+    not require copies): preamble varint + literal elements of up to
+    2^16 bytes each. The fixture-writer half; real compressor output
+    (with copy elements) is handled by the decoder above."""
+    out = bytearray()
+    u = len(buf)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    i = 0
+    while i < len(buf):
+        chunk = buf[i:i + 65536]
+        n = len(chunk) - 1
+        if n < 60:
+            out.append(n << 2)
+        else:
+            out.append(61 << 2)                        # 2-byte length
+            out += n.to_bytes(2, "little")
+        out += chunk
+        i += len(chunk)
+    return bytes(out)
+
+
 # ------------------------------------------------------------- schema
 
-def _field_type(t) -> tuple[str, bool]:
-    """Avro field type → (primitive name, nullable). Raises by name on
+def _parse_type(t) -> dict:
+    """Avro schema node → internal type node. Raises by name on
     anything outside the supported subset."""
+    if isinstance(t, str):
+        if t == "null" or t not in _PRIMITIVES:
+            raise NotImplementedError(f"avro: type {t!r}")
+        return {"k": "prim", "t": t}
     if isinstance(t, list):
-        if (len(t) == 2 and "null" in t
-                and any(x in _PRIMITIVES for x in t if x != "null")):
-            other = next(x for x in t if x != "null")
-            return other, True
-        raise NotImplementedError(f"avro: union {t!r} (only "
-                                  f"[\"null\", primitive] supported)")
-    if isinstance(t, dict):
+        if len(t) == 2 and t.count("null") == 1:
+            null_branch = t.index("null")
+            return {"k": "union", "null_branch": null_branch,
+                    "of": _parse_type(t[1 - null_branch])}
         raise NotImplementedError(
-            f"avro: complex type {t.get('type')!r} (records of "
-            f"primitives only)")
-    if t not in _PRIMITIVES or t == "null":
-        raise NotImplementedError(f"avro: type {t!r}")
-    return t, False
+            f"avro: union {t!r} (only 2-branch null unions supported, "
+            f"either order)")
+    if isinstance(t, dict):
+        tt = t.get("type")
+        if tt == "array":
+            return {"k": "array", "items": _parse_type(t["items"])}
+        if tt == "map":
+            return {"k": "map", "values": _parse_type(t["values"])}
+        if tt == "record":
+            return {"k": "record",
+                    "fields": [(f["name"], _parse_type(f["type"]))
+                               for f in t["fields"]]}
+        if tt in _PRIMITIVES:                  # {"type": "long"} form
+            return _parse_type(tt)
+        raise NotImplementedError(
+            f"avro: complex type {tt!r} (records/arrays/maps only — "
+            f"enum/fixed unsupported)")
+    raise NotImplementedError(f"avro: schema node {t!r}")
 
 
-def _parse_schema(schema_json: str) -> list[tuple[str, str, bool]]:
-    """Writer schema → [(name, primitive, nullable)] in field order."""
+def _parse_schema(schema_json: str) -> list[tuple[str, dict]]:
+    """Writer schema → [(name, type node)] in field order."""
     sch = json.loads(schema_json)
     if not isinstance(sch, dict) or sch.get("type") != "record":
         raise NotImplementedError("avro: top-level schema must be a "
                                   "record")
-    out = []
-    for f in sch["fields"]:
-        prim, nullable = _field_type(f["type"])
-        out.append((f["name"], prim, nullable))
-    return out
+    return [(f["name"], _parse_type(f["type"])) for f in sch["fields"]]
 
 
 # ------------------------------------------------------------- encode
 
-def _write_value(out: bytearray, prim: str, v) -> None:
+def _write_prim(out: bytearray, prim: str, v) -> None:
     if prim == "boolean":
         out.append(1 if v else 0)
     elif prim in ("int", "long"):
@@ -129,18 +253,53 @@ def _write_value(out: bytearray, prim: str, v) -> None:
         b = v.encode("utf-8") if prim == "string" else bytes(v)
         _write_long(out, len(b))
         out += b
-    else:  # pragma: no cover - guarded by _field_type
+    else:  # pragma: no cover - guarded by _parse_type
         raise NotImplementedError(f"avro: type {prim!r}")
+
+
+def _write_value(out: bytearray, ty: dict, v) -> None:
+    k = ty["k"]
+    if k == "union":
+        if v is None:
+            _write_long(out, ty["null_branch"])
+            return
+        _write_long(out, 1 - ty["null_branch"])
+        _write_value(out, ty["of"], v)
+    elif k == "prim":
+        if v is None:
+            raise ValueError("avro: None outside a null union")
+        _write_prim(out, ty["t"], v)
+    elif k == "array":
+        items = list(v)
+        if items:
+            _write_long(out, len(items))
+            for item in items:
+                _write_value(out, ty["items"], item)
+        _write_long(out, 0)
+    elif k == "map":
+        entries = sorted(v.items())
+        if entries:
+            _write_long(out, len(entries))
+            for mk, mv in entries:
+                _write_prim(out, "string", mk)
+                _write_value(out, ty["values"], mv)
+        _write_long(out, 0)
+    else:                                              # record
+        for name, fty in ty["fields"]:
+            if name not in v:
+                raise ValueError(f"avro: record missing field {name!r}")
+            _write_value(out, fty, v[name])
 
 
 def make_avro(schema_json: str, rows: list[tuple], codec: str = "null",
               sync: bytes = b"0123456789abcdef",
               block_rows: int = 1000) -> bytes:
     """An Object Container File holding ``rows`` (tuples in schema
-    field order) under the supported subset; ``codec`` is ``null`` or
-    ``deflate``. The fixture half of the round-trip proof."""
+    field order; arrays as lists, maps/nested records as dicts) under
+    the supported subset; ``codec`` is ``null``, ``deflate`` or
+    ``snappy``. The fixture half of the round-trip proof."""
     fields = _parse_schema(schema_json)
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise NotImplementedError(f"avro: codec {codec!r}")
     if len(sync) != 16:
         raise ValueError("avro: sync marker must be 16 bytes")
@@ -159,18 +318,22 @@ def make_avro(schema_json: str, rows: list[tuple], codec: str = "null",
         chunk = rows[at:at + block_rows]
         payload = bytearray()
         for row in chunk:
-            for (name, prim, nullable), v in zip(fields, row):
-                if nullable:
-                    if v is None:
-                        _write_long(payload, 0)   # null branch
-                        continue
-                    _write_long(payload, 1)
-                elif v is None:
+            if len(row) != len(fields):
+                raise ValueError(
+                    f"avro: row has {len(row)} values, schema has "
+                    f"{len(fields)} fields")
+            for (name, ty), v in zip(fields, row):
+                if v is None and ty["k"] != "union":
                     raise ValueError(
                         f"avro: None in non-nullable field {name!r}")
-                _write_value(payload, prim, v)
-        data = (zlib.compress(bytes(payload))[2:-4] if codec == "deflate"
-                else bytes(payload))
+                _write_value(payload, ty, v)
+        if codec == "deflate":
+            data = zlib.compress(bytes(payload))[2:-4]
+        elif codec == "snappy":
+            data = (snappy_compress(bytes(payload))
+                    + zlib.crc32(bytes(payload)).to_bytes(4, "big"))
+        else:
+            data = bytes(payload)
         _write_long(out, len(chunk))
         _write_long(out, len(data))
         out += data
@@ -180,7 +343,7 @@ def make_avro(schema_json: str, rows: list[tuple], codec: str = "null",
 
 # ------------------------------------------------------------- decode
 
-def _read_value(buf: bytes, i: int, prim: str):
+def _read_prim(buf: bytes, i: int, prim: str):
     if prim == "boolean":
         if i >= len(buf):
             raise ValueError("avro: truncated boolean")
@@ -205,10 +368,53 @@ def _read_value(buf: bytes, i: int, prim: str):
     raise NotImplementedError(f"avro: type {prim!r}")
 
 
-def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, str, bool]],
+def _read_value(buf: bytes, i: int, ty: dict):
+    k = ty["k"]
+    if k == "union":
+        branch, i = _read_long(buf, i)
+        if branch == ty["null_branch"]:
+            return None, i
+        if branch == 1 - ty["null_branch"]:
+            return _read_value(buf, i, ty["of"])
+        raise ValueError(f"avro: bad union branch {branch}")
+    if k == "prim":
+        return _read_prim(buf, i, ty["t"])
+    if k == "array":
+        out = []
+        while True:
+            n, i = _read_long(buf, i)
+            if n == 0:
+                return out, i
+            if n < 0:                     # negative count: size follows
+                n = -n
+                _size, i = _read_long(buf, i)
+            for _ in range(n):
+                v, i = _read_value(buf, i, ty["items"])
+                out.append(v)
+    if k == "map":
+        out = {}
+        while True:
+            n, i = _read_long(buf, i)
+            if n == 0:
+                return out, i
+            if n < 0:
+                n = -n
+                _size, i = _read_long(buf, i)
+            for _ in range(n):
+                mk, i = _read_prim(buf, i, "string")
+                mv, i = _read_value(buf, i, ty["values"])
+                out[mk] = mv
+    rec = {}                                           # record
+    for name, fty in ty["fields"]:
+        rec[name], i = _read_value(buf, i, fty)
+    return rec, i
+
+
+def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, dict]],
                                          list[tuple]]:
     """One container file → (fields, rows). Every structural defect —
-    bad magic, unknown codec, truncated block, sync mismatch — raises."""
+    bad magic, unknown codec, truncated block, sync mismatch, snappy
+    CRC mismatch — raises."""
     if blob[:4] != MAGIC:
         raise ValueError("avro: bad magic (not an Object Container "
                          "File)")
@@ -232,7 +438,7 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, str, bool]],
         raise ValueError("avro: truncated header sync marker")
     i += 16
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise NotImplementedError(f"avro: codec {codec!r}")
     fields = _parse_schema(meta["avro.schema"].decode())
     rows: list[tuple] = []
@@ -248,20 +454,19 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, str, bool]],
         i += 16
         if codec == "deflate":
             data = zlib.decompress(data, wbits=-15)
+        elif codec == "snappy":
+            if len(data) < 4:
+                raise ValueError("avro: snappy block shorter than its "
+                                 "CRC trailer")
+            plain = snappy_decompress(data[:-4])
+            if zlib.crc32(plain).to_bytes(4, "big") != data[-4:]:
+                raise ValueError("avro: snappy block CRC mismatch")
+            data = plain
         j = 0
         for _ in range(count):
             row = []
-            for name, prim, nullable in fields:
-                if nullable:
-                    branch, j = _read_long(data, j)
-                    if branch == 0:
-                        row.append(None)
-                        continue
-                    if branch != 1:
-                        raise ValueError(
-                            f"avro: bad union branch {branch} in "
-                            f"field {name!r}")
-                v, j = _read_value(data, j, prim)
+            for _name, ty in fields:
+                v, j = _read_value(data, j, ty)
                 row.append(v)
             rows.append(tuple(row))
         if j != len(data):
@@ -273,14 +478,17 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, str, bool]],
 
 def avro_reader(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Avro container files under ``path`` as rows. ``schema`` is the
-    PINNED Spark DDL; every file's embedded writer schema is checked
-    against it by field NAME and order (type fidelity is enforced by
-    the Arrow conversion). File-granular parallelism."""
+    PINNED Spark DDL (complex Avro types land as Spark
+    array/map/struct columns); every file's embedded writer schema is
+    checked against it by field NAME and order (type fidelity is
+    enforced by the Arrow conversion). File-granular parallelism."""
     import pandas as pd
+
+    from . import ddl_field_names
 
     raw = spark.read.format("binaryFile") \
         .option("pathGlobFilter", "*.avro").load(path)
-    want = [c.strip().split()[0] for c in schema.split(",")]
+    want = ddl_field_names(spark, schema)
 
     def unpack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

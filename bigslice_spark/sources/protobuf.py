@@ -8,7 +8,10 @@ varint length — the java writeDelimitedTo convention).
 The caller declares the message schema as ``{field_number: (name,
 type)}`` with types ``int64 | sint64 | bool | string | bytes | double
 | float | fixed64 | fixed32`` — proto3 semantics: missing fields
-decode to the type's zero value, unknown field numbers are SKIPPED by
+decode to the type's zero value; ``fixed64`` values round-trip as
+two's-complement signed longs (the wire is unsigned, Spark's long is
+signed — the same correction int64 receives), ``fixed32`` stays
+unsigned (it always fits a long); unknown field numbers are SKIPPED by
 wire type (the forward-compatibility contract), groups (wire types
 3/4) and nested/repeated declarations raise NotImplementedError by
 name. Truncated varints/payloads raise ValueError.
@@ -97,7 +100,10 @@ def encode_message(schema: dict[int, tuple[str, str]],
         elif typ == "float":
             out += struct.pack("<f", float(v))
         elif typ == "fixed64":
-            out += struct.pack("<Q", int(v))
+            # two's-complement reinterpretation: fixed64 is unsigned on
+            # the wire, but Spark's long is signed — encode/decode agree
+            # on <q semantics so the full 64-bit range round-trips
+            out += struct.pack("<Q", int(v) & 0xFFFFFFFFFFFFFFFF)
         elif typ == "fixed32":
             out += struct.pack("<I", int(v))
     return bytes(out)
@@ -135,9 +141,14 @@ def decode_message(schema: dict[int, tuple[str, str]],
                 raise ValueError("protobuf: truncated 64-bit field")
             if field:
                 name, typ = field
+                # fixed64 reads as SIGNED (<q): wire values >= 2^63
+                # land as their two's-complement long — the same
+                # correction int64 gets above — so they fit the
+                # pinned Spark 'long' column instead of failing the
+                # Arrow conversion with an opaque overflow
                 out[name] = (struct.unpack_from("<d", buf, i)[0]
                              if typ == "double"
-                             else struct.unpack_from("<Q", buf, i)[0])
+                             else struct.unpack_from("<q", buf, i)[0])
             i += 8
         elif wt == 2:
             n, i = _read_varint(buf, i)
@@ -200,7 +211,8 @@ def protobuf_reader(spark: SparkSession, path: str,
     _check_schema(proto_schema)
     raw = spark.read.format("binaryFile") \
         .option("pathGlobFilter", "*.pb").load(path)
-    want = [c.strip().split()[0] for c in schema.split(",")]
+    from . import ddl_field_names
+    want = ddl_field_names(spark, schema)
     declared = {name for name, _ in proto_schema.values()}
     missing = [c for c in want if c not in declared]
     if missing:

@@ -3564,12 +3564,13 @@ def test_avro_reader_spark_and_contracts(spark, tmp_path):
         avro_reader(spark, str(tmp_path), "k long, other string") \
             .collect()
     # honest raises, by name
-    arr = json.dumps({"type": "record", "name": "t", "fields": [
-        {"name": "a", "type": {"type": "array", "items": "long"}}]})
+    enum = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "e", "type": {"type": "enum", "name": "E",
+                               "symbols": ["A"]}}]})
     with _pytest.raises(NotImplementedError, match="complex type"):
-        make_avro(arr, [])
+        make_avro(enum, [])
     with _pytest.raises(NotImplementedError, match="codec"):
-        make_avro(sch, [], codec="snappy")
+        make_avro(sch, [], codec="zstd")
     u3 = json.dumps({"type": "record", "name": "t", "fields": [
         {"name": "u", "type": ["null", "long", "string"]}]})
     with _pytest.raises(NotImplementedError, match="union"):
@@ -3577,6 +3578,70 @@ def test_avro_reader_spark_and_contracts(spark, tmp_path):
     # bad magic
     with _pytest.raises(ValueError, match="bad magic"):
         read_avro_blob(b"PAR1" + b"\x00" * 32)
+
+
+def test_avro_complex_types_snappy_and_union_order(spark, tmp_path):
+    """avro (sources/avro.py, round-12 extension): arrays/maps/nested
+    records round-trip, VALUE-FIRST null unions decode per their
+    declared branch order (ADVICE r11 — branch index is the position
+    in the union array, not a hardcoded null=0), the snappy codec
+    round-trips with its big-endian CRC32 trailer, and a flipped
+    payload bit raises the CRC mismatch."""
+    import json
+
+    import pytest as _pytest
+
+    from bigslice_spark.sources.avro import (avro_reader, make_avro,
+                                             read_avro_blob,
+                                             snappy_decompress)
+    sch = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "info", "type": {
+            "type": "record", "name": "info_t", "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "len", "type": "long"}]}},
+        # value-first union: branch 0 = string, branch 1 = null
+        {"name": "c", "type": ["string", "null"]}]})
+    rows = [
+        (1, ["a", "b"], {"x": 7, "y": -2}, {"name": "n1", "len": 2},
+         "hello"),
+        (2, [], {}, {"name": "", "len": 0}, None),
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        blob = make_avro(sch, rows, codec=codec, block_rows=1)
+        _, got = read_avro_blob(blob)
+        assert got == rows, codec
+    # spark read-back with complex DDL (commas inside types exercise
+    # ddl_field_names) — scalars projected out for value checks
+    (tmp_path / "c.avro").write_bytes(
+        make_avro(sch, rows, codec="snappy"))
+    df = avro_reader(
+        spark, str(tmp_path),
+        "k long, tags array<string>, props map<string,long>, "
+        "info struct<name:string,len:long>, c string")
+    out = {r["k"]: r for r in df.collect()}
+    assert list(out[1]["tags"]) == ["a", "b"]
+    assert dict(out[1]["props"]) == {"x": 7, "y": -2}
+    assert out[1]["info"]["name"] == "n1"
+    assert out[1]["c"] == "hello" and out[2]["c"] is None
+    # snappy CRC integrity: corrupt one payload byte inside the block
+    blob = bytearray(make_avro(sch, rows, codec="snappy"))
+    # find the block payload (after header sync); flip a late byte
+    # (the last 20 bytes before the trailing sync include payload)
+    blob[-25] ^= 0xFF
+    with _pytest.raises(ValueError,
+                        match="CRC mismatch|truncated|snappy|sync"):
+        read_avro_blob(bytes(blob))
+    # snappy copy elements (the decoder half real compressors emit):
+    # literal "abcd" + copy1(len=4, off=4) -> "abcdabcd"
+    enc = bytes([8, (3 << 2), ord("a"), ord("b"), ord("c"), ord("d"),
+                 (0 << 5) | ((4 - 4) << 2) | 1, 4])
+    assert snappy_decompress(enc) == b"abcdabcd"
+    # overlapping copy (run-length): literal "x" + copy1(len=5, off=1)
+    enc = bytes([6, (0 << 2), ord("x"), ((5 - 4) << 2) | 1, 1])
+    assert snappy_decompress(enc) == b"xxxxxx"
 
 
 def test_tfrecord_crc_vectors_and_spark(spark, tmp_path):

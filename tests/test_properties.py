@@ -1435,7 +1435,7 @@ AVRO_ROW = st.tuples(
 
 @CODEC_PROP
 @given(rows=st.lists(AVRO_ROW, min_size=0, max_size=60),
-       codec=st.sampled_from(["null", "deflate"]),
+       codec=st.sampled_from(["null", "deflate", "snappy"]),
        block=st.integers(min_value=1, max_value=17))
 def test_avro_roundtrip_fuzz(rows, codec, block):
     """make_avro -> read_avro_blob is identity for any row content,
@@ -1462,6 +1462,66 @@ def test_avro_truncation_raises(rows, cut):
         assert got == rows[:len(got)]
     except (ValueError, NotImplementedError):
         pass
+
+
+def _avro_complex_schema():
+    import json
+    return json.dumps({
+        "type": "record", "name": "fuzzc", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "tags", "type": {"type": "array",
+                                      "items": "string"}},
+            {"name": "props", "type": {"type": "map",
+                                       "values": "long"}},
+            {"name": "nested", "type": {
+                "type": "record", "name": "inner", "fields": [
+                    {"name": "a", "type": ["null", "long"]},
+                    {"name": "deep", "type": {"type": "array",
+                                              "items": ["long",
+                                                        "null"]}}]}},
+            # VALUE-FIRST union (ADVICE r11: branch index = position)
+            {"name": "c", "type": ["string", "null"]}]})
+
+
+AVRO_COMPLEX_ROW = st.tuples(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.lists(st.text(max_size=8), max_size=5),
+    st.dictionaries(st.text(max_size=6),
+                    st.integers(min_value=-(2**40), max_value=2**40),
+                    max_size=4),
+    st.fixed_dictionaries({
+        "a": st.one_of(st.none(),
+                       st.integers(min_value=-100, max_value=100)),
+        "deep": st.lists(st.one_of(st.none(),
+                                   st.integers(min_value=-9,
+                                               max_value=9)),
+                         max_size=4)}),
+    st.one_of(st.none(), st.text(max_size=10)))
+
+
+@CODEC_PROP
+@given(rows=st.lists(AVRO_COMPLEX_ROW, min_size=0, max_size=25),
+       codec=st.sampled_from(["null", "deflate", "snappy"]),
+       block=st.integers(min_value=1, max_value=7))
+def test_avro_complex_roundtrip_fuzz(rows, codec, block):
+    """Round 12: arrays, maps, nested records, unions NESTED inside
+    arrays, and value-first top-level unions all round-trip under
+    every codec and block split."""
+    from bigslice_spark.sources.avro import make_avro, read_avro_blob
+    blob = make_avro(_avro_complex_schema(), rows, codec=codec,
+                     block_rows=block)
+    _, got = read_avro_blob(blob)
+    assert got == rows
+
+
+@CODEC_PROP
+@given(data=st.binary(max_size=300))
+def test_snappy_roundtrip_fuzz(data):
+    """snappy_compress -> snappy_decompress is identity for arbitrary
+    bytes (the literal-only writer against the full-format decoder)."""
+    from bigslice_spark.sources.avro import (snappy_compress,
+                                             snappy_decompress)
+    assert snappy_decompress(snappy_compress(data)) == data
 
 
 # --- PDF text extraction (r11b) ------------------------------------
@@ -1493,7 +1553,8 @@ def test_pdf_roundtrip_fuzz(pages, compress):
 
 PB_SCHEMA = {1: ("k", "int64"), 2: ("s", "string"),
              3: ("d", "double"), 4: ("b", "bool"),
-             5: ("z", "sint64"), 6: ("raw", "bytes")}
+             5: ("z", "sint64"), 6: ("raw", "bytes"),
+             7: ("f64", "fixed64"), 8: ("f32", "fixed32")}
 
 PB_ROW = st.fixed_dictionaries({
     "k": st.integers(min_value=-(2**63), max_value=2**63 - 1),
@@ -1501,7 +1562,11 @@ PB_ROW = st.fixed_dictionaries({
     "d": st.floats(allow_nan=False, width=64),
     "b": st.booleans(),
     "z": st.integers(min_value=-(2**62), max_value=2**62),
-    "raw": st.binary(max_size=16)})
+    "raw": st.binary(max_size=16),
+    # fixed64 round-trips as SIGNED long (two's complement — the
+    # Spark 'long' pinning contract, ADVICE r11)
+    "f64": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "f32": st.integers(min_value=0, max_value=2**32 - 1)})
 
 
 @CODEC_PROP
