@@ -2,19 +2,23 @@
 (images: jpeg/gif/png · audio: wav/adpcm/g711/flac · video: mp4/mjpeg ·
 documents: THIS), for corpora distributed as PDFs.
 
-Clean-room implementation of the classic PDF 1.4 subset from the
-public spec (ISO 32000-1 / Adobe PDF Reference 1.7): header, body of
-indirect objects, cross-reference TABLE, trailer; content streams
+Clean-room implementation of the PDF 1.4/1.5 subset from the public
+spec (ISO 32000-1 / Adobe PDF Reference 1.7): header, body of
+indirect objects, cross-reference TABLE + trailer (§7.5.4) AND the
+PDF 1.5 cross-reference STREAM (§7.5.8: binary /W-packed entries,
+/Index subsections, PNG-predictor /DecodeParms) with object streams
+(§7.5.7 /ObjStm member extraction) and /Prev incremental-update
+chains — the layout the majority of modern PDFs use; content streams
 stored raw or FlateDecode-compressed (stdlib zlib); text extracted
 from BT..ET blocks' ``Tj`` (show string) and ``TJ`` (show array with
 kerning) operators, with literal-string escapes (\\\\ \\( \\) \\n \\r
 \\t \\b \\f, octal, line continuations) and hex strings per §7.3.4.
 
-Honest-raise contract (the repo's codec rule): PDF 1.5+ cross-
-reference STREAMS and object streams, encryption, and non-Flate
-filters raise NotImplementedError/ValueError with the offending
-construct named — never silently skipped; corrupt xref offsets,
-truncated streams and bad zlib data raise too.
+Honest-raise contract (the repo's codec rule): encryption, non-Flate
+filters, and the TIFF predictor raise NotImplementedError with the
+offending construct named — never silently skipped; corrupt xref
+offsets/entries, bad ObjStm headers, short predictor rows, truncated
+streams and bad zlib data raise ValueError.
 
 Scale shape: ``pdf_pages`` is one Arrow-batched mapInPandas pass over
 opaque binary blobs (binaryFile/parquet column), one task per blob —
@@ -45,26 +49,49 @@ def _lit(s: str) -> bytes:
     return b"(" + out.encode("latin-1") + b")"
 
 
-def make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
-    """A spec-valid single-section PDF: one page per entry of
-    ``pages``, each a list of text lines shown with one ``Tj`` per
-    line (12pt Helvetica, 14pt leading). ``compress`` stores every
-    content stream FlateDecode'd. Used by the fixtures AND the
-    registry entry — the parser is proven against real bytes this
-    builder wrote, round-trip style (the make_wav contract)."""
+def _png_predict_up(rows: list[bytes]) -> bytes:
+    """PNG Up-filtered encode of equal-width rows (predictor 12):
+    each row prefixed with filter byte 2, bytes stored as delta
+    against the row above — what real PDF writers apply to xref
+    streams before Flate."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((b - p) & 0xFF for b, p in zip(row, prev))
+        prev = row
+    return bytes(out)
+
+
+def make_pdf(pages: list[list[str]], compress: bool = False,
+             xref_stream: bool = False) -> bytes:
+    """A spec-valid PDF: one page per entry of ``pages``, each a list
+    of text lines shown with one ``Tj`` per line (12pt Helvetica,
+    14pt leading). ``compress`` stores every content stream
+    FlateDecode'd. ``xref_stream=False`` emits the classic PDF 1.4
+    layout (xref TABLE + trailer); ``xref_stream=True`` emits the
+    PDF 1.5 layout (ISO 32000-1 §7.5.7/§7.5.8): all dict-only objects
+    packed into ONE /ObjStm object stream, a binary /XRef
+    cross-reference stream (W=[1 4 2], type-2 entries pointing into
+    the ObjStm) Flate-compressed under the PNG Up predictor
+    (/DecodeParms /Predictor 12 — what real writers emit), and no
+    ``trailer`` keyword. Used by the fixtures AND the registry entry —
+    the parser is proven against real bytes this builder wrote,
+    round-trip style (the make_wav contract)."""
     objs: list[bytes] = []  # 1-indexed object bodies, in object order
+    is_stream: list[bool] = []
     n_pages = len(pages)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] "
                 f">>".encode())
+    is_stream += [False, False]
     font_num = 3 + 2 * n_pages
     for i, lines in enumerate(pages):
-        page_num, content_num = 3 + 2 * i, 4 + 2 * i
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
-            f"/Contents {content_num} 0 R >>".encode())
+            f"/Contents {4 + 2 * i} 0 R >>".encode())
         body = [b"BT /F1 12 Tf 14 TL 72 720 Td"]
         for j, line in enumerate(lines):
             if j:
@@ -78,20 +105,74 @@ def make_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
             filt = b"/Filter /FlateDecode "
         objs.append(b"<< " + filt + b"/Length " + str(len(data)).encode()
                     + b" >>\nstream\n" + data + b"\nendstream")
+        is_stream += [False, True]
     objs.append(b"<< /Type /Font /Subtype /Type1 "
                 b"/BaseFont /Helvetica >>")
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    is_stream.append(False)
+
+    if not xref_stream:                          # classic 1.4 layout
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for num, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n").encode()
+        return bytes(out)
+
+    # ---- PDF 1.5 layout: ObjStm for dict objects + /XRef stream ----
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}           # top-level objnum -> offset
+    packed: list[tuple[int, bytes]] = []   # (objnum, body) in ObjStm
+    for num, (body, strm) in enumerate(zip(objs, is_stream), start=1):
+        if strm:
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        else:
+            packed.append((num, body))
+    objstm_num = len(objs) + 1
+    xref_num = len(objs) + 2
+    # ObjStm payload: "num offset" header pairs, then bodies at /First
+    header = []
+    bodies = bytearray()
+    for num, body in packed:
+        header.append(f"{num} {len(bodies)}")
+        bodies += body + b"\n"
+    head = (" ".join(header) + "\n").encode()
+    payload = zlib.compress(head + bytes(bodies))
+    offsets[objstm_num] = len(out)
+    out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+            f"/First {len(head)} /Filter /FlateDecode "
+            f"/Length {len(payload)} >>\nstream\n".encode()
+            + payload + b"\nendstream\nendobj\n")
+    # /XRef stream: W=[1 4 2]; entries for objects 0..xref_num
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    size = xref_num + 1
+    idx_of = {num: i for i, (num, _) in enumerate(packed)}
+    rows = []
+    for num in range(size):
+        if num == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big")
+                        + (65535).to_bytes(2, "big"))
+        elif num in idx_of:                # type 2: in the ObjStm
+            rows.append(b"\x02" + objstm_num.to_bytes(4, "big")
+                        + idx_of[num].to_bytes(2, "big"))
+        else:                              # type 1: top-level object
+            at = xref_at if num == xref_num else offsets[num]
+            rows.append(b"\x01" + at.to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+    xdata = zlib.compress(_png_predict_up(rows))
+    out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
+            f"/W [1 4 2] /Root 1 0 R /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+            f"/Length {len(xdata)} >>\nstream\n".encode()
+            + xdata + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -211,24 +292,101 @@ def _literal_string(buf: bytes, i: int) -> tuple[str, int]:
     return out.decode("latin-1"), i
 
 
+def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
+    """Undo PNG row filters (predictors 10-15; the per-row filter byte
+    selects None/Sub/Up/Average/Paeth — public PNG spec §9) over
+    ``columns``-byte rows with 1-byte components. TIFF predictor 2
+    raises by name."""
+    if predictor == 1:
+        return data
+    if predictor == 2:
+        raise NotImplementedError("pdf: TIFF predictor 2")
+    if not 10 <= predictor <= 15:
+        raise ValueError(f"pdf: bad /Predictor {predictor}")
+    stride = columns + 1
+    if len(data) % stride:
+        raise ValueError("pdf: predictor data is not whole rows")
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), stride):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + stride])
+        if ft == 0:                                    # None
+            pass
+        elif ft == 1:                                  # Sub
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + left) & 0xFF
+        elif ft == 2:                                  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:                                  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:                                  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"pdf: bad PNG filter byte {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
 class PdfDoc:
     def __init__(self, blob: bytes):
         self.buf = blob
-        self.offsets = self._read_xref()
+        self.offsets: dict[int, int] = {}
+        self.compressed: dict[int, tuple[int, int]] = {}
         self._cache: dict[int, object] = {}
+        self._read_xref()
 
-    def _read_xref(self) -> dict[int, int]:
+    def _read_xref(self) -> None:
+        """Walk the cross-reference chain from startxref: classic
+        tables (§7.5.4) AND cross-reference streams (§7.5.8), following
+        /Prev links with first-seen-wins (the newest section is
+        authoritative for incremental updates)."""
         tail = self.buf[-256:]
         m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
         if not m:
             raise ValueError("pdf: no startxref/%%EOF trailer")
         at = int(m.group(1))
-        if self.buf[at:at + 4] != b"xref":
-            raise NotImplementedError(
-                "pdf: cross-reference STREAM (PDF 1.5+) — only the "
-                "classic xref table is implemented")
+        trailer = None
+        seen: set[int] = set()
+        while at is not None:
+            if at in seen or at < 0 or at >= len(self.buf):
+                raise ValueError(f"pdf: bad xref chain offset {at}")
+            seen.add(at)
+            if self.buf[at:at + 4] == b"xref":
+                tr = self._read_xref_table(at)
+            else:
+                tr = self._read_xref_stream(at)
+            if trailer is None:
+                trailer = tr
+            prev = tr.get("/Prev")
+            at = int(prev) if prev is not None else None
+        self.trailer = trailer
+        if "/Encrypt" in trailer:
+            raise NotImplementedError("pdf: encrypted document")
+
+    def _put(self, num: int, kind: int, a: int, b: int) -> None:
+        """Record one xref entry, first-seen (= newest section) wins."""
+        if num in self.offsets or num in self.compressed:
+            return
+        if kind == 1:
+            self.offsets[num] = a
+        elif kind == 2:
+            self.compressed[num] = (a, b)
+
+    def _read_xref_table(self, at: int) -> dict:
         i = at + 4
-        offsets: dict[int, int] = {}
         while True:
             m = re.match(rb"\s*(\d+)\s+(\d+)\s*", self.buf[i:])
             if not m:
@@ -241,28 +399,83 @@ class PdfDoc:
                     raise ValueError("pdf: truncated xref entry")
                 off, _gen, kind = ent[:10], ent[11:16], ent[17:18]
                 if kind == b"n":
-                    offsets[start + k] = int(off)
+                    self._put(start + k, 1, int(off), 0)
                 elif kind != b"f":
                     raise ValueError(f"pdf: bad xref kind {kind!r}")
                 i += 20
         m = re.search(rb"trailer", self.buf[i - 1:])
         if not m:
             raise ValueError("pdf: xref table has no trailer")
-        self.trailer, _ = _parse_value(
-            self.buf, i - 1 + m.end())
-        if "/Encrypt" in self.trailer:
-            raise NotImplementedError("pdf: encrypted document")
-        return offsets
+        trailer, _ = _parse_value(self.buf, i - 1 + m.end())
+        return trailer
+
+    def _read_xref_stream(self, at: int) -> dict:
+        """A §7.5.8 cross-reference STREAM: ``N 0 obj << /Type /XRef
+        /W [...] ... >> stream`` holding binary entries (big-endian
+        fields per /W; type 0 free / 1 offset / 2 in-ObjStm),
+        optionally /Index'd and PNG-predicted under Flate."""
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj", self.buf[at:at + 64])
+        if not m:
+            raise ValueError(
+                f"pdf: startxref target at {at} is neither an xref "
+                f"table nor an indirect object")
+        d, i = _parse_value(self.buf, at + m.end())
+        if not isinstance(d, dict) or d.get("/Type") != "/XRef":
+            raise ValueError("pdf: startxref object is not /Type /XRef")
+        m2 = re.match(rb"\s*stream\r?\n", self.buf[i:])
+        if not m2:
+            raise ValueError("pdf: /XRef object has no stream")
+        ln = d.get("/Length")
+        if isinstance(ln, _Ref):
+            # can't resolve before the xref is loaded — chicken/egg the
+            # spec warns writers about; real xref streams use direct
+            raise ValueError("pdf: /XRef stream /Length is indirect")
+        data = self.buf[i + m2.end(): i + m2.end() + int(ln)]
+        if len(data) < int(ln):
+            raise ValueError("pdf: truncated /XRef stream")
+        data = self._apply_filters(d, data)
+        w = d.get("/W")
+        if (not isinstance(w, list) or len(w) != 3
+                or not all(isinstance(x, int) and x >= 0 for x in w)):
+            raise ValueError(f"pdf: bad /XRef /W {w!r}")
+        size = d.get("/Size")
+        index = d.get("/Index", [0, size])
+        if (not isinstance(index, list) or len(index) % 2
+                or not isinstance(size, int)):
+            raise ValueError("pdf: bad /XRef /Index or /Size")
+        width = sum(w)
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for num in range(start, start + count):
+                if pos + width > len(data):
+                    raise ValueError("pdf: /XRef stream shorter than "
+                                     "its /Index claims")
+                f = []
+                for wd in w:
+                    f.append(int.from_bytes(data[pos:pos + wd], "big")
+                             if wd else None)
+                    pos += wd
+                # field defaults (§7.5.8.3): type defaults to 1
+                kind = f[0] if w[0] else 1
+                self._put(num, kind, f[1] or 0, f[2] or 0)
+        return d
 
     def obj(self, ref):
-        """Resolve an object (following indirect references)."""
+        """Resolve an object (following indirect references) — from
+        its top-level offset, or out of its object stream (§7.5.7)."""
         if not isinstance(ref, _Ref):
             return ref
         if ref.num in self._cache:
             return self._cache[ref.num]
         off = self.offsets.get(ref.num)
         if off is None:
-            raise ValueError(f"pdf: object {ref.num} not in xref")
+            loc = self.compressed.get(ref.num)
+            if loc is None:
+                raise ValueError(f"pdf: object {ref.num} not in xref")
+            val = self._objstm_load(ref.num, *loc)
+            self._cache[ref.num] = val
+            return val
         m = re.match(rb"\s*(\d+)\s+(\d+)\s+obj",
                      self.buf[off:off + 64])
         if not m or int(m.group(1)) != ref.num:
@@ -282,19 +495,66 @@ class PdfDoc:
         self._cache[ref.num] = val
         return val
 
-    def _stream_data(self, ref) -> bytes:
-        d, data = self.obj(ref)
+    def _objstm_load(self, num: int, stm_num: int, idx: int):
+        """Member ``idx`` of object stream ``stm_num`` (§7.5.7): the
+        decoded payload opens with /N ``num offset`` integer pairs,
+        bodies start at /First. Members are direct objects (streams
+        inside an ObjStm are illegal per spec, so none can appear)."""
+        stm = self.obj(_Ref(stm_num))
+        if not (isinstance(stm, tuple) and len(stm) == 2):
+            raise ValueError(f"pdf: object {stm_num} is not a stream")
+        d = stm[0]
+        if d.get("/Type") != "/ObjStm":
+            raise ValueError(
+                f"pdf: xref type-2 entry points into object "
+                f"{stm_num}, which is not /Type /ObjStm")
+        data = self._stream_data(_Ref(stm_num))
+        n, first = self.obj(d.get("/N")), self.obj(d.get("/First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError("pdf: ObjStm missing /N or /First")
+        header = data[:first]
+        pairs = re.findall(rb"(\d+)\s+(\d+)", header)
+        if len(pairs) < n:
+            raise ValueError(
+                f"pdf: ObjStm header has {len(pairs)} pairs, /N={n}")
+        if not 0 <= idx < n:
+            raise ValueError(f"pdf: ObjStm index {idx} out of range "
+                             f"0..{n - 1}")
+        onum, ooff = int(pairs[idx][0]), int(pairs[idx][1])
+        if onum != num:
+            raise ValueError(
+                f"pdf: ObjStm member {idx} is object {onum}, xref "
+                f"said {num}")
+        val, _ = _parse_value(data, first + ooff)
+        return val
+
+    def _apply_filters(self, d: dict, data: bytes) -> bytes:
+        """Run a stream's /Filter chain (FlateDecode only, honest
+        raise otherwise) with per-filter /DecodeParms (PNG predictors
+        §7.4.4.4 — xref streams in the wild are almost always
+        Up-predicted)."""
         filt = d.get("/Filter")
         if filt is None:
             return data
         filts = filt if isinstance(filt, list) else [filt]
-        for f in filts:
+        parms = d.get("/DecodeParms")
+        parms = parms if isinstance(parms, list) else [parms]
+        parms += [None] * (len(filts) - len(parms))
+        for f, p in zip(filts, parms):
             f = self.obj(f)
-            if f == "/FlateDecode":
-                data = zlib.decompress(data)
-            else:
+            if f != "/FlateDecode":
                 raise NotImplementedError(f"pdf: filter {f}")
+            data = zlib.decompress(data)
+            p = self.obj(p)
+            if isinstance(p, dict) and "/Predictor" in p:
+                data = _png_unpredict(
+                    data, self.obj(p["/Predictor"]),
+                    self.obj(p.get("/Columns", 1)))
         return data
+
+    def _stream_data(self, ref) -> bytes:
+        d, data = self.obj(ref)
+        return self._apply_filters(d, data)
 
     def pages(self) -> list[bytes]:
         """Content-stream bytes per page, document order (§7.7.3 page

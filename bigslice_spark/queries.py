@@ -8329,10 +8329,13 @@ def source_xml(spark, sf_dir):
 def pdf_extract_q(spark, sf_dir):
     """PDF text extraction (operators/pdf.py — the document-format leg
     of the media tour): each doc's text is typeset into a REAL
-    two-page PDF 1.4 (make_pdf: object graph, xref table, trailer,
-    Tj text operators; every other doc's content streams FlateDecode-
-    compressed) and parsed back through the full chain — startxref →
-    xref → page-tree walk → stream inflate → BT..ET text ops. The
+    two-page PDF (make_pdf: object graph, Tj text operators; every
+    other doc's content streams FlateDecode-compressed; alternating
+    docs use the CLASSIC 1.4 xref-table layout vs the PDF 1.5 layout
+    — /ObjStm object streams + a PNG-Up-predicted binary /XRef
+    stream, VERDICT r11 task 3) and parsed back through the full
+    chain — startxref → xref table OR xref stream → ObjStm member
+    extraction → page-tree walk → stream inflate → BT..ET text ops. The
     Spark side proves the build→parse round trip on real bytes; the
     extraction is lossless, so the oracle regenerates the page text
     analytically (the WAV/make_wav contract). One Arrow mapInPandas
@@ -8349,8 +8352,9 @@ def pdf_extract_q(spark, sf_dir):
                 d = int(d)
                 pages = [[text[:40], text[40:80]],
                          [f"Page two of doc {d}."]]
-                rows.append((d, bytearray(
-                    make_pdf(pages, compress=(d // 6) % 2 == 0))))
+                rows.append((d, bytearray(make_pdf(
+                    pages, compress=(d // 6) % 2 == 0,
+                    xref_stream=(d // 12) % 2 == 0))))
             yield pd.DataFrame(rows, columns=["id", "media"])
 
     media = (t["documents"].filter(F.col("doc_id") % 6 == 3)

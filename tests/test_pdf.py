@@ -74,11 +74,74 @@ def test_encrypted_and_xref_stream_raise():
     enc = blob.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
     with pytest.raises(NotImplementedError, match="encrypted"):
         PdfDoc(enc)
-    # point startxref at a non-table object -> xref-stream rejection
+    # point startxref at a bogus offset -> chain rejection
     m = re.search(rb"startxref\n(\d+)", blob)
     bad = blob[:m.start(1)] + b"9" + blob[m.end(1) - 1:]
     with pytest.raises((NotImplementedError, ValueError)):
         PdfDoc(bad)
+
+
+def test_xref_stream_objstm_round_trip():
+    """PDF 1.5 layout (round 12, VERDICT r11 task 3): dict objects
+    packed in an /ObjStm, binary /XRef stream with PNG Up predictor —
+    build → parse round trip matches the classic layout exactly."""
+    pages = [["alpha one", "beta (two) \\ three"], ["gamma"], []]
+    for compress in (False, True):
+        blob = make_pdf(pages, compress=compress, xref_stream=True)
+        assert blob.startswith(b"%PDF-1.5")
+        assert b"/ObjStm" in blob and b"/XRef" in blob
+        assert b"trailer" not in blob          # 1.5: dict in the XRef
+        assert _texts(blob) == ["alpha one\nbeta (two) \\ three",
+                                "gamma", ""]
+        d = PdfDoc(blob)
+        assert d.compressed, "no type-2 (ObjStm) xref entries"
+
+
+def test_xref_stream_prev_chain():
+    """Incremental update: a NEW single-entry /XRef section with
+    /Prev pointing at the original — first-seen (newest) wins, older
+    sections still resolve everything else."""
+    blob = make_pdf([["original"]], xref_stream=True)
+    m = re.search(rb"startxref\n(\d+)\s+%%EOF", blob)
+    old_at = int(m.group(1))
+    body = blob[:m.start()]
+    # append a replacement content stream (object 4) + tiny xref
+    # stream covering ONLY object 4, chained to the old section
+    new = b"BT (updated) Tj ET"
+    patch_at = len(body)
+    body += (f"4 0 obj\n<< /Length {len(new)} >>\nstream\n".encode()
+             + new + b"\nendstream\nendobj\n")
+    xref_at = len(body)
+    entry = b"\x01" + patch_at.to_bytes(4, "big") + b"\x00\x00"
+    import zlib as _z
+    xdata = _z.compress(entry)
+    nobj = blob.count(b" 0 obj")  # larger than any used number
+    body += (f"{nobj + 5} 0 obj\n<< /Type /XRef /Size {nobj + 6} "
+             f"/W [1 4 2] /Index [4 1] /Root 1 0 R /Prev {old_at} "
+             f"/Filter /FlateDecode /Length {len(xdata)} >>\n"
+             f"stream\n".encode() + xdata + b"\nendstream\nendobj\n")
+    body += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    assert _texts(bytes(body)) == ["updated"]
+
+
+def test_xref_stream_corruption_raises():
+    """Fuzz the 1.5 structures: a corrupted /XRef payload, a bad
+    ObjStm pointer, and a truncated predictor row all raise."""
+    blob = make_pdf([["x"], ["y"]], xref_stream=True)
+    # corrupt the XRef stream's zlib payload
+    at = blob.rindex(b">>\nstream\n") + len(b">>\nstream\n")
+    bad = blob[:at] + b"\xff\xff" + blob[at + 2:]
+    with pytest.raises((ValueError, zlib.error)):
+        PdfDoc(bad)
+    # xref type-2 entry into a non-ObjStm object: retarget by editing
+    # the ObjStm's /Type
+    bad2 = blob.replace(b"/Type /ObjStm", b"/Type /ObjStx")
+    with pytest.raises(ValueError, match="ObjStm|parse"):
+        [extract_text(c) for c in PdfDoc(bad2).pages()]
+    # predictor row-shape violation: /Columns lie
+    bad3 = blob.replace(b"/Columns 7", b"/Columns 6")
+    with pytest.raises(ValueError):
+        PdfDoc(bad3)
 
 
 def test_corrupt_stream_raises():

@@ -1535,15 +1535,17 @@ PDF_LINE = st.text(
 @CODEC_PROP
 @given(pages=st.lists(st.lists(PDF_LINE, max_size=4), min_size=1,
                       max_size=3),
-       compress=st.booleans())
-def test_pdf_roundtrip_fuzz(pages, compress):
+       compress=st.booleans(), xref_stream=st.booleans())
+def test_pdf_roundtrip_fuzz(pages, compress, xref_stream):
     """make_pdf -> extract_text reproduces every page's lines
     (modulo the documented join: lines concatenate with newlines,
     empty line lists give empty pages) for arbitrary latin-1 text —
-    escapes, parens, backslashes and all."""
+    escapes, parens, backslashes and all — under BOTH layouts (the
+    classic 1.4 xref table and the 1.5 ObjStm + predicted /XRef
+    stream)."""
     from bigslice_spark.operators.pdf import (PdfDoc, extract_text,
                                               make_pdf)
-    blob = make_pdf(pages, compress=compress)
+    blob = make_pdf(pages, compress=compress, xref_stream=xref_stream)
     got = [extract_text(c) for c in PdfDoc(blob).pages()]
     want = ["\n".join(lines) if lines else "" for lines in pages]
     assert got == want
