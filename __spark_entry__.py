@@ -15,7 +15,25 @@ from bigslice_spark.queries import ORACLE, QUERIES
 
 # The driver's correctness harness samples the FIRST 50 registry entries
 # in registration order; rotate so every entry accumulates a hard driver
-# signal across rounds. Round-11 window (VERDICT r10 "Next round" #1,
+# signal across rounds. Round-12 window (VERDICT r11 "Next round" #2):
+#   0. the round-12 ADDITIONS (zero prior signal): source_avro_complex
+#      (arrays/maps/nested records + snappy codec + value-first null
+#      union) and metrics_counters (accumulator-backed Counter/Scope
+#      totals as data — the last SURVEY §2.1-table surface without a
+#      registry proof);
+#   1. entries whose IMPLEMENTATION changed this round and must
+#      re-prove under the driver: unigram_tokens (encode path fully
+#      distributed — VERDICT r11 task 1), pdf_extract (fixture now
+#      alternates 1.4 / 1.5-xref-stream layouts), source_avro
+#      (recursive decoder underneath), source_protobuf (fixed64
+#      signed round-trip), source_arrow_ipc (real DDL parsing);
+#   2. ALL 41 entries whose latest driver artifact is r6 — the oldest
+#      signal in the registry, 5 rounds stale (VERDICT r11 task 2
+#      names them; the _R6_STALE tuple below is that list verbatim).
+#      After this window the staleness floor moves to r8.
+#   3. top-up to 50 with the head of the r8 cohort (epoch_shuffle,
+#      heavy_hitters_approx — next-oldest in registration order).
+# Round-11 window (kept for the record — VERDICT r10 "Next round" #1,
 # and the committed MIGRATION.md rotation schedule):
 #   0. the round-11 ADDITIONS (zero prior signal, front of the
 #      window). Second build wave: audio_mfcc (quantized DCT-II over
@@ -58,6 +76,26 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      MIGRATION.md §rotation-schedule.
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
+_R12_NEW = (
+    "source_avro_complex", "metrics_counters",
+    # changed implementations re-proving this round
+    "unigram_tokens", "pdf_extract", "source_avro", "source_protobuf",
+    "source_arrow_ipc")
+_R6_STALE = (
+    "op_flatmap_pandas", "op_cogroup_apply", "op_cogroup",
+    "op_reshuffle", "op_repartition", "op_repartition_custom",
+    "op_cache_partial", "op_reshard", "op_head", "op_prefixed",
+    "op_cache", "op_scan", "source_tar", "source_csv",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_regional_revenue", "join_broadcast", "set_ops", "rollup_agg",
+    "cube_agg", "distinct_pairs", "agg_stats", "percentile_quantity",
+    "approx_distinct", "pivot_status", "grouping_sets",
+    "dedup_components", "asof_join", "asof_join_forward",
+    "triangle_count", "upsert_merge", "schema_evolution",
+    "upsert_partitioned", "compact_partitioned", "snapshot_diff",
+    "stream_upsert", "range_sorted_layout", "scd2_intervals",
+    "stream_dedup_against", "asof_tolerance")
+_R8_TOPUP = ("epoch_shuffle", "heavy_hitters_approx")
 _R11_NEW = (
     # second build wave this round (also zero prior signal): MFCC
     # features, C4 page cleaning, sentence segmentation, zip/XML
@@ -91,7 +129,8 @@ _R6_OLDEST = (
     "distinct_pairs", "agg_stats",
 )
 def _rotated() -> list[str]:
-    head = [k for k in (_R11_NEW + _R5_STALE + _R6_OLDEST)
+    head = [k for k in (_R12_NEW + _R6_STALE + _R8_TOPUP
+                        + _R11_NEW + _R5_STALE + _R6_OLDEST)
             if k in QUERIES]
     seen = set()
     head = [k for k in head if not (k in seen or seen.add(k))]

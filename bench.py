@@ -2,8 +2,23 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed once after a warmup query primes the JVM/Python
-workers; timing includes plan + execution + a driver-side count()/collect.
+PROTOCOL (round 12, VERDICT r11 task 5): the default invocation —
+what the driver runs — executes EVERY query in its own subprocess
+JVM (the bench_sf1.py protocol made governing): each subprocess runs
+its own untimed warmup, so no query absorbs another's JVM pressure
+and every recorded number reproduces standalone within box noise by
+construction. The r10→r11 in-sequence artifacts produced phantom
+2-3× "regressions" (web_pipeline 3.41→9.06s) that were pure
+list-position JVM contamination of a 42→60-query run; this protocol
+ends that class of dispute. Within a subprocess, timing includes
+plan + execution + a driver-side count().
+
+Knobs: SPARK_GRAFT_BENCH_ONLY=a,b,c runs exactly the named entries
+in-process (the per-query subprocess target, also the A/B tool);
+SPARK_GRAFT_BENCH_N=k runs the first k entries in-process;
+SPARK_GRAFT_BENCH_INPROC=1 forces the legacy whole-list single-JVM
+run (kept for JVM-pressure A/B studies only — NOT comparable to
+fresh-JVM artifacts).
 """
 
 from __future__ import annotations
@@ -11,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -102,18 +118,54 @@ HEADLINE = [
 ]
 
 
+def orchestrate(sf_dir: str, sf: float) -> None:
+    """The governing protocol: one subprocess JVM per headline query
+    (SPARK_GRAFT_BENCH_ONLY=<name> re-enters this script in-process),
+    progress on stderr, the single aggregate JSON line on stdout."""
+    times: dict[str, float] = {}
+    t0 = time.time()
+    for i, name in enumerate(HEADLINE):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=name)
+        t = -1.0
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1800)
+            for line in proc.stdout.splitlines():
+                if line.strip().startswith("{"):
+                    t = json.loads(line)["queries"].get(name, -1.0)
+                    break
+            else:
+                print(f"bench: {name} subprocess produced no result:\n"
+                      f"{proc.stderr[-2000:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: {name} timed out", file=sys.stderr)
+        times[name] = t
+        print(f"bench [{i + 1}/{len(HEADLINE)}] {name}: {t}s "
+              f"(elapsed {time.time() - t0:.0f}s)", file=sys.stderr,
+              flush=True)
+    total = round(sum(v for v in times.values() if v > 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "protocol": "fresh JVM per query (subprocess with "
+                    "SPARK_GRAFT_BENCH_ONLY=<name>; per-subprocess "
+                    "untimed warmup) — numbers reproduce standalone "
+                    "by construction; NOT comparable to pre-r12 "
+                    "in-sequence artifacts (see PERFORMANCE.md r12)",
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # A/B knobs (PERFORMANCE.md protocol): SPARK_GRAFT_BENCH_N runs
-    # only the first N headline entries in this JVM (isolates
-    # list-position/JVM-pressure effects from real plan regressions);
-    # SPARK_GRAFT_BENCH_ONLY=a,b,c runs exactly the named entries —
-    # the fresh-JVM-per-query sf1 protocol (VERDICT r10 task 2) drives
-    # one subprocess per query through it. Unset = full list (the
-    # driver).
     n_only = os.environ.get("SPARK_GRAFT_BENCH_N")
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
     if only:
         wanted = {q.strip() for q in only.split(",") if q.strip()}
         unknown = wanted - set(HEADLINE)
@@ -126,10 +178,11 @@ def main() -> None:
         headline = [q for q in HEADLINE if q in wanted]
     elif n_only:
         headline = HEADLINE[:int(n_only)]
-    else:
+    elif os.environ.get("SPARK_GRAFT_BENCH_INPROC"):
         headline = HEADLINE
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    else:
+        orchestrate(sf_dir, sf)
+        return
 
     from pyspark.sql import SparkSession
 
