@@ -144,6 +144,32 @@ def orchestrate(sf_dir: str, sf: float) -> None:
         print(f"bench [{i + 1}/{len(HEADLINE)}] {name}: {t}s "
               f"(elapsed {time.time() - t0:.0f}s)", file=sys.stderr,
               flush=True)
+    # Second cohort: the r1-recorded 20-query subset ONCE MORE in a
+    # single in-sequence JVM — the ONLY protocol comparable to
+    # BASELINE.md/BENCH_r01 (fresh JVMs pay an irreducible
+    # first-query Janino/C2 tax of ~0.1-0.6s that in-sequence warm
+    # JVMs amortize, so comparing fresh per-query numbers to the r1
+    # baseline would misread protocol tax as regression; measured
+    # r12: r1 subset 22.5s in-seq-r1 vs 32.2s fresh — all protocol).
+    baseline_subset = HEADLINE[:20]
+    b_times: dict[str, float] = {}
+    try:
+        env = dict(os.environ,
+                   SPARK_GRAFT_BENCH_ONLY=",".join(baseline_subset))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=1800)
+        for line in proc.stdout.splitlines():
+            if line.strip().startswith("{"):
+                b_times = json.loads(line)["queries"]
+                break
+    except subprocess.TimeoutExpired:
+        print("bench: baseline-subset cohort timed out",
+              file=sys.stderr)
+    print(f"bench baseline-subset cohort (in-sequence): "
+          f"{round(sum(v for v in b_times.values() if v > 0), 3)}s",
+          file=sys.stderr, flush=True)
+
     total = round(sum(v for v in times.values() if v > 0), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -156,6 +182,16 @@ def orchestrate(sf_dir: str, sf: float) -> None:
                     "untimed warmup) — numbers reproduce standalone "
                     "by construction; NOT comparable to pre-r12 "
                     "in-sequence artifacts (see PERFORMANCE.md r12)",
+        "baseline_subset_inseq": {
+            "queries": b_times,
+            "total": round(sum(v for v in b_times.values()
+                               if v > 0), 3),
+            "protocol": "the 20 BENCH_r01 queries in ONE in-sequence "
+                        "JVM — the BENCH_r01 protocol; THIS cohort "
+                        "is the BASELINE.md comparison, the fresh "
+                        "per-query numbers above are the "
+                        "regression-tracking cohort",
+        },
     }))
 
 
@@ -214,8 +250,27 @@ def main() -> None:
 
     from bigslice_spark.queries import QUERIES
 
-    # warmup: prime JVM codegen + Python workers outside the timed region
+    # warmup: prime JVM codegen + Python workers outside the timed
+    # region. In the fresh-JVM protocol every query is the JVM's
+    # first, so the warmup must also touch the machinery a warm
+    # in-sequence JVM got for free: whole-stage codegen + hash agg,
+    # a broadcast join build, and the Arrow Python runner (worker
+    # pool fork + serializer JIT).
+    from pyspark.sql import functions as _F
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    base = spark.range(100_000).withColumn("k", _F.col("id") % 7)
+    base.groupBy("k").count().collect()
+    small = spark.range(7).withColumnRenamed("id", "k")
+    base.join(_F.broadcast(small), "k").count()
+    try:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s):
+            return s
+        spark.range(10_000).select(_warm("id")).count()
+    except Exception:
+        pass
     try:
         QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
     except Exception:
