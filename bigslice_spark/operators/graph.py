@@ -329,12 +329,25 @@ def triangle_count(edges: DataFrame, src: str = "src",
     # per-u out-neighbor sets; arrays are O(√m)-bounded by the
     # orientation, so no single row can blow up
     adj = d_e.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    # broadcast the adjacency when the directed edge list fits
-    # executor memory (~2 longs x 8M ~ 130 MB hashed); past the cap —
-    # a 100 TB graph — fall back to shuffling the attaches on u / v,
-    # still O(m^1.5) bytes, never Σdeg². The count is free off the
-    # just-materialized blocks.
-    bcast = d_e.count() <= 8_000_000
+    # Broadcast the adjacency while its payload fits executor memory;
+    # past the cap — a 100 TB graph — fall back to shuffling the
+    # attaches on u / v, still O(m^1.5) bytes, never Σdeg². The
+    # payload is EXACTLY m neighbor entries (8 B each) + one ~48 B
+    # row per node, so size it by bytes, not edge count: the r11 cap
+    # of 8M edges pushed the 12M-edge sf1 graph onto the shuffled
+    # path and cost 5x wall (118.6s -> 25.8s measured, the r12 sweep-
+    # tail profile) even though its ~140 MB adjacency broadcasts
+    # trivially. Two tiers so the common small case pays no extra
+    # action: <= 8M edges broadcasts outright; otherwise count nodes
+    # off the materialized blocks and broadcast under ~512 MB.
+    m_edges = d_e.count()
+    if m_edges <= 8_000_000:
+        bcast = True
+    elif m_edges <= 64_000_000:
+        n_nodes = adj.count()
+        bcast = 8 * m_edges + 48 * n_nodes <= 512 * 1024 * 1024
+    else:
+        bcast = False
     side = (lambda df: F.broadcast(df)) if bcast else (lambda df: df)
     closed = (d_e.join(side(adj), on="u")
               .join(side(adj.select(F.col("u").alias("v"),
