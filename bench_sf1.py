@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -48,7 +49,7 @@ def run_one(name: str, sf_dir: str, cpus: str, mem: str) -> float:
 def main() -> None:
     from bench import HEADLINE
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1.0"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1_r11.json"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1_r12.json"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     times: dict[str, float] = {}
@@ -59,8 +60,9 @@ def main() -> None:
         print(f"[{i + 1}/{len(HEADLINE)}] {name}: {t}s "
               f"(elapsed {time.time() - t0:.0f}s)", flush=True)
     total = round(sum(v for v in times.values() if v > 0), 3)
+    m = re.search(r"_r(\d+)", out_path)
     doc = {
-        "round": 11,
+        "round": int(m.group(1)) if m else -1,
         "sf": 1.0,
         "cpus": int(cpus),
         "driver_mem": mem,
