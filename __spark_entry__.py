@@ -18,9 +18,10 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # signal across rounds. Round-12 window (VERDICT r11 "Next round" #2):
 #   0. the round-12 ADDITIONS (zero prior signal): source_avro_complex
 #      (arrays/maps/nested records + snappy codec + value-first null
-#      union) and metrics_counters (accumulator-backed Counter/Scope
+#      union), metrics_counters (accumulator-backed Counter/Scope
 #      totals as data — the last SURVEY §2.1-table surface without a
-#      registry proof);
+#      registry proof), and nb_classifier (in-engine Naive Bayes
+#      train + classify, the quality-classifier training leg);
 #   1. entries whose IMPLEMENTATION changed this round and must
 #      re-prove under the driver: unigram_tokens (encode path fully
 #      distributed — VERDICT r11 task 1), pdf_extract (fixture now
@@ -31,8 +32,9 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      signal in the registry, 5 rounds stale (VERDICT r11 task 2
 #      names them; the _R6_STALE tuple below is that list verbatim).
 #      After this window the staleness floor moves to r8.
-#   3. top-up to 50 with the head of the r8 cohort (epoch_shuffle,
-#      heavy_hitters_approx — next-oldest in registration order).
+#   3. top-up to 50 with the head of the r8 cohort (epoch_shuffle —
+#      next-oldest in registration order; one slot, the third
+#      addition took the other).
 # Round-11 window (kept for the record — VERDICT r10 "Next round" #1,
 # and the committed MIGRATION.md rotation schedule):
 #   0. the round-11 ADDITIONS (zero prior signal, front of the
@@ -77,7 +79,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
 _R12_NEW = (
-    "source_avro_complex", "metrics_counters",
+    "source_avro_complex", "metrics_counters", "nb_classifier",
     # changed implementations re-proving this round
     "unigram_tokens", "pdf_extract", "source_avro", "source_protobuf",
     "source_arrow_ipc")
@@ -95,7 +97,9 @@ _R6_STALE = (
     "upsert_partitioned", "compact_partitioned", "snapshot_diff",
     "stream_upsert", "range_sorted_layout", "scd2_intervals",
     "stream_dedup_against", "asof_tolerance")
-_R8_TOPUP = ("epoch_shuffle", "heavy_hitters_approx")
+# one top-up only: the third r12 addition (nb_classifier) takes the
+# other slot, keeping the window at exactly 50
+_R8_TOPUP = ("epoch_shuffle",)
 _R11_NEW = (
     # second build wave this round (also zero prior signal): MFCC
     # features, C4 page cleaning, sentence segmentation, zip/XML

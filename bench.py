@@ -115,6 +115,9 @@ HEADLINE = [
     # distinct-score rank)
     "classifier_auc",
     "unigram_tokens",
+    # added round 12 (ratchet starts at r12): in-engine NB classifier
+    # train + classify (corpus explode x2 + word-key join + argmax)
+    "nb_classifier",
 ]
 
 

@@ -2,7 +2,11 @@
 fasttext-style quality-classifier pass every LLM data pipeline runs
 (score each document with a trained linear model, filter on the
 score). Training happens offline; this operator is the 100 TB
-INFERENCE path.
+INFERENCE path. ``nb_train``/``nb_classify`` below add the IN-ENGINE
+training leg: a multinomial Naive Bayes text classifier whose train
+pass is one explode + two aggregations and whose math is
+exactly-specified (the lm_quality contract), so the full
+train→classify loop is DuckDB-oracle-able.
 
 Shape: explode tokens → feature id = hash(token) mod dim → broadcast
 hash join against the (feature, weight) model → per-document sum +
@@ -74,6 +78,91 @@ def score_documents(df: DataFrame, weights: DataFrame,
     elif link is not None:
         raise ValueError(f"unknown link: {link}")
     return per.select(id_col, "n_tokens", score.alias("score"))
+
+
+def nb_train(df: DataFrame, label_col: str = "label",
+             text_col: str = "text"):
+    """Multinomial Naive Bayes trainer — the in-engine analog of
+    training the corpus quality/domain classifier (CCNet-style: label
+    a seed set, train, score everything). Fully distributed and
+    integer-exact: one token explode feeds two map-side-combined
+    aggregations; every output is counts.
+
+    Returns three DataFrames (never collected — model stays cluster-
+    side at any vocabulary size):
+      word_counts  (label, w, cnt)        per-class token counts
+      class_stats  (label, n_docs, n_tokens)
+      globals      (N, V) 1 row           corpus docs + train vocab
+    """
+    tok = df.select(F.col(label_col).alias("label"),
+                    F.explode(tokens(text_col)).alias("w"))
+    wc = (tok.groupBy("label", "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    cls = (df.groupBy(F.col(label_col).alias("label"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    ctok = (tok.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens")))
+    class_stats = (cls.join(ctok, on="label", how="left")
+                   .na.fill({"n_tokens": 0}))
+    glob = (df.agg(F.count(F.lit(1)).cast("long").alias("N"))
+            .crossJoin(tok.agg(F.count_distinct("w").cast("long")
+                               .alias("V"))))
+    return wc, class_stats, glob
+
+
+def nb_classify(df: DataFrame, word_counts: DataFrame,
+                class_stats: DataFrame, glob: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id_col, pred, n_words) for every document with ≥1 token:
+    argmax_c [ ln(n_docs_c / N)
+               + Σ_w cnt_dw · ln((cnt_cw + 1) / (n_tokens_c + V)) ]
+    — add-one-smoothed multinomial NB. Exactly-specified (the
+    lm_quality contract): every ``ln`` argument is an exact rational
+    of integer counts, per-term addends are ``decimal(38,12)``-cast
+    so per-class sums are order-independent, and the argmax breaks
+    ties toward the smallest label — bit-replayable in ANSI SQL.
+
+    Scale shape: the corpus aggregates to (doc, w, cnt_dw) with
+    map-side combine, then ONE equi-join on the word key against the
+    per-word class-count MAP (vocab-scale, one row per word —
+    map_from_entries over word_counts), and only AFTER that join
+    fans out x C classes via a broadcast of class_stats: the shuffle
+    never carries the xC expansion. The argmax window partitions by
+    document over exactly C rows — no skew at any corpus size."""
+    dw = (df.select(F.col(id_col),
+                    F.explode(tokens(text_col)).alias("w"))
+          .groupBy(id_col, "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("dw")))
+    wcm = (word_counts.groupBy("w")
+           .agg(F.map_from_entries(
+               F.sort_array(F.collect_list(F.struct("label", "cnt"))))
+               .alias("m")))
+    side = (F.broadcast(class_stats.crossJoin(glob)))
+    expanded = (dw.join(wcm, on="w", how="left")
+                .crossJoin(side))
+    lp = F.log((F.coalesce(F.element_at("m", F.col("label")),
+                           F.lit(0)) + F.lit(1)).cast("double")
+               / (F.col("n_tokens") + F.col("V")).cast("double"))
+    term = (F.col("dw").cast("double") * lp).cast("decimal(38,12)")
+    per = (expanded.groupBy(id_col, "label")
+           .agg(F.sum(term).alias("s"),
+                F.sum("dw").cast("long").alias("n_words")))
+    prior = (class_stats.crossJoin(glob)
+             .select("label",
+                     F.log(F.col("n_docs").cast("double")
+                           / F.col("N").cast("double"))
+                     .cast("decimal(38,12)").alias("plp")))
+    from pyspark.sql import Window
+    scored = (per.join(F.broadcast(prior), on="label")
+              .select(id_col, "label", "n_words",
+                      (F.col("s") + F.col("plp")).alias("score")))
+    rn = F.row_number().over(
+        Window.partitionBy(id_col)
+        .orderBy(F.col("score").desc(), F.col("label")))
+    return (scored.withColumn("__rn", rn).filter(F.col("__rn") == 1)
+            .select(F.col(id_col), F.col("label").alias("pred"),
+                    "n_words"))
 
 
 def demo_weights(spark, dim: int = 1024) -> DataFrame:

@@ -9402,3 +9402,77 @@ def metrics_counters_q(spark, sf_dir):
     snap = scope.snapshot()
     return spark.createDataFrame(
         sorted(snap.items()), "name string, value long")
+
+
+@query("nb_classifier", """
+    WITH tok AS (
+      SELECT lang AS label,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS w
+      FROM documents),
+    wc AS (SELECT label, w, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY label, w),
+    cls AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang),
+    ctok AS (SELECT label, CAST(count(*) AS BIGINT) AS n_tokens
+             FROM tok GROUP BY label),
+    gv AS (SELECT (SELECT CAST(count(*) AS BIGINT)
+                   FROM documents) AS N,
+                  (SELECT CAST(count(DISTINCT w) AS BIGINT)
+                   FROM tok) AS V),
+    dw AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS dw FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS w
+        FROM documents)
+      GROUP BY doc_id, w),
+    terms AS (
+      SELECT d.doc_id, c.label, d.dw,
+             CAST(CAST(d.dw AS DOUBLE)
+                  * ln(CAST(coalesce(wc.cnt, 0) + 1 AS DOUBLE)
+                       / CAST(ct.n_tokens + g.V AS DOUBLE))
+                  AS DECIMAL(38,12)) AS t
+      FROM dw d
+      CROSS JOIN cls c
+      JOIN ctok ct ON ct.label = c.label
+      CROSS JOIN gv g
+      LEFT JOIN wc ON wc.label = c.label AND wc.w = d.w),
+    per AS (
+      SELECT doc_id, label, sum(t) AS s,
+             CAST(sum(dw) AS BIGINT) AS n_words
+      FROM terms GROUP BY doc_id, label),
+    pri AS (
+      SELECT c.label,
+             CAST(ln(CAST(c.n_docs AS DOUBLE) / CAST(g.N AS DOUBLE))
+                  AS DECIMAL(38,12)) AS plp
+      FROM cls c CROSS JOIN gv g),
+    scored AS (
+      SELECT p.doc_id, p.label, p.n_words, p.s + r.plp AS score
+      FROM per p JOIN pri r ON r.label = p.label)
+    SELECT doc_id, label AS pred, n_words FROM (
+      SELECT doc_id, label, n_words,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label) AS rn
+      FROM scored)
+    WHERE rn = 1
+""")
+def nb_classifier_q(spark, sf_dir):
+    """In-engine classifier TRAINING + inference (operators/
+    classify.py nb_train/nb_classify — the missing leg next to the
+    score_documents inference path): a multinomial Naive Bayes text
+    classifier trains on (lang, text) with one explode + two
+    map-side-combined aggregations (model never leaves the cluster),
+    then classifies the corpus — add-one smoothing, every ln input an
+    exact integer rational, decimal(38,12)-cast addends, smallest-
+    label tie-break (the lm_quality exactness contract). The
+    classify plan shuffles the corpus ONCE on the word key against
+    the per-word class-count map and fans out x C classes only after
+    that join; the argmax window holds exactly C rows per document.
+    The oracle replays train AND classify end-to-end, so a defect in
+    counting, smoothing, summation or the argmax breaks the hash."""
+    from .operators.classify import nb_classify, nb_train
+    _, t = _s(spark, sf_dir)
+    docs = t["documents"]
+    wc, cls, glob = nb_train(docs, label_col="lang")
+    return nb_classify(docs, wc, cls, glob)

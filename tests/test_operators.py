@@ -967,6 +967,54 @@ def test_score_documents_unknown_features_count(spark):
     assert r0["score"] == 0.25
 
 
+def test_nb_classifier_matches_python_reference(spark):
+    """nb_train/nb_classify (operators/classify.py, r12): predictions
+    equal an independent driver-side NB computed with plain Python
+    math (add-one smoothing, log-prob sums, smallest-label
+    tie-break), on a corpus where training labels are separable AND
+    one doc carries only out-of-class tokens (prior + OOV smoothing
+    decide it)."""
+    import math
+    from collections import Counter
+
+    from bigslice_spark.operators.classify import nb_classify, nb_train
+    rows = [(1, "spam spam buy now", "s"),
+            (2, "buy spam cheap now now", "s"),
+            (3, "meeting notes agenda", "h"),
+            (4, "agenda for the meeting", "h"),
+            (5, "spam agenda", "h"),
+            (6, "zzz qqq", "s")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, lang string")
+    wc, cls, glob = nb_train(df, label_col="lang")
+    got = {r["doc_id"]: (r["pred"], r["n_words"])
+           for r in nb_classify(df, wc, cls, glob).collect()}
+
+    # independent reference
+    by_label_tokens: dict[str, Counter] = {}
+    n_docs: Counter = Counter()
+    vocab = set()
+    for _, text, lab in rows:
+        n_docs[lab] += 1
+        toks = text.split()
+        vocab.update(toks)
+        by_label_tokens.setdefault(lab, Counter()).update(toks)
+    N, V = len(rows), len(vocab)
+    for did, text, _ in rows:
+        toks = text.split()
+        best = None
+        for lab in sorted(n_docs):
+            s = math.log(n_docs[lab] / N)
+            tot = sum(by_label_tokens[lab].values())
+            for w in toks:
+                s += math.log(
+                    (by_label_tokens[lab][w] + 1) / (tot + V))
+            if best is None or s > best[1] + 1e-12:
+                best = (lab, s)
+        assert got[did][0] == best[0], (did, got[did], best)
+        assert got[did][1] == len(toks)
+
+
 def test_stratified_sample_quota_and_determinism(spark, tables):
     from bigslice_spark.operators.sampling import stratified_sample
     docs = tables["documents"]
