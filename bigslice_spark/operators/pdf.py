@@ -7,8 +7,10 @@ spec (ISO 32000-1 / Adobe PDF Reference 1.7): header, body of
 indirect objects, cross-reference TABLE + trailer (§7.5.4) AND the
 PDF 1.5 cross-reference STREAM (§7.5.8: binary /W-packed entries,
 /Index subsections, PNG-predictor /DecodeParms) with object streams
-(§7.5.7 /ObjStm member extraction) and /Prev incremental-update
-chains — the layout the majority of modern PDFs use; content streams
+(§7.5.7 /ObjStm member extraction), /Prev incremental-update
+chains, and HYBRID-reference files (§7.5.8.4: a classic table whose
+trailer's /XRefStm points at the stream holding the hidden type-2
+entries) — the layouts the majority of modern PDFs use; content streams
 stored raw or FlateDecode-compressed (stdlib zlib); text extracted
 from BT..ET blocks' ``Tj`` (show string) and ``TJ`` (show array with
 kerning) operators, with literal-string escapes (\\\\ \\( \\) \\n \\r
@@ -366,6 +368,19 @@ class PdfDoc:
             seen.add(at)
             if self.buf[at:at + 4] == b"xref":
                 tr = self._read_xref_table(at)
+                # hybrid-reference file (§7.5.8.4): the classic
+                # trailer points at a supplementary xref STREAM
+                # holding the entries (typically type-2, in-ObjStm)
+                # the table hides — read it at lower priority (the
+                # table's n-entries already won via first-seen)
+                xs = tr.get("/XRefStm")
+                if xs is not None:
+                    xs = int(xs)
+                    if xs in seen or xs < 0 or xs >= len(self.buf):
+                        raise ValueError(
+                            f"pdf: bad /XRefStm offset {xs}")
+                    seen.add(xs)
+                    self._read_xref_stream(xs)
             else:
                 tr = self._read_xref_stream(at)
             if trailer is None:

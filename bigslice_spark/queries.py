@@ -9296,6 +9296,9 @@ def stream_quality_filter_q(spark, sf_dir):
            CAST(n_regionkey AS BIGINT) AS pr,
            n_name AS iname,
            CAST(length(n_name) AS BIGINT) AS ilen,
+           substring('ABC', CAST(n_nationkey % 3 AS INT) + 1, 1)
+             AS grade,
+           printf('%08X', n_nationkey) AS fph,
            CASE WHEN n_nationkey % 2 = 0 THEN NULL
                 ELSE 'c' || CAST(n_nationkey AS VARCHAR) END AS maybe
     FROM nation
@@ -9303,9 +9306,11 @@ def stream_quality_filter_q(spark, sf_dir):
 def source_avro_complex_q(spark, sf_dir):
     """Avro complex types + snappy (sources/avro.py, round-12
     extension per VERDICT r11 task 4): nation-derived rows carrying an
-    array<string>, a map<string,long>, a nested record, and a
-    VALUE-FIRST null union (["string","null"] — branch index is the
-    position in the union array, the ADVICE r11 branch-order fix) are
+    array<string>, a map<string,long>, a nested record, an ENUM
+    (int symbol index → symbol string), a FIXED (4 raw bytes,
+    hex-projected), and a VALUE-FIRST null union (["string","null"] —
+    branch index is the position in the union array, the ADVICE r11
+    branch-order fix) are
     written to real .avro files under the SNAPPY codec (clean-room
     pure-Python block-format decode + big-endian CRC32 trailer, per
     the Avro spec) and deflate, read back through the
@@ -9327,6 +9332,8 @@ def source_avro_complex_q(spark, sf_dir):
             [f"t{k % 3}", f"t{k % 5}"],
             {"k": k % 7, "r": reg},
             {"name": name, "len": len(name)},
+            "ABC"[k % 3],
+            k.to_bytes(4, "big"),
             None if k % 2 == 0 else f"c{k}"))
     sch = json.dumps({
         "type": "record", "name": "nation_plus", "fields": [
@@ -9339,6 +9346,10 @@ def source_avro_complex_q(spark, sf_dir):
                 "type": "record", "name": "info_t", "fields": [
                     {"name": "name", "type": "string"},
                     {"name": "len", "type": "long"}]}},
+            {"name": "grade", "type": {"type": "enum", "name": "G",
+                                       "symbols": ["A", "B", "C"]}},
+            {"name": "fp", "type": {"type": "fixed", "name": "F4",
+                                    "size": 4}},
             {"name": "maybe", "type": ["string", "null"]}]})
     d = tempfile.mkdtemp(prefix="bsq_avroc_")
     half = len(rows) // 2
@@ -9351,7 +9362,7 @@ def source_avro_complex_q(spark, sf_dir):
         spark, d,
         "n_nationkey long, tags array<string>, "
         "props map<string,long>, info struct<name:string,len:long>, "
-        "maybe string")
+        "grade string, fp binary, maybe string")
     return df.select(
         "n_nationkey",
         F.size("tags").alias("n_tags"),
@@ -9360,6 +9371,8 @@ def source_avro_complex_q(spark, sf_dir):
         F.col("props").getItem("r").alias("pr"),
         F.col("info.name").alias("iname"),
         F.col("info.len").alias("ilen"),
+        F.col("grade"),
+        F.hex("fp").alias("fph"),
         F.col("maybe"))
 
 

@@ -17,12 +17,13 @@ of ``count(varint) items... 0`` (negative count = byte size follows,
 skipped), records as fields in schema order.
 
 Supported schema subset: records (top-level and nested), arrays,
-maps (string keys per the spec), 2-branch null unions in either
-order, and the primitives null/boolean/int/long/float/double/bytes/
-string. Enums, fixed, recursive type references, >2-branch unions and
-other codecs (zstd) raise NotImplementedError by name — the repo's
-honest-raise codec contract. Truncated blocks, sync mismatches and
-snappy CRC mismatches raise ValueError.
+maps (string keys per the spec), enums (int symbol index → symbol
+string, range-checked), fixed (exactly-size raw bytes), 2-branch
+null unions in either order, and the primitives null/boolean/int/
+long/float/double/bytes/string. Recursive type references, >2-branch
+unions and other codecs (zstd) raise NotImplementedError by name —
+the repo's honest-raise codec contract. Truncated blocks, sync
+mismatches and snappy CRC mismatches raise ValueError.
 
 The snappy codec is decoded by a clean-room pure-Python implementation
 of the public snappy block format (literal + copy1/2/4 elements,
@@ -221,11 +222,22 @@ def _parse_type(t) -> dict:
             return {"k": "record",
                     "fields": [(f["name"], _parse_type(f["type"]))
                                for f in t["fields"]]}
+        if tt == "enum":
+            syms = t.get("symbols")
+            if (not isinstance(syms, list) or not syms
+                    or len(set(syms)) != len(syms)):
+                raise ValueError(f"avro: bad enum symbols {syms!r}")
+            return {"k": "enum", "symbols": list(syms)}
+        if tt == "fixed":
+            size = t.get("size")
+            if not isinstance(size, int) or size < 0:
+                raise ValueError(f"avro: bad fixed size {size!r}")
+            return {"k": "fixed", "size": size}
         if tt in _PRIMITIVES:                  # {"type": "long"} form
             return _parse_type(tt)
         raise NotImplementedError(
-            f"avro: complex type {tt!r} (records/arrays/maps only — "
-            f"enum/fixed unsupported)")
+            f"avro: complex type {tt!r} (records/arrays/maps/enum/"
+            f"fixed only)")
     raise NotImplementedError(f"avro: schema node {t!r}")
 
 
@@ -284,6 +296,20 @@ def _write_value(out: bytearray, ty: dict, v) -> None:
                 _write_prim(out, "string", mk)
                 _write_value(out, ty["values"], mv)
         _write_long(out, 0)
+    elif k == "enum":                  # int index into symbols
+        try:
+            _write_long(out, ty["symbols"].index(v))
+        except ValueError:
+            raise ValueError(
+                f"avro: {v!r} not in enum symbols "
+                f"{ty['symbols']}") from None
+    elif k == "fixed":                 # exactly size raw bytes
+        b = bytes(v)
+        if len(b) != ty["size"]:
+            raise ValueError(
+                f"avro: fixed value of {len(b)} bytes, schema size "
+                f"{ty['size']}")
+        out += b
     else:                                              # record
         for name, fty in ty["fields"]:
             if name not in v:
@@ -404,6 +430,18 @@ def _read_value(buf: bytes, i: int, ty: dict):
                 mk, i = _read_prim(buf, i, "string")
                 mv, i = _read_value(buf, i, ty["values"])
                 out[mk] = mv
+    if k == "enum":
+        idx, i = _read_long(buf, i)
+        syms = ty["symbols"]
+        if not 0 <= idx < len(syms):
+            raise ValueError(
+                f"avro: enum index {idx} out of range 0..{len(syms) - 1}")
+        return syms[idx], i
+    if k == "fixed":
+        n = ty["size"]
+        if i + n > len(buf):
+            raise ValueError("avro: truncated fixed")
+        return bytes(buf[i:i + n]), i + n
     rec = {}                                           # record
     for name, fty in ty["fields"]:
         rec[name], i = _read_value(buf, i, fty)

@@ -3612,11 +3612,10 @@ def test_avro_reader_spark_and_contracts(spark, tmp_path):
         avro_reader(spark, str(tmp_path), "k long, other string") \
             .collect()
     # honest raises, by name
-    enum = json.dumps({"type": "record", "name": "t", "fields": [
-        {"name": "e", "type": {"type": "enum", "name": "E",
-                               "symbols": ["A"]}}]})
+    weird = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "e", "type": {"type": "decimalish"}}]})
     with _pytest.raises(NotImplementedError, match="complex type"):
-        make_avro(enum, [])
+        make_avro(weird, [])
     with _pytest.raises(NotImplementedError, match="codec"):
         make_avro(sch, [], codec="zstd")
     u3 = json.dumps({"type": "record", "name": "t", "fields": [
@@ -3682,6 +3681,26 @@ def test_avro_complex_types_snappy_and_union_order(spark, tmp_path):
     with _pytest.raises(ValueError,
                         match="CRC mismatch|truncated|snappy|sync"):
         read_avro_blob(bytes(blob))
+    # enum/fixed structural contracts: out-of-vocabulary enum value
+    # and wrong-size fixed raise on ENCODE; a corrupt enum index
+    # raises on DECODE
+    ef = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "g", "type": {"type": "enum", "name": "G",
+                               "symbols": ["A", "B"]}},
+        {"name": "f", "type": {"type": "fixed", "name": "F2",
+                               "size": 2}}]})
+    blob = make_avro(ef, [("B", b"xy")])
+    _, got = read_avro_blob(blob)
+    assert got == [("B", b"xy")]
+    with _pytest.raises(ValueError, match="enum symbols"):
+        make_avro(ef, [("Z", b"xy")])
+    with _pytest.raises(ValueError, match="fixed"):
+        make_avro(ef, [("A", b"xyz")])
+    # the encoded enum index for "B" is zigzag(1)=2; patch it to an
+    # out-of-range zigzag(9)=18 and decode must reject
+    bad_e = blob.replace(b"\x02xy", b"\x12xy")
+    with _pytest.raises(ValueError, match="enum index"):
+        read_avro_blob(bad_e)
     # snappy copy elements (the decoder half real compressors emit):
     # literal "abcd" + copy1(len=4, off=4) -> "abcdabcd"
     enc = bytes([8, (3 << 2), ord("a"), ord("b"), ord("c"), ord("d"),

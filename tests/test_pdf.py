@@ -124,6 +124,43 @@ def test_xref_stream_prev_chain():
     assert _texts(bytes(body)) == ["updated"]
 
 
+def test_hybrid_reference_file():
+    """Hybrid-reference layout (§7.5.8.4 — what Word-era exporters
+    emit for 1.4-reader compatibility): a CLASSIC xref table that
+    lists only the top-level objects (ObjStm members marked free) and
+    whose trailer carries /XRefStm pointing at the 1.5 binary xref
+    stream holding the hidden type-2 entries. Built by wrapping the
+    1.5 fixture in a hand-assembled table."""
+    blob = make_pdf([["hybrid page one"], ["and two"]],
+                    xref_stream=True)
+    m = re.search(rb"startxref\n(\d+)\s+%%EOF", blob)
+    stream_at = int(m.group(1))
+    body = blob[:m.start()]
+    # top-level objects = content streams + ObjStm + XRef stream
+    offs = {int(mm.group(1)): mm.start()
+            for mm in re.finditer(rb"(\d+) 0 obj", body)}
+    size = max(offs) + 1
+    table_at = len(body)
+    table = [f"xref\n0 {size}\n".encode(), b"0000000000 65535 f \n"]
+    for num in range(1, size):
+        if num in offs:
+            table.append(f"{offs[num]:010d} 00000 n \n".encode())
+        else:                    # hidden: in the ObjStm, table-free
+            table.append(b"0000000000 00000 f \n")
+    tail = (f"trailer\n<< /Size {size} /Root 1 0 R "
+            f"/XRefStm {stream_at} >>\n"
+            f"startxref\n{table_at}\n%%EOF\n").encode()
+    hybrid = body + b"".join(table) + tail
+    assert _texts(hybrid) == ["hybrid page one", "and two"]
+    d = PdfDoc(hybrid)
+    assert d.compressed, "hidden objects must come from the /XRefStm"
+    # a bogus /XRefStm offset raises
+    bad = hybrid.replace(f"/XRefStm {stream_at}".encode(),
+                         f"/XRefStm {len(hybrid) + 9}".encode())
+    with pytest.raises(ValueError):
+        PdfDoc(bad)
+
+
 def test_xref_stream_corruption_raises():
     """Fuzz the 1.5 structures: a corrupted /XRef payload, a bad
     ObjStm pointer, and a truncated predictor row all raise."""

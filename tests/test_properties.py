@@ -1479,6 +1479,10 @@ def _avro_complex_schema():
                     {"name": "deep", "type": {"type": "array",
                                               "items": ["long",
                                                         "null"]}}]}},
+            {"name": "grade", "type": {"type": "enum", "name": "G",
+                                       "symbols": ["A", "B", "C"]}},
+            {"name": "fp", "type": {"type": "fixed", "name": "F4",
+                                    "size": 4}},
             # VALUE-FIRST union (ADVICE r11: branch index = position)
             {"name": "c", "type": ["string", "null"]}]})
 
@@ -1496,6 +1500,8 @@ AVRO_COMPLEX_ROW = st.tuples(
                                    st.integers(min_value=-9,
                                                max_value=9)),
                          max_size=4)}),
+    st.sampled_from(["A", "B", "C"]),
+    st.binary(min_size=4, max_size=4),
     st.one_of(st.none(), st.text(max_size=10)))
 
 
@@ -1504,9 +1510,9 @@ AVRO_COMPLEX_ROW = st.tuples(
        codec=st.sampled_from(["null", "deflate", "snappy"]),
        block=st.integers(min_value=1, max_value=7))
 def test_avro_complex_roundtrip_fuzz(rows, codec, block):
-    """Round 12: arrays, maps, nested records, unions NESTED inside
-    arrays, and value-first top-level unions all round-trip under
-    every codec and block split."""
+    """Round 12: arrays, maps, nested records, enums, fixed, unions
+    NESTED inside arrays, and value-first top-level unions all
+    round-trip under every codec and block split."""
     from bigslice_spark.sources.avro import make_avro, read_avro_blob
     blob = make_avro(_avro_complex_schema(), rows, codec=codec,
                      block_rows=block)
