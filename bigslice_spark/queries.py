@@ -8454,35 +8454,48 @@ def json_variant_q(spark, sf_dir):
 
 
 @query("source_protobuf", """
-    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    SELECT n_nationkey, n_name, n_regionkey,
+           list_value('t' || CAST(n_nationkey % 3 AS VARCHAR),
+                      't' || CAST(n_nationkey % 5 AS VARCHAR)) AS tags,
+           list_value(CAST(n_nationkey AS BIGINT),
+                      CAST(-n_nationkey AS BIGINT)) AS scores
+    FROM nation
 """)
 def source_protobuf(spark, sf_dir):
     """Protobuf source (sources/protobuf.py — clean-room wire-format
     codec from the public encoding spec: varint keys, zigzag sints,
     length-delimited strings, proto3 zero-value elision + unknown-
-    field skipping, writeDelimitedTo file framing): nation is written
-    to REAL .pb files — through a WIDER writer schema than the reader
-    declares, so unknown-field skipping is exercised on every message
-    — and read back with both the message schema and the Spark DDL
-    pinned; the oracle checks losslessness against the parquet
-    original (the csv/xml/avro contract, fifth format)."""
+    field skipping, writeDelimitedTo file framing; r12b adds REPEATED
+    fields — packed numerics + per-element strings, landing as Spark
+    arrays): nation is written to REAL .pb files — through a WIDER
+    writer schema than the reader declares, so unknown-field skipping
+    is exercised on every message — and read back with both the
+    message schema and the Spark DDL pinned; the oracle checks
+    losslessness against the parquet original (the csv/xml/avro
+    contract, fifth format)."""
     import os
     import tempfile
 
     from .sources.protobuf import make_delimited, protobuf_reader
     _, t = _s(spark, sf_dir)
-    rows = [{"n_nationkey": int(r[0]), "n_name": str(r[1]),
-             "n_regionkey": int(r[2]), "audit": f"w{int(r[0])}"}
+    rows = [{"n_nationkey": (k := int(r[0])), "n_name": str(r[1]),
+             "n_regionkey": int(r[2]), "audit": f"w{k}",
+             "tags": [f"t{k % 3}", f"t{k % 5}"],
+             "scores": [k, -k]}
             for r in
             t["nation"].select("n_nationkey", "n_name", "n_regionkey")
             .collect()]                    # 25 rows: metadata-scale
     writer_schema = {1: ("n_nationkey", "int64"),
                      2: ("n_name", "string"),
                      3: ("n_regionkey", "int64"),
+                     4: ("tags", "repeated string"),
+                     5: ("scores", "repeated sint64"),
                      9: ("audit", "string")}   # unknown to the reader
     reader_schema = {1: ("n_nationkey", "int64"),
                      2: ("n_name", "string"),
-                     3: ("n_regionkey", "int64")}
+                     3: ("n_regionkey", "int64"),
+                     4: ("tags", "repeated string"),
+                     5: ("scores", "repeated sint64")}
     d = tempfile.mkdtemp(prefix="bsq_pb_")
     half = len(rows) // 2
     for fname, chunk in (("a.pb", rows[:half]), ("b.pb", rows[half:])):
@@ -8490,7 +8503,8 @@ def source_protobuf(spark, sf_dir):
             f.write(make_delimited(writer_schema, chunk))
     return protobuf_reader(
         spark, d, reader_schema,
-        "n_nationkey long, n_name string, n_regionkey long")
+        "n_nationkey long, n_name string, n_regionkey long, "
+        "tags array<string>, scores array<long>")
 
 
 @query("source_tfrecord", """

@@ -11,10 +11,14 @@ type)}`` with types ``int64 | sint64 | bool | string | bytes | double
 decode to the type's zero value; ``fixed64`` values round-trip as
 two's-complement signed longs (the wire is unsigned, Spark's long is
 signed — the same correction int64 receives), ``fixed32`` stays
-unsigned (it always fits a long); unknown field numbers are SKIPPED by
-wire type (the forward-compatibility contract), groups (wire types
-3/4) and nested/repeated declarations raise NotImplementedError by
-name. Truncated varints/payloads raise ValueError.
+unsigned (it always fits a long); ``repeated <prim>`` fields land as
+Python/Spark ARRAYS — encoded packed for numerics (proto3's default)
+and one-key-per-element for string/bytes, decoded from BOTH packed
+and unpacked wire forms as the spec requires of parsers; unknown
+field numbers are SKIPPED by wire type (the forward-compatibility
+contract), groups (wire types 3/4) and nested-message declarations
+raise NotImplementedError by name. Truncated varints/payloads raise
+ValueError.
 
 Scale shape: ``protobuf_reader`` is binaryFile + one Arrow-batched
 mapInPandas pass, file-granular parallelism (the tar/zip/avro
@@ -34,14 +38,28 @@ _ZERO = {"int64": 0, "sint64": 0, "bool": False, "string": "",
          "fixed32": 0}
 _WIRE = {"int64": 0, "sint64": 0, "bool": 0, "string": 2, "bytes": 2,
          "double": 1, "float": 5, "fixed64": 1, "fixed32": 5}
+_VARINTS = ("int64", "sint64", "bool")
+
+
+def _is_repeated(typ: str) -> bool:
+    return typ.startswith("repeated ")
+
+
+def _base_type(typ: str) -> str:
+    return typ[len("repeated "):] if _is_repeated(typ) else typ
+
+
+def _zero(typ: str):
+    return [] if _is_repeated(typ) else _ZERO[typ]
 
 
 def _check_schema(schema: dict[int, tuple[str, str]]) -> None:
     for num, (name, typ) in schema.items():
-        if typ not in _ZERO:
+        if _base_type(typ) not in _ZERO:
             raise NotImplementedError(
                 f"protobuf: field {name!r} type {typ!r} (primitives "
-                f"only — nested/repeated messages not supported)")
+                f"and repeated primitives only — nested messages not "
+                f"supported)")
         if not 1 <= num <= 536870911:
             raise ValueError(f"protobuf: bad field number {num}")
 
@@ -72,49 +90,109 @@ def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
             raise ValueError("protobuf: varint longer than 64 bits")
 
 
+def _encode_scalar(out: bytearray, typ: str, v) -> None:
+    """The VALUE bytes of one scalar (no key) — shared by singular
+    fields and packed-repeated payloads."""
+    if typ == "int64":
+        _write_varint(out, int(v) & 0xFFFFFFFFFFFFFFFF)
+    elif typ == "sint64":
+        _write_varint(out, ((int(v) << 1) ^ (int(v) >> 63))
+                      & 0xFFFFFFFFFFFFFFFF)
+    elif typ == "bool":
+        _write_varint(out, 1 if v else 0)
+    elif typ in ("string", "bytes"):
+        b = v.encode("utf-8") if typ == "string" else bytes(v)
+        _write_varint(out, len(b))
+        out += b
+    elif typ == "double":
+        out += struct.pack("<d", float(v))
+    elif typ == "float":
+        out += struct.pack("<f", float(v))
+    elif typ == "fixed64":
+        # two's-complement reinterpretation: fixed64 is unsigned on
+        # the wire, but Spark's long is signed — encode/decode agree
+        # on <q semantics so the full 64-bit range round-trips
+        out += struct.pack("<Q", int(v) & 0xFFFFFFFFFFFFFFFF)
+    elif typ == "fixed32":
+        out += struct.pack("<I", int(v))
+
+
 def encode_message(schema: dict[int, tuple[str, str]],
                    values: dict[str, object]) -> bytes:
     """One message; fields in ascending field-number order; fields at
-    their zero value are omitted (proto3 default elision)."""
+    their zero value are omitted (proto3 default elision). Repeated
+    numeric fields encode PACKED (one wt-2 key, concatenated values —
+    proto3's default); repeated string/bytes encode one key per
+    element (packing length-delimited types is illegal per spec)."""
     _check_schema(schema)
     out = bytearray()
     for num in sorted(schema):
         name, typ = schema[num]
-        v = values.get(name, _ZERO[typ])
+        base = _base_type(typ)
+        v = values.get(name, _zero(typ))
+        if _is_repeated(typ):
+            items = list(v)
+            if not items:
+                continue
+            if base in ("string", "bytes"):
+                for item in items:
+                    _write_varint(out, (num << 3) | 2)
+                    _encode_scalar(out, base, item)
+            else:
+                payload = bytearray()
+                for item in items:
+                    _encode_scalar(payload, base, item)
+                _write_varint(out, (num << 3) | 2)
+                _write_varint(out, len(payload))
+                out += payload
+            continue
         if v == _ZERO[typ]:
             continue
         _write_varint(out, (num << 3) | _WIRE[typ])
-        if typ == "int64":
-            _write_varint(out, int(v) & 0xFFFFFFFFFFFFFFFF)
-        elif typ == "sint64":
-            _write_varint(out, ((int(v) << 1) ^ (int(v) >> 63))
-                          & 0xFFFFFFFFFFFFFFFF)
-        elif typ == "bool":
-            _write_varint(out, 1)
-        elif typ in ("string", "bytes"):
-            b = v.encode("utf-8") if typ == "string" else bytes(v)
-            _write_varint(out, len(b))
-            out += b
-        elif typ == "double":
-            out += struct.pack("<d", float(v))
-        elif typ == "float":
-            out += struct.pack("<f", float(v))
-        elif typ == "fixed64":
-            # two's-complement reinterpretation: fixed64 is unsigned on
-            # the wire, but Spark's long is signed — encode/decode agree
-            # on <q semantics so the full 64-bit range round-trips
-            out += struct.pack("<Q", int(v) & 0xFFFFFFFFFFFFFFFF)
-        elif typ == "fixed32":
-            out += struct.pack("<I", int(v))
+        _encode_scalar(out, typ, v)
     return bytes(out)
+
+
+def _varint_value(base: str, u: int):
+    if base == "sint64":
+        return (u >> 1) ^ -(u & 1)
+    if base == "bool":
+        return u != 0
+    # int64: two's complement
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def _read_scalar(buf: bytes, i: int, base: str):
+    """One VALUE of ``base`` at buf[i:] — the packed-payload element
+    reader (also shared with the singular paths' conversions)."""
+    if base in _VARINTS:
+        u, i = _read_varint(buf, i)
+        return _varint_value(base, u), i
+    if base in ("double", "fixed64"):
+        if i + 8 > len(buf):
+            raise ValueError("protobuf: truncated 64-bit value")
+        v = (struct.unpack_from("<d", buf, i)[0] if base == "double"
+             else struct.unpack_from("<q", buf, i)[0])
+        return v, i + 8
+    if base in ("float", "fixed32"):
+        if i + 4 > len(buf):
+            raise ValueError("protobuf: truncated 32-bit value")
+        v = (struct.unpack_from("<f", buf, i)[0] if base == "float"
+             else struct.unpack_from("<I", buf, i)[0])
+        return v, i + 4
+    raise ValueError(f"protobuf: {base!r} cannot appear packed")
 
 
 def decode_message(schema: dict[int, tuple[str, str]],
                    buf: bytes) -> dict[str, object]:
-    """One message → {name: value}; missing fields get zero values,
-    unknown field numbers are skipped by wire type (proto3)."""
+    """One message → {name: value}; missing fields get zero values
+    (repeated: fresh empty list), unknown field numbers are skipped
+    by wire type (proto3). Repeated numerics accept BOTH packed
+    (wt 2) and unpacked (element wire type) encodings, as the spec
+    requires of parsers; occurrences append in wire order."""
     _check_schema(schema)
-    out = {name: _ZERO[typ] for name, typ in schema.values()}
+    out: dict[str, object] = {name: _zero(typ)
+                              for name, typ in schema.values()}
     i = 0
     while i < len(buf):
         key, i = _read_varint(buf, i)
@@ -122,53 +200,63 @@ def decode_message(schema: dict[int, tuple[str, str]],
         if wt in (3, 4):
             raise NotImplementedError("protobuf: group wire types")
         field = schema.get(num)
-        if field is not None and _WIRE[field[1]] != wt:
-            raise ValueError(
-                f"protobuf: field {field[0]!r} declared "
-                f"{field[1]!r} but encoded with wire type {wt}")
+        rep = base = name = None
+        if field is not None:
+            name, typ = field
+            rep, base = _is_repeated(typ), _base_type(typ)
+            ok = wt == _WIRE[base] or (
+                rep and base not in ("string", "bytes") and wt == 2)
+            if not ok:
+                raise ValueError(
+                    f"protobuf: field {name!r} declared {typ!r} but "
+                    f"encoded with wire type {wt}")
+
+        def put(val):
+            if rep:
+                out[name].append(val)
+            else:
+                out[name] = val
+
         if wt == 0:
             u, i = _read_varint(buf, i)
             if field:
-                name, typ = field
-                if typ == "sint64":
-                    out[name] = (u >> 1) ^ -(u & 1)
-                elif typ == "bool":
-                    out[name] = u != 0
-                else:                      # int64: two's complement
-                    out[name] = u - (1 << 64) if u >= 1 << 63 else u
+                put(_varint_value(base, u))
         elif wt == 1:
             if i + 8 > len(buf):
                 raise ValueError("protobuf: truncated 64-bit field")
             if field:
-                name, typ = field
                 # fixed64 reads as SIGNED (<q): wire values >= 2^63
                 # land as their two's-complement long — the same
-                # correction int64 gets above — so they fit the
-                # pinned Spark 'long' column instead of failing the
-                # Arrow conversion with an opaque overflow
-                out[name] = (struct.unpack_from("<d", buf, i)[0]
-                             if typ == "double"
-                             else struct.unpack_from("<q", buf, i)[0])
+                # correction int64 gets — so they fit the pinned
+                # Spark 'long' column instead of failing the Arrow
+                # conversion with an opaque overflow
+                put(struct.unpack_from("<d", buf, i)[0]
+                    if base == "double"
+                    else struct.unpack_from("<q", buf, i)[0])
             i += 8
         elif wt == 2:
             n, i = _read_varint(buf, i)
             if i + n > len(buf):
                 raise ValueError("protobuf: truncated length-delimited "
                                  "field")
-            if field:
-                name, typ = field
-                raw = buf[i:i + n]
-                out[name] = (raw.decode("utf-8") if typ == "string"
-                             else bytes(raw))
+            raw = buf[i:i + n]
             i += n
+            if field:
+                if base in ("string", "bytes"):
+                    put(raw.decode("utf-8") if base == "string"
+                        else bytes(raw))
+                else:                       # packed repeated numerics
+                    j = 0
+                    while j < len(raw):
+                        v, j = _read_scalar(raw, j, base)
+                        out[name].append(v)
         elif wt == 5:
             if i + 4 > len(buf):
                 raise ValueError("protobuf: truncated 32-bit field")
             if field:
-                name, typ = field
-                out[name] = (struct.unpack_from("<f", buf, i)[0]
-                             if typ == "float"
-                             else struct.unpack_from("<I", buf, i)[0])
+                put(struct.unpack_from("<f", buf, i)[0]
+                    if base == "float"
+                    else struct.unpack_from("<I", buf, i)[0])
             i += 4
         else:
             raise ValueError(f"protobuf: reserved wire type {wt}")

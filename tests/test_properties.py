@@ -1562,7 +1562,9 @@ def test_pdf_roundtrip_fuzz(pages, compress, xref_stream):
 PB_SCHEMA = {1: ("k", "int64"), 2: ("s", "string"),
              3: ("d", "double"), 4: ("b", "bool"),
              5: ("z", "sint64"), 6: ("raw", "bytes"),
-             7: ("f64", "fixed64"), 8: ("f32", "fixed32")}
+             7: ("f64", "fixed64"), 8: ("f32", "fixed32"),
+             10: ("ri", "repeated sint64"),
+             11: ("rs", "repeated string")}
 
 PB_ROW = st.fixed_dictionaries({
     "k": st.integers(min_value=-(2**63), max_value=2**63 - 1),
@@ -1574,7 +1576,11 @@ PB_ROW = st.fixed_dictionaries({
     # fixed64 round-trips as SIGNED long (two's complement — the
     # Spark 'long' pinning contract, ADVICE r11)
     "f64": st.integers(min_value=-(2**63), max_value=2**63 - 1),
-    "f32": st.integers(min_value=0, max_value=2**32 - 1)})
+    "f32": st.integers(min_value=0, max_value=2**32 - 1),
+    # r12b: repeated numerics (packed on the wire) + repeated strings
+    "ri": st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                   max_size=6),
+    "rs": st.lists(st.text(max_size=8), max_size=4)})
 
 
 @CODEC_PROP
@@ -1586,6 +1592,37 @@ def test_protobuf_roundtrip_fuzz(rows):
                                                  read_delimited)
     blob = make_delimited(PB_SCHEMA, rows)
     assert read_delimited(PB_SCHEMA, blob) == rows
+
+
+def test_protobuf_repeated_wire_forms():
+    """Repeated numerics encode PACKED (one wt-2 key) but decode from
+    BOTH wire forms, and mixed packed + unpacked occurrences of the
+    same field concatenate in wire order (the proto3 parser
+    contract); repeated strings are one key per element; an absent
+    repeated field decodes as a fresh empty list."""
+    from bigslice_spark.sources.protobuf import (decode_message,
+                                                 encode_message)
+    sch = {1: ("ri", "repeated sint64"), 2: ("rs", "repeated string")}
+    msg = encode_message(sch, {"ri": [1, -2, 3], "rs": ["a", "b"]})
+    # packed: exactly ONE key for field 1 (key byte = 1<<3|2 = 0x0a)
+    assert msg.count(bytes([0x0A])) == 1
+    # field 2: one key per element (0x12)
+    assert msg.count(bytes([0x12])) == 2
+    assert decode_message(sch, msg) == {"ri": [1, -2, 3],
+                                        "rs": ["a", "b"]}
+    # unpacked form of field 1: three wt-0 occurrences (key 0x08),
+    # zigzag values 2, 3, 6 -> 1, -2, 3
+    unpacked = bytes([0x08, 2, 0x08, 3, 0x08, 6])
+    assert decode_message(sch, unpacked) == {"ri": [1, -2, 3],
+                                             "rs": []}
+    # mixed: unpacked element then a packed pair -> concatenated
+    mixed = bytes([0x08, 2]) + encode_message(sch, {"ri": [-2, 3]})
+    assert decode_message(sch, mixed)["ri"] == [1, -2, 3]
+    # absent repeated fields are independent fresh lists per message
+    a = decode_message(sch, b"")
+    b = decode_message(sch, b"")
+    a["ri"].append(99)
+    assert b["ri"] == []
 
 
 @CODEC_PROP
