@@ -14,11 +14,16 @@ signed — the same correction int64 receives), ``fixed32`` stays
 unsigned (it always fits a long); ``repeated <prim>`` fields land as
 Python/Spark ARRAYS — encoded packed for numerics (proto3's default)
 and one-key-per-element for string/bytes, decoded from BOTH packed
-and unpacked wire forms as the spec requires of parsers; unknown
-field numbers are SKIPPED by wire type (the forward-compatibility
-contract), groups (wire types 3/4) and nested-message declarations
-raise NotImplementedError by name. Truncated varints/payloads raise
-ValueError.
+and unpacked wire forms as the spec requires of parsers; NESTED
+MESSAGES declare as a sub-schema dict (``("repeated", subschema)``
+for lists of them) and land as Python dicts / Spark STRUCT columns —
+absent singular messages decode to None (proto3 message presence),
+and multiple occurrences of one singular message field merge
+spec-exactly by wire-fragment concatenation (the tf.train.Example
+shape is exactly nested messages); unknown field numbers are SKIPPED
+by wire type (the forward-compatibility contract), groups (wire
+types 3/4) raise NotImplementedError by name. Truncated
+varints/payloads raise ValueError.
 
 Scale shape: ``protobuf_reader`` is binaryFile + one Arrow-batched
 mapInPandas pass, file-granular parallelism (the tar/zip/avro
@@ -41,25 +46,55 @@ _WIRE = {"int64": 0, "sint64": 0, "bool": 0, "string": 2, "bytes": 2,
 _VARINTS = ("int64", "sint64", "bool")
 
 
-def _is_repeated(typ: str) -> bool:
-    return typ.startswith("repeated ")
+def _is_repeated(typ) -> bool:
+    if isinstance(typ, tuple):
+        return typ[0] == "repeated"
+    return isinstance(typ, str) and typ.startswith("repeated ")
 
 
-def _base_type(typ: str) -> str:
+def _base_type(typ):
+    """The element type: a primitive name (str) or a nested message
+    sub-schema (dict). Declarations: ``"int64"``, ``"repeated
+    int64"``, ``{...}`` (singular message), ``("repeated", {...})``
+    (repeated message)."""
+    if isinstance(typ, tuple):
+        return typ[1]
+    if isinstance(typ, dict):
+        return typ
     return typ[len("repeated "):] if _is_repeated(typ) else typ
 
 
-def _zero(typ: str):
-    return [] if _is_repeated(typ) else _ZERO[typ]
+def _is_msg(base) -> bool:
+    return isinstance(base, dict)
 
 
-def _check_schema(schema: dict[int, tuple[str, str]]) -> None:
+def _zero(typ):
+    if _is_repeated(typ):
+        return []
+    if isinstance(typ, dict):
+        return None         # proto3: singular messages have presence
+    return _ZERO[typ]
+
+
+def _check_schema(schema) -> None:
+    if not isinstance(schema, dict):
+        raise ValueError(f"protobuf: schema must be a dict, got "
+                         f"{type(schema).__name__}")
     for num, (name, typ) in schema.items():
-        if _base_type(typ) not in _ZERO:
+        if isinstance(typ, tuple):
+            if len(typ) != 2 or typ[0] != "repeated" \
+                    or not isinstance(typ[1], dict):
+                raise NotImplementedError(
+                    f"protobuf: field {name!r} tuple declaration must "
+                    f"be ('repeated', subschema)")
+            _check_schema(typ[1])
+        elif isinstance(typ, dict):
+            _check_schema(typ)
+        elif _base_type(typ) not in _ZERO:
             raise NotImplementedError(
-                f"protobuf: field {name!r} type {typ!r} (primitives "
-                f"and repeated primitives only — nested messages not "
-                f"supported)")
+                f"protobuf: field {name!r} type {typ!r} (primitives, "
+                f"repeated primitives, and nested messages — groups "
+                f"not supported)")
         if not 1 <= num <= 536870911:
             raise ValueError(f"protobuf: bad field number {num}")
 
@@ -134,7 +169,17 @@ def encode_message(schema: dict[int, tuple[str, str]],
             items = list(v)
             if not items:
                 continue
-            if base in ("string", "bytes"):
+            if _is_msg(base):
+                for item in items:
+                    if not isinstance(item, dict):
+                        raise ValueError(
+                            f"protobuf: repeated-message element of "
+                            f"field {name!r} must be a dict")
+                    b = encode_message(base, item)
+                    _write_varint(out, (num << 3) | 2)
+                    _write_varint(out, len(b))
+                    out += b
+            elif base in ("string", "bytes"):
                 for item in items:
                     _write_varint(out, (num << 3) | 2)
                     _encode_scalar(out, base, item)
@@ -145,6 +190,17 @@ def encode_message(schema: dict[int, tuple[str, str]],
                 _write_varint(out, (num << 3) | 2)
                 _write_varint(out, len(payload))
                 out += payload
+            continue
+        if _is_msg(base):
+            if v is None:                  # absent (proto3 presence)
+                continue
+            if not isinstance(v, dict):
+                raise ValueError(f"protobuf: message field {name!r} "
+                                 f"value must be a dict or None")
+            b = encode_message(base, v)
+            _write_varint(out, (num << 3) | 2)
+            _write_varint(out, len(b))
+            out += b
             continue
         if v == _ZERO[typ]:
             continue
@@ -186,13 +242,18 @@ def _read_scalar(buf: bytes, i: int, base: str):
 def decode_message(schema: dict[int, tuple[str, str]],
                    buf: bytes) -> dict[str, object]:
     """One message → {name: value}; missing fields get zero values
-    (repeated: fresh empty list), unknown field numbers are skipped
-    by wire type (proto3). Repeated numerics accept BOTH packed
-    (wt 2) and unpacked (element wire type) encodings, as the spec
-    requires of parsers; occurrences append in wire order."""
+    (repeated: fresh empty list; singular messages: None — proto3
+    presence), unknown field numbers are skipped by wire type
+    (proto3). Repeated numerics accept BOTH packed (wt 2) and
+    unpacked (element wire type) encodings, as the spec requires of
+    parsers; occurrences append in wire order. Multiple occurrences
+    of a SINGULAR message field merge per the spec's rule — exactly,
+    by concatenating their wire fragments and decoding once (later
+    scalars overwrite, repeated fields append)."""
     _check_schema(schema)
     out: dict[str, object] = {name: _zero(typ)
                               for name, typ in schema.values()}
+    frags: dict[str, bytearray] = {}   # singular-message fragments
     i = 0
     while i < len(buf):
         key, i = _read_varint(buf, i)
@@ -204,8 +265,12 @@ def decode_message(schema: dict[int, tuple[str, str]],
         if field is not None:
             name, typ = field
             rep, base = _is_repeated(typ), _base_type(typ)
-            ok = wt == _WIRE[base] or (
-                rep and base not in ("string", "bytes") and wt == 2)
+            if _is_msg(base):
+                ok = wt == 2
+            else:
+                ok = wt == _WIRE[base] or (
+                    rep and base not in ("string", "bytes")
+                    and wt == 2)
             if not ok:
                 raise ValueError(
                     f"protobuf: field {name!r} declared {typ!r} but "
@@ -242,7 +307,12 @@ def decode_message(schema: dict[int, tuple[str, str]],
             raw = buf[i:i + n]
             i += n
             if field:
-                if base in ("string", "bytes"):
+                if _is_msg(base):
+                    if rep:
+                        out[name].append(decode_message(base, raw))
+                    else:
+                        frags.setdefault(name, bytearray()).extend(raw)
+                elif base in ("string", "bytes"):
                     put(raw.decode("utf-8") if base == "string"
                         else bytes(raw))
                 else:                       # packed repeated numerics
@@ -260,6 +330,10 @@ def decode_message(schema: dict[int, tuple[str, str]],
             i += 4
         else:
             raise ValueError(f"protobuf: reserved wire type {wt}")
+    if frags:
+        bases = {name: _base_type(typ) for name, typ in schema.values()}
+        for name, frag in frags.items():
+            out[name] = decode_message(bases[name], bytes(frag))
     return out
 
 

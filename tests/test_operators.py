@@ -3711,6 +3711,28 @@ def test_avro_complex_types_snappy_and_union_order(spark, tmp_path):
     assert snappy_decompress(enc) == b"xxxxxx"
 
 
+def test_protobuf_reader_nested_and_repeated_columns(spark, tmp_path):
+    """protobuf_reader (r12b): repeated primitives land as Spark
+    ARRAY columns and nested messages as STRUCT columns (None for
+    absent — proto3 presence), through the Arrow conversion with a
+    complex pinned DDL."""
+    from bigslice_spark.sources.protobuf import (make_delimited,
+                                                 protobuf_reader)
+    geo = {1: ("lat", "sint64"), 2: ("lon", "sint64")}
+    sch = {1: ("k", "int64"), 2: ("tags", "repeated string"),
+           3: ("geo", geo)}
+    rows = [{"k": 1, "tags": ["a", "b"], "geo": {"lat": -3, "lon": 9}},
+            {"k": 2, "tags": [], "geo": None}]
+    (tmp_path / "a.pb").write_bytes(make_delimited(sch, rows))
+    got = {r["k"]: r for r in protobuf_reader(
+        spark, str(tmp_path), sch,
+        "k long, tags array<string>, geo struct<lat:long,lon:long>")
+        .collect()}
+    assert list(got[1]["tags"]) == ["a", "b"]
+    assert (got[1]["geo"]["lat"], got[1]["geo"]["lon"]) == (-3, 9)
+    assert list(got[2]["tags"]) == [] and got[2]["geo"] is None
+
+
 def test_tfrecord_crc_vectors_and_spark(spark, tmp_path):
     """tfrecord (sources/tfrecord.py): public CRC32C vectors hold,
     multi-file reads land ordered per file, and a flipped payload bit

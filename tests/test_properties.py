@@ -1559,12 +1559,19 @@ def test_pdf_roundtrip_fuzz(pages, compress, xref_stream):
 
 # --- Protobuf wire format (r11b) ------------------------------------
 
+PB_GEO = {1: ("lat", "sint64"), 2: ("lon", "sint64")}
 PB_SCHEMA = {1: ("k", "int64"), 2: ("s", "string"),
              3: ("d", "double"), 4: ("b", "bool"),
              5: ("z", "sint64"), 6: ("raw", "bytes"),
              7: ("f64", "fixed64"), 8: ("f32", "fixed32"),
              10: ("ri", "repeated sint64"),
-             11: ("rs", "repeated string")}
+             11: ("rs", "repeated string"),
+             12: ("m", PB_GEO),
+             13: ("pts", ("repeated", PB_GEO))}
+
+PB_GEO_ROW = st.fixed_dictionaries({
+    "lat": st.integers(min_value=-(2**30), max_value=2**30),
+    "lon": st.integers(min_value=-(2**30), max_value=2**30)})
 
 PB_ROW = st.fixed_dictionaries({
     "k": st.integers(min_value=-(2**63), max_value=2**63 - 1),
@@ -1580,7 +1587,11 @@ PB_ROW = st.fixed_dictionaries({
     # r12b: repeated numerics (packed on the wire) + repeated strings
     "ri": st.lists(st.integers(min_value=-(2**40), max_value=2**40),
                    max_size=6),
-    "rs": st.lists(st.text(max_size=8), max_size=4)})
+    "rs": st.lists(st.text(max_size=8), max_size=4),
+    # r12b: nested messages, singular (with proto3 None-absence) and
+    # repeated
+    "m": st.one_of(st.none(), PB_GEO_ROW),
+    "pts": st.lists(PB_GEO_ROW, max_size=3)})
 
 
 @CODEC_PROP
@@ -1623,6 +1634,37 @@ def test_protobuf_repeated_wire_forms():
     b = decode_message(sch, b"")
     a["ri"].append(99)
     assert b["ri"] == []
+
+
+def test_protobuf_nested_messages():
+    """Nested messages (r12b — the tf.train.Example shape): singular
+    and repeated sub-messages round-trip as dicts, absent singular
+    messages decode to None (proto3 presence), and multiple
+    occurrences of a singular message field MERGE spec-exactly
+    (later scalars overwrite, nested repeated fields append) via
+    wire-fragment concatenation."""
+    from bigslice_spark.sources.protobuf import (decode_message,
+                                                 encode_message)
+    geo = {1: ("lat", "sint64"), 2: ("lon", "sint64"),
+           3: ("tags", "repeated string")}
+    sch = {1: ("name", "string"), 2: ("geo", geo),
+           3: ("pts", ("repeated", geo))}
+    msg = {"name": "x", "geo": {"lat": -5, "lon": 7, "tags": ["a"]},
+           "pts": [{"lat": 1, "lon": 2, "tags": []},
+                   {"lat": 0, "lon": -1, "tags": ["b", "c"]}]}
+    assert decode_message(sch, encode_message(sch, msg)) == msg
+    # absence: no geo on the wire -> None; empty dict -> present
+    assert decode_message(sch, encode_message(sch, {"name": "y"})) \
+        == {"name": "y", "geo": None, "pts": []}
+    present = decode_message(sch, encode_message(
+        sch, {"name": "y", "geo": {}}))
+    assert present["geo"] == {"lat": 0, "lon": 0, "tags": []}
+    # singular-message merge: two occurrences concatenate —
+    # lat overwritten by the second fragment, tags append
+    twice = (encode_message(sch, {"geo": {"lat": 3, "tags": ["a"]}})
+             + encode_message(sch, {"geo": {"lat": 9, "tags": ["b"]}}))
+    got = decode_message(sch, twice)["geo"]
+    assert got == {"lat": 9, "lon": 0, "tags": ["a", "b"]}
 
 
 @CODEC_PROP
