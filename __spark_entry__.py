@@ -15,7 +15,28 @@ from bigslice_spark.queries import ORACLE, QUERIES
 
 # The driver's correctness harness samples the FIRST 50 registry entries
 # in registration order; rotate so every entry accumulates a hard driver
-# signal across rounds. Round-12 window (VERDICT r11 "Next round" #2):
+# signal across rounds. Round-13 window (VERDICT r12 "Next round" #1/#2):
+#   0. the entries whose IMPLEMENTATION changed this round and must
+#      (re-)prove under the driver: source_protobuf (the ONLY red row
+#      in CORRECTNESS_r12 — arrays/struct now projected to scalar
+#      leaves per the source_avro_complex contract, so the driver's
+#      pandas canonicalizer never sees a list cell; nested-message
+#      STRUCT decode + the spec's singular-message fragment-merge rule
+#      now exercised on every row upstream of the projection) and
+#      pdf_extract (fixture set now includes ENCRYPTED PDFs — the
+#      standard security handler with an empty user password, RC4-128
+#      — decrypted transparently per ISO 32000-1 §7.6, VERDICT task 4).
+#   1. 48 of the 49 entries whose latest driver artifact is r8 — the
+#      oldest signal in the registry (VERDICT r12 task 2 names them;
+#      _R8_STALE below is that list verbatim minus op_pragma).
+#   2. op_pragma is the one r8 entry that does NOT fit (49 stale + 2
+#      changed = 51 > 50): it is the lowest-risk deferral — a runtime
+#      directive proof with its own dedicated pytest module
+#      (tests/test_pragma.py), no data-shape risk — and it HEADS the
+#      r14 queue (position 51 below, first in line next round).
+# After this window the staleness floor moves to r9 (op_pragma the
+# single r8 remainder, by documented choice).
+# Round-12 window (kept for the record — VERDICT r11 "Next round" #2):
 #   0. the round-12 ADDITIONS (zero prior signal): source_avro_complex
 #      (arrays/maps/nested records + snappy codec + value-first null
 #      union), metrics_counters (accumulator-backed Counter/Scope
@@ -78,6 +99,26 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      MIGRATION.md §rotation-schedule.
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
+_R13_CHANGED = ("source_protobuf", "pdf_extract")
+_R8_STALE = (
+    # the 49 r8-stale entries from VERDICT r12 task 2, in its order,
+    # minus op_pragma (deferred to r14, see rotation note above)
+    "ngram_jaccard", "dedup_embedding", "decontaminate",
+    "repetition_stats", "pack_sequences", "winnow", "pii_scrub",
+    "line_dedup", "classify_score", "stratified_sample",
+    "stratified_frac", "stream_dedup", "dedup_against", "corpus_stats",
+    "pagerank", "similarity_topk", "similarity_lsh", "similarity_ivf",
+    "token_counts", "text_stats", "quality_score", "lang_id",
+    "fingerprint", "multimodal_meta", "multimodal_features",
+    "multimodal_decode", "stream_tumbling", "stream_sliding",
+    "stream_sessions", "stream_stateful", "op_hash_split",
+    "op_budget_sample", "source_binary", "stream_sink_parquet",
+    "op_compact", "q4_order_priority", "q6_forecast_revenue",
+    "q2_min_cost_supplier", "op_salted_agg", "op_salted_join",
+    "pipeline_end2end", "unpivot_measures", "stream_join",
+    "bpe_merges", "bpe_token_counts", "k_core", "stream_join_outer",
+    "heavy_hitters_approx")
+_R14_QUEUE_HEAD = ("op_pragma",)   # position 51: first in line for r14
 _R12_NEW = (
     "source_avro_complex", "metrics_counters", "nb_classifier",
     # changed implementations re-proving this round
@@ -133,7 +174,8 @@ _R6_OLDEST = (
     "distinct_pairs", "agg_stats",
 )
 def _rotated() -> list[str]:
-    head = [k for k in (_R12_NEW + _R6_STALE + _R8_TOPUP
+    head = [k for k in (_R13_CHANGED + _R8_STALE + _R14_QUEUE_HEAD
+                        + _R12_NEW + _R6_STALE + _R8_TOPUP
                         + _R11_NEW + _R5_STALE + _R6_OLDEST)
             if k in QUERIES]
     seen = set()

@@ -8455,56 +8455,96 @@ def json_variant_q(spark, sf_dir):
 
 @query("source_protobuf", """
     SELECT n_nationkey, n_name, n_regionkey,
-           list_value('t' || CAST(n_nationkey % 3 AS VARCHAR),
-                      't' || CAST(n_nationkey % 5 AS VARCHAR)) AS tags,
-           list_value(CAST(n_nationkey AS BIGINT),
-                      CAST(-n_nationkey AS BIGINT)) AS scores
+           CAST(2 AS INT) AS n_tags,
+           't' || CAST(n_nationkey % 3 AS VARCHAR) AS tag0,
+           't' || CAST(n_nationkey % 5 AS VARCHAR) AS tag1,
+           CAST(n_nationkey AS BIGINT) AS s_pos,
+           CAST(-n_nationkey AS BIGINT) AS s_neg,
+           n_name AS iname,
+           CAST(length(n_name) AS BIGINT) AS ilen
     FROM nation
 """)
 def source_protobuf(spark, sf_dir):
     """Protobuf source (sources/protobuf.py — clean-room wire-format
     codec from the public encoding spec: varint keys, zigzag sints,
     length-delimited strings, proto3 zero-value elision + unknown-
-    field skipping, writeDelimitedTo file framing; r12b adds REPEATED
-    fields — packed numerics + per-element strings, landing as Spark
-    arrays): nation is written to REAL .pb files — through a WIDER
-    writer schema than the reader declares, so unknown-field skipping
-    is exercised on every message — and read back with both the
-    message schema and the Spark DDL pinned; the oracle checks
+    field skipping, writeDelimitedTo file framing; REPEATED fields —
+    packed numerics + per-element strings — land as Spark arrays, and
+    NESTED MESSAGES land as Spark structs): nation is written to REAL
+    .pb files — through a WIDER writer schema than the reader
+    declares, so unknown-field skipping is exercised on every message,
+    and with the nested ``info`` message deliberately split across TWO
+    wire occurrences per message, so the spec's singular-message MERGE
+    rule (concatenate fragments, decode once) is exercised on every
+    row — and read back with both the message schema and the Spark DDL
+    pinned. The decoded arrays/struct are projected to SCALAR leaves
+    (size / element_at / struct-field getters — the
+    source_avro_complex contract) so the oracle can replay every leaf
+    analytically and the driver's pandas canonicalizer never sees a
+    list-typed column (VERDICT r12 task 1); the oracle checks
     losslessness against the parquet original (the csv/xml/avro
     contract, fifth format)."""
     import os
     import tempfile
 
-    from .sources.protobuf import make_delimited, protobuf_reader
+    from .sources.protobuf import encode_message, protobuf_reader
     _, t = _s(spark, sf_dir)
-    rows = [{"n_nationkey": (k := int(r[0])), "n_name": str(r[1]),
-             "n_regionkey": int(r[2]), "audit": f"w{k}",
-             "tags": [f"t{k % 3}", f"t{k % 5}"],
-             "scores": [k, -k]}
-            for r in
+    rows = [(int(r[0]), str(r[1]), int(r[2])) for r in
             t["nation"].select("n_nationkey", "n_name", "n_regionkey")
             .collect()]                    # 25 rows: metadata-scale
+    info_sub = {1: ("name", "string"), 2: ("len", "int64")}
     writer_schema = {1: ("n_nationkey", "int64"),
                      2: ("n_name", "string"),
                      3: ("n_regionkey", "int64"),
                      4: ("tags", "repeated string"),
                      5: ("scores", "repeated sint64"),
+                     6: ("info", info_sub),
                      9: ("audit", "string")}   # unknown to the reader
-    reader_schema = {1: ("n_nationkey", "int64"),
-                     2: ("n_name", "string"),
-                     3: ("n_regionkey", "int64"),
-                     4: ("tags", "repeated string"),
-                     5: ("scores", "repeated sint64")}
+    reader_schema = {k: v for k, v in writer_schema.items() if k != 9}
+
+    def varint(u: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            out.append(b | (0x80 if u else 0))
+            if not u:
+                return bytes(out)
+
+    def msg_bytes(k: int, name: str, reg: int) -> bytes:
+        # first fragment carries info={name}; a SECOND occurrence of
+        # field 6 carries info={len} — a conforming decoder must
+        # concatenate the fragments before decoding (singular-message
+        # merge, protobuf encoding spec "Last One Wins"/merge rules)
+        head = encode_message(writer_schema, {
+            "n_nationkey": k, "n_name": name, "n_regionkey": reg,
+            "tags": [f"t{k % 3}", f"t{k % 5}"], "scores": [k, -k],
+            "info": {"name": name}, "audit": f"w{k}"})
+        tail = encode_message({6: ("info", info_sub)},
+                              {"info": {"len": len(name)}})
+        return head + tail
+
     d = tempfile.mkdtemp(prefix="bsq_pb_")
     half = len(rows) // 2
     for fname, chunk in (("a.pb", rows[:half]), ("b.pb", rows[half:])):
         with open(os.path.join(d, fname), "wb") as f:
-            f.write(make_delimited(writer_schema, chunk))
-    return protobuf_reader(
+            for k, name, reg in chunk:
+                m = msg_bytes(k, name, reg)
+                f.write(varint(len(m)) + m)
+    df = protobuf_reader(
         spark, d, reader_schema,
         "n_nationkey long, n_name string, n_regionkey long, "
-        "tags array<string>, scores array<long>")
+        "tags array<string>, scores array<long>, "
+        "info struct<name:string,len:long>")
+    return df.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.size("tags").alias("n_tags"),
+        F.element_at("tags", 1).alias("tag0"),
+        F.element_at("tags", 2).alias("tag1"),
+        F.element_at("scores", 1).alias("s_pos"),
+        F.element_at("scores", 2).alias("s_neg"),
+        F.col("info.name").alias("iname"),
+        F.col("info.len").alias("ilen"))
 
 
 @query("source_tfrecord", """

@@ -11,6 +11,18 @@ from .oracle import assert_matches_duckdb
 def test_query_oracle(name, spark, duck, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     if name in ORACLE:
+        # The DRIVER's canonicalizer pandas-sort_values every column;
+        # list/dict cells raise "unhashable type" there (reproduced in
+        # CORRECTNESS_r12 source_protobuf), so oracled entries must
+        # project complex columns to scalar leaves before returning —
+        # the source_avro_complex contract (VERDICT r12 task 1 guard).
+        from pyspark.sql.types import ArrayType, MapType
+        bad = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, (ArrayType, MapType))]
+        assert not bad, (
+            f"{name} returns top-level complex columns {bad}; the "
+            f"driver's pandas canonicalizer cannot sort them — "
+            f"project to scalar leaves (size/element_at/getField)")
         assert_matches_duckdb(df, duck, ORACLE[name])
     else:
         assert df.count() >= 0  # rows-only check, like the driver
