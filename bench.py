@@ -121,32 +121,86 @@ HEADLINE = [
 ]
 
 
+def _run_subset(names: list[str], timeout: int = 1800) -> dict[str, float]:
+    """One subprocess JVM running exactly ``names`` in sequence;
+    returns its per-query times ({} on timeout/no-output)."""
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(names))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        print(f"bench: subset {names[:3]}... timed out", file=sys.stderr)
+        return {}
+    for line in proc.stdout.splitlines():
+        if line.strip().startswith("{"):
+            return json.loads(line)["queries"]
+    print(f"bench: subset produced no result:\n{proc.stderr[-2000:]}",
+          file=sys.stderr)
+    return {}
+
+
+def _prev_fresh_times() -> tuple[int, dict[str, float]]:
+    """Per-query fresh-JVM numbers from the newest prior BENCH_r*.json
+    (the r12+ protocol): parsed JSON when the driver captured it, else
+    name:float pairs regexed out of the stdout tail (BENCH_r12's
+    'parsed: null' defect — the tail still holds the numbers)."""
+    import glob
+    for f in sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_r*.json")), reverse=True):
+        n = int(re.search(r"_r(\d+)", f).group(1))
+        if n < 12:          # pre-r12 artifacts are in-sequence: not
+            break           # comparable to fresh-JVM numbers
+        try:
+            d = json.load(open(f))
+        except Exception:
+            continue
+        if d.get("parsed") and d["parsed"].get("queries"):
+            return n, d["parsed"]["queries"]
+        pairs = re.findall(r'"([a-z0-9_]+)":\s*(-?\d+\.\d+)',
+                           d.get("tail", ""))
+        q: dict[str, float] = {}
+        for k, v in pairs:   # FIRST occurrence wins: the fresh cohort
+            if k in HEADLINE and float(v) > 0 and k not in q:
+                q[k] = float(v)   # precedes the in-sequence subset
+        if q:
+            return n, q
+    return 0, {}
+
+
 def orchestrate(sf_dir: str, sf: float) -> None:
     """The governing protocol: one subprocess JVM per headline query
     (SPARK_GRAFT_BENCH_ONLY=<name> re-enters this script in-process),
-    progress on stderr, the single aggregate JSON line on stdout."""
+    progress on stderr, ONE COMPACT aggregate JSON line LAST on stdout
+    (the driver's artifact keeps only the final 2000 bytes of stdout —
+    BENCH_r12 lost its machine-readable record to an oversized line,
+    VERDICT r12 task 3). Everything verbose — the in-sequence baseline
+    cohort's per-query numbers, protocol prose, mover re-runs — goes
+    to bench_full.json next to this script."""
     times: dict[str, float] = {}
     t0 = time.time()
     for i, name in enumerate(HEADLINE):
-        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=name)
-        t = -1.0
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=1800)
-            for line in proc.stdout.splitlines():
-                if line.strip().startswith("{"):
-                    t = json.loads(line)["queries"].get(name, -1.0)
-                    break
-            else:
-                print(f"bench: {name} subprocess produced no result:\n"
-                      f"{proc.stderr[-2000:]}", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"bench: {name} timed out", file=sys.stderr)
+        t = _run_subset([name]).get(name, -1.0)
         times[name] = t
         print(f"bench [{i + 1}/{len(HEADLINE)}] {name}: {t}s "
               f"(elapsed {time.time() - t0:.0f}s)", file=sys.stderr,
               flush=True)
+
+    # Regression gate vs the previous round's fresh-JVM cohort
+    # (VERDICT r12 task 8): any query >1.5x its prior number gets ONE
+    # standalone re-run recorded in the artifact itself, so box noise
+    # is adjudicated in-band instead of burning a judge round.
+    prev_round, prev = _prev_fresh_times()
+    movers: dict[str, list[float]] = {}
+    for name, t in times.items():
+        p = prev.get(name, 0.0)
+        if p > 0.25 and t > 0 and t / p > 1.5:
+            rerun = _run_subset([name]).get(name, -1.0)
+            movers[name] = [p, t, rerun]
+            print(f"bench: mover {name} prev={p} now={t} rerun={rerun}",
+                  file=sys.stderr, flush=True)
+
     # Second cohort: the r1-recorded 20-query subset ONCE MORE in a
     # single in-sequence JVM — the ONLY protocol comparable to
     # BASELINE.md/BENCH_r01 (fresh JVMs pay an irreducible
@@ -155,47 +209,62 @@ def orchestrate(sf_dir: str, sf: float) -> None:
     # baseline would misread protocol tax as regression; measured
     # r12: r1 subset 22.5s in-seq-r1 vs 32.2s fresh — all protocol).
     baseline_subset = HEADLINE[:20]
-    b_times: dict[str, float] = {}
-    try:
-        env = dict(os.environ,
-                   SPARK_GRAFT_BENCH_ONLY=",".join(baseline_subset))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=1800)
-        for line in proc.stdout.splitlines():
-            if line.strip().startswith("{"):
-                b_times = json.loads(line)["queries"]
-                break
-    except subprocess.TimeoutExpired:
-        print("bench: baseline-subset cohort timed out",
-              file=sys.stderr)
-    print(f"bench baseline-subset cohort (in-sequence): "
-          f"{round(sum(v for v in b_times.values() if v > 0), 3)}s",
+    b_times = _run_subset(baseline_subset)
+    b_total = round(sum(v for v in b_times.values() if v > 0), 3)
+    print(f"bench baseline-subset cohort (in-sequence): {b_total}s",
           file=sys.stderr, flush=True)
 
     total = round(sum(v for v in times.values() if v > 0), 3)
-    print(json.dumps({
+    failed = sorted(k for k, v in times.items() if v < 0)
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "protocol": "fresh JVM per query (subprocess with "
-                    "SPARK_GRAFT_BENCH_ONLY=<name>; per-subprocess "
-                    "untimed warmup) — numbers reproduce standalone "
-                    "by construction; NOT comparable to pre-r12 "
-                    "in-sequence artifacts (see PERFORMANCE.md r12)",
-        "baseline_subset_inseq": {
-            "queries": b_times,
-            "total": round(sum(v for v in b_times.values()
-                               if v > 0), 3),
-            "protocol": "the 20 BENCH_r01 queries in ONE in-sequence "
-                        "JVM — the BENCH_r01 protocol; THIS cohort "
-                        "is the BASELINE.md comparison, the fresh "
-                        "per-query numbers above are the "
-                        "regression-tracking cohort",
-        },
-    }))
+        # the BASELINE.md comparison (see bench_full.json / PERFORMANCE.md)
+        "baseline_subset_inseq_total": b_total,
+        "vs_r": prev_round,
+    }
+    # a crashed/timed-out query must flag the artifact, not silently
+    # shrink the total (ADVICE r12)
+    if failed:
+        out["complete"] = False
+        out["failed"] = failed
+    if movers:
+        out["movers_vs_prev"] = movers   # name: [prev, now, rerun]
+    full = dict(out,
+                baseline_subset_inseq={"queries": b_times,
+                                       "total": b_total},
+                prev_fresh_round=prev_round,
+                protocol={
+                    "fresh": "one subprocess JVM per query, untimed "
+                             "per-subprocess warmup; reproduces "
+                             "standalone by construction; the "
+                             "regression-tracking cohort (r12+)",
+                    "baseline_subset_inseq": "the 20 BENCH_r01 queries "
+                             "in ONE in-sequence JVM — the BENCH_r01 "
+                             "protocol and the BASELINE.md comparison",
+                    "movers_vs_prev": "queries >1.5x their previous "
+                             "fresh-JVM number, re-run once standalone "
+                             "([prev, now, rerun])",
+                })
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    # stderr is flushed before the governing line so stdout ends with
+    # the JSON; compact separators keep it inside the 2000-byte tail
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900 and "movers_vs_prev" in out:
+        # shrink ladder: the artifact MUST stay parseable. Movers are
+        # duplicated in bench_full.json — drop them first...
+        out["movers_vs_prev"] = {"see": "bench_full.json"}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # ...then, last resort, the per-query detail
+        out["queries"] = {"see": "bench_full.json"}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 def main() -> None:
