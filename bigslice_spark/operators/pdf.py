@@ -16,11 +16,21 @@ from BT..ET blocks' ``Tj`` (show string) and ``TJ`` (show array with
 kerning) operators, with literal-string escapes (\\\\ \\( \\) \\n \\r
 \\t \\b \\f, octal, line continuations) and hex strings per §7.3.4.
 
-Honest-raise contract (the repo's codec rule): encryption, non-Flate
-filters, and the TIFF predictor raise NotImplementedError with the
-offending construct named — never silently skipped; corrupt xref
-offsets/entries, bad ObjStm headers, short predictor rows, truncated
-streams and bad zlib data raise ValueError.
+Encrypted documents (§7.6): the standard security handler's
+EMPTY-user-password case — the nominal encryption that dominates
+crawled corpora (owner-only restrictions; every real extractor opens
+these) — is decrypted transparently: RC4-40/128 (/V 1-2 and the /V 4
+"/V2" crypt filter) and AES-128-CBC (/AESV2), with §7.6.3 password
+algorithms 2-6 and §7.6.2 per-object keys in operators/pdfcrypt.py
+(clean-room; RC4/AES pinned to published test vectors).
+
+Honest-raise contract (the repo's codec rule): a NON-EMPTY user
+password, non-/Standard security handlers, /V 5 (AES-256), split
+/StmF-vs-/StrF filters, non-Flate filters, and the TIFF predictor
+raise NotImplementedError with the offending construct named — never
+silently skipped; corrupt xref offsets/entries, bad ObjStm headers,
+ObjStm reference cycles, short predictor rows, truncated streams and
+bad zlib data raise ValueError.
 
 Scale shape: ``pdf_pages`` is one Arrow-batched mapInPandas pass over
 opaque binary blobs (binaryFile/parquet column), one task per blob —
@@ -65,8 +75,16 @@ def _png_predict_up(rows: list[bytes]) -> bytes:
     return bytes(out)
 
 
+_ENC_MODES = {            # name -> (R, V, key bytes, aes?) per §7.6
+    "rc4-40": (2, 1, 5, False),
+    "rc4-128": (3, 2, 16, False),
+    "aes-128": (4, 4, 16, True),
+}
+
+
 def make_pdf(pages: list[list[str]], compress: bool = False,
-             xref_stream: bool = False) -> bytes:
+             xref_stream: bool = False, encrypt: str | None = None,
+             user_pw: str = "", owner_pw: str = "owner") -> bytes:
     """A spec-valid PDF: one page per entry of ``pages``, each a list
     of text lines shown with one ``Tj`` per line (12pt Helvetica,
     14pt leading). ``compress`` stores every content stream
@@ -77,9 +95,44 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
     cross-reference stream (W=[1 4 2], type-2 entries pointing into
     the ObjStm) Flate-compressed under the PNG Up predictor
     (/DecodeParms /Predictor 12 — what real writers emit), and no
-    ``trailer`` keyword. Used by the fixtures AND the registry entry —
-    the parser is proven against real bytes this builder wrote,
-    round-trip style (the make_wav contract)."""
+    ``trailer`` keyword. ``encrypt`` ∈ {"rc4-40", "rc4-128",
+    "aes-128"} applies the standard security handler (§7.6.3 /O /U
+    /P /ID entries, per-object keys, streams encrypted AFTER Flate;
+    the /Encrypt dict stays top-level and plaintext, the /XRef stream
+    stays unencrypted per §7.5.8.2) — deterministic bytes (the IV is
+    derived from the object number; the spec leaves IV choice to the
+    writer). Used by the fixtures AND the registry entry — the parser
+    is proven against real bytes this builder wrote, round-trip style
+    (the make_wav contract)."""
+    import hashlib
+
+    from . import pdfcrypt as pc
+
+    enc = None
+    if encrypt is not None:
+        if encrypt not in _ENC_MODES:
+            raise ValueError(f"pdf: unknown encrypt mode {encrypt!r}")
+        r, v, n, aes = _ENC_MODES[encrypt]
+        id0 = hashlib.md5(
+            repr((pages, compress, xref_stream, encrypt)).encode()
+        ).digest()
+        o = pc.compute_o(owner_pw.encode("latin-1"),
+                         user_pw.encode("latin-1"), r, n)
+        p = -44                       # print+copy denied; arbitrary
+        fkey = pc.file_key(user_pw.encode("latin-1"), o, p, id0, r, n)
+        u = pc.compute_u(fkey, id0, r)
+        enc = (r, v, n, aes, id0, o, u, p, fkey)
+
+    def enc_stream(num: int, data: bytes) -> bytes:
+        """Encrypt one stream's stored bytes with its object key."""
+        if enc is None:
+            return data
+        ok = pc.object_key(enc[8], num, 0, enc[3])
+        if enc[3]:                    # AESV2: IV-prefixed CBC
+            iv = hashlib.md5(b"iv%d" % num).digest()
+            return pc.aes_cbc_encrypt(ok, iv, data)
+        return pc.rc4(ok, data)
+
     objs: list[bytes] = []  # 1-indexed object bodies, in object order
     is_stream: list[bool] = []
     n_pages = len(pages)
@@ -105,12 +158,27 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
         if compress:
             data = zlib.compress(data)
             filt = b"/Filter /FlateDecode "
+        data = enc_stream(4 + 2 * i, data)
         objs.append(b"<< " + filt + b"/Length " + str(len(data)).encode()
                     + b" >>\nstream\n" + data + b"\nendstream")
         is_stream += [False, True]
     objs.append(b"<< /Type /Font /Subtype /Type1 "
                 b"/BaseFont /Helvetica >>")
     is_stream.append(False)
+
+    enc_num = None
+    enc_tail = b""
+    if enc is not None:
+        r, v, n, aes, id0, o, u, p, fkey = enc
+        extra = ("/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                 "/StmF /StdCF /StrF /StdCF " if aes else "")
+        objs.append(
+            f"<< /Filter /Standard /V {v} /R {r} /Length {n * 8} "
+            f"/P {p} /O <{o.hex()}> /U <{u.hex()}> {extra}>>".encode())
+        is_stream.append(False)
+        enc_num = len(objs)
+        enc_tail = (f" /Encrypt {enc_num} 0 R "
+                    f"/ID [<{id0.hex()}> <{id0.hex()}>]").encode()
 
     if not xref_stream:                          # classic 1.4 layout
         out = bytearray(b"%PDF-1.4\n")
@@ -123,8 +191,9 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
         out += b"0000000000 65535 f \n"
         for off in offsets:
             out += f"{off:010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-                f"startxref\n{xref_at}\n%%EOF\n").encode()
+        out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R".encode()
+                + enc_tail + b" >>\n"
+                + f"startxref\n{xref_at}\n%%EOF\n".encode())
         return bytes(out)
 
     # ---- PDF 1.5 layout: ObjStm for dict objects + /XRef stream ----
@@ -132,7 +201,9 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
     offsets: dict[int, int] = {}           # top-level objnum -> offset
     packed: list[tuple[int, bytes]] = []   # (objnum, body) in ObjStm
     for num, (body, strm) in enumerate(zip(objs, is_stream), start=1):
-        if strm:
+        # the encryption dictionary may not live in an object stream
+        # (§7.5.7) — keep it top-level like the streams
+        if strm or num == enc_num:
             offsets[num] = len(out)
             out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
         else:
@@ -146,13 +217,14 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
         header.append(f"{num} {len(bodies)}")
         bodies += body + b"\n"
     head = (" ".join(header) + "\n").encode()
-    payload = zlib.compress(head + bytes(bodies))
+    payload = enc_stream(objstm_num, zlib.compress(head + bytes(bodies)))
     offsets[objstm_num] = len(out)
     out += (f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
             f"/First {len(head)} /Filter /FlateDecode "
             f"/Length {len(payload)} >>\nstream\n".encode()
             + payload + b"\nendstream\nendobj\n")
-    # /XRef stream: W=[1 4 2]; entries for objects 0..xref_num
+    # /XRef stream: W=[1 4 2]; entries for objects 0..xref_num.
+    # NEVER encrypted (§7.5.8.2) — it must be readable before keys.
     xref_at = len(out)
     size = xref_num + 1
     idx_of = {num: i for i, (num, _) in enumerate(packed)}
@@ -170,7 +242,8 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
                         + (0).to_bytes(2, "big"))
     xdata = zlib.compress(_png_predict_up(rows))
     out += (f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} "
-            f"/W [1 4 2] /Root 1 0 R /Filter /FlateDecode "
+            f"/W [1 4 2] /Root 1 0 R".encode() + enc_tail
+            + f" /Filter /FlateDecode "
             f"/DecodeParms << /Predictor 12 /Columns 7 >> "
             f"/Length {len(xdata)} >>\nstream\n".encode()
             + xdata + b"\nendstream\nendobj\n")
@@ -184,6 +257,13 @@ _TOKEN_RE = re.compile(
     rb"<<|>>|\[|\]|/[^\s/<>\[\]()]*|"
     rb"[+-]?\d+\.\d*|[+-]?\.\d+|[+-]?\d+|"
     rb"true|false|null|R|obj|endobj|stream|[A-Za-z'\"*]+")
+
+
+def _pdfcrypt():
+    """The standard-security-handler module (lazy: most corpora are
+    unencrypted and shouldn't pay the AES table build)."""
+    from . import pdfcrypt
+    return pdfcrypt
 
 
 class _Ref:
@@ -347,8 +427,13 @@ class PdfDoc:
         self.buf = blob
         self.offsets: dict[int, int] = {}
         self.compressed: dict[int, tuple[int, int]] = {}
+        self._seen_xref: set[int] = set()     # incl. free tombstones
+        self._objstm_loading: set[int] = set()
         self._cache: dict[int, object] = {}
+        self._crypt: tuple[bytes, bool] | None = None  # (file key, aes?)
+        self._enc_num = -1
         self._read_xref()
+        self._setup_encryption()
 
     def _read_xref(self) -> None:
         """Walk the cross-reference chain from startxref: classic
@@ -367,12 +452,13 @@ class PdfDoc:
                 raise ValueError(f"pdf: bad xref chain offset {at}")
             seen.add(at)
             if self.buf[at:at + 4] == b"xref":
-                tr = self._read_xref_table(at)
+                entries, tr = self._scan_xref_table(at)
                 # hybrid-reference file (§7.5.8.4): the classic
-                # trailer points at a supplementary xref STREAM
-                # holding the entries (typically type-2, in-ObjStm)
-                # the table hides — read it at lower priority (the
-                # table's n-entries already won via first-seen)
+                # trailer points at a supplementary xref STREAM whose
+                # entries take PRECEDENCE over the table's — the table
+                # marks ObjStm members free for 1.4-reader
+                # compatibility, so the stream must claim them (incl.
+                # past free tombstones) before the table records
                 xs = tr.get("/XRefStm")
                 if xs is not None:
                     xs = int(xs)
@@ -381,6 +467,8 @@ class PdfDoc:
                             f"pdf: bad /XRefStm offset {xs}")
                     seen.add(xs)
                     self._read_xref_stream(xs)
+                for num, kind, a, b in entries:
+                    self._put(num, kind, a, b)
             else:
                 tr = self._read_xref_stream(at)
             if trailer is None:
@@ -388,19 +476,111 @@ class PdfDoc:
             prev = tr.get("/Prev")
             at = int(prev) if prev is not None else None
         self.trailer = trailer
-        if "/Encrypt" in trailer:
-            raise NotImplementedError("pdf: encrypted document")
+
+    def _setup_encryption(self) -> None:
+        """/Encrypt in the trailer → authenticate the EMPTY user
+        password under the standard security handler (§7.6.3) and keep
+        the file key for transparent decryption; a real password, a
+        non-/Standard handler, or /V 5 (AES-256) raises by name."""
+        enc_ref = self.trailer.get("/Encrypt")
+        if enc_ref is None:
+            return
+        self._enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else -1
+        d = self.obj(enc_ref)
+        if not isinstance(d, dict):
+            raise ValueError("pdf: /Encrypt is not a dictionary")
+        filt = self.obj(d.get("/Filter"))
+        if filt != "/Standard":
+            raise NotImplementedError(f"pdf: security handler {filt}")
+        v = int(self.obj(d.get("/V", 0)))
+        r = int(self.obj(d.get("/R", 2)))
+        length = int(self.obj(d.get("/Length", 40)))
+        aes = False
+        if v == 4:
+            stmf = self.obj(d.get("/StmF", "/Identity"))
+            strf = self.obj(d.get("/StrF", "/Identity"))
+            if stmf != strf:
+                raise NotImplementedError(
+                    "pdf: split /StmF vs /StrF crypt filters")
+            if stmf == "/Identity":      # declared but not applied
+                return
+            cf = self.obj(d.get("/CF"))
+            cfd = self.obj(cf.get(stmf)) if isinstance(cf, dict) else None
+            if not isinstance(cfd, dict):
+                raise ValueError(f"pdf: crypt filter {stmf} not in /CF")
+            cfm = self.obj(cfd.get("/CFM"))
+            if cfm == "/AESV2":
+                aes = True
+                length = 128
+            elif cfm != "/V2":
+                raise NotImplementedError(f"pdf: crypt filter {cfm}")
+        elif v not in (1, 2):
+            raise NotImplementedError(f"pdf: encryption /V {v}")
+        if length % 8 or not 40 <= length <= 128:
+            raise ValueError(f"pdf: bad key /Length {length}")
+        n = 5 if r == 2 else length // 8
+        ids = self.trailer.get("/ID")
+        id0 = (ids[0].encode("latin-1")
+               if isinstance(ids, list) and ids
+               and isinstance(ids[0], str) else b"")
+        o, u = self.obj(d.get("/O")), self.obj(d.get("/U"))
+        if not isinstance(o, str) or not isinstance(u, str):
+            raise ValueError("pdf: /Encrypt missing /O or /U")
+        p = int(self.obj(d.get("/P", -1)))
+        key = _pdfcrypt().auth_user(
+            b"", o.encode("latin-1"), u.encode("latin-1"), p, id0, r, n)
+        if key is None:
+            raise NotImplementedError(
+                "pdf: password-protected document — the standard "
+                "security handler rejected the empty user password; "
+                "real-password decryption is out of subset")
+        self._crypt = (key, aes)
+
+    def _decrypt_bytes(self, num: int, gen: int, data: bytes) -> bytes:
+        pc = _pdfcrypt()
+        key, aes = self._crypt
+        ok = pc.object_key(key, num, gen, aes)
+        return pc.aes_cbc_decrypt(ok, data) if aes else pc.rc4(ok, data)
+
+    def _decrypt_obj(self, num: int, gen: int, val):
+        """Transparently decrypt an object's strings and stream bytes
+        (§7.6.2); names — which this parser represents as strings with
+        a '/' sigil (§7.3.5) — are never encrypted and pass through."""
+        if isinstance(val, tuple):                 # (dict, stream data)
+            return (self._decrypt_obj(num, gen, val[0]),
+                    self._decrypt_bytes(num, gen, val[1]))
+        if isinstance(val, str):
+            if val.startswith("/"):
+                return val
+            return self._decrypt_bytes(
+                num, gen, val.encode("latin-1")).decode("latin-1")
+        if isinstance(val, list):
+            return [self._decrypt_obj(num, gen, v) for v in val]
+        if isinstance(val, dict):
+            return {k: self._decrypt_obj(num, gen, v)
+                    for k, v in val.items()}
+        return val
 
     def _put(self, num: int, kind: int, a: int, b: int) -> None:
-        """Record one xref entry, first-seen (= newest section) wins."""
-        if num in self.offsets or num in self.compressed:
+        """Record one xref entry, first-seen (= newest section) wins.
+        Free entries (kind 0) are recorded as TOMBSTONES: a newer
+        incremental-update section that deletes an object must shadow
+        older in-use entries instead of letting the /Prev walk
+        resurrect them (§7.5.4 newest-section-wins; ADVICE r12)."""
+        if num in self._seen_xref:
             return
+        self._seen_xref.add(num)
         if kind == 1:
             self.offsets[num] = a
         elif kind == 2:
             self.compressed[num] = (a, b)
 
-    def _read_xref_table(self, at: int) -> dict:
+    def _scan_xref_table(self, at: int) -> tuple[list, dict]:
+        """Parse a classic table section WITHOUT recording entries:
+        (entries, trailer), entries as (num, kind, a, b) tuples with
+        kind 1 for in-use and 0 for free (recorded as tombstones by
+        the caller, after any §7.5.8.4 /XRefStm took precedence)."""
+        entries: list[tuple[int, int, int, int]] = []
         i = at + 4
         while True:
             m = re.match(rb"\s*(\d+)\s+(\d+)\s*", self.buf[i:])
@@ -414,15 +594,17 @@ class PdfDoc:
                     raise ValueError("pdf: truncated xref entry")
                 off, _gen, kind = ent[:10], ent[11:16], ent[17:18]
                 if kind == b"n":
-                    self._put(start + k, 1, int(off), 0)
-                elif kind != b"f":
+                    entries.append((start + k, 1, int(off), 0))
+                elif kind == b"f":
+                    entries.append((start + k, 0, 0, 0))
+                else:
                     raise ValueError(f"pdf: bad xref kind {kind!r}")
                 i += 20
         m = re.search(rb"trailer", self.buf[i - 1:])
         if not m:
             raise ValueError("pdf: xref table has no trailer")
         trailer, _ = _parse_value(self.buf, i - 1 + m.end())
-        return trailer
+        return entries, trailer
 
     def _read_xref_stream(self, at: int) -> dict:
         """A §7.5.8 cross-reference STREAM: ``N 0 obj << /Type /XRef
@@ -497,6 +679,7 @@ class PdfDoc:
             raise ValueError(
                 f"pdf: xref offset {off} does not hold object "
                 f"{ref.num}")
+        gen = int(m.group(2))
         val, i = _parse_value(self.buf, off + m.end())
         m2 = re.match(rb"\s*stream\r?\n", self.buf[i:])
         if m2:
@@ -507,6 +690,11 @@ class PdfDoc:
             if len(data) < ln:
                 raise ValueError("pdf: truncated stream")
             val = (val, data)
+        if self._crypt is not None and ref.num != self._enc_num:
+            # §7.6.2: strings and stream bytes decrypt under the
+            # per-object key; the /Encrypt dict itself is exempt, and
+            # ObjStm members decrypt via their containing stream only
+            val = self._decrypt_obj(ref.num, gen, val)
         self._cache[ref.num] = val
         return val
 
@@ -514,7 +702,19 @@ class PdfDoc:
         """Member ``idx`` of object stream ``stm_num`` (§7.5.7): the
         decoded payload opens with /N ``num offset`` integer pairs,
         bodies start at /First. Members are direct objects (streams
-        inside an ObjStm are illegal per spec, so none can appear)."""
+        inside an ObjStm are illegal per spec, so none can appear).
+        A type-2 xref entry whose ObjStm is itself compressed (self-
+        or mutually referential) is a structural defect: the load
+        recursion is guarded and raises by name (ADVICE r12)."""
+        if stm_num in self._objstm_loading:
+            raise ValueError("pdf: ObjStm reference cycle")
+        self._objstm_loading.add(stm_num)
+        try:
+            return self._objstm_load_inner(num, stm_num, idx)
+        finally:
+            self._objstm_loading.discard(stm_num)
+
+    def _objstm_load_inner(self, num: int, stm_num: int, idx: int):
         stm = self.obj(_Ref(stm_num))
         if not (isinstance(stm, tuple) and len(stm) == 2):
             raise ValueError(f"pdf: object {stm_num} is not a stream")

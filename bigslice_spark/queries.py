@@ -8333,9 +8333,14 @@ def pdf_extract_q(spark, sf_dir):
     other doc's content streams FlateDecode-compressed; alternating
     docs use the CLASSIC 1.4 xref-table layout vs the PDF 1.5 layout
     — /ObjStm object streams + a PNG-Up-predicted binary /XRef
-    stream, VERDICT r11 task 3) and parsed back through the full
-    chain — startxref → xref table OR xref stream → ObjStm member
-    extraction → page-tree walk → stream inflate → BT..ET text ops. The
+    stream, VERDICT r11 task 3; and docs rotate through the standard
+    security handler's nominal-encryption modes — plaintext, RC4-128,
+    AES-128-CBC, RC4-40 with an empty user password, decrypted
+    transparently per ISO 32000-1 §7.6, VERDICT r12 task 4) and
+    parsed back through the full chain — startxref → xref table OR
+    xref stream → ObjStm member extraction → empty-password
+    authentication + per-object-key decryption → page-tree walk →
+    stream inflate → BT..ET text ops. The
     Spark side proves the build→parse round trip on real bytes; the
     extraction is lossless, so the oracle regenerates the page text
     analytically (the WAV/make_wav contract). One Arrow mapInPandas
@@ -8352,9 +8357,11 @@ def pdf_extract_q(spark, sf_dir):
                 d = int(d)
                 pages = [[text[:40], text[40:80]],
                          [f"Page two of doc {d}."]]
+                enc = [None, "rc4-128", "aes-128",
+                       "rc4-40"][(d // 6) % 4]
                 rows.append((d, bytearray(make_pdf(
                     pages, compress=(d // 6) % 2 == 0,
-                    xref_stream=(d // 12) % 2 == 0))))
+                    xref_stream=(d // 12) % 2 == 0, encrypt=enc))))
             yield pd.DataFrame(rows, columns=["id", "media"])
 
     media = (t["documents"].filter(F.col("doc_id") % 6 == 3)
