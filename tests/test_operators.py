@@ -1015,6 +1015,75 @@ def test_nb_classifier_matches_python_reference(spark):
         assert got[did][1] == len(toks)
 
 
+def test_nb_tokenless_class_shared_behavior(spark, duck):
+    """ADVICE r12: a class whose documents carry ZERO tokens must get
+    ONE specified behavior on both sides — nb_train keeps it (LEFT
+    join, n_tokens=0: it competes via prior + pure smoothing), and the
+    nb_classifier oracle SQL now LEFT-joins ctok with coalesce(0) to
+    match. Engine vs a DuckDB replay of the oracle's terms CTE on the
+    degenerate corpus."""
+    from bigslice_spark.operators.classify import nb_classify, nb_train
+    rows = [(1, "alpha beta alpha", "a"),
+            (2, "   ", "empty"),       # whitespace-only: 0 tokens
+            (3, "beta beta", "a"),
+            (4, "gamma", "b")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, lang string")
+    wc, cls, glob = nb_train(df, label_col="lang")
+    stats = {r["label"]: (r["n_docs"], r["n_tokens"])
+             for r in cls.collect()}
+    assert stats["empty"] == (1, 0)       # kept, not dropped
+    got = {r["doc_id"]: r["pred"]
+           for r in nb_classify(df, wc, cls, glob).collect()}
+    assert set(got) == {1, 3, 4}          # token-less doc: no row
+    # DuckDB replay with the aligned LEFT JOIN semantics
+    duck.execute("CREATE OR REPLACE TEMP TABLE nbt AS SELECT * FROM ("
+                 "VALUES (1,'alpha beta alpha','a'),(2,'   ','empty'),"
+                 "(3,'beta beta','a'),(4,'gamma','b')"
+                 ") t(doc_id, text, lang)")
+    sql = """
+    WITH tok AS (SELECT lang AS label,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS w FROM nbt),
+    wc AS (SELECT label, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    cls AS (SELECT lang AS label, count(*) AS n_docs
+            FROM nbt GROUP BY 1),
+    ctok AS (SELECT label, count(*) AS n_tokens FROM tok GROUP BY 1),
+    gv AS (SELECT (SELECT count(*) FROM nbt) AS N,
+                  (SELECT count(DISTINCT w) FROM tok) AS V),
+    dw AS (SELECT doc_id, w, count(*) AS dw FROM (
+             SELECT doc_id,
+                    unnest(list_filter(
+                        string_split_regex(text, '\\s+'),
+                        t -> t <> '')) AS w FROM nbt) GROUP BY 1, 2),
+    terms AS (
+      SELECT d.doc_id, c.label,
+             CAST(CAST(d.dw AS DOUBLE)
+                  * ln(CAST(coalesce(wc.cnt, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(ct.n_tokens, 0) + g.V
+                              AS DOUBLE)) AS DECIMAL(38,12)) AS t
+      FROM dw d CROSS JOIN cls c
+      LEFT JOIN ctok ct ON ct.label = c.label
+      CROSS JOIN gv g
+      LEFT JOIN wc ON wc.label = c.label AND wc.w = d.w),
+    per AS (SELECT doc_id, label, sum(t) AS s
+            FROM terms GROUP BY 1, 2),
+    pri AS (SELECT c.label,
+                   CAST(ln(CAST(c.n_docs AS DOUBLE)
+                           / CAST(g.N AS DOUBLE)) AS DECIMAL(38,12))
+                     AS plp
+            FROM cls c CROSS JOIN gv g)
+    SELECT doc_id, label FROM (
+      SELECT p.doc_id, p.label,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY p.s + r.plp DESC, p.label)
+               AS rn
+      FROM per p JOIN pri r ON r.label = p.label) WHERE rn = 1
+    """
+    oracle = {r[0]: r[1] for r in duck.execute(sql).fetchall()}
+    assert got == oracle
+
+
 def test_stratified_sample_quota_and_determinism(spark, tables):
     from bigslice_spark.operators.sampling import stratified_sample
     docs = tables["documents"]
