@@ -16,26 +16,31 @@ from bigslice_spark.queries import ORACLE, QUERIES
 # The driver's correctness harness samples the FIRST 50 registry entries
 # in registration order; rotate so every entry accumulates a hard driver
 # signal across rounds. Round-13 window (VERDICT r12 "Next round" #1/#2):
-#   0. the entries whose IMPLEMENTATION changed this round and must
-#      (re-)prove under the driver: source_protobuf (the ONLY red row
-#      in CORRECTNESS_r12 — arrays/struct now projected to scalar
-#      leaves per the source_avro_complex contract, so the driver's
-#      pandas canonicalizer never sees a list cell; nested-message
-#      STRUCT decode + the spec's singular-message fragment-merge rule
-#      now exercised on every row upstream of the projection) and
-#      pdf_extract (fixture set now includes ENCRYPTED PDFs — the
-#      standard security handler with an empty user password, RC4-128
-#      — decrypted transparently per ISO 32000-1 §7.6, VERDICT task 4).
-#   1. 48 of the 49 entries whose latest driver artifact is r8 — the
+#   0. the entries whose IMPLEMENTATION changed or is NEW this round
+#      and must (re-)prove under the driver: source_protobuf (the ONLY
+#      red row in CORRECTNESS_r12 — arrays/struct now projected to
+#      scalar leaves per the source_avro_complex contract, so the
+#      driver's pandas canonicalizer never sees a list cell;
+#      nested-message STRUCT decode + the spec's singular-message
+#      fragment-merge rule now exercised on every row upstream of the
+#      projection), pdf_extract (fixture set now includes ENCRYPTED
+#      PDFs — the standard security handler with an empty user
+#      password, RC4/AES — decrypted transparently per ISO 32000-1
+#      §7.6, VERDICT task 4), and source_avro_zstd (NEW: clean-room
+#      RFC 8878 Zstandard, validated against the reference zstd
+#      binary both directions — VERDICT task 7 resolved as build).
+#   1. 47 of the 49 entries whose latest driver artifact is r8 — the
 #      oldest signal in the registry (VERDICT r12 task 2 names them;
-#      _R8_STALE below is that list verbatim minus op_pragma).
-#   2. op_pragma is the one r8 entry that does NOT fit (49 stale + 2
-#      changed = 51 > 50): it is the lowest-risk deferral — a runtime
-#      directive proof with its own dedicated pytest module
-#      (tests/test_pragma.py), no data-shape risk — and it HEADS the
-#      r14 queue (position 51 below, first in line next round).
-# After this window the staleness floor moves to r9 (op_pragma the
-# single r8 remainder, by documented choice).
+#      _R8_STALE below is that list verbatim minus the two deferrals).
+#   2. op_pragma and heavy_hitters_approx are the two r8 entries that
+#      do NOT fit (49 stale + 3 changed/new = 52 > 50): the
+#      lowest-risk deferrals — op_pragma is a runtime-directive proof
+#      with its own dedicated pytest module (tests/test_pragma.py),
+#      heavy_hitters_approx oracle-checks its own deterministic error
+#      bounds as data — and they HEAD the r14 queue (positions 51-52
+#      below, first in line next round).
+# After this window the staleness floor moves to r9 with those two
+# documented r8 remainders.
 # Round-12 window (kept for the record — VERDICT r11 "Next round" #2):
 #   0. the round-12 ADDITIONS (zero prior signal): source_avro_complex
 #      (arrays/maps/nested records + snappy codec + value-first null
@@ -99,7 +104,7 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      MIGRATION.md §rotation-schedule.
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
-_R13_CHANGED = ("source_protobuf", "pdf_extract")
+_R13_CHANGED = ("source_protobuf", "pdf_extract", "source_avro_zstd")
 _R8_STALE = (
     # the 49 r8-stale entries from VERDICT r12 task 2, in its order,
     # minus op_pragma (deferred to r14, see rotation note above)
@@ -116,9 +121,9 @@ _R8_STALE = (
     "op_compact", "q4_order_priority", "q6_forecast_revenue",
     "q2_min_cost_supplier", "op_salted_agg", "op_salted_join",
     "pipeline_end2end", "unpivot_measures", "stream_join",
-    "bpe_merges", "bpe_token_counts", "k_core", "stream_join_outer",
-    "heavy_hitters_approx")
-_R14_QUEUE_HEAD = ("op_pragma",)   # position 51: first in line for r14
+    "bpe_merges", "bpe_token_counts", "k_core", "stream_join_outer")
+# positions 51-52: first in line for r14
+_R14_QUEUE_HEAD = ("op_pragma", "heavy_hitters_approx")
 _R12_NEW = (
     "source_avro_complex", "metrics_counters", "nb_classifier",
     # changed implementations re-proving this round

@@ -5,9 +5,12 @@ Wire format (spec §"Object Container Files" + "Binary Encoding"):
 magic ``Obj\\x01`` · file-metadata map (``avro.schema`` JSON,
 ``avro.codec``) · 16-byte sync marker · then blocks of
 ``count(varint) size(varint) payload sync`` where the payload is the
-concatenated binary rows, raw, ``deflate`` (RFC 1951, no zlib header)
-or ``snappy`` (raw snappy block + 4-byte big-endian CRC32 of the
-uncompressed data — the spec's snappy framing). Row encoding: zigzag
+concatenated binary rows, raw, ``deflate`` (RFC 1951, no zlib header),
+``snappy`` (raw snappy block + 4-byte big-endian CRC32 of the
+uncompressed data — the spec's snappy framing) or ``zstd`` (one
+RFC 8878 frame per block, decoded by the clean-room codec in
+sources/zstd.py — validated against the reference zstd binary's
+output, frame checksum verified). Row encoding: zigzag
 varints for int/long, little-endian IEEE float/double, length-prefixed
 bytes/utf8 strings, 1-byte booleans, zero-byte nulls, unions as
 branch-index varint + value (the branch index is the POSITION in the
@@ -21,7 +24,7 @@ maps (string keys per the spec), enums (int symbol index → symbol
 string, range-checked), fixed (exactly-size raw bytes), 2-branch
 null unions in either order, and the primitives null/boolean/int/
 long/float/double/bytes/string. Recursive type references, >2-branch
-unions and other codecs (zstd) raise NotImplementedError by name —
+unions and other codecs (bzip2/xz) raise NotImplementedError by name —
 the repo's honest-raise codec contract. Truncated blocks, sync
 mismatches and snappy CRC mismatches raise ValueError.
 
@@ -53,7 +56,7 @@ MAGIC = b"Obj\x01"
 
 _PRIMITIVES = ("null", "boolean", "int", "long", "float", "double",
                "bytes", "string")
-_CODECS = ("null", "deflate", "snappy")
+_CODECS = ("null", "deflate", "snappy", "zstd")
 
 
 # ------------------------------------------------------------- varints
@@ -358,6 +361,9 @@ def make_avro(schema_json: str, rows: list[tuple], codec: str = "null",
         elif codec == "snappy":
             data = (snappy_compress(bytes(payload))
                     + zlib.crc32(bytes(payload)).to_bytes(4, "big"))
+        elif codec == "zstd":
+            from .zstd import compress as zstd_compress
+            data = zstd_compress(bytes(payload))
         else:
             data = bytes(payload)
         _write_long(out, len(chunk))
@@ -500,6 +506,11 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, dict]],
             if zlib.crc32(plain).to_bytes(4, "big") != data[-4:]:
                 raise ValueError("avro: snappy block CRC mismatch")
             data = plain
+        elif codec == "zstd":
+            # one zstd frame per block, no extra trailer (Avro spec);
+            # the frame's own xxhash64 checksum is verified inside
+            from .zstd import decompress as zstd_decompress
+            data = zstd_decompress(data)
         j = 0
         for _ in range(count):
             row = []

@@ -1,0 +1,952 @@
+"""Clean-room Zstandard codec (RFC 8878) — the compression format
+displacing snappy/deflate in production Avro (VERDICT r12 task 7,
+resolved as BUILD: the build image carries the reference zstd 1.5.7
+binary, so this decoder is validated against REAL reference-encoder
+output — not merely against this module's own encoder — eliminating
+the shared-misreading risk that would otherwise cap a clean-room
+codec with no external oracle).
+
+Decoder (`decompress`): multi-frame input with skippable frames;
+frame header (window descriptor / single-segment, content size,
+xxhash64 content checksum VERIFIED when present); raw / RLE /
+compressed blocks; literals in all four forms (raw, RLE, Huffman
+1-stream and 4-stream, treeless reuse); Huffman table descriptions
+both direct-weights and FSE-compressed; sequence sections with all
+four symbol-compression modes (predefined, RLE, FSE-compressed,
+repeat); the three-slot repeat-offset history with the
+literals-length-0 shift rule. Dictionaries raise by name (Avro never
+uses them).
+
+Encoder (`compress`, fixture half of the round-trip proof): greedy
+hash-chain LZ77; per-block choice of raw block vs compressed block
+with raw-or-Huffman(direct-weights) literals and predefined-FSE
+sequences (incl. repeat-offset emission); single-segment frame with
+content size and checksum. Real `zstd -d` decompresses its output
+byte-exactly (proven in tests when the binary is present; committed
+reference fixtures keep the cross-validation alive without it).
+
+Everything here derives from the public RFC 8878 / the public FSE
+entropy-coder construction; pure stdlib.
+"""
+
+from __future__ import annotations
+
+_MAGIC = 0xFD2FB528
+_SKIP_LO, _SKIP_HI = 0x184D2A50, 0x184D2A5F
+
+# ------------------------------------------------------------ xxhash64
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 (public algorithm) — zstd's content checksum."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h ^ k, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = ((h ^ (int.from_bytes(data[i:i + 4], "little") * _P1))
+             & _M64)
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (h ^ (data[i] * _P5)) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ----------------------------------------------------------- bitstreams
+
+class _FwdBits:
+    """Forward little-endian bit reader (FSE table descriptions)."""
+
+    __slots__ = ("val", "pos", "nbytes")
+
+    def __init__(self, data: bytes):
+        self.val = int.from_bytes(data, "little")
+        self.pos = 0
+        self.nbytes = len(data)
+
+    def read(self, n: int) -> int:
+        v = (self.val >> self.pos) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+    def peek(self, n: int) -> int:
+        return (self.val >> self.pos) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        self.pos += n
+
+    def byte_len(self) -> int:
+        return (self.pos + 7) // 8
+
+
+class _BackBits:
+    """Backward bitstream (RFC 8878 §3.1.1.4): written forward, read
+    from the last byte down; the final byte carries a 1-bit sentinel
+    above 0-7 padding zeros."""
+
+    __slots__ = ("val", "pos")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: corrupt bitstream (no sentinel)")
+        self.val = int.from_bytes(data, "little")
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        """n bits below the cursor; reading past the start yields the
+        zero bits a real 64-bit reader would (used only by the
+        Huffman-weights loop, which stops on exhaustion)."""
+        self.pos -= n
+        if self.pos >= 0:
+            return (self.val >> self.pos) & ((1 << n) - 1)
+        v = (self.val << -self.pos) & ((1 << n) - 1)
+        return v
+
+    def empty(self) -> bool:
+        return self.pos <= 0
+
+
+# ----------------------------------------------------------------- FSE
+
+def _fse_read_ncount(data: bytes, max_symbol: int
+                     ) -> tuple[int, list[int], int]:
+    """FSE table description → (accuracy_log, normalized counts,
+    header byte length). Counts may include -1 ("less than one")."""
+    br = _FwdBits(data)
+    al = br.read(4) + 5
+    if al > 9 + 6:                      # beyond any declared maximum
+        raise ValueError(f"zstd: FSE accuracy_log {al} too large")
+    remaining = (1 << al) + 1
+    counts: list[int] = []
+    prev_zero = False
+    while remaining > 1:
+        if len(counts) > max_symbol + 1:
+            raise ValueError("zstd: FSE counts exceed alphabet")
+        if prev_zero:
+            rep = br.read(2)
+            counts += [0] * rep
+            prev_zero = rep == 3
+            continue
+        nb_bits = remaining.bit_length()       # values 0..remaining
+        threshold = 1 << (nb_bits - 1)
+        small_max = (2 * threshold - 1) - remaining
+        v = br.peek(nb_bits)
+        if (v & (threshold - 1)) < small_max:
+            value = v & (threshold - 1)
+            br.consume(nb_bits - 1)
+        else:
+            value = v & (2 * threshold - 1)
+            if value >= threshold:
+                value -= small_max
+            br.consume(nb_bits)
+        count = value - 1                      # -1..remaining-1
+        counts.append(count)
+        remaining -= 1 if count < 0 else count
+        prev_zero = count == 0
+    if remaining != 1:
+        raise ValueError("zstd: FSE counts overshoot table size")
+    return al, counts, br.byte_len()
+
+
+def _fse_build(counts: list[int], al: int
+               ) -> list[tuple[int, int, int]]:
+    """Decode table: index → (symbol, nb_bits, baseline). The spread
+    uses the public (size>>1)+(size>>3)+3 step; "less than one"
+    symbols take the top cells with full-range transitions."""
+    size = 1 << al
+    table_sym = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            table_sym[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            table_sym[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE spread did not close")
+    nxt = [max(c, 1) if c != 0 else 0 for c in counts]
+    out: list[tuple[int, int, int]] = [None] * size  # type: ignore
+    for t in range(size):
+        s = table_sym[t]
+        x = nxt[s]
+        nxt[s] += 1
+        nb = al - (x.bit_length() - 1)
+        out[t] = (s, nb, (x << nb) - size)
+    return out
+
+
+class _FseState:
+    __slots__ = ("table", "state")
+
+    def __init__(self, table: list[tuple[int, int, int]],
+                 bits: _BackBits, al: int):
+        self.table = table
+        self.state = bits.read(al)
+
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, bits: _BackBits) -> None:
+        _, nb, base = self.table[self.state]
+        self.state = base + bits.read(nb)
+
+
+# ------------------------------------------------------------- Huffman
+
+def _huf_weights_to_table(weights: list[int]
+                          ) -> tuple[int, list[tuple[int, int]]]:
+    """Weights (last one implied to complete a power of two) → a
+    (max_bits, lookup) pair where lookup[next max_bits bits] =
+    (symbol, code_length). Fill order: ascending weight, then
+    ascending symbol — each weight-w symbol spans 2^(w-1) cells."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: empty Huffman weights")
+    max_bits = total.bit_length()      # 2^max_bits > total (strict)
+    left = (1 << max_bits) - total
+    if left & (left - 1):
+        raise ValueError("zstd: Huffman weights do not complete a "
+                         "power of two")
+    weights = weights + [left.bit_length()]
+    lookup: list[tuple[int, int]] = [None] * (1 << max_bits)  # type: ignore
+    pos = 0
+    for w in range(1, max_bits + 1):
+        for sym, ww in enumerate(weights):
+            if ww != w:
+                continue
+            span = 1 << (w - 1)
+            nb = max_bits + 1 - w
+            for _ in range(span):
+                lookup[pos] = (sym, nb)
+                pos += 1
+    if pos != len(lookup):
+        raise ValueError("zstd: Huffman table does not fill")
+    return max_bits, lookup
+
+
+def _huf_read_description(data: bytes
+                          ) -> tuple[int, list[tuple[int, int]], int]:
+    """Huffman tree description → (max_bits, lookup, bytes consumed).
+    Header byte < 128: FSE-compressed weights (two alternating states
+    over one backward stream); ≥ 128: (hb - 127) direct 4-bit
+    weights."""
+    hb = data[0]
+    if hb >= 128:
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        raw = data[1:1 + nbytes]
+        if len(raw) < nbytes:
+            raise ValueError("zstd: truncated Huffman weights")
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        mb, lookup = _huf_weights_to_table(weights)
+        return mb, lookup, 1 + nbytes
+    comp = data[1:1 + hb]
+    if len(comp) < hb:
+        raise ValueError("zstd: truncated FSE-compressed weights")
+    al, counts, hdr = _fse_read_ncount(comp, 255)
+    if al > 6:
+        raise ValueError("zstd: Huffman-weight FSE accuracy > 6")
+    table = _fse_build(counts, al)
+    bits = _BackBits(comp[hdr:])
+    if bits.pos < 2 * al:
+        raise ValueError("zstd: Huffman-weight stream too short")
+    states = [_FseState(table, bits, al), _FseState(table, bits, al)]
+    weights = []
+    # the two states alternate, one symbol each; zero-bit transitions
+    # keep the stream at the same position, so exhaustion is an
+    # OVER-read: when a state update consumes bits past the stream
+    # start, the OTHER state yields the final symbol (verified against
+    # reference-encoder output — tests/test_zstd.py)
+    turn = 0
+    while len(weights) <= 255:
+        st = states[turn]
+        weights.append(st.symbol())
+        st.update(bits)
+        if bits.pos < 0:
+            weights.append(states[1 - turn].symbol())
+            break
+        turn = 1 - turn
+    else:
+        raise ValueError("zstd: runaway Huffman-weight stream")
+    mb, lookup = _huf_weights_to_table(weights)
+    return mb, lookup, 1 + hb
+
+
+def _huf_decode(max_bits: int, lookup: list[tuple[int, int]],
+                stream: bytes, n_out: int) -> bytes:
+    bits = _BackBits(stream)
+    out = bytearray()
+    for _ in range(n_out):
+        idx = bits.read(max_bits)
+        sym, nb = lookup[idx]
+        bits.pos += max_bits - nb      # only nb bits were consumed
+        out.append(sym)
+    if bits.pos != 0:
+        raise ValueError("zstd: Huffman stream not fully consumed")
+    return bytes(out)
+
+
+# -------------------------------------------------- sequence code maps
+
+# literals-length codes (RFC 8878 table): code -> (baseline, extra bits)
+_LL_TAB = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+    (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9),
+    (1024, 10), (2048, 11), (4096, 12), (8192, 13), (16384, 14),
+    (32768, 15), (65536, 16)]
+# match-length codes: code -> (baseline, extra bits)
+_ML_TAB = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+    (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+    (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+    (32771, 15), (65539, 16)]
+
+# predefined distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULT = (6, [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+                   2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+                   -1, -1, -1, -1])
+_ML_DEFAULT = (6, [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+                   -1, -1, -1, -1, -1])
+_OF_DEFAULT = (5, [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1])
+_MAX_AL = {"ll": 9, "of": 8, "ml": 9}
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+
+
+def _seq_table(mode: int, kind: str, data: bytes, off: int,
+               prev: tuple | None
+               ) -> tuple[tuple[list, int], int]:
+    """One symbol-compression-mode table → ((decode table,
+    accuracy_log), new offset). Modes: 0 predefined, 1 RLE,
+    2 FSE-compressed, 3 repeat."""
+    if mode == 0:
+        al, counts = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT,
+                      "ml": _ML_DEFAULT}[kind]
+        return (_fse_build(counts, al), al), off
+    if mode == 1:
+        sym = data[off]
+        if sym > _MAX_SYM[kind]:
+            raise ValueError(f"zstd: RLE {kind} symbol {sym} out of "
+                             f"range")
+        return ([(sym, 0, 0)], 0), off + 1
+    if mode == 2:
+        al, counts, n = _fse_read_ncount(data[off:], _MAX_SYM[kind])
+        if al > _MAX_AL[kind]:
+            raise ValueError(f"zstd: {kind} accuracy_log {al} beyond "
+                             f"the format maximum")
+        return (_fse_build(counts, al), al), off + n
+    if prev is None:
+        raise ValueError("zstd: repeat mode with no previous table")
+    return prev, off
+
+
+# ------------------------------------------------------------- decoder
+
+class _FrameState:
+    __slots__ = ("huf", "tables", "window", "out")
+
+    def __init__(self, window: int):
+        self.huf: tuple[int, list] | None = None   # last Huffman table
+        self.tables: dict[str, tuple] = {}         # last FSE tables
+        self.window = window
+        self.out = bytearray()                     # decoded so far
+
+
+def _decode_literals(block: bytes, st: _FrameState
+                     ) -> tuple[bytes, int]:
+    b0 = block[0]
+    lit_type = b0 & 3
+    if lit_type in (0, 1):                        # Raw / RLE
+        if (b0 >> 2) & 1 == 0:
+            size, off = b0 >> 3, 1
+        elif (b0 >> 2) & 3 == 1:
+            size, off = (b0 >> 4) | (block[1] << 4), 2
+        else:                                      # 11
+            size = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            off = 3
+        if lit_type == 0:
+            lits = bytes(block[off:off + size])
+            if len(lits) < size:
+                raise ValueError("zstd: truncated raw literals")
+            return lits, off + size
+        return bytes([block[off]]) * size, off + 1
+    # Compressed (2) / Treeless (3)
+    sf = (b0 >> 2) & 3
+    if sf == 0:
+        h = int.from_bytes(block[:3], "little")
+        regen, comp, off, streams = (h >> 4) & 0x3FF, h >> 14, 3, 1
+    elif sf == 1:
+        h = int.from_bytes(block[:3], "little")
+        regen, comp, off, streams = (h >> 4) & 0x3FF, h >> 14, 3, 4
+    elif sf == 2:
+        h = int.from_bytes(block[:4], "little")
+        regen, comp, off, streams = (h >> 4) & 0x3FFF, h >> 18, 4, 4
+    else:
+        h = int.from_bytes(block[:5], "little")
+        regen, comp, off, streams = (h >> 4) & 0x3FFFF, h >> 22, 5, 4
+    body = block[off:off + comp]
+    if len(body) < comp:
+        raise ValueError("zstd: truncated compressed literals")
+    if lit_type == 2:
+        mb, lookup, used = _huf_read_description(body)
+        st.huf = (mb, lookup)
+        body = body[used:]
+    else:
+        if st.huf is None:
+            raise ValueError("zstd: treeless literals with no "
+                             "previous Huffman table")
+        mb, lookup = st.huf
+    if streams == 1:
+        return _huf_decode(mb, lookup, body, regen), off + comp
+    if len(body) < 6:
+        raise ValueError("zstd: missing 4-stream jump table")
+    s1 = int.from_bytes(body[0:2], "little")
+    s2 = int.from_bytes(body[2:4], "little")
+    s3 = int.from_bytes(body[4:6], "little")
+    parts = []
+    p = 6
+    per = (regen + 3) // 4
+    for i, sz in enumerate((s1, s2, s3, len(body) - 6 - s1 - s2 - s3)):
+        if sz < 0 or p + sz > len(body):
+            raise ValueError("zstd: bad 4-stream sizes")
+        n_i = per if i < 3 else regen - 3 * per
+        if n_i < 0:
+            raise ValueError("zstd: bad 4-stream regen split")
+        parts.append(_huf_decode(mb, lookup, body[p:p + sz], n_i))
+        p += sz
+    return b"".join(parts), off + comp
+
+
+def _decode_block(block: bytes, st: _FrameState,
+                  rep: list[int]) -> bytes:
+    lits, off = _decode_literals(block, st)
+    # sequences header
+    b0 = block[off]
+    if b0 == 0:
+        if off + 1 != len(block):
+            raise ValueError("zstd: trailing bytes after empty "
+                             "sequences section")
+        return lits
+    if b0 < 128:
+        n_seq, off = b0, off + 1
+    elif b0 < 255:
+        n_seq, off = ((b0 - 128) << 8) + block[off + 1], off + 2
+    else:
+        n_seq = block[off + 1] + (block[off + 2] << 8) + 0x7F00
+        off += 3
+    modes = block[off]
+    off += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    st.tables["ll"], off = _seq_table((modes >> 6) & 3, "ll", block,
+                                      off, st.tables.get("ll"))
+    st.tables["of"], off = _seq_table((modes >> 4) & 3, "of", block,
+                                      off, st.tables.get("of"))
+    st.tables["ml"], off = _seq_table((modes >> 2) & 3, "ml", block,
+                                      off, st.tables.get("ml"))
+    bits = _BackBits(block[off:])
+    (llt, ll_al), (oft, of_al), (mlt, ml_al) = (
+        st.tables["ll"], st.tables["of"], st.tables["ml"])
+    s_ll = _FseState(llt, bits, ll_al)
+    s_of = _FseState(oft, bits, of_al)
+    s_ml = _FseState(mlt, bits, ml_al)
+    out = bytearray()
+    lit_pos = 0
+    base_len = len(st.out)
+    for i in range(n_seq):
+        of_code = s_of.symbol()
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        of_val = (1 << of_code) + bits.read(of_code)
+        ml_base, ml_bits = _ML_TAB[s_ml.symbol()]
+        ml = ml_base + bits.read(ml_bits)
+        ll_base, ll_bits = _LL_TAB[s_ll.symbol()]
+        ll = ll_base + bits.read(ll_bits)
+        if bits.pos < 0:
+            raise ValueError("zstd: sequence bitstream underflow")
+        # repeat-offset history (RFC 8878 §3.1.1.5)
+        if of_val > 3:
+            offset = of_val - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = of_val - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:                      # ll == 0 and of_val == 3
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        out += lits[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        # match copy, possibly overlapping, across block boundary
+        src = base_len + len(out) - offset
+        if src < 0:
+            raise ValueError("zstd: match offset beyond window start")
+        for _ in range(ml):
+            out.append(st.out[src] if src < base_len
+                       else out[src - base_len])
+            src += 1
+        if i + 1 < n_seq:
+            s_ll.update(bits)
+            s_ml.update(bits)
+            s_of.update(bits)
+    if bits.pos != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    out += lits[lit_pos:]
+    return bytes(out)
+
+
+def decompress(blob: bytes) -> bytes:
+    """All frames in ``blob`` decoded and concatenated; skippable
+    frames skipped; content size and xxhash64 checksum verified when
+    present; dictionaries raise by name."""
+    out = bytearray()
+    i = 0
+    while i < len(blob):
+        if i + 4 > len(blob):
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(blob[i:i + 4], "little")
+        i += 4
+        if _SKIP_LO <= magic <= _SKIP_HI:
+            sz = int.from_bytes(blob[i:i + 4], "little")
+            i += 4 + sz
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"zstd: bad magic 0x{magic:08X}")
+        fhd = blob[i]
+        i += 1
+        if fhd & 0x08:
+            raise ValueError("zstd: reserved frame-header bit set")
+        single = (fhd >> 5) & 1
+        fcs_flag = fhd >> 6
+        has_check = (fhd >> 2) & 1
+        did_bytes = (0, 1, 2, 4)[fhd & 3]
+        if did_bytes:
+            did = int.from_bytes(blob[i:i + did_bytes], "little")
+            i += did_bytes
+            if did:
+                raise NotImplementedError(
+                    f"zstd: dictionary {did} required")
+        if single:
+            window = None
+        else:
+            wd = blob[i]
+            i += 1
+            base = 1 << (10 + (wd >> 3))
+            window = base + (base // 8) * (wd & 7)
+        fcs = None
+        n_fcs = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        if n_fcs:
+            fcs = int.from_bytes(blob[i:i + n_fcs], "little")
+            if n_fcs == 2:
+                fcs += 256
+            i += n_fcs
+        if window is None:
+            window = fcs if fcs is not None else 0
+        st = _FrameState(window)
+        rep = [1, 4, 8]
+        while True:
+            if i + 3 > len(blob):
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(blob[i:i + 3], "little")
+            i += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 0:
+                if i + bsize > len(blob):
+                    raise ValueError("zstd: truncated raw block")
+                st.out += blob[i:i + bsize]
+                i += bsize
+            elif btype == 1:
+                st.out += blob[i:i + 1] * bsize
+                i += 1
+            elif btype == 2:
+                if i + bsize > len(blob):
+                    raise ValueError("zstd: truncated block")
+                st.out += _decode_block(blob[i:i + bsize], st, rep)
+                i += bsize
+            else:
+                raise ValueError("zstd: reserved block type")
+            if last:
+                break
+        if fcs is not None and len(st.out) != fcs:
+            raise ValueError(
+                f"zstd: content size {len(st.out)} != declared {fcs}")
+        if has_check:
+            want = int.from_bytes(blob[i:i + 4], "little")
+            i += 4
+            got = xxh64(bytes(st.out)) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError("zstd: content checksum mismatch")
+        out += st.out
+    return bytes(out)
+
+
+# ------------------------------------------------------------- encoder
+
+class _BitAcc:
+    """Backward-bitstream writer: append fields in DECODE-read order;
+    the int accumulator naturally serializes so a backward reader
+    yields them in that order."""
+
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+
+    def add(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        if value >> n:
+            raise ValueError("zstd: field overflows its width")
+        self.acc = (self.acc << n) | value
+        self.nbits += n
+
+    def bytes(self) -> bytes:
+        total = self.nbits + 1                     # sentinel bit
+        v = (1 << self.nbits) | self.acc
+        return v.to_bytes((total + 7) // 8, "little")
+
+
+def _fse_encode_prep(counts: list[int], al: int):
+    """Encoder view of a decode table: per symbol, its states sorted
+    ascending (their [baseline, baseline+2^nb) ranges partition the
+    state space, so encoding is an interval lookup)."""
+    table = _fse_build(counts, al)
+    by_sym: dict[int, list[tuple[int, int, int]]] = {}
+    for state, (s, nb, base) in enumerate(table):
+        by_sym.setdefault(s, []).append((base, nb, state))
+    for lst in by_sym.values():
+        lst.sort()
+    return by_sym
+
+
+def _fse_state_for(by_sym, sym: int, next_state: int
+                   ) -> tuple[int, int, int]:
+    """The unique state of ``sym`` whose transition range contains
+    ``next_state`` → (state, bits_value, bits_width)."""
+    for base, nb, state in by_sym[sym]:
+        if base <= next_state < base + (1 << nb):
+            return state, next_state - base, nb
+    raise ValueError(f"zstd: no FSE state for symbol {sym}")
+
+
+def _ll_code(v: int) -> tuple[int, int, int]:
+    for code in range(len(_LL_TAB) - 1, -1, -1):
+        base, nb = _LL_TAB[code]
+        if v >= base:
+            return code, v - base, nb
+    raise ValueError("zstd: bad literals length")
+
+
+def _ml_code(v: int) -> tuple[int, int, int]:
+    for code in range(len(_ML_TAB) - 1, -1, -1):
+        base, nb = _ML_TAB[code]
+        if v >= base:
+            return code, v - base, nb
+    raise ValueError("zstd: bad match length")
+
+
+def _find_matches(data: bytes, min_match: int = 4
+                  ) -> list[tuple[int, int, int]]:
+    """Greedy hash-chain LZ77 → (position, length, offset) matches."""
+    out = []
+    head: dict[bytes, int] = {}
+    i, n = 0, len(data)
+    while i + min_match <= n:
+        key = data[i:i + min_match]
+        j = head.get(key)
+        head[key] = i
+        if j is not None and i - j <= (1 << 17):
+            length = min_match
+            while (i + length < n and length < 65535
+                   and data[j + length] == data[i + length]):
+                length += 1
+            out.append((i, length, i - j))
+            # index a few positions inside the match, then skip
+            for k in range(i + 1, min(i + length, n - min_match)):
+                head[data[k:k + min_match]] = k
+            i += length
+        else:
+            i += 1
+    return out
+
+
+def _encode_huffman_literals(lits: bytes) -> bytes | None:
+    """Compressed-literals payload (type 2, single stream, direct
+    weights) or None when Huffman can't win / alphabet too wide."""
+    if len(lits) < 32:
+        return None
+    freq: dict[int, int] = {}
+    for b in lits:
+        freq[b] = freq.get(b, 0) + 1
+    syms = sorted(freq)
+    if len(syms) < 2 or syms[-1] > 127:
+        return None                    # direct weights cap at 128 syms
+    # a REAL Huffman tree: canonical code lengths sum Kraft to exactly
+    # 1 and put >=2 symbols at the maximum length, which is what the
+    # format's weight rules require (weight 1 must exist — the table
+    # log IS the longest code)
+    import heapq
+    nb: dict[int, int] = {}
+    heap2: list[tuple[int, int, object]] = [
+        (freq[s], s, s) for s in syms]
+    heapq.heapify(heap2)
+    tick = 256
+    while len(heap2) > 1:
+        f1, _, t1 = heapq.heappop(heap2)
+        f2, _, t2 = heapq.heappop(heap2)
+        heapq.heappush(heap2, (f1 + f2, tick, (t1, t2)))
+        tick += 1
+    stack = [(heap2[0][2], 0)]
+    while stack:
+        node, d = stack.pop()
+        if isinstance(node, tuple):
+            stack.append((node[0], d + 1))
+            stack.append((node[1], d + 1))
+        else:
+            nb[node] = max(d, 1)
+    max_bits = max(nb.values())
+    if max_bits > 11:                  # format cap for literals
+        return None
+    # weights: w = max_bits + 1 - nbBits
+    weights_full = [0] * (syms[-1] + 1)
+    for s in syms:
+        weights_full[s] = max_bits + 1 - nb[s]
+    # the LAST nonzero weight is implied — drop it for serialization
+    last_sym = syms[-1]
+    ser = weights_full[:last_sym]
+    if any(w > 15 for w in ser):
+        return None
+    mb, lookup = _huf_weights_to_table(ser)
+    if mb != max_bits:
+        return None
+    # symbol -> (code, nbits) from the decode table
+    codes: dict[int, tuple[int, int]] = {}
+    idx = 0
+    while idx < len(lookup):
+        sym, nbits = lookup[idx]
+        codes[sym] = (idx >> (mb - nbits), nbits)
+        idx += 1 << (mb - nbits)
+    acc = _BitAcc()
+    for b in lits:
+        c, n = codes[b]
+        acc.add(c, n)
+    stream = acc.bytes()
+    hb = 127 + len(ser)
+    wbytes = bytearray()
+    for k in range(0, len(ser), 2):
+        hi = ser[k] << 4
+        lo = ser[k + 1] if k + 1 < len(ser) else 0
+        wbytes.append(hi | lo)
+    payload = bytes([hb]) + bytes(wbytes) + stream
+    if len(payload) >= len(lits):
+        return None
+    return payload
+
+
+def _encode_block(data: bytes) -> bytes | None:
+    """One compressed block for ``data`` (matches within the block
+    only), or None when expansion would exceed the raw block."""
+    matches = _find_matches(data)
+    seqs = []                 # (ll, of_val, ml) with literal slices
+    lits = bytearray()
+    pos = 0
+    last_offset = None
+    for at, length, offset in matches:
+        ll = at - pos
+        lits += data[pos:at]
+        if offset == last_offset and ll != 0:
+            of_val = 1                      # repeat offset 1
+        else:
+            of_val = offset + 3
+        seqs.append((ll, of_val, length))
+        last_offset = offset
+        pos = at + length
+    tail = data[pos:]
+    lits += tail
+    if not seqs:
+        return None
+    # literals section: Huffman (type 2) or raw (type 0)
+    huf = _encode_huffman_literals(bytes(lits))
+    if huf is not None:
+        regen, comp = len(lits), len(huf)
+        if regen > 0x3FF or comp > 0x3FF or comp >= regen:
+            huf = None      # >1023: would need the 4-stream form,
+        else:               # which this encoder does not emit
+            h = (2 | (0 << 2) | (regen << 4)
+                 | (comp << 14)).to_bytes(3, "little")
+            lit_sec = h + huf
+    if huf is None:
+        size = len(lits)
+        if size < 32:
+            lit_sec = bytes([(size << 3) | 0]) + bytes(lits)
+        elif size < (1 << 12):
+            h = 0 | (1 << 2) | (size << 4)
+            lit_sec = h.to_bytes(2, "little") + bytes(lits)
+        else:
+            h = 0 | (3 << 2) | (size << 4)
+            lit_sec = h.to_bytes(3, "little") + bytes(lits)
+    # sequences with predefined tables
+    n = len(seqs)
+    if n < 128:
+        seq_hdr = bytes([n])
+    elif n < 0x7F00:
+        seq_hdr = bytes([128 + (n >> 8), n & 0xFF])
+    else:
+        seq_hdr = bytes([255, n & 0xFF, (n >> 8) - 0x7F])
+    modes = bytes([0])                          # all predefined
+    ll_al, ll_cnt = _LL_DEFAULT
+    of_al, of_cnt = _OF_DEFAULT
+    ml_al, ml_cnt = _ML_DEFAULT
+    enc_ll = _fse_encode_prep(ll_cnt, ll_al)
+    enc_of = _fse_encode_prep(of_cnt, of_al)
+    enc_ml = _fse_encode_prep(ml_cnt, ml_al)
+    codes = []
+    for ll, of_val, ml in seqs:
+        llc = _ll_code(ll)
+        ofc = of_val.bit_length() - 1
+        mlc = _ml_code(ml)
+        codes.append((llc, (ofc, of_val - (1 << ofc), ofc), mlc))
+    # states backward (decode order: states emit codes, then advance)
+    st_ll = st_of = st_ml = None
+    upd = [None] * n
+    for i in range(n - 1, -1, -1):
+        (llc, _, _), (ofc, _, _), (mlc, _, _) = codes[i]
+        if i == n - 1:
+            st_ll = enc_ll[llc][0][2]
+            st_of = enc_of[ofc][0][2]
+            st_ml = enc_ml[mlc][0][2]
+        else:
+            st_ll, vll, nll = _fse_state_for(enc_ll, llc, st_ll)
+            st_ml, vml, nml = _fse_state_for(enc_ml, mlc, st_ml)
+            st_of, vof, nof = _fse_state_for(enc_of, ofc, st_of)
+            upd[i] = (vll, nll, vml, nml, vof, nof)
+    acc = _BitAcc()
+    acc.add(st_ll, ll_al)
+    acc.add(st_of, of_al)
+    acc.add(st_ml, ml_al)
+    for i in range(n):
+        (llc, llv, lln), (ofc, ofv, ofn), (mlc, mlv, mln) = codes[i]
+        acc.add(ofv, ofn)
+        acc.add(mlv, mln)
+        acc.add(llv, lln)
+        if i + 1 < n:
+            vll, nll, vml, nml, vof, nof = upd[i]
+            acc.add(vll, nll)
+            acc.add(vml, nml)
+            acc.add(vof, nof)
+    block = lit_sec + seq_hdr + modes + acc.bytes()
+    if len(block) >= len(data):
+        return None
+    return block
+
+
+def compress(data: bytes, block_size: int = 1 << 17) -> bytes:
+    """A single zstd frame (single-segment, content size, checksum);
+    per block the best of raw / RLE / compressed (Huffman-or-raw
+    literals + predefined-FSE sequences). Real ``zstd -d``
+    decompresses the output byte-exactly (proven in tests)."""
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    n = len(data)
+    # single-segment; FCS flag by size; checksum on
+    if n < 256:
+        fhd, fcs = 0x20 | 0x04, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fhd, fcs = 0x60 | 0x04, (n - 256).to_bytes(2, "little")
+    else:
+        fhd, fcs = 0xA0 | 0x04, n.to_bytes(4, "little")
+    out += bytes([fhd]) + fcs
+    if n == 0:
+        out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
+        out += (xxh64(b"") & 0xFFFFFFFF).to_bytes(4, "little")
+        return bytes(out)
+    for at in range(0, n, block_size):
+        chunk = data[at:at + block_size]
+        last = 1 if at + block_size >= n else 0
+        if len(set(chunk)) == 1:
+            out += (last | (1 << 1)
+                    | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk[:1]
+            continue
+        enc = _encode_block(bytes(chunk))
+        if enc is None:
+            out += (last | (0 << 1)
+                    | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+        else:
+            out += (last | (2 << 1)
+                    | (len(enc) << 3)).to_bytes(3, "little")
+            out += enc
+    out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
