@@ -107,6 +107,17 @@ BATTERY = [
     # per-sample JPEG decode all run inside Arrow batches whose
     # boundaries shift with partitioning/transport
     "multimodal_mjpeg",
+    # rounds 11-13 — the format-source codecs all ride binaryFile +
+    # mapInPandas (file-granular batches whose grouping shifts with
+    # partitioning/transport; every decode must be byte-deterministic
+    # regardless), pdf_extract additionally decrypts under per-object
+    # keys inside the batch, the unigram encode segments distinct
+    # words through an Arrow UDF, and nb_classifier's word-key join +
+    # decimal addends must be layout-invariant
+    "source_zip", "source_xml", "source_avro", "source_avro_complex",
+    "source_avro_zstd", "source_protobuf", "source_tfrecord",
+    "source_webdataset", "source_arrow_ipc", "pdf_extract",
+    "audio_flac", "unigram_tokens", "nb_classifier", "json_variant",
 ]
 
 
