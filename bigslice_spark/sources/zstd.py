@@ -552,10 +552,16 @@ def _decode_block(block: bytes, st: _FrameState,
         src = base_len + len(out) - offset
         if src < 0:
             raise ValueError("zstd: match offset beyond window start")
-        for _ in range(ml):
-            out.append(st.out[src] if src < base_len
-                       else out[src - base_len])
-            src += 1
+        if offset >= ml and src + ml <= base_len:
+            out += st.out[src:src + ml]          # fully in prior blocks
+        elif offset >= ml and src >= base_len:
+            s = src - base_len                   # fully in this block,
+            out += out[s:s + ml]                 # non-overlapping
+        else:
+            for _ in range(ml):                  # overlapping / split
+                out.append(st.out[src] if src < base_len
+                           else out[src - base_len])
+                src += 1
         if i + 1 < n_seq:
             s_ll.update(bits)
             s_ml.update(bits)
