@@ -158,12 +158,17 @@ def _prev_fresh_times() -> tuple[int, dict[str, float]]:
             continue
         if d.get("parsed") and d["parsed"].get("queries"):
             return n, d["parsed"]["queries"]
-        pairs = re.findall(r'"([a-z0-9_]+)":\s*(-?\d+\.\d+)',
-                           d.get("tail", ""))
-        q: dict[str, float] = {}
-        for k, v in pairs:   # FIRST occurrence wins: the fresh cohort
-            if k in HEADLINE and float(v) > 0 and k not in q:
-                q[k] = float(v)   # precedes the in-sequence subset
+        tail = d.get("tail", "")
+        # the in-sequence cohort is NOT protocol-comparable to fresh
+        # numbers (~1.4x faster) — cut it off so a query whose fresh
+        # entry was truncated out of the tail yields NO prev rather
+        # than a cross-protocol one that fakes a >1.5x mover
+        cut = tail.find("baseline_subset_inseq")
+        if cut != -1:
+            tail = tail[:cut]
+        pairs = re.findall(r'"([a-z0-9_]+)":\s*(-?\d+\.\d+)', tail)
+        q = {k: float(v) for k, v in pairs
+             if k in HEADLINE and float(v) > 0}
         if q:
             return n, q
     return 0, {}

@@ -8495,7 +8495,8 @@ def source_protobuf(spark, sf_dir):
     import os
     import tempfile
 
-    from .sources.protobuf import encode_message, protobuf_reader
+    from .sources.protobuf import (encode_message, frame_delimited,
+                                   protobuf_reader)
     _, t = _s(spark, sf_dir)
     rows = [(int(r[0]), str(r[1]), int(r[2])) for r in
             t["nation"].select("n_nationkey", "n_name", "n_regionkey")
@@ -8509,15 +8510,6 @@ def source_protobuf(spark, sf_dir):
                      6: ("info", info_sub),
                      9: ("audit", "string")}   # unknown to the reader
     reader_schema = {k: v for k, v in writer_schema.items() if k != 9}
-
-    def varint(u: int) -> bytes:
-        out = bytearray()
-        while True:
-            b = u & 0x7F
-            u >>= 7
-            out.append(b | (0x80 if u else 0))
-            if not u:
-                return bytes(out)
 
     def msg_bytes(k: int, name: str, reg: int) -> bytes:
         # first fragment carries info={name}; a SECOND occurrence of
@@ -8536,9 +8528,8 @@ def source_protobuf(spark, sf_dir):
     half = len(rows) // 2
     for fname, chunk in (("a.pb", rows[:half]), ("b.pb", rows[half:])):
         with open(os.path.join(d, fname), "wb") as f:
-            for k, name, reg in chunk:
-                m = msg_bytes(k, name, reg)
-                f.write(varint(len(m)) + m)
+            f.write(frame_delimited(
+                [msg_bytes(k, name, reg) for k, name, reg in chunk]))
     df = protobuf_reader(
         spark, d, reader_schema,
         "n_nationkey long, n_name string, n_regionkey long, "

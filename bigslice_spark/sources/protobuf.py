@@ -337,15 +337,21 @@ def decode_message(schema: dict[int, tuple[str, str]],
     return out
 
 
-def make_delimited(schema: dict[int, tuple[str, str]],
-                   rows: list[dict[str, object]]) -> bytes:
-    """A delimited file: varint-length-prefixed messages."""
+def frame_delimited(messages: list[bytes]) -> bytes:
+    """Delimited framing of pre-encoded message bytes (the
+    writeDelimitedTo layout: varint length prefix per message)."""
     out = bytearray()
-    for values in rows:
-        msg = encode_message(schema, values)
+    for msg in messages:
         _write_varint(out, len(msg))
         out += msg
     return bytes(out)
+
+
+def make_delimited(schema: dict[int, tuple[str, str]],
+                   rows: list[dict[str, object]]) -> bytes:
+    """A delimited file: varint-length-prefixed messages."""
+    return frame_delimited(
+        [encode_message(schema, values) for values in rows])
 
 
 def read_delimited(schema: dict[int, tuple[str, str]],

@@ -156,6 +156,10 @@ def _fse_read_ncount(data: bytes, max_symbol: int
                      ) -> tuple[int, list[int], int]:
     """FSE table description → (accuracy_log, normalized counts,
     header byte length). Counts may include -1 ("less than one")."""
+    # a table description is bounded (< 18 bits per symbol incl. the
+    # zero-repeat fields); don't bigint-convert the whole remaining
+    # block to parse it
+    data = data[:3 * (max_symbol + 2) + 8]
     br = _FwdBits(data)
     al = br.read(4) + 5
     if al > 9 + 6:                      # beyond any declared maximum
@@ -523,6 +527,9 @@ def _decode_block(block: bytes, st: _FrameState,
         # repeat-offset history (RFC 8878 §3.1.1.5)
         if of_val > 3:
             offset = of_val - 3
+            if st.window and offset > st.window:
+                raise ValueError(
+                    "zstd: match offset exceeds declared window")
             rep[2] = rep[1]
             rep[1] = rep[0]
             rep[0] = offset
@@ -584,11 +591,17 @@ def decompress(blob: bytes) -> bytes:
         magic = int.from_bytes(blob[i:i + 4], "little")
         i += 4
         if _SKIP_LO <= magic <= _SKIP_HI:
+            if i + 4 > len(blob):
+                raise ValueError("zstd: truncated skippable frame")
             sz = int.from_bytes(blob[i:i + 4], "little")
             i += 4 + sz
+            if i > len(blob):
+                raise ValueError("zstd: truncated skippable frame")
             continue
         if magic != _MAGIC:
             raise ValueError(f"zstd: bad magic 0x{magic:08X}")
+        if i >= len(blob):
+            raise ValueError("zstd: truncated frame header")
         fhd = blob[i]
         i += 1
         if fhd & 0x08:
