@@ -122,8 +122,12 @@ _R8_STALE = (
     "q2_min_cost_supplier", "op_salted_agg", "op_salted_join",
     "pipeline_end2end", "unpivot_measures", "stream_join",
     "bpe_merges", "bpe_token_counts", "k_core", "stream_join_outer")
-# positions 51-52: first in line for r14
-_R14_QUEUE_HEAD = ("op_pragma", "heavy_hitters_approx")
+# positions 51-54: first in line for r14 — the two r13 late additions
+# (zero prior signal: Avro logical types, protobuf maps; both built
+# AFTER this round's window was already owed to the stale-49 backlog,
+# both driver-sim hash-MATCHED locally), then the two r8 deferrals
+_R14_QUEUE_HEAD = ("source_avro_logical", "source_protobuf_maps",
+                   "op_pragma", "heavy_hitters_approx")
 _R12_NEW = (
     "source_avro_complex", "metrics_counters", "nb_classifier",
     # changed implementations re-proving this round

@@ -9472,6 +9472,106 @@ def source_avro_zstd(spark, sf_dir):
         "n_nationkey long, n_name string, n_regionkey long")
 
 
+@query("source_avro_logical", """
+    SELECT n_nationkey,
+           CAST(12345.67 AS DECIMAL(12,2))
+             + CAST(n_nationkey AS DECIMAL(12,2)) AS amount,
+           CAST(DATE '2020-01-01'
+                + INTERVAL (n_nationkey * 37) DAY AS DATE) AS d,
+           TIMESTAMP '2021-06-01 12:30:45.123456'
+             + INTERVAL (n_nationkey) SECOND AS ts
+    FROM nation
+""")
+def source_avro_logical(spark, sf_dir):
+    """Avro LOGICAL TYPES (sources/avro.py, r13): decimal
+    (bytes-backed big-endian two's-complement unscaled int), date
+    (epoch days) and timestamp-micros (epoch micros) — the annotations
+    production Avro puts on every money/event column — decode to real
+    Spark decimal/date/timestamp columns; unknown or invalid
+    annotations fall back to the base type per the spec. nation-derived
+    rows are written to a REAL .avro file under deflate and read back
+    with the pinned typed DDL; the oracle re-synthesizes the same
+    values with DuckDB's native DECIMAL/DATE/TIMESTAMP arithmetic, so
+    the value hash proves cross-engine type semantics, not just byte
+    round-trip."""
+    import datetime
+    import json
+    import os
+    import tempfile
+    from decimal import Decimal
+
+    from .sources.avro import avro_reader, make_avro
+    _, t = _s(spark, sf_dir)
+    keys = [int(r[0]) for r in
+            t["nation"].select("n_nationkey").collect()]
+    d0 = datetime.date(2020, 1, 1)
+    t0 = datetime.datetime(2021, 6, 1, 12, 30, 45, 123456)
+    rows = [(k,
+             Decimal("12345.67") + k,
+             d0 + datetime.timedelta(days=k * 37),
+             t0 + datetime.timedelta(seconds=k)) for k in keys]
+    sch = json.dumps({
+        "type": "record", "name": "ledger", "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "amount", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 12, "scale": 2}},
+            {"name": "d", "type": {"type": "int",
+                                   "logicalType": "date"}},
+            {"name": "ts", "type": {
+                "type": "long",
+                "logicalType": "timestamp-micros"}}]})
+    dd = tempfile.mkdtemp(prefix="bsq_avrol_")
+    with open(os.path.join(dd, "a.avro"), "wb") as f:
+        f.write(make_avro(sch, rows, codec="deflate", block_rows=7))
+    return avro_reader(
+        spark, dd,
+        "n_nationkey long, amount decimal(12,2), d date, ts timestamp")
+
+
+@query("source_protobuf_maps", """
+    SELECT n_nationkey,
+           CAST(3 AS INT) AS n_attrs,
+           CAST(n_nationkey % 7 AS BIGINT) AS a_mod,
+           CAST(n_nationkey * 2 AS BIGINT) AS a_dbl,
+           CAST(length(n_name) AS BIGINT) AS a_len
+    FROM nation
+""")
+def source_protobuf_maps(spark, sf_dir):
+    """Protobuf MAP fields (sources/protobuf.py, r13): proto3
+    ``map<K, V>`` is wire-sugar for a repeated message with fields
+    1 (key) and 2 (value) — decoded through exactly that equivalence
+    into Spark map columns, with later duplicate keys winning per the
+    parser contract. nation rows carry a map<string,int64> written to
+    a REAL .pb file and read back with the pinned DDL; the decoded map
+    is projected to scalar leaves (size + element_at — the driver
+    canonicalizer contract) so the oracle replays every entry
+    analytically."""
+    import os
+    import tempfile
+
+    from .sources.protobuf import make_delimited, protobuf_reader
+    _, t = _s(spark, sf_dir)
+    rows = [{"n_nationkey": (k := int(r[0])),
+             "attrs": {"mod": k % 7, "dbl": k * 2,
+                       "len": len(str(r[1]))}}
+            for r in t["nation"].select("n_nationkey", "n_name")
+            .collect()]                    # 25 rows: metadata-scale
+    sch = {1: ("n_nationkey", "int64"),
+           2: ("attrs", ("map", "string", "int64"))}
+    d = tempfile.mkdtemp(prefix="bsq_pbm_")
+    with open(os.path.join(d, "a.pb"), "wb") as f:
+        f.write(make_delimited(sch, rows))
+    df = protobuf_reader(spark, d, sch,
+                         "n_nationkey long, attrs map<string,long>")
+    return df.select(
+        "n_nationkey",
+        F.size("attrs").alias("n_attrs"),
+        F.element_at("attrs", "mod").alias("a_mod"),
+        F.element_at("attrs", "dbl").alias("a_dbl"),
+        F.element_at("attrs", "len").alias("a_len"))
+
+
 @query("metrics_counters", """
     SELECT 'high_value' AS name,
            CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)

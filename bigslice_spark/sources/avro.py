@@ -200,6 +200,42 @@ def snappy_compress(buf: bytes) -> bytes:
 
 # ------------------------------------------------------------- schema
 
+def _wrap_logical(lt: str, base: dict, node: dict) -> dict | None:
+    """Logical types (Avro spec §Logical Types): a validated annotation
+    over a base node — ``decimal`` (bytes/fixed, big-endian
+    two's-complement unscaled int), ``date`` (int days since epoch),
+    ``timestamp-millis/micros`` and their ``local-`` variants (long
+    since epoch, decoded to naive UTC datetimes — what a UTC-pinned
+    Spark session stores). ``uuid`` is a string passthrough (the base
+    already yields the canonical text). Per spec, an annotation that
+    is unknown OR fails validation is IGNORED and the base type is
+    used — returning None signals that fallback. ``time-millis/micros``
+    deliberately fall back to their int/long base: Spark has no TIME
+    column type, and an honest integer beats a fake timestamp."""
+    if lt == "decimal":
+        if base["k"] not in ("prim", "fixed") or (
+                base["k"] == "prim" and base["t"] != "bytes"):
+            return None
+        p, s = node.get("precision"), node.get("scale", 0)
+        if (not isinstance(p, int) or p <= 0
+                or not isinstance(s, int) or not 0 <= s <= p):
+            return None
+        return {"k": "logical", "lt": "decimal", "base": base,
+                "precision": p, "scale": s}
+    if lt == "date":
+        if base != {"k": "prim", "t": "int"}:
+            return None
+        return {"k": "logical", "lt": "date", "base": base}
+    if lt in ("timestamp-millis", "timestamp-micros",
+              "local-timestamp-millis", "local-timestamp-micros"):
+        if base != {"k": "prim", "t": "long"}:
+            return None
+        return {"k": "logical",
+                "lt": "ts-micros" if lt.endswith("micros")
+                else "ts-millis", "base": base}
+    return None
+
+
 def _parse_type(t) -> dict:
     """Avro schema node → internal type node. Raises by name on
     anything outside the supported subset."""
@@ -217,6 +253,14 @@ def _parse_type(t) -> dict:
             f"either order)")
     if isinstance(t, dict):
         tt = t.get("type")
+        lt = t.get("logicalType")
+        if lt is not None:
+            base = _parse_type({k: v for k, v in t.items()
+                                if k != "logicalType"})
+            wrapped = _wrap_logical(lt, base, t)
+            if wrapped is not None:
+                return wrapped
+            return base   # spec: unknown/invalid logicalType -> base
         if tt == "array":
             return {"k": "array", "items": _parse_type(t["items"])}
         if tt == "map":
@@ -272,8 +316,80 @@ def _write_prim(out: bytearray, prim: str, v) -> None:
         raise NotImplementedError(f"avro: type {prim!r}")
 
 
+_EPOCH_D = None     # lazy datetime imports (cold-start cost)
+
+
+def _epoch():
+    global _EPOCH_D
+    if _EPOCH_D is None:
+        import datetime
+        _EPOCH_D = (datetime.date(1970, 1, 1),
+                    datetime.datetime(1970, 1, 1), datetime)
+    return _EPOCH_D
+
+
+def _write_logical(out: bytearray, ty: dict, v) -> None:
+    d0, t0, dt = _epoch()
+    lt = ty["lt"]
+    if lt == "decimal":
+        from decimal import Decimal
+        dv = v if isinstance(v, Decimal) else Decimal(str(v))
+        unscaled = dv.scaleb(ty["scale"])
+        if unscaled != int(unscaled):
+            raise ValueError(
+                f"avro: {v} does not fit decimal scale {ty['scale']}")
+        u = int(unscaled)
+        if ty["base"]["k"] == "fixed":
+            raw = u.to_bytes(ty["base"]["size"], "big", signed=True)
+            out += raw
+        else:
+            n = max(1, (u.bit_length() + 8) // 8)  # two's complement
+            _write_long(out, n)
+            out += u.to_bytes(n, "big", signed=True)
+    elif lt == "date":
+        _write_long(out, (v - d0).days)
+    else:                                  # ts-millis / ts-micros
+        delta = v - t0
+        micros = (delta.days * 86_400_000_000
+                  + delta.seconds * 1_000_000 + delta.microseconds)
+        if lt == "ts-millis":
+            if micros % 1000:
+                raise ValueError(f"avro: {v} has sub-millisecond "
+                                 f"precision for timestamp-millis")
+            _write_long(out, micros // 1000)
+        else:
+            _write_long(out, micros)
+
+
+def _read_logical(buf: bytes, i: int, ty: dict):
+    d0, t0, dt = _epoch()
+    lt = ty["lt"]
+    if lt == "decimal":
+        from decimal import Decimal
+        if ty["base"]["k"] == "fixed":
+            raw, i = _read_value(buf, i, ty["base"])
+        else:
+            raw, i = _read_prim(buf, i, "bytes")
+        if not raw:
+            raise ValueError("avro: empty decimal payload")
+        u = int.from_bytes(raw, "big", signed=True)
+        return Decimal(u).scaleb(-ty["scale"]), i
+    if lt == "date":
+        days, i = _read_long(buf, i)
+        return d0 + dt.timedelta(days=days), i
+    n, i = _read_long(buf, i)
+    if lt == "ts-millis":
+        return t0 + dt.timedelta(milliseconds=n), i
+    return t0 + dt.timedelta(microseconds=n), i
+
+
 def _write_value(out: bytearray, ty: dict, v) -> None:
     k = ty["k"]
+    if k == "logical":
+        if v is None:
+            raise ValueError("avro: None outside a null union")
+        _write_logical(out, ty, v)
+        return
     if k == "union":
         if v is None:
             _write_long(out, ty["null_branch"])
@@ -402,6 +518,8 @@ def _read_prim(buf: bytes, i: int, prim: str):
 
 def _read_value(buf: bytes, i: int, ty: dict):
     k = ty["k"]
+    if k == "logical":
+        return _read_logical(buf, i, ty)
     if k == "union":
         branch, i = _read_long(buf, i)
         if branch == ty["null_branch"]:

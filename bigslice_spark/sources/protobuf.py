@@ -18,6 +18,9 @@ and unpacked wire forms as the spec requires of parsers; NESTED
 MESSAGES declare as a sub-schema dict (``("repeated", subschema)``
 for lists of them) and land as Python dicts / Spark STRUCT columns —
 absent singular messages decode to None (proto3 message presence),
+map fields (``("map", K, V)`` declarations — proto3 wire-sugar for a
+repeated {1: key, 2: value} message) decode to dicts with later
+duplicate keys winning and land as Spark MapType columns,
 and multiple occurrences of one singular message field merge
 spec-exactly by wire-fragment concatenation (the tf.train.Example
 shape is exactly nested messages); unknown field numbers are SKIPPED
@@ -46,17 +49,33 @@ _WIRE = {"int64": 0, "sint64": 0, "bool": 0, "string": 2, "bytes": 2,
 _VARINTS = ("int64", "sint64", "bool")
 
 
+_MAP_KEYS = ("int64", "sint64", "fixed64", "fixed32", "bool", "string")
+
+
 def _is_repeated(typ) -> bool:
     if isinstance(typ, tuple):
         return typ[0] == "repeated"
     return isinstance(typ, str) and typ.startswith("repeated ")
 
 
+def _is_map(typ) -> bool:
+    return isinstance(typ, tuple) and typ[0] == "map"
+
+
+def _map_entry_schema(typ) -> dict:
+    """proto3 ``map<K, V>`` is sugar for a repeated message with
+    fields 1 (key) and 2 (value) — the encoding-spec equivalence this
+    module relies on."""
+    return {1: ("key", typ[1]), 2: ("value", typ[2])}
+
+
 def _base_type(typ):
-    """The element type: a primitive name (str) or a nested message
-    sub-schema (dict). Declarations: ``"int64"``, ``"repeated
-    int64"``, ``{...}`` (singular message), ``("repeated", {...})``
-    (repeated message)."""
+    """The element type: a primitive name (str), a nested message
+    sub-schema (dict), or a map entry sub-schema. Declarations:
+    ``"int64"``, ``"repeated int64"``, ``{...}`` (singular message),
+    ``("repeated", {...})`` (repeated message), ``("map", K, V)``."""
+    if _is_map(typ):
+        return _map_entry_schema(typ)
     if isinstance(typ, tuple):
         return typ[1]
     if isinstance(typ, dict):
@@ -69,6 +88,8 @@ def _is_msg(base) -> bool:
 
 
 def _zero(typ):
+    if _is_map(typ):
+        return {}
     if _is_repeated(typ):
         return []
     if isinstance(typ, dict):
@@ -81,12 +102,23 @@ def _check_schema(schema) -> None:
         raise ValueError(f"protobuf: schema must be a dict, got "
                          f"{type(schema).__name__}")
     for num, (name, typ) in schema.items():
-        if isinstance(typ, tuple):
+        if _is_map(typ):
+            if len(typ) != 3 or typ[1] not in _MAP_KEYS:
+                raise NotImplementedError(
+                    f"protobuf: field {name!r} map key must be one of "
+                    f"{_MAP_KEYS} (proto3 forbids float/bytes keys)")
+            vt = typ[2]
+            if isinstance(vt, dict):
+                _check_schema(vt)
+            elif vt not in _ZERO:
+                raise NotImplementedError(
+                    f"protobuf: field {name!r} map value type {vt!r}")
+        elif isinstance(typ, tuple):
             if len(typ) != 2 or typ[0] != "repeated" \
                     or not isinstance(typ[1], dict):
                 raise NotImplementedError(
                     f"protobuf: field {name!r} tuple declaration must "
-                    f"be ('repeated', subschema)")
+                    f"be ('repeated', subschema) or ('map', K, V)")
             _check_schema(typ[1])
         elif isinstance(typ, dict):
             _check_schema(typ)
@@ -165,6 +197,14 @@ def encode_message(schema: dict[int, tuple[str, str]],
         name, typ = schema[num]
         base = _base_type(typ)
         v = values.get(name, _zero(typ))
+        if _is_map(typ):
+            entry = _map_entry_schema(typ)
+            for mk in sorted(v):           # deterministic fixture bytes
+                b = encode_message(entry, {"key": mk, "value": v[mk]})
+                _write_varint(out, (num << 3) | 2)
+                _write_varint(out, len(b))
+                out += b
+            continue
         if _is_repeated(typ):
             items = list(v)
             if not items:
@@ -262,9 +302,11 @@ def decode_message(schema: dict[int, tuple[str, str]],
             raise NotImplementedError("protobuf: group wire types")
         field = schema.get(num)
         rep = base = name = None
+        is_map = False
         if field is not None:
             name, typ = field
             rep, base = _is_repeated(typ), _base_type(typ)
+            is_map = _is_map(typ)
             if _is_msg(base):
                 ok = wt == 2
             else:
@@ -308,7 +350,12 @@ def decode_message(schema: dict[int, tuple[str, str]],
             i += n
             if field:
                 if _is_msg(base):
-                    if rep:
+                    if is_map:
+                        # map entry: later occurrences of a key win
+                        # (proto3 parser contract for duplicate keys)
+                        m = decode_message(base, raw)
+                        out[name][m["key"]] = m["value"]
+                    elif rep:
                         out[name].append(decode_message(base, raw))
                     else:
                         frags.setdefault(name, bytearray()).extend(raw)

@@ -1718,3 +1718,95 @@ def test_unigram_viterbi_matches_bruteforce_fuzz(word, vocab):
             if best is None or key > best[0]:
                 best = (key, pieces)
     assert viterbi_segment(word, vocab) == best[1]
+
+
+def test_protobuf_map_fields():
+    """proto3 map<K,V> (r13): wire-sugar for a repeated message with
+    fields 1/2 — encoded one entry per occurrence, decoded back to a
+    dict with LATER duplicate keys winning (the parser contract);
+    message-typed values ride the same machinery; float/bytes keys
+    are rejected per proto3."""
+    import pytest
+
+    from bigslice_spark.sources.protobuf import (decode_message,
+                                                 encode_message,
+                                                 make_delimited,
+                                                 read_delimited)
+    sch = {1: ("id", "int64"),
+           2: ("attrs", ("map", "string", "int64")),
+           3: ("meta", ("map", "sint64",
+                        {1: ("n", "string"), 2: ("c", "int64")}))}
+    rows = [{"id": 1, "attrs": {"a": 5, "b": -3, "": 0},
+             "meta": {-7: {"n": "x", "c": 2}, 0: {"n": "", "c": 0}}},
+            {"id": 2, "attrs": {}, "meta": {}}]
+    assert read_delimited(sch, make_delimited(sch, rows)) == rows
+    one = {1: ("attrs", ("map", "string", "int64"))}
+    dup = (encode_message(one, {"attrs": {"k": 1}})
+           + encode_message(one, {"attrs": {"k": 9}}))
+    assert decode_message(one, dup)["attrs"] == {"k": 9}
+    # zero-valued key AND value elide inside the entry message
+    assert decode_message(one, encode_message(
+        one, {"attrs": {"": 0}}))["attrs"] == {"": 0}
+    with pytest.raises(NotImplementedError, match="map key"):
+        encode_message({1: ("m", ("map", "double", "int64"))}, {"m": {}})
+
+
+@CODEC_PROP
+@given(m=st.dictionaries(st.text(max_size=6),
+                         st.integers(-2**63, 2**63 - 1), max_size=12))
+def test_protobuf_map_roundtrip_fuzz(m):
+    from bigslice_spark.sources.protobuf import (decode_message,
+                                                 encode_message)
+    sch = {1: ("m", ("map", "string", "int64"))}
+    assert decode_message(sch, encode_message(sch, {"m": m}))["m"] == m
+
+
+def test_avro_logical_types():
+    """Avro logical types (r13): decimal (big-endian two's-complement
+    unscaled int over bytes OR fixed), date (epoch days),
+    timestamp-millis/micros (naive UTC) round-trip through every
+    codec; unknown and invalid annotations fall back to the base type
+    per the spec; a value that does not fit the declared scale
+    raises."""
+    import datetime
+    import json
+    from decimal import Decimal
+
+    import pytest
+
+    from bigslice_spark.sources.avro import make_avro, read_avro_blob
+    sch = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "amount", "type": {"type": "bytes",
+                                    "logicalType": "decimal",
+                                    "precision": 10, "scale": 2}},
+        {"name": "amtf", "type": {"type": "fixed", "name": "F8",
+                                  "size": 8, "logicalType": "decimal",
+                                  "precision": 18, "scale": 4}},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "tsm", "type": {"type": "long",
+                                 "logicalType": "timestamp-millis"}},
+        {"name": "uid", "type": {"type": "string",
+                                 "logicalType": "uuid"}},
+        {"name": "tm", "type": {"type": "int",
+                                "logicalType": "time-millis"}},
+        {"name": "mystery", "type": {"type": "long",
+                                     "logicalType": "no-such-type"}}]})
+    t0 = datetime.datetime(2021, 6, 1, 12, 30, 45, 123456)
+    rows = [(Decimal("-12345.67") + i, Decimal("99.1234") * (i - 2),
+             datetime.date(2020, 1, 1) + datetime.timedelta(days=i),
+             t0 + datetime.timedelta(seconds=i),
+             datetime.datetime(2021, 6, 1, 12, 30, 45, 123000),
+             f"0000-{i:04d}",          # uuid: string passthrough
+             3_600_000 + i,            # time-millis: stays an int
+             10**12 + i)               # unknown: stays a long
+            for i in range(5)]
+    for codec in ("null", "deflate", "snappy", "zstd"):
+        _, got = read_avro_blob(make_avro(sch, rows, codec=codec,
+                                          block_rows=2))
+        assert got == rows, codec
+    with pytest.raises(ValueError, match="scale"):
+        make_avro(sch, [(Decimal("1.999"),) + rows[0][1:]])
+    with pytest.raises(ValueError, match="millisecond"):
+        make_avro(sch, [rows[0][:4] + (t0,) + rows[0][5:]])
