@@ -18,10 +18,19 @@ literals-length-0 shift rule. Dictionaries raise by name (Avro never
 uses them).
 
 Encoder (`compress`, fixture half of the round-trip proof): greedy
-hash-chain LZ77; per-block choice of raw block vs compressed block
-with raw-or-Huffman(direct-weights) literals and predefined-FSE
-sequences (incl. repeat-offset emission); single-segment frame with
-content size and checksum. Real `zstd -d` decompresses its output
+hash-chain LZ77; per-block choice of raw / RLE / compressed block;
+literals raw or Huffman-compressed (real heap-built canonical tree;
+1-stream or the 4-stream split; tree description as direct 4-bit
+weights or FSE-COMPRESSED weights — two alternating states built
+backward so the decoder's over-read stop rule fires on exactly the
+last weight — whichever is shorter, with the ncount writer the exact
+inverse of the reader); literal-only blocks (nbSeq=0) when Huffman
+wins without matches; sequences under the predefined FSE tables with
+repeat-offset emission; single-segment frame with content size and
+checksum. Simplification vs a production encoder: no Huffman
+length-limiting (a tree deeper than the format's 11-bit literal cap
+falls back to raw literals) and no custom sequence distributions
+(predefined tables only). Real `zstd -d` decompresses its output
 byte-exactly (proven in tests when the binary is present; committed
 reference fixtures keep the cross-validation alive without it).
 
@@ -763,15 +772,17 @@ def _find_matches(data: bytes, min_match: int = 4
 
 def _encode_huffman_literals(lits: bytes) -> bytes | None:
     """Compressed-literals payload (type 2, single stream, direct
-    weights) or None when Huffman can't win / alphabet too wide."""
+    weights — whichever serialization is shorter — and a single
+    stream or the 4-stream split by size) as (payload, n_streams), or
+    None when Huffman can't win."""
     if len(lits) < 32:
         return None
     freq: dict[int, int] = {}
     for b in lits:
         freq[b] = freq.get(b, 0) + 1
     syms = sorted(freq)
-    if len(syms) < 2 or syms[-1] > 127:
-        return None                    # direct weights cap at 128 syms
+    if len(syms) < 2:
+        return None
     # a REAL Huffman tree: canonical code lengths sum Kraft to exactly
     # 1 and put >=2 symbols at the maximum length, which is what the
     # format's weight rules require (weight 1 must exist — the table
@@ -810,6 +821,9 @@ def _encode_huffman_literals(lits: bytes) -> bytes | None:
     mb, lookup = _huf_weights_to_table(ser)
     if mb != max_bits:
         return None
+    desc = _encode_weight_description(ser)
+    if desc is None:
+        return None
     # symbol -> (code, nbits) from the decode table
     codes: dict[int, tuple[int, int]] = {}
     idx = 0
@@ -817,19 +831,196 @@ def _encode_huffman_literals(lits: bytes) -> bytes | None:
         sym, nbits = lookup[idx]
         codes[sym] = (idx >> (mb - nbits), nbits)
         idx += 1 << (mb - nbits)
+
+    def enc_stream(part: bytes) -> bytes:
+        acc = _BitAcc()
+        for b in part:
+            c, n = codes[b]
+            acc.add(c, n)
+        return acc.bytes()
+
+    regen = len(lits)
+    one = desc + enc_stream(lits)
+    if regen <= 0x3FF and len(one) < regen:
+        return one, 1
+    # 4-stream split (§3.1.1.3.1.6): streams 1-3 hold (regen+3)//4
+    # literals each, stream 4 the rest; 6-byte jump table of the
+    # first three compressed sizes
+    per = (regen + 3) // 4
+    if regen - 3 * per <= 0:
+        return None
+    parts = [enc_stream(lits[k * per:(k + 1) * per]) for k in range(3)]
+    parts.append(enc_stream(lits[3 * per:]))
+    if any(len(p) > 0xFFFF for p in parts[:3]):
+        return None
+    jump = b"".join(len(p).to_bytes(2, "little") for p in parts[:3])
+    four = desc + jump + b"".join(parts)
+    if len(four) >= regen:
+        return None
+    return four, 4
+
+
+def _fse_write_ncount(counts: list[int], al: int) -> bytes:
+    """Serialize normalized counts — the exact inverse of
+    _fse_read_ncount's variable-bit scheme (incl. the 2-bit
+    zero-repeat escape)."""
+    bits: list[tuple[int, int]] = [(al - 5, 4)]
+    remaining = (1 << al) + 1
+    i = 0
+    while remaining > 1:
+        c = counts[i]
+        i += 1
+        nb_bits = remaining.bit_length()
+        threshold = 1 << (nb_bits - 1)
+        small_max = (2 * threshold - 1) - remaining
+        value = c + 1
+        if value < small_max:
+            bits.append((value, nb_bits - 1))
+        else:
+            v = value if value < threshold else value + small_max
+            bits.append((v, nb_bits))
+        remaining -= 1 if c < 0 else c
+        if c == 0:
+            # zero-repeat escape: count following zeros in runs of 3
+            run = 0
+            while i < len(counts) and counts[i] == 0 and run < 3:
+                run += 1
+                i += 1
+            while True:
+                bits.append((run, 2))
+                if run < 3:
+                    break
+                run = 0
+                while (i < len(counts) and counts[i] == 0
+                       and run < 3):
+                    run += 1
+                    i += 1
+    # forward little-endian bitstream
+    acc = 0
+    pos = 0
+    for v, n in bits:
+        acc |= v << pos
+        pos += n
+    return acc.to_bytes((pos + 7) // 8, "little")
+
+
+def _encode_weight_description(ser: list[int]) -> bytes | None:
+    """Huffman tree description: direct 4-bit weights vs
+    FSE-compressed weights (two alternating states, the decoder's
+    over-read stop rule satisfied by construction) — whichever is
+    shorter; None when neither form can represent it."""
+    direct = None
+    if len(ser) <= 128:
+        wbytes = bytearray()
+        for k in range(0, len(ser), 2):
+            hi = ser[k] << 4
+            lo = ser[k + 1] if k + 1 < len(ser) else 0
+            wbytes.append(hi | lo)
+        direct = bytes([127 + len(ser)]) + bytes(wbytes)
+    fse = _encode_weights_fse(ser)
+    if fse is not None and (direct is None or len(fse) < len(direct)):
+        return fse
+    return direct
+
+
+def _encode_weights_fse(ser: list[int]) -> bytes | None:
+    """FSE-compressed Huffman weights (header byte < 128): normalize
+    the weight-value distribution to a 2^al table (al <= 6), write the
+    ncount description, then encode the weight sequence through TWO
+    alternating states built backward with interval search. The final
+    written update is the SECOND-to-last weight's; the last weight's
+    state update is omitted so the decoder's over-read rule fires
+    exactly there (that state must need >= 1 bit — enforced below)."""
+    n = len(ser)
+    if n < 2 or n > 255:
+        return None
+    freq: dict[int, int] = {}
+    for w in ser:
+        freq[w] = freq.get(w, 0) + 1
+    if len(freq) < 2:
+        return None          # single-symbol FSE never terminates
+    max_w = max(freq)
+    al = max(5, (len(freq) - 1).bit_length() + 1)
+    if al > 6:
+        al = 6
+    size = 1 << al
+    # largest-remainder normalization, every present value >= 1 slot
+    total = sum(freq.values())
+    norm = {w: max(1, (c * size) // total) for w, c in freq.items()}
+    drift = size - sum(norm.values())
+    order = sorted(freq, key=lambda w: -freq[w])
+    k = 0
+    guard = 0
+    while drift != 0:
+        w = order[k % len(order)]
+        if drift > 0:
+            norm[w] += 1
+            drift -= 1
+        elif norm[w] > 1:
+            norm[w] -= 1
+            drift += 1
+        k += 1
+        guard += 1
+        if guard > 10 * size:
+            return None
+    counts = [norm.get(w, 0) for w in range(max_w + 1)]
+    table = _fse_build(counts, al)
+    by_sym: dict[int, list[tuple[int, int, int]]] = {}
+    for state, (s, nbb, base) in enumerate(table):
+        by_sym.setdefault(s, []).append((base, nbb, state))
+    for lst in by_sym.values():
+        lst.sort()
+    # two parity chains built backward; chain of ser[n-2]'s parity
+    # ends at n-2 and its final state must consume >= 1 bit
+    chains: list[list[int]] = [[], []]     # states per parity, fwd order
+    upd: dict[int, tuple[int, int]] = {}   # emission k -> (val, nbits)
+    for p in (0, 1):
+        idxs = list(range(p, n, 2))
+        if not idxs:
+            return None
+        states_rev: list[int] = []
+        last_k = idxs[-1]
+        cand = by_sym.get(ser[last_k])
+        if not cand:
+            return None
+        if last_k == n - 2:
+            cand = [c for c in cand if c[1] >= 1]
+            if not cand:
+                return None         # no bit-consuming state: bail out
+        nxt = cand[0][2]
+        states_rev.append(nxt)
+        for k in reversed(idxs[:-1]):
+            got = None
+            for base, nbb, state in by_sym.get(ser[k], ()):
+                if base <= nxt < base + (1 << nbb):
+                    got = (state, nxt - base, nbb)
+                    break
+            if got is None:
+                return None
+            upd[k] = (got[1], got[2])
+            nxt = got[0]
+            states_rev.append(nxt)
+        chains[p] = list(reversed(states_rev))
     acc = _BitAcc()
-    for b in lits:
-        c, n = codes[b]
-        acc.add(c, n)
-    stream = acc.bytes()
-    hb = 127 + len(ser)
-    wbytes = bytearray()
-    for k in range(0, len(ser), 2):
-        hi = ser[k] << 4
-        lo = ser[k + 1] if k + 1 < len(ser) else 0
-        wbytes.append(hi | lo)
-    payload = bytes([hb]) + bytes(wbytes) + stream
-    if len(payload) >= len(lits):
+    acc.add(chains[0][0], al)              # init even state
+    acc.add(chains[1][0], al)              # init odd state
+    for k in range(n - 2):                 # update after emission k;
+        v, nbb = upd[k]                    # k == n-2's is the overread
+        acc.add(v, nbb)
+    body = _fse_write_ncount(counts, al) + acc.bytes()
+    if len(body) >= 128:
+        return None
+    payload = bytes([len(body)]) + body
+    # the construction has subtle invariants (stop rule, spread,
+    # normalization) — prove each description by decoding it
+    try:
+        mb, lookup, used = _huf_read_description(payload)
+    except ValueError:
+        return None
+    if used != len(payload):
+        return None
+    check = _huf_weights_to_table(ser)
+    if (mb, lookup) != check:
         return None
     return payload
 
@@ -855,17 +1046,47 @@ def _encode_block(data: bytes) -> bytes | None:
     tail = data[pos:]
     lits += tail
     if not seqs:
-        return None
-    # literals section: Huffman (type 2) or raw (type 0)
-    huf = _encode_huffman_literals(bytes(lits))
-    if huf is not None:
-        regen, comp = len(lits), len(huf)
-        if regen > 0x3FF or comp > 0x3FF or comp >= regen:
-            huf = None      # >1023: would need the 4-stream form,
-        else:               # which this encoder does not emit
+        # literal-only block (nbSeq = 0): worth emitting when Huffman
+        # alone wins — entropy-heavy data with no LZ matches
+        huf = _encode_huffman_literals(bytes(lits))
+        if huf is None:
+            return None
+        payload, streams = huf
+        regen, comp = len(lits), len(payload)
+        if streams == 1 and regen <= 0x3FF and comp <= 0x3FF:
             h = (2 | (0 << 2) | (regen << 4)
                  | (comp << 14)).to_bytes(3, "little")
-            lit_sec = h + huf
+        elif streams == 4 and regen <= 0x3FFF and comp <= 0x3FFF:
+            h = (2 | (2 << 2) | (regen << 4)
+                 | (comp << 18)).to_bytes(4, "little")
+        elif streams == 4 and regen <= 0x3FFFF and comp <= 0x3FFFF:
+            h = (2 | (3 << 2) | (regen << 4)
+                 | (comp << 22)).to_bytes(5, "little")
+        else:
+            return None
+        block = h + payload + b"\x00"        # empty sequences section
+        return block if len(block) < len(data) else None
+    # literals section: Huffman (type 2, 1 or 4 streams) or raw
+    huf = _encode_huffman_literals(bytes(lits))
+    if huf is not None:
+        payload, streams = huf
+        regen, comp = len(lits), len(payload)
+        if streams == 1 and regen <= 0x3FF and comp <= 0x3FF:
+            h = (2 | (0 << 2) | (regen << 4)
+                 | (comp << 14)).to_bytes(3, "little")
+        elif streams == 4 and regen <= 0x3FF and comp <= 0x3FF:
+            h = (2 | (1 << 2) | (regen << 4)
+                 | (comp << 14)).to_bytes(3, "little")
+        elif streams == 4 and regen <= 0x3FFF and comp <= 0x3FFF:
+            h = (2 | (2 << 2) | (regen << 4)
+                 | (comp << 18)).to_bytes(4, "little")
+        elif streams == 4 and regen <= 0x3FFFF and comp <= 0x3FFFF:
+            h = (2 | (3 << 2) | (regen << 4)
+                 | (comp << 22)).to_bytes(5, "little")
+        else:
+            huf = None
+        if huf is not None:
+            lit_sec = h + payload
     if huf is None:
         size = len(lits)
         if size < 32:
