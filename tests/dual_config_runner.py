@@ -118,6 +118,10 @@ BATTERY = [
     "source_avro_zstd", "source_protobuf", "source_tfrecord",
     "source_webdataset", "source_arrow_ipc", "pdf_extract",
     "audio_flac", "unigram_tokens", "nb_classifier", "json_variant",
+    # decimal/date/timestamp and map columns cross the Arrow vs
+    # pickle transport boundary with different physical encodings —
+    # the classic divergence class this battery exists for
+    "source_avro_logical", "source_protobuf_maps",
 ]
 
 
