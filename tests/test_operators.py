@@ -3686,7 +3686,9 @@ def test_avro_reader_spark_and_contracts(spark, tmp_path):
     with _pytest.raises(NotImplementedError, match="complex type"):
         make_avro(weird, [])
     with _pytest.raises(NotImplementedError, match="codec"):
-        make_avro(sch, [], codec="zstd")
+        make_avro(sch, [], codec="bzip2")   # zstd is SUPPORTED (r13)
+    _, rt = read_avro_blob(make_avro(sch, [(9, "z")], codec="zstd"))
+    assert rt == [(9, "z")]
     u3 = json.dumps({"type": "record", "name": "t", "fields": [
         {"name": "u", "type": ["null", "long", "string"]}]})
     with _pytest.raises(NotImplementedError, match="union"):
