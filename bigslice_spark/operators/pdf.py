@@ -78,6 +78,7 @@ def _png_predict_up(rows: list[bytes]) -> bytes:
 _ENC_MODES = {            # name -> (R, V, key bytes, aes?) per §7.6
     "rc4-40": (2, 1, 5, False),
     "rc4-128": (3, 2, 16, False),
+    "rc4-128-v4": (4, 4, 16, False),   # /V 4 crypt filter, CFM /V2
     "aes-128": (4, 4, 16, True),
 }
 
@@ -170,8 +171,11 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
     enc_tail = b""
     if enc is not None:
         r, v, n, aes, id0, o, u, p, fkey = enc
-        extra = ("/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-                 "/StmF /StdCF /StrF /StdCF " if aes else "")
+        extra = ""
+        if v == 4:                    # crypt-filter dictionary form
+            cfm = "/AESV2" if aes else "/V2"
+            extra = (f"/CF << /StdCF << /CFM {cfm} /Length 16 >> >> "
+                     f"/StmF /StdCF /StrF /StdCF ")
         objs.append(
             f"<< /Filter /Standard /V {v} /R {r} /Length {n * 8} "
             f"/P {p} /O <{o.hex()}> /U <{u.hex()}> {extra}>>".encode())

@@ -8358,8 +8358,8 @@ def pdf_extract_q(spark, sf_dir):
                 d = int(d)
                 pages = [[text[:40], text[40:80]],
                          [f"Page two of doc {d}."]]
-                enc = [None, "rc4-128", "aes-128",
-                       "rc4-40"][(d // 6) % 4]
+                enc = [None, "rc4-128", "aes-128", "rc4-40",
+                       "rc4-128-v4"][(d // 6) % 5]
                 rows.append((d, bytearray(make_pdf(
                     pages, compress=(d // 6) % 2 == 0,
                     xref_stream=(d // 12) % 2 == 0, encrypt=enc))))

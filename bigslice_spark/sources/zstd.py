@@ -27,10 +27,10 @@ last weight — whichever is shorter, with the ncount writer the exact
 inverse of the reader); literal-only blocks (nbSeq=0) when Huffman
 wins without matches; sequences under the predefined FSE tables with
 repeat-offset emission; single-segment frame with content size and
-checksum. Simplification vs a production encoder: no Huffman
-length-limiting (a tree deeper than the format's 11-bit literal cap
-falls back to raw literals) and no custom sequence distributions
-(predefined tables only). Real `zstd -d` decompresses its output
+checksum; trees deeper than the format's 11-bit literal cap are
+length-limited by frequency-flattening rebuilds. Simplification vs a
+production encoder: no custom sequence distributions (predefined
+tables only). Real `zstd -d` decompresses its output
 byte-exactly (proven in tests when the binary is present; committed
 reference fixtures keep the cross-validation alive without it).
 
@@ -788,27 +788,38 @@ def _encode_huffman_literals(lits: bytes) -> bytes | None:
     # format's weight rules require (weight 1 must exist — the table
     # log IS the longest code)
     import heapq
-    nb: dict[int, int] = {}
-    heap2: list[tuple[int, int, object]] = [
-        (freq[s], s, s) for s in syms]
-    heapq.heapify(heap2)
-    tick = 256
-    while len(heap2) > 1:
-        f1, _, t1 = heapq.heappop(heap2)
-        f2, _, t2 = heapq.heappop(heap2)
-        heapq.heappush(heap2, (f1 + f2, tick, (t1, t2)))
-        tick += 1
-    stack = [(heap2[0][2], 0)]
-    while stack:
-        node, d = stack.pop()
-        if isinstance(node, tuple):
-            stack.append((node[0], d + 1))
-            stack.append((node[1], d + 1))
-        else:
-            nb[node] = max(d, 1)
+
+    def huffman_depths(f: dict[int, int]) -> dict[int, int]:
+        nb: dict[int, int] = {}
+        heap2: list[tuple[int, int, object]] = [
+            (c, s, s) for s, c in f.items()]
+        heapq.heapify(heap2)
+        tick = 256
+        while len(heap2) > 1:
+            f1, _, t1 = heapq.heappop(heap2)
+            f2, _, t2 = heapq.heappop(heap2)
+            heapq.heappush(heap2, (f1 + f2, tick, (t1, t2)))
+            tick += 1
+        stack = [(heap2[0][2], 0)]
+        while stack:
+            node, d = stack.pop()
+            if isinstance(node, tuple):
+                stack.append((node[0], d + 1))
+                stack.append((node[1], d + 1))
+            else:
+                nb[node] = max(d, 1)
+        return nb
+
+    # length-limit to the format's 11-bit literal cap by the classic
+    # frequency-flattening rebuild: halving compresses the dynamic
+    # range, so depths shrink each pass; f=1 everywhere is depth
+    # ceil(log2(n)) <= 8, so it terminates
+    f = dict(freq)
+    nb = huffman_depths(f)
+    while max(nb.values()) > 11:
+        f = {s: (c + 1) // 2 for s, c in f.items()}
+        nb = huffman_depths(f)
     max_bits = max(nb.values())
-    if max_bits > 11:                  # format cap for literals
-        return None
     # weights: w = max_bits + 1 - nbBits
     weights_full = [0] * (syms[-1] + 1)
     for s in syms:

@@ -108,7 +108,7 @@ def test_aes_cbc_padding_round_trip_and_corruption():
                         + b"\xff" * 16)
 
 
-@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "rc4-128-v4", "aes-128"])
 @pytest.mark.parametrize("xref_stream", [False, True])
 def test_encrypted_round_trip(mode, xref_stream):
     """The standard security handler with an EMPTY user password —
