@@ -7,10 +7,12 @@ magic ``Obj\\x01`` · file-metadata map (``avro.schema`` JSON,
 ``count(varint) size(varint) payload sync`` where the payload is the
 concatenated binary rows, raw, ``deflate`` (RFC 1951, no zlib header),
 ``snappy`` (raw snappy block + 4-byte big-endian CRC32 of the
-uncompressed data — the spec's snappy framing) or ``zstd`` (one
+uncompressed data — the spec's snappy framing) or ``zstandard``
+(the spec's codec name, "zstd" accepted as an alias on write: one
 RFC 8878 frame per block, decoded by the clean-room codec in
 sources/zstd.py — validated against the reference zstd binary's
-output, frame checksum verified). Row encoding: zigzag
+output, frame checksum verified), ``bzip2`` and ``xz`` (stdlib bz2 /
+lzma, the deflate contract). Row encoding: zigzag
 varints for int/long, little-endian IEEE float/double, length-prefixed
 bytes/utf8 strings, 1-byte booleans, zero-byte nulls, unions as
 branch-index varint + value (the branch index is the POSITION in the
@@ -24,7 +26,7 @@ maps (string keys per the spec), enums (int symbol index → symbol
 string, range-checked), fixed (exactly-size raw bytes), 2-branch
 null unions in either order, and the primitives null/boolean/int/
 long/float/double/bytes/string. Recursive type references, >2-branch
-unions and other codecs (bzip2/xz) raise NotImplementedError by name —
+unions and unknown codecs raise NotImplementedError by name —
 the repo's honest-raise codec contract. Truncated blocks, sync
 mismatches and snappy CRC mismatches raise ValueError.
 
@@ -56,7 +58,9 @@ MAGIC = b"Obj\x01"
 
 _PRIMITIVES = ("null", "boolean", "int", "long", "float", "double",
                "bytes", "string")
-_CODECS = ("null", "deflate", "snappy", "zstd")
+# canonical spec names; "zstd" accepted as a write-side alias for
+# "zstandard" (the name real Avro writers put in avro.codec)
+_CODECS = ("null", "deflate", "snappy", "zstandard", "bzip2", "xz")
 
 
 # ------------------------------------------------------------- varints
@@ -444,6 +448,8 @@ def make_avro(schema_json: str, rows: list[tuple], codec: str = "null",
     the supported subset; ``codec`` is ``null``, ``deflate`` or
     ``snappy``. The fixture half of the round-trip proof."""
     fields = _parse_schema(schema_json)
+    if codec == "zstd":
+        codec = "zstandard"            # spec name in avro.codec
     if codec not in _CODECS:
         raise NotImplementedError(f"avro: codec {codec!r}")
     if len(sync) != 16:
@@ -477,9 +483,15 @@ def make_avro(schema_json: str, rows: list[tuple], codec: str = "null",
         elif codec == "snappy":
             data = (snappy_compress(bytes(payload))
                     + zlib.crc32(bytes(payload)).to_bytes(4, "big"))
-        elif codec == "zstd":
+        elif codec == "zstandard":
             from .zstd import compress as zstd_compress
             data = zstd_compress(bytes(payload))
+        elif codec == "bzip2":
+            import bz2
+            data = bz2.compress(bytes(payload))
+        elif codec == "xz":
+            import lzma
+            data = lzma.compress(bytes(payload), format=lzma.FORMAT_XZ)
         else:
             data = bytes(payload)
         _write_long(out, len(chunk))
@@ -600,6 +612,8 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, dict]],
         raise ValueError("avro: truncated header sync marker")
     i += 16
     codec = meta.get("avro.codec", b"null").decode()
+    if codec == "zstd":
+        codec = "zstandard"            # tolerate the short alias
     if codec not in _CODECS:
         raise NotImplementedError(f"avro: codec {codec!r}")
     fields = _parse_schema(meta["avro.schema"].decode())
@@ -624,11 +638,17 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, dict]],
             if zlib.crc32(plain).to_bytes(4, "big") != data[-4:]:
                 raise ValueError("avro: snappy block CRC mismatch")
             data = plain
-        elif codec == "zstd":
+        elif codec == "zstandard":
             # one zstd frame per block, no extra trailer (Avro spec);
             # the frame's own xxhash64 checksum is verified inside
             from .zstd import decompress as zstd_decompress
             data = zstd_decompress(data)
+        elif codec == "bzip2":
+            import bz2
+            data = bz2.decompress(data)
+        elif codec == "xz":
+            import lzma
+            data = lzma.decompress(data)
         j = 0
         for _ in range(count):
             row = []

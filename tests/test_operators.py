@@ -3686,9 +3686,15 @@ def test_avro_reader_spark_and_contracts(spark, tmp_path):
     with _pytest.raises(NotImplementedError, match="complex type"):
         make_avro(weird, [])
     with _pytest.raises(NotImplementedError, match="codec"):
-        make_avro(sch, [], codec="bzip2")   # zstd is SUPPORTED (r13)
-    _, rt = read_avro_blob(make_avro(sch, [(9, "z")], codec="zstd"))
-    assert rt == [(9, "z")]
+        make_avro(sch, [], codec="lz4")     # unknown codec
+    # every supported codec round-trips; zstd writes the SPEC name
+    # "zstandard" into avro.codec (r13b interop fix)
+    for c in ("zstd", "zstandard", "bzip2", "xz"):
+        blob = make_avro(sch, [(9, "z")], codec=c)
+        if c.startswith("zst"):
+            assert b"zstandard" in blob and b'"zstd"' not in blob
+        _, rt = read_avro_blob(blob)
+        assert rt == [(9, "z")]
     u3 = json.dumps({"type": "record", "name": "t", "fields": [
         {"name": "u", "type": ["null", "long", "string"]}]})
     with _pytest.raises(NotImplementedError, match="union"):
