@@ -20,13 +20,15 @@ Encrypted documents (§7.6): the standard security handler's
 EMPTY-user-password case — the nominal encryption that dominates
 crawled corpora (owner-only restrictions; every real extractor opens
 these) — is decrypted transparently: RC4-40/128 (/V 1-2 and the /V 4
-"/V2" crypt filter) and AES-128-CBC (/AESV2), with §7.6.3 password
-algorithms 2-6 and §7.6.2 per-object keys in operators/pdfcrypt.py
-(clean-room; RC4/AES pinned to published test vectors).
+"/V2" crypt filter), AES-128-CBC (/AESV2) and PDF 2.0's AES-256
+(/V 5 /AESV3, R5/R6 incl. /EncryptMetadata false), with §7.6.3/§7.6.4
+password algorithms and §7.6.2 per-object keys in
+operators/pdfcrypt.py (clean-room; RC4/AES pinned to published test
+vectors).
 
 Honest-raise contract (the repo's codec rule): a NON-EMPTY user
-password, non-/Standard security handlers, /V 5 (AES-256), split
-/StmF-vs-/StrF filters, non-Flate filters, and the TIFF predictor
+password, non-/Standard security handlers, split
+/StmF-vs-/StrF filters, and non-Flate/LZW filters
 raise NotImplementedError with the offending construct named — never
 silently skipped; corrupt xref offsets/entries, bad ObjStm headers,
 ObjStm reference cycles, short predictor rows, truncated streams and
@@ -80,16 +82,20 @@ _ENC_MODES = {            # name -> (R, V, key bytes, aes?) per §7.6
     "rc4-128": (3, 2, 16, False),
     "rc4-128-v4": (4, 4, 16, False),   # /V 4 crypt filter, CFM /V2
     "aes-128": (4, 4, 16, True),
+    "aes-256": (6, 5, 32, True),       # PDF 2.0 /AESV3, R6 (§7.6.4)
 }
 
 
-def make_pdf(pages: list[list[str]], compress: bool = False,
+def make_pdf(pages: list[list[str]], compress: bool | str = False,
              xref_stream: bool = False, encrypt: str | None = None,
-             user_pw: str = "", owner_pw: str = "owner") -> bytes:
+             user_pw: str = "", owner_pw: str = "owner",
+             encrypt_metadata: bool = True) -> bytes:
     """A spec-valid PDF: one page per entry of ``pages``, each a list
     of text lines shown with one ``Tj`` per line (12pt Helvetica,
     14pt leading). ``compress`` stores every content stream
-    FlateDecode'd. ``xref_stream=False`` emits the classic PDF 1.4
+    FlateDecode'd (True), LZWDecode'd ("lzw"), or LZW under TIFF
+    predictor 2 with /EarlyChange 0 ("lzw-tiff" — the old-corpus
+    combination). ``xref_stream=False`` emits the classic PDF 1.4
     layout (xref TABLE + trailer); ``xref_stream=True`` emits the
     PDF 1.5 layout (ISO 32000-1 §7.5.7/§7.5.8): all dict-only objects
     packed into ONE /ObjStm object stream, a binary /XRef
@@ -110,24 +116,44 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
     from . import pdfcrypt as pc
 
     enc = None
+    enc5 = None                       # (ue, oe, perms) for /V 5
     if encrypt is not None:
         if encrypt not in _ENC_MODES:
             raise ValueError(f"pdf: unknown encrypt mode {encrypt!r}")
         r, v, n, aes = _ENC_MODES[encrypt]
         id0 = hashlib.md5(
-            repr((pages, compress, xref_stream, encrypt)).encode()
+            repr((pages, compress, xref_stream, encrypt,
+                  encrypt_metadata)).encode()
         ).digest()
-        o = pc.compute_o(owner_pw.encode("latin-1"),
-                         user_pw.encode("latin-1"), r, n)
         p = -44                       # print+copy denied; arbitrary
-        fkey = pc.file_key(user_pw.encode("latin-1"), o, p, id0, r, n)
-        u = pc.compute_u(fkey, id0, r)
+        if v == 5:                    # §7.6.4: /U /UE /O /OE /Perms
+            upw = user_pw.encode("latin-1")
+            fkey = hashlib.sha256(b"fkey" + id0).digest()   # 32 bytes
+            vs, ks = (hashlib.md5(b"uv" + id0).digest()[:8],
+                      hashlib.md5(b"uk" + id0).digest()[:8])
+            u, ue = pc.compute_u_r6(upw, vs, ks, fkey, r)
+            ovs, oks = (hashlib.md5(b"ov" + id0).digest()[:8],
+                        hashlib.md5(b"ok" + id0).digest()[:8])
+            o, oe = pc.compute_o_r6(owner_pw.encode("latin-1"),
+                                    ovs, oks, fkey, u, r)
+            perms = pc.make_perms(fkey, p, encrypt_metadata)
+            enc5 = (ue, oe, perms)
+        else:
+            o = pc.compute_o(owner_pw.encode("latin-1"),
+                             user_pw.encode("latin-1"), r, n)
+            fkey = pc.file_key(user_pw.encode("latin-1"), o, p, id0,
+                               r, n, encrypt_metadata)
+            u = pc.compute_u(fkey, id0, r)
         enc = (r, v, n, aes, id0, o, u, p, fkey)
 
     def enc_stream(num: int, data: bytes) -> bytes:
-        """Encrypt one stream's stored bytes with its object key."""
+        """Encrypt one stream's stored bytes with its object key
+        (/V 5 uses the FILE key directly — no per-object keys)."""
         if enc is None:
             return data
+        if enc[1] == 5:
+            iv = hashlib.md5(b"iv%d" % num).digest()
+            return pc.aes_cbc_encrypt(enc[8], iv, data)
         ok = pc.object_key(enc[8], num, 0, enc[3])
         if enc[3]:                    # AESV2: IV-prefixed CBC
             iv = hashlib.md5(b"iv%d" % num).digest()
@@ -156,7 +182,19 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
         body.append(b"ET")
         data = b"\n".join(body)
         filt = b""
-        if compress:
+        if compress == "lzw":
+            data = _lzw_encode(data)
+            filt = b"/Filter /LZWDecode "
+        elif compress == "lzw-tiff":
+            # TIFF predictor 2 over 16-byte rows (space-padded —
+            # content streams tolerate trailing whitespace) with the
+            # non-default /EarlyChange 0, so BOTH §7.4.4 knobs get
+            # real-bytes coverage
+            data += b" " * (-len(data) % 16)
+            data = _lzw_encode(_tiff_predict(data, 16), early=0)
+            filt = (b"/Filter /LZWDecode /DecodeParms << /Predictor 2 "
+                    b"/Columns 16 /EarlyChange 0 >> ")
+        elif compress:
             data = zlib.compress(data)
             filt = b"/Filter /FlateDecode "
         data = enc_stream(4 + 2 * i, data)
@@ -176,6 +214,16 @@ def make_pdf(pages: list[list[str]], compress: bool = False,
             cfm = "/AESV2" if aes else "/V2"
             extra = (f"/CF << /StdCF << /CFM {cfm} /Length 16 >> >> "
                      f"/StmF /StdCF /StrF /StdCF ")
+            if not encrypt_metadata:
+                extra += "/EncryptMetadata false "
+        elif v == 5:
+            ue, oe, perms = enc5
+            extra = (f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                     f"/StmF /StdCF /StrF /StdCF "
+                     f"/UE <{ue.hex()}> /OE <{oe.hex()}> "
+                     f"/Perms <{perms.hex()}> ")
+            if not encrypt_metadata:
+                extra += "/EncryptMetadata false "
         objs.append(
             f"<< /Filter /Standard /V {v} /R {r} /Length {n * 8} "
             f"/P {p} /O <{o.hex()}> /U <{u.hex()}> {extra}>>".encode())
@@ -378,15 +426,149 @@ def _literal_string(buf: bytes, i: int) -> tuple[str, int]:
     return out.decode("latin-1"), i
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """§7.4.4 LZWDecode: MSB-first bit packing, 9→12-bit variable
+    codes, Clear=256 / EOD=257, new entries from 258. /EarlyChange 1
+    (the default, matching historical implementations) widens the
+    code one entry early; 0 widens at the exact table-full point.
+    Same algorithm family as operators/gif.py's codec (VERDICT r13
+    task 4 — reuse), with the GIF variant's little-endian packing and
+    8-entry root swapped for the PDF/TIFF conventions."""
+    if early not in (0, 1):
+        raise ValueError(f"pdf: bad /EarlyChange {early}")
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                continue
+            if code == 257:                           # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("pdf: LZW first code out of "
+                                     "range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]               # KwKwK
+                table.append(entry)
+            else:
+                raise ValueError("pdf: LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode's inverse (the fixture builder's half): emits Clear
+    up front and on table overflow, EOD at the end."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)                                  # Clear
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes((b,))
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code + early > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(256, width)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prefix = bytes((b,))
+    if prefix:
+        emit(table[prefix], width)
+        # mirror the decoder: it appends an entry for this code and
+        # may widen BEFORE reading EOD
+        if next_code < 4096:
+            next_code += 1
+            if next_code + early > (1 << width) and width < 12:
+                width += 1
+    emit(257, width)                                  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int,
+                    bpc: int) -> bytes:
+    """TIFF predictor 2 (horizontal differencing, §7.4.4.4): each
+    component is stored as a delta against the component ``colors``
+    positions to its left within the row. 8-bit components only —
+    sub-byte and 16-bit variants raise by name."""
+    if bpc != 8:
+        raise NotImplementedError(
+            f"pdf: TIFF predictor with /BitsPerComponent {bpc}")
+    stride = columns * colors
+    if stride <= 0 or len(data) % stride:
+        raise ValueError("pdf: TIFF predictor data is not whole rows")
+    out = bytearray(data)
+    for r in range(0, len(out), stride):
+        for i in range(colors, stride):
+            out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+    return bytes(out)
+
+
+def _tiff_predict(data: bytes, columns: int, colors: int = 1) -> bytes:
+    """_tiff_unpredict's inverse for the fixture builder."""
+    stride = columns * colors
+    if stride <= 0 or len(data) % stride:
+        raise ValueError("pdf: TIFF predictor data is not whole rows")
+    out = bytearray(data)
+    for r in range(0, len(data), stride):
+        for i in range(stride - 1, colors - 1, -1):
+            out[r + i] = (data[r + i] - data[r + i - colors]) & 0xFF
+    return bytes(out)
+
+
 def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes:
     """Undo PNG row filters (predictors 10-15; the per-row filter byte
     selects None/Sub/Up/Average/Paeth — public PNG spec §9) over
-    ``columns``-byte rows with 1-byte components. TIFF predictor 2
-    raises by name."""
+    ``columns``-byte rows with 1-byte components. TIFF predictor 2 is
+    handled by _tiff_unpredict (the caller dispatches)."""
     if predictor == 1:
         return data
-    if predictor == 2:
-        raise NotImplementedError("pdf: TIFF predictor 2")
     if not 10 <= predictor <= 15:
         raise ValueError(f"pdf: bad /Predictor {predictor}")
     stride = columns + 1
@@ -483,9 +665,10 @@ class PdfDoc:
 
     def _setup_encryption(self) -> None:
         """/Encrypt in the trailer → authenticate the EMPTY user
-        password under the standard security handler (§7.6.3) and keep
-        the file key for transparent decryption; a real password, a
-        non-/Standard handler, or /V 5 (AES-256) raises by name."""
+        password under the standard security handler (§7.6.3 for
+        /V 1-4, §7.6.4 for /V 5 AES-256 incl. PDF 2.0's R6) and keep
+        the file key for transparent decryption; a real password or a
+        non-/Standard handler raises by name."""
         enc_ref = self.trailer.get("/Encrypt")
         if enc_ref is None:
             return
@@ -499,8 +682,10 @@ class PdfDoc:
         v = int(self.obj(d.get("/V", 0)))
         r = int(self.obj(d.get("/R", 2)))
         length = int(self.obj(d.get("/Length", 40)))
+        enc_meta = self.obj(d.get("/EncryptMetadata", True))
+        enc_meta = bool(enc_meta) if enc_meta is not None else True
         aes = False
-        if v == 4:
+        if v in (4, 5):
             stmf = self.obj(d.get("/StmF", "/Identity"))
             strf = self.obj(d.get("/StrF", "/Identity"))
             if stmf != strf:
@@ -513,6 +698,12 @@ class PdfDoc:
             if not isinstance(cfd, dict):
                 raise ValueError(f"pdf: crypt filter {stmf} not in /CF")
             cfm = self.obj(cfd.get("/CFM"))
+            if v == 5:
+                if cfm != "/AESV3":
+                    raise NotImplementedError(
+                        f"pdf: crypt filter {cfm} under /V 5")
+                self._setup_encryption_v5(d, r)
+                return
             if cfm == "/AESV2":
                 aes = True
                 length = 128
@@ -532,19 +723,50 @@ class PdfDoc:
             raise ValueError("pdf: /Encrypt missing /O or /U")
         p = int(self.obj(d.get("/P", -1)))
         key = _pdfcrypt().auth_user(
-            b"", o.encode("latin-1"), u.encode("latin-1"), p, id0, r, n)
+            b"", o.encode("latin-1"), u.encode("latin-1"), p, id0, r, n,
+            enc_meta)
         if key is None:
             raise NotImplementedError(
                 "pdf: password-protected document — the standard "
                 "security handler rejected the empty user password; "
                 "real-password decryption is out of subset")
-        self._crypt = (key, aes)
+        self._crypt = (key, "aes" if aes else "rc4")
+
+    def _setup_encryption_v5(self, d: dict, r: int) -> None:
+        """§7.6.4 (AES-256): validate the EMPTY user password against
+        /U, unwrap the 32-byte file key from /UE, and sanity-check
+        /Perms (Algorithm 13) when present. R5 is the deprecated
+        single-SHA-256 AESV3 extension; R6 is PDF 2.0's hardened
+        Algorithm 2.B."""
+        if r not in (5, 6):
+            raise NotImplementedError(f"pdf: /V 5 with /R {r}")
+        u, ue = self.obj(d.get("/U")), self.obj(d.get("/UE"))
+        if not isinstance(u, str) or not isinstance(ue, str):
+            raise ValueError("pdf: /V 5 /Encrypt missing /U or /UE")
+        pc = _pdfcrypt()
+        key = pc.auth_user_r6(b"", u.encode("latin-1"),
+                              ue.encode("latin-1"), r)
+        if key is None:
+            raise NotImplementedError(
+                "pdf: password-protected document — the standard "
+                "security handler rejected the empty user password; "
+                "real-password decryption is out of subset")
+        perms = self.obj(d.get("/Perms"))
+        if isinstance(perms, str):
+            p = int(self.obj(d.get("/P", -1)))
+            if not pc.check_perms(key, perms.encode("latin-1"), p):
+                raise ValueError("pdf: /Perms does not validate "
+                                 "against the file key")
+        self._crypt = (key, "aes256")
 
     def _decrypt_bytes(self, num: int, gen: int, data: bytes) -> bytes:
         pc = _pdfcrypt()
-        key, aes = self._crypt
-        ok = pc.object_key(key, num, gen, aes)
-        return pc.aes_cbc_decrypt(ok, data) if aes else pc.rc4(ok, data)
+        key, mode = self._crypt
+        if mode == "aes256":     # §7.6.4: the file key, no object key
+            return pc.aes_cbc_decrypt(key, data)
+        ok = pc.object_key(key, num, gen, mode == "aes")
+        return (pc.aes_cbc_decrypt(ok, data) if mode == "aes"
+                else pc.rc4(ok, data))
 
     def _decrypt_obj(self, num: int, gen: int, val):
         """Transparently decrypt an object's strings and stream bytes
@@ -748,10 +970,11 @@ class PdfDoc:
         return val
 
     def _apply_filters(self, d: dict, data: bytes) -> bytes:
-        """Run a stream's /Filter chain (FlateDecode only, honest
-        raise otherwise) with per-filter /DecodeParms (PNG predictors
-        §7.4.4.4 — xref streams in the wild are almost always
-        Up-predicted)."""
+        """Run a stream's /Filter chain (FlateDecode and LZWDecode;
+        honest raise otherwise) with per-filter /DecodeParms —
+        PNG predictors 10-15 and TIFF predictor 2 (§7.4.4.4; xref
+        streams in the wild are almost always Up-predicted, old
+        LZW-era PDFs use TIFF horizontal differencing)."""
         filt = d.get("/Filter")
         if filt is None:
             return data
@@ -761,14 +984,24 @@ class PdfDoc:
         parms += [None] * (len(filts) - len(parms))
         for f, p in zip(filts, parms):
             f = self.obj(f)
-            if f != "/FlateDecode":
-                raise NotImplementedError(f"pdf: filter {f}")
-            data = zlib.decompress(data)
             p = self.obj(p)
-            if isinstance(p, dict) and "/Predictor" in p:
+            p = p if isinstance(p, dict) else {}
+            if f == "/FlateDecode":
+                data = zlib.decompress(data)
+            elif f == "/LZWDecode":
+                data = _lzw_decode(
+                    data, int(self.obj(p.get("/EarlyChange", 1))))
+            else:
+                raise NotImplementedError(f"pdf: filter {f}")
+            pred = self.obj(p.get("/Predictor", 1))
+            if pred == 2:
+                data = _tiff_unpredict(
+                    data, self.obj(p.get("/Columns", 1)),
+                    self.obj(p.get("/Colors", 1)),
+                    self.obj(p.get("/BitsPerComponent", 8)))
+            elif pred != 1:
                 data = _png_unpredict(
-                    data, self.obj(p["/Predictor"]),
-                    self.obj(p.get("/Columns", 1)))
+                    data, pred, self.obj(p.get("/Columns", 1)))
         return data
 
     def _stream_data(self, ref) -> bytes:

@@ -445,8 +445,10 @@ def make_avro(schema_json: str, rows: list[tuple], codec: str = "null",
               block_rows: int = 1000) -> bytes:
     """An Object Container File holding ``rows`` (tuples in schema
     field order; arrays as lists, maps/nested records as dicts) under
-    the supported subset; ``codec`` is ``null``, ``deflate`` or
-    ``snappy``. The fixture half of the round-trip proof."""
+    the supported subset; ``codec`` is any of the full Avro 1.11
+    matrix — ``null``, ``deflate``, ``snappy``, ``zstandard`` (the
+    spec name; ``zstd`` is accepted as an alias), ``bzip2`` or
+    ``xz``. The fixture half of the round-trip proof."""
     fields = _parse_schema(schema_json)
     if codec == "zstd":
         codec = "zstandard"            # spec name in avro.codec

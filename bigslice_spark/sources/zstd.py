@@ -271,6 +271,13 @@ def _huf_weights_to_table(weights: list[int]
     if total == 0:
         raise ValueError("zstd: empty Huffman weights")
     max_bits = total.bit_length()      # 2^max_bits > total (strict)
+    # RFC 8878 §4.2.1: the literals Huffman tree is depth-capped at
+    # 11 bits; enforcing it BEFORE allocation bounds the lookup table
+    # (a crafted 255×weight-15 description would otherwise demand a
+    # ~2^22-entry table — memory/CPU amplification on corrupt input)
+    if max_bits > 11:
+        raise ValueError("zstd: Huffman code length exceeds the "
+                         "format's 11-bit maximum")
     left = (1 << max_bits) - total
     if left & (left - 1):
         raise ValueError("zstd: Huffman weights do not complete a "
@@ -427,14 +434,20 @@ class _FrameState:
 
 def _decode_literals(block: bytes, st: _FrameState
                      ) -> tuple[bytes, int]:
+    if not block:
+        raise ValueError("zstd: empty compressed block")
     b0 = block[0]
     lit_type = b0 & 3
     if lit_type in (0, 1):                        # Raw / RLE
         if (b0 >> 2) & 1 == 0:
             size, off = b0 >> 3, 1
         elif (b0 >> 2) & 3 == 1:
+            if len(block) < 2:
+                raise ValueError("zstd: truncated literals header")
             size, off = (b0 >> 4) | (block[1] << 4), 2
         else:                                      # 11
+            if len(block) < 3:
+                raise ValueError("zstd: truncated literals header")
             size = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
             off = 3
         if lit_type == 0:
@@ -442,6 +455,8 @@ def _decode_literals(block: bytes, st: _FrameState
             if len(lits) < size:
                 raise ValueError("zstd: truncated raw literals")
             return lits, off + size
+        if off >= len(block):
+            raise ValueError("zstd: truncated RLE literals")
         return bytes([block[off]]) * size, off + 1
     # Compressed (2) / Treeless (3)
     sf = (b0 >> 2) & 3
@@ -494,6 +509,8 @@ def _decode_block(block: bytes, st: _FrameState,
                   rep: list[int]) -> bytes:
     lits, off = _decode_literals(block, st)
     # sequences header
+    if off >= len(block):
+        raise ValueError("zstd: truncated sequences header")
     b0 = block[off]
     if b0 == 0:
         if off + 1 != len(block):
@@ -503,10 +520,16 @@ def _decode_block(block: bytes, st: _FrameState,
     if b0 < 128:
         n_seq, off = b0, off + 1
     elif b0 < 255:
+        if off + 1 >= len(block):
+            raise ValueError("zstd: truncated sequences header")
         n_seq, off = ((b0 - 128) << 8) + block[off + 1], off + 2
     else:
+        if off + 2 >= len(block):
+            raise ValueError("zstd: truncated sequences header")
         n_seq = block[off + 1] + (block[off + 2] << 8) + 0x7F00
         off += 3
+    if off >= len(block):
+        raise ValueError("zstd: truncated sequence-modes byte")
     modes = block[off]
     off += 1
     if modes & 3:
@@ -659,6 +682,8 @@ def decompress(blob: bytes) -> bytes:
                 st.out += blob[i:i + bsize]
                 i += bsize
             elif btype == 1:
+                if i >= len(blob):
+                    raise ValueError("zstd: truncated RLE block")
                 st.out += blob[i:i + 1] * bsize
                 i += 1
             elif btype == 2:
@@ -1216,10 +1241,16 @@ def _encode_block(data: bytes) -> bytes | None:
     if len(block) >= len(data):
         return None
     # cheap insurance at fixture scale: a block the decoder cannot
-    # reproduce byte-exactly is never emitted
+    # reproduce byte-exactly is never emitted — ANY self-check
+    # failure falls back to a raw block (the caller's None path), so
+    # a residual encoder edge case degrades compression instead of
+    # crashing the write
     st = _FrameState(0)
-    if _decode_block(block, st, [1, 4, 8]) != data:
-        raise AssertionError("zstd: encoder self-check failed")
+    try:
+        if _decode_block(block, st, [1, 4, 8]) != data:
+            return None
+    except Exception:
+        return None
     return block
 
 

@@ -90,6 +90,46 @@ def test_crypto_published_vectors():
     ct = aes128_encrypt_block(key, pt)
     assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
     assert aes128_decrypt_block(key, ct) == pt
+    # AES-256: the FIPS-197 Appendix C.3 known answer
+    k256 = bytes(range(32))
+    ct = aes128_encrypt_block(k256, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert aes128_decrypt_block(k256, ct) == pt
+
+
+def test_aes_cross_validated_against_openssl():
+    """Independent oracle: the clean-room AES (both key sizes, ECB
+    and raw CBC) must agree byte-exactly with the OpenSSL-backed
+    `cryptography` package on randomized inputs."""
+    cryptography = pytest.importorskip("cryptography")  # noqa: F841
+    import random
+
+    from cryptography.hazmat.primitives.ciphers import (Cipher,
+                                                        algorithms,
+                                                        modes)
+
+    from bigslice_spark.operators.pdfcrypt import (
+        aes128_encrypt_block, aes_cbc_decrypt_nopad,
+        aes_cbc_encrypt_nopad)
+    rnd = random.Random(20260816)
+    for klen in (16, 32):
+        for _ in range(8):
+            key = bytes(rnd.randrange(256) for _ in range(klen))
+            blk = bytes(rnd.randrange(256) for _ in range(16))
+            ref = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+            assert (aes128_encrypt_block(key, blk)
+                    == ref.update(blk) + ref.finalize())
+            iv = bytes(rnd.randrange(256) for _ in range(16))
+            data = bytes(rnd.randrange(256)
+                         for _ in range(16 * rnd.randint(1, 6)))
+            ref = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+            want = ref.update(data) + ref.finalize()
+            # pure=True forces the clean-room path — this is the
+            # cross-implementation pin, not OpenSSL vs itself
+            assert aes_cbc_encrypt_nopad(key, iv, data,
+                                         pure=True) == want
+            assert aes_cbc_decrypt_nopad(key, iv, want,
+                                         pure=True) == data
 
 
 def test_aes_cbc_padding_round_trip_and_corruption():
@@ -108,14 +148,16 @@ def test_aes_cbc_padding_round_trip_and_corruption():
                         + b"\xff" * 16)
 
 
-@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "rc4-128-v4", "aes-128"])
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "rc4-128-v4",
+                                  "aes-128", "aes-256"])
 @pytest.mark.parametrize("xref_stream", [False, True])
 def test_encrypted_round_trip(mode, xref_stream):
     """The standard security handler with an EMPTY user password —
     nominally encrypted documents (owner-only restrictions) decrypt
-    transparently across RC4-40 (V1/R2), RC4-128 (V2/R3) and AES-128
-    (V4/R4 /AESV2), classic and xref-stream layouts, raw and Flate
-    content streams (ISO 32000-1 §7.6; VERDICT r12 task 4)."""
+    transparently across RC4-40 (V1/R2), RC4-128 (V2/R3), AES-128
+    (V4/R4 /AESV2) and PDF 2.0's AES-256 (V5/R6 /AESV3 — VERDICT r13
+    task 3), classic and xref-stream layouts, raw and Flate content
+    streams (ISO 32000-1 §7.6, ISO 32000-2 §7.6.4)."""
     pages = [["alpha one", "beta (two) \\ three"], ["gamma"]]
     exp = ["alpha one\nbeta (two) \\ three", "gamma"]
     for compress in (False, True):
@@ -128,15 +170,11 @@ def test_encrypted_round_trip(mode, xref_stream):
 
 
 def test_encrypted_wrong_password_raises_by_name():
-    blob = make_pdf([["secret text"]], encrypt="rc4-128",
-                    user_pw="hunter2")
-    with pytest.raises(NotImplementedError, match="password"):
-        PdfDoc(blob)
-    # AES with a real user password raises identically
-    blob = make_pdf([["secret text"]], encrypt="aes-128",
-                    user_pw="hunter2")
-    with pytest.raises(NotImplementedError, match="password"):
-        PdfDoc(blob)
+    for mode in ("rc4-128", "aes-128", "aes-256"):
+        blob = make_pdf([["secret text"]], encrypt=mode,
+                        user_pw="hunter2")
+        with pytest.raises(NotImplementedError, match="password"):
+            PdfDoc(blob)
 
 
 def test_encrypted_out_of_subset_raise_by_name():
@@ -145,10 +183,92 @@ def test_encrypted_out_of_subset_raise_by_name():
     bad = blob.replace(b"/Filter /Standard", b"/Filter /MyCrypt ")
     with pytest.raises(NotImplementedError, match="security handler"):
         PdfDoc(bad)
-    # AES-256 (/V 5) is PDF 2.0 and out of subset
-    bad = blob.replace(b"/V 2 /R 3", b"/V 5 /R 6")
-    with pytest.raises(NotImplementedError, match="/V 5"):
+    # /V 5 with a revision this module doesn't know
+    blob = make_pdf([["x"]], encrypt="aes-256")
+    bad = blob.replace(b"/V 5 /R 6", b"/V 5 /R 4")
+    with pytest.raises(NotImplementedError, match="/V 5 with /R"):
         PdfDoc(bad)
+    # /V 5 demands the /AESV3 crypt filter
+    bad = blob.replace(b"/CFM /AESV3 /Length 32",
+                       b"/CFM /AESV2 /Length 32")
+    with pytest.raises(NotImplementedError, match="AESV2"):
+        PdfDoc(bad)
+
+
+def test_aes256_perms_validation_and_metadata_flag():
+    """§7.6.4: a tampered /Perms fails Algorithm 13 against the
+    unwrapped file key; /EncryptMetadata false changes the V4 key
+    derivation (Algorithm 2 step f, r13 ADVICE) and both still open
+    with the empty user password."""
+    blob = make_pdf([["guarded"]], encrypt="aes-256")
+    m = re.search(rb"/Perms <([0-9a-f]{32})>", blob)
+    assert m, "builder must emit /Perms"
+    flipped = hex(int(m.group(1)[:2], 16) ^ 0xFF)[2:].zfill(2).encode()
+    bad = blob.replace(b"/Perms <" + m.group(1),
+                       b"/Perms <" + flipped + m.group(1)[2:])
+    with pytest.raises(ValueError, match="/Perms"):
+        PdfDoc(bad)
+    for mode in ("rc4-128-v4", "aes-128", "aes-256"):
+        blob = make_pdf([["meta off"]], encrypt=mode,
+                        encrypt_metadata=False)
+        assert b"/EncryptMetadata false" in blob
+        assert _texts(blob) == ["meta off"]
+
+
+def test_r6_owner_entries_are_consistent():
+    """Algorithm 9 inverse: the owner password re-derives /O's hash
+    over the 48-byte /U and unwraps the same file key from /OE."""
+    from bigslice_spark.operators import pdfcrypt as pc
+    fk = bytes(range(32))
+    u, ue = pc.compute_u_r6(b"", b"12345678", b"abcdefgh", fk)
+    o, oe = pc.compute_o_r6(b"owner", b"qrstuvwx", b"QRSTUVWX", fk, u)
+    assert pc.hash_r6(b"owner", o[32:40], u) == o[:32]
+    ik = pc.hash_r6(b"owner", o[40:48], u)
+    assert pc.aes_cbc_decrypt_nopad(ik, bytes(16), oe) == fk
+    # R5 (single SHA-256) path
+    u5, ue5 = pc.compute_u_r6(b"", b"12345678", b"abcdefgh", fk, r=5)
+    assert pc.auth_user_r6(b"", u5, ue5, r=5) == fk
+    assert u5 != u
+
+
+@pytest.mark.parametrize("compress", ["lzw", "lzw-tiff"])
+@pytest.mark.parametrize("xref_stream", [False, True])
+def test_lzw_streams_round_trip(compress, xref_stream):
+    """§7.4.4 LZWDecode (VERDICT r13 task 4): variable 9-12-bit
+    MSB-first codes with /EarlyChange 1 (default) and, in the
+    "lzw-tiff" mode, /EarlyChange 0 under TIFF predictor 2 — the
+    old-corpus combination — across both layouts and encryption."""
+    pages = [["lzw alpha", "beta"], ["gamma " * 30]]
+    exp = ["lzw alpha\nbeta", ("gamma " * 30).rstrip() + " "]
+    for enc in (None, "aes-128"):
+        blob = make_pdf(pages, compress=compress,
+                        xref_stream=xref_stream, encrypt=enc)
+        assert b"/LZWDecode" in blob
+        got = _texts(blob)
+        assert [t.rstrip() for t in got] == [t.rstrip() for t in exp]
+
+
+def test_lzw_codec_edges():
+    from bigslice_spark.operators.pdf import _lzw_decode, _lzw_encode
+    # table overflow forces a mid-stream Clear; both EarlyChange
+    # settings round-trip; a wrong EarlyChange corrupts (proving the
+    # parameter is live)
+    data = bytes((i * 7 + (i >> 3)) & 0xFF for i in range(50000))
+    for early in (0, 1):
+        assert _lzw_decode(_lzw_encode(data, early), early) == data
+    enc1 = _lzw_encode(data, 1)
+    try:
+        assert _lzw_decode(enc1, 0) != data
+    except ValueError:
+        pass                       # desync detected — also acceptable
+    with pytest.raises(ValueError, match="EarlyChange"):
+        _lzw_decode(b"\x00", early=7)
+    # TIFF predictor raises by name on sub-byte components
+    from bigslice_spark.operators.pdf import _tiff_unpredict
+    with pytest.raises(NotImplementedError, match="BitsPerComponent"):
+        _tiff_unpredict(bytes(8), 8, 1, 4)
+    with pytest.raises(ValueError, match="whole rows"):
+        _tiff_unpredict(bytes(9), 8, 1, 8)
 
 
 def test_free_entry_tombstones_shadow_prev_sections():
