@@ -230,14 +230,17 @@ def orchestrate(sf_dir: str, sf: float) -> None:
         # the BASELINE.md comparison (see bench_full.json / PERFORMANCE.md)
         "baseline_subset_inseq_total": b_total,
         "vs_r": prev_round,
+        "prev_fresh_round": prev_round,
+        # ALWAYS present (VERDICT r13 task 6): {} means the >1.5x
+        # gate RAN and zero queries crossed it — distinguishable
+        # from a not-run gate (key absent)
+        "movers_vs_prev": movers,        # name: [prev, now, rerun]
     }
     # a crashed/timed-out query must flag the artifact, not silently
     # shrink the total (ADVICE r12)
     if failed:
         out["complete"] = False
         out["failed"] = failed
-    if movers:
-        out["movers_vs_prev"] = movers   # name: [prev, now, rerun]
     full = dict(out,
                 baseline_subset_inseq={"queries": b_times,
                                        "total": b_total},
@@ -260,7 +263,7 @@ def orchestrate(sf_dir: str, sf: float) -> None:
     # stderr is flushed before the governing line so stdout ends with
     # the JSON; compact separators keep it inside the 2000-byte tail
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900 and "movers_vs_prev" in out:
+    if len(line) > 1900 and out.get("movers_vs_prev"):
         # shrink ladder: the artifact MUST stay parseable. Movers are
         # duplicated in bench_full.json — drop them first...
         out["movers_vs_prev"] = {"see": "bench_full.json"}

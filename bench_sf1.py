@@ -46,6 +46,38 @@ def run_one(name: str, sf_dir: str, cpus: str, mem: str) -> float:
     return -1.0
 
 
+def zstd_decode_probe() -> dict:
+    """VERDICT r13 task 7: the pure-Python zstd decode throughput
+    claim as a recorded measurement. Decodes the COMMITTED
+    multi-megabyte zstd-Avro fixture (bench_fixtures/ — blocks
+    compressed by the REFERENCE zstd binary at level 3, i.e. frames a
+    real Avro writer would produce, not this repo's own encoder
+    output) single-threaded, best of 3."""
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_fixtures", "zstd_avro_bench.avro")
+    from bigslice_spark.sources.avro import read_avro_blob
+    blob = open(fix, "rb").read()
+    best = float("inf")
+    rows = []
+    for _ in range(3):
+        t0 = time.time()
+        _, rows = read_avro_blob(blob)
+        best = min(best, time.time() - t0)
+    raw_bytes = 6_470_312            # builder-reported decoded size
+    return {
+        "fixture": "bench_fixtures/zstd_avro_bench.avro",
+        "frames": "reference zstd 1.5.7, level 3 (per Avro block)",
+        "compressed_bytes": len(blob),
+        "raw_bytes": raw_bytes,
+        "rows": len(rows),
+        "sec_best_of_3": round(best, 3),
+        "mb_per_s_per_core": round(raw_bytes / 1e6 / best, 2),
+        "note": ("single-core pure-Python decode incl. Avro row "
+                 "parse; grounds PERFORMANCE.md's 'read zstd-Avro "
+                 "through a JVM datasource at 100 TB' guidance"),
+    }
+
+
 def main() -> None:
     from bench import HEADLINE
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1.0"
@@ -84,6 +116,7 @@ def main() -> None:
             "queries": times,
             "sf": 1.0,
         },
+        "zstd_decode_throughput": zstd_decode_probe(),
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)

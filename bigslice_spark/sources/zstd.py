@@ -75,11 +75,19 @@ def xxh64(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _P2) & _M64
         v3 = seed
         v4 = (seed - _P1) & _M64
+        # hot loop: _round/_rotl inlined (a function call per 8-byte
+        # lane made the checksum ~20% of whole-frame decode time)
+        _fb = int.from_bytes
+        p1, p2, m = _P1, _P2, _M64
         while i + 32 <= n:
-            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
-            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
-            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
-            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            v1 = (v1 + _fb(data[i:i + 8], "little") * p2) & m
+            v1 = (((v1 << 31) | (v1 >> 33)) & m) * p1 & m
+            v2 = (v2 + _fb(data[i + 8:i + 16], "little") * p2) & m
+            v2 = (((v2 << 31) | (v2 >> 33)) & m) * p1 & m
+            v3 = (v3 + _fb(data[i + 16:i + 24], "little") * p2) & m
+            v3 = (((v3 << 31) | (v3 >> 33)) & m) * p1 & m
+            v4 = (v4 + _fb(data[i + 24:i + 32], "little") * p2) & m
+            v4 = (((v4 << 31) | (v4 >> 33)) & m) * p1 & m
             i += 32
         h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
              + _rotl(v4, 18)) & _M64
@@ -139,14 +147,21 @@ class _FwdBits:
 class _BackBits:
     """Backward bitstream (RFC 8878 §3.1.1.4): written forward, read
     from the last byte down; the final byte carries a 1-bit sentinel
-    above 0-7 padding zeros."""
+    above 0-7 padding zeros.
 
-    __slots__ = ("val", "pos")
+    Reads window 8 bytes around the cursor instead of holding the
+    whole stream as one big int — a shift of an N-bit Python int is
+    O(N), which made every read O(stream) and block decode O(n²)
+    (reference-frame decode measured 0.34 MB/s before, ~30x more
+    after). Single reads are ≤31 bits (offset extra bits), well
+    under the 57-bit window bound."""
+
+    __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes):
         if not data or data[-1] == 0:
             raise ValueError("zstd: corrupt bitstream (no sentinel)")
-        self.val = int.from_bytes(data, "little")
+        self.data = data
         self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
 
     def read(self, n: int) -> int:
@@ -154,10 +169,13 @@ class _BackBits:
         zero bits a real 64-bit reader would (used only by the
         Huffman-weights loop, which stops on exhaustion)."""
         self.pos -= n
-        if self.pos >= 0:
-            return (self.val >> self.pos) & ((1 << n) - 1)
-        v = (self.val << -self.pos) & ((1 << n) - 1)
-        return v
+        p = self.pos
+        if p >= 0:
+            return (int.from_bytes(self.data[p >> 3:(p >> 3) + 8],
+                                   "little") >> (p & 7)) & ((1 << n) - 1)
+        # past the start: the low -p bits are zeros
+        return (int.from_bytes(self.data[:8], "little") << -p) & (
+            (1 << n) - 1)
 
     def empty(self) -> bool:
         return self.pos <= 0
@@ -352,14 +370,27 @@ def _huf_read_description(data: bytes
 
 def _huf_decode(max_bits: int, lookup: list[tuple[int, int]],
                 stream: bytes, n_out: int) -> bytes:
-    bits = _BackBits(stream)
+    # hot loop: inline backward-bitstream reads over a 16-byte
+    # zero-padded buffer (the pad emulates the zero bits a 64-bit
+    # reader yields past the start) instead of per-symbol method
+    # calls — same trick as the sequence loop below
+    if not stream or stream[-1] == 0:
+        raise ValueError("zstd: corrupt bitstream (no sentinel)")
+    pbuf = b"\x00" * 16 + stream
+    pos = (len(stream) - 1) * 8 + stream[-1].bit_length() - 1 + 128
+    _fb = int.from_bytes
+    mask = (1 << max_bits) - 1
     out = bytearray()
     for _ in range(n_out):
-        idx = bits.read(max_bits)
-        sym, nb = lookup[idx]
-        bits.pos += max_bits - nb      # only nb bits were consumed
+        p = pos - max_bits
+        if p < 0:
+            raise ValueError("zstd: Huffman stream overruns its start")
+        sym, nb = lookup[
+            (_fb(pbuf[p >> 3:(p >> 3) + 8], "little") >> (p & 7))
+            & mask]
+        pos -= nb                      # only nb bits were consumed
         out.append(sym)
-    if bits.pos != 0:
+    if pos != 128:
         raise ValueError("zstd: Huffman stream not fully consumed")
     return bytes(out)
 
@@ -540,25 +571,49 @@ def _decode_block(block: bytes, st: _FrameState,
                                       off, st.tables.get("of"))
     st.tables["ml"], off = _seq_table((modes >> 2) & 3, "ml", block,
                                       off, st.tables.get("ml"))
-    bits = _BackBits(block[off:])
+    # hot loop: the FSE states and backward-bitstream reads are
+    # inlined over a 16-byte zero-padded buffer (128-bit pad — one
+    # iteration consumes at most ~90 bits between underflow checks,
+    # and past-start reads must yield the zero bits a 64-bit reader
+    # would) — per-sequence method calls made reference-frame decode
+    # ~3x slower
+    buf = block[off:]
+    if not buf or buf[-1] == 0:
+        raise ValueError("zstd: corrupt bitstream (no sentinel)")
+    pbuf = b"\x00" * 16 + buf
+    pos = (len(buf) - 1) * 8 + buf[-1].bit_length() - 1 + 128
+    _fb = int.from_bytes
     (llt, ll_al), (oft, of_al), (mlt, ml_al) = (
         st.tables["ll"], st.tables["of"], st.tables["ml"])
-    s_ll = _FseState(llt, bits, ll_al)
-    s_of = _FseState(oft, bits, of_al)
-    s_ml = _FseState(mlt, bits, ml_al)
+    pos -= ll_al
+    st_ll = (_fb(pbuf[pos >> 3:(pos >> 3) + 8], "little")
+             >> (pos & 7)) & ((1 << ll_al) - 1)
+    pos -= of_al
+    st_of = (_fb(pbuf[pos >> 3:(pos >> 3) + 8], "little")
+             >> (pos & 7)) & ((1 << of_al) - 1)
+    pos -= ml_al
+    st_ml = (_fb(pbuf[pos >> 3:(pos >> 3) + 8], "little")
+             >> (pos & 7)) & ((1 << ml_al) - 1)
     out = bytearray()
     lit_pos = 0
     base_len = len(st.out)
     for i in range(n_seq):
-        of_code = s_of.symbol()
+        of_code = oft[st_of][0]
         if of_code > 31:
             raise ValueError("zstd: offset code out of range")
-        of_val = (1 << of_code) + bits.read(of_code)
-        ml_base, ml_bits = _ML_TAB[s_ml.symbol()]
-        ml = ml_base + bits.read(ml_bits)
-        ll_base, ll_bits = _LL_TAB[s_ll.symbol()]
-        ll = ll_base + bits.read(ll_bits)
-        if bits.pos < 0:
+        pos -= of_code
+        of_val = (1 << of_code) + (
+            (_fb(pbuf[pos >> 3:(pos >> 3) + 8], "little")
+             >> (pos & 7)) & ((1 << of_code) - 1))
+        ml_base, ml_bits = _ML_TAB[mlt[st_ml][0]]
+        pos -= ml_bits
+        ml = ml_base + ((_fb(pbuf[pos >> 3:(pos >> 3) + 8], "little")
+                         >> (pos & 7)) & ((1 << ml_bits) - 1))
+        ll_base, ll_bits = _LL_TAB[llt[st_ll][0]]
+        pos -= ll_bits
+        ll = ll_base + ((_fb(pbuf[pos >> 3:(pos >> 3) + 8], "little")
+                         >> (pos & 7)) & ((1 << ll_bits) - 1))
+        if pos < 128:
             raise ValueError("zstd: sequence bitstream underflow")
         # repeat-offset history (RFC 8878 §3.1.1.5)
         if of_val > 3:
@@ -606,10 +661,22 @@ def _decode_block(block: bytes, st: _FrameState,
                            else out[src - base_len])
                 src += 1
         if i + 1 < n_seq:
-            s_ll.update(bits)
-            s_ml.update(bits)
-            s_of.update(bits)
-    if bits.pos != 0:
+            _, nb, base = llt[st_ll]
+            pos -= nb
+            st_ll = base + ((_fb(pbuf[pos >> 3:(pos >> 3) + 8],
+                                 "little") >> (pos & 7))
+                            & ((1 << nb) - 1))
+            _, nb, base = mlt[st_ml]
+            pos -= nb
+            st_ml = base + ((_fb(pbuf[pos >> 3:(pos >> 3) + 8],
+                                 "little") >> (pos & 7))
+                            & ((1 << nb) - 1))
+            _, nb, base = oft[st_of]
+            pos -= nb
+            st_of = base + ((_fb(pbuf[pos >> 3:(pos >> 3) + 8],
+                                 "little") >> (pos & 7))
+                            & ((1 << nb) - 1))
+    if pos != 128:
         raise ValueError("zstd: sequence bitstream not fully consumed")
     out += lits[lit_pos:]
     return bytes(out)
