@@ -131,7 +131,11 @@ from bigslice_spark.queries import ORACLE, QUERIES
 #      web_pipeline, which IS in the window), source_jsonl (native
 #      Spark json reader, thinnest custom surface) and
 #      sql_passthrough (the engine side is literally spark.sql of
-#      the oracle text). They head the r15 queue (positions 51-56).
+#      the oracle text). They follow the r14 late addition
+#      source_avro_evolution (Avro spec Schema Resolution — built
+#      after this window was composed; driver-sim hash-MATCHED
+#      locally, zero driver signal yet) at the r15 queue head
+#      (positions 51-57).
 # After this window the staleness floor is r9 with exactly those six
 # documented remainders; every other entry is ≤5 rounds old.
 _R14_HEAD = ("source_avro_logical", "source_protobuf_maps",
@@ -155,8 +159,10 @@ _R9_STALE = (
     "sessionize", "stream_enrich", "topk_orders", "web_pipeline",
     "window_range_frame", "window_rank", "window_running",
     "zorder_layout")
-# positions 51-56: first in line for r15 — the six r9 deferrals
-_R15_QUEUE_HEAD = ("multimodal_jpeg", "multimodal_mp4",
+# positions 51-57: first in line for r15 — the r14 late addition
+# (zero driver signal), then the six r9 deferrals
+_R15_QUEUE_HEAD = ("source_avro_evolution",
+                   "multimodal_jpeg", "multimodal_mp4",
                    "html_extract", "source_warc", "source_jsonl",
                    "sql_passthrough")
 # Round-13 window (kept for the record):

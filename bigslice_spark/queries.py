@@ -9538,6 +9538,63 @@ def source_avro_logical(spark, sf_dir):
         "n_nationkey long, amount decimal(12,2), d date, ts timestamp")
 
 
+@query("source_avro_evolution", """
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 12 THEN CAST(99 AS BIGINT)
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation
+""")
+def source_avro_evolution(spark, sf_dir):
+    """Avro SCHEMA RESOLUTION (sources/avro.py, r14): files written
+    under different schema VERSIONS read as one relation through a
+    reader schema, per the spec's Schema Resolution rules — the
+    evolution story a long-lived 100 TB dataset needs. File v1
+    (n_nationkey < 12) was written with an OLD schema: fields in a
+    different ORDER (name first), the key as INT (reader promotes to
+    long), an extra n_comment column (reader drops it) and NO
+    n_regionkey (the reader default 99 fills it). File v2 matches
+    the reader exactly. One avro_reader call with reader_schema=
+    resolves both per-file; the oracle replays the default fill with
+    a CASE over the parquet original, so the value hash proves
+    promotion + reorder + drop + default semantics, not just byte
+    round-trip."""
+    import json
+    import os
+    import tempfile
+
+    from .sources.avro import avro_reader, make_avro
+    _, t = _s(spark, sf_dir)
+    rows = [(int(r[0]), str(r[1]), int(r[2])) for r in
+            t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+            .collect()]                    # 25 rows: metadata-scale
+    v1 = json.dumps({
+        "type": "record", "name": "nation", "fields": [
+            {"name": "n_name", "type": "string"},
+            {"name": "n_nationkey", "type": "int"},
+            {"name": "n_comment", "type": "string"}]})
+    v2 = json.dumps({
+        "type": "record", "name": "nation", "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long"}]})
+    reader = json.dumps({
+        "type": "record", "name": "nation", "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long", "default": 99}]})
+    d = tempfile.mkdtemp(prefix="bsq_avroe_")
+    old = [(n, k, f"legacy row {k}") for k, n, _ in rows if k < 12]
+    new = [r for r in rows if r[0] >= 12]
+    for fname, sch, chunk, codec in (
+            ("v1.avro", v1, old, "deflate"),
+            ("v2.avro", v2, new, "null")):
+        with open(os.path.join(d, fname), "wb") as f:
+            f.write(make_avro(sch, chunk, codec=codec, block_rows=7))
+    return avro_reader(
+        spark, d, "n_nationkey long, n_name string, n_regionkey long",
+        reader_schema=reader)
+
+
 @query("source_protobuf_maps", """
     SELECT n_nationkey,
            CAST(3 AS INT) AS n_attrs,

@@ -30,6 +30,15 @@ unions and unknown codecs raise NotImplementedError by name —
 the repo's honest-raise codec contract. Truncated blocks, sync
 mismatches and snappy CRC mismatches raise ValueError.
 
+Schema RESOLUTION (spec §"Schema Resolution", r14): pass
+``reader_schema`` to read files written under older schema versions
+as one relation — record fields match by name and reader-side
+aliases across reorders, reader-only fields take their declared
+default, writer-only fields are dropped, and primitives promote
+along int→long→float→double / string↔bytes; nested records, arrays,
+maps, enums (symbol-subset check) and null unions resolve
+recursively. Unresolvable pairs raise ValueError naming both sides.
+
 The snappy codec is decoded by a clean-room pure-Python implementation
 of the public snappy block format (literal + copy1/2/4 elements,
 little-endian preamble varint); the writer emits literal-only streams
@@ -272,7 +281,10 @@ def _parse_type(t) -> dict:
         if tt == "record":
             return {"k": "record",
                     "fields": [(f["name"], _parse_type(f["type"]))
-                               for f in t["fields"]]}
+                               for f in t["fields"]],
+                    # raw field dicts kept for schema RESOLUTION
+                    # (defaults / aliases live there, not in the node)
+                    "raw_fields": t["fields"]}
         if tt == "enum":
             syms = t.get("symbols")
             if (not isinstance(syms, list) or not syms
@@ -299,6 +311,196 @@ def _parse_schema(schema_json: str) -> list[tuple[str, dict]]:
         raise NotImplementedError("avro: top-level schema must be a "
                                   "record")
     return [(f["name"], _parse_type(f["type"])) for f in sch["fields"]]
+
+
+def _parse_record(schema_json: str) -> dict:
+    """Schema JSON → a record NODE (incl. raw_fields) — the form the
+    resolver walks."""
+    sch = json.loads(schema_json)
+    if not isinstance(sch, dict) or sch.get("type") != "record":
+        raise NotImplementedError("avro: top-level schema must be a "
+                                  "record")
+    return _parse_type(sch)
+
+
+# --------------------------------------------------- schema resolution
+#
+# Avro spec §"Schema Resolution": data written with one (writer)
+# schema is read under another (reader) schema — record fields match
+# by name (and reader-side aliases), reader-only fields take their
+# declared default, writer-only fields are discarded, and primitive
+# types promote along int→long→float→double plus string↔bytes.
+# Implementation: decode with the WRITER schema (the wire layout
+# depends only on it), then adapt the value tree; adapters are built
+# once per file. Unresolvable pairs raise ValueError by name.
+
+_PROMOTE = {
+    ("int", "long"): None,             # Python int already
+    ("int", "float"): float, ("int", "double"): float,
+    ("long", "float"): float, ("long", "double"): float,
+    ("float", "double"): None,         # already a Python float
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _default_value(rty: dict, dj):
+    """A reader field's JSON default → the decoded-value shape."""
+    k = rty["k"]
+    if k == "prim":
+        t = rty["t"]
+        if t in ("int", "long"):
+            return int(dj)
+        if t in ("float", "double"):
+            return float(dj)
+        if t == "boolean":
+            return bool(dj)
+        if t == "string":
+            return str(dj)
+        if t == "bytes":
+            # spec: JSON string, codepoints 0-255 map to bytes
+            return dj.encode("latin-1")
+        return None                    # null
+    if k == "union":
+        # spec: the default matches the FIRST branch of the union
+        if rty["null_branch"] == 0:
+            if dj is not None:
+                raise ValueError("avro: default for a null-first "
+                                 "union must be null")
+            return None
+        return _default_value(rty["of"], dj)
+    if k == "array":
+        return [_default_value(rty["items"], x) for x in dj]
+    if k == "map":
+        return {mk: _default_value(rty["values"], mv)
+                for mk, mv in dj.items()}
+    if k == "enum":
+        if dj not in rty["symbols"]:
+            raise ValueError(f"avro: enum default {dj!r} not in "
+                             f"reader symbols")
+        return str(dj)
+    if k == "fixed":
+        b = dj.encode("latin-1")
+        if len(b) != rty["size"]:
+            raise ValueError("avro: fixed default has wrong size")
+        return b
+    if k == "record":
+        out = {}
+        for (name, fty), rf in zip(rty["fields"], rty["raw_fields"]):
+            sub = dj.get(name, rf.get("default"))
+            if sub is None and name not in dj and "default" not in rf:
+                raise ValueError(
+                    f"avro: record default missing field {name!r}")
+            out[name] = _default_value(fty, sub)
+        return out
+    raise NotImplementedError(
+        f"avro: default for {k!r} reader type")   # logical
+
+
+def _record_plan(w: dict, r: dict) -> list[tuple]:
+    """[(writer field index | None, adapter | default)] per reader
+    field — shared by the nested-record adapter and the top-level
+    row loop."""
+    windex = {n: i for i, (n, _) in enumerate(w["fields"])}
+    raw_r = r.get("raw_fields") or [{}] * len(r["fields"])
+    plan = []
+    for (rname, rty), rf in zip(r["fields"], raw_r):
+        src = windex.get(rname)
+        if src is None:                    # reader-side aliases
+            for alias in rf.get("aliases", ()):
+                if alias in windex:
+                    src = windex[alias]
+                    break
+        if src is None:
+            if "default" not in rf:
+                raise ValueError(
+                    f"avro: reader field {rname!r} is absent from the "
+                    f"writer schema and declares no default")
+            plan.append((None, _default_value(rty, rf["default"])))
+        else:
+            plan.append((src, _resolver(w["fields"][src][1], rty)))
+    return plan
+
+
+def _resolver(w: dict, r: dict):
+    """Writer node × reader node → value adapter, or None for
+    identity; raises ValueError naming the unresolvable pair."""
+    wk, rk = w["k"], r["k"]
+    if wk == "logical" or rk == "logical":
+        if w == r:
+            return None
+        raise NotImplementedError(
+            "avro: schema resolution across logical types")
+    if wk == "prim" and rk == "prim":
+        if w["t"] == r["t"]:
+            return None
+        try:
+            return _PROMOTE[(w["t"], r["t"])]
+        except KeyError:
+            raise ValueError(f"avro: cannot promote writer "
+                             f"{w['t']!r} to reader {r['t']!r}") \
+                from None
+    if wk == "union" and rk == "union":
+        inner = _resolver(w["of"], r["of"])
+        if inner is None:
+            return None
+        return lambda v: None if v is None else inner(v)
+    if rk == "union":                      # non-union writer → union
+        inner = _resolver(w, r["of"])
+        return inner                       # a plain value fits as-is
+    if wk == "union":                      # union writer → non-union
+        inner = _resolver(w["of"], r)
+
+        def denull(v):
+            if v is None:
+                raise ValueError("avro: writer null where the reader "
+                                 "schema has no null branch")
+            return inner(v) if inner else v
+        return denull
+    if wk == rk == "array":
+        inner = _resolver(w["items"], r["items"])
+        if inner is None:
+            return None
+        return lambda v: [inner(x) for x in v]
+    if wk == rk == "map":
+        inner = _resolver(w["values"], r["values"])
+        if inner is None:
+            return None
+        return lambda v: {mk: inner(mv) for mk, mv in v.items()}
+    if wk == rk == "enum":
+        rsyms = set(r["symbols"])
+
+        def check(v):
+            if v not in rsyms:
+                raise ValueError(f"avro: writer enum symbol {v!r} not "
+                                 f"in reader symbols")
+            return v
+        return None if set(w["symbols"]) <= rsyms else check
+    if wk == rk == "fixed":
+        if w["size"] != r["size"]:
+            raise ValueError("avro: fixed size mismatch "
+                             f"{w['size']} != {r['size']}")
+        return None
+    if wk == rk == "record":
+        plan = _record_plan(w, r)
+        rnames = [n for n, _ in r["fields"]]
+        wnames = [n for n, _ in w["fields"]]
+        if plan == [(i, None) for i in range(len(wnames))] \
+                and rnames == wnames:
+            return None                    # structurally identical
+
+        def adapt(v):
+            out = {}
+            for name, (src, how) in zip(rnames, plan):
+                if src is None:
+                    out[name] = how
+                else:
+                    x = v[wnames[src]]
+                    out[name] = how(x) if callable(how) else x
+            return out
+        return adapt
+    raise ValueError(
+        f"avro: cannot resolve writer {wk!r} to reader {rk!r}")
 
 
 # ------------------------------------------------------------- encode
@@ -586,11 +788,15 @@ def _read_value(buf: bytes, i: int, ty: dict):
     return rec, i
 
 
-def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, dict]],
-                                         list[tuple]]:
+def read_avro_blob(blob: bytes, reader_schema: str | None = None
+                   ) -> tuple[list[tuple[str, dict]], list[tuple]]:
     """One container file → (fields, rows). Every structural defect —
     bad magic, unknown codec, truncated block, sync mismatch, snappy
-    CRC mismatch — raises."""
+    CRC mismatch — raises. With ``reader_schema`` (an Avro schema
+    JSON string), rows are RESOLVED from the file's writer schema to
+    it per the spec's Schema Resolution rules — name/alias matching,
+    reader defaults, writer-only field drop, primitive promotion —
+    and the returned fields are the READER's."""
     if blob[:4] != MAGIC:
         raise ValueError("avro: bad magic (not an Object Container "
                          "File)")
@@ -618,7 +824,14 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, dict]],
         codec = "zstandard"            # tolerate the short alias
     if codec not in _CODECS:
         raise NotImplementedError(f"avro: codec {codec!r}")
-    fields = _parse_schema(meta["avro.schema"].decode())
+    wfields = _parse_schema(meta["avro.schema"].decode())
+    fields = wfields
+    plan = None
+    if reader_schema is not None:
+        wnode = _parse_record(meta["avro.schema"].decode())
+        rnode = _parse_record(reader_schema)
+        plan = _record_plan(wnode, rnode)
+        fields = rnode["fields"]
     rows: list[tuple] = []
     while i < len(blob):
         count, i = _read_long(blob, i)
@@ -654,10 +867,16 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, dict]],
         j = 0
         for _ in range(count):
             row = []
-            for _name, ty in fields:
+            for _name, ty in wfields:      # wire layout = WRITER schema
                 v, j = _read_value(data, j, ty)
                 row.append(v)
-            rows.append(tuple(row))
+            if plan is None:
+                rows.append(tuple(row))
+            else:
+                rows.append(tuple(
+                    how if src is None
+                    else (how(row[src]) if callable(how) else row[src])
+                    for src, how in plan))
         if j != len(data):
             raise ValueError(
                 f"avro: block decoded {j} of {len(data)} bytes — row "
@@ -665,12 +884,20 @@ def read_avro_blob(blob: bytes) -> tuple[list[tuple[str, dict]],
     return fields, rows
 
 
-def avro_reader(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def avro_reader(spark: SparkSession, path: str, schema: str,
+                reader_schema: str | None = None) -> DataFrame:
     """Avro container files under ``path`` as rows. ``schema`` is the
     PINNED Spark DDL (complex Avro types land as Spark
     array/map/struct columns); every file's embedded writer schema is
     checked against it by field NAME and order (type fidelity is
-    enforced by the Arrow conversion). File-granular parallelism."""
+    enforced by the Arrow conversion). With ``reader_schema`` (an
+    Avro schema JSON), each file is RESOLVED from its own writer
+    schema to the reader schema first (spec Schema Resolution:
+    name/alias matching, reader defaults, writer-only drop, primitive
+    promotion) — files written under different schema versions read
+    as one relation, the evolution story a long-lived 100 TB dataset
+    needs; the pinned DDL then names the READER fields.
+    File-granular parallelism."""
     import pandas as pd
 
     from . import ddl_field_names
@@ -683,7 +910,8 @@ def avro_reader(spark: SparkSession, path: str, schema: str) -> DataFrame:
         for pdf in batches:
             out = []
             for apath, content in zip(pdf["path"], pdf["content"]):
-                fields, rows = read_avro_blob(bytes(content))
+                fields, rows = read_avro_blob(bytes(content),
+                                              reader_schema)
                 names = [f[0] for f in fields]
                 if names != want:
                     raise ValueError(

@@ -122,6 +122,10 @@ BATTERY = [
     # pickle transport boundary with different physical encodings —
     # the classic divergence class this battery exists for
     "source_avro_logical", "source_protobuf_maps",
+    # r14 — per-file schema RESOLUTION (adapters built inside the
+    # mapInPandas batch) must be invariant to which files share a
+    # batch
+    "source_avro_evolution",
 ]
 
 

@@ -4051,3 +4051,87 @@ def test_unigram_train_and_token_counts(spark):
                 for w in "fast scan fastscan tablekey table key"
                 .split())
     assert all(v == (6, n_tok) for v in tc.values())
+
+
+def test_avro_schema_resolution(spark, tmp_path):
+    """Schema Resolution (sources/avro.py, r14 — the Avro spec's
+    reader-vs-writer rules): name/alias field matching across
+    reorders, reader defaults for writer-missing fields, writer-only
+    field drop, primitive promotion (int->long/double,
+    string<->bytes), nested records / arrays / null unions, and
+    honest ValueErrors on unresolvable pairs."""
+    import json
+
+    import pytest as _pytest
+
+    from bigslice_spark.sources.avro import (avro_reader, make_avro,
+                                             read_avro_blob)
+
+    w1 = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "key", "type": "int"},
+        {"name": "junk", "type": "string"}]})
+    w2 = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "key", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "region", "type": "long"}]})
+    reader = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "key", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "region", "type": "long", "default": 99}]})
+    (tmp_path / "v1.avro").write_bytes(
+        make_avro(w1, [("a", 1, "x"), ("b", 2, "y")], codec="deflate"))
+    (tmp_path / "v2.avro").write_bytes(
+        make_avro(w2, [(3, "c", 7)], codec="null"))
+    got = sorted(tuple(r) for r in avro_reader(
+        spark, str(tmp_path), "key long, name string, region long",
+        reader_schema=reader).collect())
+    assert got == [(1, "a", 99), (2, "b", 99), (3, "c", 7)]
+
+    blob = make_avro(w1, [("a", 5, "x")])
+    # aliases + promotion to double + string->bytes
+    r2 = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "k2", "aliases": ["key"], "type": "double"},
+        {"name": "name", "type": "bytes"}]})
+    fields, rows = read_avro_blob(blob, r2)
+    assert [n for n, _ in fields] == ["k2", "name"]
+    assert rows == [(5.0, b"a")]
+    # nested record + array + union resolution
+    w3 = json.dumps({"type": "record", "name": "o", "fields": [
+        {"name": "rec", "type": {"type": "record", "name": "i",
+                                 "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "b", "type": "string"}]}},
+        {"name": "xs", "type": {"type": "array", "items": "int"}},
+        {"name": "u", "type": ["null", "int"]}]})
+    r3 = json.dumps({"type": "record", "name": "o", "fields": [
+        {"name": "rec", "type": {"type": "record", "name": "i",
+                                 "fields": [
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": "long", "default": -1}]}},
+        {"name": "xs", "type": {"type": "array", "items": "double"}},
+        {"name": "u", "type": ["null", "long"]}]})
+    blob3 = make_avro(w3, [({"a": 1, "b": "z"}, [1, 2], None),
+                           ({"a": 2, "b": "w"}, [], 9)])
+    _, rows3 = read_avro_blob(blob3, r3)
+    assert rows3 == [({"b": "z", "c": -1}, [1.0, 2.0], None),
+                     ({"b": "w", "c": -1}, [], 9)]
+    # unresolvable pairs raise by name
+    with _pytest.raises(ValueError, match="absent from the writer"):
+        read_avro_blob(blob, json.dumps({
+            "type": "record", "name": "t", "fields": [
+                {"name": "nope", "type": "long"}]}))
+    with _pytest.raises(ValueError, match="cannot promote"):
+        read_avro_blob(make_avro(w2, [(1, "a", 2)]), json.dumps({
+            "type": "record", "name": "t", "fields": [
+                {"name": "key", "type": "int"}]}))
+    # writer null where the reader dropped the null branch
+    wu = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "u", "type": ["null", "int"]}]})
+    ru = json.dumps({"type": "record", "name": "t", "fields": [
+        {"name": "u", "type": "long"}]})
+    with _pytest.raises(ValueError, match="null branch"):
+        read_avro_blob(make_avro(wu, [(None,)]), ru)
+    # but non-null values resolve fine through the de-null path
+    _, ok = read_avro_blob(make_avro(wu, [(4,)]), ru)
+    assert ok == [(4,)]
