@@ -424,3 +424,23 @@ def test_pdf_pages_spark_and_null_blob(spark):
     null = spark.createDataFrame([(8, None)], "id long, media binary")
     with pytest.raises(Exception, match="NULL media blob"):
         pdf_pages(null).collect()
+
+
+def test_r6_hash_frozen_vectors():
+    """Algorithm 2.B regression pins: frozen outputs of the R6
+    hardened hash (no external oracle ships in this container — the
+    AES/SHA primitives underneath are OpenSSL-cross-validated above,
+    these vectors freeze the ITERATION CONTROL FLOW so an accidental
+    change to the 64-round/mod-3/stop-rule logic cannot pass
+    silently)."""
+    from bigslice_spark.operators.pdfcrypt import hash_r6
+    assert hash_r6(b"", b"VALSALT!", b"").hex() == (
+        "81d834480cf54c96a46b4c340b148da5c9a534c7e5bfe445a34959841d"
+        "573b45")
+    assert hash_r6(b"owner", b"SALT5678", b"U" * 48).hex() == (
+        "23d2128e55b1f0c0529daf1f035647694fbfcdbd9e20a1fa85cfb98776"
+        "c08cfc")
+    # R5: a single SHA-256(pw + salt + udata) — checkable in place
+    import hashlib
+    assert (hash_r6(b"", b"VALSALT!", b"", r=5)
+            == hashlib.sha256(b"" + b"VALSALT!").digest())
