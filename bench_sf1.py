@@ -78,8 +78,59 @@ def zstd_decode_probe() -> dict:
     }
 
 
+def adjudicate(out_path: str, sf_dir: str, cpus: str, mem: str) -> None:
+    """In-band >1.5x mover adjudication vs the newest PRIOR sf1
+    artifact (the bench.py r13 protocol, extended to sf1 — VERDICT
+    r13 task 8): each mover re-runs up to three standalone fresh-JVM
+    trials; the artifact records {name: [prev, now, rerun...]} so box
+    noise is adjudicated in the artifact itself instead of burning a
+    judge round. Also callable standalone:
+    python bench_sf1.py --adjudicate <artifact> [sf_dir]."""
+    import glob
+    doc = json.load(open(out_path))
+    cur = doc["bench_sf1"]["queries"]
+    here = os.path.dirname(os.path.abspath(out_path)) or "."
+    prev_round, prev = 0, {}
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_sf1_r*.json")),
+                    reverse=True):
+        n = int(re.search(r"_r(\d+)", f).group(1))
+        if n >= doc.get("round", 1 << 30):
+            continue
+        try:
+            prev = json.load(open(f))["bench_sf1"]["queries"]
+            prev_round = n
+            break
+        except Exception:
+            continue
+    movers: dict[str, list[float]] = {}
+    for name, t in sorted(cur.items()):
+        p = prev.get(name, 0.0)
+        if p > 0.25 and t > 0 and t / p > 1.5:
+            reruns = []
+            for _ in range(3):
+                reruns.append(run_one(name, sf_dir, cpus, mem))
+                # stop early once a rerun lands back inside the gate
+                if 0 < reruns[-1] / p <= 1.5:
+                    break
+            movers[name] = [p, t] + reruns
+            print(f"mover {name}: prev={p} now={t} reruns={reruns}",
+                  flush=True)
+    doc["prev_sf1_round"] = prev_round
+    doc["movers_vs_prev"] = movers       # {} = gate ran, no movers
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
 def main() -> None:
     from bench import HEADLINE
+    if sys.argv[1:2] == ["--adjudicate"]:
+        out_path = sys.argv[2]
+        sf_dir = (sys.argv[3] if len(sys.argv) > 3
+                  else "/tmp/spark_graft_sf1.0")
+        adjudicate(out_path, sf_dir,
+                   os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                   os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1.0"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf1_r12.json"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -120,6 +171,7 @@ def main() -> None:
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
+    adjudicate(out_path, sf_dir, cpus, mem)
     print(json.dumps({"metric": "sf1_fresh_jvm_total", "value": total,
                       "unit": "sec", "n": len(times)}))
 
