@@ -655,8 +655,15 @@ def _decode_block(block: bytes, st: _FrameState,
         elif offset >= ml and src >= base_len:
             s = src - base_len                   # fully in this block,
             out += out[s:s + ml]                 # non-overlapping
+        elif src >= base_len:
+            # overlapping, fully in this block: an overlapping copy
+            # is the offset-length pattern repeated (byte-at-a-time
+            # was the remaining per-byte Python loop in the hot path)
+            s = src - base_len
+            pat = bytes(out[s:s + offset])
+            out += (pat * (ml // offset + 1))[:ml]
         else:
-            for _ in range(ml):                  # overlapping / split
+            for _ in range(ml):                  # split across blocks
                 out.append(st.out[src] if src < base_len
                            else out[src - base_len])
                 src += 1
