@@ -174,6 +174,48 @@ class Session:
         per value."""
         df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
+    def write_indexed(self, df: "DataFrame", path: str,
+                      bloom_cols: Sequence[str] = (),
+                      bloom_ndv: int | None = None,
+                      sort_within: Sequence[str] = (),
+                      partition_by: Sequence[str] = (),
+                      mode: str = "overwrite") -> None:
+        """Scan-skipping parquet layout — the third leg of the 100 TB
+        ingest story next to write_bucketed / write_partitioned:
+
+        - ``bloom_cols``: per-column parquet BLOOM FILTERS
+          (parquet.bloom.filter.enabled#col). Point lookups on
+          high-cardinality keys (user_id, doc_id, url hash) skip row
+          groups whose filter rejects the value — the case where
+          min/max statistics are useless because every row group
+          spans the whole key range. Size with ``bloom_ndv`` ≈
+          distinct keys per row group; the filter costs ~1.25 MB per
+          100k NDV per row group at the default FPP.
+        - ``sort_within``: sortWithinPartitions before writing — NO
+          exchange (unlike a global sort), but min/max column stats
+          per row group / page become tight disjoint ranges, so
+          range predicates prune at the footer. Combine with
+          range_sorted_layout when a global total order is worth one
+          exchange.
+        - ``partition_by``: hive-style directory pruning on top.
+
+        Readers need nothing special: Spark's parquet scan consults
+        bloom filters and stats automatically when the predicate is
+        a literal equality/range on the indexed column."""
+        w = df
+        if sort_within:
+            w = df.sortWithinPartitions(*sort_within)
+        wr = w.write.mode(mode)
+        for c in bloom_cols:
+            wr = wr.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            if bloom_ndv:
+                wr = wr.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}",
+                    str(int(bloom_ndv)))
+        if partition_by:
+            wr = wr.partitionBy(*partition_by)
+        wr.parquet(path)
+
     def compact_parquet(self, src: str, dst: str,
                         target_file_mb: int = 256) -> "DataFrame":
         """Small-files compaction — the streaming-sink/incremental-ingest

@@ -911,3 +911,55 @@ def test_unigram_tokens_no_python_over_corpus(spark, sf_dir):
                 "ArrowEvalPython reads a scan with no aggregate " \
                 "between them (Python over corpus rows):\n" + tree[:1500]
     assert saw_agg, tree[:1500]
+
+
+def test_write_indexed_bloom_and_sorted_stats(spark, tables,
+                                              tmp_path_factory):
+    """Session.write_indexed (r14): per-column parquet bloom filters
+    must actually land in the files (observable as the sized filter
+    bytes — pyarrow 16 exposes no bloom offset, so the size delta is
+    the check), sortWithinPartitions must tighten per-row-group
+    min/max stats into disjoint ranges WITHOUT an exchange, and
+    reads back stay value-identical."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bigslice_spark import Session
+    sess = Session(spark)
+    docs = tables["documents"].select("doc_id", "lang", "text") \
+        .coalesce(1)
+    base = tmp_path_factory.mktemp("idx")
+    plain, bloom = str(base / "plain"), str(base / "bloom")
+    sess.write_indexed(docs, plain)
+    sess.write_indexed(docs, bloom, bloom_cols=["doc_id"],
+                       bloom_ndv=100_000)
+    size = {p: sum(os.path.getsize(f)
+                   for f in glob.glob(p + "/*.parquet"))
+            for p in (plain, bloom)}
+    # a 100k-NDV bloom filter is ~100KB+ per row group — far above
+    # footer noise
+    assert size[bloom] - size[plain] > 50_000, size
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(bloom).collect())
+    assert got == sorted(r["doc_id"] for r in docs.collect())
+
+    # sort_within: row-group stats become tight; no exchange planned
+    srt = str(base / "sorted")
+    two = docs.repartition(2, "lang")
+    df_sorted = two.sortWithinPartitions("doc_id")
+    assert "Exchange rangepartitioning" not in explain_str(df_sorted)
+    sess.write_indexed(two, srt, sort_within=["doc_id"])
+    for f in glob.glob(srt + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = [i for i in range(md.num_columns)
+               if md.row_group(0).column(i).path_in_schema
+               == "doc_id"][0]
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max   # disjoint ascending
+            prev_max = st.max
