@@ -159,9 +159,11 @@ _R9_STALE = (
     "sessionize", "stream_enrich", "topk_orders", "web_pipeline",
     "window_range_frame", "window_rank", "window_running",
     "zorder_layout")
-# positions 51-57: first in line for r15 — the r14 late addition
-# (zero driver signal), then the six r9 deferrals
-_R15_QUEUE_HEAD = ("source_avro_evolution",
+# positions 51-58: first in line for r15 — the r14 late additions
+# (zero driver signal: Avro schema resolution, trigram substring
+# search — both driver-sim hash-MATCHED locally), then the six r9
+# deferrals
+_R15_QUEUE_HEAD = ("source_avro_evolution", "trigram_search",
                    "multimodal_jpeg", "multimodal_mp4",
                    "html_extract", "source_warc", "source_jsonl",
                    "sql_passthrough")

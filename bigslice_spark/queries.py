@@ -3474,6 +3474,31 @@ def _bm25_oracle(terms: list[str], k: int = 20, k1: float = 1.2,
     """
 
 
+_TRIGRAM_LITS = ("hash scan", "key order", "spark window")
+
+
+@query("trigram_search", "\nUNION ALL\n".join(
+    f"""SELECT '{s}' AS pattern, doc_id
+    FROM documents WHERE instr(text, '{s}') > 0"""
+    for s in _TRIGRAM_LITS))
+def trigram_search_q(spark, sf_dir):
+    """Trigram-indexed substring search (operators/trigram.py, r14 —
+    the public Google Code Search construction): distributed grep
+    whose index can only OVER-approximate — candidates are documents
+    whose distinct-3-gram posting set covers ALL of the literal's
+    trigrams (codegen postings build, broadcast needed-set,
+    partial-agg cover count), then exact codegen ``instr`` verify.
+    The oracle is the FULL-SCAN answer (UNION ALL of instr filters),
+    so the value hash proves the index loses nothing and invents
+    nothing. At scale the postings persist partitioned by trigram
+    hash bucket (write_trigram_index) and a query's needed trigrams
+    prune to a handful of partitions — PartitionFilters plan-gated
+    in tests/test_plans.py."""
+    from .operators.trigram import substring_search
+    _, t = _s(spark, sf_dir)
+    return substring_search(t["documents"], list(_TRIGRAM_LITS))
+
+
 @query("bm25_search", _bm25_oracle(_BM25_TERMS))
 def bm25_search(spark, sf_dir):
     """Inverted-index BM25 retrieval (operators/search.py): posting

@@ -963,3 +963,42 @@ def test_write_indexed_bloom_and_sorted_stats(spark, tables,
             if prev_max is not None:
                 assert st.min >= prev_max   # disjoint ascending
             prev_max = st.max
+
+
+def test_trigram_index_prunes_and_matches_full_scan(spark, tables,
+                                                    tmp_path_factory):
+    """operators/trigram.py (r14): the index may only
+    OVER-approximate — after the instr verify the result must EQUAL
+    the full-scan answer (including a literal with zero matches and
+    a sub-trigram needle that falls back to full verify); the
+    persisted index must plan PartitionFilters on the trigram hash
+    bucket; the needed-trigram set must broadcast."""
+    from bigslice_spark.operators.trigram import (read_trigram_index,
+                                                  substring_search,
+                                                  write_trigram_index)
+    docs = tables["documents"]
+    lits = ["hash scan", "key order", "zz-not-there", "qu"]
+
+    def full_scan(s):
+        return {r["doc_id"] for r in
+                docs.filter(F.expr(f"instr(text, '{s}') > 0"))
+                .select("doc_id").collect()}
+
+    want = sorted((s, d) for s in lits for d in full_scan(s))
+    got = sorted((r["pattern"], r["doc_id"]) for r in
+                 substring_search(docs, lits).collect())
+    assert got == want
+    assert not full_scan("zz-not-there")     # the zero-match literal
+
+    d = str(tmp_path_factory.mktemp("tri") / "idx")
+    write_trigram_index(docs, d, nparts=16)
+    idx = read_trigram_index(spark, d)
+    got2 = sorted((r["pattern"], r["doc_id"]) for r in
+                  substring_search(docs, lits, postings=idx,
+                                   indexed_parts=16).collect())
+    assert got2 == want
+    plan = explain_str(substring_search(docs, ["hash scan"],
+                                        postings=idx,
+                                        indexed_parts=16))
+    assert "PartitionFilters: [tp" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
