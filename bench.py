@@ -118,6 +118,9 @@ HEADLINE = [
     # added round 12 (ratchet starts at r12): in-engine NB classifier
     # train + classify (corpus explode x2 + word-key join + argmax)
     "nb_classifier",
+    # added round 14 (ratchet starts at r14): trigram-indexed
+    # substring search — corpus-scale postings build + cover join
+    "trigram_search",
 ]
 
 
