@@ -164,6 +164,7 @@ _R9_STALE = (
 # search — both driver-sim hash-MATCHED locally), then the six r9
 # deferrals
 _R15_QUEUE_HEAD = ("source_avro_evolution", "trigram_search",
+                   "regex_search",
                    "multimodal_jpeg", "multimodal_mp4",
                    "html_extract", "source_warc", "source_jsonl",
                    "sql_passthrough")

@@ -174,3 +174,224 @@ def substring_search(docs: DataFrame, literals: Sequence[str],
         out = full if out is None else out.unionByName(full)
     return out if out is not None else spark.createDataFrame(
         [], "pattern string, doc_id long")
+
+
+# ------------------------------------------------- regex → trigram
+#
+# The second half of the Cox construction: compile a regular
+# expression into a trigram query. Two sound strategies, tried in
+# order:
+#
+# 1. FINITE EXPANSION — if the pattern's language is a small finite
+#    set of literals (alternations, classes, bounded repeats), the
+#    query is OR over the literals of AND over each literal's
+#    trigrams. Sound because a match IS one of the literals, so the
+#    document contains that literal's every trigram.
+# 2. REQUIRED RUNS — otherwise, every fixed literal run the match
+#    must traverse (top-level concatenation segments not under an
+#    optional/star) is required, so the query is AND over all runs'
+#    trigrams. `foo\d+bar` → needs trigrams of "foo" AND of "bar".
+#
+# If neither yields a len>=3 literal the pattern is UNPRUNABLE and
+# falls back to a full-scan verify — honest, and exactly what the
+# reference construction does. The final verify is always the real
+# regex (rlike) over candidates, so the result provably equals the
+# full scan for ANY sound pruning.
+
+import re as _re
+
+_MAXREPEAT = _re._constants.MAXREPEAT
+
+
+def _expand_class(av) -> list[str] | None:
+    """A character class's members as literal chars, or None if it
+    is negated/categorical/too large to enumerate."""
+    out: list[str] = []
+    for kind, val in av:
+        k = str(kind).lower()
+        if k.endswith("literal"):
+            out.append(chr(val))
+        elif k.endswith("range"):
+            lo, hi = val
+            if hi - lo > 15:
+                return None
+            out.extend(chr(c) for c in range(lo, hi + 1))
+        else:                      # NEGATE, CATEGORY (\d \w), ...
+            return None
+        if len(out) > 16:
+            return None
+    return out
+
+
+def _expand(nodes, limit: int = 64) -> list[str] | None:
+    """The pattern fragment's full language as literal strings, or
+    None when infinite/too large."""
+    outs = [""]
+    for op, av in nodes:
+        o = str(op).lower()
+        if o.endswith("literal"):
+            outs = [x + chr(av) for x in outs]
+        elif o.endswith("in"):
+            chars = _expand_class(av)
+            if chars is None:
+                return None
+            outs = [x + c for x in outs for c in chars]
+        elif o.endswith("branch"):
+            alts: list[str] = []
+            for alt in av[1]:
+                e = _expand(alt, limit)
+                if e is None:
+                    return None
+                alts.extend(e)
+            outs = [x + a for x in outs for a in alts]
+        elif o.endswith("subpattern"):
+            if av[1]:              # inline flags, e.g. (?i:...) —
+                return None        # literals stop being literal
+            e = _expand(av[3], limit)
+            if e is None:
+                return None
+            outs = [x + s for x in outs for s in e]
+        elif o.endswith("repeat"):
+            lo, hi, sub = av
+            if hi is _MAXREPEAT or hi - lo > 8:
+                return None
+            e = _expand(sub, limit)
+            if e is None:
+                return None
+            variants: list[str] = []
+            for n in range(lo, hi + 1):
+                combo = [""]
+                for _ in range(n):
+                    combo = [c + s for c in combo for s in e]
+                    if len(combo) > limit:
+                        return None
+                variants.extend(combo)
+            outs = [x + v for x in outs for v in variants]
+        elif o.endswith("at"):          # anchors: no characters
+            continue
+        else:
+            return None
+        if len(outs) > limit:
+            return None
+    return outs
+
+
+def _required_runs(nodes) -> list[str]:
+    """Fixed literal substrings every match must contain: maximal
+    LITERAL runs of the top-level concatenation, plus (recursively)
+    runs of subpatterns/repeats that occur at least once. Branches
+    and optional fragments contribute nothing (sound: we may only
+    under-require, never over-require)."""
+    runs: list[str] = []
+    cur = ""
+
+    def flush():
+        nonlocal cur
+        if len(cur) >= 3:
+            runs.append(cur)
+        cur = ""
+
+    for op, av in nodes:
+        o = str(op).lower()
+        if o.endswith("literal"):
+            cur += chr(av)
+            continue
+        flush()
+        if o.endswith("subpattern"):
+            if not av[1]:          # skip inline-flag groups (?i:...)
+                runs.extend(_required_runs(av[3]))
+        elif o.endswith("repeat"):
+            lo, hi, sub = av
+            if lo >= 1:                # occurs at least once
+                runs.extend(_required_runs(sub))
+    flush()
+    return runs
+
+
+def regex_plan(pattern: str) -> tuple[str, list[list[str]]]:
+    """('or', [[lit,...] per alternative]) — candidate = ANY
+    alternative's trigrams all present; ('and', [[run,...]]) —
+    candidate = ALL runs' trigrams present; ('scan', []) —
+    unprunable, full verify. Literals under 3 chars prune nothing
+    and are dropped (soundly widening the candidate set).
+    Case-insensitive patterns are unprunable (a literal's trigrams
+    are no longer required bytes)."""
+    if _re.compile(pattern).flags & _re.IGNORECASE:
+        return "scan", []
+    nodes = list(_re._parser.parse(pattern))
+    lits = _expand(nodes)
+    if lits is not None and lits and all(len(s) >= 3 for s in lits):
+        return "or", [[s] for s in lits]
+    runs = [r for r in _required_runs(nodes) if len(r) >= 3]
+    if runs:
+        return "and", [runs]
+    return "scan", []
+
+
+def regex_search(docs: DataFrame, patterns: Sequence[str],
+                 id_col: str = "doc_id", text_col: str = "text",
+                 postings: DataFrame | None = None,
+                 indexed_parts: int | None = None) -> DataFrame:
+    """Index-pruned distributed regex grep: (pattern, doc_id) for
+    each document with a match, identical to a full-scan ``rlike``
+    (pruning is sound-only; the verify is the real regex)."""
+    spark = docs.sparkSession
+    plans = {qi: regex_plan(p) for qi, p in enumerate(patterns)}
+    # alternative spec rows: (q, alt, tri) + per-(q, alt) cover count.
+    # 'or' plans: one alt per literal; 'and' plans: ONE alt holding
+    # every run's trigrams.
+    spec_rows: list[tuple[int, int, str]] = []
+    for qi, (kind, groups) in plans.items():
+        if kind == "or":
+            for ai, lits in enumerate(groups):
+                for t in {t for s in lits for t in literal_trigrams(s)}:
+                    spec_rows.append((qi, ai, t))
+        elif kind == "and":
+            for t in {t for s in groups[0]
+                      for t in literal_trigrams(s)}:
+                spec_rows.append((qi, 0, t))
+    pat_df = F.broadcast(spark.createDataFrame(
+        [(i, p) for i, p in enumerate(patterns)],
+        "q int, pattern string"))
+    corpus = docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("__t"))
+    pruned_q = sorted({q for q, _, _ in spec_rows})
+    out = None
+    if spec_rows:
+        if postings is None:
+            needed = sorted({t for _, _, t in spec_rows})
+            p = trigram_postings(docs, id_col, text_col, only=needed)
+        else:
+            p = postings
+            if indexed_parts:
+                need = spark.createDataFrame(
+                    [(t,) for t in sorted({t for _, _, t
+                                           in spec_rows})],
+                    "tri string")
+                buckets = sorted({b for (b,) in need.select(
+                    _part_col(F.col("tri"), indexed_parts)
+                    .alias("b")).distinct().collect()})
+                p = p.filter(F.col("tp").isin(buckets))
+        spec = spark.createDataFrame(spec_rows, "q int, alt int, "
+                                                "tri string")
+        kdf = (spec.groupBy("q", "alt")
+               .agg(F.countDistinct("tri").alias("k")))
+        cand = (p.join(F.broadcast(spec), "tri")
+                .groupBy("q", "alt", "doc_id")
+                .agg(F.countDistinct("tri").alias("got"))
+                .join(F.broadcast(kdf), ["q", "alt"])
+                .filter(F.col("got") == F.col("k"))
+                .select("q", "doc_id").distinct())
+        out = (cand.join(pat_df, "q").join(corpus, "doc_id")
+               .filter(F.expr("__t rlike pattern"))
+               .select("pattern", "doc_id"))
+    scan_q = [q for q in plans if q not in pruned_q]
+    if scan_q:
+        sdf = F.broadcast(spark.createDataFrame(
+            [(patterns[q],) for q in scan_q], "pattern string"))
+        full = (corpus.crossJoin(sdf)
+                .filter(F.expr("__t rlike pattern"))
+                .select("pattern", "doc_id"))
+        out = full if out is None else out.unionByName(full)
+    return out if out is not None else spark.createDataFrame(
+        [], "pattern string, doc_id long")

@@ -3499,6 +3499,29 @@ def trigram_search_q(spark, sf_dir):
     return substring_search(t["documents"], list(_TRIGRAM_LITS))
 
 
+_REGEX_PATS = ("hash (scan|join)", "key o.der", "spark.*window")
+
+
+@query("regex_search", "\nUNION ALL\n".join(
+    f"""SELECT '{p.replace("'", "''")}' AS pattern, doc_id
+    FROM documents WHERE regexp_matches(text, '{p.replace("'", "''")}')"""
+    for p in _REGEX_PATS))
+def regex_search_q(spark, sf_dir):
+    """Regex → trigram-query compilation (operators/trigram.py, r14
+    — the second half of the Cox construction): alternations/classes/
+    bounded repeats EXPAND to a finite literal set (OR of AND-covers),
+    unbounded gaps fall back to REQUIRED literal runs (AND of covers:
+    'spark.*window' needs the trigrams of both runs), and unprunable
+    patterns scan honestly; the verify is always the real regex
+    (rlike) over candidates, so pruning soundness is the only claim —
+    and the oracle (DuckDB regexp_matches full scan, RE2 agreeing
+    with Java regex on this syntax subset) checks exactly that the
+    index loses nothing."""
+    from .operators.trigram import regex_search
+    _, t = _s(spark, sf_dir)
+    return regex_search(t["documents"], list(_REGEX_PATS))
+
+
 @query("bm25_search", _bm25_oracle(_BM25_TERMS))
 def bm25_search(spark, sf_dir):
     """Inverted-index BM25 retrieval (operators/search.py): posting

@@ -1002,3 +1002,35 @@ def test_trigram_index_prunes_and_matches_full_scan(spark, tables,
                                         indexed_parts=16))
     assert "PartitionFilters: [tp" in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_regex_trigram_plans_and_full_scan_equality(spark, tables):
+    """regex_plan (r14): finite languages expand to OR-of-literals,
+    unbounded gaps reduce to required runs, case-insensitive and
+    run-less patterns are honestly unprunable; regex_search must
+    equal the full-scan rlike answer across all three plan kinds in
+    one call."""
+    from bigslice_spark.operators.trigram import (regex_plan,
+                                                  regex_search)
+    assert regex_plan("hash (scan|join)") == (
+        "or", [["hash scan"], ["hash join"]])
+    assert regex_plan("colou?r match") == (
+        "or", [["color match"], ["colour match"]])
+    assert regex_plan(r"spark.*window") == ("and",
+                                            [["spark", "window"]])
+    assert regex_plan(r"foo\d+bar")[0] == "and"
+    assert regex_plan("(?i)HASH scan") == ("scan", [])
+    assert regex_plan(r"\d+") == ("scan", [])
+    assert regex_plan("(?i:ha)sh scan") == ("scan", []) or \
+        "sh scan" in str(regex_plan("(?i:ha)sh scan"))
+
+    docs = tables["documents"]
+    pats = ["hash (scan|join)", r"spark.*window", r"\bagg\b",
+            "(?i)KEY order"]
+    got = sorted((r["pattern"], r["doc_id"]) for r in
+                 regex_search(docs, pats).collect())
+    want = sorted((p, r["doc_id"]) for p in pats
+                  for r in docs.filter(
+                      F.col("text").rlike(p)).select("doc_id")
+                  .collect())
+    assert got == want
