@@ -126,6 +126,10 @@ BATTERY = [
     # mapInPandas batch) must be invariant to which files share a
     # batch
     "source_avro_evolution",
+    # r14 — trigram cover-count candidates ride a broadcast +
+    # partial-agg pipeline whose grouping shifts with partitioning;
+    # the verify must make the answer layout-invariant
+    "trigram_search", "regex_search",
 ]
 
 
