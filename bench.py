@@ -119,8 +119,10 @@ HEADLINE = [
     # train + classify (corpus explode x2 + word-key join + argmax)
     "nb_classifier",
     # added round 14 (ratchet starts at r14): trigram-indexed
-    # substring search — corpus-scale postings build + cover join
+    # substring search and regex->trigram grep — corpus-scale
+    # postings build + cover join + verify
     "trigram_search",
+    "regex_search",
 ]
 
 
