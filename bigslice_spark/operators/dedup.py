@@ -75,7 +75,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def _bucketed_self_join(rel: DataFrame, keys: list[str],
                         id_col: str = "id",
-                        chunk_target: int = 2048) -> DataFrame:
+                        chunk_target: int = 2048,
+                        bn_col: str | None = None) -> DataFrame:
     """Self-join ``rel`` with itself on ``keys``; non-key columns come back
     suffixed ``_a`` / ``_b``. Output is identical to
     ``rel ⋈_keys rel`` — but buckets larger than ``chunk_target`` rows
@@ -89,13 +90,28 @@ def _bucketed_self_join(rel: DataFrame, keys: list[str],
     threshold because its input is ~48 KB). So the split must be explicit
     and output-aware:
 
-    - bucket sizes are counted IN-PLAN as an unordered COUNT window over
-      the bucket keys — it rides the one exchange on ``keys`` (no second
-      pass over ``rel``, no broadcast join-back; measured ~0.5s faster
-      than the agg+broadcast formulation at sf0.1, same plan at scale:
-      the window's exchange shuffles the same ~24-byte rows the join
-      was about to shuffle anyway, and WindowExec spills per-bucket
-      buffers to disk if a degenerate bucket outgrows memory);
+    - bucket sizes (r14 optimization, guide §2.3/§2.4): the r9–r13
+      formulation counted them with an unordered COUNT window over the
+      bucket keys, on the reasoning that the window "rides the one
+      exchange on ``keys``". What that analysis missed is that the
+      window subtree hangs under BOTH join sides and Spark shares no
+      work between the two references: every input row was exchanged,
+      sorted and window-buffered TWICE before the join's own exchange
+      on ``keys + cells`` even started — 4 full exchanges + 2
+      WindowExec sorts of the relation per self-join (mirrored
+      Exchange→Sort→Window subtrees under both SMJ inputs,
+      plans/r14/ngram_jaccard_before.txt). Now ``bn_col`` names a
+      column of ``rel`` that already holds each row's bucket size —
+      the ngram/item path's document-frequency window count IS the
+      post-prune bucket size (df-pruning drops whole buckets, never
+      part of one), so those callers pay no counting pass at all —
+      and otherwise sizes come from a map-side-combined per-key
+      aggregate whose > ``chunk_target`` survivors (usually none)
+      broadcast back as a hot-key table with ``nc`` defaulting to 1
+      on the broadcast miss (the _bucketed_join pattern). The
+      aggregate's exchange carries ~one row per key after partial
+      aggregation; each side then pays exactly ONE full exchange —
+      the join's — and no WindowExec sort anywhere;
     - each member of a hot bucket gets a chunk ``c = hash(id) mod nc``
       with ``nc = ceil(B / chunk_target)``; the left side replicates to
       cells ``(c, j) ∀j``, the right to ``(i, c) ∀i``, and the join key
@@ -113,20 +129,32 @@ def _bucketed_self_join(rel: DataFrame, keys: list[str],
     The join is pinned to sort-merge (``hint("merge")``): if the
     relation happens to fit the broadcast threshold, Catalyst would
     broadcast one side — and then the probe side keeps its upstream
-    partitioning (the window's exchange on ``keys`` alone), so the hot
-    bucket's entire B² output is produced by the one task that owns
-    its key and the cell spreading silently does nothing. The hint is
-    plan-neutral at corpus scale (a self-join of a corpus-scale
-    relation is sort-merge anyway — measured at sf0.1) and forces the
-    exchange on ``keys + cells`` exactly where the salting needs it."""
-    payload = [c for c in rel.columns if c not in keys]
-    bn = F.count(F.lit(1)).over(W.partitionBy(*keys))
-    salted = (rel.withColumn(
-        "__nc__",
-        F.ceil(bn / F.lit(float(chunk_target))).cast("int"))
-        .withColumn("__c__",
-                    F.pmod(F.xxhash64(F.col(id_col)),
-                           F.col("__nc__")).cast("int")))
+    partitioning, so the hot bucket's entire B² output is produced by
+    the one task that owns its key and the cell spreading silently
+    does nothing. The hint is plan-neutral at corpus scale (a
+    self-join of a corpus-scale relation is sort-merge anyway —
+    measured at sf0.1) and forces the exchange on ``keys + cells``
+    exactly where the salting needs it."""
+    payload = [c for c in rel.columns if c not in keys and c != bn_col]
+    if bn_col is not None:
+        salted = rel.withColumn(
+            "__nc__",
+            F.ceil(F.col(bn_col) / F.lit(float(chunk_target)))
+            .cast("int"))
+    else:
+        hot = (rel.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("__bn__"))
+               .filter(F.col("__bn__") > chunk_target)
+               .select(*keys,
+                       F.ceil(F.col("__bn__")
+                              / F.lit(float(chunk_target)))
+                       .cast("int").alias("__nc__")))
+        salted = (rel.join(F.broadcast(hot), on=list(keys), how="left")
+                  .withColumn("__nc__",
+                              F.coalesce(F.col("__nc__"), F.lit(1))))
+    salted = salted.withColumn(
+        "__c__", F.pmod(F.xxhash64(F.col(id_col)),
+                        F.col("__nc__")).cast("int"))
     chunks = F.explode(F.sequence(F.lit(0), F.col("__nc__") - 1))
     left = salted.select(
         *keys, *[F.col(c).alias(c + "_a") for c in payload],
@@ -455,9 +483,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         pruned = (ann.join(F.broadcast(nd))
                   .filter(F.col("df") <= F.floor(
                       F.lit(float(max_df_ratio)) * F.col("__ndocs__"))))
-    cold = materialize(pruned.select(id_col, "tok", "sz"), reliable)
-    return (_bucketed_self_join(cold.toDF("id", "tok", "sz"), ["tok"],
-                                chunk_target=chunk_target)
+    # the df window count doubles as the self-join's bucket size
+    # (df-pruning drops whole posting lists, never part of one), so
+    # the salted join needs no counting pass of its own (bn_col)
+    cold = materialize(pruned.select(id_col, "tok", "sz", "df"),
+                       reliable)
+    return (_bucketed_self_join(cold.toDF("id", "tok", "sz", "__bn__"),
+                                ["tok"], chunk_target=chunk_target,
+                                bn_col="__bn__")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b", "sz_a", "sz_b")
             .agg(F.count(F.lit(1)).alias("inter"))
@@ -486,6 +519,11 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                               lambda x: x.cast("double")).alias("v"))
     v = v.withColumn("n", F.sqrt(_dot_wide("v", "v", dim))) \
         .filter(F.col("n") > 0)
+    # cut once: the norm projection feeds the self-join's two sides
+    # plus the bucket-size aggregate (the semantic_dedup rule) — an
+    # unmaterialized subtree would re-run the corpus-scale dot/sqrt
+    # per reference
+    v = materialize(v)
     dot = _dot_wide("v_a", "v_b", dim)
     return (_bucketed_self_join(v.toDF("id", "bk", "v", "n"), ["bk"],
                                 chunk_target=chunk_target)
@@ -827,9 +865,13 @@ def item_jaccard_pairs(rel: DataFrame, id_col: str, item_col: str,
         pruned = (ann.join(F.broadcast(nd))
                   .filter(F.col("df") <= F.floor(
                       F.lit(float(max_df_ratio)) * F.col("__nids__"))))
-    cold = materialize(pruned.select(id_col, "tok", "sz"), reliable)
-    return (_bucketed_self_join(cold.toDF("id", "tok", "sz"), ["tok"],
-                                chunk_target=chunk_target)
+    # bn_col: the df window count IS the post-prune bucket size (the
+    # ngram_jaccard_pairs rationale) — no counting pass in the join
+    cold = materialize(pruned.select(id_col, "tok", "sz", "df"),
+                       reliable)
+    return (_bucketed_self_join(cold.toDF("id", "tok", "sz", "__bn__"),
+                                ["tok"], chunk_target=chunk_target,
+                                bn_col="__bn__")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b", "sz_a", "sz_b")
             .agg(F.count(F.lit(1)).alias("inter"))
