@@ -38,6 +38,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import materialize
 from .multimodal import decode_image, resize_rgb
 
 
@@ -96,12 +97,23 @@ def image_dhash(df: DataFrame, media_col: str = "media",
 
 def dhash_pairs(hashes: DataFrame, id_col: str = "id",
                 hash_col: str = "dhash",
-                max_hamming: int = 3) -> DataFrame:
+                max_hamming: int = 3,
+                reliable: bool | None = None) -> DataFrame:
     """Near-duplicate image pairs (a, b, hamming) with hamming <=
     ``max_hamming`` (<= 3 is COMPLETE by pigeonhole over the 4
     16-bit bands; larger thresholds return only pairs that share a
     band — the standard LSH recall/cost trade, documented).
-    Banded self-join + codegen popcount; no all-pairs join."""
+    Banded self-join + codegen popcount; no all-pairs join.
+
+    ``hashes`` is materialized first (r14, guide §8/§5): it is
+    normally the OUTPUT of a decode chain (image_dhash's Arrow decode
+    pass, or band_energy's DFT for audio fingerprints), and an
+    unmaterialized subtree hangs under both self-join sides — the
+    whole corpus-scale decode ran twice per query (both SMJ inputs
+    carried their own MapInPandas+Scan chains,
+    plans/r14/image_dedup_phash_before.txt). The checkpointed
+    relation is (id, hash) — 16 bytes/row at any corpus size."""
+    hashes = materialize(hashes.select(id_col, hash_col), reliable)
     h = F.col(hash_col)
     banded = hashes.select(
         F.col(id_col), h,
@@ -169,13 +181,22 @@ def video_dhash(df: DataFrame, media_col: str = "media",
 
 
 def video_pairs(frame_hashes: DataFrame, id_col: str = "id",
-                min_shared: int = 3) -> DataFrame:
+                min_shared: int = 3,
+                reliable: bool | None = None) -> DataFrame:
     """Near-duplicate video pairs (a, b, shared_frames): clips whose
     same-position frames hash EQUAL at >= ``min_shared`` positions —
     re-encoded/trimmed-tail copies share almost every frame hash,
     unrelated clips share none (measured 0 across the synthetic
     corpus). Equi-join on (frame_idx, dhash) + count: no all-pairs
-    join, no Python."""
+    join, no Python.
+
+    ``frame_hashes`` is materialized first (the dhash_pairs
+    rationale): it is the output of demux → decode → hash — three
+    stacked Arrow passes per side before r14
+    (plans/r14/video_dedup_before.txt) — and the checkpointed
+    relation is (id, frame_idx, dhash), ~20 bytes per frame."""
+    frame_hashes = materialize(
+        frame_hashes.select(id_col, "frame_idx", "dhash"), reliable)
     a = frame_hashes.select(F.col(id_col).alias("a"),
                             "frame_idx", "dhash")
     b = frame_hashes.select(F.col(id_col).alias("b"),
