@@ -9795,8 +9795,11 @@ def nb_classifier_q(spark, sf_dir):
     that join; the argmax window holds exactly C rows per document.
     The oracle replays train AND classify end-to-end, so a defect in
     counting, smoothing, summation or the argmax breaks the hash."""
-    from .operators.classify import nb_classify, nb_train
+    from .operators.classify import nb_self_classify
     _, t = _s(spark, sf_dir)
-    docs = t["documents"]
-    wc, cls, glob = nb_train(docs, label_col="lang")
-    return nb_classify(docs, wc, cls, glob)
+    # fused self-classify (r14): one corpus tokenization feeds train
+    # AND classify via the materialized per-doc word-count relation —
+    # the composed nb_train+nb_classify form tokenized the corpus four
+    # times (word counts, class token totals, vocab count, classify);
+    # same counts, same model, same predictions by re-aggregation
+    return nb_self_classify(t["documents"], label_col="lang")
