@@ -115,8 +115,15 @@ def bloom_build(df: DataFrame, col: str, fpp: float = 0.01,
     One count job on the build side when ``n_items`` is not given,
     then one explode + groupBy(word).agg(bit_or) pass; the driver
     sees only aggregated 64-bit words, never keys."""
+    from ..checkpoint import materialize, release
     keys = df.select(F.col(col).alias("__key")).distinct()
     if n_items is None:
+        # the sizing count and the position build both consume the
+        # distinct relation — materialize so the distinct's shuffle
+        # runs once, not once per action (r14); released after the
+        # filter words are collected (release is a no-op on
+        # untracked frames)
+        keys = materialize(keys)
         n_items = keys.count()
     m, k = bloom_params(n_items, fpp, max_bits)
     h1, h2 = _hash_cols(F.col("__key"))
@@ -131,6 +138,7 @@ def bloom_build(df: DataFrame, col: str, fpp: float = 0.01,
     arr = np.zeros(m // 64, dtype=np.uint64)
     for r in words:
         arr[r["__word"]] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
+    release(keys)
     return Bloom(words=arr, m=m, k=k, n_items=n_items)
 
 

@@ -86,12 +86,17 @@ def contamination_report_bloom(train: DataFrame, eval_df: DataFrame,
     Bloom rejects are definitive (no false negatives), so the result
     is EXACTLY contamination_report's. The corpus still never
     shuffles; the verify join moves ~fpp of its shingles."""
+    from ..checkpoint import materialize
     from .bloom import bloom_build, bloom_probe
     from .dedup import _shingle_rows
     tr = _shingle_rows(train, text_col, id_col, w=ngram_w,
                        distinct=True).toDF("train_id", "tok")
-    ev = _shingle_rows(eval_df, text_col, id_col, w=ngram_w,
-                       distinct=True).toDF("eval_id", "tok")
+    # the eval shingle relation feeds the filter build AND the exact
+    # verify join — materialize it once (r14, the shared-index rule):
+    # unmaterialized, the shingle window chain ran once per reference
+    ev = materialize(
+        _shingle_rows(eval_df, text_col, id_col, w=ngram_w,
+                      distinct=True).toDF("eval_id", "tok"))
     bloom = bloom_build(ev, "tok", fpp=fpp)
     cand = (bloom_probe(tr, "tok", bloom)
             .filter(F.col("__bloom_maybe")).drop("__bloom_maybe"))
