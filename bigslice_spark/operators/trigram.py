@@ -46,18 +46,33 @@ def trigram_postings(docs: DataFrame, id_col: str = "doc_id",
                      only: Sequence[str] | None = None) -> DataFrame:
     """(doc_id, tri): every distinct 3-gram per document, pure
     codegen (no UDF). ``only`` restricts the build to a known
-    trigram set BEFORE the explode (array_intersect dedups and
-    filters in one codegen pass) — the one-shot query path shuffles
-    ~|needed| rows per doc instead of ~|text| (measured 5.6s → sub-2s
-    on the sf0.1 corpus for a 3-literal query)."""
+    trigram set — the one-shot query path shuffles ~|needed| rows
+    per doc instead of ~|text|.
+
+    The ``only`` build probes each needed trigram with codegen
+    ``instr`` over the text (r14, guide §4.1): the needed set is
+    tiny (a query's literals contribute a handful of trigrams), so
+    |needed| substring scans per document beat materializing EVERY
+    position's trigram through an interpreted
+    transform+array_intersect pass — Spark's array lambdas are
+    interpreted per element, i.e. per CHARACTER here. Same (doc,
+    trigram) set: a needed trigram survives iff it occurs in the
+    text, exactly array_intersect's verdict. The full build (index
+    writes) keeps the transform: it genuinely needs all positions."""
+    if only is not None:
+        need = F.explode(F.array(*[F.lit(t)
+                                   for t in dict.fromkeys(only)]))
+        return (docs.select(F.col(id_col).alias("doc_id"),
+                            F.col(text_col).alias("__t"))
+                .select("doc_id", need.alias("tri"), "__t")
+                .filter(F.expr("instr(__t, tri) > 0"))
+                .select("doc_id", "tri"))
     all_tris = F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - 2,"
         f" 0)), i -> substring({text_col}, i, 3))")
-    tris = (F.array_intersect(all_tris,
-                              F.array(*[F.lit(t) for t in only]))
-            if only is not None else F.array_distinct(all_tris))
     return docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(tris).alias("tri"))
+                       F.explode(F.array_distinct(all_tris))
+                       .alias("tri"))
 
 
 def literal_trigrams(s: str) -> list[str]:
