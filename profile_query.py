@@ -41,6 +41,8 @@ def main() -> None:
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.eventLog.dir", evdir)
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,9 +127,14 @@ def main() -> None:
     # parse event log
     import glob
     logs = sorted(glob.glob(os.path.join(evdir, "*")), key=os.path.getmtime)
+    path = logs[-1]
+    if os.path.isdir(path):   # Spark 4 rolling event log dir
+        inner = [p for p in glob.glob(os.path.join(path, "*"))
+                 if "appstatus" not in os.path.basename(p)]
+        path = sorted(inner, key=os.path.getmtime)[-1]
     stages = {}   # id -> dict
     jobs = []
-    for line in open(logs[-1]):
+    for line in open(path):
         try:
             ev = json.loads(line)
         except Exception:
