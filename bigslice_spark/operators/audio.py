@@ -63,7 +63,8 @@ def dft_basis(frame_len: int, k: int) -> tuple[list[int], list[int]]:
 def band_energy(df: DataFrame, samples_col: str = "samples",
                 id_col: str = "id", frame_len: int = 64,
                 bins: Sequence[int] = (1, 3, 7),
-                vectorized: bool = False) -> DataFrame:
+                vectorized: bool = False,
+                pos_rows: bool = False) -> DataFrame:
     """Per-frame spectral energy at the requested DFT ``bins``:
     ``e{k} = ((Σ x·cos)² + (Σ x·sin)²)·2^(-2·Q_SHIFT)`` over
     non-overlapping ``frame_len``-sample frames of an integer PCM
@@ -85,10 +86,24 @@ def band_energy(df: DataFrame, samples_col: str = "samples",
         raise ValueError("frame_len > 4096 can overflow the exact "
                          "int64/float64 projection sums")
     if vectorized:
+        if pos_rows:
+            raise ValueError("pos_rows applies to the declarative "
+                             "path only")
         return _band_energy_np(df, samples_col, id_col, frame_len, bins)
-    t = df.select(
-        F.col(id_col),
-        F.posexplode(samples_col).alias("__pos", "__x"))
+    if pos_rows:
+        # ``df`` is already the exploded sample relation
+        # (id_col, pos, x) — e.g. resample's (id, m, y) output. The
+        # declarative path's first step IS this relation (posexplode
+        # assigns pos = array index), so consuming rows directly is
+        # plan-only: an upstream per-clip reassembly
+        # (collect_list → array_sort → interpreted transform →
+        # posexplode) is skipped wholesale (r14, guide §1.2).
+        t = df.select(F.col(id_col), F.col("pos").alias("__pos"),
+                      F.col("x").alias("__x"))
+    else:
+        t = df.select(
+            F.col(id_col),
+            F.posexplode(samples_col).alias("__pos", "__x"))
     t = t.select(
         id_col,
         F.expr(f"__pos DIV {frame_len}").cast("long").alias("frame"),
@@ -225,7 +240,8 @@ def mel_weights(frame_len: int = 64, n_mels: int = 4,
 
 def mel_energy(df: DataFrame, samples_col: str = "samples",
                id_col: str = "id", frame_len: int = 64,
-               n_mels: int = 4, sample_rate: int = 8000) -> DataFrame:
+               n_mels: int = 4, sample_rate: int = 8000,
+               pos_rows: bool = False) -> DataFrame:
     """Per-frame mel-filterbank energies — THE acoustic-model input
     feature (log-mel spectrogram, sans log): band_energy's exact
     integer DFT projections for every bin a filter touches, combined
@@ -241,7 +257,8 @@ def mel_energy(df: DataFrame, samples_col: str = "samples",
     if not bins:
         raise ValueError("mel_energy: filterbank has no bins — raise "
                          "frame_len or lower n_mels")
-    e = band_energy(df, samples_col, id_col, frame_len, bins)
+    e = band_energy(df, samples_col, id_col, frame_len, bins,
+                    pos_rows=pos_rows)
     out = [F.col(id_col), F.col("frame")]
     shift = F.lit(2.0 ** (-MEL_W_SHIFT))
     for i, w in enumerate(ws):

@@ -7949,14 +7949,16 @@ def audio_pipeline_q(spark, sf_dir):
              .mapInPandas(gen, schema="id long, media binary"))
     pcm = wav_samples(media)
     rs = resample(pcm, 2, 3)
-    # per-clip re-assembly: 128 ordered samples per doc — bounded by
-    # clip length, never corpus-scale (the band_energy array contract)
-    clips = (rs.groupBy("id")
-             .agg(F.array_sort(F.collect_list(F.struct("m", "y")))
-                  .alias("__s"))
-             .select("id", F.expr("transform(__s, x -> CAST(x.y AS INT))")
-                     .alias("samples")))
-    out = mel_energy(clips, frame_len=64, n_mels=4, sample_rate=8000)
+    # rows-input fusion (r14): resample's (id, m, y) output IS the
+    # exploded sample relation band_energy's declarative path builds
+    # first (pos = array index = m), so mel consumes it directly —
+    # the per-clip reassembly (collect_list → array_sort →
+    # interpreted transform → posexplode) this replaced was pure
+    # plan overhead; same (id, frame, i, x) rows, same sums
+    rows = rs.select("id", F.col("m").alias("pos"),
+                     F.col("y").cast("int").alias("x"))
+    out = mel_energy(rows, frame_len=64, n_mels=4, sample_rate=8000,
+                     pos_rows=True)
     return out.withColumnRenamed("id", "doc_id")
 
 
