@@ -116,9 +116,9 @@ def viterbi_segment(word: str, counts: dict[str, int],
 
 def _word_counts(df: DataFrame, text_col: str, min_word_count: int,
                  vocab_cap: int, max_word_len: int) -> DataFrame:
-    w = (df.select(F.explode(F.filter(
+    w = (df.select(F.explode(F.array_remove(
             F.split(F.lower(F.col(text_col)), r"\s+"),
-            lambda t: t != "")).alias("word"))
+            "")).alias("word"))
          .filter(F.length("word") <= max_word_len)
          .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
          .filter(F.col("n") >= min_word_count))
@@ -222,8 +222,9 @@ def unigram_token_counts(df: DataFrame, counts: dict[str, int],
     side when it is small. Out-of-vocab-length words count length
     (char fallback)."""
     _check_objective_headroom(counts, max_word_len)
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda t: t != "")
+    # array_remove, not an interpreted filter lambda — see
+    # operators/text.py tokens()
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     doc_words = (df.select(F.col(id_col),
                            F.explode(toks).alias("word"))
                  .groupBy(id_col, "word")

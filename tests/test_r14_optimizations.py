@@ -84,3 +84,43 @@ def test_dhash_pairs_materialized_input_same_pairs(spark):
     got = _rows(dhash_pairs(hashes, max_hamming=3),
                 ["a", "b", "hamming"])
     assert got == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
+
+
+def test_tokens_matches_filter_form(spark, tables):
+    """tokens() now uses array_remove(split, '') instead of the
+    interpreted filter(..., t != '') lambda; the arrays must be
+    IDENTICAL (order, multiplicity, NULL passthrough) on adversarial
+    whitespace shapes and on the real corpus."""
+    from bigslice_spark.operators.text import tokens
+    cases = ["", " ", "  ", "a", " a", "a ", " a ", "a b", "a  b",
+             "\t\n\x0b\f\r", "x\ty\nz", "tab\tend\t", None,
+             "mixed \t spaces\n\nhere ", "　ideo", "a\rb\x0bc"]
+    cdf = spark.createDataFrame([(c,) for c in cases], "text string")
+    old = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    rows = cdf.select(old.alias("o"), tokens("text").alias("n")).collect()
+    assert all(r["o"] == r["n"] for r in rows), \
+        [(r["o"], r["n"]) for r in rows if r["o"] != r["n"]]
+    docs = tables["documents"]
+    assert docs.select(old.alias("o"), tokens("text").alias("n")) \
+        .filter(~F.col("o").eqNullSafe(F.col("n"))).count() == 0
+
+
+def test_line_and_lengths_lambda_free_forms(spark, tables):
+    """The line-split empty-removal and the gopher total-token-length
+    now use array_remove / length(array_join) instead of interpreted
+    lambdas; both must be exactly the old expressions."""
+    from bigslice_spark.operators.text import tokens
+    docs = tables["documents"]
+    t = F.col("text")
+    old_lines = F.filter(F.split(t, "\n"), lambda l: l != "")
+    new_lines = F.array_remove(F.split(t, "\n"), "")
+    toks = tokens(t)
+    old_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    new_len = F.length(F.array_join(toks, "")).cast("long")
+    bad = docs.select(
+        old_lines.alias("ol"), new_lines.alias("nl"),
+        old_len.alias("oc"), new_len.alias("nc")) \
+        .filter(~F.col("ol").eqNullSafe(F.col("nl"))
+                | ~F.col("oc").eqNullSafe(F.col("nc"))).count()
+    assert bad == 0
