@@ -127,7 +127,18 @@ def nb_self_classify(df: DataFrame, label_col: str = "label",
     re-aggregation (identical integer counts by associativity of
     count/sum). Doc counts (N, per-class n_docs) still come from
     ``df`` directly: zero-token documents count toward both but never
-    reach the token relation."""
+    reach the token relation.
+
+    WHEN IT PAYS (r14 continuation measurement): use this form when
+    tokenization is expensive (BPE/unigram encode, normalization
+    pipelines) — then one tokenize pass beats four by construction.
+    With the cheap codegen whitespace ``tokens()``, the materialize
+    write + 4 reads of the (id, label, w) relation COST MORE than the
+    saved re-scans at data scale: interleaved fresh-JVM A/B vs the
+    composed form at sf1 lost all 4 pairs (calm-box 6.5s composed vs
+    7.4-8.9s fused; per-stage profile puts ~2.5-3.5s in the eager
+    checkpoint build), and a calm-box sf0.1 A/B was a wash. The
+    nb_classifier registry entry therefore uses the composed form."""
     from ..checkpoint import materialize
     g = (df.select(F.col(id_col), F.col(label_col).alias("label"),
                    F.explode(tokens(text_col)).alias("w"))

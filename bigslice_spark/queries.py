@@ -9797,11 +9797,17 @@ def nb_classifier_q(spark, sf_dir):
     that join; the argmax window holds exactly C rows per document.
     The oracle replays train AND classify end-to-end, so a defect in
     counting, smoothing, summation or the argmax breaks the hash."""
-    from .operators.classify import nb_self_classify
+    from .operators.classify import nb_classify, nb_train
     _, t = _s(spark, sf_dir)
-    # fused self-classify (r14): one corpus tokenization feeds train
-    # AND classify via the materialized per-doc word-count relation —
-    # the composed nb_train+nb_classify form tokenized the corpus four
-    # times (word counts, class token totals, vocab count, classify);
-    # same counts, same model, same predictions by re-aggregation
-    return nb_self_classify(t["documents"], label_col="lang")
+    # Composed form, deliberately (r14 continuation): the fused
+    # nb_self_classify (one tokenize pass via a materialized per-doc
+    # word-count relation) won only on a degraded box at sf0.1; a
+    # calm-box interleaved A/B was a wash at sf0.1 and a consistent
+    # 1.2-1.4x LOSS at sf1 (checkpoint write+read of the (id,label,w)
+    # relation costs more than the three re-tokenize scans it saves —
+    # whitespace tokenize is cheap codegen). nb_self_classify remains
+    # the right call when tokenization dominates (real BPE/unigram
+    # encode); see its docstring for the measurements.
+    docs = t["documents"]
+    wc, cls, glob = nb_train(docs, label_col="lang")
+    return nb_classify(docs, wc, cls, glob)
