@@ -111,7 +111,17 @@ def _bucketed_self_join(rel: DataFrame, keys: list[str],
       on the broadcast miss (the _bucketed_join pattern). The
       aggregate's exchange carries ~one row per key after partial
       aggregation; each side then pays exactly ONE full exchange —
-      the join's — and no WindowExec sort anywhere;
+      the join's — and no WindowExec sort anywhere. The hot-key
+      table is MATERIALIZED before use (r15): as a lazy subtree it
+      hung under BOTH join sides, so the sizing pass over ``rel``
+      ran twice (plans/r14/dedup_simhash_after.txt nodes 5-14 vs
+      27-36 — Exchanges 10→14 vs the window form, and the
+      interpreted banding Generate ran 4× per query). Checkpointing
+      the ≤|hot keys| relation runs it once; and when it comes back
+      EMPTY — the common case, every bucket under ``chunk_target`` —
+      the salting short-circuits to the plain self-join, which is
+      bit-identical output (nc=1 everywhere is the identity
+      chunking) with zero broadcast/explode machinery in the plan;
     - each member of a hot bucket gets a chunk ``c = hash(id) mod nc``
       with ``nc = ceil(B / chunk_target)``; the left side replicates to
       cells ``(c, j) ∀j``, the right to ``(i, c) ∀i``, and the join key
@@ -137,18 +147,36 @@ def _bucketed_self_join(rel: DataFrame, keys: list[str],
     exactly where the salting needs it."""
     payload = [c for c in rel.columns if c not in keys and c != bn_col]
     if bn_col is not None:
+        # coalesce: a NULL bucket size would make __nc__ NULL and the
+        # sequence-explode below silently DROP the row (missed pairs,
+        # no error) — internal callers pass never-NULL window counts,
+        # but the guard costs nothing (ADVICE r14)
         salted = rel.withColumn(
             "__nc__",
-            F.ceil(F.col(bn_col) / F.lit(float(chunk_target)))
-            .cast("int"))
+            F.coalesce(
+                F.ceil(F.col(bn_col) / F.lit(float(chunk_target)))
+                .cast("int"), F.lit(1)))
     else:
-        hot = (rel.groupBy(*keys)
-               .agg(F.count(F.lit(1)).alias("__bn__"))
-               .filter(F.col("__bn__") > chunk_target)
-               .select(*keys,
-                       F.ceil(F.col("__bn__")
-                              / F.lit(float(chunk_target)))
-                       .cast("int").alias("__nc__")))
+        from ..checkpoint import materialize, release
+        hot = materialize(
+            rel.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .filter(F.col("__bn__") > chunk_target)
+            .select(*keys,
+                    F.ceil(F.col("__bn__")
+                           / F.lit(float(chunk_target)))
+                    .cast("int").alias("__nc__")))
+        if hot.isEmpty():
+            # no hot bucket anywhere: salting is the identity — run
+            # the plain (still merge-pinned) self-join with no salt
+            # columns, broadcast or explode in the plan at all
+            release(hot)
+            left = rel.select(
+                *keys, *[F.col(c).alias(c + "_a") for c in payload])
+            right = rel.select(
+                *keys, *[F.col(c).alias(c + "_b") for c in payload])
+            return left.hint("merge").join(right.hint("merge"),
+                                           on=list(keys))
         salted = (rel.join(F.broadcast(hot), on=list(keys), how="left")
                   .withColumn("__nc__",
                               F.coalesce(F.col("__nc__"), F.lit(1))))
@@ -601,13 +629,28 @@ def _bucketed_join(left: DataFrame, right: DataFrame, keys: list[str],
     rb = [c for c in right.columns if c not in keys]
     lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__ln__"))
     rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__rn__"))
-    hot = (lc.join(rc, on=list(keys))
-           .select(*keys,
-                   F.ceil(F.col("__ln__") / F.lit(float(chunk_target)))
-                   .cast("int").alias("__nca__"),
-                   F.ceil(F.col("__rn__") / F.lit(float(chunk_target)))
-                   .cast("int").alias("__ncb__"))
-           .filter((F.col("__nca__") > 1) | (F.col("__ncb__") > 1)))
+    # materialized + empty short-circuit (r15, the _bucketed_self_join
+    # fix): the lazy hot subtree hung under BOTH replicated sides, so
+    # the two sizing aggregates ran twice each; and when no key is hot
+    # on either side — the common case — the chunking is the identity
+    # and the plain join is bit-identical with none of the salting
+    # machinery in the plan.
+    from ..checkpoint import materialize, release
+    hot = materialize(
+        lc.join(rc, on=list(keys))
+        .select(*keys,
+                F.ceil(F.col("__ln__") / F.lit(float(chunk_target)))
+                .cast("int").alias("__nca__"),
+                F.ceil(F.col("__rn__") / F.lit(float(chunk_target)))
+                .cast("int").alias("__ncb__"))
+        .filter((F.col("__nca__") > 1) | (F.col("__ncb__") > 1)))
+    if hot.isEmpty():
+        release(hot)
+        lp = left.select(
+            *keys, *[F.col(c).alias(c + "_a") for c in la])
+        rp = right.select(
+            *keys, *[F.col(c).alias(c + "_b") for c in rb])
+        return lp.join(rp, on=list(keys))
     l2 = (left.join(F.broadcast(hot), on=list(keys), how="left")
           .withColumn("__nca__", F.coalesce(F.col("__nca__"), F.lit(1)))
           .withColumn("__ncb__", F.coalesce(F.col("__ncb__"), F.lit(1)))

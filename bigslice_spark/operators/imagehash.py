@@ -112,7 +112,11 @@ def dhash_pairs(hashes: DataFrame, id_col: str = "id",
     whole corpus-scale decode ran twice per query (both SMJ inputs
     carried their own MapInPandas+Scan chains,
     plans/r14/image_dedup_phash_before.txt). The checkpointed
-    relation is (id, hash) — 16 bytes/row at any corpus size."""
+    relation is (id, hash) — 16 bytes/row at any corpus size.
+    Long-lived sessions should call ``checkpoint.release_all()``
+    between queries (the bench does): the input checkpoint has no
+    per-call release() here because the returned pairs still
+    reference it lazily (ADVICE r14)."""
     hashes = materialize(hashes.select(id_col, hash_col), reliable)
     h = F.col(hash_col)
     banded = hashes.select(
@@ -194,7 +198,8 @@ def video_pairs(frame_hashes: DataFrame, id_col: str = "id",
     rationale): it is the output of demux → decode → hash — three
     stacked Arrow passes per side before r14
     (plans/r14/video_dedup_before.txt) — and the checkpointed
-    relation is (id, frame_idx, dhash), ~20 bytes per frame."""
+    relation is (id, frame_idx, dhash), ~20 bytes per frame.
+    Same ``release_all()`` expectation as dhash_pairs (ADVICE r14)."""
     frame_hashes = materialize(
         frame_hashes.select(id_col, "frame_idx", "dhash"), reliable)
     a = frame_hashes.select(F.col(id_col).alias("a"),

@@ -60,6 +60,14 @@ def trigram_postings(docs: DataFrame, id_col: str = "doc_id",
     text, exactly array_intersect's verdict. The full build (index
     writes) keeps the transform: it genuinely needs all positions."""
     if only is not None:
+        # the instr probe matches ANY substring, so a non-3-char entry
+        # would diverge from the positional-trigram intersection this
+        # path replaces — reject rather than silently widen (ADVICE r14)
+        bad = [t for t in only if len(t) != 3]
+        if bad:
+            raise ValueError(
+                f"trigram_postings(only=...) entries must be exactly "
+                f"3 chars, got {bad[:5]!r}")
         need = F.explode(F.array(*[F.lit(t)
                                    for t in dict.fromkeys(only)]))
         return (docs.select(F.col(id_col).alias("doc_id"),

@@ -67,14 +67,8 @@ def main() -> None:
     except Exception:
         pass
 
-    # bench fast-path overrides (same as bench.py)
-    import bench
-    overrides = {}
-    for nm, fn in (("dedup_minhash", None), ("dedup_simhash", None),
-                   ("semantic_dedup", None)):
-        pass
-    # re-create the bench overrides by importing its module-level defs
-    # is not possible (they are local); inline the same three:
+    # bench fast-path overrides: bench.py's are function-local, so the
+    # same three are inlined here:
     def _minhash_fast(spark, sf_dir):
         from bigslice_spark.operators.dedup import minhash_lsh_pairs
         from bigslice_spark.session import load_tables
