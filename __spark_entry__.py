@@ -159,10 +159,56 @@ _R9_STALE = (
     "sessionize", "stream_enrich", "topk_orders", "web_pipeline",
     "window_range_frame", "window_rank", "window_running",
     "zorder_layout")
-# positions 51-58: first in line for r15 — the r14 late additions
-# (zero driver signal: Avro schema resolution, trigram substring
-# search — both driver-sim hash-MATCHED locally), then the six r9
-# deferrals
+# Round-15 window (VERDICT r14 "Next round" #7):
+#   0. the r15 queue head exactly as committed last round
+#      (_R15_QUEUE_HEAD below): the three zero-driver-signal entries
+#      (source_avro_evolution, trigram_search, regex_search) then the
+#      six documented r9 deferrals.
+#   1. entries whose IMPLEMENTATION changed this optimization round
+#      and must re-prove under the driver (_R15_CHANGED): the two new
+#      entries (trigram_index_grep — the persisted-index grep,
+#      VERDICT task 5; indexed_lookup — the write_indexed consumer,
+#      task 6), every consumer of the restructured salted joins
+#      (_bucketed_self_join hot-key materialize + empty short-circuit;
+#      _bucketed_join analog), and every consumer of the graph loops
+#      whose fixpoint probes now ride the materialize action via
+#      Observation.
+#   2. top-up to 50 with the r10-stale cohort (latest driver artifact
+#      r10) in name order (_R10_STALE_TOPUP); five of the cohort
+#      (semantic_dedup, dedup_keep_best, leakage_split,
+#      lpa_communities, ngram_containment) and edit_distance_pairs
+#      already re-prove as changed entries above.
+# After this window the staleness floor moves to r10 with the 21
+# documented _R16_QUEUE_HEAD remainders (positions 51-71) first in
+# line next round.
+_R15_CHANGED = (
+    "trigram_index_grep", "indexed_lookup",
+    "dedup_minhash", "dedup_simhash", "semantic_dedup",
+    "ngram_jaccard", "ngram_containment", "item_jaccard",
+    "dedup_embedding", "dedup_keep_best", "dedup_against",
+    "dedup_components", "edit_distance_pairs", "leakage_split",
+    "lpa_communities", "pagerank", "k_core", "triangle_count")
+_R10_STALE_TOPUP = (
+    "audio_adpcm", "audio_g711", "audio_mp4_pcm",
+    "audio_segments", "audio_spectral", "bloom_join",
+    "bucketed_join", "charset_decode", "corpus_overlap",
+    "date_spine_gapfill", "decontaminate_bloom", "dup_spans",
+    "equidepth_histogram", "event_gaps", "ewma_value",
+    "gopher_rules", "heavy_hitters", "html_links",
+    "kmeans_assign_ivf", "kmeans_train", "lm_quality",
+    "multimodal_gif", "multimodal_mjpeg")
+# positions 51-71: first in line for r16 — the r10-stale remainder
+_R16_QUEUE_HEAD = (
+    "multimodal_resize", "ngram_novelty", "op_const", "op_map",
+    "op_reader_func", "op_writer_func", "price_histogram",
+    "quantile_sketch", "random_projection", "sample_per_key",
+    "similarity_pq", "sketch_rollup", "source_csv_malformed",
+    "source_orc", "stream_warc", "strip_dup_spans", "text_clean",
+    "tfidf_terms", "time_rollup", "ts_anomaly", "url_normalize")
+# positions 51-58 of the r14 rotation: the r15 queue head as
+# committed last round — the r14 late additions (zero driver signal:
+# Avro schema resolution, trigram substring search — both driver-sim
+# hash-MATCHED locally), then the six r9 deferrals
 _R15_QUEUE_HEAD = ("source_avro_evolution", "trigram_search",
                    "regex_search",
                    "multimodal_jpeg", "multimodal_mp4",
@@ -248,8 +294,9 @@ _R6_OLDEST = (
     "distinct_pairs", "agg_stats",
 )
 def _rotated() -> list[str]:
-    head = [k for k in (_R14_HEAD + _R14_CHANGED + _R9_STALE
-                        + _R15_QUEUE_HEAD
+    head = [k for k in (_R15_QUEUE_HEAD + _R15_CHANGED
+                        + _R10_STALE_TOPUP + _R16_QUEUE_HEAD
+                        + _R14_HEAD + _R14_CHANGED + _R9_STALE
                         + _R13_CHANGED + _R8_STALE
                         + _R12_NEW + _R6_STALE + _R8_TOPUP
                         + _R11_NEW + _R5_STALE + _R6_OLDEST)

@@ -123,6 +123,11 @@ HEADLINE = [
     # postings build + cover join + verify
     "trigram_search",
     "regex_search",
+    # added round 15 (ratchet starts at r15): the persisted-index
+    # grep — ONE write_trigram_index build + literal AND regex query
+    # families off the partition-pruned postings (the amortized
+    # 100 TB shape; VERDICT r14 task 5)
+    "trigram_index_grep",
 ]
 
 
