@@ -156,9 +156,17 @@ def _prev_fresh_times() -> tuple[int, dict[str, float]]:
     name:float pairs regexed out of the stdout tail (BENCH_r12's
     'parsed: null' defect — the tail still holds the numbers)."""
     import glob
-    for f in sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "BENCH_r*.json")), reverse=True):
+    # plain per-round artifacts ONLY: BENCH_r14_c8.json (the driver's
+    # 8-core scaling run) sorts BEFORE BENCH_r14.json reverse-
+    # lexically and was silently used as "prev" in the r15 baseline
+    # run — cross-core-count numbers faked >1.5x movers. Measurement-
+    # bug fix (r15): the timed action and artifact are unchanged.
+    cand = [f for f in glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(f))]
+    for f in sorted(cand, key=lambda p: int(
+            re.search(r"_r(\d+)", p).group(1)), reverse=True):
         n = int(re.search(r"_r(\d+)", f).group(1))
         if n < 12:          # pre-r12 artifacts are in-sequence: not
             break           # comparable to fresh-JVM numbers

@@ -3,6 +3,21 @@ import os
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default-skip ``heavy``-marked tests (see pytest.ini) so
+    ``python -m pytest tests/ -x -q`` — the driver's fixed verify
+    command — fits its window. SPARK_GRAFT_FULL_TESTS=1 runs them;
+    the full suite is re-run that way before every round seal."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="heavy: run with SPARK_GRAFT_FULL_TESTS=1 "
+               "(driver-window budget, VERDICT r14 task 3)")
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from bigslice_spark import get_spark

@@ -35,6 +35,7 @@ def _run(master: str, arrow: str, sf_dir: str) -> dict:
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_operator_battery_is_config_invariant(sf_dir):
     results = {cfg: _run(*cfg, sf_dir) for cfg in CONFIGS}
     base_cfg = CONFIGS[0]

@@ -1,6 +1,7 @@
 """The examples/ scripts must stay runnable — they are the migration
 documentation a reference user actually executes."""
 
+import pytest
 import subprocess
 import sys
 
@@ -21,6 +22,7 @@ def test_wordcount_example():
     assert counts == sorted(counts, reverse=True)
 
 
+@pytest.mark.heavy
 def test_llm_pipeline_example():
     out = _run("examples/llm_pipeline.py")
     budget = [l for l in out.splitlines() if "\t" in l]

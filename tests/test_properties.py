@@ -7,6 +7,8 @@ reference's example/max_test.go:20-121 and randomized reshuffle tests
 Inputs deliberately include the reference corpus's edge cases: empty
 string key, unicode keys, negative/zero values, heavy key skew."""
 
+import os
+
 from collections import Counter, defaultdict
 
 import pyspark.sql.functions as F
@@ -920,8 +922,15 @@ def test_dup_span_invariants(spark, docs):
 # pure-Python references of their documented rules, 200 examples each
 # (every example batches several inputs through one Spark collect).
 
-URL_PROP = settings(max_examples=200, deadline=None,
-                    suppress_health_check=list(HealthCheck))
+# 50 examples by default (each still batches several inputs per
+# Spark collect); the three suites on this profile are LATENCY-bound
+# — ~0.5s of Spark round-trip per example, 327s of the suite's 1889s
+# wall at 200 (r15 durations profile) — and SPARK_GRAFT_FULL_TESTS=1
+# (set on every seal/CI run) restores the full 200.
+URL_PROP = settings(
+    max_examples=200 if os.environ.get("SPARK_GRAFT_FULL_TESTS")
+    else 50,
+    deadline=None, suppress_health_check=list(HealthCheck))
 
 _SCHEME = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp",
                            "FTP"])
