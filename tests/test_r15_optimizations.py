@@ -97,3 +97,60 @@ def test_bucketed_self_join_null_bn_col_coalesces(spark):
         .join(rel.select("id", "bk").toDF("id_b", "bk"), on="bk"),
         ["bk", "id_a", "id_b"])
     assert got == want
+
+def test_trigram_full_build_matches_transform_shape(spark):
+    """r15: the regexp_extract_all full postings build must equal the
+    transform(sequence(...)) shape it replaced — as a multiset per
+    doc — on adversarial texts (newlines, unicode, repeats); texts
+    shorter than a trigram yield NO postings (the old form's junk
+    sub-3-char rows were latent: needed trigrams are validated
+    3-char and could never match one)."""
+    from pyspark.sql import functions as F
+
+    from bigslice_spark.operators.trigram import trigram_postings
+    rows = [
+        (1, "abcdef"), (2, "aaaaaa"), (3, "a\nb\ncd e"),
+        (4, "héllo wörld héllo"), (5, "tab\tand\rcr"),
+        (6, "xyzxyzxyz"), (7, "  spaces  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = _rows(trigram_postings(docs), ["doc_id", "tri"])
+    old = F.expr("transform(sequence(1, length(text) - 2),"
+                 " i -> substring(text, i, 3))")
+    want = _rows(
+        docs.filter(F.length("text") >= 3)
+        .select("doc_id",
+                F.explode(F.array_distinct(old)).alias("tri")),
+        ["doc_id", "tri"])
+    assert got == want
+    # sub-trigram and empty/NULL texts: no postings at all
+    short = spark.createDataFrame(
+        [(10, ""), (11, "ab"), (12, None)], "doc_id long, text string")
+    assert trigram_postings(short).count() == 0
+
+
+def test_write_trigram_index_clustered_one_file_per_bucket(spark,
+                                                           tmp_path):
+    """r15: the clustered index write produces exactly one data file
+    per non-empty bucket directory, and reads back the same postings
+    relation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigslice_spark.operators.trigram import (read_trigram_index,
+                                                  trigram_postings,
+                                                  write_trigram_index)
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text")
+         for i in range(30)], "doc_id long, text string")
+    d = str(tmp_path / "tri_idx")
+    write_trigram_index(docs, d, nparts=8)
+    for ent in os.listdir(d):
+        if ent.startswith("tp="):
+            data = [f for f in os.listdir(os.path.join(d, ent))
+                    if f.endswith(".parquet")]
+            assert len(data) == 1, (ent, data)
+    got = _rows(read_trigram_index(spark, d), ["doc_id", "tri"])
+    want = _rows(trigram_postings(docs), ["doc_id", "tri"])
+    assert got == want
