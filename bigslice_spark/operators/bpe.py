@@ -56,11 +56,13 @@ def word_counts(df: DataFrame, text_col: str = "text",
             .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
 
 
-def _merge_loop(wc: list[tuple[str, int]],
-                num_merges: int) -> list[tuple[int, str, str, int]]:
-    """Classic BPE over a word-frequency list: repeatedly merge the
-    most frequent adjacent symbol pair. Pure function of its input —
-    kept separate so tests can drive it with hand corpora."""
+def _merge_loop_rescan(wc: list[tuple[str, int]],
+                       num_merges: int
+                       ) -> list[tuple[int, str, str, int]]:
+    """Reference BPE loop: full pair recount + full word rescan per
+    merge — O(merges · Σ|word|). Kept as the plain-reading spec the
+    incremental loop below is test-pinned against (and for hand
+    corpora in tests)."""
     words = [([*w] + [_EOW], n) for w, n in wc]
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(num_merges):
@@ -90,6 +92,93 @@ def _merge_loop(wc: list[tuple[str, int]],
                     i += 1
             nxt.append((out, n))
         words = nxt
+    return merges
+
+
+def _merge_loop(wc: list[tuple[str, int]],
+                num_merges: int) -> list[tuple[int, str, str, int]]:
+    """Classic BPE over a word-frequency list: repeatedly merge the
+    most frequent adjacent symbol pair (count DESC, pair lexicographic
+    tie-break). Pure function of its input.
+
+    INCREMENTAL (r15, guide §5 — this loop is driver-side CPU): the
+    rescan form recounted every pair over every word per merge
+    (O(merges · Σ|word|) — measured ~2s of the bpe_merges entry at
+    sf0.1, the dominant driver cost). Here pair counts update by
+    DELTA: only words actually containing the merged pair (tracked in
+    an occurrence index) are rewritten, and each rewrite subtracts the
+    word's old adjacent-pair multiset and adds the new one. The argmax
+    comes from a lazy-deletion heap keyed (-count, pair) — exactly the
+    rescan form's min((-count, pair)) — where stale entries (count
+    changed since push) are discarded on pop by comparing against the
+    live count. Same merge sequence bit-for-bit (test-pinned against
+    _merge_loop_rescan on adversarial corpora: overlapping runs, ties,
+    multi-char remerges)."""
+    import heapq
+
+    words = [([*w] + [_EOW], n) for w, n in wc]
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] = pairs.get(p, 0) + n
+            if p in where:
+                where[p].add(wi)
+            else:
+                where[p] = {wi}
+    heap = [(-c, p) for p, c in pairs.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        # pop until a LIVE entry: count still current (lazy deletion)
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pairs.get(p, 0) == -negc:
+                break
+        else:
+            break
+        cnt = -negc
+        if cnt < 2:
+            break  # nothing left worth merging
+        a, b = p
+        merges.append((rank, a, b, cnt))
+        ab = a + b
+        touched: dict[tuple[str, str], int] = {}
+        for wi in where.pop(p, ()):
+            syms, n = words[wi]
+            out, i, hit = [], 0, False
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(ab)
+                    i += 2
+                    hit = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if not hit:
+                continue  # stale index entry — pair already gone
+            for j in range(len(syms) - 1):
+                q = (syms[j], syms[j + 1])
+                touched[q] = touched.get(q, 0) - n
+            for j in range(len(out) - 1):
+                q = (out[j], out[j + 1])
+                touched[q] = touched.get(q, 0) + n
+                if q in where:
+                    where[q].add(wi)
+                else:
+                    where[q] = {wi}
+            words[wi] = (out, n)
+        for q, d in touched.items():
+            if d == 0:
+                continue
+            c = pairs.get(q, 0) + d
+            if c <= 0:
+                pairs.pop(q, None)
+            else:
+                pairs[q] = c
+                heapq.heappush(heap, (-c, q))
     return merges
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..local_rows import local_df
 from .similarity import _hyperplanes
 
 
@@ -99,8 +100,8 @@ def kmeans_assign(df: DataFrame, centroids: list[list[float]],
     if method != "join":
         raise ValueError(f"unknown method: {method}")
     spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(ci, c) for ci, c in enumerate(centroids)],
+    cents = local_df(
+        spark, [(ci, c) for ci, c in enumerate(centroids)],
         "cell int, c array<double>")
     d = F.aggregate(
         F.zip_with("__v__", "c", lambda x, y: (x - y) * (x - y)),
@@ -191,8 +192,8 @@ def kmeans_assign_ivf(df: DataFrame, centroids: list[list[float]],
                    .alias("__p__"))
           .select(id_col, "__v__", F.col("__p__.g").alias("g")))
     # stage 2: candidates = member centroids of the probed groups
-    cents = spark.createDataFrame(
-        [(ci, member[ci], c) for ci, c in enumerate(centroids)],
+    cents = local_df(
+        spark, [(ci, member[ci], c) for ci, c in enumerate(centroids)],
         "cell int, g int, c array<double>")
     d = F.aggregate(
         F.zip_with("__v__", "c", lambda x, y: (x - y) * (x - y)),

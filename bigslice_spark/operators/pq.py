@@ -38,6 +38,8 @@ import math
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..local_rows import local_df
+
 
 def _seq_dot(a, b) -> float:
     """Left-associative 0.0-seeded dot product — the driver-side twin
@@ -120,9 +122,9 @@ def pq_train(df: DataFrame, m: int = 8, ksub: int = 16,
                 (F.sum(F.col("b.sub")[t].cast(f"decimal(38,{scale})"))
                  .cast("double") / F.count(F.lit(1))).alias(f"m{t}"))
         for _ in range(iters):
-            cents = spark.createDataFrame(
-                [(j, c, books[j][c]) for j in range(m)
-                 for c in range(ksub)],
+            cents = local_df(
+                spark, [(j, c, books[j][c]) for j in range(m)
+                        for c in range(ksub)],
                 "j int, cell int, c array<double>")
             upd = (rows.join(F.broadcast(cents), "j")
                    .withColumn("__d", d)
@@ -196,10 +198,10 @@ def pq_encode(df: DataFrame, codebooks: list,
     if method != "join":
         raise ValueError(f"unknown method: {method}")
     spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(j, c, [float(x) for x in codebooks[j][c]],
-          float(sum(x * x for x in codebooks[j][c])))
-         for j in range(m) for c in range(ksub)],
+    cents = local_df(
+        spark, [(j, c, [float(x) for x in codebooks[j][c]],
+                 float(sum(x * x for x in codebooks[j][c])))
+                for j in range(m) for c in range(ksub)],
         "j int, cell int, c array<double>, c_norm double")
     sub_structs = [F.struct(F.lit(j).alias("j"),
                             F.slice("v", j * dsub + 1, dsub)
@@ -262,9 +264,9 @@ def pq_topk(df: DataFrame, queries: DataFrame, codebooks: list,
         tabs.append((r["nid"], tab))
     if not tabs:
         return _rerank(
-            df.sparkSession.createDataFrame(
-                [], "qid long, nid long, cosine double"), k)
-    qdf = spark.createDataFrame(tabs, "qid long, tab array<double>")
+            local_df(df.sparkSession,
+                     [], "qid long, nid long, cosine double"), k)
+    qdf = local_df(spark, tabs, "qid long, tab array<double>")
 
     encoded = pq_encode(df, codebooks, vec_col, id_col, dim)
     # ADC score: sum of m table lookups, unrolled (codegen, no HOF)

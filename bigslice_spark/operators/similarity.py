@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..local_rows import local_df
+
 
 def _as_double_vec(col) -> "F.Column":
     return F.transform(col, lambda x: x.cast("double"))
@@ -331,8 +333,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                 .select(F.col(id_col).alias("nid"), "cell")
         assigned = corpus.join(cells, on="nid")
         spark = df.sparkSession
-        cents = spark.createDataFrame(
-            [(ci, c) for ci, c in enumerate(centers)],
+        cents = local_df(
+            spark, [(ci, c) for ci, c in enumerate(centers)],
             "cell int, c array<double>")
         qd = F.aggregate(
             F.zip_with("qv", "c", lambda x, y: (x - y) * (x - y)),

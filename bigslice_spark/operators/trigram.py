@@ -40,6 +40,85 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..local_rows import local_df
+
+# ---- pure-Python XXH64 (public algorithm, Collet) — the hash behind
+# Spark's `xxhash64` function. The persisted index buckets postings by
+# pmod(xxhash64(tri), nparts); computing a query's needed buckets
+# DRIVER-SIDE removes one collect job per query family (guide §5 —
+# the old path ran a Spark job over a handful of local rows just to
+# evaluate the hash). Bit-equality with Spark's xxhash64 (seed 42,
+# UTF-8 bytes) is pinned in tests/test_r15_optimizations.py.
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    return (_rotl((acc + inp * _P2) & _M64, 31) * _P1) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` — unsigned; see _bucket_of for the signed/
+    pmod wrapping that mirrors Spark's semantics."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i <= n - 32:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2,
+                            int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxh_round(v3,
+                            int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxh_round(v4,
+                            int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = (((h ^ _xxh_round(0, v)) * _P1) + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _bucket_of(tri: str, nparts: int) -> int:
+    """Driver-side replay of ``pmod(xxhash64(tri), nparts)``:
+    xxhash64 returns a SIGNED long, pmod wraps it non-negative."""
+    h = _xxh64(tri.encode("utf-8"), 42)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return ((h % nparts) + nparts) % nparts
+
 
 def trigram_postings(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
@@ -147,32 +226,40 @@ def substring_candidates(postings: DataFrame,
     ``literals[q]`` — the over-approximation to verify. Literals
     under 3 bytes yield no rows here (callers fall back to a full
     verify). ``indexed_parts`` must match the ``nparts`` the index
-    was written with, enabling partition pruning on ``tp``."""
+    was written with, enabling partition pruning on ``tp``.
+
+    ``postings`` must be (doc_id, tri)-DISTINCT — true of every
+    producer (``trigram_postings`` both paths, ``write_trigram_index``
+    round-trips) — which lets the cover count be a plain ``count(*)``
+    over the needed-set join instead of ``count(distinct tri)``:
+    Spark plans a grouped distinct count as four aggregates and TWO
+    exchanges (the first keyed on (q, doc_id, tri)), where count(*)
+    partial-aggregates map-side straight onto (q, doc_id) and
+    shuffles one row per candidate (guide §2.2; Exchange -1 per
+    query family, plan-gated in tests)."""
     spark = postings.sparkSession
     need_rows = [(qi, t)
                  for qi, lit in enumerate(literals)
                  for t in literal_trigrams(lit)]
     if not need_rows:
-        return spark.createDataFrame([], "q int, doc_id long")
-    need = spark.createDataFrame(need_rows, "q int, tri string")
+        return local_df(spark, [], "q int, doc_id long")
+    need = local_df(spark, need_rows, "q int, tri string")
     counts = {qi: len(literal_trigrams(lit))
               for qi, lit in enumerate(literals)
               if len(lit) >= 3}
-    kdf = spark.createDataFrame(list(counts.items()), "q int, k int")
+    kdf = local_df(spark, list(counts.items()), "q int, k int")
     p = postings
     if indexed_parts:
         # prune the index scan to the needed trigrams' partitions —
-        # bucket values computed with the SAME hash expression the
-        # writer used (metadata-scale collect: one row per trigram)
-        buckets = sorted({b for (b,) in
-                          need.select(_part_col(F.col("tri"),
-                                                indexed_parts)
-                                      .alias("b")).distinct()
-                          .collect()})
+        # bucket values replayed driver-side with the writer's hash
+        # (_bucket_of == pmod(xxhash64, nparts), test-pinned): no
+        # collect job
+        buckets = sorted({_bucket_of(t, indexed_parts)
+                          for _, t in need_rows})
         p = p.filter(F.col("tp").isin(buckets))
     cand = (p.join(F.broadcast(need), "tri")
             .groupBy("q", "doc_id")
-            .agg(F.countDistinct("tri").alias("got"))
+            .agg(F.count(F.lit(1)).alias("got"))
             .join(F.broadcast(kdf), "q")
             .filter(F.col("got") == F.col("k"))
             .select("q", "doc_id"))
@@ -196,8 +283,8 @@ def substring_search(docs: DataFrame, literals: Sequence[str],
                          for t in literal_trigrams(s)})
         postings = trigram_postings(docs, id_col, text_col,
                                     only=needed)
-    lit_df = F.broadcast(spark.createDataFrame(
-        [(i, s) for i, s in enumerate(literals)],
+    lit_df = F.broadcast(local_df(
+        spark, [(i, s) for i, s in enumerate(literals)],
         "q int, pattern string"))
     long_idx = [i for i, s in enumerate(literals) if len(s) >= 3]
     short_idx = [i for i, s in enumerate(literals) if len(s) < 3]
@@ -213,16 +300,17 @@ def substring_search(docs: DataFrame, literals: Sequence[str],
         out = verified
     if short_idx:
         # sub-trigram needles: no pruning possible — full verify
-        sdf = F.broadcast(spark.createDataFrame(
-            [(literals[i],) for i in short_idx], "pattern string"))
+        sdf = F.broadcast(local_df(
+            spark, [(literals[i],) for i in short_idx],
+            "pattern string"))
         full = (docs.select(F.col(id_col).alias("doc_id"),
                             F.col(text_col).alias("__t"))
                 .crossJoin(sdf)
                 .filter(F.expr("instr(__t, pattern) > 0"))
                 .select("pattern", "doc_id"))
         out = full if out is None else out.unionByName(full)
-    return out if out is not None else spark.createDataFrame(
-        [], "pattern string, doc_id long")
+    return out if out is not None else local_df(
+        spark, [], "pattern string, doc_id long")
 
 
 # ------------------------------------------------- regex → trigram
@@ -399,8 +487,8 @@ def regex_search(docs: DataFrame, patterns: Sequence[str],
             for t in {t for s in groups[0]
                       for t in literal_trigrams(s)}:
                 spec_rows.append((qi, 0, t))
-    pat_df = F.broadcast(spark.createDataFrame(
-        [(i, p) for i, p in enumerate(patterns)],
+    pat_df = F.broadcast(local_df(
+        spark, [(i, p) for i, p in enumerate(patterns)],
         "q int, pattern string"))
     corpus = docs.select(F.col(id_col).alias("doc_id"),
                          F.col(text_col).alias("__t"))
@@ -413,21 +501,29 @@ def regex_search(docs: DataFrame, patterns: Sequence[str],
         else:
             p = postings
             if indexed_parts:
-                need = spark.createDataFrame(
-                    [(t,) for t in sorted({t for _, _, t
-                                           in spec_rows})],
-                    "tri string")
-                buckets = sorted({b for (b,) in need.select(
-                    _part_col(F.col("tri"), indexed_parts)
-                    .alias("b")).distinct().collect()})
+                # driver-side bucket replay (_bucket_of — no collect
+                # job; see substring_candidates)
+                buckets = sorted({_bucket_of(t, indexed_parts)
+                                  for _, _, t in spec_rows})
                 p = p.filter(F.col("tp").isin(buckets))
-        spec = spark.createDataFrame(spec_rows, "q int, alt int, "
-                                                "tri string")
-        kdf = (spec.groupBy("q", "alt")
-               .agg(F.countDistinct("tri").alias("k")))
+        spec = local_df(spark, spec_rows, "q int, alt int, tri string")
+        # per-(q, alt) cover sizes are known driver-side (spec_rows is
+        # set-built, one row per distinct (q, alt, tri)) — inline them
+        # instead of re-deriving via a distinct aggregate
+        kc: dict[tuple[int, int], int] = {}
+        for q, alt, _ in spec_rows:
+            kc[(q, alt)] = kc.get((q, alt), 0) + 1
+        kdf = local_df(spark, [(q, alt, k) for (q, alt), k
+                               in sorted(kc.items())],
+                       "q int, alt int, k int")
+        # cover count is count(*): postings are (doc_id, tri)-distinct
+        # (contract — see substring_candidates) and spec holds one row
+        # per (q, alt, tri), so the join emits each (q, alt, doc_id,
+        # tri) at most once; a distinct count would cost a second
+        # exchange keyed on tri
         cand = (p.join(F.broadcast(spec), "tri")
                 .groupBy("q", "alt", "doc_id")
-                .agg(F.countDistinct("tri").alias("got"))
+                .agg(F.count(F.lit(1)).alias("got"))
                 .join(F.broadcast(kdf), ["q", "alt"])
                 .filter(F.col("got") == F.col("k"))
                 .select("q", "doc_id").distinct())
@@ -436,11 +532,11 @@ def regex_search(docs: DataFrame, patterns: Sequence[str],
                .select("pattern", "doc_id"))
     scan_q = [q for q in plans if q not in pruned_q]
     if scan_q:
-        sdf = F.broadcast(spark.createDataFrame(
-            [(patterns[q],) for q in scan_q], "pattern string"))
+        sdf = F.broadcast(local_df(
+            spark, [(patterns[q],) for q in scan_q], "pattern string"))
         full = (corpus.crossJoin(sdf)
                 .filter(F.expr("__t rlike pattern"))
                 .select("pattern", "doc_id"))
         out = full if out is None else out.unionByName(full)
-    return out if out is not None else spark.createDataFrame(
-        [], "pattern string, doc_id long")
+    return out if out is not None else local_df(
+        spark, [], "pattern string, doc_id long")

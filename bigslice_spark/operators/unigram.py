@@ -53,6 +53,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..local_rows import local_df
+
 _NPIECE_SHIFT = 40  # score = -(n_pieces << 40) + sum_counts
 
 
@@ -183,8 +185,8 @@ def train_unigram(df: DataFrame, text_col: str = "text",
             for ch in word:
                 counts.setdefault(ch, 0)
         _check_objective_headroom(counts, max_word_len)
-    out = spark.createDataFrame(
-        sorted(counts.items()), "piece string, cnt long")
+    out = local_df(
+        spark, sorted(counts.items()), "piece string, cnt long")
     return out, counts
 
 

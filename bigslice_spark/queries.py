@@ -21,6 +21,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .local_rows import local_df
 from .session import Session, load_tables
 from .slice import Slice
 
@@ -4888,8 +4889,11 @@ def bpe_merges_q(spark, sf_dir):
     from .operators.bpe import bpe_train
     _, t = _s(spark, sf_dir)
     merges = bpe_train(t["documents"], num_merges=40)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, n long")
+    # local_df (Arrow local relation): the old createDataFrame fanned
+    # the 40-row result across a 32-task Python RDD at count time —
+    # 2.5s of the timed action was result transport, not training
+    return local_df(spark, merges,
+                    "rank int, left string, right string, n long")
 
 
 # The 40-merge vocabulary bpe_train produces on the sf0.01 documents
@@ -9788,8 +9792,8 @@ def metrics_counters_q(spark, sf_dir):
     (t["orders"].select("o_orderkey", "o_totalprice")
      .mapInPandas(op, schema="o_orderkey long").count())
     snap = scope.snapshot()
-    return spark.createDataFrame(
-        sorted(snap.items()), "name string, value long")
+    return local_df(spark, sorted(snap.items()),
+                    "name string, value long")
 
 
 @query("nb_classifier", """
