@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..checkpoint import materialize
+from ..local_rows import local_df
 
 _MANIFEST = "_MANIFEST.json"
 
@@ -701,9 +702,10 @@ def snapshot_stats(spark: SparkSession, path: str,
     stats = _partition_stats(spark, path, layout)
     rows = [(rel, pv, stats[rel][0], stats[rel][1])
             for rel, pv in sorted(layout.items())]
-    return spark.createDataFrame(
-        rows, "partition string, physical_version int, n_files int, "
-              "n_bytes long")
+    return local_df(
+        spark, rows,
+        "partition string, physical_version int, n_files int, "
+        "n_bytes long")
 
 
 def vacuum(spark: SparkSession, path: str, keep_last: int = 2,
@@ -881,9 +883,10 @@ def schema_diff(spark: SparkSession, path: str, v_old: int,
             rows.append((c, "added", None, new[c]))
         elif old[c] != new[c]:
             rows.append((c, "type_changed", old[c], new[c]))
-    return spark.createDataFrame(
-        rows, "column string, change string, old_type string, "
-              "new_type string")
+    return local_df(
+        spark, rows,
+        "column string, change string, old_type string, "
+        "new_type string")
 
 
 def snapshot_diff(spark: SparkSession, path: str, v_old: int, v_new: int,
